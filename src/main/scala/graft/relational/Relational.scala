@@ -1,0 +1,188 @@
+package graft.relational
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SURVEY §2.11 relational corpus (Q01–Q26): the general query surface the
+  * engine must support alongside the raster operators. All of these compile
+  * to unmodified Catalyst plans — filters/projections push into the parquet
+  * scan, small-dim joins broadcast, aggregates run partial/final — which is
+  * the point: Spark's optimizer does the relational work; the custom code in
+  * this project is the raster/LLM-pipeline surface.
+  *
+  * Each entry carries the Spark SQL and (where oracle-checkable) the DuckDB
+  * spelling. Normalization for hash stability (SURVEY §2.11): total ORDER BY,
+  * ROUND(double_agg, 2), dates via CAST, bigint casts on scalar-fn outputs.
+  */
+object Relational {
+
+  /** (name, sparkSql, Option(duckdbSql)); None duckSql means same string. */
+  private case class Q(name: String, spark: String, duck: Option[String] = None)
+
+  private val qs: Seq[Q] = Seq(
+    Q("q01_scan_filter",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    Q("q02_predicate_combo",
+      """SELECT o_orderkey FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice BETWEEN 1000 AND 5000
+        |ORDER BY o_orderkey""".stripMargin),
+
+    Q("q03_hash_agg",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       ROUND(SUM(l_extendedprice), 2) AS rev
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    Q("q04_agg_having",
+      """SELECT o_custkey, COUNT(*) AS n FROM orders
+        |GROUP BY o_custkey HAVING COUNT(*) >= 5 ORDER BY o_custkey""".stripMargin),
+
+    Q("q05_count_distinct",
+      "SELECT COUNT(DISTINCT l_suppkey) AS n FROM lineitem"),
+
+    Q("q06_inner_join",
+      """SELECT c.c_custkey, ROUND(SUM(o.o_totalprice), 2) AS tot
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin),
+
+    Q("q07_multi_join",
+      """SELECT o.o_orderkey,
+        |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderkey ORDER BY rev DESC, o.o_orderkey LIMIT 20""".stripMargin),
+
+    Q("q08_left_join",
+      """SELECT c.c_custkey, COUNT(o.o_orderkey) AS n
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin),
+
+    Q("q09_semi_join",
+      """SELECT p_partkey FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
+        |ORDER BY p_partkey""".stripMargin),
+
+    Q("q10_anti_join",
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin),
+
+    Q("q11_broadcast_join",
+      """SELECT n.n_name, COUNT(*) AS n
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin),
+
+    Q("q12_theta_join",
+      """SELECT r1.r_regionkey AS k1, r2.r_regionkey AS k2
+        |FROM region r1 JOIN region r2 ON r1.r_regionkey < r2.r_regionkey
+        |ORDER BY k1, k2""".stripMargin),
+
+    Q("q13_scalar_subquery",
+      """SELECT o_orderkey FROM orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    Q("q14_correlated_subquery",
+      """SELECT o_orderkey FROM orders o
+        |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    Q("q15_rollup",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
+    Q("q16_cube",
+      """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS q
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
+    Q("q17_window_rank",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin),
+
+    Q("q18_window_frame",
+      """SELECT o_orderkey,
+        |       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    Q("q19_window_lag",
+      """SELECT event_id, user_id,
+        |       LAG(event_type) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) AS prev
+        |FROM events ORDER BY event_id""".stripMargin,
+      Some("""SELECT event_id, user_id,
+        |       LAG(event_type) OVER (PARTITION BY user_id
+        |             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("q20_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+
+    Q("q21_intersect",
+      """SELECT c_nationkey AS k FROM customer
+        |INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k""".stripMargin),
+
+    Q("q21_except",
+      """SELECT c_nationkey AS k FROM customer
+        |EXCEPT SELECT s_nationkey AS k FROM supplier ORDER BY k""".stripMargin),
+
+    Q("q21_union_all",
+      """SELECT k, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  UNION ALL SELECT s_nationkey AS k FROM supplier) t
+        |GROUP BY k ORDER BY k""".stripMargin),
+
+    Q("q22_scalar_fns",
+      """SELECT o_orderkey, UPPER(o_orderpriority) AS p,
+        |       CAST(LENGTH(o_orderstatus) AS BIGINT) AS ln,
+        |       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+        |       ROUND(SQRT(o_totalprice), 2) AS sq
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    Q("q23_array_ops",
+      """SELECT vec_id, CAST(SIZE(embedding) AS BIGINT) AS n,
+        |       ROUND(SQRT(AGGREGATE(embedding, CAST(0.0 AS DOUBLE),
+        |             (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 2) AS nrm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n,
+        |       ROUND(SQRT(list_sum(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 2) AS nrm
+        |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    Q("q24_json_ops",
+      """SELECT event_id, GET_JSON_OBJECT(props, '$.k') AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+      Some("""SELECT event_id, json_extract_string(props, '$.k') AS k
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("q25_dedup_exact",
+      """SELECT lang, COUNT(*) AS n FROM (
+        |  SELECT DISTINCT text, lang FROM documents) t
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    Q("q26_event_time_window",
+      """SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n,
+        |       ROUND(SUM(value), 2) AS v
+        |FROM events GROUP BY CAST(ts AS DATE), event_type
+        |ORDER BY d, event_type""".stripMargin)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    qs.map(q => q.name -> Tables.sql(q.spark)).toMap
+
+  val oracleSql: Map[String, String] =
+    qs.map(q => q.name -> q.duck.getOrElse(q.spark)).toMap
+}
