@@ -18,10 +18,20 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.Relational.queries
+    relational.Relational.queries ++
+      dedup.Dedup.queries ++
+      similarity.Similarity.queries ++
+      text.TextAnalysis.queries ++
+      multimodal.Multimodal.queries ++
+      streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    relational.Relational.oracleSql
+    relational.Relational.oracleSql ++
+      dedup.Dedup.oracleSql ++
+      similarity.Similarity.oracleSql ++
+      text.TextAnalysis.oracleSql ++
+      multimodal.Multimodal.oracleSql ++
+      streaming.StreamingOps.oracleSql
 }

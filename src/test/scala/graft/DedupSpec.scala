@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Properties of the approximate dedup/similarity operators that the
+  * DuckDB oracle can't check (they use engine-internal hashing).
+  */
+class DedupSpec extends AnyFunSuite {
+  import GraftSpark.{spark, sf}
+
+  /** Ground truth: all pairs with exact word-3-gram Jaccard >= thr,
+    * brute-forced over the (small) test corpus. */
+  private def exactPairs(thr: Double): Set[(Long, Long)] = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), {
+        val w = r.getString(1).toLowerCase.trim.split("\\s+")
+        if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+        else Set(w.mkString(" "))
+      }))
+    (for {
+      (ia, sa) <- docs.iterator
+      (ib, sb) <- docs.iterator if ia < ib
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= thr
+    } yield (ia, ib)).toSet
+  }
+
+  test("minhash LSH finds every strongly-near-dup pair (recall @ J>=0.9)") {
+    val truth = exactPairs(0.9)
+    assert(truth.nonEmpty, "test corpus must contain planted near-dups")
+    val found = dedup.Dedup.minhash(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(found),
+      s"missed pairs: ${truth -- found}")
+  }
+
+  test("minhash LSH output is precise (every pair verifies at J>=0.7)") {
+    val bad = dedup.Dedup.minhash(spark, sf)
+      .where(col("jaccard") < dedup.Dedup.JaccardThreshold).count()
+    assert(bad == 0)
+  }
+
+  test("simhash candidate generation is exhaustive for hamming <= threshold") {
+    // The operator guarantee is pigeonhole completeness: every pair whose
+    // 64-bit signatures differ by <= HammingThreshold bits MUST be output
+    // (how often J~0.95 implies that is simhash statistics, not our code).
+    val found = dedup.Dedup.simhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    assert(found.forall(_._3 <= dedup.Dedup.HammingThreshold))
+    // brute-force ground truth over signatures derived from identical logic
+    val sigRows = dedup.Dedup.signatures(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (ia, sa) <- sigRows.iterator
+      (ib, sb) <- sigRows.iterator if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= dedup.Dedup.HammingThreshold
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty, "corpus should contain simhash-close pairs")
+    val foundPairs = found.map(t => (t._1, t._2)).toSet
+    assert(truth == foundPairs,
+      s"missed: ${truth -- foundPairs}; extra: ${foundPairs -- truth}")
+  }
+
+  test("exact dedup groups agree with distinct text count") {
+    val docs = Tables.load(spark, sf, "documents")
+    val distinctTexts = docs.select("text").distinct().count()
+    val groups = dedup.Dedup.queries("dedup_exact")(spark, sf).count()
+    assert(groups == distinctTexts)
+  }
+
+  test("LSH top-k has reasonable recall vs brute force") {
+    Tables.register(spark, sf)
+    val exact = spark.sql(similarity.Similarity.bruteforceSparkSql)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = similarity.Similarity.lshTopK(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"LSH top-k recall@${similarity.Similarity.K} = $recall")
+    assert(recall >= 0.3, s"recall $recall too low")
+  }
+
+  test("multimodal decode features are deterministic") {
+    val a = multimodal.Multimodal.decodeFeatures(spark, sf).collect().toSeq
+    val b = multimodal.Multimodal.decodeFeatures(spark, sf).collect().toSeq
+    assert(a == b)
+    assert(a.size == Tables.load(spark, sf, "documents").count())
+  }
+}
