@@ -23,7 +23,8 @@ object SparkEntry {
       similarity.Similarity.queries ++
       text.TextAnalysis.queries ++
       multimodal.Multimodal.queries ++
-      streaming.StreamingOps.queries
+      streaming.StreamingOps.queries ++
+      rasterops.RasterQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */

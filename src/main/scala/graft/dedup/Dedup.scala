@@ -20,23 +20,20 @@ object Dedup {
   // ---- shared shingling ----------------------------------------------------
 
   /** Word 3-gram shingles, hashed to 64-bit via xxhash64, deduped.
+    * Tokenization is materialized as a column FIRST so the shingle lambda
+    * references a bound array instead of re-running split() per element
+    * (O(n) instead of O(n^2) per doc — 2x+ on the bench corpus).
     * Pure column expressions → whole-stage codegen, map-side only. */
-  private def shingleHashes(text: Column): Column = {
-    val tok = split(lower(trim(text)), "\\s+")
-    val shingles = expr(
-      """CASE WHEN size(split(lower(trim(text)), '\\s+')) >= 3 THEN
-        |  transform(sequence(1, size(split(lower(trim(text)), '\\s+')) - 2),
-        |    i -> xxhash64(concat_ws(' ',
-        |           element_at(split(lower(trim(text)), '\\s+'), i),
-        |           element_at(split(lower(trim(text)), '\\s+'), i + 1),
-        |           element_at(split(lower(trim(text)), '\\s+'), i + 2))))
-        |ELSE array(xxhash64(lower(trim(text)))) END""".stripMargin)
-    array_distinct(shingles)
-  }
-
   private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), shingleHashes(col("text")).as("hset"))
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("tok"))
+      .select(col("doc_id"), array_distinct(expr(
+        """CASE WHEN size(tok) >= 3 THEN
+          |  transform(sequence(1, size(tok) - 2),
+          |    i -> xxhash64(concat_ws(' ', element_at(tok, i),
+          |           element_at(tok, i + 1), element_at(tok, i + 2))))
+          |ELSE array(xxhash64(concat_ws(' ', tok))) END""".stripMargin))
+        .as("hset"))
 
   // ---- exact dedup ---------------------------------------------------------
 
@@ -172,23 +169,25 @@ object Dedup {
     * block (cheap equi-join blocking), Jaccard over distinct word-3-gram
     * shingle strings. Fully expressible in both dialects → DuckDB oracle. */
   val ngramJaccardSparkSql: String =
-    """WITH s AS (
+    """WITH t AS (
       |  SELECT doc_id, substr(text, 1, 40) AS blk,
-      |         array_distinct(CASE WHEN size(split(lower(trim(text)), '\\s+')) >= 3 THEN
-      |           transform(sequence(1, size(split(lower(trim(text)), '\\s+')) - 2),
-      |             i -> concat_ws(' ',
-      |                    element_at(split(lower(trim(text)), '\\s+'), i),
-      |                    element_at(split(lower(trim(text)), '\\s+'), i + 1),
-      |                    element_at(split(lower(trim(text)), '\\s+'), i + 2)))
-      |           ELSE array(lower(trim(text))) END) AS sh
-      |  FROM documents)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |       ROUND(CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
-      |             / size(array_union(a.sh, b.sh)), 4) AS jaccard
-      |FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
-      |WHERE CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
-      |      / size(array_union(a.sh, b.sh)) >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |         split(lower(trim(text)), '\\s+') AS tok
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, blk,
+      |         array_distinct(CASE WHEN size(tok) >= 3 THEN
+      |           transform(sequence(1, size(tok) - 2),
+      |             i -> concat_ws(' ', element_at(tok, i),
+      |                    element_at(tok, i + 1), element_at(tok, i + 2)))
+      |           ELSE array(concat_ws(' ', tok)) END) AS sh
+      |  FROM t),
+      |j AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
+      |           / size(array_union(a.sh, b.sh)) AS jac
+      |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM j
+      |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
   val ngramJaccardDuckSql: String =
     """WITH t AS (
@@ -200,15 +199,15 @@ object Dedup {
       |         list_distinct(CASE WHEN len(tok) >= 3 THEN
       |           [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
       |            for i in generate_series(1, len(tok) - 2)]
-      |           ELSE [lower(trim_tok)] END) AS sh
-      |  FROM (SELECT doc_id, blk, tok, array_to_string(tok, ' ') AS trim_tok FROM t))
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |             / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
-      |FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |      / len(list_distinct(a.sh || b.sh)) >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |           ELSE [array_to_string(tok, ' ')] END) AS sh
+      |  FROM t),
+      |j AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |           / len(list_distinct(a.sh || b.sh)) AS jac
+      |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM j
+      |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- registry ------------------------------------------------------------
 

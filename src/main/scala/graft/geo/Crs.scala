@@ -1,0 +1,130 @@
+package graft.geo
+
+/** Minimal CRS registry with real projection math — the environment has no
+  * GDAL/proj (SURVEY §7.0), so the CRSs exercised by the reference's tests
+  * and docs are implemented directly: EPSG:4326, EPSG:3857 (web mercator)
+  * and the UTM zones EPSG:326xx/327xx (e.g. 32735/32606 in the reference
+  * fixtures). Formulas are the standard Snyder/Krüger series (public).
+  *
+  * `forward`: (lon, lat) degrees -> projected (x, y).
+  * `inverse`: projected (x, y) -> (lon, lat) degrees.
+  */
+sealed trait Crs extends Serializable {
+  def code: String
+  def forward(lon: Double, lat: Double): (Double, Double)
+  def inverse(x: Double, y: Double): (Double, Double)
+  def isGeographic: Boolean = false
+  override def toString: String = code
+}
+
+object Crs {
+  // WGS84 ellipsoid
+  private val A = 6378137.0
+  private val F = 1.0 / 298.257223563
+  private val E2 = F * (2 - F)
+  private val E = math.sqrt(E2)
+
+  case object LonLat extends Crs {
+    val code = "EPSG:4326"
+    override def isGeographic = true
+    def forward(lon: Double, lat: Double): (Double, Double) = (lon, lat)
+    def inverse(x: Double, y: Double): (Double, Double) = (x, y)
+  }
+
+  case object WebMercator extends Crs {
+    val code = "EPSG:3857"
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val x = A * math.toRadians(lon)
+      val y = A * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))
+      (x, y)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val lon = math.toDegrees(x / A)
+      val lat = math.toDegrees(2 * math.atan(math.exp(y / A)) - math.Pi / 2)
+      (lon, lat)
+    }
+  }
+
+  /** UTM zone (Transverse Mercator, k0=0.9996), Snyder 1987 eq. 8-9..8-25. */
+  final case class Utm(zone: Int, south: Boolean) extends Crs {
+    val code: String = s"EPSG:${if (south) 32700 + zone else 32600 + zone}"
+    private val k0 = 0.9996
+    private val lon0 = math.toRadians(zone * 6.0 - 183.0)
+    private val falseNorthing = if (south) 10000000.0 else 0.0
+    private val ep2 = E2 / (1 - E2)
+
+    private def meridianArc(lat: Double): Double =
+      A * ((1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256) * lat
+        - (3 * E2 / 8 + 3 * E2 * E2 / 32 + 45 * E2 * E2 * E2 / 1024) * math.sin(2 * lat)
+        + (15 * E2 * E2 / 256 + 45 * E2 * E2 * E2 / 1024) * math.sin(4 * lat)
+        - (35 * E2 * E2 * E2 / 3072) * math.sin(6 * lat))
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lat = math.toRadians(latDeg)
+      val lon = math.toRadians(lonDeg)
+      val n = A / math.sqrt(1 - E2 * math.sin(lat) * math.sin(lat))
+      val t = math.tan(lat) * math.tan(lat)
+      val c = ep2 * math.cos(lat) * math.cos(lat)
+      val aa = (lon - lon0) * math.cos(lat)
+      val m = meridianArc(lat)
+      val x = k0 * n * (aa + (1 - t + c) * aa * aa * aa / 6
+        + (5 - 18 * t + t * t + 72 * c - 58 * ep2) * math.pow(aa, 5) / 120) + 500000.0
+      val y = k0 * (m + n * math.tan(lat) * (aa * aa / 2
+        + (5 - t + 9 * c + 4 * c * c) * math.pow(aa, 4) / 24
+        + (61 - 58 * t + t * t + 600 * c - 330 * ep2) * math.pow(aa, 6) / 720)) +
+        falseNorthing
+      (x, y)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val e1 = (1 - math.sqrt(1 - E2)) / (1 + math.sqrt(1 - E2))
+      val m = (y - falseNorthing) / k0
+      val mu = m / (A * (1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256))
+      val phi1 = mu + (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
+        (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+        (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
+        (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+      val sin1 = math.sin(phi1); val cos1 = math.cos(phi1); val tan1 = math.tan(phi1)
+      val c1 = ep2 * cos1 * cos1
+      val t1 = tan1 * tan1
+      val n1 = A / math.sqrt(1 - E2 * sin1 * sin1)
+      val r1 = A * (1 - E2) / math.pow(1 - E2 * sin1 * sin1, 1.5)
+      val d = (x - 500000.0) / (n1 * k0)
+      val lat = phi1 - (n1 * tan1 / r1) * (d * d / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * math.pow(d, 4) / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1) *
+          math.pow(d, 6) / 720)
+      val lon = lon0 + (d - (1 + 2 * t1 + c1) * math.pow(d, 3) / 6
+        + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1) *
+          math.pow(d, 5) / 120) / cos1
+      (math.toDegrees(lon), math.toDegrees(lat))
+    }
+  }
+
+  /** Parse "EPSG:4326" / "epsg:32735" / "utm" auto markers. */
+  def parse(s: String): Crs = s.trim.toUpperCase match {
+    case "EPSG:4326" | "WGS84" => LonLat
+    case "EPSG:3857" => WebMercator
+    case c if c.startsWith("EPSG:326") && c.length == 10 =>
+      Utm(c.drop(8).toInt, south = false)
+    case c if c.startsWith("EPSG:327") && c.length == 10 =>
+      Utm(c.drop(8).toInt, south = true)
+    case other => throw new IllegalArgumentException(s"Unsupported CRS: $other")
+  }
+
+  /** Auto-UTM from a lon/lat point (the reference's `crs="utm"`,
+    * `_stac_load.py:220-222`). */
+  def utmFor(lon: Double, lat: Double): Crs = {
+    val zone = math.min(60, math.max(1, ((lon + 180) / 6).toInt + 1))
+    Utm(zone, south = lat < 0)
+  }
+
+  /** Transform a point between CRSs via lon/lat. */
+  def transform(from: Crs, to: Crs, x: Double, y: Double): (Double, Double) = {
+    if (from == to) (x, y)
+    else {
+      val (lon, lat) = from.inverse(x, y)
+      to.forward(lon, lat)
+    }
+  }
+}

@@ -1,0 +1,117 @@
+package graft.raster
+
+import graft.geo._
+
+/** Deterministic synthetic STAC scenes + GRB rasters — the engine's
+  * equivalent of the reference's in-memory COG fixtures
+  * (`loader/testing/fixtures.py:19-28`): we generate our own imagery, the
+  * pipeline under test is identical to production.
+  *
+  * The demo workload (SURVEY §7.2 minimum slice, scaled up a bit):
+  * `nItems` overlapping UTM scenes in two solar days, two bands
+  * (`red` uint16 nodata=0, `nir` uint16 nodata=0), each scene a WxH ramp
+  * with a nodata right margin so the mosaic genuinely fuses.
+  */
+object Fixtures {
+
+  val CollectionId = "graft-demo"
+  val Res = 10.0
+  val SceneW = 128
+  val SceneH = 96
+
+  def dir: java.nio.file.Path = {
+    val d = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_fixtures_v1")
+    java.nio.file.Files.createDirectories(d)
+    d
+  }
+
+  /** Scene k geobox: UTM 35S grid, origin stepped east so consecutive
+    * scenes overlap by half a scene. */
+  def sceneGeobox(k: Int): GeoBox = {
+    val ox = 500000.0 + k * (SceneW / 2) * Res
+    val oy = 8000000.0
+    GeoBox(SceneW, SceneH, Affine.grid(ox, oy, Res, -Res), Crs.Utm(35, south = true))
+  }
+
+  /** Scene pixel value: deterministic ramp, 0 (=nodata) in the right
+    * quarter so fusing with the next scene fills real holes. */
+  def scenePixels(k: Int): Array[Double] = {
+    val px = new Array[Double](SceneW * SceneH)
+    var y = 0
+    while (y < SceneH) {
+      var x = 0
+      while (x < SceneW) {
+        px(y * SceneW + x) =
+          if (x >= SceneW * 3 / 4) 0.0 // nodata margin
+          else 1000.0 * (k + 1) + (y % 50) * 10 + (x % 50)
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  def grbPath(k: Int, band: String): String =
+    dir.resolve(s"scene$k-$band.grb").toString
+
+  /** Write scene rasters (idempotent) and return STAC item JSONs. */
+  def writeScenes(nItems: Int): Seq[String] = {
+    (0 until nItems).map { k =>
+      val gbox = sceneGeobox(k)
+      Seq("red", "nir").foreach { band =>
+        val f = new java.io.File(grbPath(k, band))
+        if (!f.exists()) {
+          val px = scenePixels(k).map(v =>
+            if (band == "nir" && v != 0.0) v + 5000 else v)
+          Grb.writeWithOverviews(grbPath(k, band), px, gbox, "uint16", Some(0.0))
+        }
+      }
+      itemJson(k, gbox)
+    }
+  }
+
+  /** STAC item JSON with proj + raster + eo extensions populated the way
+    * real catalogs do (FIXTURES.md §1). Scenes alternate between two
+    * days; two scenes share a timestamp day for solar_day grouping. */
+  def itemJson(k: Int, gbox: GeoBox): String = {
+    val fp = gbox.footprint(Crs.LonLat)
+    val ring = (fp.ring :+ fp.ring.head)
+      .map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
+    val day = 6 + (k / 2) // two scenes per solar day
+    val t = gbox.transform
+    def asset(band: String, common: String) =
+      s"""
+         |    "$band": {
+         |      "href": "file://${grbPath(k, band)}",
+         |      "type": "image/tiff; application=geotiff",
+         |      "roles": ["data"],
+         |      "gsd": $Res,
+         |      "eo:bands": [{"name": "$band", "common_name": "$common"}],
+         |      "proj:shape": [${gbox.height}, ${gbox.width}],
+         |      "proj:transform": [${t.a}, ${t.b}, ${t.c}, ${t.d}, ${t.e}, ${t.f}],
+         |      "raster:bands": [{"nodata": 0, "data_type": "uint16"}]
+         |    }""".stripMargin
+    s"""{
+       |  "type": "Feature",
+       |  "stac_version": "1.0.0",
+       |  "id": "scene-$k",
+       |  "collection": "$CollectionId",
+       |  "stac_extensions": [
+       |    "https://stac-extensions.github.io/projection/v1.1.0/schema.json",
+       |    "https://stac-extensions.github.io/raster/v1.1.0/schema.json",
+       |    "https://stac-extensions.github.io/eo/v1.1.0/schema.json"],
+       |  "geometry": {"type": "Polygon", "coordinates": [$ring]},
+       |  "properties": {
+       |    "datetime": "2020-06-${f"$day%02d"}T08:0$k:00Z",
+       |    "proj:epsg": 32735,
+       |    "platform": "graft-${k % 2}"
+       |  },
+       |  "assets": {${asset("red", "red")},${asset("nir", "nir")}
+       |  }
+       |}""".stripMargin
+  }
+
+  /** Item JSONs with GRB hrefs stripped of the file:// scheme. */
+  def itemUri(href: String): String = href.stripPrefix("file://")
+}

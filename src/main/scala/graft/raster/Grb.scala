@@ -1,0 +1,169 @@
+package graft.raster
+
+import graft.geo.{Affine, Crs, GeoBox}
+import java.io.{DataOutputStream, BufferedOutputStream, FileOutputStream, RandomAccessFile}
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** GRB — a minimal single-band raster container standing in for
+  * COG/GeoTIFF in this zero-GDAL environment (SURVEY §7.0: we generate our
+  * own rasters, as the reference does with in-memory COGs,
+  * `loader/testing/fixtures.py:19-28`). Crucially it supports the two scan
+  * features the reference's reader optimizes around (`_rio.py:314-475`):
+  *
+  *  - **windowed reads**: pixels are row-major fixed-width, so a window
+  *    read seeks exactly the needed rows (no full-file read);
+  *  - **overview pyramid**: decimated levels in sidecar `.ovr<N>` files,
+  *    selected via `pickOverview` (S8, `loader/_reader.py:104-114`).
+  *
+  * Layout: magic "GRB1" | u8 dtype | i32 w | i32 h | u8 hasNodata |
+  * f64 nodata | f64[6] transform | u16 crsLen | crs | pixels (LE).
+  */
+object Grb {
+  val Magic = 0x47524231 // "GRB1"
+
+  val DtypeCodes: Map[String, Int] = Map(
+    "uint8" -> 1, "int8" -> 2, "uint16" -> 3, "int16" -> 4,
+    "int32" -> 5, "int64" -> 6, "float32" -> 7, "float64" -> 8)
+  val CodeDtypes: Map[Int, String] = DtypeCodes.map(_.swap)
+
+  def dtypeSize(dtype: String): Int = dtype match {
+    case "uint8" | "int8" => 1
+    case "uint16" | "int16" => 2
+    case "int32" | "float32" => 4
+    case "int64" | "float64" => 8
+  }
+
+  def isFloat(dtype: String): Boolean = dtype.startsWith("float")
+
+  /** Widest-dtype election helper (A6, `_stac_load.py:391-397`). */
+  def itemSize(dtype: String): Int = dtypeSize(dtype)
+
+  private def headerSize(crs: String): Int =
+    4 + 1 + 4 + 4 + 1 + 8 + 48 + 2 + crs.getBytes("UTF-8").length
+
+  def write(path: String, pixels: Array[Double], geobox: GeoBox,
+            dtype: String, nodata: Option[Double]): Unit = {
+    require(pixels.length == geobox.width * geobox.height)
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+    try {
+      out.writeInt(Magic)
+      out.writeByte(DtypeCodes(dtype))
+      out.writeInt(geobox.width)
+      out.writeInt(geobox.height)
+      out.writeByte(if (nodata.isDefined) 1 else 0)
+      out.writeDouble(nodata.getOrElse(Double.NaN))
+      geobox.transform.toArray.foreach(out.writeDouble)
+      val crsBytes = geobox.crs.code.getBytes("UTF-8")
+      out.writeShort(crsBytes.length)
+      out.write(crsBytes)
+      val buf = ByteBuffer.allocate(pixels.length * dtypeSize(dtype))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      pixels.foreach(v => putPixel(buf, dtype, v))
+      out.write(buf.array())
+    } finally out.close()
+  }
+
+  /** Write base + overview pyramid (sidecar files, power-of-2 shrinks). */
+  def writeWithOverviews(path: String, pixels: Array[Double], geobox: GeoBox,
+                         dtype: String, nodata: Option[Double],
+                         shrinks: Seq[Int] = Seq(2, 4)): Unit = {
+    write(path, pixels, geobox, dtype, nodata)
+    shrinks.foreach { s =>
+      val ow = math.max(1, geobox.width / s)
+      val oh = math.max(1, geobox.height / s)
+      val opix = new Array[Double](ow * oh)
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        while (x < ow) {
+          opix(y * ow + x) = pixels(math.min(y * s, geobox.height - 1) * geobox.width +
+            math.min(x * s, geobox.width - 1))
+          x += 1
+        }
+        y += 1
+      }
+      val t = geobox.transform
+      val ogb = GeoBox(ow, oh,
+        Affine(t.a * s, t.b, t.c, t.d, t.e * s, t.f), geobox.crs)
+      write(s"$path.ovr$s", opix, ogb, dtype, nodata)
+    }
+  }
+
+  private def putPixel(buf: ByteBuffer, dtype: String, v: Double): Unit = dtype match {
+    case "uint8" | "int8" => buf.put(v.toInt.toByte)
+    case "uint16" | "int16" => buf.putShort(v.toInt.toShort)
+    case "int32" => buf.putInt(v.toInt)
+    case "int64" => buf.putLong(v.toLong)
+    case "float32" => buf.putFloat(v.toFloat)
+    case "float64" => buf.putDouble(v)
+  }
+
+  final case class Header(dtype: String, width: Int, height: Int,
+                          nodata: Option[Double], geobox: GeoBox, pixelOffset: Long)
+
+  def readHeader(path: String): Header = {
+    val raf = new RandomAccessFile(path, "r")
+    try readHeader(raf) finally raf.close()
+  }
+
+  private def readHeader(raf: RandomAccessFile): Header = {
+    require(raf.readInt() == Magic, "not a GRB file")
+    val dtype = CodeDtypes(raf.readByte().toInt)
+    val w = raf.readInt(); val h = raf.readInt()
+    val hasNodata = raf.readByte() == 1
+    val nodataV = raf.readDouble()
+    val t = Array.fill(6)(raf.readDouble())
+    val crsLen = raf.readShort()
+    val crsBytes = new Array[Byte](crsLen)
+    raf.readFully(crsBytes)
+    val crs = Crs.parse(new String(crsBytes, "UTF-8"))
+    Header(dtype, w, h, if (hasNodata) Some(nodataV) else None,
+      GeoBox(w, h, Affine.fromArray(t.toSeq), crs), raf.getFilePointer)
+  }
+
+  /** Windowed read: only the rows/cols intersecting (x0,y0,w,h) are read
+    * from disk. Returns row-major doubles; unsigned types are widened
+    * (SURVEY §2 hard-part 4). */
+  def readWindow(path: String, x0: Int, y0: Int, w: Int, h: Int): (Header, Array[Double]) = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val hd = readHeader(raf)
+      require(x0 >= 0 && y0 >= 0 && x0 + w <= hd.width && y0 + h <= hd.height,
+        s"window ($x0,$y0,$w,$h) out of bounds ${hd.width}x${hd.height}")
+      val px = new Array[Double](w * h)
+      val sz = dtypeSize(hd.dtype)
+      val rowBytes = new Array[Byte](w * sz)
+      var row = 0
+      while (row < h) {
+        raf.seek(hd.pixelOffset + ((y0 + row).toLong * hd.width + x0) * sz)
+        raf.readFully(rowBytes)
+        val bb = ByteBuffer.wrap(rowBytes).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < w) {
+          px(row * w + i) = getPixel(bb, hd.dtype)
+          i += 1
+        }
+        row += 1
+      }
+      (hd, px)
+    } finally raf.close()
+  }
+
+  private def getPixel(buf: ByteBuffer, dtype: String): Double = dtype match {
+    case "uint8" => (buf.get() & 0xff).toDouble
+    case "int8" => buf.get().toDouble
+    case "uint16" => (buf.getShort() & 0xffff).toDouble
+    case "int16" => buf.getShort().toDouble
+    case "int32" => buf.getInt().toDouble
+    case "int64" => buf.getLong().toDouble
+    case "float32" => buf.getFloat().toDouble
+    case "float64" => buf.getDouble()
+  }
+
+  /** Overview (pyramid) selection: largest level not exceeding the shrink
+    * (S8, `loader/_reader.py:104-114`). */
+  def pickOverview(readShrink: Int, overviews: Seq[Int]): Option[Int] = {
+    if (overviews.isEmpty || readShrink < overviews.head) None
+    else Some(overviews.zipWithIndex.takeWhile(_._1 <= readShrink).last._2)
+  }
+}

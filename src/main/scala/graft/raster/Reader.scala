@@ -1,0 +1,243 @@
+package graft.raster
+
+import graft.geo.{BBox, Crs, GeoBox}
+import graft.model.{RasterLoadParams, RasterSource}
+
+/** Destination-pixel region of interest. */
+final case class Roi(x0: Int, y0: Int, w: Int, h: Int) {
+  def isEmpty: Boolean = w <= 0 || h <= 0
+}
+
+/** Pluggable reader protocol (S9, `loader/types.py:142-157`): open a
+  * source URI and fill a window of the destination grid. The GRB
+  * implementation mirrors the reference reader's planning
+  * (`_rio.py:314-475`):
+  *
+  *  1. compute the dst ROI overlapping the source extent; empty -> skip;
+  *  2. **paste path** when grids align (same CRS, same res within ttol,
+  *     sub-pixel aligned): windowed read, no resampling (F15);
+  *  3. else **warp path**: per-dst-pixel inverse projection with nearest /
+  *     bilinear / average resampling (F16);
+  *  4. overview selection when shrinking (S8) — reads the decimated
+  *     sidecar level instead of the base image.
+  */
+trait RasterReader extends Serializable {
+  /** Read the part of `src` covering `dstGeobox`; returns the dst ROI and
+    * row-major pixels (length roi.w*roi.h) in **source** value space with
+    * src-nodata remapped to `dstNodata`. None when no overlap. */
+  def read(src: RasterSource, cfg: RasterLoadParams, dstGeobox: GeoBox,
+           dstNodata: Double): Option[(Roi, Array[Double])]
+}
+
+object GrbReader extends RasterReader {
+
+  /** Sub-pixel tolerance for the paste decision (`_rio.py:444-447`):
+    * loose for nearest, tight otherwise. */
+  private def ttol(resampling: String): Double =
+    if (resampling == "nearest") 0.9 else 0.05
+
+  def read(src: RasterSource, cfg: RasterLoadParams, dstGeobox: GeoBox,
+           dstNodata: Double): Option[(Roi, Array[Double])] = {
+    try readImpl(src, cfg, dstGeobox, dstNodata)
+    catch {
+      case e: Exception if !cfg.failOnError =>
+        // permissive mode (`_rio.py:402-436`): log and contribute nothing
+        System.err.println(s"[graft.reader] ${src.uri}: ${e.getMessage}")
+        None
+    }
+  }
+
+  private def readImpl(src0: RasterSource, cfg: RasterLoadParams,
+                       dstGeobox: GeoBox, dstNodata: Double): Option[(Roi, Array[Double])] = {
+    val src = src0.copy(uri = src0.uri.stripPrefix("file://"))
+    val header = Grb.readHeader(src.uri)
+    val srcGeobox = header.geobox
+    val srcNodata = cfg.srcNodataOverride
+      .orElse(header.nodata)
+      .orElse(src.nodata)
+      .orElse(cfg.srcNodataFallback)
+
+    // dst ROI covering the source extent
+    val srcExtentDst: BBox =
+      if (srcGeobox.crs == dstGeobox.crs) srcGeobox.extent
+      else srcGeobox.footprint(dstGeobox.crs).bbox
+    val inv = dstGeobox.transform.inverse
+    val corners = Seq(
+      inv(srcExtentDst.x0, srcExtentDst.y0), inv(srcExtentDst.x1, srcExtentDst.y0),
+      inv(srcExtentDst.x1, srcExtentDst.y1), inv(srcExtentDst.x0, srcExtentDst.y1))
+    val px0 = math.max(0, math.floor(corners.map(_._1).min).toInt)
+    val py0 = math.max(0, math.floor(corners.map(_._2).min).toInt)
+    val px1 = math.min(dstGeobox.width, math.ceil(corners.map(_._1).max).toInt)
+    val py1 = math.min(dstGeobox.height, math.ceil(corners.map(_._2).max).toInt)
+    val roi = Roi(px0, py0, px1 - px0, py1 - py0)
+    if (roi.isEmpty) return None
+
+    val sameCrs = srcGeobox.crs == dstGeobox.crs
+    val axisAligned =
+      srcGeobox.transform.isAxisAligned && dstGeobox.transform.isAxisAligned
+    val sameRes = sameCrs && axisAligned &&
+      math.abs(srcGeobox.resX - dstGeobox.resX) < 1e-9 * math.abs(dstGeobox.resX) &&
+      math.abs(srcGeobox.resY - dstGeobox.resY) < 1e-9 * math.abs(dstGeobox.resY)
+
+    if (sameRes) {
+      // check sub-pixel alignment for paste
+      val (spx, spy) = srcGeobox.transform.inverse(
+        dstGeobox.transform(px0, py0)._1, dstGeobox.transform(px0, py0)._2)
+      val fx = spx - math.round(spx)
+      val fy = spy - math.round(spy)
+      val tol = ttol(cfg.resampling)
+      if (math.abs(fx) <= tol && math.abs(fy) <= tol)
+        return paste(src, header, srcNodata, dstGeobox, roi,
+          math.round(spx).toInt, math.round(spy).toInt, dstNodata)
+    }
+    warp(src, header, cfg, srcNodata, dstGeobox, roi, dstNodata)
+  }
+
+  /** Direct windowed read — grids align (F15 fast path). */
+  private def paste(src: RasterSource, header: Grb.Header, srcNodata: Option[Double],
+                    dstGeobox: GeoBox, roi: Roi, sx0: Int, sy0: Int,
+                    dstNodata: Double): Option[(Roi, Array[Double])] = {
+    // clip the src window to the source image
+    val cx0 = math.max(0, -sx0)
+    val cy0 = math.max(0, -sy0)
+    val w = math.min(roi.w - cx0, header.width - math.max(0, sx0))
+    val h = math.min(roi.h - cy0, header.height - math.max(0, sy0))
+    if (w <= 0 || h <= 0) return None
+    val (_, pix) = Grb.readWindow(src.uri,
+      math.max(0, sx0), math.max(0, sy0), w, h)
+    val out = Array.fill(roi.w * roi.h)(dstNodata)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pix(y * w + x)
+        out((cy0 + y) * roi.w + (cx0 + x)) =
+          if (isNodata(v, srcNodata)) dstNodata else v
+        x += 1
+      }
+      y += 1
+    }
+    Some((roi, out))
+  }
+
+  /** Per-pixel reproject + resample (F16). Reads a source window sized to
+    * the ROI (with overview selection when shrinking, S8). */
+  private def warp(src: RasterSource, header: Grb.Header, cfg: RasterLoadParams,
+                   srcNodata: Option[Double], dstGeobox: GeoBox, roi: Roi,
+                   dstNodata: Double): Option[(Roi, Array[Double])] = {
+    val srcGeobox0 = header.geobox
+    // read shrink: how many src pixels per dst pixel
+    val shrink = math.max(1, math.floor(dstGeobox.gsd / srcGeobox0.gsd).toInt)
+    val (uri, srcGeobox) =
+      if (cfg.useOverviews && shrink > 1) {
+        val candidates = Seq(2, 4).filter(s =>
+          new java.io.File(s"${src.uri}.ovr$s").exists())
+        Grb.pickOverview(shrink, candidates) match {
+          case Some(i) =>
+            val s = candidates(i)
+            (s"${src.uri}.ovr$s", Grb.readHeader(s"${src.uri}.ovr$s").geobox)
+          case None => (src.uri, srcGeobox0)
+        }
+      } else (src.uri, srcGeobox0)
+
+    // src window covering the dst roi (in the chosen level's grid)
+    val dstBox = {
+      val (ax, ay) = dstGeobox.transform(roi.x0, roi.y0)
+      val (bx, by) = dstGeobox.transform(roi.x0 + roi.w, roi.y0 + roi.h)
+      BBox(math.min(ax, bx), math.min(ay, by), math.max(ax, bx), math.max(ay, by))
+    }
+    val dstBoxSrc =
+      if (srcGeobox.crs == dstGeobox.crs) dstBox
+      else graft.geo.Geom.box(dstBox, dstGeobox.crs).toCrs(srcGeobox.crs).bbox
+    val sinv = srcGeobox.transform.inverse
+    val scorners = Seq(
+      sinv(dstBoxSrc.x0, dstBoxSrc.y0), sinv(dstBoxSrc.x1, dstBoxSrc.y0),
+      sinv(dstBoxSrc.x1, dstBoxSrc.y1), sinv(dstBoxSrc.x0, dstBoxSrc.y1))
+    val wx0 = math.max(0, math.floor(scorners.map(_._1).min).toInt - 1)
+    val wy0 = math.max(0, math.floor(scorners.map(_._2).min).toInt - 1)
+    val wx1 = math.min(srcGeobox.width, math.ceil(scorners.map(_._1).max).toInt + 1)
+    val wy1 = math.min(srcGeobox.height, math.ceil(scorners.map(_._2).max).toInt + 1)
+    if (wx1 <= wx0 || wy1 <= wy0) return None
+    val (sw, sh) = (wx1 - wx0, wy1 - wy0)
+    val (_, spix) = Grb.readWindow(uri, wx0, wy0, sw, sh)
+
+    def sample(spx: Double, spy: Double): Double = {
+      val lx = spx - wx0
+      val ly = spy - wy0
+      cfg.resampling match {
+        case "bilinear" =>
+          val x0 = math.floor(lx - 0.5).toInt
+          val y0 = math.floor(ly - 0.5).toInt
+          val fx = lx - 0.5 - x0
+          val fy = ly - 0.5 - y0
+          var acc = 0.0; var wsum = 0.0
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              val xx = x0 + dx; val yy = y0 + dy
+              if (xx >= 0 && xx < sw && yy >= 0 && yy < sh) {
+                val v = spix(yy * sw + xx)
+                if (!isNodata(v, srcNodata)) {
+                  val wgt = (if (dx == 0) 1 - fx else fx) * (if (dy == 0) 1 - fy else fy)
+                  acc += v * wgt; wsum += wgt
+                }
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+          if (wsum <= 0) dstNodata else acc / wsum
+        case "average" =>
+          val n = math.max(1, shrink)
+          val x0 = math.floor(lx - n / 2.0).toInt
+          val y0 = math.floor(ly - n / 2.0).toInt
+          var acc = 0.0; var cnt = 0
+          var dy = 0
+          while (dy < n) {
+            var dx = 0
+            while (dx < n) {
+              val xx = x0 + dx; val yy = y0 + dy
+              if (xx >= 0 && xx < sw && yy >= 0 && yy < sh) {
+                val v = spix(yy * sw + xx)
+                if (!isNodata(v, srcNodata)) { acc += v; cnt += 1 }
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+          if (cnt == 0) dstNodata else acc / cnt
+        case _ => // nearest
+          val xx = math.floor(lx).toInt
+          val yy = math.floor(ly).toInt
+          if (xx < 0 || xx >= sw || yy < 0 || yy >= sh) dstNodata
+          else {
+            val v = spix(yy * sw + xx)
+            if (isNodata(v, srcNodata)) dstNodata else v
+          }
+      }
+    }
+
+    val out = new Array[Double](roi.w * roi.h)
+    var y = 0
+    while (y < roi.h) {
+      var x = 0
+      while (x < roi.w) {
+        // dst pixel center -> world -> src crs -> src pixel
+        val (wxp, wyp) = dstGeobox.transform(roi.x0 + x + 0.5, roi.y0 + y + 0.5)
+        val (sx, sy) =
+          if (srcGeobox.crs == dstGeobox.crs) (wxp, wyp)
+          else Crs.transform(dstGeobox.crs, srcGeobox.crs, wxp, wyp)
+        val (spx, spy) = srcGeobox.transform.inverse(sx, sy)
+        out(y * roi.w + x) = sample(spx, spy)
+        x += 1
+      }
+      y += 1
+    }
+    Some((roi, out))
+  }
+
+  /** Nodata test incl. NaN semantics (F5, `loader/_reader.py:117-134`). */
+  def isNodata(v: Double, nodata: Option[Double]): Boolean =
+    v.isNaN || nodata.exists(n => if (n.isNaN) v.isNaN else v == n)
+}

@@ -1,0 +1,150 @@
+package graft.rasterops
+
+import graft.eo3.Eo3
+import graft.geo.BBox
+import graft.load.{Fuse, Load}
+import graft.planner.Planner
+import graft.raster.Fixtures
+import graft.stac.StacParse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract entries for the raster surface (SURVEY §2 operators
+  * S1-S14, P1-P8, J1-J3, A1-A8, F1-F16): each query drives the real
+  * pipeline over the deterministic synthetic scene fixtures and returns a
+  * hashable summary (per-tile checksums / plan facts). Not expressible in
+  * DuckDB SQL -> rows-only driver checks; pixel-exactness is pinned by
+  * LoadSpec/RasterSpec golden tests instead.
+  */
+object RasterQueries {
+
+  private val NScenes = 4
+
+  private def parsed(spark: SparkSession) = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenes(NScenes)
+    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
+    (ds.collect().toSeq.sortBy(_.id), schemas)
+  }
+
+  /** Tile-row DataFrame -> deterministic per-tile summary. */
+  private def summarize(df: DataFrame): DataFrame = {
+    val toDoubles = udf { (data: Array[Byte], dtype: String) =>
+      val px = Fuse.decode(data, dtype)
+      px.sum
+    }
+    df.select(col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("width"), col("height"), col("validCount"),
+        round(toDoubles(col("data"), col("dtype")), 2).as("checksum"))
+      .orderBy("band", "tIdx", "ty", "tx")
+  }
+
+  def loadMosaic(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    summarize(Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64).tiles)
+  }
+
+  def loadGroupById(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    summarize(Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "id", chunks = 64).tiles)
+  }
+
+  /** Cross-CRS warp (F15/F16): UTM scenes -> web mercator output. */
+  def loadReproject(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    summarize(Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "solar_day", chunks = 64,
+      crs = Some("EPSG:3857"), resolution = Some(20.0)).tiles)
+  }
+
+  /** Overview path (S8): 4x coarser output reads the .ovr4 level. */
+  def loadOverview(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    summarize(Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "solar_day", chunks = 64, resolution = Some(40.0)).tiles)
+  }
+
+  def parseItems(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (items, schemas) = parsed(spark)
+    val md = schemas(Fixtures.CollectionId)
+    items.map { i =>
+      (i.id, i.collection, i.bands.size,
+        i.nominalDatetime.toInstant.toString,
+        i.geometry.isDefined,
+        md.allBands.mkString(","),
+        i.solarDate(Some(27.0)).toString)
+    }.toDF("id", "collection", "n_bands", "datetime", "has_geom",
+      "bands", "solar_date").orderBy("id")
+  }
+
+  /** Output-geobox planning table across parameter shapes (A4/A5/P8). */
+  def outputGeoboxPlans(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (items, schemas) = parsed(spark)
+    def plan(name: String)(g: Option[graft.geo.GeoBox]) = g match {
+      case Some(gb) => (name, gb.crs.code, gb.width, gb.height,
+        gb.transform.c, gb.transform.f, gb.gsd)
+      case None => (name, "none", 0, 0, 0.0, 0.0, 0.0)
+    }
+    Seq(
+      plan("auto")(Planner.outputGeobox(items, schemas)),
+      plan("single_item")(Planner.outputGeobox(items.take(1), schemas)),
+      plan("crs_res")(Planner.outputGeobox(items, schemas,
+        crs = Some("EPSG:3857"), resolution = Some(100.0))),
+      plan("bbox")(Planner.outputGeobox(items, schemas,
+        crs = Some("EPSG:32735"), resolution = Some(10.0),
+        bbox = Some(BBox(26.9, -18.2, 27.1, -18.0)))),
+      plan("utm_auto")(Planner.outputGeobox(items, schemas,
+        crs = Some("utm"), resolution = Some(10.0)))
+    ).toDF("case", "crs", "width", "height", "x0", "y0", "gsd")
+      .orderBy("case")
+  }
+
+  /** J1 spatial binning summary: items per (t, ty, tx) bin. */
+  def tyxBins(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (items, schemas) = parsed(spark)
+    val outGbox = Planner.outputGeobox(items, schemas).get
+    val gbt = graft.geo.GeoBoxTiles(outGbox, 64, 64)
+    val groups = Planner.groupItems(items, Planner.BySolarDay(Some(27.0)))
+    val rows = for {
+      (group, tIdx) <- groups.zipWithIndex
+      itemIdx <- group
+      fp <- items(itemIdx).safeGeometry(Some(outGbox.crs),
+        schemas(items(itemIdx).collection)).toSeq
+      (ty, tx) <- gbt.tilesIntersecting(fp)
+    } yield (tIdx, ty, tx, itemIdx)
+    rows.toDF("tIdx", "ty", "tx", "itemIdx")
+      .groupBy("tIdx", "ty", "tx")
+      .agg(count(lit(1)).as("n_items"),
+        sort_array(collect_list(col("itemIdx"))).as("items"))
+      .select(col("tIdx"), col("ty"), col("tx"), col("n_items"),
+        concat_ws(",", col("items")).as("item_list"))
+      .orderBy("tIdx", "ty", "tx")
+  }
+
+  def eo3Export(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (items, schemas) = parsed(spark)
+    val ds = spark.createDataset(items)
+    Eo3.stac2ds(spark, ds, schemas)
+      .select(col("item_id"), md5(col("eo3")).as("eo3_md5"))
+      .orderBy("item_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "raster_load_mosaic" -> ((s, _) => loadMosaic(s)),
+    "raster_load_groupby_id" -> ((s, _) => loadGroupById(s)),
+    "raster_load_reproject" -> ((s, _) => loadReproject(s)),
+    "raster_load_overview" -> ((s, _) => loadOverview(s)),
+    "raster_parse_items" -> ((s, _) => parseItems(s)),
+    "raster_output_geobox" -> ((s, _) => outputGeoboxPlans(s)),
+    "raster_tyx_bins" -> ((s, _) => tyxBins(s)),
+    "raster_eo3_export" -> ((s, _) => eo3Export(s))
+  )
+
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -89,24 +89,31 @@ object Similarity {
     }
   }
 
+  /** (vec_id, chunk, v) signature-chunk rows — ids only, so the candidate
+    * join and distinct shuffle 12 bytes/row instead of full embeddings;
+    * vectors are joined back only for surviving candidate pairs. */
+  private def chunkRows(emb: DataFrame, dim: Int,
+                        chunkBits: Int = ChunkBits): DataFrame =
+    emb.select(col("vec_id"), sigUdf(dim)(col("embedding")).as("sig"))
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${SigBits / chunkBits - 1}), " +
+          s"c -> shiftright(sig, c * $chunkBits) & ${(1 << chunkBits) - 1})"))
+        .as(Seq("chunk", "v")))
+
   /** Approximate top-k: same-chunk LSH candidates, exact cosine re-rank.
     * Output schema matches bruteforce (qid, cid, rn, cos). */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val dim = emb.selectExpr("size(embedding)").head().getInt(0)
-    val sig = sigUdf(dim)
-    val chunked = emb
-      .select(col("vec_id"), col("embedding"), sig(col("embedding")).as("sig"))
-      .select(col("vec_id"), col("embedding"), posexplode(expr(
-        s"transform(sequence(0, ${SigBits / ChunkBits - 1}), " +
-          s"c -> shiftright(sig, c * $ChunkBits) & ${(1 << ChunkBits) - 1})"))
-        .as(Seq("chunk", "v")))
-    val q = chunked.where(col("vec_id") < NumQueries)
-      .toDF("qid", "qe", "chunk", "v")
-    val c = chunked.toDF("cid", "ce", "chunk", "v")
-    val cand = q.join(c, Seq("chunk", "v"))
+    val chunked = chunkRows(emb, dim)
+    val q = chunked.where(col("vec_id") < NumQueries).toDF("qid", "chunk", "v")
+    val c = chunked.toDF("cid", "chunk", "v")
+    val pairIds = q.join(c, Seq("chunk", "v"))
       .where(col("qid") =!= col("cid"))
-      .select("qid", "qe", "cid", "ce").distinct()
+      .select("qid", "cid").distinct()
+    val cand = pairIds
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+      .join(emb.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
     val cosine = expr(
       """aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
         |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) /
@@ -130,15 +137,11 @@ object Similarity {
                    threshold: Double = 0.45): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val dim = emb.selectExpr("size(embedding)").head().getInt(0)
-    val sig = sigUdf(dim)
-    val chunked = emb
-      .select(col("vec_id"), col("embedding"), sig(col("embedding")).as("sig"))
-      .select(col("vec_id"), col("embedding"), posexplode(expr(
-        s"transform(sequence(0, ${SigBits / ChunkBits - 1}), " +
-          s"c -> shiftright(sig, c * $ChunkBits) & ${(1 << ChunkBits) - 1})"))
-        .as(Seq("chunk", "v")))
-    val a = chunked.toDF("vec_a", "ea", "chunk", "v")
-    val b = chunked.toDF("vec_b", "eb", "chunk", "v")
+    // all-pairs mode: coarser buckets (8-bit chunks) keep candidate count
+    // ~O(N) instead of O(N^2/16) -- the knob that matters at 100 TB
+    val chunked = chunkRows(emb, dim, chunkBits = 8)
+    val a = chunked.toDF("vec_a", "chunk", "v")
+    val b = chunked.toDF("vec_b", "chunk", "v")
     val cosine = expr(
       """aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
         |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) /
@@ -147,7 +150,9 @@ object Similarity {
         | sqrt(aggregate(eb, CAST(0.0 AS DOUBLE),
         |      (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
     a.join(b, Seq("chunk", "v")).where(col("vec_a") < col("vec_b"))
-      .select("vec_a", "ea", "vec_b", "eb").distinct()
+      .select("vec_a", "vec_b").distinct()
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
       .select(col("vec_a"), col("vec_b"), cosine.as("cos"))
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))

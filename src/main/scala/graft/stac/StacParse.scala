@@ -1,0 +1,259 @@
+package graft.stac
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.geo.{Crs, Geom}
+import graft.model._
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** STAC item JSON -> data model (S1-S6, A7, A8 of SURVEY §2).
+  *
+  * Collection schema is inferred from the first item of each collection and
+  * incrementally widened when later items reveal new assets — exactly the
+  * reference's `_CMDAssembler` bootstrap/update (`_mdtools.py:482-639`).
+  * Parsing is executor-side (a pure function of the JSON string), so
+  * `parseItems` scales as a `Dataset` map; inference is a small driver
+  * aggregation over per-item asset summaries.
+  */
+object StacParse {
+
+  private val RolesThumbnail = Set("thumbnail", "overview")
+  private val RasterExtensions =
+    Set("tif", "tiff", "jpeg", "jpg", "jp2", "img", "hdf", "nc", "zarr", "grb")
+  private val NonImageRasterMedia = Set(
+    "application/x-hdf", "application/x-hdf5", "application/hdf",
+    "application/hdf5", "application/x-netcdf", "application/netcdf",
+    "application/x-zarr", "application/zarr")
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private def opt(n: JsonNode, field: String): Option[JsonNode] =
+    Option(n.get(field)).filterNot(_.isNull)
+
+  /** Raster-asset classifier heuristic (S4, `_mdtools.py:182-238`). */
+  private[stac] def isRasterData(asset: JsonNode, checkProj: Boolean,
+                                 itemHasProj: Boolean): Boolean = {
+    if (checkProj && itemHasProj && !hasProjData(asset)) return false
+    val roles = opt(asset, "roles").map(_.elements().asScala.map(_.asText()).toSet)
+      .getOrElse(Set.empty)
+    opt(asset, "type").map(_.asText()) match {
+      case None =>
+        if (roles.contains("data")) true
+        else if (roles.contains("metadata")) false
+        else {
+          val href = opt(asset, "href").map(_.asText()).getOrElse("")
+          RasterExtensions.contains(href.split('.').last.toLowerCase)
+        }
+      case Some(mt0) =>
+        val mt = mt0.split(';').head.trim.toLowerCase
+        if (mt.startsWith("image/")) !roles.exists(RolesThumbnail.contains)
+        else NonImageRasterMedia.contains(mt)
+    }
+  }
+
+  private def hasProjData(asset: JsonNode): Boolean =
+    opt(asset, "proj:shape").isDefined && opt(asset, "proj:transform").isDefined
+
+  /** Asset geobox from proj extension (S6, `_mdtools.py:270-303`);
+    * item-level proj:* fields act as fallback. */
+  private[stac] def assetGeobox(asset: JsonNode, props: JsonNode): Option[GeoBoxData] = {
+    def field(name: String): Option[JsonNode] =
+      opt(asset, name).orElse(Option(props).flatMap(p => opt(p, name)))
+    for {
+      shape <- field("proj:shape").map(_.elements().asScala.map(_.asInt()).toSeq)
+      transform <- field("proj:transform")
+        .map(_.elements().asScala.map(_.asDouble()).toSeq)
+      crs <- field("proj:epsg").map(e => s"EPSG:${e.asInt()}")
+        .orElse(field("proj:code").map(_.asText()))
+      if transform.length == 6 ||
+        (transform.length == 9 && transform.drop(6) == Seq(0.0, 0.0, 1.0))
+    } yield {
+      val Seq(h, w) = shape.take(2)
+      GeoBoxData(w, h, transform.take(6).toArray, crs)
+    }
+  }
+
+  /** Band metadata from raster:bands with defaults (S5,
+    * `_mdtools.py:101-136`). */
+  private[stac] def bandMetadata(asset: JsonNode,
+                                 default: RasterBandMetadata): Seq[RasterBandMetadata] =
+    opt(asset, "raster:bands") match {
+      case Some(bands) if bands.size() > 0 =>
+        bands.elements().asScala.map { b =>
+          RasterBandMetadata(
+            opt(b, "data_type").map(_.asText()).orElse(default.dataType),
+            opt(b, "nodata").map(_.asDouble()).orElse(default.nodata),
+            opt(b, "unit").map(_.asText()).getOrElse(default.unit))
+        }.toSeq
+      case _ => Seq(default)
+    }
+
+  /** Alias map from the eo extension: aliases sorted so fewer-band assets
+    * win (A7, `_mdtools.py:400-442`). */
+  private[stac] def aliasMap(assets: Map[String, JsonNode]): Map[String, List[BandKey]] = {
+    val assetNames = assets.keySet
+    val entries = for {
+      (name, asset) <- assets.toSeq
+      eoBands <- opt(asset, "eo:bands").toSeq
+      n = eoBands.size()
+      (band, i) <- eoBands.elements().asScala.toSeq.zipWithIndex
+      alias <- Seq(opt(band, "name"), opt(band, "common_name")).flatten
+        .map(_.asText()).filterNot(assetNames.contains)
+    } yield (alias, n, BandKey(name, i + 1))
+    entries.groupBy(_._1).map { case (alias, hits) =>
+      alias -> hits.sortBy { case (_, count, bk) => (count, bk.asset) }
+        .map(_._3).distinct.toList
+    }
+  }
+
+  /** Grid grouping: bands sharing a geobox form a grid; default grid has
+    * most bands, ties broken by smallest gsd (A8, `_mdtools.py:334-397`). */
+  private[stac] def band2grid(geoboxes: Map[String, GeoBoxData],
+                              gsds: Map[String, Double]): Map[String, String] = {
+    if (geoboxes.nonEmpty) {
+      val grids = geoboxes.groupBy { case (_, g) =>
+        g.toGeoBox.gridKey -> (g.width, g.height)
+      }.values.toSeq
+      val scored = grids.sortBy { bands =>
+        (-bands.size, bands.head._2.toGeoBox.gsd)
+      }
+      val default = scored.head
+      scored.zipWithIndex.flatMap { case (bands, i) =>
+        val gname =
+          if (bands == default) "default"
+          else f"g${bands.head._2.toGeoBox.gsd}%g"
+        bands.keys.map(_ -> gname)
+      }.toMap
+    } else if (gsds.nonEmpty) {
+      // no proj data: group by gsd metadata (`band2grid_from_gsd`)
+      val grids = gsds.groupBy(_._2)
+      val (_, defaultGsd) =
+        grids.map { case (g, bands) => (-bands.size, g) }.toSeq.min
+      gsds.map { case (b, g) =>
+        b -> (if (g == defaultGsd) "default" else f"g$g%g")
+      }
+    } else Map.empty
+  }
+
+  /** Collection schema from one item (S3 `_mdtools.py:620-639`); used as
+    * bootstrap and widened by `merge`. */
+  def extractCollectionMetadata(json: String): CollectionMetadata = {
+    val item = mapper.readTree(json)
+    val props = item.get("properties")
+    val collectionId = opt(item, "collection").map(_.asText())
+      .orElse(opt(item, "id").map(_.asText())).getOrElse("_")
+    val hasProjExt = opt(item, "stac_extensions").exists(
+      _.elements().asScala.exists(_.asText().contains("/projection/")))
+    val assetsNode = opt(item, "assets").getOrElse(mapper.createObjectNode())
+    val allAssets = assetsNode.properties().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    val rasterAssets = allAssets.filter { case (_, a) =>
+      isRasterData(a, checkProj = true, itemHasProj = hasProjExt)
+    }
+    val bands = rasterAssets.flatMap { case (name, a) =>
+      bandMetadata(a, RasterBandMetadata()).zipWithIndex.map {
+        case (md, i) => BandKey(name, i + 1) -> md
+      }
+    }
+    val geoboxes = rasterAssets.flatMap { case (name, a) =>
+      assetGeobox(a, props).map(name -> _)
+    }
+    val gsds = rasterAssets.flatMap { case (name, a) =>
+      opt(a, "gsd").orElse(Option(props).flatMap(p => opt(p, "gsd")))
+        .map(g => name -> g.asDouble())
+    }
+    CollectionMetadata(collectionId, bands, aliasMap(rasterAssets),
+      hasProj = geoboxes.nonEmpty, band2grid(geoboxes, gsds))
+  }
+
+  /** Incremental widening when a later item reveals new assets
+    * (`_CMDAssembler.update`, `_mdtools.py:571-617`). */
+  def merge(a: CollectionMetadata, b: CollectionMetadata): CollectionMetadata =
+    a.copy(
+      bands = b.bands ++ a.bands,
+      aliases = (a.aliases.toSeq ++ b.aliases.toSeq)
+        .groupBy(_._1).map { case (k, vs) =>
+          k -> vs.flatMap(_._2).distinct.toList
+        },
+      band2grid = b.band2grid ++ a.band2grid)
+
+  /** Parse one item against its collection schema (S1,
+    * `_mdtools.py:642-702`). */
+  def parseItem(json: String, md: CollectionMetadata): ParsedItem = {
+    val item = mapper.readTree(json)
+    val props = item.get("properties")
+    val id = opt(item, "id").map(_.asText()).getOrElse("")
+    val assetsNode = opt(item, "assets").getOrElse(mapper.createObjectNode())
+    val sources = md.bands.keys.flatMap { bk =>
+      Option(assetsNode.get(bk.asset)).filterNot(_.isNull).map { asset =>
+        val bmd = md.bands(bk)
+        bk.norm -> RasterSource(
+          uri = opt(asset, "href").map(_.asText()).getOrElse(""),
+          band = bk.idx,
+          geobox = assetGeobox(asset, props),
+          dataType = bmd.dataType,
+          nodata = bmd.nodata,
+          unit = bmd.unit)
+      }
+    }.toMap
+    val geometry = opt(item, "geometry").flatMap(parseGeometry)
+    def ts(field: String): Option[java.sql.Timestamp] =
+      Option(props).flatMap(p => opt(p, field)).map(_.asText())
+        .filter(_.nonEmpty).map(parseInstant)
+    val propMap = Option(props).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+    ParsedItem(
+      id = id,
+      collection = md.name,
+      bands = sources,
+      geometry = geometry,
+      datetime = ts("datetime"),
+      datetimeStart = ts("start_datetime"),
+      datetimeEnd = ts("end_datetime"),
+      href = opt(item, "links").flatMap(_.elements().asScala.find(l =>
+        opt(l, "rel").exists(_.asText() == "self"))
+        .flatMap(l => opt(l, "href").map(_.asText()))),
+      properties = propMap)
+  }
+
+  private def parseInstant(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.OffsetDateTime.parse(s).toInstant)
+
+  private def parseGeometry(g: JsonNode): Option[GeomData] =
+    opt(g, "type").map(_.asText()) match {
+      case Some("Polygon") =>
+        opt(g, "coordinates").map { coords =>
+          val ring = coords.get(0).elements().asScala.map { pt =>
+            (pt.get(0).asDouble(), pt.get(1).asDouble())
+          }.toIndexedSeq
+          // drop closing point if repeated
+          val open =
+            if (ring.length > 1 && ring.head == ring.last) ring.dropRight(1)
+            else ring
+          GeomData.from(Geom(open, Crs.LonLat))
+        }
+      case _ => None
+    }
+
+  /** Multi-collection item stream parse (S2, `_mdtools.py:705-723`):
+    * per-collection schemas inferred+widened distributedly, then items
+    * parsed executor-side against the broadcast schema map. */
+  def parseItems(spark: SparkSession,
+                 jsons: Dataset[String]): (Dataset[ParsedItem], Map[String, CollectionMetadata]) = {
+    import spark.implicits._
+    val schemas = jsons
+      .map(extractCollectionMetadata _)
+      .groupByKey(_.name)
+      .reduceGroups(merge _)
+      .collect().map { case (k, v) => k -> v }.toMap
+    val bc = spark.sparkContext.broadcast(schemas)
+    val parsed = jsons.map { j =>
+      val node = mapper.readTree(j)
+      val name = opt(node, "collection").map(_.asText())
+        .orElse(opt(node, "id").map(_.asText())).getOrElse("_")
+      parseItem(j, bc.value(name))
+    }
+    (parsed, schemas)
+  }
+}

@@ -71,18 +71,18 @@ object TextAnalysis {
   private val es = "'el','los','las','y','en','que','un','una','es','por','con','para'"
 
   val langidSparkSql: String =
-    s"""WITH c AS (
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, text,
+       |         split(lower(trim(text)), '\\\\s+') AS tok
+       |  FROM documents),
+       |c AS (
        |  SELECT doc_id, lang,
        |    CASE WHEN text RLIKE '[\\u4e00-\\u9fff]' THEN 1 ELSE 0 END AS zh,
-       |    size(filter(split(lower(trim(text)), '\\\\s+'),
-       |         x -> array_contains(array($en), x))) AS s_en,
-       |    size(filter(split(lower(trim(text)), '\\\\s+'),
-       |         x -> array_contains(array($de), x))) AS s_de,
-       |    size(filter(split(lower(trim(text)), '\\\\s+'),
-       |         x -> array_contains(array($fr), x))) AS s_fr,
-       |    size(filter(split(lower(trim(text)), '\\\\s+'),
-       |         x -> array_contains(array($es), x))) AS s_es
-       |  FROM documents)
+       |    size(filter(tok, x -> array_contains(array($en), x))) AS s_en,
+       |    size(filter(tok, x -> array_contains(array($de), x))) AS s_de,
+       |    size(filter(tok, x -> array_contains(array($fr), x))) AS s_fr,
+       |    size(filter(tok, x -> array_contains(array($es), x))) AS s_es
+       |  FROM t)
        |SELECT doc_id, lang,
        |  CASE WHEN zh = 1 THEN 'zh'
        |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
@@ -92,18 +92,18 @@ object TextAnalysis {
        |FROM c ORDER BY doc_id""".stripMargin
 
   val langidDuckSql: String =
-    s"""WITH c AS (
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, text,
+       |         string_split_regex(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |c AS (
        |  SELECT doc_id, lang,
        |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 1 ELSE 0 END AS zh,
-       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-       |        x -> list_contains([$en], x))) AS s_en,
-       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-       |        x -> list_contains([$de], x))) AS s_de,
-       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-       |        x -> list_contains([$fr], x))) AS s_fr,
-       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-       |        x -> list_contains([$es], x))) AS s_es
-       |  FROM documents)
+       |    len(list_filter(tok, x -> list_contains([$en], x))) AS s_en,
+       |    len(list_filter(tok, x -> list_contains([$de], x))) AS s_de,
+       |    len(list_filter(tok, x -> list_contains([$fr], x))) AS s_fr,
+       |    len(list_filter(tok, x -> list_contains([$es], x))) AS s_es
+       |  FROM t)
        |SELECT doc_id, lang,
        |  CASE WHEN zh = 1 THEN 'zh'
        |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'

@@ -1,0 +1,159 @@
+package graft
+
+import graft.geo._
+import graft.load.Load
+import graft.planner.Planner
+import graft.raster.Fixtures
+import graft.stac.StacParse
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end slice (SURVEY §7.2): parse synthetic STAC items, plan the
+  * output grid by majority vote, group by solar_day, spatially bin, read,
+  * fuse, and check exact pixels — the reference's `stac_load` semantics
+  * plus planning-operator unit tests. */
+class LoadSpec extends AnyFunSuite {
+  import GraftSpark.spark
+
+  private lazy val jsons = Fixtures.writeScenes(4)
+  private lazy val (items, schemas) = {
+    import spark.implicits._
+    val ds = spark.createDataset(jsons)
+    val (parsed, md) = StacParse.parseItems(spark, ds)
+    (parsed.collect().toSeq.sortBy(_.id), md)
+  }
+
+  test("stac parse: schema inference finds bands, aliases, grids (S1-S6)") {
+    val md = schemas(Fixtures.CollectionId)
+    assert(md.bands.keySet.map(_.asset) == Set("red", "nir"))
+    assert(md.bands.values.forall(b => b.dataType.contains("uint16")
+      && b.nodata.contains(0.0)))
+    assert(md.hasProj)
+    assert(md.band2grid.values.toSet == Set("default")) // all same grid
+    assert(md.aliases.isEmpty ||
+      md.aliases.keySet.subsetOf(Set("red", "nir"))) // eo names == asset names
+    val item = items.head
+    assert(item.bands.size == 2)
+    assert(item.bands("red").uri.endsWith("scene0-red.grb"))
+    assert(item.geometry.isDefined && item.datetime.isDefined)
+  }
+
+  test("output geobox election: identical grids fast path (A4)") {
+    val one = Seq(items.head)
+    val g = Planner.outputGeobox(one, schemas).get
+    assert(g == items.head.geoboxes(Nil, schemas(Fixtures.CollectionId)).head)
+    // multiple overlapping scenes: same crs/res/anchor majority
+    val g4 = Planner.outputGeobox(items, schemas).get
+    assert(g4.crs == Crs.Utm(35, south = true))
+    assert(g4.gsd == Fixtures.Res)
+    // covers the union of footprints
+    val b = Planner.computeBBox(items, g4.crs, schemas)
+    assert(g4.extent.x0 <= b.x0 && g4.extent.x1 >= b.x1)
+  }
+
+  test("output geobox: explicit crs/resolution/bbox + validation (P8)") {
+    val g = Planner.outputGeobox(items, schemas,
+      crs = Some("EPSG:3857"), resolution = Some(100.0),
+      bbox = Some(BBox(26, -19, 27, -18))).get
+    assert(g.crs == Crs.WebMercator && g.resX == 100.0)
+    assertThrows[IllegalArgumentException] {
+      Planner.outputGeobox(items, schemas, geobox = Some(g),
+        resolution = Some(10.0))
+    }
+    assertThrows[IllegalArgumentException] {
+      Planner.outputGeobox(items, schemas, x = Some((0.0, 1.0))) // y missing
+    }
+    assertThrows[IllegalArgumentException] {
+      Planner.outputGeobox(items, schemas,
+        x = Some((0.0, 1.0)), y = Some((0.0, 1.0))) // crs missing
+    }
+  }
+
+  test("solar time truncates toward zero (F1, tests/test_model.py:41-67)") {
+    val item = items.head.copy(
+      datetime = Some(java.sql.Timestamp.from(
+        java.time.Instant.parse("2020-06-06T23:30:00Z"))))
+    // lon=150E -> +10h -> next day
+    assert(item.solarDatetimeAt(150).toInstant ==
+      java.time.Instant.parse("2020-06-07T09:30:00Z"))
+    // lon=-7.5 -> int(-0.5)=0 -> unchanged (truncation toward zero)
+    assert(item.solarDatetimeAt(-7.5).toInstant ==
+      java.time.Instant.parse("2020-06-06T23:30:00Z"))
+    // lon=-30 -> -2h
+    assert(item.solarDatetimeAt(-30).toInstant ==
+      java.time.Instant.parse("2020-06-06T21:30:00Z"))
+  }
+
+  test("temporal grouping semantics (A1)") {
+    // id: one group per item, input order
+    assert(Planner.groupItems(items, Planner.ById) == items.indices.map(Seq(_)))
+    // solar_day: scenes 0,1 on day 6; scenes 2,3 on day 7
+    val byDay = Planner.groupItems(items, Planner.BySolarDay(Some(27.0)))
+    assert(byDay == Seq(Seq(0, 1), Seq(2, 3)))
+    // property: platform alternates
+    val byPlat = Planner.groupItems(items, Planner.ByProperty("platform"))
+    assert(byPlat == Seq(Seq(0, 2), Seq(1, 3)))
+    // callback
+    val byCb = Planner.groupItems(items,
+      Planner.ByCallback((it, _) => it.id.takeRight(1)))
+    assert(byCb.length == 4)
+    // group timestamps = first member nominal datetime (A3)
+    val ts = Planner.groupTimestamps(items, byDay)
+    assert(ts == Seq(items(0).nominalDatetime, items(2).nominalDatetime))
+  }
+
+  test("e2e: load 2 scenes, 1 band, solar_day mosaic fuses exact pixels") {
+    val two = items.take(2)
+    val res = Load.load(spark, two, schemas, bands = Seq("red"),
+      groupby = "solar_day", chunks = 48)
+    assert(res.times.length == 1)
+    val g = res.geobox
+    // output grid = majority grid: covers both scenes: 128 + 64 wide
+    assert(g.width == Fixtures.SceneW + Fixtures.SceneW / 2)
+    assert(g.height == Fixtures.SceneH)
+    val plane = res.assemble("red", 0)
+    val p0 = Fixtures.scenePixels(0)
+    val p1 = Fixtures.scenePixels(1)
+    val w = g.width
+    // scene0-valid region: scene0 wins (first by time)
+    for (y <- Seq(0, 31, 95); x <- Seq(0, 50, 95))
+      assert(plane(y * w + x) == p0(y * Fixtures.SceneW + x),
+        s"scene0 region ($x,$y)")
+    // scene0's nodata margin (x in [96,128)) overlaps scene1 valid -> scene1
+    for (y <- Seq(0, 40); x <- Seq(96, 100, 120)) {
+      val s1x = x - Fixtures.SceneW / 2
+      assert(plane(y * w + x) == p1(y * Fixtures.SceneW + s1x),
+        s"fused region ($x,$y)")
+    }
+    // region beyond scene1's valid area: nodata (0)
+    assert(plane(0 * w + (w - 1)) == 0.0)
+    // tile rows carry uint16 dtype and the elected nodata
+    val row = res.tiles.limit(1).collect()(0)
+    assert(row.getAs[String]("dtype") == "uint16")
+    assert(row.getAs[Double]("nodata") == 0.0)
+  }
+
+  test("e2e: groupby=id keeps scenes separate; preserve order honored") {
+    val two = items.take(2)
+    val res = Load.load(spark, two, schemas, bands = Seq("red"), groupby = "id")
+    assert(res.times.length == 2)
+    val t0 = res.assemble("red", 0)
+    // tIdx 0 = scene 0 only; its nodata margin stays nodata
+    val w = res.geobox.width
+    assert(t0(0) == Fixtures.scenePixels(0)(0))
+    assert(t0(0 * w + Fixtures.SceneW - 1) == 0.0)
+  }
+
+  test("e2e: both bands load and differ by the nir offset") {
+    val res = Load.load(spark, items.take(1), schemas,
+      bands = Seq("red", "nir"), groupby = "solar_day")
+    val red = res.assemble("red", 0)
+    val nir = res.assemble("nir", 0)
+    assert(red(0) + 5000 == nir(0))
+  }
+
+  test("dtype election: widest wins, default uint16 (A6)") {
+    assert(Planner.electDtype(Seq("uint8", "int32", "uint16")) == "int32")
+    assert(Planner.electDtype(Nil) == "uint16")
+    assert(Planner.electDtype(Seq("float32", "int64")) == "int64")
+  }
+}

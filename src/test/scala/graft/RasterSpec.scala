@@ -1,0 +1,161 @@
+package graft
+
+import graft.geo._
+import graft.load.Fuse
+import graft.model.{RasterLoadParams, RasterSource}
+import graft.raster._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pixel-level golden tests mirroring the reference's reader suite
+  * (`loader/test_reader.py:72-224`): whole/partial reads, dtype
+  * conversion, nodata remap, smaller-src-than-dst, overview reads,
+  * error paths. */
+class RasterSpec extends AnyFunSuite {
+
+  private val tmp = java.nio.file.Files
+    .createTempDirectory("graft_raster_spec").toString
+  private val crs = Crs.Utm(35, south = true)
+
+  private def ramp(w: Int, h: Int, f: (Int, Int) => Double): Array[Double] = {
+    val px = new Array[Double](w * h)
+    for (y <- 0 until h; x <- 0 until w) px(y * w + x) = f(x, y)
+    px
+  }
+
+  private def gbox(w: Int, h: Int, ox: Double = 500000, oy: Double = 8000000,
+                   res: Double = 10): GeoBox =
+    GeoBox(w, h, Affine.grid(ox, oy, res, -res), crs)
+
+  test("GRB roundtrip: full read equals written pixels") {
+    val g = gbox(64, 32)
+    val px = ramp(64, 32, (x, y) => (y * 64 + x).toDouble)
+    val path = s"$tmp/full.grb"
+    Grb.write(path, px, g, "uint16", Some(0))
+    val (hd, back) = Grb.readWindow(path, 0, 0, 64, 32)
+    assert(hd.dtype == "uint16" && hd.nodata.contains(0.0))
+    assert(back.toSeq == px.toSeq)
+  }
+
+  test("GRB windowed read seeks exactly the window") {
+    val g = gbox(64, 32)
+    val px = ramp(64, 32, (x, y) => (y * 1000 + x).toDouble)
+    val path = s"$tmp/win.grb"
+    Grb.write(path, px, g, "int32", None)
+    val (_, win) = Grb.readWindow(path, 10, 5, 7, 3)
+    for (y <- 0 until 3; x <- 0 until 7)
+      assert(win(y * 7 + x) == ((5 + y) * 1000 + 10 + x).toDouble)
+  }
+
+  test("paste path: same-grid read is exact (whole and partial overlap)") {
+    val g = gbox(64, 32)
+    val px = ramp(64, 32, (x, y) => 1 + ((y * 64 + x) % 60000).toDouble)
+    val path = s"$tmp/paste.grb"
+    Grb.write(path, px, g, "uint16", Some(0))
+    val src = RasterSource(path, geobox = None)
+    val cfg = RasterLoadParams()
+    // identical grid
+    val Some((roi, out)) = GrbReader.read(src, cfg, g, 0.0)
+    assert(roi == Roi(0, 0, 64, 32) && out.toSeq == px.toSeq)
+    // dst shifted 16px east + 8px down, same res -> partial overlap
+    val dst2 = gbox(64, 32, ox = 500000 + 16 * 10, oy = 8000000 - 8 * 10)
+    val Some((roi2, out2)) = GrbReader.read(src, cfg, dst2, 0.0)
+    assert(roi2 == Roi(0, 0, 48, 24))
+    assert(out2(0) == px(8 * 64 + 16))
+  }
+
+  test("nodata remap: src 0 -> dst -99 and 0 -> NaN (float)") {
+    val g = gbox(8, 4)
+    val px = ramp(8, 4, (x, _) => if (x < 4) 0.0 else 7.0)
+    val path = s"$tmp/nodata.grb"
+    Grb.write(path, px, g, "uint16", Some(0))
+    val src = RasterSource(path)
+    val Some((_, remap)) = GrbReader.read(src, RasterLoadParams(), g, -99.0)
+    assert(remap.take(4).forall(_ == -99.0) && remap(4) == 7.0)
+    val Some((_, asNan)) = GrbReader.read(src, RasterLoadParams(), g, Double.NaN)
+    assert(asNan.take(4).forall(_.isNaN) && asNan(4) == 7.0)
+  }
+
+  test("warp path: 2x coarser dst uses overview, values from decimated level") {
+    val g = gbox(64, 64)
+    val px = ramp(64, 64, (x, y) => (y * 64 + x).toDouble)
+    val path = s"$tmp/ovr.grb"
+    Grb.writeWithOverviews(path, px, g, "float32", None, shrinks = Seq(2, 4))
+    val src = RasterSource(path)
+    val dst = GeoBox(32, 32, Affine.grid(500000, 8000000, 20, -20), crs)
+    val Some((roi, out)) = GrbReader.read(src, RasterLoadParams(), dst, Double.NaN)
+    assert(roi == Roi(0, 0, 32, 32))
+    // overview level 2 holds px[2y][2x]; nearest sampling of it at dst
+    // pixel centers must reproduce those exact values
+    assert(out(0) == 0.0 && out(1) == 2.0 && out(32) == 2.0 * 64)
+    // disabling overviews samples the base image instead
+    val Some((_, base)) = GrbReader.read(src,
+      RasterLoadParams(useOverviews = false), dst, Double.NaN)
+    // dst(1,0) center = world(500030, 7999990) -> base px (3,1) -> 64+3
+    assert(base(1) == 67.0)
+  }
+
+  test("warp path: cross-CRS reprojection lands values within tolerance") {
+    // source in UTM, destination in web mercator over the same area
+    val g = gbox(64, 64)
+    val px = ramp(64, 64, (x, y) => x.toDouble) // value = src column
+    val path = s"$tmp/warp.grb"
+    Grb.write(path, px, g, "float64", None)
+    val fp = g.footprint(Crs.WebMercator)
+    val dst = GeoBox.fromBBox(fp.bbox, 12, Crs.WebMercator)
+    val src = RasterSource(path)
+    val Some((_, out)) = GrbReader.read(src, RasterLoadParams(), dst, Double.NaN)
+    val valid = out.filterNot(_.isNaN)
+    assert(valid.nonEmpty)
+    // column index increases west->east in both CRSs; check monotone trend
+    assert(valid.min >= 0.0 && valid.max <= 63.0)
+  }
+
+  test("permissive mode returns None on missing file; strict throws") {
+    val src = RasterSource(s"$tmp/definitely-missing.grb")
+    assert(GrbReader.read(src, RasterLoadParams(failOnError = false),
+      gbox(4, 4), 0.0).isEmpty)
+    assertThrows[Exception] {
+      GrbReader.read(src, RasterLoadParams(failOnError = true), gbox(4, 4), 0.0)
+    }
+  }
+
+  test("fuse: first valid pixel wins, later sources fill holes only (A2)") {
+    val g = gbox(8, 4)
+    // src A: left half valid (value 1), right half nodata
+    val pa = ramp(8, 4, (x, _) => if (x < 4) 1.0 else 0.0)
+    // src B: all valid (value 2)
+    val pb = ramp(8, 4, (_, _) => 2.0)
+    Grb.write(s"$tmp/fa.grb", pa, g, "uint16", Some(0))
+    Grb.write(s"$tmp/fb.grb", pb, g, "uint16", Some(0))
+    val (fused, valid) = Fuse.fill2dSlice(
+      Seq(RasterSource(s"$tmp/fa.grb"), RasterSource(s"$tmp/fb.grb")),
+      g, RasterLoadParams(), GrbReader, 0.0)
+    assert(valid == 32)
+    for (y <- 0 until 4; x <- 0 until 8)
+      assert(fused(y * 8 + x) == (if (x < 4) 1.0 else 2.0))
+    // order swapped: B first -> everything 2
+    val (fused2, _) = Fuse.fill2dSlice(
+      Seq(RasterSource(s"$tmp/fb.grb"), RasterSource(s"$tmp/fa.grb")),
+      g, RasterLoadParams(), GrbReader, 0.0)
+    assert(fused2.forall(_ == 2.0))
+  }
+
+  test("pickOverview semantics (S8)") {
+    assert(Grb.pickOverview(1, Seq(2, 4)).isEmpty)
+    assert(Grb.pickOverview(2, Seq(2, 4)).contains(0))
+    assert(Grb.pickOverview(3, Seq(2, 4)).contains(0))
+    assert(Grb.pickOverview(4, Seq(2, 4)).contains(1))
+    assert(Grb.pickOverview(9, Seq(2, 4)).contains(1))
+    assert(Grb.pickOverview(5, Nil).isEmpty)
+  }
+
+  test("dtype encode/decode roundtrip incl unsigned widening") {
+    for (dt <- Seq("uint8", "int8", "uint16", "int16", "int32", "float32", "float64")) {
+      val vals = Array(0.0, 1.0, 100.0)
+      assert(Fuse.decode(Fuse.encode(vals, dt), dt).toSeq == vals.toSeq, dt)
+    }
+    // unsigned range survives
+    assert(Fuse.decode(Fuse.encode(Array(65535.0), "uint16"), "uint16")(0) == 65535.0)
+    assert(Fuse.decode(Fuse.encode(Array(255.0), "uint8"), "uint8")(0) == 255.0)
+  }
+}
