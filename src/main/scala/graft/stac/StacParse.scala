@@ -16,7 +16,38 @@ import scala.jdk.CollectionConverters._
   * `parseItems` scales as a `Dataset` map; inference is a small driver
   * aggregation over per-item asset summaries.
   */
-object StacParse {
+object StacParse extends Serializable {
+
+  /** User parse config (MDParseConfig, `model.py:417-442` + `stac_cfg`
+    * docs `_stac_load.py:303-336`): band metadata overrides/defaults,
+    * extra aliases (first-choice priority), proj-extension ignore. */
+  final case class ParseConfig(
+      bandDefaults: RasterBandMetadata = RasterBandMetadata(),
+      bandCfg: Map[String, RasterBandMetadata] = Map.empty,
+      aliases: Map[String, BandKey] = Map.empty,
+      ignoreProj: Boolean = false)
+
+  /** Per-collection config with "*" wildcard fallback merged in
+    * (`MDParseConfig.from_dict`: `_cfg = copy(cfg["*"]); _cfg.update(
+    * cfg[collection_id])`). */
+  final case class StacCfg(collections: Map[String, ParseConfig] = Map.empty) {
+    def forCollection(id: String): ParseConfig = {
+      val base = collections.getOrElse("*", ParseConfig())
+      collections.get(id) match {
+        case None => base
+        case Some(c) => ParseConfig(
+          bandDefaults = RasterBandMetadata(
+            c.bandDefaults.dataType.orElse(base.bandDefaults.dataType),
+            c.bandDefaults.nodata.orElse(base.bandDefaults.nodata),
+            if (c.bandDefaults.unit != "1") c.bandDefaults.unit
+            else base.bandDefaults.unit),
+          bandCfg = base.bandCfg ++ c.bandCfg,
+          aliases = base.aliases ++ c.aliases,
+          ignoreProj = c.ignoreProj || base.ignoreProj)
+      }
+    }
+  }
+  object StacCfg { val empty: StacCfg = StacCfg() }
 
   private val RolesThumbnail = Set("thumbnail", "overview")
   private val RasterExtensions =
@@ -138,7 +169,8 @@ object StacParse {
 
   /** Collection schema from one item (S3 `_mdtools.py:620-639`); used as
     * bootstrap and widened by `merge`. */
-  def extractCollectionMetadata(json: String): CollectionMetadata = {
+  def extractCollectionMetadata(json: String,
+                                cfg: ParseConfig = ParseConfig()): CollectionMetadata = {
     val item = mapper.readTree(json)
     val props = item.get("properties")
     val collectionId = opt(item, "collection").map(_.asText())
@@ -152,18 +184,27 @@ object StacParse {
       isRasterData(a, checkProj = true, itemHasProj = hasProjExt)
     }
     val bands = rasterAssets.flatMap { case (name, a) =>
-      bandMetadata(a, RasterBandMetadata()).zipWithIndex.map {
-        case (md, i) => BandKey(name, i + 1) -> md
+      val default = cfg.bandCfg.getOrElse(name, cfg.bandDefaults)
+      bandMetadata(a, default).zipWithIndex.map { case (md, i) =>
+        BandKey(name, i + 1) ->
+          (if (cfg.bandCfg.contains(name)) default else md)
       }
     }
-    val geoboxes = rasterAssets.flatMap { case (name, a) =>
-      assetGeobox(a, props).map(name -> _)
-    }
+    val geoboxes =
+      if (cfg.ignoreProj) Map.empty[String, GeoBoxData]
+      else rasterAssets.flatMap { case (name, a) =>
+        assetGeobox(a, props).map(name -> _)
+      }
     val gsds = rasterAssets.flatMap { case (name, a) =>
       opt(a, "gsd").orElse(Option(props).flatMap(p => opt(p, "gsd")))
         .map(g => name -> g.asDouble())
     }
-    CollectionMetadata(collectionId, bands, aliasMap(rasterAssets),
+    // user aliases take first-choice priority (MDParseConfig.aliases)
+    val aliases = cfg.aliases.foldLeft(aliasMap(rasterAssets)) {
+      case (acc, (alias, bk)) =>
+        acc.updated(alias, bk :: acc.getOrElse(alias, Nil).filterNot(_ == bk))
+    }
+    CollectionMetadata(collectionId, bands, aliases,
       hasProj = geoboxes.nonEmpty, band2grid(geoboxes, gsds))
   }
 
@@ -180,7 +221,8 @@ object StacParse {
 
   /** Parse one item against its collection schema (S1,
     * `_mdtools.py:642-702`). */
-  def parseItem(json: String, md: CollectionMetadata): ParsedItem = {
+  def parseItem(json: String, md: CollectionMetadata,
+                cfg: ParseConfig = ParseConfig()): ParsedItem = {
     val item = mapper.readTree(json)
     val props = item.get("properties")
     val id = opt(item, "id").map(_.asText()).getOrElse("")
@@ -191,7 +233,7 @@ object StacParse {
         bk.norm -> RasterSource(
           uri = opt(asset, "href").map(_.asText()).getOrElse(""),
           band = bk.idx,
-          geobox = assetGeobox(asset, props),
+          geobox = if (cfg.ignoreProj) None else assetGeobox(asset, props),
           dataType = bmd.dataType,
           nodata = bmd.nodata,
           unit = bmd.unit)
@@ -239,21 +281,52 @@ object StacParse {
   /** Multi-collection item stream parse (S2, `_mdtools.py:705-723`):
     * per-collection schemas inferred+widened distributedly, then items
     * parsed executor-side against the broadcast schema map. */
-  def parseItems(spark: SparkSession,
-                 jsons: Dataset[String]): (Dataset[ParsedItem], Map[String, CollectionMetadata]) = {
+  def parseItems(spark: SparkSession, jsons: Dataset[String],
+                 cfg: StacCfg = StacCfg.empty)
+  : (Dataset[ParsedItem], Map[String, CollectionMetadata]) = {
     import spark.implicits._
+    val bcCfg = spark.sparkContext.broadcast(cfg)
+    def collectionOf(node: JsonNode): String =
+      opt(node, "collection").map(_.asText())
+        .orElse(opt(node, "id").map(_.asText())).getOrElse("_")
     val schemas = jsons
-      .map(extractCollectionMetadata _)
+      .map { j =>
+        val name = collectionOf(mapper.readTree(j))
+        extractCollectionMetadata(j, bcCfg.value.forCollection(name))
+      }
       .groupByKey(_.name)
       .reduceGroups(merge _)
       .collect().map { case (k, v) => k -> v }.toMap
     val bc = spark.sparkContext.broadcast(schemas)
     val parsed = jsons.map { j =>
-      val node = mapper.readTree(j)
-      val name = opt(node, "collection").map(_.asText())
-        .orElse(opt(node, "id").map(_.asText())).getOrElse("_")
-      parseItem(j, bc.value(name))
+      val name = collectionOf(mapper.readTree(j))
+      parseItem(j, bc.value(name), bcCfg.value.forCollection(name))
     }
     (parsed, schemas)
+  }
+
+  /** URL rewrite / signing hook (P5, `patch_urls` `_stac_load.py:60-84`):
+    * map `edit` over the source URIs of the selected bands. */
+  def patchUrls(spark: SparkSession, items: Dataset[ParsedItem],
+                edit: String => String,
+                bands: Option[Set[String]] = None): Dataset[ParsedItem] = {
+    import spark.implicits._
+    items.map { item =>
+      item.copy(bands = item.bands.map { case (k, src) =>
+        val hit = bands.forall(b =>
+          b.contains(k) || b.contains(BandKey.parse(k).asset))
+        k -> (if (hit) src.copy(uri = edit(src.uri)) else src)
+      })
+    }
+  }
+
+  /** GeoJSON FeatureCollection -> item JSON stream (S15, bench source
+    * `bench/_run.py:386-422`). */
+  def featureCollectionItems(json: String): Seq[String] = {
+    val root = mapper.readTree(json)
+    require(opt(root, "type").exists(_.asText() == "FeatureCollection"),
+      "expected a FeatureCollection")
+    opt(root, "features").map(_.elements().asScala.map(_.toString).toSeq)
+      .getOrElse(Seq.empty)
   }
 }

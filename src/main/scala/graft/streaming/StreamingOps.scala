@@ -58,11 +58,104 @@ object StreamingOps {
       |FROM events GROUP BY CAST(ts AS DATE), event_type
       |ORDER BY d, event_type""".stripMargin
 
+  // ---- stateful sessionization (flatMapGroupsWithState) -------------------
+
+  final case class Ev(user_id: Long, event_id: Long, sec: Long)
+  final case class SessionState(lastSec: Long, startSec: Long,
+                                idx: Long, n: Long)
+  final case class SessionOut(user_id: Long, sid: Long, n: Long, dur_s: Long)
+
+  val SessionGapSec = 1800L
+
+  /** Gap-based sessions per user (30 min inactivity closes a session) —
+    * the canonical `flatMapGroupsWithState` custom-state operator. Update
+    * output mode: each batch emits the latest state of every touched
+    * session; with AvailableNow over a static table that is exactly the
+    * final session list, so the run is DuckDB-oracle checkable. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(Tables.path(dir, "events"))
+    val streamDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_src_${src.hashCode & 0x7fffffff}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, src)
+    val rawSchema = spark.read.parquet(streamDir.toString).schema
+    val name = s"graft_sessions_${counter.incrementAndGet()}"
+
+    val events = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
+      .selectExpr("user_id", "event_id", "ts div 1000000000 AS sec")
+      .as[Ev]
+
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          // resume from the open session if one exists (multi-batch safe)
+          var open: Option[SessionState] =
+            state.getOption.flatMap(_.headOption)
+          var emitted = List.empty[SessionState]
+          val evs = it.toArray.sortBy(e => (e.sec, e.event_id))
+          evs.foreach { e =>
+            open match {
+              case Some(s) if e.sec - s.lastSec <= SessionGapSec =>
+                open = Some(s.copy(lastSec = e.sec, n = s.n + 1))
+              case Some(s) =>
+                emitted ::= s
+                open = Some(SessionState(e.sec, e.sec, s.idx + 1, 1))
+              case None =>
+                open = Some(SessionState(e.sec, e.sec, 1, 1))
+            }
+          }
+          state.update(open.toList)
+          (emitted.reverse ++ open.toList).map(s =>
+            SessionOut(uid, s.idx, s.n, s.lastSec - s.startSec)).iterator
+      }
+
+    val q = sessions.writeStream
+      .format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "sid")
+  }
+
+  /** Batch SQL oracle for the sessionization: gap flags -> running sum ->
+    * per-session aggregation (identical spelling works in both engines
+    * modulo epoch extraction). */
+  private def sessionOracle(epochExpr: String): String =
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, CAST(FLOOR($epochExpr) AS BIGINT) AS sec
+       |  FROM events),
+       |e AS (
+       |  SELECT user_id, event_id, sec,
+       |         LAG(sec) OVER (PARTITION BY user_id
+       |                        ORDER BY sec, event_id) AS prev
+       |  FROM o),
+       |s AS (
+       |  SELECT user_id, sec,
+       |         SUM(CASE WHEN prev IS NULL OR sec - prev > $SessionGapSec
+       |             THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY user_id ORDER BY sec, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM e)
+       |SELECT user_id, CAST(sid AS BIGINT) AS sid, COUNT(*) AS n,
+       |       MAX(sec) - MIN(sec) AS dur_s
+       |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_tumbling_daily" -> ((s, d) => tumblingDaily(s, d))
+    "stream_tumbling_daily" -> ((s, d) => tumblingDaily(s, d)),
+    "stream_sessionize" -> ((s, d) => sessionize(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
-    "stream_tumbling_daily" -> tumblingDailyOracle
+    "stream_tumbling_daily" -> tumblingDailyOracle,
+    "stream_sessionize" ->
+      sessionOracle("epoch(CAST(ts AS TIMESTAMP))")
   )
 }
