@@ -1,0 +1,131 @@
+package graft
+
+import graft.geo.{Affine, Crs, GeoBox}
+import graft.load.Load
+import graft.raster.Grb
+import graft.stac.StacParse
+import org.apache.spark.sql.SparkSession
+
+/** Raster-path throughput benchmark, shaped like the reference's bench
+  * workload (`docs/benchmarking.rst`: 9 items, 3 bands, solar_day mosaic,
+  * uint16): N scenes x B bands -> grouped mosaic; reports output Mpx/s
+  * overall and per thread so the number is directly comparable to the
+  * reference's 4-5 Mpx/s/thread (BASELINE.md).
+  */
+object RasterBench {
+
+  val SceneW = 2048
+  val SceneH = 1536
+  val Res = 10.0
+  val Bands = Seq("red", "nir", "blu")
+
+  private def dir: java.nio.file.Path = {
+    val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_rbench_v1")
+    java.nio.file.Files.createDirectories(d)
+    d
+  }
+
+  /** 3x3 grid of scenes overlapping half a scene each way. */
+  private def sceneGeobox(k: Int): GeoBox = {
+    val gx = k % 3
+    val gy = k / 3
+    GeoBox(SceneW, SceneH,
+      Affine.grid(400000.0 + gx * (SceneW / 2) * Res,
+        8200000.0 - gy * (SceneH / 2) * Res, Res, -Res),
+      Crs.Utm(35, south = true))
+  }
+
+  def writeScenes(n: Int): Seq[String] = {
+    (0 until n).map { k =>
+      val gbox = sceneGeobox(k)
+      Bands.foreach { band =>
+        val path = dir.resolve(s"s$k-$band.grb")
+        if (!java.nio.file.Files.exists(path)) {
+          val px = new Array[Double](SceneW * SceneH)
+          var i = 0
+          while (i < px.length) {
+            px(i) = 1 + ((i * 2654435761L + k * 97 + band.hashCode) >>> 40) % 60000
+            i += 1
+          }
+          // nodata stripe so fusing has real holes
+          var y = 0
+          while (y < SceneH) {
+            var x = SceneW * 7 / 8
+            while (x < SceneW) { px(y * SceneW + x) = 0.0; x += 1 }
+            y += 1
+          }
+          Grb.write(path.toString, px, gbox, "uint16", Some(0.0))
+        }
+      }
+      itemJson(k, gbox)
+    }
+  }
+
+  private def itemJson(k: Int, gbox: GeoBox): String = {
+    val fp = gbox.footprint(Crs.LonLat)
+    val ring = (fp.ring :+ fp.ring.head)
+      .map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
+    val t = gbox.transform
+    val assets = Bands.map { band =>
+      s""""$band": {"href": "${dir.resolve(s"s$k-$band.grb")}",
+         |  "type": "image/tiff; application=geotiff", "roles": ["data"],
+         |  "proj:shape": [${gbox.height}, ${gbox.width}],
+         |  "proj:transform": [${t.a}, ${t.b}, ${t.c}, ${t.d}, ${t.e}, ${t.f}],
+         |  "raster:bands": [{"nodata": 0, "data_type": "uint16"}]}""".stripMargin
+    }.mkString(",")
+    s"""{"type": "Feature", "stac_version": "1.0.0", "id": "rb-$k",
+       |"collection": "graft-rbench",
+       |"stac_extensions": ["https://stac-extensions.github.io/projection/v1.1.0/schema.json"],
+       |"geometry": {"type": "Polygon", "coordinates": [$ring]},
+       |"properties": {"datetime": "2020-06-06T0${k % 10}:00:00Z", "proj:epsg": 32735},
+       |"assets": {$assets}}""".stripMargin
+  }
+
+  def main(args: Array[String]): Unit = {
+    val threads = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val nScenes = 9
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    if (sys.env.contains("GRAFT_RBENCH_DEBUG")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = s.stageInfo
+          println(f"[rbench] stage ${si.stageId} '${si.name.takeWhile(_ != ' ')}' " +
+            f"tasks=${si.numTasks} runtime=${si.taskMetrics.executorRunTime}ms " +
+            f"cpu=${si.taskMetrics.executorCpuTime / 1000000}ms " +
+            f"deser=${si.taskMetrics.executorDeserializeTime}ms " +
+            f"gc=${si.taskMetrics.jvmGCTime}ms")
+        }
+      })
+    }
+
+    val jsons = writeScenes(nScenes)
+    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
+    val items = ds.collect().toSeq.sortBy(_.id)
+
+    def runOnce(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val res = Load.load(spark, items, schemas, bands = Bands,
+        groupby = "solar_day", chunks = 1024)
+      val tPlan = System.nanoTime()
+      val npix = res.tiles.selectExpr("sum(width * height)").head().getLong(0)
+      val tEnd = System.nanoTime()
+      if (sys.env.contains("GRAFT_RBENCH_DEBUG"))
+        println(f"[rbench] plan=${(tPlan - t0) / 1e9}%.3fs exec=${(tEnd - tPlan) / 1e9}%.3fs")
+      ((tEnd - t0) / 1e9, npix)
+    }
+    runOnce() // warmup (codegen + file cache)
+    val (sec, npix) = runOnce()
+    val mpxs = npix / 1e6 / sec
+    println(f"""{"metric":"raster_mpx_per_s","value":$mpxs%.3f,"unit":"Mpx/s","elapsed_s":$sec%.3f,"npix":$npix,"threads":$threads,"per_thread":${mpxs / threads}%.3f}""")
+    spark.stop()
+  }
+}

@@ -134,21 +134,42 @@ object Load {
     val bcTimes = spark.sparkContext.broadcast(times.toIndexedSeq)
     val (tw, th) = (chunks, chunks)
 
+    // Partitioning: seed rows are ~200-byte metadata but each (band,t,ty,tx)
+    // bin fans out into megabytes of pixel I/O, so AQE's byte-based
+    // coalescing would collapse the job to one task. An explicit
+    // repartition(P, keys) (honored verbatim by AQE) + sortWithinPartitions
+    // + run-grouping mapPartitions keeps one task per ~(bins/parallelism)
+    // tiles and streams each bin's sources in fuse-rank order.
+    val numBins = seeds.iterator.map(s => (s.band, s.tIdx, s.ty, s.tx)).toSet.size
+    val p = math.max(1, math.min(numBins,
+      spark.sparkContext.defaultParallelism * 2))
     val tiles: Dataset[TileRow] = spark.createDataset(seeds)
-      .groupByKey(s => (s.band, s.tIdx, s.ty, s.tx))
-      .mapGroups { (key: (String, Int, Int, Int), it: Iterator[TaskSeed]) =>
-        val (band, tIdx, ty, tx) = key
-        val srcs = it.toSeq.sortBy(_.rank).map(_.src)
+      .repartition(p, $"band", $"tIdx", $"ty", $"tx")
+      .sortWithinPartitions($"band", $"tIdx", $"ty", $"tx", $"rank")
+      .mapPartitions { it: Iterator[TaskSeed] =>
         val gbt = GeoBoxTiles(bcGbox.value.toGeoBox, tw, th)
-        val tileGbox = gbt.tileGeobox(ty, tx)
-        val cfg = bcCfg.value(band)
-        val outDtype = bcDtypes.value(band)
-        val nodataV = dstNodata(cfg, outDtype)
-        val (pixels, valid) =
-          Fuse.fill2dSlice(srcs, tileGbox, cfg, reader, nodataV)
-        TileRow(band, tIdx, ty, tx, bcTimes.value(tIdx),
-          tx * tw, ty * th, tileGbox.width, tileGbox.height,
-          outDtype, nodataV, valid, Fuse.encode(pixels, outDtype))
+        new Iterator[TileRow] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): TileRow = {
+            val head = buf.next()
+            val (band, tIdx, ty, tx) = (head.band, head.tIdx, head.ty, head.tx)
+            val srcs = Seq.newBuilder[RasterSource]
+            srcs += head.src
+            while (buf.hasNext && buf.head.band == band && buf.head.tIdx == tIdx &&
+                   buf.head.ty == ty && buf.head.tx == tx)
+              srcs += buf.next().src
+            val tileGbox = gbt.tileGeobox(ty, tx)
+            val cfg = bcCfg.value(band)
+            val outDtype = bcDtypes.value(band)
+            val nodataV = dstNodata(cfg, outDtype)
+            val (pixels, valid) =
+              Fuse.fill2dSlice(srcs.result(), tileGbox, cfg, reader, nodataV)
+            TileRow(band, tIdx, ty, tx, bcTimes.value(tIdx),
+              tx * tw, ty * th, tileGbox.width, tileGbox.height,
+              outDtype, nodataV, valid, Fuse.encode(pixels, outDtype))
+          }
+        }
       }
 
     LoadResult(tiles.toDF(), outGbox, times, outDtypes)
@@ -207,9 +228,10 @@ object Fuse {
             while (x < roi.w) {
               val di = (roi.y0 + y) * dstGbox.width + (roi.x0 + x)
               // first valid pixel takes precedence (fuse order = priority)
-              if (GrbReader.isNodata(out(di), Some(nodata))) {
+              val cur = out(di)
+              if (cur.isNaN || cur == nodata) {
                 val v = pix(y * roi.w + x)
-                if (!GrbReader.isNodata(v, Some(nodata))) {
+                if (!(v.isNaN || v == nodata)) {
                   out(di) = v
                   remaining -= 1
                 }
@@ -225,15 +247,17 @@ object Fuse {
   }
 
   def encode(pixels: Array[Double], dtype: String): Array[Byte] = {
-    val buf = java.nio.ByteBuffer.allocate(pixels.length * Grb.dtypeSize(dtype))
+    val n = pixels.length
+    val buf = java.nio.ByteBuffer.allocate(n * Grb.dtypeSize(dtype))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
     dtype match {
-      case "uint8" | "int8" => pixels.foreach(v => buf.put(v.toInt.toByte))
-      case "uint16" | "int16" => pixels.foreach(v => buf.putShort(v.toInt.toShort))
-      case "int32" => pixels.foreach(v => buf.putInt(v.toInt))
-      case "int64" => pixels.foreach(v => buf.putLong(v.toLong))
-      case "float32" => pixels.foreach(v => buf.putFloat(v.toFloat))
-      case "float64" => pixels.foreach(buf.putDouble)
+      case "uint8" | "int8" => while (i < n) { buf.put(pixels(i).toInt.toByte); i += 1 }
+      case "uint16" | "int16" => while (i < n) { buf.putShort(pixels(i).toInt.toShort); i += 1 }
+      case "int32" => while (i < n) { buf.putInt(pixels(i).toInt); i += 1 }
+      case "int64" => while (i < n) { buf.putLong(pixels(i).toLong); i += 1 }
+      case "float32" => while (i < n) { buf.putFloat(pixels(i).toFloat); i += 1 }
+      case "float64" => while (i < n) { buf.putDouble(pixels(i)); i += 1 }
     }
     buf.array()
   }

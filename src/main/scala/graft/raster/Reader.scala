@@ -105,14 +105,19 @@ object GrbReader extends RasterReader {
     if (w <= 0 || h <= 0) return None
     val (_, pix) = Grb.readWindow(src.uri,
       math.max(0, sx0), math.max(0, sy0), w, h)
-    val out = Array.fill(roi.w * roi.h)(dstNodata)
+    val out = new Array[Double](roi.w * roi.h)
+    if (cx0 > 0 || cy0 > 0 || w < roi.w || h < roi.h)
+      java.util.Arrays.fill(out, dstNodata)
+    // src nodata as a primitive: NaN means "no nodata value" and the
+    // v.isNaN test alone applies (F5 semantics, no Option in the loop)
+    val sn = srcNodata.getOrElse(Double.NaN)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val v = pix(y * w + x)
         out((cy0 + y) * roi.w + (cx0 + x)) =
-          if (isNodata(v, srcNodata)) dstNodata else v
+          if (v.isNaN || v == sn) dstNodata else v
         x += 1
       }
       y += 1
@@ -161,6 +166,10 @@ object GrbReader extends RasterReader {
     val (sw, sh) = (wx1 - wx0, wy1 - wy0)
     val (_, spix) = Grb.readWindow(uri, wx0, wy0, sw, sh)
 
+    // primitive nodata (NaN = none) — keeps Option out of the pixel loop
+    val sn = srcNodata.getOrElse(Double.NaN)
+    @inline def invalid(v: Double): Boolean = v.isNaN || v == sn
+
     def sample(spx: Double, spy: Double): Double = {
       val lx = spx - wx0
       val ly = spy - wy0
@@ -178,7 +187,7 @@ object GrbReader extends RasterReader {
               val xx = x0 + dx; val yy = y0 + dy
               if (xx >= 0 && xx < sw && yy >= 0 && yy < sh) {
                 val v = spix(yy * sw + xx)
-                if (!isNodata(v, srcNodata)) {
+                if (!invalid(v)) {
                   val wgt = (if (dx == 0) 1 - fx else fx) * (if (dy == 0) 1 - fy else fy)
                   acc += v * wgt; wsum += wgt
                 }
@@ -200,7 +209,7 @@ object GrbReader extends RasterReader {
               val xx = x0 + dx; val yy = y0 + dy
               if (xx >= 0 && xx < sw && yy >= 0 && yy < sh) {
                 val v = spix(yy * sw + xx)
-                if (!isNodata(v, srcNodata)) { acc += v; cnt += 1 }
+                if (!invalid(v)) { acc += v; cnt += 1 }
               }
               dx += 1
             }
@@ -213,7 +222,7 @@ object GrbReader extends RasterReader {
           if (xx < 0 || xx >= sw || yy < 0 || yy >= sh) dstNodata
           else {
             val v = spix(yy * sw + xx)
-            if (isNodata(v, srcNodata)) dstNodata else v
+            if (invalid(v)) dstNodata else v
           }
       }
     }
