@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for cosine similarity over `Array[Float]`
+  * embedding columns — the hot kernel of similarity search and
+  * embedding-cosine dedup (north-star ops). A codegen'd primitive loop
+  * replaces the interpreted `aggregate(zip_with(...))` higher-order
+  * functions (one lambda eval per element) with three fused
+  * multiply-adds per element inside whole-stage codegen.
+  *
+  * Semantics match the SQL spelling used by the DuckDB oracle: dot and
+  * norms accumulate in Double, left-to-right; norms run over each full
+  * array; result is NULL only when an input is NULL (length mismatch
+  * contributes only the overlapping prefix to the dot product).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def prettyName: String = "vec_cosine"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> inputs, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val n = math.min(nx, ny)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i); i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < nx) { val v = x.getFloat(i).toDouble; na += v * v; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < ny) { val v = y.getFloat(i).toDouble; nb += v * v; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = (double) $a.getFloat($i); $na += $v * $v;
+         |}
+         |for (int $i = 0; $i < $b.numElements(); $i++) {
+         |  double $v = (double) $b.getFloat($i); $nb += $v * $v;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecFunctions {
+  /** Register `vec_cosine` in the session's function registry so both the
+    * DataFrame path (`call_function`) and raw SQL can use it. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_cosine",
+      { args: Seq[Expression] =>
+        require(args.length == 2, "vec_cosine(a, b) takes two arguments")
+        CosineSimilarity(args(0), args(1))
+      },
+      "built-in")
+  }
+}

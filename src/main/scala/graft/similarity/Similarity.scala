@@ -1,6 +1,7 @@
 package graft.similarity
 
 import graft.Tables
+import graft.functions.VecFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,19 +22,13 @@ object Similarity {
   val K = 5
   val NumQueries = 10 // query set: vec_id < 10, fixed for determinism
 
-  /** Exact cosine via left-to-right double folds — the oracle mirrors the
-    * same fold order so the doubles match bit-for-bit. */
+  /** Exact cosine via the native `vec_cosine` Expression — left-to-right
+    * double folds, so the doubles match the DuckDB oracle bit-for-bit. */
   val bruteforceSparkSql: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
        |           WHERE vec_id < $NumQueries),
        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
-       |s AS (SELECT qid, cid,
-       |  aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) /
-       |  (sqrt(aggregate(qe, CAST(0.0 AS DOUBLE),
-       |        (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) *
-       |   sqrt(aggregate(ce, CAST(0.0 AS DOUBLE),
-       |        (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS cos
+       |s AS (SELECT qid, cid, vec_cosine(qe, ce) AS cos
        |  FROM q JOIN c ON qid <> cid)
        |SELECT qid, cid, rn, ROUND(cos, 4) AS cos FROM (
        |  SELECT qid, cid, cos,
@@ -103,6 +98,7 @@ object Similarity {
   /** Approximate top-k: same-chunk LSH candidates, exact cosine re-rank.
     * Output schema matches bruteforce (qid, cid, rn, cos). */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    VecFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
     val dim = emb.selectExpr("size(embedding)").head().getInt(0)
     val chunked = chunkRows(emb, dim)
@@ -114,13 +110,8 @@ object Similarity {
     val cand = pairIds
       .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
       .join(emb.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
-    val cosine = expr(
-      """aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) /
-        |(sqrt(aggregate(qe, CAST(0.0 AS DOUBLE),
-        |      (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) *
-        | sqrt(aggregate(ce, CAST(0.0 AS DOUBLE),
-        |      (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
+    // native codegen'd kernel (CosineSimilarity Expression)
+    val cosine = call_function("vec_cosine", col("qe"), col("ce"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     cand.select(col("qid"), col("cid"), cosine.as("cos"))
       .withColumn("rn", row_number().over(w))
@@ -135,6 +126,7 @@ object Similarity {
    * cosine ~0.51 at sf0.01); real corpora would use ~0.9. */
   def nearDupPairs(spark: SparkSession, dir: String,
                    threshold: Double = 0.45): DataFrame = {
+    VecFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
     val dim = emb.selectExpr("size(embedding)").head().getInt(0)
     // all-pairs mode: coarser buckets (8-bit chunks) keep candidate count
@@ -142,13 +134,8 @@ object Similarity {
     val chunked = chunkRows(emb, dim, chunkBits = 8)
     val a = chunked.toDF("vec_a", "chunk", "v")
     val b = chunked.toDF("vec_b", "chunk", "v")
-    val cosine = expr(
-      """aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) /
-        |(sqrt(aggregate(ea, CAST(0.0 AS DOUBLE),
-        |      (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) *
-        | sqrt(aggregate(eb, CAST(0.0 AS DOUBLE),
-        |      (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
+    // native codegen'd kernel (CosineSimilarity Expression)
+    val cosine = call_function("vec_cosine", col("ea"), col("eb"))
     a.join(b, Seq("chunk", "v")).where(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
@@ -160,7 +147,9 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_bruteforce_topk" -> Tables.sql(bruteforceSparkSql),
+    "sim_bruteforce_topk" -> ((s, d) => {
+      VecFunctions.register(s); Tables.sql(bruteforceSparkSql)(s, d)
+    }),
     "sim_lsh_topk" -> ((s, d) => lshTopK(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => nearDupPairs(s, d))
   )

@@ -72,6 +72,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("LSH top-k has reasonable recall vs brute force") {
     Tables.register(spark, sf)
+    functions.VecFunctions.register(spark)
     val exact = spark.sql(similarity.Similarity.bruteforceSparkSql)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = similarity.Similarity.lshTopK(spark, sf)
