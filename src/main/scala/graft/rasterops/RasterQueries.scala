@@ -135,7 +135,22 @@ object RasterQueries {
       .orderBy("item_id")
   }
 
+  /** DSv2 GRB table (SURVEY §4 "COG table"): SQL over raw pixels with an
+    * ROI predicate pushed into the windowed scan. */
+  def grbSourceSql(spark: SparkSession): DataFrame = {
+    Fixtures.writeScenes(NScenes)
+    spark.read.format("grb").load(Fixtures.dir.toString)
+      .where(col("x") < 48 && col("y") >= 8 && col("value") =!= 0)
+      .groupBy("uri")
+      .agg(count(lit(1)).as("n_valid"),
+        round(avg(col("value")), 2).as("mean"),
+        round(sum(col("value")), 2).as("total"))
+      .withColumn("uri", regexp_extract(col("uri"), "([^/]+)$", 1))
+      .orderBy("uri")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "raster_grb_source_sql" -> ((s, _) => grbSourceSql(s)),
     "raster_load_mosaic" -> ((s, _) => loadMosaic(s)),
     "raster_load_groupby_id" -> ((s, _) => loadGroupById(s)),
     "raster_load_reproject" -> ((s, _) => loadReproject(s)),
