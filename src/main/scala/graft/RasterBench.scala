@@ -19,16 +19,21 @@ object RasterBench {
   val Res = 10.0
   val Bands = Seq("red", "nir", "blu")
 
+  /** Scene cache keyed by grid dim — geoboxes depend on the layout. */
+  private var gridDimNow = 3
   private def dir: java.nio.file.Path = {
-    val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_rbench_v1")
+    val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_rbench_v1_d$gridDimNow")
     java.nio.file.Files.createDirectories(d)
     d
   }
 
-  /** 3x3 grid of scenes overlapping half a scene each way. */
-  private def sceneGeobox(k: Int): GeoBox = {
-    val gx = k % 3
-    val gy = k / 3
+  /** NxN grid of scenes overlapping half a scene each way. */
+  private def gridDim(n: Int): Int = math.ceil(math.sqrt(n.toDouble)).toInt
+
+  private def sceneGeobox(k: Int, dim: Int): GeoBox = {
+    val gx = k % dim
+    val gy = k / dim
     GeoBox(SceneW, SceneH,
       Affine.grid(400000.0 + gx * (SceneW / 2) * Res,
         8200000.0 - gy * (SceneH / 2) * Res, Res, -Res),
@@ -36,8 +41,10 @@ object RasterBench {
   }
 
   def writeScenes(n: Int): Seq[String] = {
+    val dim = gridDim(n)
+    gridDimNow = dim
     (0 until n).map { k =>
-      val gbox = sceneGeobox(k)
+      val gbox = sceneGeobox(k, dim)
       Bands.foreach { band =>
         val path = dir.resolve(s"s$k-$band.grb")
         if (!java.nio.file.Files.exists(path)) {
@@ -83,7 +90,7 @@ object RasterBench {
 
   def main(args: Array[String]): Unit = {
     val threads = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val nScenes = 9
+    val nScenes = sys.env.getOrElse("SPARK_GRAFT_RB_SCENES", "9").toInt
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions", threads)
