@@ -149,7 +149,20 @@ object RasterQueries {
       .orderBy("uri")
   }
 
+  /** S14 product inference: collection metadata -> ODC product doc. */
+  def eo3Product(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (_, schemas) = parsed(spark)
+    schemas.toSeq.sortBy(_._1).map { case (cid, md) =>
+      val doc = Eo3.toProductDoc(md)
+      (cid, md.bands.size, doc.length, doc)
+    }.toDF("collection", "n_measurements", "doc_len", "product_doc")
+      .withColumn("product_doc", md5(col("product_doc")))
+      .orderBy("collection")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "raster_eo3_product" -> ((s, _) => eo3Product(s)),
     "raster_grb_source_sql" -> ((s, _) => grbSourceSql(s)),
     "raster_load_mosaic" -> ((s, _) => loadMosaic(s)),
     "raster_load_groupby_id" -> ((s, _) => loadGroupById(s)),
