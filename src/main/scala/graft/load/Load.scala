@@ -164,17 +164,23 @@ object Load {
       .sortBy(i => (i % p, i / p)).map(bins).toIndexedSeq
     val tiles: Dataset[TileRow] = spark.createDataset(
       spark.sparkContext.parallelize(interleaved, p)
-        .map { bin =>
+        .mapPartitions { it =>
+          // one reusable pixel buffer per task (tiles are tw*th max):
+          // cuts per-tile allocation from ~8 MB to just the encoded payload
+          val buf = new Array[Double](tw * th)
           val gbt = GeoBoxTiles(bcGbox.value.toGeoBox, tw, th)
-          val tileGbox = gbt.tileGeobox(bin.ty, bin.tx)
-          val cfg = bcCfg.value(bin.band)
-          val outDtype = bcDtypes.value(bin.band)
-          val nodataV = dstNodata(cfg, outDtype)
-          val (pixels, valid) =
-            Fuse.fill2dSlice(bin.srcs, tileGbox, cfg, reader, nodataV)
-          TileRow(bin.band, bin.tIdx, bin.ty, bin.tx, bcTimes.value(bin.tIdx),
-            bin.tx * tw, bin.ty * th, tileGbox.width, tileGbox.height,
-            outDtype, nodataV, valid, Fuse.encode(pixels, outDtype))
+          it.map { bin =>
+            val tileGbox = gbt.tileGeobox(bin.ty, bin.tx)
+            val cfg = bcCfg.value(bin.band)
+            val outDtype = bcDtypes.value(bin.band)
+            val nodataV = dstNodata(cfg, outDtype)
+            val valid =
+              Fuse.fill2dSliceInto(bin.srcs, tileGbox, cfg, reader, nodataV, buf)
+            TileRow(bin.band, bin.tIdx, bin.ty, bin.tx, bcTimes.value(bin.tIdx),
+              bin.tx * tw, bin.ty * th, tileGbox.width, tileGbox.height,
+              outDtype, nodataV, valid,
+              Fuse.encode(buf, tileGbox.width * tileGbox.height, outDtype))
+          }
         })
 
     LoadResult(tiles.toDF(), outGbox, times, outDtypes)
@@ -220,39 +226,31 @@ object Fuse {
                   cfg: RasterLoadParams, reader: RasterReader,
                   nodata: Double): (Array[Double], Long) = {
     val out = new Array[Double](dstGbox.width * dstGbox.height)
-    java.util.Arrays.fill(out, nodata)
-    var remaining = out.length.toLong
-    val it = srcs.iterator
-    while (it.hasNext && remaining > 0) {
-      val src = it.next()
-      reader.read(src, cfg, dstGbox, nodata) match {
-        case Some((roi, pix)) =>
-          var y = 0
-          while (y < roi.h) {
-            var x = 0
-            while (x < roi.w) {
-              val di = (roi.y0 + y) * dstGbox.width + (roi.x0 + x)
-              // first valid pixel takes precedence (fuse order = priority)
-              val cur = out(di)
-              if (cur.isNaN || cur == nodata) {
-                val v = pix(y * roi.w + x)
-                if (!(v.isNaN || v == nodata)) {
-                  out(di) = v
-                  remaining -= 1
-                }
-              }
-              x += 1
-            }
-            y += 1
-          }
-        case None => ()
-      }
-    }
-    (out, out.length - remaining)
+    val valid = fill2dSliceInto(srcs, dstGbox, cfg, reader, nodata, out)
+    (out, valid)
   }
 
-  def encode(pixels: Array[Double], dtype: String): Array[Byte] = {
-    val n = pixels.length
+  /** Allocation-free variant: fuses into the first w*h entries of a
+    * caller-owned buffer (reused across tiles within a task). */
+  def fill2dSliceInto(srcs: Seq[RasterSource], dstGbox: GeoBox,
+                      cfg: RasterLoadParams, reader: RasterReader,
+                      nodata: Double, out: Array[Double]): Long = {
+    val n = dstGbox.width * dstGbox.height
+    java.util.Arrays.fill(out, 0, n, nodata)
+    var remaining = n.toLong
+    val it = srcs.iterator
+    while (it.hasNext && remaining > 0) {
+      // first valid pixel takes precedence (fuse order = priority);
+      // readInto fuses straight from the read buffer on the paste path
+      remaining -= reader.readInto(it.next(), cfg, dstGbox, nodata, out)
+    }
+    n - remaining
+  }
+
+  def encode(pixels: Array[Double], dtype: String): Array[Byte] =
+    encode(pixels, pixels.length, dtype)
+
+  def encode(pixels: Array[Double], n: Int, dtype: String): Array[Byte] = {
     val buf = java.nio.ByteBuffer.allocate(n * Grb.dtypeSize(dtype))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var i = 0

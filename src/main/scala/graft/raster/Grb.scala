@@ -172,6 +172,84 @@ object Grb {
   /** Span-read cap: beyond this, fall back to row-wise reads. */
   private val MaxSpanBytes: Long = 256L << 20
 
+  /** Fused windowed read + first-valid mosaic (A2 paste hot path): decode
+    * the window's pixels straight out of the read buffer into the
+    * still-nodata positions of `out` — no intermediate ROI array, no
+    * remap pass. `srcNodata` NaN means "no nodata value". Returns the
+    * number of newly filled pixels. */
+  def fuseWindowInto(path: String, x0: Int, y0: Int, w: Int, h: Int,
+                     srcNodata0: Option[Double],
+                     out: Array[Double], outW: Int, dx0: Int, dy0: Int,
+                     dstNodata: Double): Long = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val hd = readHeader(raf)
+      require(x0 >= 0 && y0 >= 0 && x0 + w <= hd.width && y0 + h <= hd.height,
+        s"window ($x0,$y0,$w,$h) out of bounds ${hd.width}x${hd.height}")
+      val sz = dtypeSize(hd.dtype)
+      val dcode = DtypeCodes(hd.dtype)
+      val sn = srcNodata0.getOrElse(Double.NaN)
+      val rowStride = hd.width.toLong * sz
+      val spanBytes = (h - 1).toLong * rowStride + w.toLong * sz
+      var filled = 0L
+      if (spanBytes <= MaxSpanBytes) {
+        val buf = new Array[Byte](spanBytes.toInt)
+        raf.seek(hd.pixelOffset + y0.toLong * rowStride + x0.toLong * sz)
+        raf.readFully(buf)
+        val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+        var row = 0
+        while (row < h) {
+          filled += fuseRow(bb, row * rowStride.toInt, dcode, sn,
+            out, (dy0 + row) * outW + dx0, w, dstNodata)
+          row += 1
+        }
+      } else {
+        val rowBytes = new Array[Byte](w * sz)
+        val bb = ByteBuffer.wrap(rowBytes).order(ByteOrder.LITTLE_ENDIAN)
+        var row = 0
+        while (row < h) {
+          raf.seek(hd.pixelOffset + (y0 + row).toLong * rowStride + x0.toLong * sz)
+          raf.readFully(rowBytes)
+          filled += fuseRow(bb, 0, dcode, sn,
+            out, (dy0 + row) * outW + dx0, w, dstNodata)
+          row += 1
+        }
+      }
+      filled
+    } finally raf.close()
+  }
+
+  /** Decode+fuse `n` pixels: write only where `out` is still dstNodata
+    * and the source value is valid. Dtype dispatch per row, not per px. */
+  private def fuseRow(bb: ByteBuffer, off: Int, dcode: Int, sn: Double,
+                      out: Array[Double], outOff: Int, n: Int,
+                      dstNodata: Double): Long = {
+    var filled = 0L
+    var i = 0
+    while (i < n) {
+      val di = outOff + i
+      val cur = out(di)
+      if (cur.isNaN || cur == dstNodata) {
+        val v: Double = (dcode: @annotation.switch) match {
+          case 1 => bb.get(off + i) & 0xff
+          case 2 => bb.get(off + i)
+          case 3 => bb.getShort(off + i * 2) & 0xffff
+          case 4 => bb.getShort(off + i * 2)
+          case 5 => bb.getInt(off + i * 4)
+          case 6 => bb.getLong(off + i * 8).toDouble
+          case 7 => bb.getFloat(off + i * 4)
+          case 8 => bb.getDouble(off + i * 8)
+        }
+        // write src-valid values (reference paste copies verbatim); count
+        // as filled only when distinguishable from dst nodata, so later
+        // sources (which still see a hole there) don't double-count
+        if (!(v.isNaN || v == sn)) { out(di) = v; if (v != dstNodata) filled += 1 }
+      }
+      i += 1
+    }
+    filled
+  }
+
   /** Decode `n` pixels from `bb` at byte `off` into `out(outOff..)`.
     * Dtype dispatch hoisted out of the pixel loop (one branch per row,
     * not per pixel). */

@@ -27,6 +27,34 @@ trait RasterReader extends Serializable {
     * src-nodata remapped to `dstNodata`. None when no overlap. */
   def read(src: RasterSource, cfg: RasterLoadParams, dstGeobox: GeoBox,
            dstNodata: Double): Option[(Roi, Array[Double])]
+
+  /** Fused read+mosaic step (A2 hot path): write `src`'s pixels into the
+    * still-`dstNodata` positions of `out` (row-major over `dstGeobox`),
+    * first-valid-wins. Returns the number of newly filled pixels. The
+    * default delegates to `read` (correct for any reader); performance-
+    * critical readers override to skip the intermediate ROI buffer. */
+  def readInto(src: RasterSource, cfg: RasterLoadParams, dstGeobox: GeoBox,
+               dstNodata: Double, out: Array[Double]): Long =
+    read(src, cfg, dstGeobox, dstNodata) match {
+      case Some((roi, pix)) =>
+        var filled = 0L
+        var y = 0
+        while (y < roi.h) {
+          var x = 0
+          while (x < roi.w) {
+            val di = (roi.y0 + y) * dstGeobox.width + (roi.x0 + x)
+            val cur = out(di)
+            if (cur.isNaN || cur == dstNodata) {
+              val v = pix(y * roi.w + x)
+              if (!(v.isNaN || v == dstNodata)) { out(di) = v; filled += 1 }
+            }
+            x += 1
+          }
+          y += 1
+        }
+        filled
+      case None => 0L
+    }
 }
 
 object GrbReader extends RasterReader {
@@ -47,9 +75,57 @@ object GrbReader extends RasterReader {
     }
   }
 
+  /** Paste-aligned sources fuse straight from the read buffer into the
+    * destination (no ROI array, no remap pass — `Grb.fuseWindowInto`);
+    * warp-path sources fall back to the generic read+fuse. */
+  override def readInto(src0: RasterSource, cfg: RasterLoadParams,
+                        dstGeobox: GeoBox, dstNodata: Double,
+                        out: Array[Double]): Long = {
+    try {
+      val src = src0.copy(uri = src0.uri.stripPrefix("file://"))
+      plan(src, cfg, dstGeobox) match {
+        case None => 0L
+        case Some(ReadPlan(header, srcNodata, roi, Some((sx0, sy0)))) =>
+          val cx0 = math.max(0, -sx0)
+          val cy0 = math.max(0, -sy0)
+          val w = math.min(roi.w - cx0, header.width - math.max(0, sx0))
+          val h = math.min(roi.h - cy0, header.height - math.max(0, sy0))
+          if (w <= 0 || h <= 0) 0L
+          else Grb.fuseWindowInto(src.uri,
+            math.max(0, sx0), math.max(0, sy0), w, h, srcNodata,
+            out, dstGeobox.width, roi.x0 + cx0, roi.y0 + cy0, dstNodata)
+        case Some(ReadPlan(_, _, _, None)) =>
+          super.readInto(src0, cfg, dstGeobox, dstNodata, out)
+      }
+    } catch {
+      case e: Exception if !cfg.failOnError =>
+        System.err.println(s"[graft.reader] ${src0.uri}: ${e.getMessage}")
+        0L
+    }
+  }
+
   private def readImpl(src0: RasterSource, cfg: RasterLoadParams,
                        dstGeobox: GeoBox, dstNodata: Double): Option[(Roi, Array[Double])] = {
     val src = src0.copy(uri = src0.uri.stripPrefix("file://"))
+    plan(src, cfg, dstGeobox) match {
+      case None => None
+      case Some(ReadPlan(header, srcNodata, roi, Some((sx0, sy0)))) =>
+        paste(src, header, srcNodata, dstGeobox, roi, sx0, sy0, dstNodata)
+      case Some(ReadPlan(header, srcNodata, roi, None)) =>
+        warp(src, header, cfg, srcNodata, dstGeobox, roi, dstNodata)
+    }
+  }
+
+  /** Planned read: dst ROI + resolved src nodata; `pasteAt` is the src
+    * window origin when the F15 paste fast path applies, None -> warp. */
+  private final case class ReadPlan(header: Grb.Header,
+                                    srcNodata: Option[Double], roi: Roi,
+                                    pasteAt: Option[(Int, Int)])
+
+  /** Shared F15/F16 planning (`_rio.py:314-475` analog). None = no
+    * overlap with the destination. */
+  private def plan(src: RasterSource, cfg: RasterLoadParams,
+                   dstGeobox: GeoBox): Option[ReadPlan] = {
     val header = Grb.readHeader(src.uri)
     val srcGeobox = header.geobox
     val srcNodata = cfg.srcNodataOverride
@@ -79,7 +155,7 @@ object GrbReader extends RasterReader {
       math.abs(srcGeobox.resX - dstGeobox.resX) < 1e-9 * math.abs(dstGeobox.resX) &&
       math.abs(srcGeobox.resY - dstGeobox.resY) < 1e-9 * math.abs(dstGeobox.resY)
 
-    if (sameRes) {
+    val pasteAt = if (sameRes) {
       // check sub-pixel alignment for paste
       val (spx, spy) = srcGeobox.transform.inverse(
         dstGeobox.transform(px0, py0)._1, dstGeobox.transform(px0, py0)._2)
@@ -87,10 +163,10 @@ object GrbReader extends RasterReader {
       val fy = spy - math.round(spy)
       val tol = ttol(cfg.resampling)
       if (math.abs(fx) <= tol && math.abs(fy) <= tol)
-        return paste(src, header, srcNodata, dstGeobox, roi,
-          math.round(spx).toInt, math.round(spy).toInt, dstNodata)
-    }
-    warp(src, header, cfg, srcNodata, dstGeobox, roi, dstNodata)
+        Some((math.round(spx).toInt, math.round(spy).toInt))
+      else None
+    } else None
+    Some(ReadPlan(header, srcNodata, roi, pasteAt))
   }
 
   /** Direct windowed read — grids align (F15 fast path). */
