@@ -46,52 +46,20 @@ object Dedup {
 
   // ---- MinHash + LSH -------------------------------------------------------
 
-  val NumPerm = 128
-  val Bands = 32 // x 4 rows/band: ~P(detect) > 0.99 at J=0.8
-  val RowsPerBand: Int = NumPerm / Bands
+  val NumPerm: Int = graft.functions.HashKernels.NumPerm
+  val Bands: Int = graft.functions.HashKernels.Bands // x 4 rows/band: ~P(detect) > 0.99 at J=0.8
   val JaccardThreshold = 0.7
   val MaxBucket = 64
 
-  /** Deterministic permutation parameters (universal hashing h*a+b over the
-    * 2^64 ring; `a` odd so the map is a bijection). */
-  private val perms: Array[(Long, Long)] = {
-    val r = new scala.util.Random(42)
-    Array.fill(NumPerm)((r.nextLong() | 1L, r.nextLong()))
-  }
-
-  private val minhashSigUdf = udf { hset: Seq[Long] =>
-    val sig = Array.fill(NumPerm)(Long.MaxValue)
-    if (hset != null) {
-      val it = hset.iterator
-      while (it.hasNext) {
-        val h = it.next()
-        var p = 0
-        while (p < NumPerm) {
-          val v = h * perms(p)._1 + perms(p)._2
-          if (v < sig(p)) sig(p) = v
-          p += 1
-        }
-      }
-    }
-    sig
-  }
-
-  /** One 64-bit hash per band (slice of the signature). */
-  private val bandHashesUdf = udf { sig: Seq[Long] =>
-    Array.tabulate(Bands) { b =>
-      var h = 1125899906842597L // FNV-ish fold, deterministic
-      var i = b * RowsPerBand
-      while (i < (b + 1) * RowsPerBand) { h = h * 31 + sig(i); i += 1 }
-      h
-    }
-  }
-
   /** Candidate pairs from any shared LSH band, then exact-Jaccard verified
-    * against the shingle sets. Output: (doc_a, doc_b, jaccard). */
+    * against the shingle sets. Signature+banding is one native codegen'd
+    * pass (`MinHashBands` Expression — no per-shingle boxing).
+    * Output: (doc_a, doc_b, jaccard). */
   def minhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.register(spark)
     val docs = docsWithShingles(spark, dir).cache()
     val sigs = docs.select(col("doc_id"),
-      bandHashesUdf(minhashSigUdf(col("hset"))).as("bands"))
+      call_function("minhash_bands", col("hset")).as("bands"))
     val buckets = sigs
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
       .groupBy("band", "bh").agg(collect_list("doc_id").as("ids"))
@@ -123,25 +91,13 @@ object Dedup {
   val HammingThreshold = 3
   private val SimChunks = 4 // 4 x 16-bit chunks: pigeonhole for dist <= 3
 
-  private val simhashUdf = udf { hset: Seq[Long] =>
-    val acc = new Array[Int](64)
-    if (hset != null) hset.foreach { h =>
-      var bit = 0
-      while (bit < 64) {
-        if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
-        bit += 1
-      }
-    }
-    var out = 0L
-    var bit = 0
-    while (bit < 64) { if (acc(bit) > 0) out |= (1L << bit); bit += 1 }
-    out
-  }
-
-  /** 64-bit SimHash signature per doc (exposed for tests). */
-  def signatures(spark: SparkSession, dir: String): DataFrame =
+  /** 64-bit SimHash signature per doc (exposed for tests) — native
+    * codegen'd pass (`SimHash64` Expression). */
+  def signatures(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.register(spark)
     docsWithShingles(spark, dir)
-      .select(col("doc_id"), simhashUdf(col("hset")).as("sig"))
+      .select(col("doc_id"), call_function("simhash64", col("hset")).as("sig"))
+  }
 
   /** SimHash near-dup pairs: 64-bit signature, candidates via any equal
     * 16-bit chunk (pigeonhole guarantees recall for hamming <= 3), verified

@@ -84,14 +84,30 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object VecFunctions {
-  /** Register `vec_cosine` in the session's function registry so both the
-    * DataFrame path (`call_function`) and raw SQL can use it. Idempotent. */
+  /** Register the engine's native expressions in the session's function
+    * registry so both the DataFrame path (`call_function`) and raw SQL
+    * can use them. Idempotent. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "vec_cosine",
       { args: Seq[Expression] =>
         require(args.length == 2, "vec_cosine(a, b) takes two arguments")
         CosineSimilarity(args(0), args(1))
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_bands",
+      { args: Seq[Expression] =>
+        require(args.length == 1, "minhash_bands(hset) takes one argument")
+        MinHashBands(args(0))
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64",
+      { args: Seq[Expression] =>
+        require(args.length == 1, "simhash64(hset) takes one argument")
+        SimHash64(args(0))
       },
       "built-in")
   }
