@@ -20,10 +20,11 @@ object StreamingOps {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  def tumblingDaily(spark: SparkSession, dir: String): DataFrame = {
+  /** FileStreamSource needs a directory; expose the single-file table
+    * through a symlink dir (what a real ingest landing zone looks like).
+    * Returns (dir path, raw schema — ts arrives as raw nanos). */
+  private def stagedEvents(spark: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // FileStreamSource needs a directory; expose the single-file table
-    // through a symlink dir (what a real ingest landing zone looks like).
     val src = java.nio.file.Paths.get(Tables.path(dir, "events"))
     val streamDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_stream_src_${src.hashCode & 0x7fffffff}")
@@ -31,8 +32,11 @@ object StreamingOps {
     val link = streamDir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, src)
-    val path = streamDir.toString
-    val rawSchema = spark.read.parquet(path).schema // ts arrives as raw nanos
+    (streamDir.toString, spark.read.parquet(streamDir.toString).schema)
+  }
+
+  def tumblingDaily(spark: SparkSession, dir: String): DataFrame = {
+    val (path, rawSchema) = stagedEvents(spark, dir)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val stream = spark.readStream.schema(rawSchema).parquet(path)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -58,6 +62,46 @@ object StreamingOps {
       |FROM events GROUP BY CAST(ts AS DATE), event_type
       |ORDER BY d, event_type""".stripMargin
 
+  /** Append-mode variant — the production shape: only windows the
+    * watermark has closed are emitted (exactly-once sink semantics, no
+    * complete-mode re-emission; state for closed windows is dropped, so
+    * state size is bounded by open windows — the property that matters
+    * at 100 TB/day ingest). With AvailableNow over a static table the
+    * watermark lands at max(ts) - 1 day after the single batch, so every
+    * day strictly before the last emits: the oracle below mirrors that
+    * by excluding the final day. */
+  def tumblingDailyAppend(spark: SparkSession, dir: String): DataFrame = {
+    val (path, rawSchema) = stagedEvents(spark, dir)
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val stream = spark.readStream.schema(rawSchema).parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("window.start").cast("date").as("d"), col("event_type"),
+        col("n"), col("v"))
+      .orderBy("d", "event_type")
+  }
+
+  /** A day-window [D, D+1) emits iff its end is at or before the final
+    * watermark max(ts) - 1 day — note this usually excludes the last TWO
+    * days unless max(ts) is exactly midnight. */
+  val tumblingDailyAppendOracle: String =
+    """SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n,
+      |       ROUND(SUM(value), 2) AS v
+      |FROM events
+      |WHERE CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY
+      |      <= (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 1 DAY
+      |GROUP BY CAST(ts AS DATE), event_type
+      |ORDER BY d, event_type""".stripMargin
+
   // ---- stateful sessionization (flatMapGroupsWithState) -------------------
 
   final case class Ev(user_id: Long, event_id: Long, sec: Long)
@@ -75,18 +119,10 @@ object StreamingOps {
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = java.nio.file.Paths.get(Tables.path(dir, "events"))
-    val streamDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_src_${src.hashCode & 0x7fffffff}")
-    java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, src)
-    val rawSchema = spark.read.parquet(streamDir.toString).schema
+    val (path, rawSchema) = stagedEvents(spark, dir)
     val name = s"graft_sessions_${counter.incrementAndGet()}"
 
-    val events = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
+    val events = spark.readStream.schema(rawSchema).parquet(path)
       .selectExpr("user_id", "event_id", "ts div 1000000000 AS sec")
       .as[Ev]
 
@@ -150,11 +186,13 @@ object StreamingOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_daily" -> ((s, d) => tumblingDaily(s, d)),
+    "stream_tumbling_append" -> ((s, d) => tumblingDailyAppend(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
     "stream_tumbling_daily" -> tumblingDailyOracle,
+    "stream_tumbling_append" -> tumblingDailyAppendOracle,
     "stream_sessionize" ->
       sessionOracle("epoch(CAST(ts AS TIMESTAMP))")
   )
