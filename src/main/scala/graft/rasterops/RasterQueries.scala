@@ -161,7 +161,20 @@ object RasterQueries {
       .orderBy("collection")
   }
 
+  /** S10/S12 sink: tile rows -> parquet -> reload (the distributed
+    * persistence path — at 100 TB the fused cube lives as parquet tile
+    * rows, partitioned by band, re-loadable without re-reading sources). */
+  def tilesRoundtrip(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val out = java.nio.file.Files.createTempDirectory("graft_tiles_rt").toString
+    res.tiles.write.mode("overwrite").partitionBy("band").parquet(out)
+    summarize(spark.read.parquet(out))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "raster_tiles_roundtrip" -> ((s, _) => tilesRoundtrip(s)),
     "raster_eo3_product" -> ((s, _) => eo3Product(s)),
     "raster_grb_source_sql" -> ((s, _) => grbSourceSql(s)),
     "raster_load_mosaic" -> ((s, _) => loadMosaic(s)),
