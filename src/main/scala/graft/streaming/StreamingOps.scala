@@ -184,7 +184,26 @@ object StreamingOps {
        |       MAX(sec) - MIN(sec) AS dur_s
        |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
 
+  /** Streaming STAC ingest over the scene fixtures: one file per batch,
+    * schema cache widening across batches; deterministic summary. */
+  def stacIngestQuery(spark: SparkSession): DataFrame = {
+    val jsons = graft.raster.Fixtures.writeScenes(4).map(_.replaceAll("\n", " "))
+    val landing = java.nio.file.Files.createTempDirectory("graft_ingest_land")
+    jsons.zipWithIndex.foreach { case (j, i) =>
+      java.nio.file.Files.write(landing.resolve(f"item_$i%03d.json"),
+        j.getBytes("UTF-8"))
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest_out").toString
+    val res = StacIngest.ingest(spark, landing.toString, out, maxFilesPerTrigger = 1)
+    val nBands = res.schemas.values.map(_.allBands.size).sum
+    res.items
+      .withColumn("schema_bands", lit(nBands))
+      .withColumn("n_batches", lit(res.nBatches))
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_stac_ingest" -> ((s, _) => stacIngestQuery(s)),
     "stream_tumbling_daily" -> ((s, d) => tumblingDaily(s, d)),
     "stream_tumbling_append" -> ((s, d) => tumblingDailyAppend(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(s, d))
