@@ -83,6 +83,7 @@ object Load {
            geobox: Option[GeoBox] = None,
            groupby: String = "id",
            chunks: Int = 2048,
+           timeChunks: Int = 1,
            dtype: Option[String] = None,
            nodata: Option[Double] = None,
            resampling: Map[String, String] = Map.empty,
@@ -156,12 +157,21 @@ object Load {
         TileBin(band, tIdx, ty, tx, ss.sortBy(_.rank).map(_.src))
       }
       .toArray.sortBy(b => (b.band, b.tIdx, b.ty, b.tx))
-    val p = math.max(1, math.min(bins.length,
+    // F14 time chunking (`chunks={'time': N}`): one task computes N
+    // consecutive time planes of the same (band, ty, tx) — fewer, larger
+    // tasks when the time axis is long (each plane is still one TileRow)
+    val tc = math.max(1, timeChunks)
+    val taskUnits: Array[Seq[TileBin]] =
+      if (tc == 1) bins.map(Seq(_))
+      else bins.groupBy(b => (b.band, b.tIdx / tc, b.ty, b.tx))
+        .values.map(_.sortBy(_.tIdx).toSeq).toArray
+        .sortBy(g => (g.head.band, g.head.tIdx, g.head.ty, g.head.tx))
+    val p = math.max(1, math.min(taskUnits.length,
       spark.sparkContext.defaultParallelism * 2))
-    // round-robin bin->slice assignment: neighbours (which share source
+    // round-robin unit->slice assignment: neighbours (which share source
     // overlap and cost) spread across tasks instead of clustering
-    val interleaved = (0 until bins.length)
-      .sortBy(i => (i % p, i / p)).map(bins).toIndexedSeq
+    val interleaved = (0 until taskUnits.length)
+      .sortBy(i => (i % p, i / p)).map(taskUnits).toIndexedSeq
     val tiles: Dataset[TileRow] = spark.createDataset(
       spark.sparkContext.parallelize(interleaved, p)
         .mapPartitions { it =>
@@ -169,7 +179,7 @@ object Load {
           // cuts per-tile allocation from ~8 MB to just the encoded payload
           val buf = new Array[Double](tw * th)
           val gbt = GeoBoxTiles(bcGbox.value.toGeoBox, tw, th)
-          it.map { bin =>
+          it.flatMap(_.iterator.map { bin =>
             val tileGbox = gbt.tileGeobox(bin.ty, bin.tx)
             val cfg = bcCfg.value(bin.band)
             val outDtype = bcDtypes.value(bin.band)
@@ -180,7 +190,7 @@ object Load {
               bin.tx * tw, bin.ty * th, tileGbox.width, tileGbox.height,
               outDtype, nodataV, valid,
               Fuse.encode(buf, tileGbox.width * tileGbox.height, outDtype))
-          }
+          })
         })
 
     LoadResult(tiles.toDF(), outGbox, times, outDtypes)

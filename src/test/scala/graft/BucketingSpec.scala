@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale strategy pin: bucketed tables make repeated fact-dimension
+  * joins exchange-free (co-located by join key at write time) — the
+  * standard 100 TB layout for tables joined on the same key every query.
+  * This spec documents and verifies the mechanism end-to-end on the test
+  * corpus: bucketed orders ⋈ customer plans with ZERO shuffle exchanges,
+  * while the unbucketed join needs them. */
+class BucketingSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSpark.spark
+
+  test("bucketed join on the bucket key plans without shuffle exchanges") {
+    import org.apache.spark.sql.functions._
+    val sf = GraftSpark.sf
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try bucketedJoinCheck(sf)
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  private def bucketedJoinCheck(sf: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.load(spark, sf, "orders")
+    val customer = Tables.load(spark, sf, "customer")
+
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    // in-memory catalog forgets tables between sessions but leaves the
+    // managed locations behind — clear them
+    Seq("orders_b", "customer_b").foreach { t =>
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
+    orders.write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_b")
+    customer.write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_b")
+
+    // AQE wraps the plan in AdaptiveSparkPlanExec; execute first, then
+    // count exchanges in the finalized plan
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    }
+
+    val bucketed = spark.table("orders_b")
+      .join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name")
+    val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name")
+
+    assert(shuffles(plain) >= 2, "unbucketed SMJ should exchange both sides")
+    assert(shuffles(bucketed) == 0,
+      s"bucketed join should be exchange-free:\n${bucketed.queryExecution.executedPlan}")
+    // and of course the same answer
+    assert(bucketed.count() == plain.count())
+  }
+}

@@ -156,4 +156,25 @@ class LoadSpec extends AnyFunSuite {
     assert(Planner.electDtype(Nil) == "uint16")
     assert(Planner.electDtype(Seq("float32", "int64")) == "int64")
   }
+
+  test("time chunking (F14): timeChunks groups tasks without changing results") {
+    def summary(tc: Int): Seq[(String, Int, Int, Int, Long, Double)] = {
+      val res = Load.load(spark, items, schemas, bands = Seq("red"),
+        groupby = "id", chunks = 64, timeChunks = tc)
+      res.tiles.collect().map { r =>
+        val data = r.getAs[Array[Byte]]("data")
+        (r.getAs[String]("band"), r.getAs[Int]("tIdx"),
+          r.getAs[Int]("ty"), r.getAs[Int]("tx"),
+          r.getAs[Long]("validCount"),
+          graft.load.Fuse.decode(data, r.getAs[String]("dtype")).sum)
+      }.toSeq.sortBy(t => (t._1, t._2, t._3, t._4))
+    }
+    val one = summary(1)
+    val chunked = summary(2)
+    assert(one.nonEmpty && one == chunked)
+    // groupby id over 4 items -> 4 time planes; tc=2 halves task units
+    val res2 = Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "id", chunks = 64, timeChunks = 2)
+    assert(res2.times.size == 4)
+  }
 }
