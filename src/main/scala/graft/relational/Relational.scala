@@ -180,9 +180,31 @@ object Relational {
         |ORDER BY d, event_type""".stripMargin)
   )
 
+  /** Salted join (skew mitigation, `Skew.saltedJoin`) — result must be
+    * identical to the plain join, which is exactly what the oracle
+    * checks. */
+  private def saltedJoinQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(s, d, "lineitem")
+    val sup = Tables.load(s, d, "supplier")
+    Skew.saltedJoin(li, sup, "l_suppkey", "s_suppkey", salt = 8)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("rev"))
+      .orderBy("s_suppkey")
+  }
+
+  private val saltedJoinOracle: String =
+    """SELECT s_suppkey, COUNT(*) AS n,
+      |       ROUND(SUM(l_extendedprice), 2) AS rev
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    qs.map(q => q.name -> Tables.sql(q.spark)).toMap
+    qs.map(q => q.name -> Tables.sql(q.spark)).toMap +
+      ("q27_skew_salted_join" -> (saltedJoinQuery _))
 
   val oracleSql: Map[String, String] =
-    qs.map(q => q.name -> q.duck.getOrElse(q.spark)).toMap
+    qs.map(q => q.name -> q.duck.getOrElse(q.spark)).toMap +
+      ("q27_skew_salted_join" -> saltedJoinOracle)
 }
