@@ -91,10 +91,42 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Resize: decode (stub), nearest-neighbor downsample to a fixed
+    * thumbnail grid, emit new dims + pixel checksum — the batch-resize
+    * shape of a real thumbnailing pipeline (decode swaps in, the
+    * distribution/schema stays). */
+  def resize(spark: SparkSession, dir: String,
+             outW: Int = 8, outH: Int = 8): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir)
+      .select("doc_id", "width", "height", "payload")
+      .as[(Long, Int, Int, Array[Byte])]
+    media.mapPartitions { it =>
+      it.map { case (id, w, h, payload) =>
+        val px = decodeStub(payload, w, h)
+        var crc = 1125899906842597L
+        var oy = 0
+        while (oy < outH) {
+          var ox = 0
+          while (ox < outW) {
+            val sx = ox * w / outW
+            val sy = oy * h / outH
+            crc = crc * 31 + px(sy * w + sx)
+            ox += 1
+          }
+          oy += 1
+        }
+        (id, outW, outH, crc)
+      }
+    }.toDF("doc_id", "out_w", "out_h", "thumb_crc")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> Tables.sql(metadataSparkSql),
     "mm_decode_features" -> ((s, d) => decodeFeatures(s, d)),
-    "mm_frame_sample" -> ((s, d) => frameSample(s, d))
+    "mm_frame_sample" -> ((s, d) => frameSample(s, d)),
+    "mm_resize" -> ((s, d) => resize(s, d))
   )
 
   val metadataDuckSql: String =

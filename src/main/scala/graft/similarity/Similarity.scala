@@ -146,7 +146,60 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---- IVF (inverted file index via k-means coarse quantizer) -------------
+
+  val IvfCentroids = 16
+  val IvfProbes = 4
+
+  /** IVF approximate top-k — the second scale path beside LSH: a k-means
+    * coarse quantizer (MLlib, fixed seed) partitions the corpus into
+    * `IvfCentroids` cells; each query probes its `IvfProbes` nearest
+    * cells and exact-cosine re-ranks only those candidates. At 100 TB the
+    * assignment column doubles as the physical partition key, so a probe
+    * touches `probes/centroids` of the data; training runs on a sample.
+    * Output schema matches bruteforce (qid, cid, rn, cos). */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    VecFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .withColumn("vec", array_to_vector(
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+      .cache()
+    val model = new KMeans().setK(IvfCentroids).setSeed(11)
+      .setMaxIter(5).setFeaturesCol("vec").setPredictionCol("cell")
+      .fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    // per-query probe list: nearest IvfProbes centroids by euclidean
+    val centroids = model.clusterCenters
+    val probeUdf = udf { emb2: Seq[Float] =>
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        val n = math.min(c.size, emb2.length)
+        var j = 0
+        while (j < n) { val t = c(j) - emb2(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(IvfProbes).map(_._2)
+    }
+    val queries = assigned.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(probeUdf(col("embedding"))).as("cell"))
+    val cand = queries.join(
+        assigned.select(col("vec_id").as("cid"),
+          col("embedding").as("ce"), col("cell")), Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cand.select(col("qid"), col("cid"),
+        call_function("vec_cosine", col("qe"), col("ce")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= K)
+      .select(col("qid"), col("cid"), col("rn"), round(col("cos"), 4).as("cos"))
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "sim_bruteforce_topk" -> ((s, d) => {
       VecFunctions.register(s); Tables.sql(bruteforceSparkSql)(s, d)
     }),

@@ -82,6 +82,18 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall too low")
   }
 
+  test("IVF top-k has reasonable recall vs brute force") {
+    Tables.register(spark, sf)
+    functions.VecFunctions.register(spark)
+    val exact = spark.sql(similarity.Similarity.bruteforceSparkSql)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = similarity.Similarity.ivfTopK(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"IVF top-k recall@${similarity.Similarity.K} = $recall")
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
   test("multimodal decode features are deterministic") {
     val a = multimodal.Multimodal.decodeFeatures(spark, sf).collect().toSeq
     val b = multimodal.Multimodal.decodeFeatures(spark, sf).collect().toSeq
