@@ -20,6 +20,17 @@ object StreamingOps {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** State-store sizing: each stateful streaming operator instantiates
+    * one state store per shuffle partition per microbatch. Size the
+    * partition count to the stream's state volume, not the session's
+    * batch default (32 stores over a few thousand keys is pure checkpoint
+    * overhead; a 100 TB/day stream would raise this, not lower it). */
+  private def withStreamPartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** FileStreamSource needs a directory; expose the single-file table
     * through a symlink dir (what a real ingest landing zone looks like).
     * Returns (dir path, raw schema — ts arrives as raw nanos). */
@@ -35,7 +46,8 @@ object StreamingOps {
     (streamDir.toString, spark.read.parquet(streamDir.toString).schema)
   }
 
-  def tumblingDaily(spark: SparkSession, dir: String): DataFrame = {
+  def tumblingDaily(spark: SparkSession, dir: String): DataFrame =
+      withStreamPartitions(spark, 8) {
     val (path, rawSchema) = stagedEvents(spark, dir)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val stream = spark.readStream.schema(rawSchema).parquet(path)
@@ -70,7 +82,8 @@ object StreamingOps {
     * watermark lands at max(ts) - 1 day after the single batch, so every
     * day strictly before the last emits: the oracle below mirrors that
     * by excluding the final day. */
-  def tumblingDailyAppend(spark: SparkSession, dir: String): DataFrame = {
+  def tumblingDailyAppend(spark: SparkSession, dir: String): DataFrame =
+      withStreamPartitions(spark, 8) {
     val (path, rawSchema) = stagedEvents(spark, dir)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val stream = spark.readStream.schema(rawSchema).parquet(path)
@@ -116,7 +129,8 @@ object StreamingOps {
     * output mode: each batch emits the latest state of every touched
     * session; with AvailableNow over a static table that is exactly the
     * final session list, so the run is DuckDB-oracle checkable. */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+      withStreamPartitions(spark, 8) {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     import spark.implicits._
     val (path, rawSchema) = stagedEvents(spark, dir)
