@@ -140,6 +140,57 @@ class RasterSpec extends AnyFunSuite {
     assert(fused2.forall(_ == 2.0))
   }
 
+
+  test("fused readInto: offset source clips and fuses identically to read()") {
+    // dst 8x4 at origin; src 4x4 shifted right+down by 2 px: overlap is
+    // dst[2..3][2..5] -- exercises the clip math in the fused paste path
+    val dst = gbox(8, 4)
+    val srcG = gbox(4, 4, ox = 500000 + 2 * 10, oy = 8000000 - 2 * 10)
+    val px = ramp(4, 4, (x, y) => 10.0 + y * 4 + x)
+    Grb.write(s"$tmp/off.grb", px, srcG, "uint16", Some(0))
+    val out = Array.fill(8 * 4)(0.0)
+    val filled = GrbReader.readInto(RasterSource(s"$tmp/off.grb"),
+      RasterLoadParams(), dst, 0.0, out)
+    assert(filled == 8) // 4 wide x 2 tall overlap
+    for (y <- 0 until 4; x <- 0 until 8) {
+      val expect =
+        if (y >= 2 && x >= 2 && x < 6) 10.0 + (y - 2) * 4 + (x - 2) else 0.0
+      assert(out(y * 8 + x) == expect, s"($x,$y)")
+    }
+    // equivalence with the two-pass read() path
+    val (roi, pix) = GrbReader.read(RasterSource(s"$tmp/off.grb"),
+      RasterLoadParams(), dst, 0.0).get
+    for (y <- 0 until roi.h; x <- 0 until roi.w)
+      assert(pix(y * roi.w + x) == out((roi.y0 + y) * 8 + (roi.x0 + x)))
+  }
+
+  test("fused readInto: NaN-nodata float source fuses like explicit nodata") {
+    val g = gbox(4, 2)
+    val px = Array(1.0, Double.NaN, 3.0, Double.NaN, 5.0, 6.0, Double.NaN, 8.0)
+    Grb.write(s"$tmp/nansrc.grb", px, g, "float32", None) // no nodata: NaN-only
+    val out = Array.fill(8)(Double.NaN)
+    val filled = GrbReader.readInto(RasterSource(s"$tmp/nansrc.grb"),
+      RasterLoadParams(), g, Double.NaN, out)
+    assert(filled == 5)
+    assert(out.toSeq.zip(px.toSeq).forall { case (o, p) =>
+      (o.isNaN && p.isNaN) || o == p })
+  }
+
+  test("fused readInto: src value equal to dst nodata stays overwritable") {
+    val g = gbox(4, 1)
+    // src A: values (7, 0, 7, 7) with NO src nodata -> 0 is a VALID value
+    Grb.write(s"$tmp/eqa.grb", Array(7.0, 0.0, 7.0, 7.0), g, "uint16", None)
+    // src B: all 9s
+    Grb.write(s"$tmp/eqb.grb", Array(9.0, 9.0, 9.0, 9.0), g, "uint16", None)
+    val cfg = RasterLoadParams()
+    val (fused, valid) = Fuse.fill2dSlice(
+      Seq(RasterSource(s"$tmp/eqa.grb"), RasterSource(s"$tmp/eqb.grb")),
+      g, cfg, GrbReader, 0.0) // dst nodata 0 collides with A's valid 0
+    // A's 0 is written (reference paste semantics) but indistinguishable
+    // from a hole, so B refills it with 9; no double-count in validCount
+    assert(fused.toSeq == Seq(7.0, 9.0, 7.0, 7.0))
+    assert(valid == 4)
+  }
   test("pickOverview semantics (S8)") {
     assert(Grb.pickOverview(1, Seq(2, 4)).isEmpty)
     assert(Grb.pickOverview(2, Seq(2, 4)).contains(0))
