@@ -92,6 +92,7 @@ class GrbScanBuilder(paths: Seq[String])
     with SupportsPushDownRequiredColumns {
 
   private var bounds = PixelBounds.All
+  private var uriPred: String => Boolean = _ => true
   private var pushed = Array.empty[Filter]
   private var required: StructType = GrbTable.Schema
 
@@ -113,6 +114,15 @@ class GrbScanBuilder(paths: Seq[String])
       case LessThanOrEqual("y", v: Int) => bounds = bounds.copy(yMax = math.min(bounds.yMax, v)); true
       case EqualTo("y", v: Int) =>
         bounds = bounds.copy(yMin = math.max(bounds.yMin, v), yMax = math.min(bounds.yMax, v)); true
+      // file-level pruning on the uri column (partition-key analog)
+      case EqualTo("uri", v: String) =>
+        val prev = uriPred; uriPred = u => prev(u) && u == v; true
+      case StringStartsWith("uri", v: String) =>
+        val prev = uriPred; uriPred = u => prev(u) && u.startsWith(v); true
+      case StringEndsWith("uri", v: String) =>
+        val prev = uriPred; uriPred = u => prev(u) && u.endsWith(v); true
+      case StringContains("uri", v: String) =>
+        val prev = uriPred; uriPred = u => prev(u) && u.contains(v); true
       case And(l, r) => narrow(l) && narrow(r)
       case _ => false
     }
@@ -125,7 +135,8 @@ class GrbScanBuilder(paths: Seq[String])
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GrbScan(paths, bounds, required)
+  override def build(): Scan =
+    new GrbScan(paths.filter(uriPred), bounds, required)
 }
 
 class GrbScan(paths: Seq[String], bounds: PixelBounds, required: StructType)

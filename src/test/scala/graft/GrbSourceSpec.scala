@@ -49,6 +49,20 @@ class GrbSourceSpec extends AnyFunSuite {
     assert(df.where("y >= 100 AND y < 200").count() == 2048L * 100)
   }
 
+  test("uri filters prune files at plan time") {
+    writeRaster("p1", 16, 16)
+    writeRaster("p2", 16, 16)
+    val df = spark.read.format("grb").load(tmp)
+    def partitions(q: org.apache.spark.sql.DataFrame): Int =
+      q.queryExecution.executedPlan.collect {
+        case s: BatchScanExec => s.partitions.size
+      }.sum
+    val all = partitions(df.where("uri LIKE '%p_.grb'")) // LIKE not pushable
+    val pruned = partitions(df.where(s"uri = '$tmp/p1.grb'"))
+    assert(pruned < all && pruned == 1, s"pruned=$pruned all=$all")
+    assert(df.where(s"uri = '$tmp/p1.grb'").count() == 16L * 16)
+  }
+
   test("directory scan unions all rasters; SQL aggregates per file") {
     writeRaster("c1", 32, 32)
     writeRaster("c2", 32, 16)
