@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The spark.sql.extensions deployment path: a fresh session built with
+  * GraftExtensions can call the native functions from raw SQL with no
+  * per-session registration. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("extension-injected functions are available in SQL") {
+    // getOrCreate reuses an existing default session and IGNORES the
+    // extensions config — clear it so a genuinely new session is built
+    // (the shared SparkContext is reused), then restore for other suites
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val cos = spark.sql(
+        """SELECT vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c
+        """.stripMargin).head().getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-12)
+      val bands = spark.sql(
+        "SELECT size(minhash_bands(array(CAST(1 AS BIGINT), 2, 3))) AS n")
+        .head().getInt(0)
+      assert(bands == graft.functions.HashKernels.Bands)
+      val sh = spark.sql(
+        "SELECT simhash64(array(CAST(-1 AS BIGINT))) AS s").head().getLong(0)
+      assert(sh == -1L) // all 64 bits set by the single all-ones hash
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prior.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+}
