@@ -118,10 +118,15 @@ object RasterBench {
     val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
     val items = ds.collect().toSeq.sortBy(_.id)
 
+    // mode=warp: cross-CRS reprojection (UTM -> WebMercator) — exercises
+    // the per-pixel warp kernel instead of the aligned paste fast path
+    val warpMode = sys.env.get("SPARK_GRAFT_RB_MODE").contains("warp")
     def runOnce(): (Double, Long) = {
       val t0 = System.nanoTime()
       val res = Load.load(spark, items, schemas, bands = Bands,
-        groupby = "solar_day", chunks = 1024)
+        groupby = "solar_day", chunks = 1024,
+        crs = if (warpMode) Some("EPSG:3857") else None,
+        resolution = if (warpMode) Some(Res) else None)
       val tPlan = System.nanoTime()
       val npix = res.tiles.selectExpr("sum(width * height)").head().getLong(0)
       val tEnd = System.nanoTime()
