@@ -81,6 +81,13 @@ object Load {
            resolution: Option[Double] = None,
            bbox: Option[BBox] = None,
            geobox: Option[GeoBox] = None,
+           like: Option[GeoBox] = None,
+           lon: Option[(Double, Double)] = None,
+           lat: Option[(Double, Double)] = None,
+           x: Option[(Double, Double)] = None,
+           y: Option[(Double, Double)] = None,
+           anchor: Option[graft.geo.Anchor] = None,
+           align: Option[Double] = None,
            groupby: String = "id",
            chunks: Int = 2048,
            timeChunks: Int = 1,
@@ -92,9 +99,11 @@ object Load {
     import spark.implicits._
     require(items.nonEmpty, "no items to load")
 
-    // stage 3: output grid planning
+    // stage 3: output grid planning (full 12-parameter surface, P8)
     val outGbox = Planner.outputGeobox(items, schemas, bands,
-      crs = crs, resolution = resolution, bbox = bbox, geobox = geobox)
+      crs = crs, resolution = resolution, bbox = bbox, geobox = geobox,
+      like = like, lon = lon, lat = lat, x = x, y = y,
+      anchor = anchor, align = align)
       .getOrElse(throw new IllegalArgumentException(
         "Failed to determine output projection and resolution"))
 

@@ -173,7 +173,22 @@ object RasterQueries {
     summarize(spark.read.parquet(out))
   }
 
+  /** Across-time composite (custom Aggregator with map-side partials):
+    * per-pixel mean/min/max/count over the per-item time planes. */
+  def compositeMean(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "id", chunks = 64)
+    graft.load.Composite.acrossTime(spark, res.tiles)
+      .selectExpr("band", "ty", "tx",
+        "round(aggregate(mean, 0D, (s, v) -> s + if(isnan(v), 0D, v)), 2) AS mean_sum",
+        "aggregate(count, 0, (s, v) -> s + v) AS n_valid",
+        "round(aggregate(max, 0D, (s, v) -> s + if(isnan(v), 0D, v)), 2) AS max_sum")
+      .orderBy("band", "ty", "tx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "raster_composite_mean" -> ((s, _) => compositeMean(s)),
     "raster_tiles_roundtrip" -> ((s, _) => tilesRoundtrip(s)),
     "raster_eo3_product" -> ((s, _) => eo3Product(s)),
     "raster_grb_source_sql" -> ((s, _) => grbSourceSql(s)),

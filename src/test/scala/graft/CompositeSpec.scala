@@ -1,0 +1,52 @@
+package graft
+
+import graft.load.{Composite, Fuse, Load}
+import graft.raster.Fixtures
+import graft.stac.StacParse
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Across-time composite Aggregator: nodata-aware per-pixel mean/min/
+  * max/count over time planes, partial-aggregation-safe. */
+class CompositeSpec extends AnyFunSuite {
+  import GraftSpark.spark
+
+  test("mean/min/max/count over synthetic planes with holes") {
+    import spark.implicits._
+    // two 2x2 planes, uint16 nodata=0:
+    //   t0: (10, 0, 30, 40)   t1: (20, 20, 0, 60)
+    val rows = Seq(
+      ("b", 0, 0, 0, Fuse.encode(Array(10.0, 0.0, 30.0, 40.0), "uint16"),
+        "uint16", 0.0, 2, 2),
+      ("b", 1, 0, 0, Fuse.encode(Array(20.0, 20.0, 0.0, 60.0), "uint16"),
+        "uint16", 0.0, 2, 2)
+    ).toDF("band", "tIdx", "ty", "tx", "data", "dtype", "nodata", "width", "height")
+    val out = Composite.acrossTime(spark, rows).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[scala.collection.Seq[Double]]("mean").toSeq == Seq(15.0, 20.0, 30.0, 50.0))
+    assert(r.getAs[scala.collection.Seq[Double]]("min").toSeq == Seq(10.0, 20.0, 30.0, 40.0))
+    assert(r.getAs[scala.collection.Seq[Double]]("max").toSeq == Seq(20.0, 20.0, 30.0, 60.0))
+    assert(r.getAs[scala.collection.Seq[Int]]("count").toSeq == Seq(2, 1, 1, 2))
+  }
+
+  test("composite over a real load: count matches per-pixel source coverage") {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenes(4)
+    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
+    val items = ds.collect().toSeq.sortBy(_.id)
+    // groupby id -> one time plane per item; composite collapses them
+    val res = Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "id", chunks = 64)
+    val comp = Composite.acrossTime(spark, res.tiles).collect()
+    assert(comp.nonEmpty)
+    // every pixel's count is between 0 and the item count
+    comp.foreach { r =>
+      val counts = r.getAs[scala.collection.Seq[Int]]("count")
+      assert(counts.forall(c => c >= 0 && c <= items.size))
+      val means = r.getAs[scala.collection.Seq[Double]]("mean")
+      means.zip(counts).foreach { case (m, c) =>
+        if (c == 0) assert(m.isNaN) else assert(!m.isNaN)
+      }
+    }
+  }
+}
