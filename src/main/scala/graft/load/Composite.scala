@@ -68,6 +68,8 @@ object Composite {
     override def merge(a: Buf, c: Buf): Buf = {
       if (a.sum == null) return c
       if (c.sum == null) return a
+      require(a.width == c.width && a.height == c.height,
+        s"tile shape mismatch in merge: ${a.width}x${a.height} vs ${c.width}x${c.height}")
       var i = 0
       while (i < a.sum.length) {
         a.sum(i) += c.sum(i)

@@ -78,7 +78,11 @@ object Fixtures {
     val fp = gbox.footprint(Crs.LonLat)
     val ring = (fp.ring :+ fp.ring.head)
       .map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
-    val day = 6 + (k / 2) // two scenes per solar day
+    // two scenes per solar day; LocalDateTime keeps the timestamp valid
+    // for any k (day rollover past June, minute wrap past 59)
+    val dt = java.time.LocalDateTime.of(2020, 6, 6, 8, 0, 0)
+      .plusDays(k / 2).plusMinutes(k % 60)
+    val dtStr = dt.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
     val t = gbox.transform
     def asset(band: String, common: String) =
       s"""
@@ -103,7 +107,7 @@ object Fixtures {
        |    "https://stac-extensions.github.io/eo/v1.1.0/schema.json"],
        |  "geometry": {"type": "Polygon", "coordinates": [$ring]},
        |  "properties": {
-       |    "datetime": "2020-06-${f"$day%02d"}T08:0$k:00Z",
+       |    "datetime": "${dtStr}Z",
        |    "proj:epsg": 32735,
        |    "platform": "graft-${k % 2}"
        |  },

@@ -31,6 +31,20 @@ object Grb {
     case "uint16" | "int16" => 2
     case "int32" | "float32" => 4
     case "int64" | "float64" => 8
+    case other => throw new IllegalArgumentException(
+      s"unsupported pixel dtype '$other' (supported: ${DtypeCodes.keys.mkString(", ")})")
+  }
+
+  /** Normalize STAC `data_type` values outside our native set to the
+    * narrowest lossless supported dtype (JVM has no unsigned types, so
+    * uint32 widens to int64 and uint64 to float64 — same policy as the
+    * uint8/uint16 widening, SURVEY §2 hard-part 4). Unknown strings fall
+    * back to float32 (the reference's default, `types.py:127-129`). */
+  def normalizeDtype(dtype: String): String = dtype match {
+    case d if DtypeCodes.contains(d) => d
+    case "uint32" => "int64"
+    case "uint64" => "float64"
+    case _ => "float32"
   }
 
   def isFloat(dtype: String): Boolean = dtype.startsWith("float")
@@ -82,9 +96,10 @@ object Grb {
         }
         y += 1
       }
+      // decimation by s scales the full linear part, shear terms included
       val t = geobox.transform
       val ogb = GeoBox(ow, oh,
-        Affine(t.a * s, t.b, t.c, t.d, t.e * s, t.f), geobox.crs)
+        Affine(t.a * s, t.b * s, t.c, t.d * s, t.e * s, t.f), geobox.crs)
       write(s"$path.ovr$s", opix, ogb, dtype, nodata)
     }
   }
@@ -180,8 +195,9 @@ object Grb {
   def fuseWindowInto(path: String, x0: Int, y0: Int, w: Int, h: Int,
                      srcNodata0: Option[Double],
                      out: Array[Double], outW: Int, dx0: Int, dy0: Int,
-                     dstNodata: Double): Long = {
+                     dstNodata: Double, permissive: Boolean = false): Long = {
     val raf = new RandomAccessFile(path, "r")
+    var filled = 0L
     try {
       val hd = readHeader(raf)
       require(x0 >= 0 && y0 >= 0 && x0 + w <= hd.width && y0 + h <= hd.height,
@@ -191,7 +207,6 @@ object Grb {
       val sn = srcNodata0.getOrElse(Double.NaN)
       val rowStride = hd.width.toLong * sz
       val spanBytes = (h - 1).toLong * rowStride + w.toLong * sz
-      var filled = 0L
       if (spanBytes <= MaxSpanBytes) {
         val buf = new Array[Byte](spanBytes.toInt)
         raf.seek(hd.pixelOffset + y0.toLong * rowStride + x0.toLong * sz)
@@ -216,6 +231,12 @@ object Grb {
         }
       }
       filled
+    } catch {
+      // permissive: `out` may hold rows fused before the failure — report
+      // the partial fill so the caller's remaining-count stays accurate
+      case e: Exception if permissive =>
+        System.err.println(s"[graft.grb] $path: partial read (${e.getMessage})")
+        filled
     } finally raf.close()
   }
 

@@ -86,14 +86,11 @@ object GrbReader extends RasterReader {
       plan(src, cfg, dstGeobox) match {
         case None => 0L
         case Some(ReadPlan(header, srcNodata, roi, Some((sx0, sy0)))) =>
-          val cx0 = math.max(0, -sx0)
-          val cy0 = math.max(0, -sy0)
-          val w = math.min(roi.w - cx0, header.width - math.max(0, sx0))
-          val h = math.min(roi.h - cy0, header.height - math.max(0, sy0))
+          val (cx0, cy0, wx0, wy0, w, h) = clipPaste(header, roi, sx0, sy0)
           if (w <= 0 || h <= 0) 0L
-          else Grb.fuseWindowInto(src.uri,
-            math.max(0, sx0), math.max(0, sy0), w, h, srcNodata,
-            out, dstGeobox.width, roi.x0 + cx0, roi.y0 + cy0, dstNodata)
+          else Grb.fuseWindowInto(src.uri, wx0, wy0, w, h, srcNodata,
+            out, dstGeobox.width, roi.x0 + cx0, roi.y0 + cy0, dstNodata,
+            permissive = !cfg.failOnError)
         case Some(ReadPlan(_, _, _, None)) =>
           super.readInto(src0, cfg, dstGeobox, dstNodata, out)
       }
@@ -169,18 +166,25 @@ object GrbReader extends RasterReader {
     Some(ReadPlan(header, srcNodata, roi, pasteAt))
   }
 
-  /** Direct windowed read — grids align (F15 fast path). */
-  private def paste(src: RasterSource, header: Grb.Header, srcNodata: Option[Double],
-                    dstGeobox: GeoBox, roi: Roi, sx0: Int, sy0: Int,
-                    dstNodata: Double): Option[(Roi, Array[Double])] = {
-    // clip the src window to the source image
+  /** Clip a paste window to the source image. Returns
+    * (dstOffX, dstOffY, srcX0, srcY0, w, h); w/h <= 0 means no overlap.
+    * Shared by the buffered (`paste`) and fused (`readInto`) paths. */
+  private def clipPaste(header: Grb.Header, roi: Roi, sx0: Int, sy0: Int)
+  : (Int, Int, Int, Int, Int, Int) = {
     val cx0 = math.max(0, -sx0)
     val cy0 = math.max(0, -sy0)
     val w = math.min(roi.w - cx0, header.width - math.max(0, sx0))
     val h = math.min(roi.h - cy0, header.height - math.max(0, sy0))
+    (cx0, cy0, math.max(0, sx0), math.max(0, sy0), w, h)
+  }
+
+  /** Direct windowed read — grids align (F15 fast path). */
+  private def paste(src: RasterSource, header: Grb.Header, srcNodata: Option[Double],
+                    dstGeobox: GeoBox, roi: Roi, sx0: Int, sy0: Int,
+                    dstNodata: Double): Option[(Roi, Array[Double])] = {
+    val (cx0, cy0, wx0, wy0, w, h) = clipPaste(header, roi, sx0, sy0)
     if (w <= 0 || h <= 0) return None
-    val (_, pix) = Grb.readWindow(src.uri,
-      math.max(0, sx0), math.max(0, sy0), w, h)
+    val (_, pix) = Grb.readWindow(src.uri, wx0, wy0, w, h)
     val out = new Array[Double](roi.w * roi.h)
     if (cx0 > 0 || cy0 > 0 || w < roi.w || h < roi.h)
       java.util.Arrays.fill(out, dstNodata)
@@ -220,6 +224,12 @@ object GrbReader extends RasterReader {
           case None => (src.uri, srcGeobox0)
         }
       } else (src.uri, srcGeobox0)
+
+    // shrink relative to the CHOSEN level: the average-pooling window is
+    // sized in that level's pixels (an .ovr4 read at 4x shrink pools 1
+    // overview px per dst px, not 4 base px)
+    val levelShrink = math.max(1,
+      math.floor(dstGeobox.gsd / srcGeobox.gsd).toInt)
 
     // src window covering the dst roi (in the chosen level's grid)
     val dstBox = {
@@ -278,7 +288,7 @@ object GrbReader extends RasterReader {
           }
           if (wsum <= 0) dstNodata else acc / wsum
         case 2 =>
-          val n = math.max(1, shrink)
+          val n = math.max(1, levelShrink)
           val x0 = math.floor(lx - n / 2.0).toInt
           val y0 = math.floor(ly - n / 2.0).toInt
           var acc = 0.0; var cnt = 0

@@ -56,11 +56,14 @@ object GrbTable {
   val TargetPartitionPx: Long = 4L << 20
 
   def resolvePaths(path: String): Seq[String] = {
-    require(path != null && path.nonEmpty, "grb source requires a path")
+    require(path != null && path.nonEmpty,
+      "grb source requires exactly one path (multi-path load() is not supported; " +
+        "point at a directory instead)")
     val f = new java.io.File(path.stripPrefix("file:"))
     if (f.isDirectory) {
-      f.listFiles().toSeq.map(_.getPath)
-        .filter(p => p.endsWith(".grb")).sorted
+      val listed = f.listFiles()
+      require(listed != null, s"cannot list directory: ${f.getPath}")
+      listed.toSeq.map(_.getPath).filter(_.endsWith(".grb")).sorted
     } else Seq(f.getPath)
   }
 }
@@ -192,22 +195,35 @@ class GrbPartitionReader(part: GrbInputPartition, columns: Array[String])
   private var i = -1
   private val n = part.w * part.h
   private val row = new GenericInternalRow(columns.length)
+  // column dispatch hoisted out of the pixel loop: one int code per
+  // projected column, and one shared transform eval when wx/wy project
+  private val codes: Array[Int] = columns.map {
+    case "uri" => 0; case "x" => 1; case "y" => 2
+    case "wx" => 3; case "wy" => 4; case "value" => 5; case "nodata" => 6
+  }
+  private val needsWorld = codes.exists(c => c == 3 || c == 4)
 
   override def next(): Boolean = { i += 1; i < n }
 
   override def get(): InternalRow = {
     val px = part.x0 + i % part.w
     val py = part.y0 + i / part.w
+    var wx = 0.0
+    var wy = 0.0
+    if (needsWorld) {
+      val w = t(px + 0.5, py + 0.5)
+      wx = w._1; wy = w._2
+    }
     var c = 0
-    while (c < columns.length) {
-      row.update(c, columns(c) match {
-        case "uri" => uri
-        case "x" => px
-        case "y" => py
-        case "wx" => t(px + 0.5, py + 0.5)._1
-        case "wy" => t(px + 0.5, py + 0.5)._2
-        case "value" => pixels(i)
-        case "nodata" => nodataOrNull
+    while (c < codes.length) {
+      row.update(c, (codes(c): @annotation.switch) match {
+        case 0 => uri
+        case 1 => px
+        case 2 => py
+        case 3 => wx
+        case 4 => wy
+        case 5 => pixels(i)
+        case 6 => nodataOrNull
       })
       c += 1
     }

@@ -113,7 +113,10 @@ object StacParse extends Serializable {
       case Some(bands) if bands.size() > 0 =>
         bands.elements().asScala.map { b =>
           RasterBandMetadata(
-            opt(b, "data_type").map(_.asText()).orElse(default.dataType),
+            // normalize non-native dtypes (uint32 -> int64 etc.) so a real
+            // catalog can't crash dtype sizing downstream
+            opt(b, "data_type").map(d => graft.raster.Grb.normalizeDtype(d.asText()))
+              .orElse(default.dataType),
             opt(b, "nodata").map(_.asDouble()).orElse(default.nodata),
             opt(b, "unit").map(_.asText()).getOrElse(default.unit))
         }.toSeq

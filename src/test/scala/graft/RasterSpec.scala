@@ -223,6 +223,20 @@ class RasterSpec extends AnyFunSuite {
     assert(math.abs(bil(0) - 200.0 / 3) < 1e-9, s"got ${bil(0)}")
   }
 
+  test("average resampling pools in the chosen overview level's pixels") {
+    // 8x8 base with .ovr4; dst at 4x shrink with average: the pooling
+    // window must be ~1 overview pixel, not `shrink` overview pixels
+    val g = gbox(8, 8)
+    val px = ramp(8, 8, (x, y) => (y * 8 + x).toDouble)
+    Grb.writeWithOverviews(s"$tmp/avovr.grb", px, g, "float64", None, shrinks = Seq(4))
+    val dst = GeoBox(2, 2, Affine.grid(500000, 8000000, 40, -40), crs)
+    val Some((_, out)) = GrbReader.read(RasterSource(s"$tmp/avovr.grb"),
+      RasterLoadParams(resampling = "average"), dst, Double.NaN)
+    // ovr4 pixels are base px[4y][4x]: (0, 4, 32, 36); a 1-px average
+    // window returns them exactly (the old base-shrink window blended all)
+    assert(out.toSeq == Seq(0.0, 4.0, 32.0, 36.0), out.toSeq)
+  }
+
   test("pickOverview semantics (S8)") {
     assert(Grb.pickOverview(1, Seq(2, 4)).isEmpty)
     assert(Grb.pickOverview(2, Seq(2, 4)).contains(0))
