@@ -109,13 +109,20 @@ object Dedup {
           s"transform(sequence(0, ${SimChunks - 1}), " +
             "c -> struct(c AS chunk, shiftright(sig, c * 16) & 65535 AS v))")).as("ck"))
       .select(col("doc_id"), col("sig"), col("ck.chunk"), col("ck.v"))
-    val a = chunks.toDF("doc_a", "sig_a", "chunk", "v")
-    val b = chunks.toDF("doc_b", "sig_b", "chunk", "v")
-    a.join(b, Seq("chunk", "v")).where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(expr("sig_a ^ sig_b")).as("hamming"))
+    // bucket-capped candidate generation (same MaxBucket guard as the
+    // minhash path): a degenerate chunk value can't go quadratic
+    val buckets = chunks
+      .groupBy("chunk", "v")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .where(size(col("members")).between(2, MaxBucket))
+    val pairs = buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(expr("a.sig ^ b.sig")).as("hamming"))
       .distinct()
-      .where(col("hamming") <= HammingThreshold)
+    pairs.where(col("hamming") <= HammingThreshold)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -16,7 +16,9 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * Semantics match the SQL spelling used by the DuckDB oracle: dot and
   * norms accumulate in Double, left-to-right; norms run over each full
   * array; result is NULL only when an input is NULL (length mismatch
-  * contributes only the overlapping prefix to the dot product).
+  * contributes only the overlapping prefix to the dot product). A
+  * zero-norm input yields 0.0 — a zero vector has no direction, and NaN
+  * would sort ABOVE every real cosine in a descending top-k.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
@@ -51,7 +53,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     i = 0
     while (i < ny) { val v = y.getFloat(i).toDouble; nb += v * v; i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -74,7 +77,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |for (int $i = 0; $i < $b.numElements(); $i++) {
          |  double $v = (double) $b.getFloat($i); $nb += $v * $v;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double ${v}d = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ${v}d == 0.0 ? 0.0 : $dot / ${v}d;
        """.stripMargin
     })
 

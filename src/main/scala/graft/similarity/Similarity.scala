@@ -129,14 +129,20 @@ object Similarity {
     VecFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
     val dim = emb.selectExpr("size(embedding)").head().getInt(0)
-    // all-pairs mode: coarser buckets (8-bit chunks) keep candidate count
-    // ~O(N) instead of O(N^2/16) -- the knob that matters at 100 TB
+    // all-pairs mode: coarser buckets (8-bit chunks) shrink the expected
+    // candidate count; the hard bound against a skewed bucket going
+    // quadratic is the MaxBucket cap below (same guard as MinHash-LSH)
     val chunked = chunkRows(emb, dim, chunkBits = 8)
-    val a = chunked.toDF("vec_a", "chunk", "v")
-    val b = chunked.toDF("vec_b", "chunk", "v")
     // native codegen'd kernel (CosineSimilarity Expression)
     val cosine = call_function("vec_cosine", col("ea"), col("eb"))
-    a.join(b, Seq("chunk", "v")).where(col("vec_a") < col("vec_b"))
+    val buckets = chunked
+      .groupBy("chunk", "v")
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .where(size(col("ids")).between(2, graft.dedup.Dedup.MaxBucket))
+    buckets
+      .select(explode(col("ids")).as("vec_a"), col("ids"))
+      .select(col("vec_a"), explode(col("ids")).as("vec_b"))
+      .where(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")

@@ -45,7 +45,10 @@ object StacIngest {
         val (parsed, batchSchemas) = StacParse.parseItems(spark, jsons)
         schemas = (schemas.keySet ++ batchSchemas.keySet).map { k =>
           k -> ((schemas.get(k), batchSchemas.get(k)) match {
-            case (Some(a), Some(b)) => StacParse.merge(b, a) // widen: keep first-seen, add new
+            // merge is left-biased (a.copy(bands = b.bands ++ a.bands)):
+            // accumulated schema first => first-seen metadata wins, new
+            // assets from the batch still widen in
+            case (Some(a), Some(b)) => StacParse.merge(a, b)
             case (Some(a), None) => a
             case (None, Some(b)) => b
             case _ => throw new IllegalStateException

@@ -36,12 +36,17 @@ object StreamingOps {
     * Returns (dir path, raw schema — ts arrives as raw nanos). */
   private def stagedEvents(spark: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // absolute target: a relative SF dir would otherwise create a
+    // dangling link (resolved relative to /tmp); NOFOLLOW exists-check so
+    // a stale dangling link is detected rather than re-created
     val src = java.nio.file.Paths.get(Tables.path(dir, "events"))
+      .toAbsolutePath.normalize
     val streamDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_stream_src_${src.hashCode & 0x7fffffff}")
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
+    if (!java.nio.file.Files.exists(link,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS))
       java.nio.file.Files.createSymbolicLink(link, src)
     (streamDir.toString, spark.read.parquet(streamDir.toString).schema)
   }
@@ -172,7 +177,13 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy("user_id", "sid")
+    // the memory sink APPENDS update-mode emissions, so a multi-batch run
+    // leaves one row per batch per touched session; n and dur_s grow
+    // monotonically within a session, so max() keeps the final state
+    spark.table(name)
+      .groupBy("user_id", "sid")
+      .agg(max("n").as("n"), max("dur_s").as("dur_s"))
+      .orderBy("user_id", "sid")
   }
 
   /** Batch SQL oracle for the sessionization: gap flags -> running sum ->
