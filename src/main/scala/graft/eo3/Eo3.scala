@@ -71,7 +71,9 @@ object Eo3 {
       if (bk.idx > 1) m.put("band", bk.idx)
       val gridName = md.band2grid.getOrElse(bk.asset, "default")
       if (gridName != "default" && md.hasProj) m.put("grid", gridName)
-      measurements.set(bk.asset, m)
+      // key by the normalized band name — bands of a multi-band asset
+      // ("data", "data.2") must not overwrite each other
+      measurements.set(bk.norm, m)
       src.geobox.foreach { g =>
         if (crs.isEmpty) crs = Some(g.crs)
         if (!grids.has(gridName)) {

@@ -86,8 +86,11 @@ final case class ParsedItem(id: String,
   /** Unique geoboxes, highest resolution (smallest gsd) first
     * (`model.py:222-240`). */
   def geoboxes(bandNames: Seq[String], md: CollectionMetadata): Seq[GeoBox] = {
+    // bandKeyOpt: a requested band missing from THIS item's collection
+    // contributes no geobox (multi-collection loads plan on the rest)
     val keys =
-      if (bandNames.isEmpty) md.bands.keys.toSeq else bandNames.map(md.bandKey)
+      if (bandNames.isEmpty) md.bands.keys.toSeq
+      else bandNames.flatMap(b => scala.util.Try(md.bandKey(b)).toOption)
     keys.flatMap(k => bands.get(k.norm).flatMap(_.geobox))
       .map(_.toGeoBox).distinct.sortBy(_.gsd)
   }

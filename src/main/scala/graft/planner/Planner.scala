@@ -39,7 +39,9 @@ object Planner {
   def computeBBox(items: Seq[ParsedItem], crs: Crs,
                   md: Map[String, CollectionMetadata]): BBox =
     items.flatMap(i => i.safeGeometry(Some(crs), md(i.collection)).map(_.bbox))
-      .reduce(_ union _)
+      .reduceOption(_ union _)
+      .getOrElse(throw new IllegalArgumentException(
+        "Cannot determine extent: no item has a footprint (proj geobox or geometry)"))
 
   /** Output-geobox resolution from the 12 mutually-constrained parameters
     * (`output_geobox`, `_mdtools.py:823-981`). Returns None when CRS or
@@ -176,7 +178,9 @@ object Planner {
   def groupItems(items: Seq[ParsedItem], groupby: GroupBy,
                  preserveOriginalOrder: Boolean = false): Seq[Seq[Int]] = {
     def key(idx: Int): String = groupby match {
-      case ByTime => items(idx).nominalDatetime.toInstant.toString
+      // fixed-width epoch-millis key: Instant.toString orders
+      // non-chronologically when sub-second precision varies
+      case ByTime => f"${items(idx).nominalDatetime.getTime}%020d"
       case ById => f"$idx%09d"
       case BySolarDay(lon) => items(idx).solarDate(lon).toString
       case ByProperty(p) => items(idx).properties.getOrElse(p, "")

@@ -43,7 +43,9 @@ object StacParse extends Serializable {
             else base.bandDefaults.unit),
           bandCfg = base.bandCfg ++ c.bandCfg,
           aliases = base.aliases ++ c.aliases,
-          ignoreProj = c.ignoreProj || base.ignoreProj)
+          // dict.update semantics: the per-collection entry REPLACES the
+          // wildcard value (so "*"->true can be overridden back to false)
+          ignoreProj = c.ignoreProj)
       }
     }
   }
@@ -64,8 +66,9 @@ object StacParse extends Serializable {
 
   /** Raster-asset classifier heuristic (S4, `_mdtools.py:182-238`). */
   private[stac] def isRasterData(asset: JsonNode, checkProj: Boolean,
-                                 itemHasProj: Boolean): Boolean = {
-    if (checkProj && itemHasProj && !hasProjData(asset)) return false
+                                 itemHasProj: Boolean,
+                                 props: JsonNode = null): Boolean = {
+    if (checkProj && itemHasProj && !hasProjData(asset, props)) return false
     val roles = opt(asset, "roles").map(_.elements().asScala.map(_.asText()).toSet)
       .getOrElse(Set.empty)
     opt(asset, "type").map(_.asText()) match {
@@ -83,8 +86,16 @@ object StacParse extends Serializable {
     }
   }
 
-  private def hasProjData(asset: JsonNode): Boolean =
-    opt(asset, "proj:shape").isDefined && opt(asset, "proj:transform").isDefined
+  /** Asset-level proj fields, falling back to item properties — assets
+    * inherit item-level extension fields (pystac semantics), so an item
+    * carrying proj:shape/proj:transform at item level keeps its assets
+    * loadable. */
+  private def hasProjData(asset: JsonNode, props: JsonNode): Boolean = {
+    def f(name: String): Boolean =
+      opt(asset, name).isDefined ||
+        Option(props).exists(pr => opt(pr, name).isDefined)
+    f("proj:shape") && f("proj:transform")
+  }
 
   /** Asset geobox from proj extension (S6, `_mdtools.py:270-303`);
     * item-level proj:* fields act as fallback. */
@@ -97,8 +108,9 @@ object StacParse extends Serializable {
         .map(_.elements().asScala.map(_.asDouble()).toSeq)
       crs <- field("proj:epsg").map(e => s"EPSG:${e.asInt()}")
         .orElse(field("proj:code").map(_.asText()))
-      if transform.length == 6 ||
-        (transform.length == 9 && transform.drop(6) == Seq(0.0, 0.0, 1.0))
+      if shape.length >= 2 &&
+        (transform.length == 6 ||
+          (transform.length == 9 && transform.drop(6) == Seq(0.0, 0.0, 1.0)))
     } yield {
       val Seq(h, w) = shape.take(2)
       GeoBoxData(w, h, transform.take(6).toArray, crs)
@@ -147,16 +159,22 @@ object StacParse extends Serializable {
                               gsds: Map[String, Double]): Map[String, String] = {
     if (geoboxes.nonEmpty) {
       val grids = geoboxes.groupBy { case (_, g) =>
-        g.toGeoBox.gridKey -> (g.width, g.height)
+        // full geobox identity: same res/anchor but different origin or
+        // shape are DIFFERENT grids (reference groups by geobox equality)
+        (g.transform.toSeq, g.width, g.height, g.crs)
       }.values.toSeq
       val scored = grids.sortBy { bands =>
         (-bands.size, bands.head._2.toGeoBox.gsd)
       }
       val default = scored.head
+      var used = Set("default")
       scored.zipWithIndex.flatMap { case (bands, i) =>
-        val gname =
+        val gname0 =
           if (bands == default) "default"
           else f"g${bands.head._2.toGeoBox.gsd}%g"
+        // distinct grids sharing a gsd get an index suffix
+        val gname = if (bands == default || !used(gname0)) gname0 else s"$gname0-$i"
+        used += gname
         bands.keys.map(_ -> gname)
       }.toMap
     } else if (gsds.nonEmpty) {
@@ -184,7 +202,8 @@ object StacParse extends Serializable {
     val allAssets = assetsNode.properties().asScala
       .map(e => e.getKey -> e.getValue).toMap
     val rasterAssets = allAssets.filter { case (_, a) =>
-      isRasterData(a, checkProj = true, itemHasProj = hasProjExt)
+      isRasterData(a, checkProj = true, itemHasProj = hasProjExt,
+        props = opt(item, "properties").orNull)
     }
     val bands = rasterAssets.flatMap { case (name, a) =>
       val default = cfg.bandCfg.getOrElse(name, cfg.bandDefaults)
@@ -215,6 +234,7 @@ object StacParse extends Serializable {
     * (`_CMDAssembler.update`, `_mdtools.py:571-617`). */
   def merge(a: CollectionMetadata, b: CollectionMetadata): CollectionMetadata =
     a.copy(
+      hasProj = a.hasProj || b.hasProj,
       bands = b.bands ++ a.bands,
       aliases = (a.aliases.toSeq ++ b.aliases.toSeq)
         .groupBy(_._1).map { case (k, vs) =>
