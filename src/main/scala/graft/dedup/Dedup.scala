@@ -172,17 +172,84 @@ object Dedup {
       |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM j
       |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- cluster assignment (connected components over near-dup pairs) ------
+
+  /** Duplicate-cluster assignment: connected components of the near-dup
+    * pair graph, labeled by the minimum doc_id — the keep-list a real
+    * dedup pipeline emits (keep canonical, drop the rest). Iterative
+    * min-label propagation over the edge list; near-dup components are
+    * tiny (bounded by the blocking), so this converges in a handful of
+    * small self-joins — no full-corpus shuffle ever happens.
+    * Oracle: DuckDB recursive-CTE reachability over the same pair set. */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.sql(ngramJaccardSparkSql)(spark, dir)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").cache()
+    var labels = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("canonical"))
+      .orderBy("doc_id")
+  }
+
+  val clustersDuckSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS blk,
+      |         string_split_regex(lower(trim(text)), '\s+') AS tok
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, blk,
+      |         list_distinct(CASE WHEN len(tok) >= 3 THEN
+      |           [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+      |            for i in generate_series(1, len(tok) - 2)]
+      |           ELSE [array_to_string(tok, ' ')] END) AS sh
+      |  FROM t),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(a.sh || b.sh)) >= 0.5),
+      |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      |      UNION ALL SELECT doc_b, doc_a FROM p),
+      |n AS (SELECT DISTINCT u FROM e),
+      |reach(u, v) AS (
+      |  SELECT u, u FROM n
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+      |SELECT u AS doc_id, MIN(v) AS canonical FROM reach
+      |GROUP BY u ORDER BY doc_id""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> Tables.sql(exactSql),
     "dedup_minhash_lsh" -> ((s, d) => minhash(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
-    "dedup_ngram_jaccard" -> Tables.sql(ngramJaccardSparkSql)
+    "dedup_ngram_jaccard" -> Tables.sql(ngramJaccardSparkSql),
+    "dedup_clusters" -> ((s, d) => clusters(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
-    "dedup_ngram_jaccard" -> ngramJaccardDuckSql
+    "dedup_ngram_jaccard" -> ngramJaccardDuckSql,
+    "dedup_clusters" -> clustersDuckSql
   )
 }

@@ -94,6 +94,25 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+
+  test("cluster labels are component minima and consistent with pairs") {
+    val pairs = dedup.Dedup.queries("dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = dedup.Dedup.clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every endpoint of a pair is labeled, both ends share a label,
+    // and no label exceeds the doc id it labels
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    labels.foreach { case (d, l) => assert(l <= d) }
+    // each cluster's label is a member of the cluster
+    labels.groupBy(_._2).foreach { case (l, members) =>
+      assert(members.contains(l), s"canonical $l not in its own cluster")
+    }
+  }
+
   test("multimodal decode features are deterministic") {
     val a = multimodal.Multimodal.decodeFeatures(spark, sf).collect().toSeq
     val b = multimodal.Multimodal.decodeFeatures(spark, sf).collect().toSeq
