@@ -22,26 +22,34 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def force(name: String): Double = {
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warmup: session + codegen + parquet footer caches
-    force("q01_scan_filter")
+    // per-query steady state: run twice, report the second — planning +
+    // Janino codegen are per-query, so a single run would measure mostly
+    // compilation for the short queries
+    def force(name: String): Double =
+      if (once(name) < 0) -1.0 else once(name)
+
+    // session-level warmup (parquet footers, noop sink, shuffle service)
+    once("q01_scan_filter")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> force(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,7 +21,7 @@ object Explain {
     names.foreach { n =>
       println(s"\n======== $n ========")
       try SparkEntry.queries(n)(spark, dir).explain("formatted")
-      catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
+      catch { case scala.util.control.NonFatal(e) => println(s"failed: ${e.getMessage}") }
     }
     spark.stop()
   }

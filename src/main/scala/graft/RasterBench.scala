@@ -20,10 +20,9 @@ object RasterBench {
   val Bands = Seq("red", "nir", "blu")
 
   /** Scene cache keyed by grid dim — geoboxes depend on the layout. */
-  private var gridDimNow = 3
-  private def dir: java.nio.file.Path = {
+  private def dir(dim: Int): java.nio.file.Path = {
     val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_rbench_v1_d$gridDimNow")
+      s"graft_rbench_v1_d$dim")
     java.nio.file.Files.createDirectories(d)
     d
   }
@@ -42,11 +41,10 @@ object RasterBench {
 
   def writeScenes(n: Int): Seq[String] = {
     val dim = gridDim(n)
-    gridDimNow = dim
     (0 until n).map { k =>
       val gbox = sceneGeobox(k, dim)
       Bands.foreach { band =>
-        val path = dir.resolve(s"s$k-$band.grb")
+        val path = dir(dim).resolve(s"s$k-$band.grb")
         if (!java.nio.file.Files.exists(path)) {
           val px = new Array[Double](SceneW * SceneH)
           var i = 0
@@ -61,20 +59,26 @@ object RasterBench {
             while (x < SceneW) { px(y * SceneW + x) = 0.0; x += 1 }
             y += 1
           }
-          Grb.write(path.toString, px, gbox, "uint16", Some(0.0))
+          // atomic publish: an interrupted run must not leave a truncated
+          // scene that poisons the exists()-cached path forever
+          val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+          Grb.write(tmp.toString, px, gbox, "uint16", Some(0.0))
+          java.nio.file.Files.move(tmp, path,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
       }
-      itemJson(k, gbox)
+      itemJson(k, gbox, dim)
     }
   }
 
-  private def itemJson(k: Int, gbox: GeoBox): String = {
+  private def itemJson(k: Int, gbox: GeoBox, dim: Int): String = {
     val fp = gbox.footprint(Crs.LonLat)
     val ring = (fp.ring :+ fp.ring.head)
       .map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
     val t = gbox.transform
     val assets = Bands.map { band =>
-      s""""$band": {"href": "${dir.resolve(s"s$k-$band.grb")}",
+      s""""$band": {"href": "${dir(dim).resolve(s"s$k-$band.grb")}",
          |  "type": "image/tiff; application=geotiff", "roles": ["data"],
          |  "proj:shape": [${gbox.height}, ${gbox.width}],
          |  "proj:transform": [${t.a}, ${t.b}, ${t.c}, ${t.d}, ${t.e}, ${t.f}],
@@ -128,7 +132,9 @@ object RasterBench {
         crs = if (warpMode) Some("EPSG:3857") else None,
         resolution = if (warpMode) Some(Res) else None)
       val tPlan = System.nanoTime()
-      val npix = res.tiles.selectExpr("sum(width * height)").head().getLong(0)
+      val npix = res.tiles
+        .selectExpr("coalesce(sum(width * height), 0) AS n").head().getLong(0)
+      require(npix > 0, "load produced no tiles — bench setup is broken")
       val tEnd = System.nanoTime()
       if (sys.env.contains("GRAFT_RBENCH_DEBUG"))
         println(f"[rbench] plan=${(tPlan - t0) / 1e9}%.3fs exec=${(tEnd - tPlan) / 1e9}%.3fs")

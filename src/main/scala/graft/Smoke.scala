@@ -29,7 +29,7 @@ object Smoke {
         println(s"== $n: ${df.schema.simpleString}")
         df.show(2, truncate = 60)
       } catch {
-        case e: Throwable => println(s"== $n FAILED: ${e.getMessage}")
+        case scala.util.control.NonFatal(e) => println(s"== $n FAILED: ${e.getMessage}")
       }
     }
     spark.stop()

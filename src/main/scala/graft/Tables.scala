@@ -23,21 +23,40 @@ object Tables {
     * what the DuckDB oracle sees after `CAST(ts AS TIMESTAMP)`.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(path(dir, name))
-    if (name == "events" &&
-        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else raw
+    if (name == "events") {
+      // scope the legacy-nanos flag to this read: leaking it session-wide
+      // would make OTHER tables' nanos columns arrive silently as longs
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try {
+        val raw = spark.read.parquet(path(dir, name))
+        // (read is lazy, but the schema — where the flag matters — is
+        // resolved eagerly by spark.read.parquet)
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestamp_micros(ts div 1000)"))
+        else raw
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    } else spark.read.parquet(path(dir, name))
   }
 
-  /** Register every table that exists in `dir` as a temp view. */
+  private val lastDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** Register every table that exists in `dir` as a temp view. Skipped
+    * when this session's views already point at `dir` (temp views are
+    * session-global, so only the LAST dir registered counts) — repeated
+    * query invocations then skip the ten footer reads + view creations. */
   def register(spark: SparkSession, dir: String): Unit =
-    names.foreach { n =>
-      if (new java.io.File(path(dir, n)).exists())
-        load(spark, dir, n).createOrReplaceTempView(n)
+    if (lastDir.put(spark, dir) != dir) {
+      names.foreach { n =>
+        if (new java.io.File(path(dir, n)).exists())
+          load(spark, dir, n).createOrReplaceTempView(n)
+      }
     }
 
   /** Lift a SQL string into the driver's query signature. */
