@@ -184,31 +184,58 @@ object Dedup {
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.sql(ngramJaccardSparkSql)(spark, dir)
       .select(col("doc_a"), col("doc_b")).cache()
+    val out = propagateLabels(pairs).orderBy("doc_id")
+    pairs.unpersist(false)
+    out
+  }
+
+  /** Iterative min-label propagation over an undirected `(doc_a, doc_b)`
+    * edge list -> `(doc_id, canonical)`. Each generation is
+    * localCheckpoint()ed: the logical plan stays a flat LogicalRDD scan
+    * every iteration (constant depth — no lineage growth, no recompute
+    * cascade at 100 TB), and the predecessor's blocks are unpersisted as
+    * soon as the next generation is materialized. Convergence is folded
+    * into the propagation job as a `chg` flag, so detecting it is a local
+    * scan of checkpointed blocks, not a re-join. */
+  def propagateLabels(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").cache()
-    var labels = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    var labels = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < maxIter) {
       val prop = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
       val next = labels.join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .where(col("label") =!= col("old")).count()
-      labels = next
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label")).as("chg"))
+        .localCheckpoint() // eager: one materializing job per iteration
+      changed = next.where(col("chg")).count() // local block scan, no re-join
+      unpersistCheckpoint(labels)
+      labels = next.drop("chg")
       iter += 1
     }
+    edges.unpersist(false)
     labels.select(col("doc_id"), col("label").as("canonical"))
-      .orderBy("doc_id")
   }
+
+  /** Free the blocks behind a `localCheckpoint()`ed DataFrame. The
+    * checkpointed data lives in the RDD wrapped by the plan's LogicalRDD
+    * leaf (not the CacheManager), so `Dataset.unpersist` can't reach it. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   val clustersDuckSql: String =
     """WITH RECURSIVE t AS (

@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * array; result is NULL only when an input is NULL (length mismatch
   * contributes only the overlapping prefix to the dot product). A
   * zero-norm input yields 0.0 — a zero vector has no direction, and NaN
-  * would sort ABOVE every real cosine in a descending top-k.
+  * would sort ABOVE every real cosine in a descending top-k. Null array
+  * *elements* are skipped (contribute to neither the dot product nor the
+  * norms) — explicit semantics for `array<float>` columns whose parquet
+  * schema marks elements nullable, instead of silently reading them as 0.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
@@ -46,13 +49,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val n = math.min(nx, ny)
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i); i += 1 }
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        dot += x.getFloat(i).toDouble * y.getFloat(i)
+      i += 1
+    }
     var na = 0.0
     i = 0
-    while (i < nx) { val v = x.getFloat(i).toDouble; na += v * v; i += 1 }
+    while (i < nx) {
+      if (!x.isNullAt(i)) { val v = x.getFloat(i).toDouble; na += v * v }
+      i += 1
+    }
     var nb = 0.0
     i = 0
-    while (i < ny) { val v = y.getFloat(i).toDouble; nb += v * v; i += 1 }
+    while (i < ny) {
+      if (!y.isNullAt(i)) { val v = y.getFloat(i).toDouble; nb += v * v }
+      i += 1
+    }
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) 0.0 else dot / denom
   }
@@ -69,13 +82,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
          |}
          |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  double $v = (double) $a.getFloat($i); $na += $v * $v;
+         |  if (!$a.isNullAt($i)) {
+         |    double $v = (double) $a.getFloat($i); $na += $v * $v;
+         |  }
          |}
          |for (int $i = 0; $i < $b.numElements(); $i++) {
-         |  double $v = (double) $b.getFloat($i); $nb += $v * $v;
+         |  if (!$b.isNullAt($i)) {
+         |    double $v = (double) $b.getFloat($i); $nb += $v * $v;
+         |  }
          |}
          |double ${v}d = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
          |${ev.value} = ${v}d == 0.0 ? 0.0 : $dot / ${v}d;

@@ -69,14 +69,22 @@ object GeoBox {
     * `GeoBox.from_bbox`: snap origin to the anchor lattice, round size up
     * so the bbox is covered. Y axis is north-up inverted (resY < 0). */
   def fromBBox(b: BBox, resolution: Double, crs: Crs,
-               anchor: Anchor = Anchor.Edge): GeoBox = {
-    val resX = resolution
-    val resY = -resolution
-    val ox = (math.floor(b.x0 / resX - anchor.x) + anchor.x) * resX
-    val oy = (math.ceil(b.y1 / math.abs(resY) + anchor.y) - anchor.y) * math.abs(resY)
-    val w = math.max(1, math.ceil((b.x1 - ox) / resX).toInt)
-    val h = math.max(1, math.ceil((oy - b.y0) / math.abs(resY)).toInt)
-    GeoBox(w, h, Affine.grid(ox, oy, resX, resY), crs)
+               anchor: Anchor = Anchor.Edge): GeoBox =
+    fromBBoxXY(b, resolution, -resolution, crs, anchor)
+
+  /** Anisotropic variant: the full signed `(resX, resY)` pair survives
+    * grid election (reference `_most_common_gbox` elects a Resolution, not
+    * a scalar), so anisotropic-pixel collections keep their pixel shape
+    * instead of being silently resampled to squares. */
+  def fromBBoxXY(b: BBox, resX: Double, resY: Double, crs: Crs,
+                 anchor: Anchor = Anchor.Edge): GeoBox = {
+    val rx = math.abs(resX)
+    val ry = math.abs(resY)
+    val ox = (math.floor(b.x0 / rx - anchor.x) + anchor.x) * rx
+    val oy = (math.ceil(b.y1 / ry + anchor.y) - anchor.y) * ry
+    val w = math.max(1, math.ceil((b.x1 - ox) / rx).toInt)
+    val h = math.max(1, math.ceil((oy - b.y0) / ry).toInt)
+    GeoBox(w, h, Affine.grid(ox, oy, rx, -ry), crs)
   }
 
   /** From a geopolygon (bbox of it), reference
@@ -84,6 +92,10 @@ object GeoBox {
   def fromGeopolygon(g: Geom, resolution: Double, crs: Crs,
                      anchor: Anchor = Anchor.Edge): GeoBox =
     fromBBox(g.toCrs(crs).bbox, resolution, crs, anchor)
+
+  def fromGeopolygonXY(g: Geom, resX: Double, resY: Double, crs: Crs,
+                       anchor: Anchor = Anchor.Edge): GeoBox =
+    fromBBoxXY(g.toCrs(crs).bbox, resX, resY, crs, anchor)
 
   /** 1x1 pixel geobox tightly enclosing a geometry
     * (F11, `_mdtools.py:241-252`; note inverted Y). */

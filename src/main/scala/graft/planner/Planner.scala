@@ -12,16 +12,18 @@ object Planner {
 
   /** Majority-vote grid election (A4, `_most_common_gbox`
     * `_mdtools.py:726-749`): identical-geobox fast path; else most common
-    * (crs, res, anchor); <=10% majority -> retry ignoring anchor. */
+    * (crs, res, anchor); <=10% majority -> retry ignoring anchor. The
+    * election carries the full signed `(resX, resY)` Resolution — not a
+    * scalar gsd — so anisotropic-pixel collections elect their true grid. */
   def mostCommonGbox(gboxes: Seq[GeoBox], thresh: Double = 0.1)
-  : (Crs, Double, Anchor, Option[GeoBox]) = {
+  : (Crs, (Double, Double), Anchor, Option[GeoBox]) = {
     require(gboxes.nonEmpty)
     val distinct = gboxes.distinct
     if (distinct.size == 1) {
       val g = distinct.head
-      return (g.crs, g.gsd, g.anchor(), Some(g))
+      return (g.crs, (g.resX, g.resY), g.anchor(), Some(g))
     }
-    val keyed = gboxes.map(g => (g.crs.code, g.gsd, g.anchor()))
+    val keyed = gboxes.map(g => (g.crs.code, (g.resX, g.resY), g.anchor()))
     val hist = keyed.groupBy(identity).view.mapValues(_.size).toSeq
     val ((crsCode, res, anchor), n) = hist.maxBy { case (k, c) => (c, k.toString) }
     if (n.toDouble / keyed.size > thresh)
@@ -110,7 +112,9 @@ object Planner {
     var theGbox: Option[GeoBox] = None
     var crsR: Option[Crs] = crs.map(c => resolveCrs(c, queryPoly.orElse(
       items.headOption.flatMap(i => i.geometry.map(_.toGeom)))))
-    var resR: Option[Double] = resolution
+    // user-facing scalar resolution means square pixels (rX=r, rY=-r);
+    // elected resolutions keep the collection's signed anisotropic pair
+    var resR: Option[(Double, Double)] = resolution.map(r => (r, -r))
 
     if (crsR.isEmpty || resR.isEmpty) {
       val gboxes = items.flatMap(i =>
@@ -132,15 +136,16 @@ object Planner {
       if (anchor.isDefined) anchor.get
       else if (align.isDefined) {
         if (align.get == 0) Anchor.Edge
-        else Anchor(align.get / resR.get, align.get / resR.get)
+        else Anchor(align.get / math.abs(resR.get._1),
+          align.get / math.abs(resR.get._2))
       } else electedAnchor
 
     queryPoly match {
       case Some(p) =>
-        Some(GeoBox.fromGeopolygon(p, resR.get, crsR.get, anchorR))
+        Some(GeoBox.fromGeopolygonXY(p, resR.get._1, resR.get._2, crsR.get, anchorR))
       case None =>
         val b = computeBBox(items, crsR.get, md)
-        Some(GeoBox.fromBBox(b, resR.get, crsR.get, anchorR))
+        Some(GeoBox.fromBBoxXY(b, resR.get._1, resR.get._2, crsR.get, anchorR))
     }
   }
 
@@ -179,8 +184,13 @@ object Planner {
                  preserveOriginalOrder: Boolean = false): Seq[Seq[Int]] = {
     def key(idx: Int): String = groupby match {
       // fixed-width epoch-millis key: Instant.toString orders
-      // non-chronologically when sub-second precision varies
-      case ByTime => f"${items(idx).nominalDatetime.getTime}%020d"
+      // non-chronologically when sub-second precision varies. Biased to
+      // unsigned so pre-1970 (negative) epochs still sort lexicographically
+      // before later ones — a raw %020d would put "-0000...9" after "0...1".
+      case ByTime =>
+        val u = java.lang.Long.toUnsignedString(
+          items(idx).nominalDatetime.getTime + Long.MinValue)
+        "0" * (20 - u.length) + u
       case ById => f"$idx%09d"
       case BySolarDay(lon) => items(idx).solarDate(lon).toString
       case ByProperty(p) => items(idx).properties.getOrElse(p, "")

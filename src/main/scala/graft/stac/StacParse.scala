@@ -194,8 +194,10 @@ object StacParse extends Serializable {
                                 cfg: ParseConfig = ParseConfig()): CollectionMetadata = {
     val item = mapper.readTree(json)
     val props = item.get("properties")
-    val collectionId = opt(item, "collection").map(_.asText())
-      .orElse(opt(item, "id").map(_.asText())).getOrElse("_")
+    // items without a collection share the "_" sentinel schema (reference
+    // `_collection_id`) — falling back to the item id would give every such
+    // item a private schema (no widening) and diverge the uuid5 namespace
+    val collectionId = opt(item, "collection").map(_.asText()).getOrElse("_")
     val hasProjExt = opt(item, "stac_extensions").exists(
       _.elements().asScala.exists(_.asText().contains("/projection/")))
     val assetsNode = opt(item, "assets").getOrElse(mapper.createObjectNode())
@@ -310,8 +312,7 @@ object StacParse extends Serializable {
     import spark.implicits._
     val bcCfg = spark.sparkContext.broadcast(cfg)
     def collectionOf(node: JsonNode): String =
-      opt(node, "collection").map(_.asText())
-        .orElse(opt(node, "id").map(_.asText())).getOrElse("_")
+      opt(node, "collection").map(_.asText()).getOrElse("_")
     val schemas = jsons
       .map { j =>
         val name = collectionOf(mapper.readTree(j))

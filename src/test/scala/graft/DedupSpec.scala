@@ -113,6 +113,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("label propagation: 21-node chain converges with a constant-depth plan") {
+    import spark.implicits._
+    // worst case for label propagation: a pure chain needs one iteration
+    // per hop, so lineage growth or per-iteration leaks would show up here
+    val pairs = (0L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val labels = dedup.Dedup.propagateLabels(pairs, maxIter = 25)
+    // plan depth must NOT scale with iterations: the checkpointed result
+    // is a flat LogicalRDD leaf under a single projection
+    val planNodes = labels.queryExecution.analyzed.collect { case n => n }.size
+    assert(planNodes <= 5, s"plan grew with iterations: $planNodes nodes\n" +
+      labels.queryExecution.analyzed.treeString)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 21)
+    assert(out.values.forall(_ == 0L), s"chain did not fully converge: $out")
+    // predecessor generations were unpersisted: only the final
+    // generation's checkpoint blocks remain registered beyond what the
+    // (shared) session already had cached
+    val leaked = spark.sparkContext.getPersistentRDDs.size - persistedBefore
+    assert(leaked <= 1, s"$leaked persistent RDDs leaked by propagation loop")
+  }
+
   test("multimodal decode features are deterministic") {
     val a = multimodal.Multimodal.decodeFeatures(spark, sf).collect().toSeq
     val b = multimodal.Multimodal.decodeFeatures(spark, sf).collect().toSeq
