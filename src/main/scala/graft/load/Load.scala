@@ -46,6 +46,12 @@ object Load {
   final case class TileBin(band: String, tIdx: Int, ty: Int, tx: Int,
                            srcs: Seq[RasterSource])
 
+  /** Distributed-binning unit: one row per (group, item) with its
+    * footprint and selected band sources. Executors expand to TaskSeeds
+    * (tile intersection runs on the cluster, not the driver). */
+  final case class SeedUnit(tIdx: Int, rank: Int, fp: GeomData,
+                            srcs: Map[String, RasterSource])
+
   /** Per-band load-config resolution (F7, `loader/_reader.py:20-65`):
     * scalar-or-map user params expanded against band defaults. */
   def resolveLoadCfg(bands: Seq[(String, RasterBandMetadata)],
@@ -88,6 +94,7 @@ object Load {
            y: Option[(Double, Double)] = None,
            anchor: Option[graft.geo.Anchor] = None,
            align: Option[Double] = None,
+           geopolygon: Option[Geom] = None,
            groupby: String = "id",
            chunks: Int = 2048,
            timeChunks: Int = 1,
@@ -95,6 +102,7 @@ object Load {
            nodata: Option[Double] = None,
            resampling: Map[String, String] = Map.empty,
            preserveOriginalOrder: Boolean = false,
+           maxDriverBins: Long = 1000000L,
            reader: RasterReader = GrbReader): LoadResult = {
     import spark.implicits._
     require(items.nonEmpty, "no items to load")
@@ -103,7 +111,7 @@ object Load {
     val outGbox = Planner.outputGeobox(items, schemas, bands,
       crs = crs, resolution = resolution, bbox = bbox, geobox = geobox,
       like = like, lon = lon, lat = lat, x = x, y = y,
-      anchor = anchor, align = align)
+      anchor = anchor, align = align, geopolygon = geopolygon)
       .getOrElse(throw new IllegalArgumentException(
         "Failed to determine output projection and resolution"))
 
@@ -131,80 +139,188 @@ object Load {
     // stage 7: tiling
     val gbt = GeoBoxTiles(outGbox, chunks, chunks)
 
-    // stage 8 + pixel job: explode (item x tile x band) seeds, bin, fuse.
-    val bandKeys = resolved.map { case (name, _) => name -> md.bandKey(name).norm }
-    val seeds: Seq[TaskSeed] = for {
-      (group, tIdx) <- groups.zipWithIndex
-      (itemIdx, rank) <- group.zipWithIndex
-      item = items(itemIdx)
-      footprint <- item.safeGeometry(Some(outGbox.crs), schemas(item.collection)).toSeq
-      (ty, tx) <- gbt.tilesIntersecting(footprint)
-      (bandName, srcKey) <- bandKeys
-      src <- item.bands.get(srcKey).toSeq
-    } yield TaskSeed(bandName, tIdx, ty, tx, rank, src.strip)
+    // stage 8: footprints with loud drop accounting. An item contributing
+    // no footprint (no proj geobox AND no parsable geometry) must not
+    // vanish silently — real catalogs hit this via exotic geometry types
+    // (`_mdtools.py:768-784`).
+    val footprints: IndexedSeq[Option[Geom]] = items.map(i =>
+      i.safeGeometry(Some(outGbox.crs), schemas(i.collection))).toIndexedSeq
+    val droppedIdx = items.indices.filter(footprints(_).isEmpty)
+    if (droppedIdx.nonEmpty) {
+      val ids = droppedIdx.take(5).map(items(_).id).mkString(", ")
+      System.err.println(
+        s"[graft.load] WARNING: ${droppedIdx.size}/${items.size} item(s) " +
+          "have no footprint (no proj geobox or geometry) and are excluded " +
+          s"from spatial binning: $ids" +
+          (if (droppedIdx.size > 5) ", ..." else ""))
+    }
+    require(droppedIdx.size < items.size,
+      "no item has a footprint; nothing to load")
 
+    // optional polygon ROI: bins must intersect the geopolygon itself,
+    // not just its bbox (reference `output_geobox(geopolygon=...)`)
+    val roiPoly: Option[Geom] = geopolygon.map(_.toCrs(outGbox.crs))
+    def roiTiles(fp: Geom): Seq[(Int, Int)] = {
+      val ts = gbt.tilesIntersecting(fp)
+      roiPoly match {
+        case Some(r) =>
+          ts.filter { case (ty, tx) => r.intersectsBox(gbt.tileGeobox(ty, tx).extent) }
+        case None => ts
+      }
+    }
+
+    val bandKeys = resolved.map { case (name, _) => name -> md.bandKey(name).norm }
     val bcGbox = spark.sparkContext.broadcast(GeoBoxData.from(outGbox))
     val bcCfg = spark.sparkContext.broadcast(cfgs)
     val bcDtypes = spark.sparkContext.broadcast(outDtypes)
     val bcTimes = spark.sparkContext.broadcast(times.toIndexedSeq)
     val (tw, th) = (chunks, chunks)
-
-    // Partitioning: J1 binning happens DRIVER-SIDE — the same move a DSv2
-    // source makes in planInputPartitions (Spark's own file sources list
-    // and split driver-side too). Bins are ~200 B of source metadata each,
-    // so even a 1e6-tile load plans comfortably in driver memory, and the
-    // pixel job starts with ZERO shuffle: parallelize ships each task only
-    // its own bins; pixels are read post-planning by the task that owns
-    // the output tile and never move again. (A seed-row shuffle was
-    // measured 10x the metadata cost at 32 threads — per-task encoder and
-    // exchange overhead dwarfs 200-byte rows; and AQE's byte-based
-    // coalescing would collapse metadata-small/compute-heavy exchanges to
-    // one task anyway.)
-    val bins: Array[TileBin] = seeds
-      .groupBy(s => (s.band, s.tIdx, s.ty, s.tx))
-      .map { case ((band, tIdx, ty, tx), ss) =>
-        TileBin(band, tIdx, ty, tx, ss.sortBy(_.rank).map(_.src))
-      }
-      .toArray.sortBy(b => (b.band, b.tIdx, b.ty, b.tx))
-    // F14 time chunking (`chunks={'time': N}`): one task computes N
-    // consecutive time planes of the same (band, ty, tx) — fewer, larger
-    // tasks when the time axis is long (each plane is still one TileRow)
     val tc = math.max(1, timeChunks)
-    val taskUnits: Array[Seq[TileBin]] =
-      if (tc == 1) bins.map(Seq(_))
-      else bins.groupBy(b => (b.band, b.tIdx / tc, b.ty, b.tx))
-        .values.map(_.sortBy(_.tIdx).toSeq).toArray
-        .sortBy(g => (g.head.band, g.head.tIdx, g.head.ty, g.head.tx))
-    val p = math.max(1, math.min(taskUnits.length,
-      spark.sparkContext.defaultParallelism * 2))
-    // round-robin unit->slice assignment: neighbours (which share source
-    // overlap and cost) spread across tasks instead of clustering
-    val interleaved = (0 until taskUnits.length)
-      .sortBy(i => (i % p, i / p)).map(taskUnits).toIndexedSeq
-    val tiles: Dataset[TileRow] = spark.createDataset(
-      spark.sparkContext.parallelize(interleaved, p)
-        .mapPartitions { it =>
-          // one reusable pixel buffer per task (tiles are tw*th max):
-          // cuts per-tile allocation from ~8 MB to just the encoded payload
-          val buf = new Array[Double](tw * th)
-          val gbt = GeoBoxTiles(bcGbox.value.toGeoBox, tw, th)
-          it.flatMap(_.iterator.map { bin =>
-            val tileGbox = gbt.tileGeobox(bin.ty, bin.tx)
-            val cfg = bcCfg.value(bin.band)
-            val outDtype = bcDtypes.value(bin.band)
-            val nodataV = dstNodata(cfg, outDtype)
-            val valid =
-              Fuse.fill2dSliceInto(bin.srcs, tileGbox, cfg, reader, nodataV, buf)
-            TileRow(bin.band, bin.tIdx, bin.ty, bin.tx, bcTimes.value(bin.tIdx),
-              bin.tx * tw, bin.ty * th, tileGbox.width, tileGbox.height,
-              outDtype, nodataV, valid,
-              Fuse.encode(buf, tileGbox.width * tileGbox.height, outDtype))
-          })
-        })
+
+    // Conservative bin estimate (bbox tile spans x bands) decides the
+    // planning path without materializing anything.
+    val estBins: Long = (for {
+      group <- groups.iterator
+      itemIdx <- group.iterator
+      fp <- footprints(itemIdx).iterator
+    } yield tileSpanCount(gbt, fp) * bandKeys.size).sum
+
+    val tiles: Dataset[TileRow] =
+      if (estBins <= maxDriverBins) {
+        // DRIVER-SIDE binning (default) — the same move a DSv2 source makes
+        // in planInputPartitions (Spark's own file sources list and split
+        // driver-side too). Bins are ~200 B of source metadata each, so a
+        // <=1e6-tile load plans comfortably in driver memory, and the pixel
+        // job starts with ZERO shuffle: parallelize ships each task only
+        // its own bins; pixels are read post-planning by the task that owns
+        // the output tile and never move again. (A seed-row shuffle was
+        // measured 10x the metadata cost at 32 threads — per-task encoder
+        // and exchange overhead dwarfs 200-byte rows; and AQE's byte-based
+        // coalescing would collapse metadata-small/compute-heavy exchanges
+        // to one task anyway.)
+        val seeds: Seq[TaskSeed] = for {
+          (group, tIdx) <- groups.zipWithIndex
+          (itemIdx, rank) <- group.zipWithIndex
+          item = items(itemIdx)
+          footprint <- footprints(itemIdx).toSeq
+          (ty, tx) <- roiTiles(footprint)
+          (bandName, srcKey) <- bandKeys
+          src <- item.bands.get(srcKey).toSeq
+        } yield TaskSeed(bandName, tIdx, ty, tx, rank, src.strip)
+
+        val bins: Array[TileBin] = seeds
+          .groupBy(s => (s.band, s.tIdx, s.ty, s.tx))
+          .map { case ((band, tIdx, ty, tx), ss) =>
+            TileBin(band, tIdx, ty, tx, ss.sortBy(_.rank).map(_.src))
+          }
+          .toArray.sortBy(b => (b.band, b.tIdx, b.ty, b.tx))
+        // F14 time chunking (`chunks={'time': N}`): one task computes N
+        // consecutive time planes of the same (band, ty, tx) — fewer,
+        // larger tasks when the time axis is long
+        val taskUnits: Array[Seq[TileBin]] =
+          if (tc == 1) bins.map(Seq(_))
+          else bins.groupBy(b => (b.band, b.tIdx / tc, b.ty, b.tx))
+            .values.map(_.sortBy(_.tIdx).toSeq).toArray
+            .sortBy(g => (g.head.band, g.head.tIdx, g.head.ty, g.head.tx))
+        val p = math.max(1, math.min(taskUnits.length,
+          spark.sparkContext.defaultParallelism * 2))
+        // round-robin unit->slice assignment: neighbours (which share
+        // source overlap and cost) spread across tasks instead of clustering
+        val interleaved = (0 until taskUnits.length)
+          .sortBy(i => (i % p, i / p)).map(taskUnits).toIndexedSeq
+        spark.createDataset(
+          spark.sparkContext.parallelize(interleaved, p)
+            .mapPartitions { it =>
+              // one reusable pixel buffer per task (tiles are tw*th max):
+              // cuts per-tile allocation from ~8 MB to the encoded payload
+              val buf = new Array[Double](tw * th)
+              val gbt = GeoBoxTiles(bcGbox.value.toGeoBox, tw, th)
+              it.flatMap(_.iterator.map(bin =>
+                fuseBin(bin, gbt, tw, th, bcCfg.value, bcDtypes.value,
+                  bcTimes.value, reader, buf)))
+            })
+      } else {
+        // DISTRIBUTED binning fallback: above the driver threshold the
+        // (item x tile) expansion itself is the big product (a continental
+        // 100x load is ~1e8 bins), so expansion runs on executors — one
+        // SeedUnit row per (group, item) carries the footprint + band
+        // sources, flatMaps to seeds, and a single groupByKey shuffle of
+        // ~200 B metadata rows forms the bins. Pixels still never shuffle.
+        val units: Seq[SeedUnit] = for {
+          (group, tIdx) <- groups.zipWithIndex
+          (itemIdx, rank) <- group.zipWithIndex
+          item = items(itemIdx)
+          footprint <- footprints(itemIdx).toSeq
+        } yield SeedUnit(tIdx, rank, GeomData.from(footprint),
+          bandKeys.flatMap { case (b, k) =>
+            item.bands.get(k).map(b -> _.strip)
+          }.toMap)
+        val bcRoi = spark.sparkContext.broadcast(roiPoly.map(GeomData.from))
+        val seedDs: Dataset[TaskSeed] = spark.createDataset(units)
+          .repartition(math.max(1, math.min(units.length,
+            spark.sparkContext.defaultParallelism * 2)))
+          .flatMap { u =>
+            val gbt = GeoBoxTiles(bcGbox.value.toGeoBox, tw, th)
+            val roi = bcRoi.value.map(_.toGeom)
+            gbt.tilesIntersecting(u.fp.toGeom).iterator
+              .filter { case (ty, tx) =>
+                roi.forall(_.intersectsBox(gbt.tileGeobox(ty, tx).extent))
+              }
+              .flatMap { case (ty, tx) =>
+                u.srcs.iterator.map { case (band, src) =>
+                  TaskSeed(band, u.tIdx, ty, tx, u.rank, src)
+                }
+              }
+          }
+        seedDs
+          .groupByKey(s => (s.band, s.tIdx / tc, s.ty, s.tx))
+          .flatMapGroups { (_: (String, Int, Int, Int), it: Iterator[TaskSeed]) =>
+            val gbt = GeoBoxTiles(bcGbox.value.toGeoBox, tw, th)
+            val buf = new Array[Double](tw * th)
+            it.toSeq.groupBy(_.tIdx).toSeq.sortBy(_._1).iterator
+              .map { case (tIdx, ss) =>
+                val sorted = ss.sortBy(_.rank)
+                val bin = TileBin(sorted.head.band, tIdx, sorted.head.ty,
+                  sorted.head.tx, sorted.map(_.src))
+                fuseBin(bin, gbt, tw, th, bcCfg.value, bcDtypes.value,
+                  bcTimes.value, reader, buf)
+              }
+          }
+      }
 
     LoadResult(tiles.toDF(), outGbox, times, outDtypes)
   }
   // scalastyle:on parameter.number
+
+  /** Read + first-valid fuse of one planned bin into a TileRow (shared by
+    * the driver-planned and distributed-planned paths). */
+  private def fuseBin(bin: TileBin, gbt: GeoBoxTiles, tw: Int, th: Int,
+                      cfgs: Map[String, RasterLoadParams],
+                      dtypes: Map[String, String],
+                      times: IndexedSeq[java.sql.Timestamp],
+                      reader: RasterReader, buf: Array[Double]): TileRow = {
+    val tileGbox = gbt.tileGeobox(bin.ty, bin.tx)
+    val cfg = cfgs(bin.band)
+    val outDtype = dtypes(bin.band)
+    val nodataV = dstNodata(cfg, outDtype)
+    val valid = Fuse.fill2dSliceInto(bin.srcs, tileGbox, cfg, reader, nodataV, buf)
+    TileRow(bin.band, bin.tIdx, bin.ty, bin.tx, times(bin.tIdx),
+      bin.tx * tw, bin.ty * th, tileGbox.width, tileGbox.height,
+      outDtype, nodataV, valid,
+      Fuse.encode(buf, tileGbox.width * tileGbox.height, outDtype))
+  }
+
+  /** Upper bound on tiles a footprint can touch: its bbox tile span. */
+  private def tileSpanCount(gbt: GeoBoxTiles, fp: Geom): Long = {
+    val b = fp.bbox
+    val inv = gbt.base.transform.inverse
+    val cs = Seq(inv(b.x0, b.y0), inv(b.x1, b.y0), inv(b.x1, b.y1), inv(b.x0, b.y1))
+    val tx0 = math.max(0, math.floor(cs.map(_._1).min / gbt.tileW).toInt)
+    val tx1 = math.min(gbt.nx - 1, math.floor((cs.map(_._1).max - 1e-9) / gbt.tileW).toInt)
+    val ty0 = math.max(0, math.floor(cs.map(_._2).min / gbt.tileH).toInt)
+    val ty1 = math.min(gbt.ny - 1, math.floor((cs.map(_._2).max - 1e-9) / gbt.tileH).toInt)
+    math.max(0L, (tx1 - tx0 + 1).toLong) * math.max(0L, (ty1 - ty0 + 1).toLong)
+  }
 }
 
 /** Assembled load output: lazy tile-row DataFrame + grid metadata (S12 —

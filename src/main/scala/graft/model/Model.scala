@@ -20,16 +20,43 @@ object GeoBoxData {
     GeoBoxData(g.width, g.height, g.transform.toArray, g.crs.code)
 }
 
-/** Polygon ring as interleaved x,y doubles + crs. */
-final case class GeomData(xy: Array[Double], crs: String) {
+/** Polygon/MultiPolygon as interleaved x,y doubles + crs. Rings are
+  * concatenated in `xy`; `ringEnds(i)` is the exclusive point offset of
+  * ring i and `isHole(i)` marks interior rings (a hole attaches to the
+  * most recent outer ring). Empty `ringEnds` = one outer ring (the
+  * round-1 single-polygon encoding stays readable). */
+final case class GeomData(xy: Array[Double], crs: String,
+                          ringEnds: Array[Int] = Array.empty,
+                          isHole: Array[Boolean] = Array.empty) {
   def toGeom: Geom = {
     val pts = xy.grouped(2).map(a => (a(0), a(1))).toIndexedSeq
-    Geom(pts, Crs.parse(crs))
+    if (ringEnds.length <= 1 && !isHole.exists(identity))
+      Geom(pts, Crs.parse(crs))
+    else {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[graft.geo.Poly]
+      var start = 0
+      var i = 0
+      while (i < ringEnds.length) {
+        val r = pts.slice(start, ringEnds(i))
+        start = ringEnds(i)
+        if (i < isHole.length && isHole(i) && parts.nonEmpty)
+          parts(parts.length - 1) =
+            parts.last.copy(holes = parts.last.holes :+ r)
+        else parts += graft.geo.Poly(r)
+        i += 1
+      }
+      Geom(parts.toIndexedSeq, Crs.parse(crs))
+    }
   }
 }
 object GeomData {
-  def from(g: Geom): GeomData =
-    GeomData(g.ring.flatMap(p => Seq(p._1, p._2)).toArray, g.crs.code)
+  def from(g: Geom): GeomData = {
+    val rings = g.parts.flatMap(p =>
+      (p.outer, false) +: p.holes.map(h => (h, true)))
+    val xy = rings.flatMap(_._1).flatMap(p => Seq(p._1, p._2)).toArray
+    val ends = rings.map(_._1.length).scanLeft(0)(_ + _).drop(1).toArray
+    GeomData(xy, g.crs.code, ends, rings.map(_._2).toArray)
+  }
 }
 
 /** Per-band "column type": dtype/nodata/unit (`loader/types.py:11-37`). */

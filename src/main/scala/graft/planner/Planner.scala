@@ -63,13 +63,15 @@ object Planner {
                    lon: Option[(Double, Double)] = None,
                    lat: Option[(Double, Double)] = None,
                    x: Option[(Double, Double)] = None,
-                   y: Option[(Double, Double)] = None): Option[GeoBox] = {
+                   y: Option[(Double, Double)] = None,
+                   geopolygon: Option[Geom] = None): Option[GeoBox] = {
     val params = Seq(
       "x" -> x.isDefined, "y" -> y.isDefined, "lon" -> lon.isDefined,
       "lat" -> lat.isDefined, "crs" -> crs.isDefined,
       "resolution" -> resolution.isDefined, "align" -> align.isDefined,
       "anchor" -> anchor.isDefined, "like" -> like.isDefined,
-      "bbox" -> bbox.isDefined, "geobox" -> geobox.isDefined)
+      "bbox" -> bbox.isDefined, "geobox" -> geobox.isDefined,
+      "geopolygon" -> geopolygon.isDefined)
       .collect { case (k, true) => k }.toSet
 
     def reportExtra(primary: String, ok: String*): Unit = {
@@ -88,9 +90,12 @@ object Planner {
 
     val gridParams = Seq("crs", "align", "anchor", "resolution")
 
-    // normalize x/y | lon/lat | bbox to a geopolygon
+    // normalize x/y | lon/lat | bbox | geopolygon to a geopolygon ROI
     var queryPoly: Option[Geom] = None
-    if (bbox.isDefined) {
+    if (geopolygon.isDefined) {
+      reportExtra("geopolygon", gridParams: _*)
+      queryPoly = geopolygon
+    } else if (bbox.isDefined) {
       reportExtra("bbox", gridParams: _*)
       queryPoly = Some(Geom.box(bbox.get, Crs.LonLat))
     } else if (lon.isDefined && lat.isDefined) {

@@ -98,7 +98,11 @@ object RasterQueries {
         crs = Some("EPSG:32735"), resolution = Some(10.0),
         bbox = Some(BBox(26.9, -18.2, 27.1, -18.0)))),
       plan("utm_auto")(Planner.outputGeobox(items, schemas,
-        crs = Some("utm"), resolution = Some(10.0)))
+        crs = Some("utm"), resolution = Some(10.0))),
+      plan("geopolygon")(Planner.outputGeobox(items, schemas,
+        crs = Some("EPSG:32735"), resolution = Some(10.0),
+        geopolygon = Some(graft.geo.Geom(IndexedSeq(
+          (26.9, -18.2), (27.1, -18.2), (27.0, -18.0)), graft.geo.Crs.LonLat))))
     ).toDF("case", "crs", "width", "height", "x0", "y0", "gsd")
       .orderBy("case")
   }

@@ -287,21 +287,34 @@ object StacParse extends Serializable {
   private def parseInstant(s: String): java.sql.Timestamp =
     java.sql.Timestamp.from(java.time.OffsetDateTime.parse(s).toInstant)
 
-  private def parseGeometry(g: JsonNode): Option[GeomData] =
+  /** GeoJSON geometry -> GeomData. Polygon (holes kept) and MultiPolygon
+    * (e.g. antimeridian-split scenes) both parse; the reference accepts
+    * any GeoJSON via shapely (`_mdtools.py:768-784`, `model.py:210-211`). */
+  private[stac] def parseGeometry(g: JsonNode): Option[GeomData] = {
+    def ring(node: JsonNode): IndexedSeq[(Double, Double)] = {
+      val pts = node.elements().asScala.map { pt =>
+        (pt.get(0).asDouble(), pt.get(1).asDouble())
+      }.toIndexedSeq
+      // drop closing point if repeated
+      if (pts.length > 1 && pts.head == pts.last) pts.dropRight(1) else pts
+    }
+    def poly(rings: JsonNode): Option[graft.geo.Poly] = {
+      val rs = rings.elements().asScala.map(ring).filter(_.nonEmpty).toIndexedSeq
+      rs.headOption.map(outer => graft.geo.Poly(outer, rs.drop(1)))
+    }
     opt(g, "type").map(_.asText()) match {
       case Some("Polygon") =>
-        opt(g, "coordinates").map { coords =>
-          val ring = coords.get(0).elements().asScala.map { pt =>
-            (pt.get(0).asDouble(), pt.get(1).asDouble())
-          }.toIndexedSeq
-          // drop closing point if repeated
-          val open =
-            if (ring.length > 1 && ring.head == ring.last) ring.dropRight(1)
-            else ring
-          GeomData.from(Geom(open, Crs.LonLat))
+        opt(g, "coordinates").flatMap(poly)
+          .map(p => GeomData.from(Geom(IndexedSeq(p), Crs.LonLat)))
+      case Some("MultiPolygon") =>
+        opt(g, "coordinates").flatMap { coords =>
+          val parts = coords.elements().asScala.flatMap(poly).toIndexedSeq
+          if (parts.isEmpty) None
+          else Some(GeomData.from(Geom(parts, Crs.LonLat)))
         }
       case _ => None
     }
+  }
 
   /** Multi-collection item stream parse (S2, `_mdtools.py:705-723`):
     * per-collection schemas inferred+widened distributedly, then items

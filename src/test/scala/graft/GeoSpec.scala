@@ -95,6 +95,53 @@ class GeoSpec extends AnyFunSuite {
     assert(!poly.intersectsBox(BBox(30, 30, 40, 40))) // disjoint
   }
 
+  test("multipolygon: bbox, area, centroid, containsPoint over parts") {
+    val twoSquares = Geom(IndexedSeq(
+      Poly(IndexedSeq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))),
+      Poly(IndexedSeq((20.0, 0.0), (30.0, 0.0), (30.0, 10.0), (20.0, 10.0)))),
+      Crs.WebMercator)
+    assert(twoSquares.bbox == BBox(0, 0, 30, 10))
+    assert(twoSquares.area == 200.0)
+    assert(twoSquares.centroid == (15.0, 5.0)) // mean of equal-area parts
+    assert(twoSquares.containsPoint(5, 5))
+    assert(twoSquares.containsPoint(25, 5))
+    assert(!twoSquares.containsPoint(15, 5)) // gap between parts
+    assert(twoSquares.intersectsBox(BBox(22, 2, 28, 8)))
+    assert(!twoSquares.intersectsBox(BBox(12, 2, 18, 8))) // box in the gap
+  }
+
+  test("polygon with hole: area subtracts, hole interior is outside") {
+    val holed = Geom(IndexedSeq(Poly(
+      IndexedSeq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)),
+      IndexedSeq(IndexedSeq((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0))))),
+      Crs.WebMercator)
+    assert(holed.area == 100.0 - 4.0)
+    assert(holed.containsPoint(1, 1))
+    assert(!holed.containsPoint(5, 5)) // inside the hole = outside the poly
+    assert(holed.centroid == (5.0, 5.0)) // symmetric hole keeps the centroid
+    // box strictly inside the hole does NOT intersect
+    assert(!holed.intersectsBox(BBox(4.5, 4.5, 5.5, 5.5)))
+    // box straddling the hole boundary DOES
+    assert(holed.intersectsBox(BBox(3.0, 3.0, 5.0, 5.0)))
+    // densified reprojection keeps the hole a hole
+    val ll = holed.toCrs(Crs.LonLat)
+    assert(ll.parts.head.holes.nonEmpty)
+  }
+
+  test("GeomData roundtrips multipolygon + holes through the Spark encoding") {
+    val g = Geom(IndexedSeq(
+      Poly(IndexedSeq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)),
+        IndexedSeq(IndexedSeq((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0)))),
+      Poly(IndexedSeq((20.0, 0.0), (30.0, 0.0), (30.0, 10.0), (20.0, 10.0)))),
+      Crs.LonLat)
+    val rt = graft.model.GeomData.from(g).toGeom
+    assert(rt == g)
+    // single-ring compat encoding (no ring metadata) still reads
+    val legacy = graft.model.GeomData(
+      Array(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0), "EPSG:4326")
+    assert(legacy.toGeom == Geom.box(BBox(0, 0, 10, 10), Crs.LonLat))
+  }
+
   test("GeoBoxTiles covers the grid and finds intersecting tiles") {
     val base = GeoBox(100, 90, Affine.grid(0, 900, 10, -10), Crs.WebMercator)
     val gbt = GeoBoxTiles(base, 32, 32)

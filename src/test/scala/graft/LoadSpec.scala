@@ -178,6 +178,97 @@ class LoadSpec extends AnyFunSuite {
     assert(res2.times.size == 4)
   }
 
+  private def tileSummary(res: graft.load.LoadResult): Seq[(String, Int, Int, Int, Long, Double)] =
+    res.tiles.collect().map { r =>
+      val data = r.getAs[Array[Byte]]("data")
+      (r.getAs[String]("band"), r.getAs[Int]("tIdx"),
+        r.getAs[Int]("ty"), r.getAs[Int]("tx"),
+        r.getAs[Long]("validCount"),
+        graft.load.Fuse.decode(data, r.getAs[String]("dtype")).sum)
+    }.toSeq.sortBy(t => (t._1, t._2, t._3, t._4))
+
+  test("distributed binning fallback produces identical tiles to driver planning") {
+    val driver = tileSummary(Load.load(spark, items, schemas,
+      bands = Seq("red", "nir"), groupby = "solar_day", chunks = 48))
+    // maxDriverBins=0 forces the explode->groupByKey executor-side path
+    val dist = tileSummary(Load.load(spark, items, schemas,
+      bands = Seq("red", "nir"), groupby = "solar_day", chunks = 48,
+      maxDriverBins = 0))
+    assert(driver.nonEmpty && driver == dist)
+    // time chunking composes with the distributed path too
+    val distTc = tileSummary(Load.load(spark, items, schemas,
+      bands = Seq("red", "nir"), groupby = "id", chunks = 48,
+      timeChunks = 2, maxDriverBins = 0))
+    val driverTc = tileSummary(Load.load(spark, items, schemas,
+      bands = Seq("red", "nir"), groupby = "id", chunks = 48, timeChunks = 2))
+    assert(driverTc == distTc)
+  }
+
+  test("geopolygon ROI: tiles outside the polygon are absent (not just bbox)") {
+    // triangle over the lower-left of the footprint union: its BBOX covers
+    // most tiles, the polygon itself does not
+    val full = Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "solar_day", chunks = 32)
+    val ext = full.geobox.extent
+    val tri = Geom(IndexedSeq(
+      (ext.x0, ext.y0), (ext.x1, ext.y0), (ext.x0, ext.y1)),
+      full.geobox.crs)
+    val roi = Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "solar_day", chunks = 32, geopolygon = Some(tri))
+    val gbt = GeoBoxTiles(roi.geobox, 32, 32)
+    val gotTiles = roi.tiles.collect()
+      .map(r => (r.getAs[Int]("ty"), r.getAs[Int]("tx"))).toSet
+    assert(gotTiles.nonEmpty)
+    // every produced tile really intersects the triangle
+    val triInRoiCrs = tri.toCrs(roi.geobox.crs)
+    gotTiles.foreach { case (ty, tx) =>
+      assert(triInRoiCrs.intersectsBox(gbt.tileGeobox(ty, tx).extent),
+        s"tile ($ty,$tx) outside geopolygon")
+    }
+    // and some upper-right tile of the full load is excluded
+    val fullTiles = full.tiles.collect()
+      .map(r => (r.getAs[Int]("ty"), r.getAs[Int]("tx"))).toSet
+    assert(gotTiles.subsetOf(fullTiles) && gotTiles.size < fullTiles.size)
+    // geopolygon is exclusive with bbox (P8)
+    assertThrows[IllegalArgumentException] {
+      Planner.outputGeobox(items, schemas, geopolygon = Some(tri),
+        bbox = Some(BBox(26, -19, 27, -18)))
+    }
+  }
+
+  test("MultiPolygon footprint (no proj data) still lands in spatial bins") {
+    // strip proj geoboxes so safeGeometry falls back to the item geometry,
+    // and replace it with a MultiPolygon: original ring + a sliver inside
+    val base = items.head
+    val orig = base.geometry.get.toGeom
+    val (cx, cy) = orig.centroid
+    val multi = Geom(IndexedSeq(
+      graft.geo.Poly(orig.ring),
+      graft.geo.Poly(IndexedSeq(
+        (cx, cy), (cx + 1e-4, cy), (cx, cy + 1e-4)))), orig.crs)
+    val item = base.copy(
+      geometry = Some(graft.model.GeomData.from(multi)),
+      bands = base.bands.map { case (k, s) => k -> s.copy(geobox = None) })
+    val res = Load.load(spark, Seq(item), schemas, bands = Seq("red"),
+      crs = Some("EPSG:32735"), resolution = Some(Fixtures.Res),
+      groupby = "id", chunks = 48)
+    val got = tileSummary(res)
+    assert(got.nonEmpty)
+    // same bins as the single-polygon footprint at the same explicit grid
+    val ref = tileSummary(Load.load(spark,
+      Seq(base.copy(bands = item.bands)), schemas, bands = Seq("red"),
+      crs = Some("EPSG:32735"), resolution = Some(Fixtures.Res),
+      groupby = "id", chunks = 48))
+    assert(got == ref)
+    // all items footprint-less -> loud failure, not an empty result
+    val bald = item.copy(geometry = None)
+    assertThrows[IllegalArgumentException] {
+      Load.load(spark, Seq(bald), schemas, bands = Seq("red"),
+        crs = Some("EPSG:32735"), resolution = Some(Fixtures.Res),
+        groupby = "id", chunks = 48)
+    }
+  }
+
   test("permissive load: missing source contributes nothing, job succeeds") {
     // point one item's band at a missing file; failOnError=false loads on
     val broken = items.map { i =>

@@ -40,6 +40,41 @@ class StacSpec extends AnyFunSuite {
     assert(md.band2grid.values.toSet == Set("default"))
   }
 
+  test("MultiPolygon and holed-Polygon geometries parse (not dropped)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def withGeometry(json: String, geom: String): String = {
+      val node = mapper.readTree(json)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      node.set[com.fasterxml.jackson.databind.JsonNode](
+        "geometry", mapper.readTree(geom))
+      node.toString
+    }
+    val md = StacParse.extractCollectionMetadata(jsons.head)
+    val multi = withGeometry(jsons.head,
+      """{"type":"MultiPolygon","coordinates":[
+        |[[[26.0,-18.0],[26.5,-18.0],[26.5,-17.5],[26.0,-17.5],[26.0,-18.0]]],
+        |[[[27.0,-18.0],[27.5,-18.0],[27.5,-17.5],[27.0,-17.5],[27.0,-18.0]]]
+        |]}""".stripMargin)
+    val mItem = StacParse.parseItem(multi, md)
+    assert(mItem.geometry.isDefined)
+    val mGeom = mItem.geometry.get.toGeom
+    assert(mGeom.parts.length == 2)
+    assert(mGeom.containsPoint(26.2, -17.8) && mGeom.containsPoint(27.2, -17.8))
+    assert(!mGeom.containsPoint(26.8, -17.8)) // between the parts
+    val holed = withGeometry(jsons.head,
+      """{"type":"Polygon","coordinates":[
+        |[[26.0,-18.0],[27.0,-18.0],[27.0,-17.0],[26.0,-17.0],[26.0,-18.0]],
+        |[[26.4,-17.6],[26.6,-17.6],[26.6,-17.4],[26.4,-17.4],[26.4,-17.6]]
+        |]}""".stripMargin)
+    val hGeom = StacParse.parseItem(holed, md).geometry.get.toGeom
+    assert(hGeom.parts.head.holes.length == 1)
+    assert(!hGeom.containsPoint(26.5, -17.5)) // inside the hole
+    // unsupported geometry type -> None (and Load warns, not silently)
+    val point = withGeometry(jsons.head,
+      """{"type":"Point","coordinates":[26.0,-18.0]}""")
+    assert(StacParse.parseItem(point, md).geometry.isEmpty)
+  }
+
   test("patch_urls rewrites only the selected bands (P5)") {
     val (ds, _) = StacParse.parseItems(spark, spark.createDataset(jsons))
     val patched = StacParse.patchUrls(spark, ds,
