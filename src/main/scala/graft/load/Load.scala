@@ -3,7 +3,7 @@ package graft.load
 import graft.geo._
 import graft.model._
 import graft.planner.Planner
-import graft.raster.{Grb, GrbReader, RasterReader}
+import graft.raster.{AutoReader, Grb, RasterReader}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** The flagship query: STAC items -> gridded, fused raster tiles
@@ -103,7 +103,7 @@ object Load {
            resampling: Map[String, String] = Map.empty,
            preserveOriginalOrder: Boolean = false,
            maxDriverBins: Long = 1000000L,
-           reader: RasterReader = GrbReader): LoadResult = {
+           reader: RasterReader = AutoReader): LoadResult = {
     import spark.implicits._
     require(items.nonEmpty, "no items to load")
 

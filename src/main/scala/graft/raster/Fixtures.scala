@@ -55,6 +55,9 @@ object Fixtures {
   def grbPath(k: Int, band: String): String =
     dir.resolve(s"scene$k-$band.grb").toString
 
+  def tiffPath(k: Int, band: String): String =
+    dir.resolve(s"scene$k-$band.tif").toString
+
   /** Write scene rasters (idempotent) and return STAC item JSONs. */
   def writeScenes(nItems: Int): Seq[String] = {
     (0 until nItems).map { k =>
@@ -71,10 +74,30 @@ object Fixtures {
     }
   }
 
+  /** Same scenes as tiled GeoTIFFs (overview subimages included) with
+    * item hrefs pointing at the .tif files — exercises the TiffReader
+    * end-to-end path (`loader/test_reader.py:72-125` analog). */
+  def writeScenesTiff(nItems: Int): Seq[String] = {
+    (0 until nItems).map { k =>
+      val gbox = sceneGeobox(k)
+      Seq("red", "nir").foreach { band =>
+        val f = new java.io.File(tiffPath(k, band))
+        if (!f.exists()) {
+          val px = scenePixels(k).map(v =>
+            if (band == "nir" && v != 0.0) v + 5000 else v)
+          Tiff.write(tiffPath(k, band), px, gbox, "uint16", Some(0.0),
+            tileSize = Some(64), overviews = Seq(2, 4))
+        }
+      }
+      itemJson(k, gbox, tiffPath)
+    }
+  }
+
   /** STAC item JSON with proj + raster + eo extensions populated the way
     * real catalogs do (FIXTURES.md §1). Scenes alternate between two
     * days; two scenes share a timestamp day for solar_day grouping. */
-  def itemJson(k: Int, gbox: GeoBox): String = {
+  def itemJson(k: Int, gbox: GeoBox,
+               pathOf: (Int, String) => String = grbPath): String = {
     val fp = gbox.footprint(Crs.LonLat)
     val ring = (fp.ring :+ fp.ring.head)
       .map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
@@ -87,7 +110,7 @@ object Fixtures {
     def asset(band: String, common: String) =
       s"""
          |    "$band": {
-         |      "href": "file://${grbPath(k, band)}",
+         |      "href": "file://${pathOf(k, band)}",
          |      "type": "image/tiff; application=geotiff",
          |      "roles": ["data"],
          |      "gsd": $Res,

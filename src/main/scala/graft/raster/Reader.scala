@@ -9,17 +9,17 @@ final case class Roi(x0: Int, y0: Int, w: Int, h: Int) {
 }
 
 /** Pluggable reader protocol (S9, `loader/types.py:142-157`): open a
-  * source URI and fill a window of the destination grid. The GRB
-  * implementation mirrors the reference reader's planning
-  * (`_rio.py:314-475`):
+  * source URI and fill a window of the destination grid. Implementations
+  * mirror the reference reader's planning (`_rio.py:314-475`):
   *
   *  1. compute the dst ROI overlapping the source extent; empty -> skip;
   *  2. **paste path** when grids align (same CRS, same res within ttol,
   *     sub-pixel aligned): windowed read, no resampling (F15);
   *  3. else **warp path**: per-dst-pixel inverse projection with nearest /
-  *     bilinear / average resampling (F16);
+  *     bilinear / average / mode / sum resampling (F16);
   *  4. overview selection when shrinking (S8) — reads the decimated
-  *     sidecar level instead of the base image.
+  *     level (sidecar file or reduced-resolution subimage) instead of the
+  *     base image.
   */
 trait RasterReader extends Serializable {
   /** Read the part of `src` covering `dstGeobox`; returns the dst ROI and
@@ -57,7 +57,24 @@ trait RasterReader extends Serializable {
     }
 }
 
-object GrbReader extends RasterReader {
+/** Shared windowed-read planner over a pluggable storage format. A format
+  * supplies header decode, windowed pixel reads, and its overview-pyramid
+  * enumeration (sidecar files for GRB, reduced-resolution subimages for
+  * TIFF — level handles are themselves URIs); the paste/warp planning,
+  * resampling kernels, and the approximating row transformer are format-
+  * independent and live here. */
+abstract class WindowedReader extends RasterReader {
+
+  /** Parse the format header: dims, dtype, nodata, geobox. */
+  protected def formatHeader(uri: String): Grb.Header
+
+  /** Windowed pixel read (row-major doubles, unsigned widened). */
+  protected def formatWindow(uri: String, x0: Int, y0: Int,
+                             w: Int, h: Int): Array[Double]
+
+  /** Available decimation levels, ascending scale: (scale, level-uri).
+    * A level-uri must itself be readable by formatHeader/formatWindow. */
+  protected def formatOverviews(uri: String): Seq[(Int, String)]
 
   /** Sub-pixel tolerance for the paste decision (`_rio.py:444-447`):
     * loose for nearest, tight otherwise. */
@@ -75,32 +92,6 @@ object GrbReader extends RasterReader {
     }
   }
 
-  /** Paste-aligned sources fuse straight from the read buffer into the
-    * destination (no ROI array, no remap pass — `Grb.fuseWindowInto`);
-    * warp-path sources fall back to the generic read+fuse. */
-  override def readInto(src0: RasterSource, cfg: RasterLoadParams,
-                        dstGeobox: GeoBox, dstNodata: Double,
-                        out: Array[Double]): Long = {
-    try {
-      val src = src0.copy(uri = src0.uri.stripPrefix("file://"))
-      plan(src, cfg, dstGeobox) match {
-        case None => 0L
-        case Some(ReadPlan(header, srcNodata, roi, Some((sx0, sy0)))) =>
-          val (cx0, cy0, wx0, wy0, w, h) = clipPaste(header, roi, sx0, sy0)
-          if (w <= 0 || h <= 0) 0L
-          else Grb.fuseWindowInto(src.uri, wx0, wy0, w, h, srcNodata,
-            out, dstGeobox.width, roi.x0 + cx0, roi.y0 + cy0, dstNodata,
-            permissive = !cfg.failOnError)
-        case Some(ReadPlan(_, _, _, None)) =>
-          super.readInto(src0, cfg, dstGeobox, dstNodata, out)
-      }
-    } catch {
-      case e: Exception if !cfg.failOnError =>
-        System.err.println(s"[graft.reader] ${src0.uri}: ${e.getMessage}")
-        0L
-    }
-  }
-
   private def readImpl(src0: RasterSource, cfg: RasterLoadParams,
                        dstGeobox: GeoBox, dstNodata: Double): Option[(Roi, Array[Double])] = {
     val src = src0.copy(uri = src0.uri.stripPrefix("file://"))
@@ -115,15 +106,15 @@ object GrbReader extends RasterReader {
 
   /** Planned read: dst ROI + resolved src nodata; `pasteAt` is the src
     * window origin when the F15 paste fast path applies, None -> warp. */
-  private final case class ReadPlan(header: Grb.Header,
-                                    srcNodata: Option[Double], roi: Roi,
-                                    pasteAt: Option[(Int, Int)])
+  protected final case class ReadPlan(header: Grb.Header,
+                                      srcNodata: Option[Double], roi: Roi,
+                                      pasteAt: Option[(Int, Int)])
 
   /** Shared F15/F16 planning (`_rio.py:314-475` analog). None = no
     * overlap with the destination. */
-  private def plan(src: RasterSource, cfg: RasterLoadParams,
-                   dstGeobox: GeoBox): Option[ReadPlan] = {
-    val header = Grb.readHeader(src.uri)
+  protected def plan(src: RasterSource, cfg: RasterLoadParams,
+                     dstGeobox: GeoBox): Option[ReadPlan] = {
+    val header = formatHeader(src.uri)
     val srcGeobox = header.geobox
     val srcNodata = cfg.srcNodataOverride
       .orElse(header.nodata)
@@ -169,7 +160,7 @@ object GrbReader extends RasterReader {
   /** Clip a paste window to the source image. Returns
     * (dstOffX, dstOffY, srcX0, srcY0, w, h); w/h <= 0 means no overlap.
     * Shared by the buffered (`paste`) and fused (`readInto`) paths. */
-  private def clipPaste(header: Grb.Header, roi: Roi, sx0: Int, sy0: Int)
+  protected def clipPaste(header: Grb.Header, roi: Roi, sx0: Int, sy0: Int)
   : (Int, Int, Int, Int, Int, Int) = {
     val cx0 = math.max(0, -sx0)
     val cy0 = math.max(0, -sy0)
@@ -184,7 +175,7 @@ object GrbReader extends RasterReader {
                     dstNodata: Double): Option[(Roi, Array[Double])] = {
     val (cx0, cy0, wx0, wy0, w, h) = clipPaste(header, roi, sx0, sy0)
     if (w <= 0 || h <= 0) return None
-    val (_, pix) = Grb.readWindow(src.uri, wx0, wy0, w, h)
+    val pix = formatWindow(src.uri, wx0, wy0, w, h)
     val out = new Array[Double](roi.w * roi.h)
     if (cx0 > 0 || cy0 > 0 || w < roi.w || h < roi.h)
       java.util.Arrays.fill(out, dstNodata)
@@ -215,12 +206,11 @@ object GrbReader extends RasterReader {
     val shrink = math.max(1, math.floor(dstGeobox.gsd / srcGeobox0.gsd).toInt)
     val (uri, srcGeobox) =
       if (cfg.useOverviews && shrink > 1) {
-        val candidates = Seq(2, 4).filter(s =>
-          new java.io.File(s"${src.uri}.ovr$s").exists())
-        Grb.pickOverview(shrink, candidates) match {
+        val levels = formatOverviews(src.uri)
+        Grb.pickOverview(shrink, levels.map(_._1)) match {
           case Some(i) =>
-            val s = candidates(i)
-            (s"${src.uri}.ovr$s", Grb.readHeader(s"${src.uri}.ovr$s").geobox)
+            val u = levels(i)._2
+            (u, formatHeader(u).geobox)
           case None => (src.uri, srcGeobox0)
         }
       } else (src.uri, srcGeobox0)
@@ -250,14 +240,15 @@ object GrbReader extends RasterReader {
     val wy1 = math.min(srcGeobox.height, math.ceil(scorners.map(_._2).max).toInt + 1)
     if (wx1 <= wx0 || wy1 <= wy0) return None
     val (sw, sh) = (wx1 - wx0, wy1 - wy0)
-    val (_, spix) = Grb.readWindow(uri, wx0, wy0, sw, sh)
+    val spix = formatWindow(uri, wx0, wy0, sw, sh)
 
     // primitive nodata (NaN = none) — keeps Option out of the pixel loop
     val sn = srcNodata.getOrElse(Double.NaN)
     @inline def invalid(v: Double): Boolean = v.isNaN || v == sn
     // resampling mode hoisted to an int (no per-pixel string match)
     val rcode = cfg.resampling match {
-      case "bilinear" => 1; case "average" => 2; case _ => 0
+      case "bilinear" => 1; case "average" => 2; case "mode" => 3
+      case "sum" => 4; case _ => 0
     }
 
     def sample(spx: Double, spy: Double): Double = {
@@ -287,11 +278,18 @@ object GrbReader extends RasterReader {
             dy += 1
           }
           if (wsum <= 0) dstNodata else acc / wsum
-        case 2 =>
+        case 2 | 3 | 4 =>
+          // pooled kernels share the window walk: average (F16 flux mean),
+          // mode (categorical majority, `types.py:113-114`), sum (flux
+          // total — valid samples accumulate, no divide)
           val n = math.max(1, levelShrink)
           val x0 = math.floor(lx - n / 2.0).toInt
           val y0 = math.floor(ly - n / 2.0).toInt
           var acc = 0.0; var cnt = 0
+          // mode: tiny open-addressed value->count table (window is n*n)
+          val mvals = if (rcode == 3) new Array[Double](n * n) else null
+          val mcnts = if (rcode == 3) new Array[Int](n * n) else null
+          var mn = 0
           var dy = 0
           while (dy < n) {
             var dx = 0
@@ -299,13 +297,37 @@ object GrbReader extends RasterReader {
               val xx = x0 + dx; val yy = y0 + dy
               if (xx >= 0 && xx < sw && yy >= 0 && yy < sh) {
                 val v = spix(yy * sw + xx)
-                if (!invalid(v)) { acc += v; cnt += 1 }
+                if (!invalid(v)) {
+                  acc += v; cnt += 1
+                  if (rcode == 3) {
+                    var k = 0
+                    var found = false
+                    while (k < mn && !found) {
+                      if (mvals(k) == v) { mcnts(k) += 1; found = true }
+                      k += 1
+                    }
+                    if (!found) { mvals(mn) = v; mcnts(mn) = 1; mn += 1 }
+                  }
+                }
               }
               dx += 1
             }
             dy += 1
           }
-          if (cnt == 0) dstNodata else acc / cnt
+          if (cnt == 0) dstNodata
+          else if (rcode == 2) acc / cnt
+          else if (rcode == 4) acc
+          else {
+            // mode: most frequent value; ties -> smallest value (stable)
+            var best = 0
+            var k = 1
+            while (k < mn) {
+              if (mcnts(k) > mcnts(best) ||
+                (mcnts(k) == mcnts(best) && mvals(k) < mvals(best))) best = k
+              k += 1
+            }
+            mvals(best)
+          }
         case _ => // nearest (0)
           val xx = math.floor(lx).toInt
           val yy = math.floor(ly).toInt
@@ -383,8 +405,90 @@ object GrbReader extends RasterReader {
     }
     Some((roi, out))
   }
+}
+
+object GrbReader extends WindowedReader {
+
+  protected def formatHeader(uri: String): Grb.Header = Grb.readHeader(uri)
+
+  protected def formatWindow(uri: String, x0: Int, y0: Int,
+                             w: Int, h: Int): Array[Double] =
+    Grb.readWindow(uri, x0, y0, w, h)._2
+
+  /** Any `.ovr<N>` sidecar participates (S8 generalized — deep pyramids
+    * 8x/16x included), not a hardcoded 2/4 list. */
+  protected def formatOverviews(uri: String): Seq[(Int, String)] = {
+    val f = new java.io.File(uri)
+    val dir = Option(f.getParentFile).getOrElse(new java.io.File("."))
+    val prefix = f.getName + ".ovr"
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .flatMap { c =>
+        val n = c.getName
+        if (n.startsWith(prefix))
+          n.stripPrefix(prefix).toIntOption.map(s => s -> c.getPath)
+        else None
+      }
+      .sortBy(_._1).toSeq
+  }
+
+  /** Paste-aligned sources fuse straight from the read buffer into the
+    * destination (no ROI array, no remap pass — `Grb.fuseWindowInto`);
+    * warp-path sources fall back to the generic read+fuse. */
+  override def readInto(src0: RasterSource, cfg: RasterLoadParams,
+                        dstGeobox: GeoBox, dstNodata: Double,
+                        out: Array[Double]): Long = {
+    try {
+      val src = src0.copy(uri = src0.uri.stripPrefix("file://"))
+      plan(src, cfg, dstGeobox) match {
+        case None => 0L
+        case Some(ReadPlan(header, srcNodata, roi, Some((sx0, sy0)))) =>
+          val (cx0, cy0, wx0, wy0, w, h) = clipPaste(header, roi, sx0, sy0)
+          if (w <= 0 || h <= 0) 0L
+          else Grb.fuseWindowInto(src.uri, wx0, wy0, w, h, srcNodata,
+            out, dstGeobox.width, roi.x0 + cx0, roi.y0 + cy0, dstNodata,
+            permissive = !cfg.failOnError)
+        case Some(ReadPlan(_, _, _, None)) =>
+          super.readInto(src0, cfg, dstGeobox, dstNodata, out)
+      }
+    } catch {
+      case e: Exception if !cfg.failOnError =>
+        System.err.println(s"[graft.reader] ${src0.uri}: ${e.getMessage}")
+        0L
+    }
+  }
 
   /** Nodata test incl. NaN semantics (F5, `loader/_reader.py:117-134`). */
   def isNodata(v: Double, nodata: Option[Double]): Boolean =
     v.isNaN || nodata.exists(n => if (n.isNaN) v.isNaN else v == n)
+}
+
+/** GeoTIFF reader over the JDK's bundled `javax.imageio` TIFF plugin:
+  * windowed reads via `ImageReadParam.setSourceRegion`, geokeys from the
+  * TIFF tags, overview selection from reduced-resolution subimages
+  * (addressed as `uri#<image-index>`). See [[Tiff]] for the tag plumbing.
+  * Mirrors the reference's rasterio reader shape (`_rio.py:374-475`). */
+object TiffReader extends WindowedReader {
+  protected def formatHeader(uri: String): Grb.Header = Tiff.readHeader(uri)
+  protected def formatWindow(uri: String, x0: Int, y0: Int,
+                             w: Int, h: Int): Array[Double] =
+    Tiff.readWindow(uri, x0, y0, w, h)
+  protected def formatOverviews(uri: String): Seq[(Int, String)] =
+    Tiff.overviewLevels(uri)
+}
+
+/** Default reader: routes per-source by file extension (S9 driver
+  * indirection) — GeoTIFF to [[TiffReader]], everything else to the GRB
+  * container reader. */
+object AutoReader extends RasterReader {
+  private def pick(uri: String): RasterReader = {
+    val u = uri.toLowerCase.takeWhile(_ != '#')
+    if (u.endsWith(".tif") || u.endsWith(".tiff")) TiffReader else GrbReader
+  }
+  def read(src: RasterSource, cfg: RasterLoadParams, dstGeobox: GeoBox,
+           dstNodata: Double): Option[(Roi, Array[Double])] =
+    pick(src.uri).read(src, cfg, dstGeobox, dstNodata)
+  override def readInto(src: RasterSource, cfg: RasterLoadParams,
+                        dstGeobox: GeoBox, dstNodata: Double,
+                        out: Array[Double]): Long =
+    pick(src.uri).readInto(src, cfg, dstGeobox, dstNodata, out)
 }

@@ -1,0 +1,326 @@
+package graft.raster
+
+import graft.geo.{Affine, Crs, GeoBox}
+
+import java.awt.Rectangle
+import java.awt.color.ColorSpace
+import java.awt.image.{BufferedImage, ComponentColorModel, DataBuffer, Raster}
+import java.io.File
+import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier, ImageWriteParam}
+import javax.imageio.plugins.tiff.{BaselineTIFFTagSet, TIFFDirectory, TIFFField, TIFFTag}
+
+/** GeoTIFF I/O on the JDK's bundled `javax.imageio` TIFF plugin (public
+  * API since Java 9: `javax.imageio.plugins.tiff`) — no GDAL required.
+  *
+  * Read side (what [[TiffReader]] consumes):
+  *  - geo-referencing from ModelPixelScaleTag (33550) + ModelTiepointTag
+  *    (33922), CRS from the GeoKeyDirectoryTag (34735) projected/
+  *    geographic EPSG keys, nodata from GDAL_NODATA (42113) — the same
+  *    tags rasterio reads for the reference (`_rio.py:374-475`);
+  *  - **windowed reads**: `ImageReadParam.setSourceRegion` decodes only
+  *    the tiles/strips intersecting the window — the COG access pattern;
+  *  - **overview pyramid**: reduced-resolution subimages (additional
+  *    IFDs), addressed as `path#<imageIndex>`; their geobox derives from
+  *    the base image's (GDAL writes geo tags on the base IFD only).
+  *
+  * Write side exists for fixtures/tests and as the S10 sink analog:
+  * tiled (multiples-of-16) or stripped layout, optional overview IFDs.
+  * Supported dtypes: uint8, uint16, int16, int32, float32, float64
+  * (TIFF SampleFormat 1/2/3). Single-band, axis-aligned north-up grids.
+  */
+object Tiff {
+
+  private val TagModelPixelScale = 33550
+  private val TagModelTiepoint = 33922
+  private val TagGeoKeyDirectory = 34735
+  private val TagGdalNodata = 42113
+
+  // GeoKey ids (GeoTIFF spec §6.2)
+  private val GTModelTypeGeoKey = 1024
+  private val GTRasterTypeGeoKey = 1025
+  private val GeographicTypeGeoKey = 2048
+  private val ProjectedCSTypeGeoKey = 3072
+
+  /** Split `path#idx` into (path, image index). */
+  private def splitUri(uri: String): (String, Int) = {
+    val i = uri.lastIndexOf('#')
+    if (i < 0) (uri, 0)
+    else (uri.substring(0, i), uri.substring(i + 1).toInt)
+  }
+
+  private def withReader[A](uri: String)(f: (javax.imageio.ImageReader, Int) => A): A = {
+    val (path, idx) = splitUri(uri)
+    val iis = ImageIO.createImageInputStream(new File(path))
+    require(iis != null, s"cannot open $path")
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"no TIFF reader for $path")
+      val reader = readers.next()
+      reader.setInput(iis, false, false)
+      try f(reader, idx) finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Header of the addressed image. Overview IFDs (idx > 0) carry no geo
+    * tags; their geobox is the base geobox decimated by the size ratio. */
+  def readHeader(uri: String): Grb.Header = withReader(uri) { (reader, idx) =>
+    val w = reader.getWidth(idx)
+    val h = reader.getHeight(idx)
+    val dir = TIFFDirectory.createFromMetadata(reader.getImageMetadata(idx))
+    val dtype = dtypeOf(dir)
+    val baseDir =
+      if (idx == 0) dir
+      else TIFFDirectory.createFromMetadata(reader.getImageMetadata(0))
+    // the JDK reader filters tags outside its allowed TagSets out of the
+    // metadata (GDAL_NODATA is no baseline/GeoTIFF tag), so fall back to a
+    // raw first-IFD scan for it
+    val nodata = Option(baseDir.getTIFFField(TagGdalNodata))
+      .map(_.getAsString(0))
+      .orElse(rawAsciiTag(splitUri(uri)._1, TagGdalNodata))
+      .map(_.trim)
+      .flatMap(s => if (s.equalsIgnoreCase("nan")) Some(Double.NaN)
+                    else s.toDoubleOption)
+    val baseGbox = geoboxOf(baseDir, reader.getWidth(0), reader.getHeight(0))
+    val gbox =
+      if (idx == 0) baseGbox
+      else {
+        // decimated level: same origin, linear part scaled by size ratio
+        val sx = baseGbox.width.toDouble / w
+        val sy = baseGbox.height.toDouble / h
+        val t = baseGbox.transform
+        GeoBox(w, h, Affine(t.a * sx, t.b * sx, t.c, t.d * sy, t.e * sy, t.f),
+          baseGbox.crs)
+      }
+    Grb.Header(dtype, w, h, nodata, gbox, 0L)
+  }
+
+  /** Windowed read: decodes only the region's tiles/strips. Row-major
+    * doubles, unsigned types widened. */
+  def readWindow(uri: String, x0: Int, y0: Int, w: Int, h: Int): Array[Double] =
+    withReader(uri) { (reader, idx) =>
+      require(x0 >= 0 && y0 >= 0 && x0 + w <= reader.getWidth(idx) &&
+        y0 + h <= reader.getHeight(idx),
+        s"window ($x0,$y0,$w,$h) out of bounds " +
+          s"${reader.getWidth(idx)}x${reader.getHeight(idx)}")
+      val param = reader.getDefaultReadParam
+      param.setSourceRegion(new Rectangle(x0, y0, w, h))
+      val img = reader.read(idx, param)
+      val out = new Array[Double](w * h)
+      img.getRaster.getSamples(0, 0, w, h, 0, out)
+      // JDK raster samples come back sign-extended only for signed buffer
+      // types; unsigned 8/16-bit arrive already widened. int64 is not a
+      // TIFF baseline type, so no masking is needed here.
+      out
+    }
+
+  /** Decimation levels from reduced-resolution subimages: (scale, uri). */
+  def overviewLevels(uri: String): Seq[(Int, String)] = withReader(uri) {
+    (reader, _) =>
+      val (path, _) = splitUri(uri)
+      val n = reader.getNumImages(true)
+      val baseW = reader.getWidth(0)
+      (1 until n).map { i =>
+        math.round(baseW.toDouble / reader.getWidth(i)).toInt -> s"$path#$i"
+      }.sortBy(_._1)
+  }
+
+  /** Minimal raw scan of the first IFD for an ASCII tag the plugin's
+    * metadata filter dropped. Classic TIFF only (BigTIFF would arrive via
+    * a different magic); handles both byte orders and inline values. */
+  private def rawAsciiTag(path: String, tagNum: Int): Option[String] = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val b0 = raf.read(); val b1 = raf.read()
+      val le = b0 == 'I' && b1 == 'I'
+      def u16(): Int = {
+        val a = raf.read(); val b = raf.read()
+        if (le) a | (b << 8) else (a << 8) | b
+      }
+      def u32(): Long = {
+        val a = u16().toLong; val b = u16().toLong
+        if (le) a | (b << 16) else (a << 16) | b
+      }
+      if (u16() != 42) return None
+      raf.seek(raf.getFilePointer)
+      val ifdOff = u32()
+      raf.seek(ifdOff)
+      val n = u16()
+      var i = 0
+      while (i < n) {
+        val tag = u16(); val tpe = u16(); val cnt = u32()
+        if (tag == tagNum && tpe == 2) {
+          val bytes = new Array[Byte](cnt.toInt)
+          if (cnt <= 4) raf.readFully(bytes)
+          else { raf.seek(u32()); raf.readFully(bytes) }
+          return Some(new String(bytes, "US-ASCII").takeWhile(_ != '\u0000'))
+        }
+        u32() // skip value/offset
+        i += 1
+      }
+      None
+    } catch { case _: Exception => None }
+    finally raf.close()
+  }
+
+  private def dtypeOf(dir: TIFFDirectory): String = {
+    def intField(tag: Int, dflt: Int): Int =
+      Option(dir.getTIFFField(tag)).map(_.getAsInt(0)).getOrElse(dflt)
+    val bits = intField(BaselineTIFFTagSet.TAG_BITS_PER_SAMPLE, 8)
+    val fmt = intField(BaselineTIFFTagSet.TAG_SAMPLE_FORMAT, 1)
+    (bits, fmt) match {
+      case (8, 1) => "uint8"
+      case (8, 2) => "int8"
+      case (16, 1) => "uint16"
+      case (16, 2) => "int16"
+      case (32, 2) => "int32"
+      case (32, 3) => "float32"
+      case (64, 3) => "float64"
+      case other => throw new IllegalArgumentException(
+        s"unsupported TIFF sample layout (bits, format) = $other")
+    }
+  }
+
+  private def geoboxOf(dir: TIFFDirectory, w: Int, h: Int): GeoBox = {
+    val scale = Option(dir.getTIFFField(TagModelPixelScale)).getOrElse(
+      throw new IllegalArgumentException("TIFF has no ModelPixelScaleTag"))
+    val tie = Option(dir.getTIFFField(TagModelTiepoint)).getOrElse(
+      throw new IllegalArgumentException("TIFF has no ModelTiepointTag"))
+    val (sx, sy) = (scale.getAsDouble(0), scale.getAsDouble(1))
+    // tiepoint: raster (i,j,k) -> model (x,y,z)
+    val (ti, tj) = (tie.getAsDouble(0), tie.getAsDouble(1))
+    val (tx, ty) = (tie.getAsDouble(3), tie.getAsDouble(4))
+    val ox = tx - ti * sx
+    val oy = ty + tj * sy
+    GeoBox(w, h, Affine.grid(ox, oy, sx, -sy), crsOf(dir))
+  }
+
+  private def crsOf(dir: TIFFDirectory): Crs = {
+    val gk = Option(dir.getTIFFField(TagGeoKeyDirectory)).getOrElse(
+      throw new IllegalArgumentException("TIFF has no GeoKeyDirectoryTag"))
+    // entries of 4 shorts: (keyId, tagLocation, count, value)
+    def keyValue(keyId: Int): Option[Int] =
+      (4 until gk.getCount by 4).collectFirst {
+        case i if gk.getAsInt(i) == keyId && gk.getAsInt(i + 1) == 0 =>
+          gk.getAsInt(i + 3)
+      }
+    keyValue(ProjectedCSTypeGeoKey)
+      .orElse(keyValue(GeographicTypeGeoKey))
+      .map(epsg => Crs.parse(s"EPSG:$epsg"))
+      .getOrElse(throw new IllegalArgumentException(
+        "GeoKeyDirectory has no projected/geographic EPSG key"))
+  }
+
+  // ---- writer (fixtures + S10 sink analog) ---------------------------------
+
+  private def bufferType(dtype: String): Int = dtype match {
+    case "uint8" => DataBuffer.TYPE_BYTE
+    case "uint16" => DataBuffer.TYPE_USHORT
+    case "int16" => DataBuffer.TYPE_SHORT
+    case "int32" => DataBuffer.TYPE_INT
+    case "float32" => DataBuffer.TYPE_FLOAT
+    case "float64" => DataBuffer.TYPE_DOUBLE
+    case other => throw new IllegalArgumentException(
+      s"unsupported TIFF write dtype '$other'")
+  }
+
+  private def toImage(pixels: Array[Double], w: Int, h: Int,
+                      dtype: String): BufferedImage = {
+    val cm = new ComponentColorModel(
+      ColorSpace.getInstance(ColorSpace.CS_GRAY),
+      false, false, java.awt.Transparency.OPAQUE, bufferType(dtype))
+    val raster = Raster.createWritableRaster(
+      cm.createCompatibleSampleModel(w, h), null)
+    raster.setSamples(0, 0, w, h, 0, pixels)
+    new BufferedImage(cm, raster, false, null)
+  }
+
+  private def geoFields(gbox: GeoBox, nodata: Option[Double]): Seq[TIFFField] = {
+    val t = gbox.transform
+    require(t.isAxisAligned && t.e < 0,
+      "TIFF writer supports axis-aligned north-up grids")
+    def tag(name: String, num: Int, tpe: Int) =
+      new TIFFTag(name, num, 1 << tpe)
+    val scale = new TIFFField(
+      tag("ModelPixelScaleTag", TagModelPixelScale, TIFFTag.TIFF_DOUBLE),
+      TIFFTag.TIFF_DOUBLE, 3, Array(t.a, -t.e, 0.0))
+    val tie = new TIFFField(
+      tag("ModelTiepointTag", TagModelTiepoint, TIFFTag.TIFF_DOUBLE),
+      TIFFTag.TIFF_DOUBLE, 6, Array(0.0, 0.0, 0.0, t.c, t.f, 0.0))
+    val epsg = gbox.crs.code.stripPrefix("EPSG:").toInt
+    val geographic = epsg == 4326
+    val keys: Array[Char] = (Seq(
+      1, 1, 0, 3, // version, revision, minor, numKeys
+      GTModelTypeGeoKey, 0, 1, if (geographic) 2 else 1,
+      GTRasterTypeGeoKey, 0, 1, 1) ++ // PixelIsArea
+      (if (geographic) Seq(GeographicTypeGeoKey, 0, 1, epsg)
+       else Seq(ProjectedCSTypeGeoKey, 0, 1, epsg)))
+      .map(_.toChar).toArray
+    val geokeys = new TIFFField(
+      tag("GeoKeyDirectoryTag", TagGeoKeyDirectory, TIFFTag.TIFF_SHORT),
+      TIFFTag.TIFF_SHORT, keys.length, keys)
+    val nd = nodata.map { v =>
+      new TIFFField(
+        tag("GDAL_NODATA", TagGdalNodata, TIFFTag.TIFF_ASCII),
+        TIFFTag.TIFF_ASCII, 1,
+        Array(if (v.isNaN) "nan" else if (v == v.floor && !v.isInfinite)
+          v.toLong.toString else v.toString))
+    }
+    Seq(scale, tie, geokeys) ++ nd
+  }
+
+  /** Write a single-band GeoTIFF; `tileSize` tiles the layout (multiple
+    * of 16) and `overviews` appends decimated subimage IFDs (the COG
+    * shape: base + pyramid in one file). */
+  def write(path: String, pixels: Array[Double], geobox: GeoBox,
+            dtype: String, nodata: Option[Double],
+            tileSize: Option[Int] = Some(64),
+            overviews: Seq[Int] = Nil): Unit = {
+    require(pixels.length == geobox.width * geobox.height)
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val ios = ImageIO.createImageOutputStream(new File(path))
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+
+      def writeLevel(px: Array[Double], gbox: GeoBox, base: Boolean): Unit = {
+        val img = toImage(px, gbox.width, gbox.height, dtype)
+        val param = writer.getDefaultWriteParam
+        tileSize.foreach { ts =>
+          param.setTilingMode(ImageWriteParam.MODE_EXPLICIT)
+          param.setTiling(ts, ts, 0, 0)
+        }
+        val meta = writer.getDefaultImageMetadata(
+          new ImageTypeSpecifier(img), param)
+        val dir = TIFFDirectory.createFromMetadata(meta)
+        if (base) geoFields(gbox, nodata).foreach(dir.addTIFFField)
+        writer.writeToSequence(new IIOImage(img, null, dir.getAsMetadata), param)
+      }
+
+      writeLevel(pixels, geobox, base = true)
+      overviews.foreach { s =>
+        val ow = math.max(1, geobox.width / s)
+        val oh = math.max(1, geobox.height / s)
+        val opix = new Array[Double](ow * oh)
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            opix(y * ow + x) = pixels(
+              math.min(y * s, geobox.height - 1) * geobox.width +
+                math.min(x * s, geobox.width - 1))
+            x += 1
+          }
+          y += 1
+        }
+        val t = geobox.transform
+        val ogb = GeoBox(ow, oh,
+          Affine(t.a * s, t.b * s, t.c, t.d * s, t.e * s, t.f), geobox.crs)
+        writeLevel(opix, ogb, base = false)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+  }
+}

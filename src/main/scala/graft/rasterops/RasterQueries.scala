@@ -66,6 +66,37 @@ object RasterQueries {
       groupby = "solar_day", chunks = 64, resolution = Some(40.0)).tiles)
   }
 
+  /** F16 resampling surface: the cross-CRS warp run under every kernel
+    * (nearest/bilinear/average/mode/sum) — per-mode per-tile checksums.
+    * `mode` serves categorical rasters, `sum` flux totals
+    * (`loader/types.py:113-114`). */
+  def loadResampling(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    Seq("nearest", "bilinear", "average", "mode", "sum").map { m =>
+      summarize(Load.load(spark, items, schemas, bands = Seq("red"),
+        groupby = "solar_day", chunks = 64,
+        crs = Some("EPSG:3857"), resolution = Some(30.0),
+        resampling = Map("*" -> m)).tiles)
+        .withColumn("mode", lit(m))
+    }.reduce(_ unionAll _)
+      .select(col("mode"), col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("validCount"), col("checksum"))
+      .orderBy("mode", "band", "tIdx", "ty", "tx")
+  }
+
+  /** GeoTIFF end-to-end (S7 on real TIFF containers): the same mosaic
+    * workload as `raster_load_mosaic` but reading tiled GeoTIFFs with
+    * overview subimages through TiffReader — per-tile checksums must
+    * equal the GRB container's (pinned by LoadSpec parity too). */
+  def loadTiff(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenesTiff(NScenes)
+    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
+    val items = ds.collect().toSeq.sortBy(_.id)
+    summarize(Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64).tiles)
+  }
+
   def parseItems(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val (items, schemas) = parsed(spark)
@@ -197,6 +228,8 @@ object RasterQueries {
     "raster_eo3_product" -> ((s, _) => eo3Product(s)),
     "raster_grb_source_sql" -> ((s, _) => grbSourceSql(s)),
     "raster_load_mosaic" -> ((s, _) => loadMosaic(s)),
+    "raster_load_tiff" -> ((s, _) => loadTiff(s)),
+    "raster_load_resampling" -> ((s, _) => loadResampling(s)),
     "raster_load_groupby_id" -> ((s, _) => loadGroupById(s)),
     "raster_load_reproject" -> ((s, _) => loadReproject(s)),
     "raster_load_overview" -> ((s, _) => loadOverview(s)),

@@ -269,6 +269,28 @@ class LoadSpec extends AnyFunSuite {
     }
   }
 
+  test("GeoTIFF scenes load tile-identical to GRB scenes (TiffReader e2e)") {
+    import spark.implicits._
+    val tiffJsons = Fixtures.writeScenesTiff(4)
+    val (tds, tSchemas) = StacParse.parseItems(spark,
+      spark.createDataset(tiffJsons))
+    val tiffItems = tds.collect().toSeq.sortBy(_.id)
+    assert(tiffItems.forall(_.bands.values.forall(_.uri.endsWith(".tif"))))
+    val tiff = tileSummary(Load.load(spark, tiffItems, tSchemas,
+      bands = Seq("red", "nir"), groupby = "solar_day", chunks = 48))
+    val grb = tileSummary(Load.load(spark, items, schemas,
+      bands = Seq("red", "nir"), groupby = "solar_day", chunks = 48))
+    assert(tiff.nonEmpty && tiff == grb)
+    // overview path parity too: 4x coarser output reads TIFF subimage #2
+    val tiffOvr = tileSummary(Load.load(spark, tiffItems, tSchemas,
+      bands = Seq("red"), groupby = "solar_day", chunks = 64,
+      resolution = Some(40.0)))
+    val grbOvr = tileSummary(Load.load(spark, items, schemas,
+      bands = Seq("red"), groupby = "solar_day", chunks = 64,
+      resolution = Some(40.0)))
+    assert(tiffOvr.nonEmpty && tiffOvr == grbOvr)
+  }
+
   test("permissive load: missing source contributes nothing, job succeeds") {
     // point one item's band at a missing file; failOnError=false loads on
     val broken = items.map { i =>

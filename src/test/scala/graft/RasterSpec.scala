@@ -237,6 +237,116 @@ class RasterSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(0.0, 4.0, 32.0, 36.0), out.toSeq)
   }
 
+  test("TIFF roundtrip: header + full/windowed reads match written pixels") {
+    val g = gbox(64, 48)
+    val px = ramp(64, 48, (x, y) => 1 + ((y * 64 + x) % 60000).toDouble)
+    val path = s"$tmp/rt.tif"
+    Tiff.write(path, px, g, "uint16", Some(0.0), tileSize = Some(16))
+    val hd = Tiff.readHeader(path)
+    assert(hd.dtype == "uint16" && hd.width == 64 && hd.height == 48)
+    assert(hd.nodata.contains(0.0))
+    assert(hd.geobox == g, s"geobox mismatch: ${hd.geobox} vs $g")
+    assert(Tiff.readWindow(path, 0, 0, 64, 48).toSeq == px.toSeq)
+    val win = Tiff.readWindow(path, 10, 5, 7, 3)
+    for (y <- 0 until 3; x <- 0 until 7)
+      assert(win(y * 7 + x) == px((5 + y) * 64 + 10 + x))
+  }
+
+  test("TIFF float32 + NaN nodata roundtrip") {
+    val g = gbox(32, 16)
+    val px = ramp(32, 16, (x, y) => if (x == 0) Double.NaN else x + y / 100.0)
+    val path = s"$tmp/f32.tif"
+    Tiff.write(path, px, g, "float32", Some(Double.NaN), tileSize = None)
+    val hd = Tiff.readHeader(path)
+    assert(hd.dtype == "float32" && hd.nodata.exists(_.isNaN))
+    val back = Tiff.readWindow(path, 0, 0, 32, 16)
+    for (i <- px.indices)
+      assert(back(i).isNaN == px(i).isNaN &&
+        (px(i).isNaN || math.abs(back(i) - px(i)) < 1e-4))
+  }
+
+  test("TiffReader parity: paste and warp match GrbReader pixel-for-pixel") {
+    val g = gbox(64, 32)
+    val px = ramp(64, 32, (x, y) => 1 + ((y * 64 + x) % 60000).toDouble)
+    val grbPath = s"$tmp/par.grb"
+    val tifPath = s"$tmp/par.tif"
+    Grb.write(grbPath, px, g, "uint16", Some(0))
+    Tiff.write(tifPath, px, g, "uint16", Some(0.0))
+    val cfg = RasterLoadParams()
+    // paste: identical grid
+    val Some((rg, og)) = GrbReader.read(RasterSource(grbPath), cfg, g, 0.0)
+    val Some((rt, ot)) = TiffReader.read(RasterSource(tifPath), cfg, g, 0.0)
+    assert(rg == rt && og.toSeq == ot.toSeq)
+    // warp: cross-CRS destination
+    val dst = GeoBox.fromBBox(g.footprint(Crs.WebMercator).bbox, 12,
+      Crs.WebMercator)
+    val Some((rg2, og2)) = GrbReader.read(RasterSource(grbPath), cfg, dst, 0.0)
+    val Some((rt2, ot2)) = TiffReader.read(RasterSource(tifPath), cfg, dst, 0.0)
+    assert(rg2 == rt2 && og2.toSeq == ot2.toSeq)
+    // AutoReader routes by extension to the same results
+    assert(AutoReader.read(RasterSource(tifPath), cfg, g, 0.0)
+      .map(_._2.toSeq) == Some(px.toSeq))
+    assert(AutoReader.read(RasterSource(grbPath), cfg, g, 0.0)
+      .map(_._2.toSeq) == Some(px.toSeq))
+  }
+
+  test("TIFF overview subimages: 2x/4x/8x selected by shrink (S8)") {
+    val g = gbox(64, 64)
+    // value encodes position so decimated levels are distinguishable
+    val px = ramp(64, 64, (x, y) => (y * 64 + x).toDouble)
+    val path = s"$tmp/ovr.tif"
+    Tiff.write(path, px, g, "uint16", None, tileSize = Some(16),
+      overviews = Seq(2, 4, 8))
+    assert(Tiff.overviewLevels(path) ==
+      Seq((2, s"$path#1"), (4, s"$path#2"), (8, s"$path#3")))
+    // 8x coarser destination must read the #3 subimage: nearest at the
+    // level's own grid returns the decimation samples
+    val dst = GeoBox(8, 8, Affine.grid(500000, 8000000, 80, -80), crs)
+    val cfg = RasterLoadParams() // useOverviews = true
+    val Some((_, out)) = TiffReader.read(RasterSource(path), cfg, dst, -1.0)
+    // decimated level picks px(8y*64 + 8x)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(out(y * 8 + x) == px(8 * y * 64 + 8 * x),
+        s"overview pixel ($x,$y)")
+    // with overviews disabled the base image feeds the same nearest warp
+    val Some((_, base)) = TiffReader.read(RasterSource(path),
+      cfg.copy(useOverviews = false), dst, -1.0)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(base(y * 8 + x) == px((8 * y + 4) * 64 + (8 * x + 4)))
+  }
+
+  test("GRB deep-pyramid sidecars: any .ovrN participates (8x)") {
+    val g = gbox(64, 64)
+    val px = ramp(64, 64, (x, y) => (y * 64 + x).toDouble)
+    val path = s"$tmp/deep.grb"
+    Grb.writeWithOverviews(path, px, g, "float64", None, shrinks = Seq(2, 4, 8))
+    val dst = GeoBox(8, 8, Affine.grid(500000, 8000000, 80, -80), crs)
+    val Some((_, out)) = GrbReader.read(RasterSource(path),
+      RasterLoadParams(), dst, -1.0)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(out(y * 8 + x) == px(8 * y * 64 + 8 * x))
+  }
+
+  test("mode resampling elects the majority category; sum totals flux (F16)") {
+    // 8x8 categorical source: left half class 1, right half class 2,
+    // a single class-9 pixel that must never win a 4x majority
+    val g = gbox(8, 8)
+    val px = ramp(8, 8, (x, _) => if (x < 4) 1.0 else 2.0)
+    px(0) = 9.0
+    val path = s"$tmp/cat.grb"
+    Grb.write(path, px, g, "uint8", None)
+    // destination 2x2 at 4x coarser: each dst pixel pools a 4x4 window
+    val dst = GeoBox(2, 2, Affine.grid(500000, 8000000, 40, -40), crs)
+    val cfgMode = RasterLoadParams(resampling = "mode", useOverviews = false)
+    val Some((_, m)) = GrbReader.read(RasterSource(path), cfgMode, dst, -1.0)
+    assert(m.toSeq == Seq(1.0, 2.0, 1.0, 2.0))
+    // sum: flux totals over the pooled window
+    val cfgSum = RasterLoadParams(resampling = "sum", useOverviews = false)
+    val Some((_, s)) = GrbReader.read(RasterSource(path), cfgSum, dst, -1.0)
+    // upper-left: 15 ones + one 9 = 24; right quads: 16 twos = 32
+    assert(s.toSeq == Seq(24.0, 32.0, 16.0, 32.0))
+  }
+
   test("pickOverview semantics (S8)") {
     assert(Grb.pickOverview(1, Seq(2, 4)).isEmpty)
     assert(Grb.pickOverview(2, Seq(2, 4)).contains(0))
