@@ -6,38 +6,55 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north-star extensions): media payloads as
   * opaque `binary` columns with typed metadata, and decode/feature/frame
-  * operators whose **Spark-side shape is real** (schema, partitioning,
-  * per-partition batch iteration) while the actual codec is a clearly
-  * marked deterministic stub — the container has no image/audio libraries
-  * (see the builder brief), so the stub stands in for e.g. a JPEG decoder.
+  * operators. The image path is REAL: payloads are genuine grayscale PNGs
+  * (rendered deterministically from doc_id, encoded with the JDK's
+  * `javax.imageio` PNG codec) and the decode operators run an actual
+  * `ImageIO.read`. Because the rendered pixel function is closed-form,
+  * the decoded pixel statistics are DuckDB-oracle-checkable end-to-end —
+  * the oracle recomputes them from the formula while Spark recovers them
+  * from the PNG bytes. A deterministic stub remains only as the fallback
+  * for payloads no installed codec accepts (e.g. video containers).
   *
-  * The media table is derived deterministically from `documents`: payload =
-  * UTF-8 bytes of the text, metadata synthesized from doc_id. At 100 TB the
-  * same pipeline shape holds: payloads stay in executor memory one partition
-  * at a time; nothing is collected to the driver.
+  * At 100 TB the same pipeline shape holds: payloads stay in executor
+  * memory one partition at a time; nothing is collected to the driver.
   */
 object Multimodal {
 
-  /** documents → media table: (doc_id, mime, width, height, payload). */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents").select(
-      col("doc_id"),
-      concat(lit("image/fake-"), col("source")).as("mime"),
-      (lit(16) + pmod(col("doc_id"), lit(48))).cast("int").as("width"),
-      (lit(16) + pmod(col("doc_id") * 7, lit(48))).cast("int").as("height"),
-      encode(col("text"), "UTF-8").as("payload"))
+  /** Deterministic pixel function: px(x, y) of doc `id`. */
+  @inline private def pixel(id: Long, x: Int, y: Int): Int =
+    ((x * 7L + y * 13L + id * 31L) % 256L).toInt
 
-  /** Typed-metadata scan: payload size + dimensions. Oracle-checkable
-    * because octet_length(text) is engine-agnostic. */
-  val metadataSparkSql: String =
-    """SELECT doc_id, CAST(octet_length(text) AS BIGINT) AS n_bytes,
-      |       CAST(16 + doc_id % 48 AS BIGINT) AS width,
-      |       CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS height
-      |FROM documents ORDER BY doc_id""".stripMargin
+  private def renderPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real decode: any format an installed ImageIO codec accepts (PNG and
+    * JPEG are always bundled with the JDK). None when no codec matches. */
+  private[multimodal] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Int](w * h)
+        img.getRaster.getSamples(0, 0, w, h, 0, px)
+        (w, h, px)
+      }
+    } catch { case _: Exception => None }
 
   /** STUB DECODE — deterministic fake "pixel" statistics derived from the
-    * payload bytes. A real deployment swaps `decodeStub` for an actual
-    * codec; everything around it (distribution, batching, schema) stays. */
+    * payload bytes; the fallback when no codec accepts the payload. */
   private def decodeStub(payload: Array[Byte], w: Int, h: Int): Array[Int] = {
     val px = new Array[Int](w * h)
     var i = 0
@@ -52,26 +69,75 @@ object Multimodal {
     px
   }
 
-  /** Decode + feature-extract: per-item "pixel" mean/std via mapPartitions
-    * (one decode buffer per partition batch, the shape a vectorized decode
-    * UDF needs). */
+  /** documents → media table: (doc_id, mime, width, height, payload) with
+    * payload a real PNG encoding of the deterministic image. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (16 + id % 48).toInt
+          val h = (16 + (id * 7) % 48).toInt
+          (id, "image/png", w, h, renderPng(id, w, h))
+        }
+      }
+      .toDF("doc_id", "mime", "width", "height", "payload")
+  }
+
+  /** Typed-metadata scan: payload size + dimensions. Oracle-checkable
+    * because octet_length(text) is engine-agnostic. */
+  val metadataSparkSql: String =
+    """SELECT doc_id, CAST(octet_length(text) AS BIGINT) AS n_bytes,
+      |       CAST(16 + doc_id % 48 AS BIGINT) AS width,
+      |       CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Decode + feature-extract: REAL `ImageIO.read` of the PNG payloads
+    * via mapPartitions, emitting exact integer pixel statistics
+    * (count/sum/sum-of-squares — no float rounding to diverge between
+    * engines). Falls back to the stub for undecodable payloads. */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = mediaTable(spark, dir)
       .select("doc_id", "width", "height", "payload")
       .as[(Long, Int, Int, Array[Byte])]
     media.mapPartitions { it =>
-      it.map { case (id, w, h, payload) =>
-        val px = decodeStub(payload, w, h)
-        val n = px.length.toDouble
-        val mean = px.sum / n
-        val variance = px.map(p => (p - mean) * (p - mean)).sum / n
-        (id, w, h, math.round(mean * 10000) / 10000.0,
-          math.round(math.sqrt(variance) * 10000) / 10000.0)
+      it.map { case (id, w0, h0, payload) =>
+        val (w, h, px) = decodeImage(payload)
+          .getOrElse((w0, h0, decodeStub(payload, w0, h0)))
+        var sum = 0L
+        var sumsq = 0L
+        var i = 0
+        while (i < px.length) {
+          sum += px(i); sumsq += px(i).toLong * px(i); i += 1
+        }
+        (id, w.toLong, h.toLong, px.length.toLong, sum, sumsq)
       }
-    }.toDF("doc_id", "width", "height", "px_mean", "px_std")
+    }.toDF("doc_id", "width", "height", "n_px", "px_sum", "px_sumsq")
       .orderBy("doc_id")
   }
+
+  /** Oracle: recompute the decoded statistics from the closed-form pixel
+    * function — Spark must recover the exact same integers from the PNG
+    * bytes (lossless grayscale roundtrip). */
+  val decodeFeaturesDuckSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(16 + doc_id % 48 AS BIGINT) AS width,
+      |         CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS height
+      |  FROM documents),
+      |px AS (
+      |  -- dims are 16..63, so a fixed 0..63 grid + filter replaces a
+      |  -- lateral generate_series (not supported by DuckDB's binder)
+      |  SELECT d.doc_id, d.width, d.height,
+      |         (tx.x * 7 + ty.y * 13 + d.doc_id * 31) % 256 AS v
+      |  FROM d,
+      |       generate_series(0, 63) AS tx(x),
+      |       generate_series(0, 63) AS ty(y)
+      |  WHERE tx.x < d.width AND ty.y < d.height)
+      |SELECT doc_id, MIN(width) AS width, MIN(height) AS height,
+      |       COUNT(*) AS n_px, SUM(v) AS px_sum, SUM(v * v) AS px_sumsq
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Frame sampling: treat payload as a "video" of 64-byte frames, keep
     * every 4th frame, emit (doc_id, frame_idx, checksum) — the explode
@@ -91,10 +157,9 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** Resize: decode (stub), nearest-neighbor downsample to a fixed
+  /** Resize: real decode, nearest-neighbor downsample to a fixed
     * thumbnail grid, emit new dims + pixel checksum — the batch-resize
-    * shape of a real thumbnailing pipeline (decode swaps in, the
-    * distribution/schema stays). */
+    * shape of a real thumbnailing pipeline. */
   def resize(spark: SparkSession, dir: String,
              outW: Int = 8, outH: Int = 8): DataFrame = {
     import spark.implicits._
@@ -102,8 +167,9 @@ object Multimodal {
       .select("doc_id", "width", "height", "payload")
       .as[(Long, Int, Int, Array[Byte])]
     media.mapPartitions { it =>
-      it.map { case (id, w, h, payload) =>
-        val px = decodeStub(payload, w, h)
+      it.map { case (id, w0, h0, payload) =>
+        val (w, h, px) = decodeImage(payload)
+          .getOrElse((w0, h0, decodeStub(payload, w0, h0)))
         var crc = 1125899906842597L
         var oy = 0
         while (oy < outH) {
@@ -136,6 +202,7 @@ object Multimodal {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    "mm_metadata" -> metadataDuckSql
+    "mm_metadata" -> metadataDuckSql,
+    "mm_decode_features" -> decodeFeaturesDuckSql
   )
 }
