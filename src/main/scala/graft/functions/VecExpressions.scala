@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
@@ -23,6 +23,92 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * norms) — explicit semantics for `array<float>` columns whose parquet
   * schema marks elements nullable, instead of silently reading them as 0.
   */
+/** Primitive kernels for embedding signatures, callable from generated
+  * code (Scala objects emit static forwarders). */
+object VecKernels {
+  /** splitmix64 — deterministic counter-based PRNG (public-domain
+    * constants), so hyperplane components need no stored matrix shared
+    * across executors: component(b, i) is a pure function of (seed, b, i). */
+  @inline private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Flat sigBits×dim hyperplane matrix, uniform [-1, 1) components —
+    * sign-random-projection only needs symmetric components. Cached per
+    * (seed, sigBits, dim) per JVM; regenerated deterministically on every
+    * executor, so nothing ships with the task closure. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Double]]()
+
+  private def planes(seed: Long, sigBits: Int, dim: Int): Array[Double] = {
+    val key: java.lang.Long = (seed * 1000003L + sigBits.toLong) * 100003L + dim
+    planeCache.computeIfAbsent(key, _ => {
+      val m = new Array[Double](sigBits * dim)
+      var b = 0
+      while (b < sigBits) {
+        var i = 0
+        while (i < dim) {
+          val h = mix(seed ^ (b.toLong << 32) ^ i.toLong)
+          m(b * dim + i) = (h >>> 11) * (2.0 / (1L << 53)) - 1.0
+          i += 1
+        }
+        b += 1
+      }
+      m
+    })
+  }
+
+  /** Random-hyperplane (sign-random-projection) signature of an
+    * `array<float>` embedding: bit b = sign(<emb, plane_b>). Null
+    * elements are skipped (consistent with CosineSimilarity). */
+  def rhpSig(arr: ArrayData, seed: Long, sigBits: Int): Long = {
+    val dim = arr.numElements()
+    val m = planes(seed, sigBits, dim)
+    var sig = 0L
+    var b = 0
+    while (b < sigBits) {
+      var dot = 0.0
+      val off = b * dim
+      var i = 0
+      while (i < dim) {
+        if (!arr.isNullAt(i)) dot += arr.getFloat(i) * m(off + i)
+        i += 1
+      }
+      if (dot > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** `rhp_sig(embedding)` — 64-bit random-hyperplane LSH signature as a
+  * native expression: the per-row projection stays inside whole-stage
+  * codegen via a static kernel call (no Seq[Float] boxing — the round-1/2
+  * `sigUdf` boxed every element of every row). */
+case class RandomHyperplaneSig(child: Expression, seed: Long, sigBits: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "rhp_sig"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${t.simpleString}")
+    }
+  override def nullSafeEval(input: Any): Any =
+    VecKernels.rhpSig(input.asInstanceOf[ArrayData], seed, sigBits)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecKernels.rhpSig($c, ${seed}L, $sigBits);")
+  override protected def withNewChildInternal(newChild: Expression): RandomHyperplaneSig =
+    copy(child = newChild)
+}
+
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
 
@@ -117,6 +203,13 @@ object VecFunctions {
       { args: Seq[Expression] =>
         require(args.length == 2, "vec_cosine(a, b) takes two arguments")
         CosineSimilarity(args(0), args(1))
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "rhp_sig",
+      { args: Seq[Expression] =>
+        require(args.length == 1, "rhp_sig(embedding) takes one argument")
+        RandomHyperplaneSig(args(0), seed = 7L, sigBits = 64)
       },
       "built-in")
     reg.createOrReplaceTempFunction(

@@ -66,9 +66,12 @@ object Relational {
         |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
         |ORDER BY p_partkey""".stripMargin),
 
+    // filtered subquery so the result is non-empty at every SF (an
+    // all-orders NOT IN matches nothing — the oracle row was vacuous)
     Q("q10_anti_join",
       """SELECT c_custkey FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
         |ORDER BY c_custkey""".stripMargin),
 
     Q("q11_broadcast_join",
@@ -135,9 +138,12 @@ object Relational {
       """SELECT c_nationkey AS k FROM customer
         |INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k""".stripMargin),
 
+    // custkey domain, filtered right side → non-empty at every SF
+    // (customer-vs-supplier nationkeys fully overlap — vacuous oracle row)
     Q("q21_except",
-      """SELECT c_nationkey AS k FROM customer
-        |EXCEPT SELECT s_nationkey AS k FROM supplier ORDER BY k""".stripMargin),
+      """SELECT o_custkey AS k FROM orders
+        |EXCEPT SELECT c_custkey AS k FROM customer
+        |        WHERE c_mktsegment = 'BUILDING' ORDER BY k""".stripMargin),
 
     Q("q21_union_all",
       """SELECT k, COUNT(*) AS n FROM (

@@ -54,60 +54,61 @@ object Similarity {
        |  FROM s) t
        |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
 
-  // ---- LSH (random hyperplanes) -------------------------------------------
+  // ---- LSH (random hyperplanes, 64-bit native signatures) -----------------
 
-  val SigBits = 16
-  val ChunkBits = 4 // 4 chunks of 4 bits: candidates share any chunk
-
-  /** Deterministic pseudo-random hyperplanes (seed fixed; dimension taken
-    * from the data at plan time — one-row driver lookup, metadata-cheap). */
-  private def planes(dim: Int): Array[Array[Double]] = {
-    val r = new scala.util.Random(7)
-    Array.fill(SigBits)(Array.fill(dim)(r.nextGaussian()))
-  }
-
-  private def sigUdf(dim: Int) = {
-    val ps = planes(dim)
-    udf { emb: Seq[Float] =>
-      var sig = 0
-      var b = 0
-      while (b < SigBits) {
-        var dot = 0.0
-        val p = ps(b)
-        var i = 0
-        val n = math.min(dim, emb.length)
-        while (i < n) { dot += emb(i) * p(i); i += 1 }
-        if (dot > 0) sig |= (1 << b)
-        b += 1
-      }
-      sig
-    }
-  }
+  val SigBits = 64 // native rhp_sig codegen Expression (VecExpressions)
+  val ChunkBits = 8 // 8 bands of 8 bits; queries add hamming-1 multiprobe
 
   /** (vec_id, chunk, v) signature-chunk rows — ids only, so the candidate
-    * join and distinct shuffle 12 bytes/row instead of full embeddings;
-    * vectors are joined back only for surviving candidate pairs. */
-  private def chunkRows(emb: DataFrame, dim: Int,
-                        chunkBits: Int = ChunkBits): DataFrame =
-    emb.select(col("vec_id"), sigUdf(dim)(col("embedding")).as("sig"))
+    * join and distinct shuffle ~16 bytes/row instead of full embeddings;
+    * vectors are joined back only for surviving candidate pairs. The
+    * signature itself is one native map-side projection (`rhp_sig`). */
+  private def chunkRows(emb: DataFrame, chunkBits: Int = ChunkBits): DataFrame =
+    emb.select(col("vec_id"),
+        call_function("rhp_sig", col("embedding")).as("sig"))
       .select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${SigBits / chunkBits - 1}), " +
-          s"c -> shiftright(sig, c * $chunkBits) & ${(1 << chunkBits) - 1})"))
+          s"c -> shiftright(sig, c * $chunkBits) & ${(1L << chunkBits) - 1}L)"))
         .as(Seq("chunk", "v")))
 
-  /** Approximate top-k: same-chunk LSH candidates, exact cosine re-rank.
-    * Output schema matches bruteforce (qid, cid, rn, cos). */
+  /** Hamming-radius-1 multiprobe: each query chunk also probes the
+    * `chunkBits` single-bit-flip neighbor buckets. Query-side only —
+    * the corpus is indexed once, queries fan out ×(chunkBits+1). */
+  private def probeRows(chunked: DataFrame, chunkBits: Int): DataFrame =
+    chunked.select(col("vec_id"), col("chunk"), explode(expr(
+      s"transform(sequence(0, $chunkBits), " +
+        "j -> CASE WHEN j = 0 THEN v ELSE v ^ shiftleft(1L, j - 1) END)"))
+      .as("v"))
+
+  /** Candidate (qid, cid) pairs: same-bucket in any band, query side
+    * multiprobed. Exposed for the candidate-selectivity spec. */
+  private[graft] def candidatePairs(emb: DataFrame, chunkBits: Int = ChunkBits,
+                                    multiprobe: Boolean = true): DataFrame = {
+    val chunked = chunkRows(emb, chunkBits)
+    val qBase = chunked.where(col("vec_id") < NumQueries)
+    val q = (if (multiprobe) probeRows(qBase, chunkBits) else qBase)
+      .toDF("qid", "chunk", "v")
+    val c = chunked.toDF("cid", "chunk", "v")
+    q.join(c, Seq("chunk", "v"))
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+  }
+
+  /** Approximate top-k: banded LSH candidates (+multiprobe), exact cosine
+    * re-rank. Output schema matches bruteforce (qid, cid, rn, cos).
+    *
+    * Scale parameterization: 64-bit signatures → 8 bands of 8 bits. On a
+    * near-dup corpus (cos ≥ 0.9 ⇒ per-bit agreement ≈ 0.9) a band matches
+    * with p ≈ 0.43 and a random pair with p ≈ 2^-8·9 ≈ 3.5%; 16-bit
+    * chunks (4 bands) push random collisions to ~2.6e-4 for 100 TB runs —
+    * `candidatePairs(emb, chunkBits = 16)`. The synthetic bench corpus is
+    * near-orthogonal (top-k at cos ≈ 0.5), the adversarial case for ANY
+    * sublinear ANN — the 8-bit default trades candidate volume for recall
+    * there. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     VecFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
-    val dim = emb.selectExpr("size(embedding)").head().getInt(0)
-    val chunked = chunkRows(emb, dim)
-    val q = chunked.where(col("vec_id") < NumQueries).toDF("qid", "chunk", "v")
-    val c = chunked.toDF("cid", "chunk", "v")
-    val pairIds = q.join(c, Seq("chunk", "v"))
-      .where(col("qid") =!= col("cid"))
-      .select("qid", "cid").distinct()
-    val cand = pairIds
+    val cand = candidatePairs(emb)
       .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
       .join(emb.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
     // native codegen'd kernel (CosineSimilarity Expression)
@@ -128,11 +129,10 @@ object Similarity {
                    threshold: Double = 0.45): DataFrame = {
     VecFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
-    val dim = emb.selectExpr("size(embedding)").head().getInt(0)
-    // all-pairs mode: coarser buckets (8-bit chunks) shrink the expected
-    // candidate count; the hard bound against a skewed bucket going
-    // quadratic is the MaxBucket cap below (same guard as MinHash-LSH)
-    val chunked = chunkRows(emb, dim, chunkBits = 8)
+    // all-pairs mode: 8-bit chunks (8 bands × 256 buckets); the hard bound
+    // against a skewed bucket going quadratic is the MaxBucket cap below
+    // (same guard as MinHash-LSH)
+    val chunked = chunkRows(emb, chunkBits = 8)
     // native codegen'd kernel (CosineSimilarity Expression)
     val cosine = call_function("vec_cosine", col("ea"), col("eb"))
     val buckets = chunked
@@ -154,15 +154,21 @@ object Similarity {
 
   // ---- IVF (inverted file index via k-means coarse quantizer) -------------
 
-  val IvfCentroids = 16
-  val IvfProbes = 4
+  /** Per-centroid training-sample budget: k-means quality saturates fast,
+    * so training reads ~SamplePerCentroid·k rows regardless of corpus
+    * size — at 100 TB the `sample()` is what keeps the fit off the full
+    * table. */
+  val SamplePerCentroid = 48
+  /** Fraction of cells each query probes (multiprobe over the coarse
+    * quantizer). */
+  val ProbeFraction = 0.25
 
   /** IVF approximate top-k — the second scale path beside LSH: a k-means
-    * coarse quantizer (MLlib, fixed seed) partitions the corpus into
-    * `IvfCentroids` cells; each query probes its `IvfProbes` nearest
-    * cells and exact-cosine re-ranks only those candidates. At 100 TB the
-    * assignment column doubles as the physical partition key, so a probe
-    * touches `probes/centroids` of the data; training runs on a sample.
+    * coarse quantizer (MLlib, fixed seed, trained on a bounded SAMPLE)
+    * partitions the corpus into ~√N cells; each query probes its nearest
+    * `ProbeFraction` of cells and exact-cosine re-ranks only those
+    * candidates. At 100 TB the assignment column doubles as the physical
+    * partition key, so a probe touches `probes/centroids` of the data.
     * Output schema matches bruteforce (qid, cid, rn, cos). */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -172,21 +178,39 @@ object Similarity {
       .withColumn("vec", array_to_vector(
         expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
       .cache()
-    val model = new KMeans().setK(IvfCentroids).setSeed(11)
-      .setMaxIter(5).setFeaturesCol("vec").setPredictionCol("cell")
-      .fit(emb)
+    // √N centroids (count() is a metadata-cheap parquet row-count)
+    val n = emb.count()
+    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val trainFrac = math.min(1.0, SamplePerCentroid.toDouble * k / n)
+    val train =
+      if (trainFrac < 1.0) emb.sample(withReplacement = false, trainFrac, 11)
+      else emb
+    val model = new KMeans().setK(k).setSeed(11)
+      .setMaxIter(10).setFeaturesCol("vec").setPredictionCol("cell")
+      .fit(train)
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("cell"))
-    // per-query probe list: nearest IvfProbes centroids by euclidean
+    // per-query probe list: top ⌈ProbeFraction·k⌉ centroids by COSINE —
+    // the probe ranking must match the re-rank metric, or the cells
+    // holding high-cosine neighbors get probed last (query side only —
+    // NumQueries rows, so the udf is off the hot path; the corpus side is
+    // the native cell equi-join below)
+    val probes = math.max(5, math.ceil(ProbeFraction * k).toInt)
     val centroids = model.clusterCenters
     val probeUdf = udf { emb2: Seq[Float] =>
       centroids.zipWithIndex.map { case (c, i) =>
-        var d = 0.0
-        val n = math.min(c.size, emb2.length)
+        var dot = 0.0
+        var nc = 0.0
+        var ne = 0.0
+        val m = math.min(c.size, emb2.length)
         var j = 0
-        while (j < n) { val t = c(j) - emb2(j); d += t * t; j += 1 }
-        (d, i)
-      }.sortBy(_._1).take(IvfProbes).map(_._2)
+        while (j < m) {
+          dot += c(j) * emb2(j); nc += c(j) * c(j)
+          ne += emb2(j).toDouble * emb2(j); j += 1
+        }
+        val denom = math.sqrt(nc) * math.sqrt(ne)
+        (if (denom == 0.0) 0.0 else dot / denom, i)
+      }.sortBy(-_._1).take(probes).map(_._2)
     }
     val queries = assigned.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),

@@ -82,6 +82,34 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall too low")
   }
 
+  test("LSH 16-bit scale config recalls planted near-dups with sublinear candidates") {
+    // The 100 TB parameterization (chunkBits=16: 4 bands of 16 bits +
+    // hamming-1 multiprobe) on the workload LSH exists for: a corpus with
+    // genuine high-cosine near-dups. Every planted dup must surface while
+    // the candidate set stays a small fraction of the corpus — THE property
+    // that makes the join sublinear at scale.
+    import spark.implicits._
+    val r = new scala.util.Random(123)
+    val dim = 64
+    val n = 400
+    val base = Array.fill(n)(Array.fill(dim)(r.nextGaussian().toFloat))
+    // vec_id < 10 are the queries: tiny perturbations of vectors 10..19
+    for (i <- 0 until 10; j <- 0 until dim)
+      base(i)(j) = base(10 + i)(j) + 0.05f * r.nextGaussian().toFloat
+    val emb = base.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("vec_id", "embedding")
+    functions.VecFunctions.register(spark)
+    val cand = similarity.Similarity.candidatePairs(emb, chunkBits = 16)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    for (i <- 0 until 10)
+      assert(cand.contains((i.toLong, (10 + i).toLong)),
+        s"query $i missed its planted near-dup ${10 + i}")
+    val avgCand = cand.size.toDouble / 10
+    info(s"avg candidates/query = $avgCand of n=$n")
+    assert(avgCand < 0.1 * n,
+      s"candidate sets not sublinear: $avgCand of $n per query")
+  }
+
   test("IVF top-k has reasonable recall vs brute force") {
     Tables.register(spark, sf)
     functions.VecFunctions.register(spark)
