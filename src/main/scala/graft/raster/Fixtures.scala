@@ -93,6 +93,73 @@ object Fixtures {
     }
   }
 
+  def msiPath(k: Int): String = dir.resolve(s"scene$k-msi.tif").toString
+
+  /** Band plane b (1-based) of multi-band scene k: the base ramp offset
+    * by (b-1)*10000 on valid pixels, so every plane is distinguishable
+    * and a band-1-instead-of-b bug cannot pass the goldens. */
+  def bandPixels(k: Int, b: Int): Array[Double] =
+    scenePixels(k).map(v => if (v == 0.0) 0.0 else v + (b - 1) * 10000)
+
+  /** Same scenes as ONE packed 3-band GeoTIFF asset per item (the
+    * Landsat-stack layout): bands red/green/nir are planes 1..3 of
+    * `msi`, addressed via `RasterSource.band`. */
+  def writeScenesMultiband(nItems: Int): Seq[String] =
+    (0 until nItems).map { k =>
+      val gbox = sceneGeobox(k)
+      val f = new java.io.File(msiPath(k))
+      if (!f.exists())
+        Tiff.writeBands(msiPath(k), (1 to 3).map(bandPixels(k, _)), gbox,
+          "uint16", Some(0.0))
+      itemJsonMultiband(k, gbox)
+    }
+
+  /** STAC item for the packed 3-band asset: one `msi` asset with three
+    * eo:bands names and three raster:bands entries — the parser must
+    * yield BandKey(msi, 1..3) and alias red/green/nir to them. */
+  def itemJsonMultiband(k: Int, gbox: GeoBox): String = {
+    val fp = gbox.footprint(Crs.LonLat)
+    val ring = (fp.ring :+ fp.ring.head)
+      .map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
+    val dt = java.time.LocalDateTime.of(2020, 6, 6, 8, 0, 0)
+      .plusDays(k / 2).plusMinutes(k % 60)
+    val dtStr = dt.format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+    val t = gbox.transform
+    val eoBands = Seq("red", "green", "nir").map(n =>
+      s"""{"name": "msi_$n", "common_name": "$n"}""").mkString(",")
+    val rasterBands = Seq.fill(3)(
+      """{"nodata": 0, "data_type": "uint16"}""").mkString(",")
+    s"""{
+       |  "type": "Feature",
+       |  "stac_version": "1.0.0",
+       |  "id": "mscene-$k",
+       |  "collection": "$CollectionId-msi",
+       |  "stac_extensions": [
+       |    "https://stac-extensions.github.io/projection/v1.1.0/schema.json",
+       |    "https://stac-extensions.github.io/raster/v1.1.0/schema.json",
+       |    "https://stac-extensions.github.io/eo/v1.1.0/schema.json"],
+       |  "geometry": {"type": "Polygon", "coordinates": [$ring]},
+       |  "properties": {
+       |    "datetime": "${dtStr}Z",
+       |    "proj:epsg": 32735,
+       |    "platform": "graft-${k % 2}"
+       |  },
+       |  "assets": {
+       |    "msi": {
+       |      "href": "file://${msiPath(k)}",
+       |      "type": "image/tiff; application=geotiff",
+       |      "roles": ["data"],
+       |      "gsd": $Res,
+       |      "eo:bands": [$eoBands],
+       |      "proj:shape": [${gbox.height}, ${gbox.width}],
+       |      "proj:transform": [${t.a}, ${t.b}, ${t.c}, ${t.d}, ${t.e}, ${t.f}],
+       |      "raster:bands": [$rasterBands]
+       |    }
+       |  }
+       |}""".stripMargin
+  }
+
   /** STAC item JSON with proj + raster + eo extensions populated the way
     * real catalogs do (FIXTURES.md §1). Scenes alternate between two
     * days; two scenes share a timestamp day for solar_day grouping. */

@@ -65,12 +65,15 @@ trait RasterReader extends Serializable {
   * independent and live here. */
 abstract class WindowedReader extends RasterReader {
 
-  /** Parse the format header: dims, dtype, nodata, geobox. */
-  protected def formatHeader(uri: String): Grb.Header
+  /** Parse the format header: dims, dtype, nodata, geobox. `band` is the
+    * 1-based sample band the source addresses (multi-band assets);
+    * formats that cannot address it must throw, not read band 1. */
+  protected def formatHeader(uri: String, band: Int): Grb.Header
 
-  /** Windowed pixel read (row-major doubles, unsigned widened). */
+  /** Windowed pixel read of one band (row-major doubles, unsigned
+    * widened). */
   protected def formatWindow(uri: String, x0: Int, y0: Int,
-                             w: Int, h: Int): Array[Double]
+                             w: Int, h: Int, band: Int): Array[Double]
 
   /** Available decimation levels, ascending scale: (scale, level-uri).
     * A level-uri must itself be readable by formatHeader/formatWindow. */
@@ -114,7 +117,7 @@ abstract class WindowedReader extends RasterReader {
     * overlap with the destination. */
   protected def plan(src: RasterSource, cfg: RasterLoadParams,
                      dstGeobox: GeoBox): Option[ReadPlan] = {
-    val header = formatHeader(src.uri)
+    val header = formatHeader(src.uri, src.band)
     val srcGeobox = header.geobox
     val srcNodata = cfg.srcNodataOverride
       .orElse(header.nodata)
@@ -175,7 +178,7 @@ abstract class WindowedReader extends RasterReader {
                     dstNodata: Double): Option[(Roi, Array[Double])] = {
     val (cx0, cy0, wx0, wy0, w, h) = clipPaste(header, roi, sx0, sy0)
     if (w <= 0 || h <= 0) return None
-    val pix = formatWindow(src.uri, wx0, wy0, w, h)
+    val pix = formatWindow(src.uri, wx0, wy0, w, h, src.band)
     val out = new Array[Double](roi.w * roi.h)
     if (cx0 > 0 || cy0 > 0 || w < roi.w || h < roi.h)
       java.util.Arrays.fill(out, dstNodata)
@@ -210,7 +213,7 @@ abstract class WindowedReader extends RasterReader {
         Grb.pickOverview(shrink, levels.map(_._1)) match {
           case Some(i) =>
             val u = levels(i)._2
-            (u, formatHeader(u).geobox)
+            (u, formatHeader(u, src.band).geobox)
           case None => (src.uri, srcGeobox0)
         }
       } else (src.uri, srcGeobox0)
@@ -240,7 +243,7 @@ abstract class WindowedReader extends RasterReader {
     val wy1 = math.min(srcGeobox.height, math.ceil(scorners.map(_._2).max).toInt + 1)
     if (wx1 <= wx0 || wy1 <= wy0) return None
     val (sw, sh) = (wx1 - wx0, wy1 - wy0)
-    val spix = formatWindow(uri, wx0, wy0, sw, sh)
+    val spix = formatWindow(uri, wx0, wy0, sw, sh, src.band)
 
     // primitive nodata (NaN = none) — keeps Option out of the pixel loop
     val sn = srcNodata.getOrElse(Double.NaN)
@@ -409,11 +412,18 @@ abstract class WindowedReader extends RasterReader {
 
 object GrbReader extends WindowedReader {
 
-  protected def formatHeader(uri: String): Grb.Header = Grb.readHeader(uri)
+  protected def formatHeader(uri: String, band: Int): Grb.Header = {
+    require(band == 1,
+      s"GRB containers are single-band by format; band $band requested of $uri")
+    Grb.readHeader(uri)
+  }
 
   protected def formatWindow(uri: String, x0: Int, y0: Int,
-                             w: Int, h: Int): Array[Double] =
+                             w: Int, h: Int, band: Int): Array[Double] = {
+    require(band == 1,
+      s"GRB containers are single-band by format; band $band requested of $uri")
     Grb.readWindow(uri, x0, y0, w, h)._2
+  }
 
   /** Any `.ovr<N>` sidecar participates (S8 generalized — deep pyramids
     * 8x/16x included), not a hardcoded 2/4 list. */
@@ -468,10 +478,11 @@ object GrbReader extends WindowedReader {
   * (addressed as `uri#<image-index>`). See [[Tiff]] for the tag plumbing.
   * Mirrors the reference's rasterio reader shape (`_rio.py:374-475`). */
 object TiffReader extends WindowedReader {
-  protected def formatHeader(uri: String): Grb.Header = Tiff.readHeader(uri)
+  protected def formatHeader(uri: String, band: Int): Grb.Header =
+    Tiff.readHeader(uri, band)
   protected def formatWindow(uri: String, x0: Int, y0: Int,
-                             w: Int, h: Int): Array[Double] =
-    Tiff.readWindow(uri, x0, y0, w, h)
+                             w: Int, h: Int, band: Int): Array[Double] =
+    Tiff.readWindow(uri, x0, y0, w, h, band)
   protected def formatOverviews(uri: String): Seq[(Int, String)] =
     Tiff.overviewLevels(uri)
 }

@@ -62,11 +62,17 @@ object Tiff {
   }
 
   /** Header of the addressed image. Overview IFDs (idx > 0) carry no geo
-    * tags; their geobox is the base geobox decimated by the size ratio. */
-  def readHeader(uri: String): Grb.Header = withReader(uri) { (reader, idx) =>
+    * tags; their geobox is the base geobox decimated by the size ratio.
+    * `band` (1-based) validates against SamplesPerPixel — a request for
+    * band 3 of a single-band file must fail loudly, not read band 1
+    * (reference `loader/types.py:40-70` RasterSource.band). */
+  def readHeader(uri: String, band: Int = 1): Grb.Header = withReader(uri) { (reader, idx) =>
     val w = reader.getWidth(idx)
     val h = reader.getHeight(idx)
     val dir = TIFFDirectory.createFromMetadata(reader.getImageMetadata(idx))
+    val nBands = samplesPerPixel(dir)
+    require(band >= 1 && band <= nBands,
+      s"band $band requested of $uri with $nBands sample band(s)")
     val dtype = dtypeOf(dir)
     val baseDir =
       if (idx == 0) dir
@@ -94,9 +100,13 @@ object Tiff {
     Grb.Header(dtype, w, h, nodata, gbox, 0L)
   }
 
-  /** Windowed read: decodes only the region's tiles/strips. Row-major
-    * doubles, unsigned types widened. */
-  def readWindow(uri: String, x0: Int, y0: Int, w: Int, h: Int): Array[Double] =
+  /** Windowed read of one band: decodes only the region's tiles/strips.
+    * Row-major doubles, unsigned types widened. `band` is 1-based —
+    * multi-band files (RGB/MSI packed into one asset) address plane
+    * `band-1` of the decoded raster; `setSourceBands` restricts the
+    * decode itself to that plane for planar or banded layouts. */
+  def readWindow(uri: String, x0: Int, y0: Int, w: Int, h: Int,
+                 band: Int = 1): Array[Double] =
     withReader(uri) { (reader, idx) =>
       require(x0 >= 0 && y0 >= 0 && x0 + w <= reader.getWidth(idx) &&
         y0 + h <= reader.getHeight(idx),
@@ -104,9 +114,17 @@ object Tiff {
           s"${reader.getWidth(idx)}x${reader.getHeight(idx)}")
       val param = reader.getDefaultReadParam
       param.setSourceRegion(new Rectangle(x0, y0, w, h))
+      if (band != 1) {
+        val dir = TIFFDirectory.createFromMetadata(reader.getImageMetadata(idx))
+        val nBands = samplesPerPixel(dir)
+        require(band >= 1 && band <= nBands,
+          s"band $band requested of $uri with $nBands sample band(s)")
+      }
+      // decode the window (all samples — interleaved layouts decode rows
+      // anyway) and extract the addressed plane from the raster
       val img = reader.read(idx, param)
       val out = new Array[Double](w * h)
-      img.getRaster.getSamples(0, 0, w, h, 0, out)
+      img.getRaster.getSamples(0, 0, w, h, band - 1, out)
       // JDK raster samples come back sign-extended only for signed buffer
       // types; unsigned 8/16-bit arrive already widened. int64 is not a
       // TIFF baseline type, so no masking is needed here.
@@ -161,6 +179,10 @@ object Tiff {
     } catch { case _: Exception => None }
     finally raf.close()
   }
+
+  private def samplesPerPixel(dir: TIFFDirectory): Int =
+    Option(dir.getTIFFField(BaselineTIFFTagSet.TAG_SAMPLES_PER_PIXEL))
+      .map(_.getAsInt(0)).getOrElse(1)
 
   private def dtypeOf(dir: TIFFDirectory): String = {
     def intField(tag: Int, dflt: Int): Int =
@@ -266,6 +288,67 @@ object Tiff {
           v.toLong.toString else v.toString))
     }
     Seq(scale, tie, geokeys) ++ nd
+  }
+
+  /** Minimal N-component color space for band counts with no standard
+    * java.awt color space (4+-band MSI stacks) — the transforms are only
+    * there to satisfy `ComponentColorModel`; pixel data round-trips
+    * through the raster untouched. */
+  private final class NComponentColorSpace(n: Int)
+      extends ColorSpace(ColorSpace.TYPE_GRAY, n) {
+    override def toRGB(cv: Array[Float]): Array[Float] =
+      Array(cv(0), cv(0), cv(0))
+    override def fromRGB(rgb: Array[Float]): Array[Float] =
+      Array.fill(n)(rgb(0))
+    override def toCIEXYZ(cv: Array[Float]): Array[Float] =
+      Array(cv(0), cv(0), cv(0))
+    override def fromCIEXYZ(xyz: Array[Float]): Array[Float] =
+      Array.fill(n)(xyz(0))
+  }
+
+  /** Write a MULTI-BAND (pixel-interleaved) GeoTIFF: `bands` are equal-
+    * length row-major planes — the packed-bands layout real catalogs ship
+    * (RGB composites, MSI stacks) that `readWindow(band = i)` addresses.
+    * 3 bands write as photometric RGB; other counts use a minimal
+    * N-component color space. */
+  def writeBands(path: String, bands: Seq[Array[Double]], geobox: GeoBox,
+                 dtype: String, nodata: Option[Double],
+                 tileSize: Option[Int] = Some(64)): Unit = {
+    require(bands.nonEmpty &&
+      bands.forall(_.length == geobox.width * geobox.height),
+      "each band must be a full-geobox plane")
+    if (bands.length == 1)
+      return write(path, bands.head, geobox, dtype, nodata, tileSize)
+    val (w, h) = (geobox.width, geobox.height)
+    val cs: ColorSpace =
+      if (bands.length == 3) ColorSpace.getInstance(ColorSpace.CS_sRGB)
+      else new NComponentColorSpace(bands.length)
+    val cm = new ComponentColorModel(cs, false, false,
+      java.awt.Transparency.OPAQUE, bufferType(dtype))
+    val raster = Raster.createWritableRaster(
+      cm.createCompatibleSampleModel(w, h), null)
+    bands.zipWithIndex.foreach { case (px, b) =>
+      raster.setSamples(0, 0, w, h, b, px)
+    }
+    val img = new BufferedImage(cm, raster, false, null)
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val ios = ImageIO.createImageOutputStream(new File(path))
+    try {
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      tileSize.foreach { ts =>
+        param.setTilingMode(ImageWriteParam.MODE_EXPLICIT)
+        param.setTiling(ts, ts, 0, 0)
+      }
+      val meta = writer.getDefaultImageMetadata(
+        new ImageTypeSpecifier(img), param)
+      val dir = TIFFDirectory.createFromMetadata(meta)
+      geoFields(geobox, nodata).foreach(dir.addTIFFField)
+      writer.write(null, new IIOImage(img, null, dir.getAsMetadata), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
   }
 
   /** Write a single-band GeoTIFF; `tileSize` tiles the layout (multiple

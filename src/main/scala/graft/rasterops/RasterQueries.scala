@@ -93,8 +93,23 @@ object RasterQueries {
     val jsons = Fixtures.writeScenesTiff(NScenes)
     val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
     val items = ds.collect().toSeq.sortBy(_.id)
-    summarize(Load.load(spark, items, schemas, bands = Seq("red", "nir"),
-      groupby = "solar_day", chunks = 64).tiles)
+    val single = summarize(
+      Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+        groupby = "solar_day", chunks = 64).tiles)
+      .withColumn("layout", lit("per_band_files"))
+    // packed multi-band asset: red/green/nir are planes 1..3 of ONE tif,
+    // exercising RasterSource.band addressing end-to-end (S7 multi-band)
+    val mJsons = Fixtures.writeScenesMultiband(NScenes)
+    val (mDs, mSchemas) = StacParse.parseItems(spark, spark.createDataset(mJsons))
+    val mItems = mDs.collect().toSeq.sortBy(_.id)
+    val packed = summarize(
+      Load.load(spark, mItems, mSchemas, bands = Seq("red", "green", "nir"),
+        groupby = "solar_day", chunks = 64).tiles)
+      .withColumn("layout", lit("packed_bands"))
+    single.unionAll(packed)
+      .select(col("layout"), col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("width"), col("height"), col("validCount"), col("checksum"))
+      .orderBy("layout", "band", "tIdx", "ty", "tx")
   }
 
   def parseItems(spark: SparkSession): DataFrame = {

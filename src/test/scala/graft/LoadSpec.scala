@@ -291,6 +291,42 @@ class LoadSpec extends AnyFunSuite {
     assert(tiffOvr.nonEmpty && tiffOvr == grbOvr)
   }
 
+  test("packed multi-band asset: each requested band loads its own plane (S7)") {
+    import spark.implicits._
+    val mJsons = Fixtures.writeScenesMultiband(2)
+    val (mds, mSchemas) = StacParse.parseItems(spark, spark.createDataset(mJsons))
+    val mItems = mds.collect().toSeq.sortBy(_.id)
+    val md = mSchemas(Fixtures.CollectionId + "-msi")
+    // schema: ONE asset, three BandKeys, common_name aliases resolve to them
+    assert(md.bands.keySet == Set(1, 2, 3).map(graft.model.BandKey("msi", _)))
+    assert(md.bandKey("green") == graft.model.BandKey("msi", 2))
+    assert(mItems.head.bands("msi.2").band == 2)
+    assert(mItems.head.bands.values.forall(_.uri.endsWith("-msi.tif")))
+    val res = Load.load(spark, mItems, mSchemas,
+      bands = Seq("red", "green", "nir"), groupby = "id", chunks = 64)
+    val tiles = res.tiles.collect()
+      .map(r => ((r.getAs[String]("band"), r.getAs[Int]("tIdx"),
+        r.getAs[Int]("ty"), r.getAs[Int]("tx")),
+        graft.load.Fuse.decode(r.getAs[Array[Byte]]("data"),
+          r.getAs[String]("dtype"))))
+      .toMap
+    assert(tiles.nonEmpty)
+    val reds = tiles.keys.filter(_._1 == "red").toSeq
+    assert(reds.nonEmpty)
+    // plane b = plane 1 + (b-1)*10000 on valid pixels, nodata aligned —
+    // exactly the fixture's bandPixels contract; a band-1-instead-of-b
+    // bug cannot produce these offsets
+    for (key @ (_, tIdx, ty, tx) <- reds; (bandName, off) <-
+           Seq("green" -> 10000.0, "nir" -> 20000.0)) {
+      val rpx = tiles(key)
+      val bpx = tiles((bandName, tIdx, ty, tx))
+      assert(rpx.length == bpx.length)
+      for (i <- rpx.indices)
+        assert(if (rpx(i) == 0.0) bpx(i) == 0.0 else bpx(i) == rpx(i) + off,
+          s"$bandName tile ($tIdx,$ty,$tx) px $i: red=${rpx(i)} got=${bpx(i)}")
+    }
+  }
+
   test("permissive load: missing source contributes nothing, job succeeds") {
     // point one item's band at a missing file; failOnError=false loads on
     val broken = items.map { i =>

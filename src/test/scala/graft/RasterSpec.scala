@@ -252,6 +252,45 @@ class RasterSpec extends AnyFunSuite {
       assert(win(y * 7 + x) == px((5 + y) * 64 + 10 + x))
   }
 
+  test("TIFF multi-band: writeBands + band-addressed reads (S7 multi-band)") {
+    val g = gbox(48, 32)
+    val planes = (1 to 3).map(b =>
+      ramp(48, 32, (x, y) => (b * 10000 + y * 48 + x).toDouble))
+    val path = s"$tmp/mb.tif"
+    Tiff.writeBands(path, planes, g, "uint16", Some(0.0), tileSize = Some(16))
+    val hd = Tiff.readHeader(path, band = 2)
+    assert(hd.dtype == "uint16" && hd.width == 48 && hd.height == 32)
+    assert(hd.geobox == g)
+    for (b <- 1 to 3)
+      assert(Tiff.readWindow(path, 0, 0, 48, 32, band = b).toSeq ==
+        planes(b - 1).toSeq, s"band $b full read")
+    val win = Tiff.readWindow(path, 10, 5, 7, 3, band = 3)
+    for (y <- 0 until 3; x <- 0 until 7)
+      assert(win(y * 7 + x) == planes(2)((5 + y) * 48 + 10 + x))
+    // out-of-range band fails loudly — never silently reads band 1
+    intercept[IllegalArgumentException](Tiff.readHeader(path, band = 4))
+    intercept[IllegalArgumentException](
+      Tiff.readWindow(path, 0, 0, 8, 8, band = 4))
+    // TiffReader honors RasterSource.band end-to-end
+    val cfg = RasterLoadParams()
+    val Some((_, out)) = TiffReader.read(RasterSource(path, band = 2), cfg, g, 0.0)
+    assert(out.toSeq == planes(1).toSeq)
+    // GRB is single-band by format: band 2 must error, not read band 1
+    val grb = s"$tmp/mb_guard.grb"
+    Grb.write(grb, planes.head, g, "uint16", Some(0))
+    intercept[IllegalArgumentException] {
+      GrbReader.read(RasterSource(grb, band = 2), cfg, g, 0.0)
+    }
+    // 5-band stack (no standard java.awt color space) also round-trips
+    val p5 = (1 to 5).map(b =>
+      ramp(16, 8, (x, y) => (b * 100 + y * 16 + x).toDouble))
+    val path5 = s"$tmp/mb5.tif"
+    Tiff.writeBands(path5, p5, gbox(16, 8), "uint16", None, tileSize = None)
+    for (b <- 1 to 5)
+      assert(Tiff.readWindow(path5, 0, 0, 16, 8, band = b).toSeq ==
+        p5(b - 1).toSeq, s"5-band stack band $b")
+  }
+
   test("TIFF float32 + NaN nodata roundtrip") {
     val g = gbox(32, 16)
     val px = ramp(32, 16, (x, y) => if (x == 0) Double.NaN else x + y / 100.0)
