@@ -101,10 +101,108 @@ object Crs {
     }
   }
 
-  /** Parse "EPSG:4326" / "epsg:32735" / "utm" auto markers. */
+  // ---- Authalic-latitude machinery shared by the equal-area family ----
+  // Snyder 1987: q (eq. 3-12) maps geodetic latitude to an equal-area
+  // ordinate; the inverse series (eq. 3-18) recovers geodetic latitude
+  // from authalic latitude beta = asin(q/Qp).
+  private def qFor(sinLat: Double): Double =
+    (1 - E2) * (sinLat / (1 - E2 * sinLat * sinLat)
+      - (1 / (2 * E)) * math.log((1 - E * sinLat) / (1 + E * sinLat)))
+  private val Qp = qFor(1.0)
+  private def betaToPhi(beta: Double): Double =
+    beta +
+      (E2 / 3 + 31 * E2 * E2 / 180 + 517 * E2 * E2 * E2 / 5040) * math.sin(2 * beta) +
+      (23 * E2 * E2 / 360 + 251 * E2 * E2 * E2 / 3780) * math.sin(4 * beta) +
+      (761 * E2 * E2 * E2 / 45360) * math.sin(6 * beta)
+  /** Clamped asin: q/Qp can exceed 1 by a few ulp at the poles. */
+  private def asinSafe(v: Double): Double =
+    math.asin(math.max(-1.0, math.min(1.0, v)))
+
+  /** Cylindrical equal-area, ellipsoidal form (Snyder eq. 10-1..10-8).
+    * EPSG:6933 = EASE-Grid 2.0 Global (WGS84, standard parallel 30N,
+    * lon0 = 0) — the grid real products (e.g. soil-moisture) publish on.
+    * Reference accepts it via rasterio/proj (`_mdtools.py:63`). */
+  final case class CylindricalEqualArea(epsg: Int, latTs: Double) extends Crs {
+    val code: String = s"EPSG:$epsg"
+    private val sinTs = math.sin(math.toRadians(latTs))
+    private val k0 = math.cos(math.toRadians(latTs)) / math.sqrt(1 - E2 * sinTs * sinTs)
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val x = A * k0 * math.toRadians(lonDeg)
+      val y = A * qFor(math.sin(math.toRadians(latDeg))) / (2 * k0)
+      (x, y)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val beta = asinSafe(2 * y * k0 / (A * Qp))
+      (math.toDegrees(x / (A * k0)), math.toDegrees(betaToPhi(beta)))
+    }
+  }
+
+  /** Albers equal-area conic, ellipsoidal form (Snyder eq. 14-1..14-12).
+    * EPSG:5070 = CONUS Albers (NAD83; GRS80 differs from the WGS84
+    * constants above by <0.1 mm — treated as identical here). */
+  final case class AlbersEqualArea(epsg: Int, lat0: Double, lon0Deg: Double,
+                                   lat1: Double, lat2: Double) extends Crs {
+    val code: String = s"EPSG:$epsg"
+    private val lon0 = math.toRadians(lon0Deg)
+    private def m(latRad: Double): Double = {
+      val s = math.sin(latRad)
+      math.cos(latRad) / math.sqrt(1 - E2 * s * s)
+    }
+    private val (m1, m2) = (m(math.toRadians(lat1)), m(math.toRadians(lat2)))
+    private val (q1, q2) = (qFor(math.sin(math.toRadians(lat1))),
+      qFor(math.sin(math.toRadians(lat2))))
+    private val n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    private val c = m1 * m1 + n * q1
+    private def rho(q: Double): Double = A * math.sqrt(c - n * q) / n
+    private val rho0 = rho(qFor(math.sin(math.toRadians(lat0))))
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val theta = n * (math.toRadians(lonDeg) - lon0)
+      val r = rho(qFor(math.sin(math.toRadians(latDeg))))
+      (r * math.sin(theta), rho0 - r * math.cos(theta))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      // n > 0 for northern standard parallels; atan2 signs follow Snyder
+      val dy = rho0 - y
+      val r = math.hypot(x, dy) * (if (n < 0) -1 else 1)
+      val theta = math.atan2(x * (if (n < 0) -1 else 1), dy * (if (n < 0) -1 else 1))
+      val q = (c - (r * n / A) * (r * n / A)) / n
+      val lat = betaToPhi(asinSafe(q / Qp))
+      (math.toDegrees(lon0 + theta / n), math.toDegrees(lat))
+    }
+  }
+
+  /** Lambert azimuthal equal-area, polar aspect, ellipsoidal form
+    * (Snyder eq. 24-3..24-14). EPSG:6931/6932 = EASE-Grid 2.0 North /
+    * South (WGS84, lon0 = 0). The south aspect is the mirrored north:
+    * q is odd in latitude, so south(lon,lat) = flipY(north(lon,-lat)). */
+  final case class LambertAzimuthalEqualArea(epsg: Int, south: Boolean) extends Crs {
+    val code: String = s"EPSG:$epsg"
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lat = if (south) -latDeg else latDeg
+      val lon = math.toRadians(lonDeg)
+      val r = A * math.sqrt(math.max(0.0, Qp - qFor(math.sin(math.toRadians(lat)))))
+      val (x, y) = (r * math.sin(lon), -r * math.cos(lon))
+      (x, if (south) -y else y)
+    }
+    def inverse(x: Double, y0: Double): (Double, Double) = {
+      val y = if (south) -y0 else y0
+      val r = math.hypot(x, y)
+      val q = Qp - (r / A) * (r / A)
+      val lat = math.toDegrees(betaToPhi(asinSafe(q / Qp)))
+      val lon = if (r == 0) 0.0 else math.toDegrees(math.atan2(x, -y))
+      (lon, if (south) -lat else lat)
+    }
+  }
+
+  /** Parse "EPSG:4326" / "epsg:32735" / equal-area codes / "utm" auto. */
   def parse(s: String): Crs = s.trim.toUpperCase match {
     case "EPSG:4326" | "WGS84" => LonLat
     case "EPSG:3857" => WebMercator
+    case "EPSG:6933" => CylindricalEqualArea(6933, latTs = 30.0)
+    case "EPSG:5070" => AlbersEqualArea(5070, lat0 = 23.0, lon0Deg = -96.0,
+      lat1 = 29.5, lat2 = 45.5)
+    case "EPSG:6931" => LambertAzimuthalEqualArea(6931, south = false)
+    case "EPSG:6932" => LambertAzimuthalEqualArea(6932, south = true)
     case c if c.startsWith("EPSG:326") && c.length == 10 =>
       Utm(c.drop(8).toInt, south = false)
     case c if c.startsWith("EPSG:327") && c.length == 10 =>

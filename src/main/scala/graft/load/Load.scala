@@ -389,11 +389,18 @@ object Fuse {
     val buf = java.nio.ByteBuffer.allocate(n * Grb.dtypeSize(dtype))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var i = 0
+    // Integer dtypes clip to the type's range (GDAL clip-on-convert):
+    // cubic/lanczos kernels overshoot the source range and `sum` can
+    // exceed it outright — a raw .toByte would wrap 256.4 to 0.
+    @inline def clip(v: Double, lo: Double, hi: Double): Double =
+      if (v.isNaN) v else math.min(hi, math.max(lo, math.rint(v)))
     dtype match {
-      case "uint8" | "int8" => while (i < n) { buf.put(pixels(i).toInt.toByte); i += 1 }
-      case "uint16" | "int16" => while (i < n) { buf.putShort(pixels(i).toInt.toShort); i += 1 }
-      case "int32" => while (i < n) { buf.putInt(pixels(i).toInt); i += 1 }
-      case "int64" => while (i < n) { buf.putLong(pixels(i).toLong); i += 1 }
+      case "uint8" => while (i < n) { buf.put(clip(pixels(i), 0, 255).toInt.toByte); i += 1 }
+      case "int8" => while (i < n) { buf.put(clip(pixels(i), -128, 127).toInt.toByte); i += 1 }
+      case "uint16" => while (i < n) { buf.putShort(clip(pixels(i), 0, 65535).toInt.toShort); i += 1 }
+      case "int16" => while (i < n) { buf.putShort(clip(pixels(i), -32768, 32767).toInt.toShort); i += 1 }
+      case "int32" => while (i < n) { buf.putInt(clip(pixels(i), Int.MinValue, Int.MaxValue).toInt); i += 1 }
+      case "int64" => while (i < n) { buf.putLong(clip(pixels(i), Long.MinValue, Long.MaxValue).toLong); i += 1 }
       case "float32" => while (i < n) { buf.putFloat(pixels(i).toFloat); i += 1 }
       case "float64" => while (i < n) { buf.putDouble(pixels(i)); i += 1 }
     }

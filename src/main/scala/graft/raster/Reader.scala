@@ -251,7 +251,61 @@ abstract class WindowedReader extends RasterReader {
     // resampling mode hoisted to an int (no per-pixel string match)
     val rcode = cfg.resampling match {
       case "bilinear" => 1; case "average" => 2; case "mode" => 3
-      case "sum" => 4; case _ => 0
+      case "sum" => 4; case "cubic" => 5; case "lanczos" => 6; case _ => 0
+    }
+
+    // Separable convolution kernels (rasterio/GDAL mode names,
+    // `types.py:113-114`): cubic = Catmull-Rom (cubic convolution with
+    // a = -0.5, GDAL's kernel), lanczos = sinc-windowed sinc, a = 3.
+    @inline def cubicW(t0: Double): Double = {
+      val t = math.abs(t0)
+      if (t <= 1) (1.5 * t - 2.5) * t * t + 1
+      else if (t < 2) ((-0.5 * t + 2.5) * t - 4) * t + 2
+      else 0.0
+    }
+    @inline def lanczosW(t: Double): Double = {
+      if (t == 0) 1.0
+      else if (t <= -3 || t >= 3) 0.0
+      else {
+        val px = math.Pi * t
+        3 * math.sin(px) * math.sin(px / 3) / (px * px)
+      }
+    }
+    /** Shared 2-D convolution sampler: `taps`×`taps` window centred on
+      * the source position, nodata-aware via weight renormalization
+      * (same convention as the bilinear kernel above). */
+    def convSample(lx: Double, ly: Double, taps: Int, lanczos: Boolean): Double = {
+      val half = taps / 2
+      val x0 = math.floor(lx - 0.5).toInt - (half - 1)
+      val y0 = math.floor(ly - 0.5).toInt - (half - 1)
+      val fx = lx - 0.5 - math.floor(lx - 0.5)
+      val fy = ly - 0.5 - math.floor(ly - 0.5)
+      var acc = 0.0; var wsum = 0.0
+      var dy = 0
+      while (dy < taps) {
+        val yy = y0 + dy
+        if (yy >= 0 && yy < sh) {
+          val off = (dy - (half - 1)) - fy
+          val wy = if (lanczos) lanczosW(off) else cubicW(off)
+          if (wy != 0.0) {
+            var dx = 0
+            while (dx < taps) {
+              val xx = x0 + dx
+              if (xx >= 0 && xx < sw) {
+                val v = spix(yy * sw + xx)
+                if (!invalid(v)) {
+                  val ox = (dx - (half - 1)) - fx
+                  val wx = if (lanczos) lanczosW(ox) else cubicW(ox)
+                  acc += v * (wx * wy); wsum += wx * wy
+                }
+              }
+              dx += 1
+            }
+          }
+        }
+        dy += 1
+      }
+      if (math.abs(wsum) < 1e-12) dstNodata else acc / wsum
     }
 
     def sample(spx: Double, spy: Double): Double = {
@@ -331,6 +385,8 @@ abstract class WindowedReader extends RasterReader {
             }
             mvals(best)
           }
+        case 5 => convSample(lx, ly, taps = 4, lanczos = false)
+        case 6 => convSample(lx, ly, taps = 6, lanczos = true)
         case _ => // nearest (0)
           val xx = math.floor(lx).toInt
           val yy = math.floor(ly).toInt

@@ -51,12 +51,21 @@ object RasterQueries {
       groupby = "id", chunks = 64).tiles)
   }
 
-  /** Cross-CRS warp (F15/F16): UTM scenes -> web mercator output. */
+  /** Cross-CRS warp (F15/F16): UTM scenes -> web mercator AND an
+    * equal-area grid (EPSG:6933, EASE-Grid 2.0 Global — the kind of CRS
+    * real land/soil products publish on; reference accepts any proj CRS
+    * via rasterio, `_mdtools.py:63`). */
   def loadReproject(spark: SparkSession): DataFrame = {
     val (items, schemas) = parsed(spark)
-    summarize(Load.load(spark, items, schemas, bands = Seq("red"),
-      groupby = "solar_day", chunks = 64,
-      crs = Some("EPSG:3857"), resolution = Some(20.0)).tiles)
+    Seq("EPSG:3857" -> 20.0, "EPSG:6933" -> 20.0).map { case (crs, res) =>
+      summarize(Load.load(spark, items, schemas, bands = Seq("red"),
+        groupby = "solar_day", chunks = 64,
+        crs = Some(crs), resolution = Some(res)).tiles)
+        .withColumn("crs", lit(crs))
+    }.reduce(_ unionAll _)
+      .select(col("crs"), col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("width"), col("height"), col("validCount"), col("checksum"))
+      .orderBy("crs", "band", "tIdx", "ty", "tx")
   }
 
   /** Overview path (S8): 4x coarser output reads the .ovr4 level. */
@@ -67,12 +76,13 @@ object RasterQueries {
   }
 
   /** F16 resampling surface: the cross-CRS warp run under every kernel
-    * (nearest/bilinear/average/mode/sum) — per-mode per-tile checksums.
-    * `mode` serves categorical rasters, `sum` flux totals
+    * (nearest/bilinear/average/mode/sum/cubic/lanczos) — per-mode
+    * per-tile checksums. `mode` serves categorical rasters, `sum` flux
+    * totals, `cubic`/`lanczos` continuous imagery
     * (`loader/types.py:113-114`). */
   def loadResampling(spark: SparkSession): DataFrame = {
     val (items, schemas) = parsed(spark)
-    Seq("nearest", "bilinear", "average", "mode", "sum").map { m =>
+    Seq("nearest", "bilinear", "average", "mode", "sum", "cubic", "lanczos").map { m =>
       summarize(Load.load(spark, items, schemas, bands = Seq("red"),
         groupby = "solar_day", chunks = 64,
         crs = Some("EPSG:3857"), resolution = Some(30.0),

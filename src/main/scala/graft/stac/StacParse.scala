@@ -287,10 +287,19 @@ object StacParse extends Serializable {
   private def parseInstant(s: String): java.sql.Timestamp =
     java.sql.Timestamp.from(java.time.OffsetDateTime.parse(s).toInstant)
 
-  /** GeoJSON geometry -> GeomData. Polygon (holes kept) and MultiPolygon
-    * (e.g. antimeridian-split scenes) both parse; the reference accepts
-    * any GeoJSON via shapely (`_mdtools.py:768-784`, `model.py:210-211`). */
-  private[stac] def parseGeometry(g: JsonNode): Option[GeomData] = {
+  /** GeoJSON geometry -> GeomData. Every GeoJSON type parses — the
+    * reference accepts any geometry via shapely (`_mdtools.py:768-784`,
+    * `model.py:210-211`). Polygon/MultiPolygon keep holes; Point/
+    * MultiPoint/LineString/MultiLineString coerce to degenerate polygon
+    * parts (bbox, centroid-fallback and vertex/edge intersection tests
+    * all hold; a closed polyline can only OVER-cover, never under-cover,
+    * so spatial binning stays conservative-safe); GeometryCollection
+    * merges its members' parts. */
+  private[stac] def parseGeometry(g: JsonNode): Option[GeomData] =
+    parseGeomParts(g).filter(_.nonEmpty)
+      .map(ps => GeomData.from(Geom(ps, Crs.LonLat)))
+
+  private def parseGeomParts(g: JsonNode): Option[IndexedSeq[graft.geo.Poly]] = {
     def ring(node: JsonNode): IndexedSeq[(Double, Double)] = {
       val pts = node.elements().asScala.map { pt =>
         (pt.get(0).asDouble(), pt.get(1).asDouble())
@@ -302,15 +311,36 @@ object StacParse extends Serializable {
       val rs = rings.elements().asScala.map(ring).filter(_.nonEmpty).toIndexedSeq
       rs.headOption.map(outer => graft.geo.Poly(outer, rs.drop(1)))
     }
+    def pointPoly(node: JsonNode): Option[graft.geo.Poly] = {
+      val pt = (node.get(0).asDouble(), node.get(1).asDouble())
+      Some(graft.geo.Poly(IndexedSeq(pt)))
+    }
+    def linePoly(node: JsonNode): Option[graft.geo.Poly] = {
+      val pts = ring(node)
+      if (pts.isEmpty) None else Some(graft.geo.Poly(pts))
+    }
+    def many(coords: JsonNode, f: JsonNode => Option[graft.geo.Poly]) = {
+      val parts = coords.elements().asScala.flatMap(f).toIndexedSeq
+      if (parts.isEmpty) None else Some(parts)
+    }
     opt(g, "type").map(_.asText()) match {
       case Some("Polygon") =>
-        opt(g, "coordinates").flatMap(poly)
-          .map(p => GeomData.from(Geom(IndexedSeq(p), Crs.LonLat)))
+        opt(g, "coordinates").flatMap(poly).map(IndexedSeq(_))
       case Some("MultiPolygon") =>
-        opt(g, "coordinates").flatMap { coords =>
-          val parts = coords.elements().asScala.flatMap(poly).toIndexedSeq
-          if (parts.isEmpty) None
-          else Some(GeomData.from(Geom(parts, Crs.LonLat)))
+        opt(g, "coordinates").flatMap(many(_, poly))
+      case Some("Point") =>
+        opt(g, "coordinates").flatMap(pointPoly).map(IndexedSeq(_))
+      case Some("MultiPoint") =>
+        opt(g, "coordinates").flatMap(many(_, pointPoly))
+      case Some("LineString") =>
+        opt(g, "coordinates").flatMap(linePoly).map(IndexedSeq(_))
+      case Some("MultiLineString") =>
+        opt(g, "coordinates").flatMap(many(_, linePoly))
+      case Some("GeometryCollection") =>
+        opt(g, "geometries").flatMap { gs =>
+          val parts = gs.elements().asScala
+            .flatMap(parseGeomParts).flatten.toIndexedSeq
+          if (parts.isEmpty) None else Some(parts)
         }
       case _ => None
     }

@@ -47,7 +47,76 @@ class GeoSpec extends AnyFunSuite {
     assert(Crs.parse("EPSG:32735") == Crs.Utm(35, south = true))
     assert(Crs.parse("epsg:32606") == Crs.Utm(6, south = false))
     assert(Crs.parse("EPSG:4326") == Crs.LonLat)
+    assert(Crs.parse("EPSG:6933") == Crs.CylindricalEqualArea(6933, 30.0))
+    assert(Crs.parse("EPSG:5070") ==
+      Crs.AlbersEqualArea(5070, 23.0, -96.0, 29.5, 45.5))
+    assert(Crs.parse("epsg:6931") == Crs.LambertAzimuthalEqualArea(6931, south = false))
+    assert(Crs.parse("epsg:6932") == Crs.LambertAzimuthalEqualArea(6932, south = true))
     assertThrows[IllegalArgumentException](Crs.parse("EPSG:9999"))
+  }
+
+  test("EPSG:6933 known extents (EASE-Grid 2.0 Global published corners)") {
+    val crs = Crs.parse("EPSG:6933")
+    // x at the antimeridian: a*k0*pi = 17367530.45 m (NSIDC EASE-2 spec)
+    val (xMax, _) = crs.forward(180.0, 0.0)
+    assert(math.abs(xMax - 17367530.45) < 0.5, s"xMax=$xMax")
+    // full-pole y: a*qp/(2 k0) = 7342230.14 m
+    val (_, yPole) = crs.forward(0.0, 90.0)
+    assert(math.abs(yPole - 7342230.14) < 0.5, s"yPole=$yPole")
+    // equator + prime meridian is the origin
+    val (x0, y0) = crs.forward(0.0, 0.0)
+    assert(math.abs(x0) < 1e-6 && math.abs(y0) < 1e-6)
+  }
+
+  test("EPSG:5070 projection origin and standard-parallel scale") {
+    val crs = Crs.parse("EPSG:5070")
+    // (lon0, lat0) = (-96, 23) must map exactly to (0, 0)
+    val (x0, y0) = crs.forward(-96.0, 23.0)
+    assert(math.abs(x0) < 1e-6 && math.abs(y0) < 1e-6)
+    // along a standard parallel the scale is true: 0.1 deg of longitude
+    // at 29.5N spans 0.1/360 of that parallel's circumference
+    val (xa, ya) = crs.forward(-96.05, 29.5)
+    val (xb, yb) = crs.forward(-95.95, 29.5)
+    val sin = math.sin(math.toRadians(29.5))
+    val radius = 6378137.0 * math.cos(math.toRadians(29.5)) /
+      math.sqrt(1 - 0.00669437999014132 * sin * sin)
+    val expected = math.toRadians(0.1) * radius
+    val got = math.hypot(xb - xa, yb - ya)
+    assert(math.abs(got - expected) / expected < 1e-6, s"$got vs $expected")
+  }
+
+  test("equal-area CRSs roundtrip and preserve the ellipsoidal area element") {
+    // |Jacobian d(x,y)/d(lon,lat)| must equal the WGS84 area element
+    // a^2 (1-e^2) cos(phi) / (1 - e^2 sin^2 phi)^2 — THE defining property
+    // of an equal-area projection; checked by central differences.
+    val a = 6378137.0; val e2 = 0.00669437999014132
+    def areaElement(latDeg: Double): Double = {
+      val phi = math.toRadians(latDeg); val s = math.sin(phi)
+      a * a * (1 - e2) * math.cos(phi) / math.pow(1 - e2 * s * s, 2)
+    }
+    val cases: Seq[(String, Seq[(Double, Double)])] = Seq(
+      "EPSG:6933" -> Seq((0.0, 0.0), (140.0, -35.0), (-96.0, 52.0), (30.0, 75.0)),
+      "EPSG:5070" -> Seq((-96.0, 23.0), (-120.0, 49.0), (-75.0, 35.0), (-96.0, 29.5)),
+      "EPSG:6931" -> Seq((0.0, 85.0), (120.0, 60.0), (-45.0, 75.0)),
+      "EPSG:6932" -> Seq((0.0, -85.0), (120.0, -60.0), (-45.0, -75.0)))
+    for ((code, pts) <- cases; (lon, lat) <- pts) {
+      val crs = Crs.parse(code)
+      // roundtrip
+      val (x, y) = crs.forward(lon, lat)
+      val (lon2, lat2) = crs.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-7, s"$code lon $lon -> $lon2")
+      assert(math.abs(lat2 - lat) < 1e-7, s"$code lat $lat -> $lat2")
+      // area element via central differences (radians step)
+      val h = 1e-6 // degrees
+      val (xe1, ye1) = crs.forward(lon + h, lat); val (xe0, ye0) = crs.forward(lon - h, lat)
+      val (xn1, yn1) = crs.forward(lon, lat + h); val (xn0, yn0) = crs.forward(lon, lat - h)
+      val dLon = math.toRadians(2 * h); val dLat = math.toRadians(2 * h)
+      val j = math.abs(((xe1 - xe0) / dLon) * ((yn1 - yn0) / dLat)
+        - ((xn1 - xn0) / dLon) * ((ye1 - ye0) / dLat))
+      val want = areaElement(lat)
+      assert(math.abs(j - want) / want < 1e-4,
+        s"$code at ($lon,$lat): |J|=$j want $want")
+    }
   }
 
   test("affine inverse and compose") {

@@ -223,6 +223,52 @@ class RasterSpec extends AnyFunSuite {
     assert(math.abs(bil(0) - 200.0 / 3) < 1e-9, s"got ${bil(0)}")
   }
 
+  test("cubic/lanczos kernels: constants reproduce, cubic is linear-exact (F16)") {
+    val g = gbox(8, 8)
+    // constant field: renormalized kernels are a partition of unity
+    Grb.write(s"$tmp/rsc.grb", Array.fill(64)(7.0), g, "float64", None)
+    for (mode <- Seq("cubic", "lanczos")) {
+      val dst = GeoBox(2, 2, Affine.grid(500015, 7999985, 15, -15), crs)
+      val Some((_, out)) = GrbReader.read(RasterSource(s"$tmp/rsc.grb"),
+        RasterLoadParams(resampling = mode, useOverviews = false),
+        dst, Double.NaN)
+      out.foreach(v => assert(math.abs(v - 7.0) < 1e-9, s"$mode constant: $v"))
+    }
+    // linear ramp v = column index: Catmull-Rom has linear precision, so
+    // an interior sample at src px x returns exactly x - 0.5
+    val ramp = Array.tabulate(64)(i => (i % 8).toDouble)
+    Grb.write(s"$tmp/rsl.grb", ramp, g, "float64", None)
+    // dst 1x1 res 15 at (500020, 7999980): center -> src px (2.75, 2.75)
+    val dst1 = GeoBox(1, 1, Affine.grid(500020, 7999980, 15, -15), crs)
+    val Some((_, cub)) = GrbReader.read(RasterSource(s"$tmp/rsl.grb"),
+      RasterLoadParams(resampling = "cubic", useOverviews = false),
+      dst1, Double.NaN)
+    assert(math.abs(cub(0) - 2.25) < 1e-9, s"cubic on ramp: ${cub(0)} != 2.25")
+    // lanczos approximates the ramp closely (windowed sinc: not exact)
+    val Some((_, lcz)) = GrbReader.read(RasterSource(s"$tmp/rsl.grb"),
+      RasterLoadParams(resampling = "lanczos", useOverviews = false),
+      dst1, Double.NaN)
+    assert(math.abs(lcz(0) - 2.25) < 0.1, s"lanczos on ramp: ${lcz(0)}")
+  }
+
+  test("cubic respects nodata holes; integer encode clips overshoot") {
+    val g = gbox(8, 8)
+    // all-nodata source: kernel must emit dst nodata, not 0/NaN garbage
+    Grb.write(s"$tmp/rsnd.grb", Array.fill(64)(-1.0), g, "float64", Some(-1.0))
+    val dst = GeoBox(1, 1, Affine.grid(500020, 7999980, 15, -15), crs)
+    val Some((_, nd)) = GrbReader.read(RasterSource(s"$tmp/rsnd.grb"),
+      RasterLoadParams(resampling = "cubic", useOverviews = false),
+      dst, Double.NaN)
+    assert(nd(0).isNaN, s"expected dst nodata, got ${nd(0)}")
+    // integer encode clips (GDAL clip-on-convert): kernel overshoot past
+    // the dtype range must saturate, not wrap 256 -> 0
+    val enc = Fuse.encode(Array(256.4, -3.0, 254.6), "uint8")
+    val dec = Fuse.decode(enc, "uint8")
+    assert(dec.toSeq == Seq(255.0, 0.0, 255.0), dec.toSeq)
+    val enc16 = Fuse.encode(Array(70000.0, -5.0), "uint16")
+    assert(Fuse.decode(enc16, "uint16").toSeq == Seq(65535.0, 0.0))
+  }
+
   test("average resampling pools in the chosen overview level's pixels") {
     // 8x8 base with .ovr4; dst at 4x shrink with average: the pooling
     // window must be ~1 overview pixel, not `shrink` overview pixels

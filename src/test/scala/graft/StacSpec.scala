@@ -69,10 +69,38 @@ class StacSpec extends AnyFunSuite {
     val hGeom = StacParse.parseItem(holed, md).geometry.get.toGeom
     assert(hGeom.parts.head.holes.length == 1)
     assert(!hGeom.containsPoint(26.5, -17.5)) // inside the hole
-    // unsupported geometry type -> None (and Load warns, not silently)
+    // non-areal GeoJSON coerces to degenerate parts (P7: the reference
+    // accepts any geometry via shapely) — bbox + tile predicate hold
     val point = withGeometry(jsons.head,
       """{"type":"Point","coordinates":[26.0,-18.0]}""")
-    assert(StacParse.parseItem(point, md).geometry.isEmpty)
+    val pGeom = StacParse.parseItem(point, md).geometry.get.toGeom
+    assert(pGeom.bbox == graft.geo.BBox(26.0, -18.0, 26.0, -18.0))
+    assert(pGeom.intersectsBox(graft.geo.BBox(25.5, -18.5, 26.5, -17.5)))
+    assert(!pGeom.intersectsBox(graft.geo.BBox(27.0, -18.5, 28.0, -17.5)))
+    assert(pGeom.centroid == ((26.0, -18.0)))
+    val line = withGeometry(jsons.head,
+      """{"type":"LineString","coordinates":[[26.0,-18.0],[27.0,-17.0]]}""")
+    val lGeom = StacParse.parseItem(line, md).geometry.get.toGeom
+    assert(lGeom.bbox == graft.geo.BBox(26.0, -18.0, 27.0, -17.0))
+    // the line crosses this box but has no vertex inside it
+    assert(lGeom.intersectsBox(graft.geo.BBox(26.4, -17.7, 26.6, -17.5)))
+    val mp = withGeometry(jsons.head,
+      """{"type":"MultiPoint","coordinates":[[26.0,-18.0],[28.0,-16.0]]}""")
+    val mpGeom = StacParse.parseItem(mp, md).geometry.get.toGeom
+    assert(mpGeom.parts.length == 2)
+    assert(mpGeom.bbox == graft.geo.BBox(26.0, -18.0, 28.0, -16.0))
+    val gc = withGeometry(jsons.head,
+      """{"type":"GeometryCollection","geometries":[
+        |{"type":"Point","coordinates":[25.0,-19.0]},
+        |{"type":"Polygon","coordinates":
+        |  [[[26.0,-18.0],[27.0,-18.0],[27.0,-17.0],[26.0,-17.0],[26.0,-18.0]]]}
+        |]}""".stripMargin)
+    val gcGeom = StacParse.parseItem(gc, md).geometry.get.toGeom
+    assert(gcGeom.parts.length == 2)
+    assert(gcGeom.containsPoint(26.5, -17.5)) // the polygon member still areal
+    // a genuinely unknown type still drops to None (loudly counted)
+    val junk = withGeometry(jsons.head, """{"type":"Weird","coordinates":[]}""")
+    assert(StacParse.parseItem(junk, md).geometry.isEmpty)
   }
 
   test("patch_urls rewrites only the selected bands (P5)") {
