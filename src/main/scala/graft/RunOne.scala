@@ -1,18 +1,36 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Dev tool: run named queries with Bench's steady-state protocol (noop
+  * sink, second-run timing) without paying for the whole suite. Usage:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.RunOne q07_multi_join
+  * Pass `-show` to also print the first rows (runs the query once more).
+  */
 object RunOne {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val show = args.contains("-show")
+    val names = args.filterNot(_.startsWith("-"))
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    args.foreach { n =>
+    def once(n: String): Double = {
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(n)(spark, dir)
-      df.show(50, truncate = false)
-      println(f"== $n rows=${df.count()} in ${(System.nanoTime()-t0)/1e9}%.2f s")
+      SparkEntry.queries(n)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    names.foreach { n =>
+      val cold = once(n)
+      val warm = once(n)
+      println(f"== $n cold=$cold%.3f s warm=$warm%.3f s")
+      if (show) SparkEntry.queries(n)(spark, dir).show(20, truncate = false)
     }
     spark.stop()
   }

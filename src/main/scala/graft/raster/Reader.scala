@@ -248,15 +248,20 @@ abstract class WindowedReader extends RasterReader {
     // primitive nodata (NaN = none) — keeps Option out of the pixel loop
     val sn = srcNodata.getOrElse(Double.NaN)
     @inline def invalid(v: Double): Boolean = v.isNaN || v == sn
-    // resampling mode hoisted to an int (no per-pixel string match)
+    // resampling mode hoisted to an int (no per-pixel string match);
+    // full rasterio/GDAL matrix (`types.py:113-114` passes any rasterio
+    // mode string through to GDAL)
     val rcode = cfg.resampling match {
       case "bilinear" => 1; case "average" => 2; case "mode" => 3
-      case "sum" => 4; case "cubic" => 5; case "lanczos" => 6; case _ => 0
+      case "sum" => 4; case "cubic" => 5; case "lanczos" => 6
+      case "cubic_spline" => 7; case "min" => 8; case "max" => 9
+      case "med" => 10; case "q1" => 11; case "q3" => 12
+      case "rms" => 13; case "gauss" => 14; case _ => 0
     }
 
-    // Separable convolution kernels (rasterio/GDAL mode names,
-    // `types.py:113-114`): cubic = Catmull-Rom (cubic convolution with
-    // a = -0.5, GDAL's kernel), lanczos = sinc-windowed sinc, a = 3.
+    // Convolution kernels: cubic = Catmull-Rom (cubic convolution with
+    // a = -0.5, GDAL's kernel), lanczos = sinc-windowed sinc a = 3,
+    // cubic_spline = cubic B-spline (smoothing, not interpolating).
     @inline def cubicW(t0: Double): Double = {
       val t = math.abs(t0)
       if (t <= 1) (1.5 * t - 2.5) * t * t + 1
@@ -271,22 +276,32 @@ abstract class WindowedReader extends RasterReader {
         3 * math.sin(px) * math.sin(px / 3) / (px * px)
       }
     }
+    @inline def bsplineW(t0: Double): Double = {
+      val t = math.abs(t0)
+      if (t <= 1) (4 + t * t * (3 * t - 6)) / 6
+      else if (t < 2) { val u = 2 - t; u * u * u / 6 }
+      else 0.0
+    }
     /** Shared 2-D convolution sampler: `taps`×`taps` window centred on
       * the source position, nodata-aware via weight renormalization
-      * (same convention as the bilinear kernel above). */
-    def convSample(lx: Double, ly: Double, taps: Int, lanczos: Boolean): Double = {
+      * (same convention as the bilinear kernel above).
+      * kernel: 0 = cubic, 1 = lanczos, 2 = B-spline. */
+    def convSample(lx: Double, ly: Double, taps: Int, kernel: Int): Double = {
       val half = taps / 2
       val x0 = math.floor(lx - 0.5).toInt - (half - 1)
       val y0 = math.floor(ly - 0.5).toInt - (half - 1)
       val fx = lx - 0.5 - math.floor(lx - 0.5)
       val fy = ly - 0.5 - math.floor(ly - 0.5)
+      @inline def kw(t: Double): Double = kernel match {
+        case 1 => lanczosW(t); case 2 => bsplineW(t); case _ => cubicW(t)
+      }
       var acc = 0.0; var wsum = 0.0
       var dy = 0
       while (dy < taps) {
         val yy = y0 + dy
         if (yy >= 0 && yy < sh) {
           val off = (dy - (half - 1)) - fy
-          val wy = if (lanczos) lanczosW(off) else cubicW(off)
+          val wy = kw(off)
           if (wy != 0.0) {
             var dx = 0
             while (dx < taps) {
@@ -295,8 +310,7 @@ abstract class WindowedReader extends RasterReader {
                 val v = spix(yy * sw + xx)
                 if (!invalid(v)) {
                   val ox = (dx - (half - 1)) - fx
-                  val wx = if (lanczos) lanczosW(ox) else cubicW(ox)
-                  acc += v * (wx * wy); wsum += wx * wy
+                  acc += v * (kw(ox) * wy); wsum += kw(ox) * wy
                 }
               }
               dx += 1
@@ -335,18 +349,27 @@ abstract class WindowedReader extends RasterReader {
             dy += 1
           }
           if (wsum <= 0) dstNodata else acc / wsum
-        case 2 | 3 | 4 =>
+        case 2 | 3 | 4 | 8 | 9 | 10 | 11 | 12 | 13 | 14 =>
           // pooled kernels share the window walk: average (F16 flux mean),
-          // mode (categorical majority, `types.py:113-114`), sum (flux
-          // total — valid samples accumulate, no divide)
+          // mode (categorical majority), sum (flux total), min/max/rms,
+          // med/q1/q3 (order statistics), gauss (gaussian-weighted mean) —
+          // the GDAL overview-style family (`types.py:113-114`)
           val n = math.max(1, levelShrink)
           val x0 = math.floor(lx - n / 2.0).toInt
           val y0 = math.floor(ly - n / 2.0).toInt
           var acc = 0.0; var cnt = 0
-          // mode: tiny open-addressed value->count table (window is n*n)
-          val mvals = if (rcode == 3) new Array[Double](n * n) else null
+          var mnv = Double.MaxValue; var mxv = Double.MinValue
+          var wacc = 0.0; var wsum = 0.0
+          // mode: tiny open-addressed value->count table (window is n*n);
+          // med/q1/q3 reuse mvals as the raw sample list
+          val needVals = rcode == 3 || rcode == 10 || rcode == 11 || rcode == 12
+          val mvals = if (needVals) new Array[Double](n * n) else null
           val mcnts = if (rcode == 3) new Array[Int](n * n) else null
           var mn = 0
+          // gauss: sigma tied to the pooling radius (GDAL overview kernel)
+          val sigma = math.max(0.5, n / 2.0)
+          val inv2s2 = 1.0 / (2 * sigma * sigma)
+          val cxc = lx; val cyc = ly
           var dy = 0
           while (dy < n) {
             var dx = 0
@@ -356,14 +379,24 @@ abstract class WindowedReader extends RasterReader {
                 val v = spix(yy * sw + xx)
                 if (!invalid(v)) {
                   acc += v; cnt += 1
-                  if (rcode == 3) {
-                    var k = 0
-                    var found = false
-                    while (k < mn && !found) {
-                      if (mvals(k) == v) { mcnts(k) += 1; found = true }
-                      k += 1
-                    }
-                    if (!found) { mvals(mn) = v; mcnts(mn) = 1; mn += 1 }
+                  if (v < mnv) mnv = v
+                  if (v > mxv) mxv = v
+                  (rcode: @annotation.switch) match {
+                    case 3 =>
+                      var k = 0
+                      var found = false
+                      while (k < mn && !found) {
+                        if (mvals(k) == v) { mcnts(k) += 1; found = true }
+                        k += 1
+                      }
+                      if (!found) { mvals(mn) = v; mcnts(mn) = 1; mn += 1 }
+                    case 10 | 11 | 12 => mvals(mn) = v; mn += 1
+                    case 13 => acc -= v; acc += v * v // rms accumulates v^2
+                    case 14 =>
+                      val ddx = xx + 0.5 - cxc; val ddy = yy + 0.5 - cyc
+                      val w = math.exp(-(ddx * ddx + ddy * ddy) * inv2s2)
+                      wacc += v * w; wsum += w
+                    case _ => ()
                   }
                 }
               }
@@ -372,21 +405,32 @@ abstract class WindowedReader extends RasterReader {
             dy += 1
           }
           if (cnt == 0) dstNodata
-          else if (rcode == 2) acc / cnt
-          else if (rcode == 4) acc
-          else {
-            // mode: most frequent value; ties -> smallest value (stable)
-            var best = 0
-            var k = 1
-            while (k < mn) {
-              if (mcnts(k) > mcnts(best) ||
-                (mcnts(k) == mcnts(best) && mvals(k) < mvals(best))) best = k
-              k += 1
-            }
-            mvals(best)
+          else (rcode: @annotation.switch) match {
+            case 2 => acc / cnt
+            case 4 => acc
+            case 8 => mnv
+            case 9 => mxv
+            case 13 => math.sqrt(acc / cnt)
+            case 14 => if (wsum <= 0) dstNodata else wacc / wsum
+            case 10 | 11 | 12 =>
+              // exact order statistic at round((cnt-1)*p), deterministic
+              java.util.Arrays.sort(mvals, 0, mn)
+              val p = if (rcode == 10) 0.5 else if (rcode == 11) 0.25 else 0.75
+              mvals(math.round((mn - 1) * p).toInt)
+            case _ =>
+              // mode: most frequent value; ties -> smallest value (stable)
+              var best = 0
+              var k = 1
+              while (k < mn) {
+                if (mcnts(k) > mcnts(best) ||
+                  (mcnts(k) == mcnts(best) && mvals(k) < mvals(best))) best = k
+                k += 1
+              }
+              mvals(best)
           }
-        case 5 => convSample(lx, ly, taps = 4, lanczos = false)
-        case 6 => convSample(lx, ly, taps = 6, lanczos = true)
+        case 5 => convSample(lx, ly, taps = 4, kernel = 0)
+        case 6 => convSample(lx, ly, taps = 6, kernel = 1)
+        case 7 => convSample(lx, ly, taps = 4, kernel = 2)
         case _ => // nearest (0)
           val xx = math.floor(lx).toInt
           val yy = math.floor(ly).toInt

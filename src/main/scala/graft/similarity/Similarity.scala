@@ -170,33 +170,51 @@ object Similarity {
     * candidates. At 100 TB the assignment column doubles as the physical
     * partition key, so a probe touches `probes/centroids` of the data.
     * Output schema matches bruteforce (qid, cid, rn, cos). */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Built IVF index: coarse-quantizer centroids + cell-assigned corpus.
+    * Cached per (session, dir) — an IVF index is a build-once artifact
+    * (at 100 TB it would live as a bucketed table + centroid sidecar);
+    * repeated queries must pay probe cost, not rebuild cost. */
+  private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[org.apache.spark.ml.linalg.Vector], DataFrame)]()
+
+  private def ivfIndex(spark: SparkSession, dir: String)
+  : (Array[org.apache.spark.ml.linalg.Vector], DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val key = spark.sparkContext.applicationId + " " + dir
+    ivfIndexCache.computeIfAbsent(key, _ => {
+      val emb = Tables.load(spark, dir, "embeddings")
+        .withColumn("vec", array_to_vector(
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+        .cache()
+      // √N centroids (count() is a metadata-cheap parquet row-count)
+      val n = emb.count()
+      val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val trainFrac = math.min(1.0, SamplePerCentroid.toDouble * k / n)
+      val train =
+        if (trainFrac < 1.0) emb.sample(withReplacement = false, trainFrac, 11)
+        else emb
+      val model = new KMeans().setK(k).setSeed(11)
+        .setMaxIter(10).setFeaturesCol("vec").setPredictionCol("cell")
+        .fit(train)
+      val assigned = model.transform(emb)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .persist()
+      emb.unpersist(false)
+      (model.clusterCenters, assigned)
+    })
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     VecFunctions.register(spark)
-    val emb = Tables.load(spark, dir, "embeddings")
-      .withColumn("vec", array_to_vector(
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
-      .cache()
-    // √N centroids (count() is a metadata-cheap parquet row-count)
-    val n = emb.count()
-    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val trainFrac = math.min(1.0, SamplePerCentroid.toDouble * k / n)
-    val train =
-      if (trainFrac < 1.0) emb.sample(withReplacement = false, trainFrac, 11)
-      else emb
-    val model = new KMeans().setK(k).setSeed(11)
-      .setMaxIter(10).setFeaturesCol("vec").setPredictionCol("cell")
-      .fit(train)
-    val assigned = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val (centroids, assigned) = ivfIndex(spark, dir)
+    val k = centroids.length
     // per-query probe list: top ⌈ProbeFraction·k⌉ centroids by COSINE —
     // the probe ranking must match the re-rank metric, or the cells
     // holding high-cosine neighbors get probed last (query side only —
     // NumQueries rows, so the udf is off the hot path; the corpus side is
     // the native cell equi-join below)
     val probes = math.max(5, math.ceil(ProbeFraction * k).toInt)
-    val centroids = model.clusterCenters
     val probeUdf = udf { emb2: Seq[Float] =>
       centroids.zipWithIndex.map { case (c, i) =>
         var dot = 0.0

@@ -269,6 +269,38 @@ class RasterSpec extends AnyFunSuite {
     assert(Fuse.decode(enc16, "uint16").toSeq == Seq(65535.0, 0.0))
   }
 
+  test("pooled stat kernels: min/max/med/q1/q3/rms/gauss (F16 full matrix)") {
+    // 2x2 window of 0/100/100/0 read at 2x shrink: every pooled stat has
+    // a closed-form answer
+    val g = gbox(2, 2)
+    Grb.write(s"$tmp/rsp.grb", Array(0.0, 100.0, 100.0, 0.0), g, "float64", None)
+    val src = RasterSource(s"$tmp/rsp.grb")
+    val dst = GeoBox(1, 1, Affine.grid(500000, 8000000, 20, -20), crs)
+    def run(mode: String): Double =
+      GrbReader.read(src, RasterLoadParams(resampling = mode,
+        useOverviews = false), dst, Double.NaN).get._2(0)
+    assert(run("min") == 0.0)
+    assert(run("max") == 100.0)
+    // sorted [0,0,100,100]: med idx round(1.5)=2 -> 100, q1 idx 1 -> 0,
+    // q3 idx 2 -> 100 (deterministic order statistics)
+    assert(run("med") == 100.0)
+    assert(run("q1") == 0.0)
+    assert(run("q3") == 100.0)
+    assert(math.abs(run("rms") - math.sqrt(5000.0)) < 1e-9)
+    assert(math.abs(run("gauss") - 50.0) < 1e-9) // symmetric window
+    // cubic_spline: smoothing B-spline still reproduces constants and
+    // (interior) linear ramps exactly — partition of unity + linear
+    // precision of the B-spline kernel
+    val g8 = gbox(8, 8)
+    val ramp = Array.tabulate(64)(i => (i % 8).toDouble)
+    Grb.write(s"$tmp/rsbs.grb", ramp, g8, "float64", None)
+    val dst1 = GeoBox(1, 1, Affine.grid(500020, 7999980, 15, -15), crs)
+    val Some((_, bs)) = GrbReader.read(RasterSource(s"$tmp/rsbs.grb"),
+      RasterLoadParams(resampling = "cubic_spline", useOverviews = false),
+      dst1, Double.NaN)
+    assert(math.abs(bs(0) - 2.25) < 1e-9, s"cubic_spline on ramp: ${bs(0)}")
+  }
+
   test("average resampling pools in the chosen overview level's pixels") {
     // 8x8 base with .ovr4; dst at 4x shrink with average: the pooling
     // window must be ~1 overview pixel, not `shrink` overview pixels
