@@ -198,9 +198,21 @@ object Dedup {
     * into the propagation job as a `chg` flag, so detecting it is a local
     * scan of checkpointed blocks, not a re-join. */
   def propagateLabels(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").cache()
+    // Size the iteration shuffles to the EDGE volume, not the session
+    // batch default (same principle as the streaming state-store sizing):
+    // near-dup pair sets are tiny relative to the corpus, and every
+    // iteration pays per-partition task/checkpoint overhead. A 100 TB run
+    // with billions of edges raises this toward the session default.
+    val nEdges = edges.count()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val iterParts = math.max(8L, math.min(prevShuffle.toLong,
+      nEdges / 50000 + 1)).toString
+    spark.conf.set("spark.sql.shuffle.partitions", iterParts)
+    try {
     var labels = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
@@ -222,9 +234,11 @@ object Dedup {
       unpersistCheckpoint(labels)
       labels = next.drop("chg")
       iter += 1
+      if (sys.env.contains("GRAFT_DEBUG_CC")) System.err.println(s"[cc] iter=$iter changed=$changed")
     }
     edges.unpersist(false)
     labels.select(col("doc_id"), col("label").as("canonical"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** Free the blocks behind a `localCheckpoint()`ed DataFrame. The
