@@ -61,6 +61,12 @@ object Tiff {
     } finally iis.close()
   }
 
+  /** Sample-band count of the addressed image (1 for grayscale, 3 for
+    * RGB, N for packed multispectral stacks). */
+  def numBands(uri: String): Int = withReader(uri) { (reader, idx) =>
+    samplesPerPixel(TIFFDirectory.createFromMetadata(reader.getImageMetadata(idx)))
+  }
+
   /** Header of the addressed image. Overview IFDs (idx > 0) carry no geo
     * tags; their geobox is the base geobox decimated by the size ratio.
     * `band` (1-based) validates against SamplesPerPixel — a request for

@@ -209,6 +209,22 @@ object RasterQueries {
       .orderBy("uri")
   }
 
+  /** GeoTIFF DSv2 sibling of grbSourceSql: SQL over the packed 3-band
+    * MSI scenes with a band predicate — plan-time band pruning means the
+    * non-addressed planes of the stack are never decoded. */
+  def gtiffSourceSql(spark: SparkSession): DataFrame = {
+    Fixtures.writeScenesMultiband(NScenes)
+    spark.read.format("gtiff").load(Fixtures.dir.toString)
+      .where(col("uri").endsWith("-msi.tif") && col("band") === 2 &&
+        col("x") < 48 && col("y") >= 8 && col("value") =!= 0)
+      .groupBy("uri", "band")
+      .agg(count(lit(1)).as("n_valid"),
+        round(avg(col("value")), 2).as("mean"),
+        round(sum(col("value")), 2).as("total"))
+      .withColumn("uri", regexp_extract(col("uri"), "([^/]+)$", 1))
+      .orderBy("uri")
+  }
+
   /** S14 product inference: collection metadata -> ODC product doc. */
   def eo3Product(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -252,6 +268,7 @@ object RasterQueries {
     "raster_tiles_roundtrip" -> ((s, _) => tilesRoundtrip(s)),
     "raster_eo3_product" -> ((s, _) => eo3Product(s)),
     "raster_grb_source_sql" -> ((s, _) => grbSourceSql(s)),
+    "raster_gtiff_source_sql" -> ((s, _) => gtiffSourceSql(s)),
     "raster_load_mosaic" -> ((s, _) => loadMosaic(s)),
     "raster_load_tiff" -> ((s, _) => loadTiff(s)),
     "raster_load_resampling" -> ((s, _) => loadResampling(s)),
