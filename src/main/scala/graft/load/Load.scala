@@ -329,6 +329,43 @@ final case class LoadResult(tiles: DataFrame, geobox: GeoBox,
                             times: Seq[java.sql.Timestamp],
                             dtypes: Map[String, String]) {
 
+  /** Distributed GeoTIFF export sink: every tile row becomes one
+    * georeferenced `.tif` (`<band>_t<tIdx>_<ty>_<tx>.tif`) written
+    * executor-side — the per-tile COG layout tile pyramids use, and the
+    * scale-true shape at 100 TB (no plane assembly, no shuffle, no
+    * driver collect; each task writes its own partition's tiles).
+    * The exported directory reads straight back through
+    * `spark.read.format("gtiff")` with plan-time pruning. Returns the
+    * number of files written. */
+  def exportCogTiles(outDir: String): Long = {
+    val gbox = geobox
+    new java.io.File(outDir).mkdirs()
+    val n = tiles.sparkSession.sparkContext.longAccumulator("cog_tiles")
+    tiles.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      it.foreach { row =>
+        val band = row.getAs[String]("band")
+        val tIdx = row.getAs[Int]("tIdx")
+        val ty = row.getAs[Int]("ty"); val tx = row.getAs[Int]("tx")
+        val x0 = row.getAs[Int]("x0"); val y0 = row.getAs[Int]("y0")
+        val w = row.getAs[Int]("width"); val h = row.getAs[Int]("height")
+        val dtype = row.getAs[String]("dtype")
+        val nodata = row.getAs[Double]("nodata")
+        val px = Fuse.decode(row.getAs[Array[Byte]]("data"), dtype)
+        // tile georeferencing: same linear part, origin at the tile's
+        // pixel-corner world position inside the output grid
+        val t = gbox.transform
+        val (ox, oy) = t(x0.toDouble, y0.toDouble)
+        val tileGbox = graft.geo.GeoBox(w, h,
+          graft.geo.Affine(t.a, t.b, ox, t.d, t.e, oy), gbox.crs)
+        val nd = if (nodata.isNaN) None else Some(nodata)
+        graft.raster.Tiff.write(
+          s"$outDir/${band}_t${tIdx}_${ty}_$tx.tif", px, tileGbox, dtype, nd)
+        n.add(1)
+      }
+    }
+    n.value
+  }
+
   /** Driver-side dense assembly for tests/small outputs (S10 analog). */
   def assemble(band: String, tIdx: Int): Array[Double] = {
     val out = new Array[Double](geobox.width * geobox.height)

@@ -225,6 +225,27 @@ object RasterQueries {
       .orderBy("uri")
   }
 
+  /** S10 sink analog at scale: the fused cube exported as per-tile
+    * georeferenced COGs (executor-side, zero-shuffle, no driver
+    * assembly), then read BACK through the gtiff DSv2 table — the full
+    * write-then-SQL raster lifecycle. */
+  def cogExport(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_cog_export").toString
+    res.exportCogTiles(out)
+    spark.read.format("gtiff").load(out)
+      .where(col("value") =!= coalesce(col("nodata"), lit(Double.NaN)))
+      .withColumn("band", regexp_extract(col("uri"), "([a-z]+)_t\\d", 1))
+      .groupBy("band")
+      .agg(countDistinct(col("uri")).as("n_tiles"),
+        count(lit(1)).as("n_valid"),
+        round(sum(col("value")), 2).as("total"))
+      .orderBy("band")
+  }
+
   /** S14 product inference: collection metadata -> ODC product doc. */
   def eo3Product(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -269,6 +290,7 @@ object RasterQueries {
     "raster_eo3_product" -> ((s, _) => eo3Product(s)),
     "raster_grb_source_sql" -> ((s, _) => grbSourceSql(s)),
     "raster_gtiff_source_sql" -> ((s, _) => gtiffSourceSql(s)),
+    "raster_cog_export" -> ((s, _) => cogExport(s)),
     "raster_load_mosaic" -> ((s, _) => loadMosaic(s)),
     "raster_load_tiff" -> ((s, _) => loadTiff(s)),
     "raster_load_resampling" -> ((s, _) => loadResampling(s)),

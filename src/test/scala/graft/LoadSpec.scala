@@ -327,6 +327,38 @@ class LoadSpec extends AnyFunSuite {
     }
   }
 
+  test("COG tile export: pixel-exact, georeferenced, reads back via gtiff") {
+    val res = Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "solar_day", chunks = 64)
+    val out = java.nio.file.Files.createTempDirectory("graft_cog_spec").toString
+    val nFiles = res.exportCogTiles(out)
+    val rows = res.tiles.collect()
+    assert(nFiles == rows.length, s"$nFiles files for ${rows.length} tiles")
+    // every exported tile: pixels identical to the tile row, geo tags
+    // place the tile at its grid position
+    rows.foreach { row =>
+      val band = row.getAs[String]("band"); val tIdx = row.getAs[Int]("tIdx")
+      val ty = row.getAs[Int]("ty"); val tx = row.getAs[Int]("tx")
+      val w = row.getAs[Int]("width"); val h = row.getAs[Int]("height")
+      val path = s"$out/${band}_t${tIdx}_${ty}_$tx.tif"
+      val hd = graft.raster.Tiff.readHeader(path)
+      assert(hd.width == w && hd.height == h)
+      assert(hd.nodata.contains(row.getAs[Double]("nodata")))
+      val t = res.geobox.transform
+      val (ox, oy) = t(row.getAs[Int]("x0").toDouble, row.getAs[Int]("y0").toDouble)
+      assert(hd.geobox.transform.c == ox && hd.geobox.transform.f == oy)
+      assert(hd.geobox.crs == res.geobox.crs)
+      val expect = graft.load.Fuse.decode(
+        row.getAs[Array[Byte]]("data"), row.getAs[String]("dtype")).toSeq
+      val got = graft.raster.Tiff.readWindow(path, 0, 0, w, h).toSeq
+      assert(got == expect, s"pixel mismatch in $path")
+    }
+    // and the directory is a live SQL table through the gtiff source
+    val n = spark.read.format("gtiff").load(out).count()
+    assert(n == rows.map(r =>
+      r.getAs[Int]("width").toLong * r.getAs[Int]("height")).sum)
+  }
+
   test("permissive load: missing source contributes nothing, job succeeds") {
     // point one item's band at a missing file; failOnError=false loads on
     val broken = items.map { i =>
