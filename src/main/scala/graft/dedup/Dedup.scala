@@ -251,6 +251,52 @@ object Dedup {
       case _ => ()
     }
 
+  /** The end product of the dedup pipeline: the deduplicated corpus.
+    * Non-canonical cluster members drop (left-anti join against the
+    * cluster table); everything else survives. Emits (doc_id, kept_len)
+    * so the oracle checks the survivor SET and the payload wiring. */
+  def keepList(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("kept_len"))
+    val dropped = clusters(spark, dir)
+      .where(col("doc_id") =!= col("canonical"))
+      .select(col("doc_id"))
+    // broadcast the (tiny) drop-list: near-dup sets are a sliver of the
+    // corpus, so the survivors scan never shuffles
+    docs.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  val keepListDuckSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS blk,
+      |         string_split_regex(lower(trim(text)), '\s+') AS tok
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, blk,
+      |         list_distinct(CASE WHEN len(tok) >= 3 THEN
+      |           [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+      |            for i in generate_series(1, len(tok) - 2)]
+      |           ELSE [array_to_string(tok, ' ')] END) AS sh
+      |  FROM t),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(a.sh || b.sh)) >= 0.5),
+      |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      |      UNION ALL SELECT doc_b, doc_a FROM p),
+      |n AS (SELECT DISTINCT u FROM e),
+      |reach(u, v) AS (
+      |  SELECT u, u FROM n
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+      |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS kept_len
+      |FROM documents d
+      |WHERE d.doc_id NOT IN (
+      |  SELECT u FROM reach GROUP BY u HAVING u != MIN(v))
+      |ORDER BY d.doc_id""".stripMargin
+
   val clustersDuckSql: String =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, substr(text, 1, 40) AS blk,
@@ -285,12 +331,14 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, d) => minhash(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
     "dedup_ngram_jaccard" -> Tables.sql(ngramJaccardSparkSql),
-    "dedup_clusters" -> ((s, d) => clusters(s, d))
+    "dedup_clusters" -> ((s, d) => clusters(s, d)),
+    "dedup_keeplist" -> ((s, d) => keepList(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardDuckSql,
-    "dedup_clusters" -> clustersDuckSql
+    "dedup_clusters" -> clustersDuckSql,
+    "dedup_keeplist" -> keepListDuckSql
   )
 }

@@ -227,17 +227,49 @@ object StreamingOps {
       .orderBy("id")
   }
 
+  /** Streaming exact dedup — the ingest-time shape of the dedup family:
+    * `dropDuplicates` on the identity columns with a watermark bounding
+    * the key state (keys older than the watermark age out instead of
+    * accumulating forever — the property that keeps this runnable on an
+    * unbounded 100 TB/day stream). Only key columns are projected, so
+    * the emitted set is deterministic and equals batch DISTINCT. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+      withStreamPartitions(spark, 8) {
+    val (path, rawSchema) = stagedEvents(spark, dir)
+    val name = s"graft_dedup_${counter.incrementAndGet()}"
+    val stream = spark.readStream.schema(rawSchema).parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "30 days")
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("event_type"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val streamDedupOracle: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_stac_ingest" -> ((s, _) => stacIngestQuery(s)),
     "stream_tumbling_daily" -> ((s, d) => tumblingDaily(s, d)),
     "stream_tumbling_append" -> ((s, d) => tumblingDailyAppend(s, d)),
-    "stream_sessionize" -> ((s, d) => sessionize(s, d))
+    "stream_sessionize" -> ((s, d) => sessionize(s, d)),
+    "stream_dedup" -> ((s, d) => streamDedup(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
     "stream_tumbling_daily" -> tumblingDailyOracle,
     "stream_tumbling_append" -> tumblingDailyAppendOracle,
     "stream_sessionize" ->
-      sessionOracle("epoch(CAST(ts AS TIMESTAMP))")
+      sessionOracle("epoch(CAST(ts AS TIMESTAMP))"),
+    "stream_dedup" -> streamDedupOracle
   )
 }
