@@ -181,13 +181,27 @@ object Dedup {
     * tiny (bounded by the blocking), so this converges in a handful of
     * small self-joins — no full-corpus shuffle ever happens.
     * Oracle: DuckDB recursive-CTE reachability over the same pair set. */
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.sql(ngramJaccardSparkSql)(spark, dir)
-      .select(col("doc_a"), col("doc_b")).cache()
-    val out = propagateLabels(pairs).orderBy("doc_id")
-    pairs.unpersist(false)
-    out
+  /** Built cluster assignment, cached per (session, dir): the cluster
+    * map is a build-once artifact of the dedup pipeline — `clusters` and
+    * `keepList` both derive from it, and neither should pay the pair
+    * graph + propagation twice. The table is already materialized
+    * (localCheckpoint) when it lands here. */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def clusterTable(spark: SparkSession, dir: String): DataFrame = {
+    val key = spark.sparkContext.applicationId + " " + dir
+    clusterCache.computeIfAbsent(key, _ => {
+      val pairs = Tables.sql(ngramJaccardSparkSql)(spark, dir)
+        .select(col("doc_a"), col("doc_b")).cache()
+      val out = propagateLabels(pairs)
+      pairs.unpersist(false)
+      out
+    })
   }
+
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    clusterTable(spark, dir).orderBy("doc_id")
 
   /** Iterative min-label propagation over an undirected `(doc_a, doc_b)`
     * edge list -> `(doc_id, canonical)`. Each generation is
@@ -258,7 +272,7 @@ object Dedup {
   def keepList(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), length(col("text")).cast("long").as("kept_len"))
-    val dropped = clusters(spark, dir)
+    val dropped = clusterTable(spark, dir)
       .where(col("doc_id") =!= col("canonical"))
       .select(col("doc_id"))
     // broadcast the (tiny) drop-list: near-dup sets are a sliver of the
