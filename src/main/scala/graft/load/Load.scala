@@ -359,7 +359,8 @@ final case class LoadResult(tiles: DataFrame, geobox: GeoBox,
           graft.geo.Affine(t.a, t.b, ox, t.d, t.e, oy), gbox.crs)
         val nd = if (nodata.isNaN) None else Some(nodata)
         graft.raster.Tiff.write(
-          s"$outDir/${band}_t${tIdx}_${ty}_$tx.tif", px, tileGbox, dtype, nd)
+          s"$outDir/${band}_t${tIdx}_${ty}_$tx.tif", px, tileGbox, dtype, nd,
+          compression = Some("Deflate")) // what real COGs ship with
         n.add(1)
       }
     }

@@ -319,12 +319,14 @@ object Tiff {
     * N-component color space. */
   def writeBands(path: String, bands: Seq[Array[Double]], geobox: GeoBox,
                  dtype: String, nodata: Option[Double],
-                 tileSize: Option[Int] = Some(64)): Unit = {
+                 tileSize: Option[Int] = Some(64),
+                 compression: Option[String] = None): Unit = {
     require(bands.nonEmpty &&
       bands.forall(_.length == geobox.width * geobox.height),
       "each band must be a full-geobox plane")
     if (bands.length == 1)
-      return write(path, bands.head, geobox, dtype, nodata, tileSize)
+      return write(path, bands.head, geobox, dtype, nodata, tileSize,
+        compression = compression)
     val (w, h) = (geobox.width, geobox.height)
     val cs: ColorSpace =
       if (bands.length == 3) ColorSpace.getInstance(ColorSpace.CS_sRGB)
@@ -346,6 +348,10 @@ object Tiff {
         param.setTilingMode(ImageWriteParam.MODE_EXPLICIT)
         param.setTiling(ts, ts, 0, 0)
       }
+      compression.foreach { c =>
+        param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(c)
+      }
       val meta = writer.getDefaultImageMetadata(
         new ImageTypeSpecifier(img), param)
       val dir = TIFFDirectory.createFromMetadata(meta)
@@ -358,12 +364,15 @@ object Tiff {
   }
 
   /** Write a single-band GeoTIFF; `tileSize` tiles the layout (multiple
-    * of 16) and `overviews` appends decimated subimage IFDs (the COG
-    * shape: base + pyramid in one file). */
+    * of 16), `overviews` appends decimated subimage IFDs (the COG
+    * shape: base + pyramid in one file), and `compression` selects a
+    * TIFF codec by JDK name ("Deflate", "LZW" — what real COGs ship
+    * with; the reader decodes any of them transparently). */
   def write(path: String, pixels: Array[Double], geobox: GeoBox,
             dtype: String, nodata: Option[Double],
             tileSize: Option[Int] = Some(64),
-            overviews: Seq[Int] = Nil): Unit = {
+            overviews: Seq[Int] = Nil,
+            compression: Option[String] = None): Unit = {
     require(pixels.length == geobox.width * geobox.height)
     val writer = ImageIO.getImageWritersByFormatName("tiff").next()
     val ios = ImageIO.createImageOutputStream(new File(path))
@@ -377,6 +386,10 @@ object Tiff {
         tileSize.foreach { ts =>
           param.setTilingMode(ImageWriteParam.MODE_EXPLICIT)
           param.setTiling(ts, ts, 0, 0)
+        }
+        compression.foreach { c =>
+          param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+          param.setCompressionType(c)
         }
         val meta = writer.getDefaultImageMetadata(
           new ImageTypeSpecifier(img), param)

@@ -301,6 +301,26 @@ class RasterSpec extends AnyFunSuite {
     assert(math.abs(bs(0) - 2.25) < 1e-9, s"cubic_spline on ramp: ${bs(0)}")
   }
 
+  test("compressed TIFF write (Deflate/LZW) roundtrips exactly and shrinks") {
+    val g = gbox(64, 64)
+    // compressible content: broad constant runs
+    val px = Array.tabulate(64 * 64)(i => ((i / 512) * 100).toDouble)
+    Tiff.write(s"$tmp/unc.tif", px, g, "uint16", Some(0.0))
+    for (c <- Seq("Deflate", "LZW")) {
+      val p = s"$tmp/comp_$c.tif"
+      Tiff.write(p, px, g, "uint16", Some(0.0), compression = Some(c))
+      assert(Tiff.readWindow(p, 0, 0, 64, 64).toSeq == px.toSeq, c)
+      // windowed read through the compressed tiles too
+      assert(Tiff.readWindow(p, 10, 20, 5, 4).toSeq ==
+        (0 until 4).flatMap(y => (0 until 5).map(x =>
+          px((20 + y) * 64 + 10 + x))), c)
+      val hd = Tiff.readHeader(p)
+      assert(hd.nodata.contains(0.0) && hd.width == 64)
+      assert(new java.io.File(p).length() <
+        new java.io.File(s"$tmp/unc.tif").length(), s"$c did not shrink")
+    }
+  }
+
   test("average resampling pools in the chosen overview level's pixels") {
     // 8x8 base with .ovr4; dst at 4x shrink with average: the pooling
     // window must be ~1 overview pixel, not `shrink` overview pixels
