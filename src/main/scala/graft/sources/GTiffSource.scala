@@ -139,25 +139,27 @@ class GTiffScan(paths: Seq[String], bounds: PixelBounds,
       s"columns=${required.fieldNames.mkString(",")}"
 
   /** One partition per (surviving band, row-band of the pushed window)
-    * per file — ROI and band pruning happen at planning time. */
+    * per file — ROI and band pruning happen at planning time. Header
+    * reads fan out over a bounded pool: planning must not serialize on
+    * per-file metadata I/O when the table spans thousands of files. */
   override def planInputPartitions(): Array[InputPartition] = {
-    paths.iterator.flatMap { p =>
+    PlanUtil.parMap(paths) { p =>
       val hd = Tiff.readHeader(p)
       val nBands = Tiff.numBands(p)
       val b = bounds.clampTo(hd.width, hd.height)
-      if (b.isEmpty) Iterator.empty
+      if (b.isEmpty) Seq.empty
       else {
         val w = b.xMax - b.xMin + 1
         val rowsPer = math.max(1, (GrbTable.TargetPartitionPx / math.max(1, w)).toInt)
         for {
-          band <- Iterator.range(1, nBands + 1) if bandPred(band)
-          y0 <- Iterator.range(b.yMin, b.yMax + 1, rowsPer)
+          band <- 1 to nBands if bandPred(band)
+          y0 <- b.yMin to b.yMax by rowsPer
         } yield {
           val h = math.min(rowsPer, b.yMax - y0 + 1)
           GTiffInputPartition(p, band, b.xMin, y0, w, h): InputPartition
         }
       }
-    }.toArray
+    }.flatten.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -152,21 +152,23 @@ class GrbScan(paths: Seq[String], bounds: PixelBounds, required: StructType)
 
   /** One partition per row-band of the pushed window per file — the ROI
     * prune happens HERE, at planning time: out-of-window bands are never
-    * materialized as partitions. */
+    * materialized as partitions. Header reads fan out over a bounded
+    * pool (see [[PlanUtil.parMap]]): planning must not serialize on
+    * per-file metadata I/O across thousands of files. */
   override def planInputPartitions(): Array[InputPartition] = {
-    paths.iterator.flatMap { p =>
+    PlanUtil.parMap(paths) { p =>
       val hd = Grb.readHeader(p)
       val b = bounds.clampTo(hd.width, hd.height)
-      if (b.isEmpty) Iterator.empty
+      if (b.isEmpty) Seq.empty
       else {
         val w = b.xMax - b.xMin + 1
         val rowsPer = math.max(1, (GrbTable.TargetPartitionPx / math.max(1, w)).toInt)
-        Iterator.range(b.yMin, b.yMax + 1, rowsPer).map { y0 =>
+        (b.yMin to b.yMax by rowsPer).map { y0 =>
           val h = math.min(rowsPer, b.yMax - y0 + 1)
           GrbInputPartition(p, b.xMin, y0, w, h): InputPartition
         }
       }
-    }.toArray
+    }.flatten.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
