@@ -246,12 +246,38 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Recall@K of each ANN path against exact brute force — the number
+    * an ANN index is judged by, emitted as a query so every round's
+    * correctness dump records it (deterministic: fixed seeds, fixed
+    * query set). One row per (method, qid) plus a "_mean" row. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    VecFunctions.register(spark)
+    val exact = Tables.sql(bruteforceSparkSql)(spark, dir)
+      .select(col("qid"), col("cid"))
+    def recallOf(name: String, approx: DataFrame): DataFrame = {
+      val hits = exact.join(approx.select(col("qid"), col("cid")), Seq("qid", "cid"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy("qid").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("qid"), "left")
+        .select(lit(name).as("method"), col("qid"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_true"), 4)
+            .as("recall"))
+    }
+    val per = recallOf("lsh", lshTopK(spark, dir))
+      .unionAll(recallOf("ivf", ivfTopK(spark, dir)))
+    val mean = per.groupBy("method")
+      .agg(round(avg(col("recall")), 4).as("recall"))
+      .select(col("method"), lit(-1L).as("qid"), col("recall"))
+    per.unionAll(mean).orderBy("method", "qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "sim_bruteforce_topk" -> ((s, d) => {
       VecFunctions.register(s); Tables.sql(bruteforceSparkSql)(s, d)
     }),
     "sim_lsh_topk" -> ((s, d) => lshTopK(s, d)),
+    "sim_ann_recall" -> ((s, d) => annRecall(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => nearDupPairs(s, d))
   )
 
