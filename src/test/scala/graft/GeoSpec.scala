@@ -85,6 +85,26 @@ class GeoSpec extends AnyFunSuite {
     assert(math.abs(got - expected) / expected < 1e-6, s"$got vs $expected")
   }
 
+  test("equal-area CRSs: random-point roundtrip sweep over validity domains") {
+    val cases = Seq(
+      ("EPSG:6933", -180.0, 180.0, -85.0, 85.0),
+      ("EPSG:5070", -125.0, -65.0, 22.0, 52.0), // CONUS
+      ("EPSG:6931", -180.0, 180.0, 30.0, 89.9), // north polar
+      ("EPSG:6932", -180.0, 180.0, -89.9, -30.0)) // south polar
+    for ((code, lo1, hi1, lo2, hi2) <- cases) {
+      val crs = Crs.parse(code)
+      val lons = samples(200, lo1, hi1, code.hashCode)
+      val lats = samples(200, lo2, hi2, code.hashCode + 1)
+      for ((lon, lat) <- lons.zip(lats)) {
+        val (x, y) = crs.forward(lon, lat)
+        assert(!x.isNaN && !y.isNaN, s"$code NaN at ($lon,$lat)")
+        val (lon2, lat2) = crs.inverse(x, y)
+        assert(math.abs(lon2 - lon) < 1e-6, s"$code lon $lon -> $lon2")
+        assert(math.abs(lat2 - lat) < 1e-6, s"$code lat $lat -> $lat2")
+      }
+    }
+  }
+
   test("equal-area CRSs roundtrip and preserve the ellipsoidal area element") {
     // |Jacobian d(x,y)/d(lon,lat)| must equal the WGS84 area element
     // a^2 (1-e^2) cos(phi) / (1 - e^2 sin^2 phi)^2 — THE defining property
