@@ -208,9 +208,11 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> Tables.sql(q.spark)).toMap +
-      ("q27_skew_salted_join" -> (saltedJoinQuery _))
+      ("q27_skew_salted_join" -> (saltedJoinQuery _)) ++
+      TemporalJoins.queries
 
   val oracleSql: Map[String, String] =
     qs.map(q => q.name -> q.duck.getOrElse(q.spark)).toMap +
-      ("q27_skew_salted_join" -> saltedJoinOracle)
+      ("q27_skew_salted_join" -> saltedJoinOracle) ++
+      TemporalJoins.oracleSql
 }

@@ -257,12 +257,61 @@ object StreamingOps {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Stream-stream inner join: purchases × views of the same user within
+    * the preceding day, both sides watermarked. The event-time range
+    * condition is what bounds the join state — Spark derives per-side
+    * state retention from (watermark, range): view rows age out once the
+    * purchase watermark passes `v_ts + 1 day`, so state stays
+    * proportional to one day of stream volume, not the whole history —
+    * the property that keeps a 100 TB/day stream joinable. Run with
+    * AvailableNow over the static table, the emitted set equals the
+    * batch range join, so the run is DuckDB-oracle checkable. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame =
+      withStreamPartitions(spark, 8) {
+    val (path, rawSchema) = stagedEvents(spark, dir)
+    val name = s"graft_sjoin_${counter.incrementAndGet()}"
+    def src() = spark.readStream.schema(rawSchema).parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = src().where(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "25 hours") // covers the 1-day range + slack
+    val joined = purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 DAY"))
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("p_id"), col("v_id"))
+      .orderBy("p_id", "v_id")
+  }
+
+  val streamJoinOracle: String =
+    """SELECT p.event_id AS p_id, v.event_id AS v_id
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id
+      | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 DAY
+      |ORDER BY p_id, v_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_stac_ingest" -> ((s, _) => stacIngestQuery(s)),
     "stream_tumbling_daily" -> ((s, d) => tumblingDaily(s, d)),
     "stream_tumbling_append" -> ((s, d) => tumblingDailyAppend(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(s, d)),
-    "stream_dedup" -> ((s, d) => streamDedup(s, d))
+    "stream_dedup" -> ((s, d) => streamDedup(s, d)),
+    "stream_join" -> ((s, d) => streamJoin(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -270,6 +319,7 @@ object StreamingOps {
     "stream_tumbling_append" -> tumblingDailyAppendOracle,
     "stream_sessionize" ->
       sessionOracle("epoch(CAST(ts AS TIMESTAMP))"),
-    "stream_dedup" -> streamDedupOracle
+    "stream_dedup" -> streamDedupOracle,
+    "stream_join" -> streamJoinOracle
   )
 }
