@@ -246,6 +246,215 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  // ---- IVF-PQ (product quantization over coarse-cell residuals) ----------
+
+  /** PQ geometry: 8 subspaces × 8 dims, 16 centroids per subspace.
+    * A 64-dim float vector (256 B) compresses to 8 codes + an 8-byte
+    * stored norm = 16 B — 16× — which is what lets a 100 TB embedding
+    * corpus' index live in cluster memory while the raw vectors stay on
+    * disk for the (bounded) refine step. Codes are kept as array<int>
+    * here for plain-SQL ADC indexing; a production layout would pack
+    * them 4 bits each into a single long. */
+  val PqM = 8
+  val PqKs = 16
+  /** Refine: exact re-rank of the top RefineFactor·K approximate hits.
+    * 8 recovers most ADC ranking loss on near-orthogonal corpora (the
+    * synthetic bench data) while still touching only 40 raw vectors per
+    * query. */
+  val PqRefineFactor = 8
+  private val PqTrainMax = 4096 // driver-local codebook training sample cap
+
+  /** Seeded Lloyd k-means on driver-local data — PQ codebooks train on a
+    * BOUNDED sample (≤ PqTrainMax rows collected), so driver-local is the
+    * right venue at any corpus scale; the distributed work stays in
+    * encode/scan. */
+  private[graft] def localKMeans(points: Array[Array[Double]], k: Int,
+                                 iters: Int, seed: Long): Array[Array[Double]] = {
+    val dim = points.head.length
+    val rnd = new scala.util.Random(seed)
+    // k-means++-ish seeding: distinct random picks
+    val centers = rnd.shuffle(points.indices.toList).take(k)
+      .map(i => points(i).clone()).toArray
+    val assign = new Array[Int](points.length)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < points.length) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centers.length) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = points(i)(j) - centers(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(i) = best; i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < points.length) {
+        val a = assign(i); counts(a) += 1
+        var j = 0
+        while (j < dim) { sums(a)(j) += points(i)(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        } else centers(c) = points(rnd.nextInt(points.length)).clone()
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** Built PQ index: shared residual codebooks [m][ks][subDim] + the
+    * encoded corpus (vec_id, cell, codes, xnorm, embedding). Cached per
+    * (session, dir) like the IVF index it extends. */
+  private val pqIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Array[Double]]], DataFrame)]()
+
+  private[graft] def pqIndex(spark: SparkSession, dir: String)
+  : (Array[Array[Array[Double]]], DataFrame) = {
+    val key = spark.sparkContext.applicationId + " " + dir
+    pqIndexCache.computeIfAbsent(key, _ => {
+      val (centroids, assigned) = ivfIndex(spark, dir)
+      val cents: Array[Array[Double]] = centroids.map(_.toArray)
+      val dim = cents.head.length
+      require(dim % PqM == 0, s"dim $dim not divisible by PqM=$PqM")
+      val subDim = dim / PqM
+
+      // bounded training sample of residuals, collected to the driver
+      val n = assigned.count()
+      val frac = math.min(1.0, PqTrainMax.toDouble / n)
+      val sample = (if (frac < 1.0) assigned.sample(false, frac, 13) else assigned)
+        .select(col("embedding"), col("cell")).collect()
+      val residuals = sample.map { r =>
+        val e = r.getSeq[Float](0); val c = cents(r.getInt(1))
+        Array.tabulate(dim)(j => e(j).toDouble - c(j))
+      }
+      val codebooks = Array.tabulate(PqM) { m =>
+        val sub = residuals.map(r => java.util.Arrays.copyOfRange(r, m * subDim, (m + 1) * subDim))
+        localKMeans(sub, PqKs, iters = 15, seed = 17L * (m + 1))
+      }
+
+      // one-time map-side encode of the full corpus (build path — a UDF
+      // is fine here; the per-query scan below is UDF-free codegen SQL)
+      val bCents = spark.sparkContext.broadcast(cents)
+      val bCb = spark.sparkContext.broadcast(codebooks)
+      val encodeUdf = udf { (emb: Seq[Float], cell: Int) =>
+        val c = bCents.value(cell)
+        val cb = bCb.value
+        val codes = new Array[Int](PqM)
+        var m = 0
+        while (m < PqM) {
+          var best = 0; var bestD = Double.MaxValue; var j = 0
+          while (j < PqKs) {
+            var d = 0.0; var t = 0
+            while (t < subDim) {
+              val r = emb(m * subDim + t).toDouble - c(m * subDim + t)
+              val diff = r - cb(m)(j)(t); d += diff * diff; t += 1
+            }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          codes(m) = best; m += 1
+        }
+        codes
+      }
+      val normUdf = udf { emb: Seq[Float] =>
+        var s = 0.0; var j = 0
+        while (j < emb.length) { s += emb(j).toDouble * emb(j); j += 1 }
+        math.sqrt(s)
+      }
+      val encoded = assigned
+        .withColumn("codes", encodeUdf(col("embedding"), col("cell")))
+        .withColumn("xnorm", normUdf(col("embedding")))
+        .persist()
+      encoded.count() // materialize before handing out
+      (codebooks, encoded)
+    })
+  }
+
+  /** IVF-PQ approximate top-k — asymmetric distance computation (ADC):
+    * queries stay exact, candidates are scored from their PQ codes via a
+    * per-query lookup table, then the top RefineFactor·K are exact-cosine
+    * re-ranked. The scan path is pure codegen SQL (array indexing +
+    * `aggregate`) over a broadcast LUT — no per-row Scala UDF; at 100 TB
+    * the scored scan reads 16 B/vector instead of 256 B and only the
+    * refine step touches raw embeddings (bounded: RefineFactor·K rows
+    * per query). */
+  /** Coarse-quantizer centroids as plain arrays (spec access). */
+  private[graft] def ivfIndexCentroids(spark: SparkSession, dir: String)
+  : Array[Array[Double]] = ivfIndex(spark, dir)._1.map(_.toArray)
+
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    VecFunctions.register(spark)
+    val (centroids, _) = ivfIndex(spark, dir)
+    val (codebooks, encoded) = pqIndex(spark, dir)
+    val cents = centroids.map(_.toArray)
+    val dim = cents.head.length
+    val subDim = dim / PqM
+    val k = cents.length
+    val probes = math.max(5, math.ceil(ProbeFraction * k).toInt)
+
+    // driver-side query prep (NumQueries rows): probe list + ADC LUT +
+    // per-cell query·centroid dot products
+    val qRows = encoded.where(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probeTable = qRows.flatMap { case (qid, q) =>
+      val qd = q.map(_.toDouble)
+      val qnorm = math.sqrt(qd.map(x => x * x).sum)
+      val lut = Array.tabulate(PqM, PqKs) { (m, j) =>
+        var s = 0.0; var t = 0
+        while (t < subDim) { s += qd(m * subDim + t) * codebooks(m)(j)(t); t += 1 }
+        s
+      }.map(_.toSeq).toSeq
+      val byCos = cents.zipWithIndex.map { case (c, i) =>
+        var dot = 0.0; var nc = 0.0; var j = 0
+        while (j < dim) { dot += qd(j) * c(j); nc += c(j) * c(j); j += 1 }
+        (if (nc == 0.0) 0.0 else dot / (math.sqrt(nc) * qnorm), dot, i)
+      }
+      byCos.sortBy(-_._1).take(probes).map { case (_, qc, cell) =>
+        (qid, cell, qc, qnorm, lut)
+      }
+    }.toSeq
+    import spark.implicits._
+    val probeDf = probeTable.toDF("qid", "cell", "qc", "qnorm", "lut")
+
+    // ADC scan: broadcast tiny probe table into the probed cells, score
+    // ip ≈ q·centroid + Σ_m lut[m][code_m], rank by approximate cosine
+    val cand = broadcast(probeDf).join(encoded, Seq("cell"))
+      .where(col("qid") =!= col("vec_id"))
+      .withColumn("ip", col("qc") + expr(
+        s"aggregate(sequence(0, ${PqM - 1}), 0D, (s, m) -> s + lut[m][codes[m]])"))
+      .withColumn("cos_approx",
+        when(col("xnorm") > 0.0, col("ip") / (col("qnorm") * col("xnorm")))
+          .otherwise(lit(0.0)))
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_approx").desc, col("vec_id"))
+    val shortlist = cand
+      .withColumn("arn", row_number().over(wA))
+      .where(col("arn") <= K * PqRefineFactor)
+      .select(col("qid"), col("vec_id").as("cid"), col("embedding").as("ce"))
+
+    // bounded exact refine: RefineFactor·K rows per query
+    val qEmb = encoded.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wE = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    shortlist.join(broadcast(qEmb), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        call_function("vec_cosine", col("qe"), col("ce")).as("cos"))
+      .withColumn("rn", row_number().over(wE))
+      .where(col("rn") <= K)
+      .select(col("qid"), col("cid"), col("rn"), round(col("cos"), 4).as("cos"))
+      .orderBy("qid", "rn")
+  }
+
   /** Recall@K of each ANN path against exact brute force — the number
     * an ANN index is judged by, emitted as a query so every round's
     * correctness dump records it (deterministic: fixed seeds, fixed
@@ -265,6 +474,7 @@ object Similarity {
     }
     val per = recallOf("lsh", lshTopK(spark, dir))
       .unionAll(recallOf("ivf", ivfTopK(spark, dir)))
+      .unionAll(recallOf("ivfpq", ivfPqTopK(spark, dir)))
     val mean = per.groupBy("method")
       .agg(round(avg(col("recall")), 4).as("recall"))
       .select(col("method"), lit(-1L).as("qid"), col("recall"))
@@ -277,6 +487,7 @@ object Similarity {
       VecFunctions.register(s); Tables.sql(bruteforceSparkSql)(s, d)
     }),
     "sim_lsh_topk" -> ((s, d) => lshTopK(s, d)),
+    "sim_ivfpq_topk" -> ((s, d) => ivfPqTopK(s, d)),
     "sim_ann_recall" -> ((s, d) => annRecall(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => nearDupPairs(s, d))
   )

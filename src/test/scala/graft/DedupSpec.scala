@@ -122,6 +122,51 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("IVF-PQ top-k recall stays close to plain IVF after 16x compression") {
+    Tables.register(spark, sf)
+    functions.VecFunctions.register(spark)
+    val exact = spark.sql(similarity.Similarity.bruteforceSparkSql)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = similarity.Similarity.ivfPqTopK(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"IVF-PQ top-k recall@${similarity.Similarity.K} = $recall")
+    assert(recall >= 0.4, s"recall $recall too low")
+  }
+
+  test("PQ codes are in range and quantization beats the zero coder") {
+    Tables.register(spark, sf)
+    val (codebooks, encoded) = similarity.Similarity.pqIndex(spark, sf)
+    assert(codebooks.length == similarity.Similarity.PqM)
+    assert(codebooks.forall(_.length == similarity.Similarity.PqKs))
+    val rows = encoded.select("codes").collect()
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](0)
+      assert(cs.length == similarity.Similarity.PqM)
+      assert(cs.forall(c => c >= 0 && c < similarity.Similarity.PqKs))
+    }
+    // reconstruction error must be below residual energy: the codebooks
+    // actually learned structure (zero coder == predicting the cell mean)
+    import org.apache.spark.sql.functions._
+    val cents = similarity.Similarity.ivfIndexCentroids(spark, sf)
+    val stats = encoded.select("embedding", "cell", "codes").collect().map { r =>
+      val e = r.getSeq[Float](0); val c = cents(r.getInt(1)); val cs = r.getSeq[Int](2)
+      val dim = e.length; val subDim = dim / similarity.Similarity.PqM
+      var resE = 0.0; var errE = 0.0
+      for (j <- 0 until dim) {
+        val res = e(j).toDouble - c(j)
+        val rec = codebooks(j / subDim)(cs(j / subDim))(j % subDim)
+        resE += res * res; errE += (res - rec) * (res - rec)
+      }
+      (resE, errE)
+    }
+    val (resTot, errTot) = stats.foldLeft((0.0, 0.0)) {
+      case ((a, b), (x, y)) => (a + x, b + y) }
+    info(f"PQ residual energy $resTot%.1f -> reconstruction error $errTot%.1f")
+    assert(errTot < 0.8 * resTot,
+      s"PQ reconstruction error $errTot not meaningfully below residual energy $resTot")
+  }
+
 
   test("cluster labels are component minima and consistent with pairs") {
     val pairs = dedup.Dedup.queries("dedup_ngram_jaccard")(spark, sf)
