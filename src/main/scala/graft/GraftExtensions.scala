@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashBands, SimHash64}
+import graft.functions.{CosineSimilarity, MinHashBands, SimHash64, ZOrder64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -43,6 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { args: Seq[Expression] =>
         require(args.length == 1, "simhash64(hset) takes one argument")
         SimHash64(args(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("zorder64"),
+      info("zorder64", "zorder64(x, y) - Morton z-order code of two int coords"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "zorder64(x, y) takes two arguments")
+        ZOrder64(args(0), args(1))
       }))
   }
 }

@@ -24,6 +24,7 @@ object SparkEntry {
       text.TextAnalysis.queries ++
       multimodal.Multimodal.queries ++
       streaming.StreamingOps.queries ++
+      layout.Layout.queries ++
       rasterops.RasterQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,5 +35,6 @@ object SparkEntry {
       similarity.Similarity.oracleSql ++
       text.TextAnalysis.oracleSql ++
       multimodal.Multimodal.oracleSql ++
-      streaming.StreamingOps.oracleSql
+      streaming.StreamingOps.oracleSql ++
+      layout.Layout.oracleSql
 }

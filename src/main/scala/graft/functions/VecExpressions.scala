@@ -226,5 +226,12 @@ object VecFunctions {
         SimHash64(args(0))
       },
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "zorder64",
+      { args: Seq[Expression] =>
+        require(args.length == 2, "zorder64(x, y) takes two arguments")
+        ZOrder64(args(0), args(1))
+      },
+      "built-in")
   }
 }
