@@ -281,6 +281,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered keep-list — same survivors, different scale
+    * envelope. `keepList` broadcasts the drop-list as an exact hash
+    * relation, which caps out when the drop-list itself is billions of
+    * ids (an 80 GB broadcast is not a broadcast). The bloom shape: a
+    * 1%-fpp filter over the drop-ids (~1.2 GB per 10^9 keys) broadcast
+    * to every task; definite-negatives — the overwhelming majority of a
+    * mostly-unique corpus — pass with zero shuffle and zero join, and
+    * only bloom-positives (true drops + ~1% false positives) pay the
+    * exact anti-join that removes the FPs. No false negatives, so the
+    * result is bit-identical to `keepList` (same DuckDB oracle). */
+  def keepListBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("kept_len"))
+    val dropped = clusterTable(spark, dir)
+      .where(col("doc_id") =!= col("canonical"))
+      .select(col("doc_id"))
+    val nDrop = math.max(dropped.count(), 1L)
+    val bloom = dropped.stat.bloomFilter("doc_id", nDrop, 0.01)
+    val b = spark.sparkContext.broadcast(bloom)
+    val mightDrop = udf((id: Long) => b.value.mightContainLong(id))
+    val negatives = docs.where(!mightDrop(col("doc_id")))
+    val positives = docs.where(mightDrop(col("doc_id")))
+      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+    negatives.unionByName(positives).orderBy("doc_id")
+  }
+
   val keepListDuckSql: String =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, substr(text, 1, 40) AS blk,
@@ -346,13 +372,15 @@ object Dedup {
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
     "dedup_ngram_jaccard" -> Tables.sql(ngramJaccardSparkSql),
     "dedup_clusters" -> ((s, d) => clusters(s, d)),
-    "dedup_keeplist" -> ((s, d) => keepList(s, d))
+    "dedup_keeplist" -> ((s, d) => keepList(s, d)),
+    "dedup_keeplist_bloom" -> ((s, d) => keepListBloom(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardDuckSql,
     "dedup_clusters" -> clustersDuckSql,
-    "dedup_keeplist" -> keepListDuckSql
+    "dedup_keeplist" -> keepListDuckSql,
+    "dedup_keeplist_bloom" -> keepListDuckSql
   )
 }

@@ -183,7 +183,20 @@ object Relational {
       """SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n,
         |       ROUND(SUM(value), 2) AS v
         |FROM events GROUP BY CAST(ts AS DATE), event_type
-        |ORDER BY d, event_type""".stripMargin)
+        |ORDER BY d, event_type""".stripMargin),
+
+    // Spark's native PIVOT; the oracle uses portable conditional
+    // aggregation (the same physical shape Catalyst lowers PIVOT to)
+    Q("q30_pivot",
+      """SELECT * FROM (
+        |  SELECT l_returnflag AS rf, l_linestatus AS ls, l_extendedprice AS p
+        |  FROM lineitem)
+        |PIVOT (ROUND(SUM(p), 2) FOR ls IN ('F' AS f, 'O' AS o))
+        |ORDER BY rf""".stripMargin,
+      Some("""SELECT l_returnflag AS rf,
+        |  ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS f,
+        |  ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY rf""".stripMargin))
   )
 
   /** Salted join (skew mitigation, `Skew.saltedJoin`) — result must be

@@ -137,12 +137,69 @@ object TextAnalysis {
       |FROM f GROUP BY LEAST(FLOOR(toks / 20), 5)
       |ORDER BY len_bucket""".stripMargin
 
+  /** Gopher/C4-style document quality filter — the gate a training-data
+    * pipeline runs before dedup: per-document signals (length, top-word
+    * repetition share, stopword ratio, mean word length) and a composite
+    * keep flag. Pure projections + one token-level aggregation; at scale
+    * the explode/re-group shuffles (doc_id, word) pairs, which
+    * map-side-combines to near the document count. Thresholds tuned to
+    * split the synthetic corpus (~55% keep at sf0.01). */
+  val qualityFilterSparkSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, split(trim(text), '\\s+') AS tok FROM documents),
+      |w AS (
+      |  SELECT doc_id, explode(tok) AS w FROM t),
+      |rep AS (
+      |  SELECT doc_id, MAX(c) AS topc, SUM(c) AS total,
+      |         SUM(CASE WHEN w IN ('a', 'the') THEN c ELSE 0 END) AS stopc
+      |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w) g
+      |  GROUP BY doc_id),
+      |f AS (
+      |  SELECT t.doc_id, size(tok) AS n_words,
+      |    ROUND(CAST(rep.topc AS DOUBLE) / rep.total, 4) AS rep_ratio,
+      |    ROUND(CAST(rep.stopc AS DOUBLE) / rep.total, 4) AS stop_ratio,
+      |    ROUND(aggregate(tok, 0D, (s, x) -> s + CAST(length(x) AS DOUBLE))
+      |          / size(tok), 4) AS avg_wlen
+      |  FROM t JOIN rep ON t.doc_id = rep.doc_id)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, rep_ratio,
+      |  stop_ratio, avg_wlen,
+      |  CAST(CASE WHEN n_words BETWEEN 30 AND 90 AND rep_ratio <= 0.12
+      |        AND stop_ratio >= 0.03 AND avg_wlen BETWEEN 3 AND 8
+      |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  val qualityFilterDuckSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, unnest(tok) AS w FROM t),
+      |rep AS (
+      |  SELECT doc_id, MAX(c) AS topc, SUM(c) AS total,
+      |         SUM(CASE WHEN w IN ('a', 'the') THEN c ELSE 0 END) AS stopc
+      |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w) g
+      |  GROUP BY doc_id),
+      |f AS (
+      |  SELECT t.doc_id, len(tok) AS n_words,
+      |    ROUND(CAST(rep.topc AS DOUBLE) / rep.total, 4) AS rep_ratio,
+      |    ROUND(CAST(rep.stopc AS DOUBLE) / rep.total, 4) AS stop_ratio,
+      |    ROUND(list_sum(list_transform(tok, x -> CAST(length(x) AS DOUBLE)))
+      |          / len(tok), 4) AS avg_wlen
+      |  FROM t JOIN rep ON t.doc_id = rep.doc_id)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, rep_ratio,
+      |  stop_ratio, avg_wlen,
+      |  CAST(CASE WHEN n_words BETWEEN 30 AND 90 AND rep_ratio <= 0.12
+      |        AND stop_ratio >= 0.03 AND avg_wlen BETWEEN 3 AND 8
+      |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> Tables.sql(statsSparkSql),
     "text_tokens" -> Tables.sql(tokensSparkSql),
     "text_fingerprint" -> Tables.sql(fingerprintSparkSql),
     "text_langid" -> Tables.sql(langidSparkSql),
-    "text_quality" -> Tables.sql(qualitySparkSql)
+    "text_quality" -> Tables.sql(qualitySparkSql),
+    "text_quality_filter" -> Tables.sql(qualityFilterSparkSql)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -150,6 +207,7 @@ object TextAnalysis {
     "text_tokens" -> tokensDuckSql,
     "text_fingerprint" -> fingerprintDuckSql,
     "text_langid" -> langidDuckSql,
-    "text_quality" -> qualityDuckSql
+    "text_quality" -> qualityDuckSql,
+    "text_quality_filter" -> qualityFilterDuckSql
   )
 }

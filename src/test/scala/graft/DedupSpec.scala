@@ -168,6 +168,13 @@ class DedupSpec extends AnyFunSuite {
   }
 
 
+  test("bloom-prefiltered keep-list equals the exact keep-list") {
+    val plain = dedup.Dedup.keepList(spark, sf)
+    val bloom = dedup.Dedup.keepListBloom(spark, sf)
+    assert(plain.count() > 0)
+    assert(bloom.exceptAll(plain).isEmpty && plain.exceptAll(bloom).isEmpty)
+  }
+
   test("cluster labels are component minima and consistent with pairs") {
     val pairs = dedup.Dedup.queries("dedup_ngram_jaccard")(spark, sf)
       .select("doc_a", "doc_b").collect()
