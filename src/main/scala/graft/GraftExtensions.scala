@@ -51,5 +51,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "zorder64(x, y) takes two arguments")
         ZOrder64(args(0), args(1))
       }))
+    // derive pushdown-able z-range bounds from tx/ty box predicates on
+    // z-clustered tables (see graft.plans.ZOrderRangePruning)
+    ext.injectOptimizerRule(graft.plans.ZOrderRangePruning(_))
   }
 }

@@ -61,6 +61,46 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("ZOrderRangePruning adds a pushdown-able z range, result unchanged") {
+    graft.functions.VecFunctions.register(spark)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zprune").toString
+    (for (x <- 0 until 64; y <- 0 until 64) yield (x, y))
+      .toDF("tx", "ty")
+      .withColumn("z", expr("zorder64(tx, ty)"))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(dir)
+
+    def roi(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("tx").between(8, 23) && col("ty").between(40, 55))
+
+    val before = roi(spark.read.parquet(dir)).collect().toSet
+    graft.plans.ZOrderPruning.install(spark)
+    try {
+      val pruned = roi(spark.read.parquet(dir))
+      val optimized = pruned.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("z#") || optimized.toLowerCase.contains("z >="),
+        s"no z bound injected:\n$optimized")
+      // the z range must reach the parquet scan as a data filter
+      // (plan toString truncates PushedFilters — inspect the node)
+      val scan = pruned.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.get
+      assert(scan.dataFilters.exists(_.references.exists(_.name == "z")),
+        s"z bound not in scan data filters: ${scan.dataFilters}")
+      assert(pruned.collect().toSet == before)
+      // idempotent: re-install + re-plan doesn't stack duplicate bounds
+      graft.plans.ZOrderPruning.install(spark)
+      assert(roi(spark.read.parquet(dir)).collect().toSet == before)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[graft.plans.ZOrderRangePruning])
+    }
+  }
+
   test("z-clustered files localize a square ROI; x-major stripes do not") {
     graft.functions.VecFunctions.register(spark)
     import spark.implicits._
