@@ -307,6 +307,28 @@ object Dedup {
     negatives.unionByName(positives).orderBy("doc_id")
   }
 
+  /** The full training-data gate as ONE declarative plan: quality filter
+    * (Gopher/C4 rules) ∧ near-dup keep-list → per-language corpus
+    * stats. Each stage is an already-oracle-checked operator; composing
+    * them stays a single Catalyst plan — the cluster-table build is the
+    * only iterative piece, and it is cached, so the composition adds two
+    * broadcast-ish joins and one final aggregation. This is the query a
+    * 100 TB pipeline actually ships: what survives, per language, and
+    * how many tokens it carries. */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val kept = keepList(spark, dir).select(col("doc_id"))
+    val quality = Tables.sql(
+        graft.text.TextAnalysis.qualityFilterSparkSql)(spark, dir)
+      .where(col("keep") === 1).select(col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .join(kept, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+      .orderBy("lang")
+  }
+
   val keepListDuckSql: String =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, substr(text, 1, 40) AS blk,
@@ -336,6 +358,62 @@ object Dedup {
       |WHERE d.doc_id NOT IN (
       |  SELECT u FROM reach GROUP BY u HAVING u != MIN(v))
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Oracle: the keep-list reachability CTE ∧ the quality-filter rules,
+    * composed in one statement. SUMs cast back to BIGINT (DuckDB SUM
+    * over BIGINT widens to HUGEINT, which would break the hash compare). */
+  val corpusPipelineDuckSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS blk,
+      |         string_split_regex(lower(trim(text)), '\s+') AS tok
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, blk,
+      |         list_distinct(CASE WHEN len(tok) >= 3 THEN
+      |           [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+      |            for i in generate_series(1, len(tok) - 2)]
+      |           ELSE [array_to_string(tok, ' ')] END) AS sh
+      |  FROM t),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(a.sh || b.sh)) >= 0.5),
+      |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      |      UNION ALL SELECT doc_b, doc_a FROM p),
+      |n AS (SELECT DISTINCT u FROM e),
+      |reach(u, v) AS (
+      |  SELECT u, u FROM n
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+      |dropped AS (SELECT u FROM reach GROUP BY u HAVING u != MIN(v)),
+      |qt AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS qtok
+      |  FROM documents),
+      |qw AS (SELECT doc_id, unnest(qtok) AS w FROM qt),
+      |qrep AS (
+      |  SELECT doc_id, MAX(c) AS topc, SUM(c) AS total,
+      |         SUM(CASE WHEN w IN ('a', 'the') THEN c ELSE 0 END) AS stopc
+      |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM qw GROUP BY doc_id, w) g
+      |  GROUP BY doc_id),
+      |qf AS (
+      |  SELECT qt.doc_id, len(qtok) AS n_words,
+      |    ROUND(CAST(qrep.topc AS DOUBLE) / qrep.total, 4) AS rep_ratio,
+      |    ROUND(CAST(qrep.stopc AS DOUBLE) / qrep.total, 4) AS stop_ratio,
+      |    ROUND(list_sum(list_transform(qtok, x -> CAST(length(x) AS DOUBLE)))
+      |          / len(qtok), 4) AS avg_wlen
+      |  FROM qt JOIN qrep ON qt.doc_id = qrep.doc_id),
+      |keepq AS (
+      |  SELECT doc_id FROM qf
+      |  WHERE n_words BETWEEN 30 AND 90 AND rep_ratio <= 0.12
+      |    AND stop_ratio >= 0.03 AND avg_wlen BETWEEN 3 AND 8)
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(len(string_split_regex(trim(d.text), '\s+')))
+      |            AS BIGINT) AS n_tokens
+      |FROM documents d
+      |WHERE d.doc_id NOT IN (SELECT u FROM dropped)
+      |  AND d.doc_id IN (SELECT doc_id FROM keepq)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
   val clustersDuckSql: String =
     """WITH RECURSIVE t AS (
@@ -373,7 +451,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> Tables.sql(ngramJaccardSparkSql),
     "dedup_clusters" -> ((s, d) => clusters(s, d)),
     "dedup_keeplist" -> ((s, d) => keepList(s, d)),
-    "dedup_keeplist_bloom" -> ((s, d) => keepListBloom(s, d))
+    "dedup_keeplist_bloom" -> ((s, d) => keepListBloom(s, d)),
+    "pipeline_corpus" -> ((s, d) => corpusPipeline(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -381,6 +460,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccardDuckSql,
     "dedup_clusters" -> clustersDuckSql,
     "dedup_keeplist" -> keepListDuckSql,
-    "dedup_keeplist_bloom" -> keepListDuckSql
+    "dedup_keeplist_bloom" -> keepListDuckSql,
+    "pipeline_corpus" -> corpusPipelineDuckSql
   )
 }

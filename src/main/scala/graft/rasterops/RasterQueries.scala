@@ -266,7 +266,15 @@ object RasterQueries {
     val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
       groupby = "solar_day", chunks = 64)
     val out = java.nio.file.Files.createTempDirectory("graft_tiles_rt").toString
-    res.tiles.write.mode("overwrite").partitionBy("band").parquet(out)
+    // persist z-clustered: within each band partition, files carry
+    // Morton-contiguous (ty, tx) ranges, so ROI reads prune row groups
+    // (graft.layout; ZOrderRangePruning exploits the z column)
+    graft.functions.VecFunctions.register(spark)
+    res.tiles
+      .withColumn("z", call_function("zorder64", col("tx"), col("ty")))
+      .repartitionByRange(col("band"), col("z"))
+      .sortWithinPartitions("band", "z")
+      .write.mode("overwrite").partitionBy("band").parquet(out)
     summarize(spark.read.parquet(out))
   }
 
