@@ -193,13 +193,63 @@ object TextAnalysis {
       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination — flag corpus documents sharing any
+    * 5-gram with a (deterministic, here doc_id%50=0) benchmark set.
+    * Scale shape: the benchmark's n-gram set is bounded (benchmarks are
+    * small), so it broadcasts — or blooms at the extreme — and the
+    * corpus side is a map-side shingle + broadcast-hash probe with no
+    * corpus shuffle; only the hits (a sliver) reach the count
+    * aggregation. Real pipelines use 8–13-gram windows; 5 plays that
+    * role against the tiny synthetic vocabulary. */
+  val decontaminateSparkSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, split(lower(trim(text)), '\\s+') AS tok FROM documents),
+      |s AS (
+      |  SELECT doc_id, array_distinct(CASE WHEN size(tok) >= 5 THEN
+      |      transform(sequence(0, size(tok) - 5),
+      |                i -> concat_ws(' ', slice(tok, i + 1, 5)))
+      |    ELSE array(array_join(tok, ' ')) END) AS sh
+      |  FROM t),
+      |bg AS (SELECT DISTINCT explode(sh) AS g FROM s WHERE doc_id % 50 = 0),
+      |cg AS (SELECT doc_id, explode(sh) AS g FROM s WHERE doc_id % 50 != 0),
+      |hit AS (SELECT doc_id, COUNT(*) AS n_hit
+      |        FROM cg JOIN bg USING (g) GROUP BY doc_id)
+      |SELECT s.doc_id, CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+      |       CAST(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END
+      |            AS BIGINT) AS contaminated
+      |FROM s LEFT JOIN hit ON s.doc_id = hit.doc_id
+      |WHERE s.doc_id % 50 != 0
+      |ORDER BY s.doc_id""".stripMargin
+
+  val decontaminateDuckSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(tok) >= 5 THEN
+      |      [array_to_string(tok[i:i+4], ' ')
+      |       for i in generate_series(1, len(tok) - 4)]
+      |    ELSE [array_to_string(tok, ' ')] END) AS sh
+      |  FROM t),
+      |bg AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 50 = 0),
+      |cg AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 50 != 0),
+      |hit AS (SELECT doc_id, COUNT(*) AS n_hit
+      |        FROM cg JOIN bg USING (g) GROUP BY doc_id)
+      |SELECT s.doc_id, CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+      |       CAST(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END
+      |            AS BIGINT) AS contaminated
+      |FROM s LEFT JOIN hit ON s.doc_id = hit.doc_id
+      |WHERE s.doc_id % 50 != 0
+      |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> Tables.sql(statsSparkSql),
     "text_tokens" -> Tables.sql(tokensSparkSql),
     "text_fingerprint" -> Tables.sql(fingerprintSparkSql),
     "text_langid" -> Tables.sql(langidSparkSql),
     "text_quality" -> Tables.sql(qualitySparkSql),
-    "text_quality_filter" -> Tables.sql(qualityFilterSparkSql)
+    "text_quality_filter" -> Tables.sql(qualityFilterSparkSql),
+    "text_decontaminate" -> Tables.sql(decontaminateSparkSql)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -208,6 +258,7 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprintDuckSql,
     "text_langid" -> langidDuckSql,
     "text_quality" -> qualityDuckSql,
-    "text_quality_filter" -> qualityFilterDuckSql
+    "text_quality_filter" -> qualityFilterDuckSql,
+    "text_decontaminate" -> decontaminateDuckSql
   )
 }
