@@ -19,6 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.Relational.queries ++
+      relational.Stats.queries ++
       dedup.Dedup.queries ++
       similarity.Similarity.queries ++
       text.TextAnalysis.queries ++
@@ -31,6 +32,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     relational.Relational.oracleSql ++
+      relational.Stats.oracleSql ++
       dedup.Dedup.oracleSql ++
       similarity.Similarity.oracleSql ++
       text.TextAnalysis.oracleSql ++

@@ -2,6 +2,7 @@ package graft.layout
 
 import graft.functions.VecFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Data-layout operators: write-time spatial clustering via the native
   * `zorder64` Morton expression.
@@ -71,8 +72,54 @@ object Layout {
     spark.sql(zorderLayoutSparkSql)
   }
 
+  /** Small-file compaction — the other half of the layout lifecycle.
+    * Streaming sinks and per-task writers fragment a table into files
+    * far below the row-group sweet spot; at 100 TB that turns every scan
+    * into millions of opens and footer reads. Compaction rewrites the
+    * table into ~targetBytes files while PRESERVING the clustering key
+    * order (`repartitionByRange` + sort on the given columns), so the
+    * rewrite keeps — not destroys — min/max pruning. Returns
+    * (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long, orderCols: Seq[String]): (Long, Long) = {
+    def files(d: String): Array[java.io.File] =
+      new java.io.File(d).listFiles().filter(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    val before = files(inDir)
+    val totalBytes = before.map(_.length()).sum
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .write.mode("overwrite").parquet(outDir)
+    (before.length.toLong, files(outDir).length.toLong)
+  }
+
+  /** Contract query: fragment a z-ordered grid into 64 shard files,
+    * compact, report the shape. Deterministic counts; content equality
+    * and per-file ordering are pinned by `ZOrderSpec`. */
+  def compactQuery(spark: SparkSession): DataFrame = {
+    VecFunctions.register(spark)
+    import spark.implicits._
+    val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y))
+      .toDF("tx", "ty")
+      .selectExpr("tx", "ty", "zorder64(tx, ty) AS z")
+    grid.repartition(64).write.mode("overwrite").parquet(frag)
+    val (nBefore, nAfter) = compact(spark, frag, out, 64 * 1024, Seq("z"))
+    // bit_xor as content checksum: z codes sit near 2^62, a SUM overflows
+    val check = spark.read.parquet(out)
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(z)").as("z_xor"))
+      .withColumn("files_before", lit(nBefore))
+      .withColumn("files_after", lit(nAfter))
+    check.select("files_before", "files_after", "n_rows", "z_xor")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "layout_zorder" -> ((s, _) => zorderLayout(s)))
+    "layout_zorder" -> ((s, _) => zorderLayout(s)),
+    "layout_compact" -> ((s, _) => compactQuery(s)))
 
   val oracleSql: Map[String, String] = Map(
     "layout_zorder" -> zorderLayoutDuckSql)

@@ -101,6 +101,32 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction shrinks file count, preserves content and z clustering") {
+    graft.functions.VecFunctions.register(spark)
+    import spark.implicits._
+    val frag = java.nio.file.Files.createTempDirectory("graft_fragspec").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compspec").toString
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y))
+      .toDF("tx", "ty").selectExpr("tx", "ty", "zorder64(tx, ty) AS z")
+    grid.repartition(64).write.mode("overwrite").parquet(frag)
+    val (nb, na) = graft.layout.Layout.compact(
+      spark, frag, out, targetBytes = 64 * 1024, orderCols = Seq("z"))
+    info(s"compacted $nb files -> $na")
+    assert(nb == 64 && na < nb)
+    val before = spark.read.parquet(frag).collect().toSet
+    val after = spark.read.parquet(out).collect().toSet
+    assert(after == before)
+    // clustering preserved: per-file z ranges are disjoint
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, "overlapping z ranges")
+      case _ =>
+    }
+  }
+
   test("z-clustered files localize a square ROI; x-major stripes do not") {
     graft.functions.VecFunctions.register(spark)
     import spark.implicits._
