@@ -177,6 +177,19 @@ object Similarity {
   private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[org.apache.spark.ml.linalg.Vector], DataFrame)]()
 
+  /** The fitted coarse quantizer itself — kept so a stream can assign
+    * NEW vectors to the same cells (index freshness: batch-built index,
+    * incrementally ingested updates). */
+  private val ivfModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.ml.clustering.KMeansModel]()
+
+  /** Coarse quantizer for (session, dir); builds the index if needed. */
+  private[graft] def ivfModel(spark: SparkSession, dir: String)
+  : org.apache.spark.ml.clustering.KMeansModel = {
+    ivfIndex(spark, dir)
+    ivfModelCache.get(spark.sparkContext.applicationId + " " + dir)
+  }
+
   private def ivfIndex(spark: SparkSession, dir: String)
   : (Array[org.apache.spark.ml.linalg.Vector], DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
@@ -201,9 +214,18 @@ object Similarity {
         .select(col("vec_id"), col("embedding"), col("cell"))
         .persist()
       emb.unpersist(false)
+      ivfModelCache.put(key, model)
       (model.clusterCenters, assigned)
     })
   }
+
+  /** Batch per-cell occupancy of the IVF index (spec baseline for the
+    * streaming ingest). */
+  private[graft] def cellCounts(spark: SparkSession, dir: String): DataFrame =
+    ivfIndex(spark, dir)._2.groupBy("cell")
+      .agg(count(lit(1)).as("n"))
+      .select(col("cell").cast("int").as("cell"), col("n"))
+      .orderBy("cell")
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     VecFunctions.register(spark)

@@ -31,25 +31,31 @@ object StreamingOps {
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** FileStreamSource needs a directory; expose the single-file table
+  /** FileStreamSource needs a directory; expose a single-file table
     * through a symlink dir (what a real ingest landing zone looks like).
-    * Returns (dir path, raw schema — ts arrives as raw nanos). */
-  private def stagedEvents(spark: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * Returns (dir path, raw schema — events.ts arrives as raw nanos). */
+  private def stagedTable(spark: SparkSession, dir: String,
+                          table: String): (String, org.apache.spark.sql.types.StructType) = {
+    if (table == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // absolute target: a relative SF dir would otherwise create a
     // dangling link (resolved relative to /tmp); NOFOLLOW exists-check so
     // a stale dangling link is detected rather than re-created
-    val src = java.nio.file.Paths.get(Tables.path(dir, "events"))
+    val src = java.nio.file.Paths.get(Tables.path(dir, table))
       .toAbsolutePath.normalize
     val streamDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_stream_src_${src.hashCode & 0x7fffffff}")
     java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
+    val link = streamDir.resolve(s"$table.parquet")
     if (!java.nio.file.Files.exists(link,
         java.nio.file.LinkOption.NOFOLLOW_LINKS))
       java.nio.file.Files.createSymbolicLink(link, src)
     (streamDir.toString, spark.read.parquet(streamDir.toString).schema)
   }
+
+  private def stagedEvents(spark: SparkSession, dir: String)
+  : (String, org.apache.spark.sql.types.StructType) =
+    stagedTable(spark, dir, "events")
 
   def tumblingDaily(spark: SparkSession, dir: String): DataFrame =
       withStreamPartitions(spark, 8) {
@@ -295,6 +301,38 @@ object StreamingOps {
       .orderBy("p_id", "v_id")
   }
 
+  /** Streaming ANN-index ingest: new embeddings stream through the
+    * BATCH-built IVF coarse quantizer (`Similarity.ivfModel`, an MLlib
+    * transformer — transformers apply to streaming DataFrames directly)
+    * and land in their cells; the query emits per-cell occupancy. This
+    * is the index-freshness shape at 100 TB: the quantizer retrains
+    * rarely on a bounded sample, while ingest assigns continuously —
+    * cell assignment is a map-side broadcast of k centroids, no state,
+    * no shuffle beyond the occupancy count. Deterministic (fixed-seed
+    * quantizer, AvailableNow), pinned by a spec asserting stream counts
+    * equal the batch index occupancy. */
+  def streamAnnIngest(spark: SparkSession, dir: String): DataFrame =
+      withStreamPartitions(spark, 8) {
+    val model = graft.similarity.Similarity.ivfModel(spark, dir)
+    val (path, rawSchema) = stagedTable(spark, dir, "embeddings")
+    val name = s"graft_annstream_${counter.incrementAndGet()}"
+    val stream = spark.readStream.schema(rawSchema).parquet(path)
+      .withColumn("vec", org.apache.spark.ml.functions.array_to_vector(
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+    val q = model.transform(stream)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("cell").cast("int").as("cell"), col("n"))
+      .orderBy("cell")
+  }
+
   val streamJoinOracle: String =
     """SELECT p.event_id AS p_id, v.event_id AS v_id
       |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
@@ -311,7 +349,8 @@ object StreamingOps {
     "stream_tumbling_append" -> ((s, d) => tumblingDailyAppend(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(s, d)),
     "stream_dedup" -> ((s, d) => streamDedup(s, d)),
-    "stream_join" -> ((s, d) => streamJoin(s, d))
+    "stream_join" -> ((s, d) => streamJoin(s, d)),
+    "stream_ann_ingest" -> ((s, d) => streamAnnIngest(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -212,14 +212,15 @@ object TextAnalysis {
       |  FROM t),
       |bg AS (SELECT DISTINCT explode(sh) AS g FROM s WHERE doc_id % 50 = 0),
       |cg AS (SELECT doc_id, explode(sh) AS g FROM s WHERE doc_id % 50 != 0),
-      |hit AS (SELECT doc_id, COUNT(*) AS n_hit
+      |hit AS (SELECT /*+ BROADCAST(bg) */ doc_id, COUNT(*) AS n_hit
       |        FROM cg JOIN bg USING (g) GROUP BY doc_id)
-      |SELECT s.doc_id, CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+      |SELECT /*+ BROADCAST(hit) */ d.doc_id,
+      |       CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
       |       CAST(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END
       |            AS BIGINT) AS contaminated
-      |FROM s LEFT JOIN hit ON s.doc_id = hit.doc_id
-      |WHERE s.doc_id % 50 != 0
-      |ORDER BY s.doc_id""".stripMargin
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+      |LEFT JOIN hit ON d.doc_id = hit.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   val decontaminateDuckSql: String =
     """WITH t AS (

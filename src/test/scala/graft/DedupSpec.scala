@@ -168,6 +168,15 @@ class DedupSpec extends AnyFunSuite {
   }
 
 
+  test("streaming ANN ingest occupancy equals the batch-built index") {
+    Tables.register(spark, sf)
+    val stream = streaming.StreamingOps.queries("stream_ann_ingest")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val batch = similarity.Similarity.cellCounts(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(stream.nonEmpty && stream == batch)
+  }
+
   test("bloom-prefiltered keep-list equals the exact keep-list") {
     val plain = dedup.Dedup.keepList(spark, sf)
     val bloom = dedup.Dedup.keepListBloom(spark, sf)
