@@ -33,9 +33,35 @@ object Stats {
   val statsDuckSql: String =
     perCol(e => s"CAST(CAST($e AS DECIMAL(18,4)) AS VARCHAR)")
 
+  /** Column quantiles — the other half of ANALYZE: per-column p25/p50/
+    * p75/p95 with linear interpolation (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). Exact here so the oracle can hash-check it; at
+    * 100 TB the same query ships with `approx_percentile` (Greenwald-
+    * Khanna sketch: one pass, mergeable partials, bounded memory) —
+    * `StatsSpec` pins the sketch within its error bound of this exact
+    * plan. */
+  private def quantiles(fn: (String, String) => String): String = {
+    def one(tbl: String, c: String) =
+      s"""SELECT '$tbl.$c' AS col,
+         |  ${fn(c, "0.25")} AS p25, ${fn(c, "0.5")} AS p50,
+         |  ${fn(c, "0.75")} AS p75, ${fn(c, "0.95")} AS p95
+         |FROM $tbl""".stripMargin
+    Seq(one("orders", "o_totalprice"), one("lineitem", "l_quantity"),
+      one("lineitem", "l_extendedprice"), one("events", "value"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col")
+  }
+
+  val quantilesSparkSql: String =
+    quantiles((c, p) => s"ROUND(percentile($c, $p), 2)")
+
+  val quantilesDuckSql: String =
+    quantiles((c, p) => s"ROUND(quantile_cont($c, $p), 2)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stats_table" -> Tables.sql(statsSparkSql))
+    "stats_table" -> Tables.sql(statsSparkSql),
+    "stats_quantiles" -> Tables.sql(quantilesSparkSql))
 
   val oracleSql: Map[String, String] = Map(
-    "stats_table" -> statsDuckSql)
+    "stats_table" -> statsDuckSql,
+    "stats_quantiles" -> quantilesDuckSql)
 }

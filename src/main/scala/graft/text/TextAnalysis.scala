@@ -243,6 +243,107 @@ object TextAnalysis {
       |WHERE s.doc_id % 50 != 0
       |ORDER BY s.doc_id""".stripMargin
 
+  /** Corpus heavy hitters — global top-k most frequent tokens. The
+    * scale shape is the one that matters: explode → partial (map-side)
+    * count per token → final agg → `TakeOrderedAndProject` (top-k never
+    * sorts the full token table). At 100 TB with an unbounded
+    * vocabulary the exact agg becomes a count-min sketch / `freqItems`
+    * pre-pass; with natural-language vocabularies (~10^6 terms) the
+    * exact two-phase agg is already fine. */
+  val heavyHittersSparkSql: String =
+    """WITH w AS (
+      |  SELECT explode(split(lower(trim(text)), '\\s+')) AS w FROM documents)
+      |SELECT w, COUNT(*) AS n FROM w GROUP BY w
+      |ORDER BY n DESC, w LIMIT 20""".stripMargin
+
+  val heavyHittersDuckSql: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents)
+      |SELECT w, COUNT(*) AS n FROM w GROUP BY w
+      |ORDER BY n DESC, w LIMIT 20""".stripMargin
+
+  /** Intra-document repetition (Gopher "duplicate n-gram fraction"):
+    * share of 2-grams / 3-grams that are repeats within the document.
+    * Pure per-row array math — no shuffle at any scale. */
+  val repetitionSparkSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, split(lower(trim(text)), '\\s+') AS tok FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    transform(sequence(1, size(tok) - 1),
+      |              i -> concat_ws(' ', slice(tok, i, 2))) AS g2,
+      |    transform(sequence(1, size(tok) - 2),
+      |              i -> concat_ws(' ', slice(tok, i, 3))) AS g3
+      |  FROM t WHERE size(tok) >= 3)
+      |SELECT doc_id,
+      |  ROUND(1.0 - CAST(size(array_distinct(g2)) AS DOUBLE) / size(g2), 4)
+      |    AS dup2_frac,
+      |  ROUND(1.0 - CAST(size(array_distinct(g3)) AS DOUBLE) / size(g3), 4)
+      |    AS dup3_frac
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  val repetitionDuckSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    [array_to_string(tok[i:i+1], ' ')
+      |     for i in generate_series(1, len(tok) - 1)] AS g2,
+      |    [array_to_string(tok[i:i+2], ' ')
+      |     for i in generate_series(1, len(tok) - 2)] AS g3
+      |  FROM t WHERE len(tok) >= 3)
+      |SELECT doc_id,
+      |  ROUND(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4)
+      |    AS dup2_frac,
+      |  ROUND(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4)
+      |    AS dup3_frac
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** TF-IDF top terms per document. Plan shape at scale: one
+    * (doc_id, term) partial-agg shuffle for TF; the document-frequency
+    * table is vocabulary-sized (≪ corpus) so it BROADCASTs back onto
+    * TF; per-doc top-3 is a bounded window. Ties broken by term so
+    * both engines rank identically. */
+  val tfidfSparkSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, explode(split(lower(trim(text)), '\\s+')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY doc_id, w),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY w),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |s AS (
+      |  SELECT /*+ BROADCAST(df) */ tf.doc_id, tf.w,
+      |         tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) AS score
+      |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+      |r AS (
+      |  SELECT doc_id, w, score,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                            ORDER BY score DESC, w) AS rk
+      |  FROM s)
+      |SELECT doc_id, w AS term, ROUND(score, 4) AS score, rk
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  val tfidfDuckSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY doc_id, w),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY w),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |s AS (
+      |  SELECT tf.doc_id, tf.w,
+      |         tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) AS score
+      |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+      |r AS (
+      |  SELECT doc_id, w, score,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                            ORDER BY score DESC, w) AS rk
+      |  FROM s)
+      |SELECT doc_id, w AS term, ROUND(score, 4) AS score, rk
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> Tables.sql(statsSparkSql),
     "text_tokens" -> Tables.sql(tokensSparkSql),
@@ -250,7 +351,10 @@ object TextAnalysis {
     "text_langid" -> Tables.sql(langidSparkSql),
     "text_quality" -> Tables.sql(qualitySparkSql),
     "text_quality_filter" -> Tables.sql(qualityFilterSparkSql),
-    "text_decontaminate" -> Tables.sql(decontaminateSparkSql)
+    "text_decontaminate" -> Tables.sql(decontaminateSparkSql),
+    "text_heavy_hitters" -> Tables.sql(heavyHittersSparkSql),
+    "text_repetition" -> Tables.sql(repetitionSparkSql),
+    "text_tfidf" -> Tables.sql(tfidfSparkSql)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -260,6 +364,9 @@ object TextAnalysis {
     "text_langid" -> langidDuckSql,
     "text_quality" -> qualityDuckSql,
     "text_quality_filter" -> qualityFilterDuckSql,
-    "text_decontaminate" -> decontaminateDuckSql
+    "text_decontaminate" -> decontaminateDuckSql,
+    "text_heavy_hitters" -> heavyHittersDuckSql,
+    "text_repetition" -> repetitionDuckSql,
+    "text_tfidf" -> tfidfDuckSql
   )
 }
