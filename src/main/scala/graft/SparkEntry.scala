@@ -23,6 +23,7 @@ object SparkEntry {
       dedup.Dedup.queries ++
       similarity.Similarity.queries ++
       text.TextAnalysis.queries ++
+      text.Corpus.queries ++
       multimodal.Multimodal.queries ++
       streaming.StreamingOps.queries ++
       layout.Layout.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
       dedup.Dedup.oracleSql ++
       similarity.Similarity.oracleSql ++
       text.TextAnalysis.oracleSql ++
+      text.Corpus.oracleSql ++
       multimodal.Multimodal.oracleSql ++
       streaming.StreamingOps.oracleSql ++
       layout.Layout.oracleSql

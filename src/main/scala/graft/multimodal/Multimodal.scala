@@ -264,11 +264,138 @@ object Multimodal {
       |       CAST(SUM((raw % 256) * pos) AS BIGINT) AS thumb_wsum
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- audio: real WAV (RIFF PCM16) encode + javax.sound decode ----------
+
+  /** Deterministic sample function: PCM16 sample i of doc `id`. */
+  @inline private def sample(id: Long, i: Int): Short =
+    (((id * 31L + i.toLong * 7919L) % 65536L) - 32768L).toShort
+
+  /** Render a genuine mono PCM16 little-endian WAV container (44-byte
+    * RIFF header + data chunk) — decoded back through the JDK's real
+    * `javax.sound.sampled` codec, not hand-sliced offsets. */
+  private def renderWav(id: Long, rate: Int, n: Int): Array[Byte] = {
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { buf.putShort(sample(id, i)); i += 1 }
+    buf.array()
+  }
+
+  /** Real decode via the JDK audio codec: header-validated sample rate +
+    * PCM frames. Decode failures are loud for the same reason image
+    * decode failures are. */
+  private[multimodal] def decodeWav(id: Long, payload: Array[Byte]): (Int, Array[Short]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1)
+      throw new IllegalStateException(
+        s"doc $id: unexpected WAV format $fmt")
+    val bytes = ais.readAllBytes()
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(
+      if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Short](bytes.length / 2)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+    (fmt.getSampleRate.toInt, out)
+  }
+
+  /** documents → audio table: (doc_id, mime, rate, n, payload) with
+    * payload a real WAV encoding of the deterministic signal. Cached and
+    * pre-partitioned like the image table. */
+  def audioTable(spark: SparkSession, dir: String): DataFrame = {
+    val key = spark.sparkContext.applicationId + " audio " + dir
+    mediaCache.computeIfAbsent(key, _ => {
+      import spark.implicits._
+      Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapPartitions { it =>
+          it.map { id =>
+            val rate = (8000 + (id % 4) * 4000).toInt
+            val n = (2000 + id % 1000).toInt
+            (id, "audio/wav", rate, n, renderWav(id, rate, n))
+          }
+        }
+        .toDF("doc_id", "mime", "rate", "n_samples", "payload")
+        .persist()
+    })
+  }
+
+  /** Audio decode + feature-extract: real WAV decode via mapPartitions,
+    * exact integer statistics (min/max/sum/sum-of-squares/zero-crossings
+    * /duration) — the audio analog of decodeFeatures, DuckDB-checkable
+    * from the closed-form sample function. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val audio = audioTable(spark, dir).select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+    audio.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val (sr, s) = decodeWav(id, payload)
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        var sum = 0L
+        var sumsq = 0L
+        var zc = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toLong
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          sum += v
+          sumsq += v * v
+          if (i > 0 && (v < 0) != (s(i - 1) < 0)) zc += 1
+          i += 1
+        }
+        (id, sr.toLong, s.length.toLong, mn, mx, sum, sumsq, zc,
+          s.length.toLong * 1000L / sr)
+      }
+    }.toDF("doc_id", "sr", "n_samples", "s_min", "s_max", "s_sum",
+        "s_sumsq", "zc", "dur_ms")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: recompute the decoded audio statistics from the closed-form
+    * sample function (max n is 2999, so a fixed series + filter). */
+  val audioFeaturesDuckSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sr,
+      |         CAST(2000 + doc_id % 1000 AS BIGINT) AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT d.doc_id, d.sr, d.n, g.i,
+      |         ((d.doc_id * 31 + g.i * 7919) % 65536) - 32768 AS v
+      |  FROM d, generate_series(0, 2999) AS g(i)
+      |  WHERE g.i < d.n),
+      |z AS (
+      |  SELECT doc_id, sr, n, v,
+      |         LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |  FROM s)
+      |SELECT doc_id, MIN(sr) AS sr, MIN(n) AS n_samples,
+      |       CAST(MIN(v) AS BIGINT) AS s_min, CAST(MAX(v) AS BIGINT) AS s_max,
+      |       CAST(SUM(v) AS BIGINT) AS s_sum,
+      |       CAST(SUM(v * v) AS BIGINT) AS s_sumsq,
+      |       CAST(SUM(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS zc,
+      |       CAST(MIN(n) * 1000 // MIN(sr) AS BIGINT) AS dur_ms
+      |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> Tables.sql(metadataSparkSql),
     "mm_decode_features" -> ((s, d) => decodeFeatures(s, d)),
     "mm_frame_sample" -> ((s, d) => frameSample(s, d)),
-    "mm_resize" -> ((s, d) => resize(s, d))
+    "mm_resize" -> ((s, d) => resize(s, d)),
+    "mm_audio_features" -> ((s, d) => audioFeatures(s, d))
   )
 
   val metadataDuckSql: String =
@@ -280,6 +407,7 @@ object Multimodal {
   val oracleSql: Map[String, String] = Map(
     "mm_metadata" -> metadataDuckSql,
     "mm_decode_features" -> decodeFeaturesDuckSql,
-    "mm_resize" -> resizeDuckSql
+    "mm_resize" -> resizeDuckSql,
+    "mm_audio_features" -> audioFeaturesDuckSql
   )
 }

@@ -185,6 +185,57 @@ object Relational {
         |FROM events GROUP BY CAST(ts AS DATE), event_type
         |ORDER BY d, event_type""".stripMargin),
 
+    // Sliding event-time window via Spark's native window() generator:
+    // each event lands in length/slide = 2 overlapping windows. The oracle
+    // derives the same window starts with epoch arithmetic (43200 s slide;
+    // any midnight is 12 h-aligned, so both engines agree on boundaries).
+    Q("q31_sliding_window",
+      """SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS ws,
+        |       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM events
+        |GROUP BY window(ts, '1 day', '12 hours'), event_type
+        |ORDER BY ws, event_type""".stripMargin,
+      Some("""SELECT strftime(make_timestamp(
+        |         ((CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 43200
+        |           - k.k) * 43200) * 1000000), '%Y-%m-%d %H:%M:%S') AS ws,
+        |       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM events, (VALUES (0), (1)) k(k)
+        |GROUP BY 1, event_type
+        |ORDER BY ws, event_type""".stripMargin)),
+
+    // Session window via Spark's native session_window() (gap-merged
+    // event-time sessions — the batch twin of the flatMapGroupsWithState
+    // sessionizer). Timestamps floored to whole seconds on both sides so
+    // the gap comparison is identical; a gap of exactly 1800 s starts a
+    // NEW session (window end is exclusive), hence >= in the oracle.
+    Q("q32_session_window",
+      """SELECT user_id,
+        |       CAST(unix_timestamp(session_window.start) AS BIGINT) AS start_sec,
+        |       COUNT(*) AS n
+        |FROM (SELECT user_id, timestamp_seconds(unix_timestamp(ts)) AS tss
+        |      FROM events) e
+        |GROUP BY user_id, session_window(tss, '30 minutes')
+        |ORDER BY user_id, start_sec""".stripMargin,
+      Some("""WITH o AS (
+        |  SELECT user_id, event_id,
+        |         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+        |  FROM events),
+        |e AS (
+        |  SELECT user_id, event_id, sec,
+        |         LAG(sec) OVER (PARTITION BY user_id
+        |                        ORDER BY sec, event_id) AS prev
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, sec,
+        |         SUM(CASE WHEN prev IS NULL OR sec - prev >= 1800
+        |             THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e)
+        |SELECT user_id, CAST(MIN(sec) AS BIGINT) AS start_sec, COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_sec""".stripMargin)),
+
     // Spark's native PIVOT; the oracle uses portable conditional
     // aggregation (the same physical shape Catalyst lowers PIVOT to)
     Q("q30_pivot",
@@ -219,13 +270,81 @@ object Relational {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
 
+  /** CDC upsert (MERGE INTO shape): a deterministic updates batch —
+    * price-bumped rows for keys ≡3 (mod 10) plus brand-new keys shifted
+    * by 10M — merged into `orders`. Implemented as
+    * `base ANTI-JOIN update-keys UNION ALL updates`: for whole-row
+    * upserts this is equivalent to the full-outer-join MERGE but the
+    * small side BROADCASTS, so the 100 TB base is never shuffled (a
+    * full outer join cannot broadcast in Spark). Summarized per key
+    * bucket so the oracle covers every merged row. */
+  private def upsertQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.load(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val updates = base.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      .unionByName(base.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    val merged = base.join(
+        broadcast(updates.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .unionByName(updates)
+    merged.groupBy((col("o_orderkey") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("tot"))
+      .orderBy("bucket")
+  }
+
+  private val upsertOracle: String =
+    """WITH upd AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 97 = 0),
+      |merged AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice FROM upd)
+      |SELECT o_orderkey % 7 AS bucket, COUNT(*) AS n,
+      |       ROUND(SUM(o_totalprice), 2) AS tot
+      |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** Incremental aggregate maintenance (materialized-view refresh): the
+    * base batch's per-key (count, sum) partials merge with the delta
+    * batch's partials — count and sum are algebraic, so refresh cost is
+    * O(delta), never a base rescan (at scale the base partials are the
+    * stored MV; here both derive from `events` so the oracle can check
+    * the merge against a full recompute). */
+  private def incrementalAggQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(s, d, "events")
+    def partial(df: DataFrame) = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+    val basePart = partial(ev.where(col("event_id") % 5 =!= 0))
+    val deltaPart = partial(ev.where(col("event_id") % 5 === 0))
+    basePart.unionByName(deltaPart)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"), round(sum(col("s")), 2).as("v"))
+      .orderBy("event_type")
+  }
+
+  private val incrementalAggOracle: String =
+    """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> Tables.sql(q.spark)).toMap +
-      ("q27_skew_salted_join" -> (saltedJoinQuery _)) ++
+      ("q27_skew_salted_join" -> (saltedJoinQuery _)) +
+      ("q33_upsert" -> (upsertQuery _)) +
+      ("q34_incremental_agg" -> (incrementalAggQuery _)) ++
       TemporalJoins.queries
 
   val oracleSql: Map[String, String] =
     qs.map(q => q.name -> q.duck.getOrElse(q.spark)).toMap +
-      ("q27_skew_salted_join" -> saltedJoinOracle) ++
+      ("q27_skew_salted_join" -> saltedJoinOracle) +
+      ("q33_upsert" -> upsertOracle) +
+      ("q34_incremental_agg" -> incrementalAggOracle) ++
       TemporalJoins.oracleSql
 }

@@ -503,6 +503,52 @@ object Similarity {
     per.unionAll(mean).orderBy("method", "qid")
   }
 
+  /** Symmetric int8 quantization of the embedding column (the storage
+    * layout ANN indexes and training pipelines ship vectors in): scale =
+    * max|x|/127, q_i = floor(x_i·127/max|x| + 0.5). Emitted as exact
+    * integer summaries so the oracle recomputes bit-identically — both
+    * engines evaluate the same double-precision expression tree. Pure
+    * projection: map-side only, no shuffle, 4× smaller vectors at scale. */
+  val quantizeSparkSql: String =
+    """WITH a AS (
+      |  SELECT vec_id, embedding,
+      |         AGGREGATE(embedding, CAST(0.0 AS DOUBLE),
+      |                   (m, x) -> GREATEST(m, ABS(CAST(x AS DOUBLE)))) AS amax
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |         TRANSFORM(embedding, x -> CAST(FLOOR(
+      |           CASE WHEN amax = 0 THEN CAST(0.0 AS DOUBLE)
+      |                ELSE CAST(x AS DOUBLE) * 127.0 / amax END
+      |           + 0.5) AS BIGINT)) AS qv
+      |  FROM a)
+      |SELECT vec_id,
+      |       CAST(ARRAY_MIN(qv) AS BIGINT) AS q_min,
+      |       CAST(ARRAY_MAX(qv) AS BIGINT) AS q_max,
+      |       CAST(AGGREGATE(qv, CAST(0 AS BIGINT), (s, x) -> s + x) AS BIGINT) AS q_sum,
+      |       CAST(AGGREGATE(qv, CAST(0 AS BIGINT), (s, x) -> s + x * x) AS BIGINT) AS q_sumsq
+      |FROM q ORDER BY vec_id""".stripMargin
+
+  val quantizeDuckSql: String =
+    """WITH a AS (
+      |  SELECT vec_id, embedding,
+      |         list_max(list_transform(embedding,
+      |                  x -> ABS(CAST(x AS DOUBLE)))) AS amax
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(FLOOR(
+      |           CASE WHEN amax = 0 THEN CAST(0.0 AS DOUBLE)
+      |                ELSE CAST(x AS DOUBLE) * 127.0 / amax END
+      |           + 0.5) AS BIGINT)) AS qv
+      |  FROM a)
+      |SELECT vec_id,
+      |       CAST(list_min(qv) AS BIGINT) AS q_min,
+      |       CAST(list_max(qv) AS BIGINT) AS q_max,
+      |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+      |       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_sumsq
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "sim_bruteforce_topk" -> ((s, d) => {
@@ -511,10 +557,12 @@ object Similarity {
     "sim_lsh_topk" -> ((s, d) => lshTopK(s, d)),
     "sim_ivfpq_topk" -> ((s, d) => ivfPqTopK(s, d)),
     "sim_ann_recall" -> ((s, d) => annRecall(s, d)),
-    "dedup_embedding_cosine" -> ((s, d) => nearDupPairs(s, d))
+    "dedup_embedding_cosine" -> ((s, d) => nearDupPairs(s, d)),
+    "embed_quantize" -> Tables.sql(quantizeSparkSql)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "sim_bruteforce_topk" -> bruteforceDuckSql
+    "sim_bruteforce_topk" -> bruteforceDuckSql,
+    "embed_quantize" -> quantizeDuckSql
   )
 }

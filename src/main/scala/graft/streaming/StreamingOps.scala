@@ -114,6 +114,49 @@ object StreamingOps {
       .orderBy("d", "event_type")
   }
 
+  /** Sliding event-time window (1 day long, 12 h slide) in append mode:
+    * every event lands in length/slide = 2 overlapping windows, and only
+    * windows the watermark has closed emit — the overlapping-window
+    * variant of tumblingDailyAppend, same bounded-state property (open
+    * windows per key = length/slide, not history). */
+  def slidingAppend(spark: SparkSession, dir: String): DataFrame =
+      withStreamPartitions(spark, 8) {
+    val (path, rawSchema) = stagedEvents(spark, dir)
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val stream = spark.readStream.schema(rawSchema).parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("n"), col("v"))
+      .orderBy("ws", "event_type")
+  }
+
+  /** Oracle: enumerate each event's two windows by epoch arithmetic
+    * (12 h slide; midnights are 12 h-aligned so boundaries agree), keep
+    * windows whose end is at or before the final watermark. */
+  val slidingAppendOracle: String =
+    """WITH w AS (
+      |  SELECT ((CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 43200
+      |           - k.k) * 43200) AS ws_sec,
+      |         event_type, value
+      |  FROM events, (VALUES (0), (1)) k(k)),
+      |m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events)
+      |SELECT strftime(make_timestamp(ws_sec * 1000000),
+      |                '%Y-%m-%d %H:%M:%S') AS ws,
+      |       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+      |FROM w, m
+      |WHERE make_timestamp((ws_sec + 86400) * 1000000) <= mx - INTERVAL 1 DAY
+      |GROUP BY 1, event_type ORDER BY ws, event_type""".stripMargin
+
   /** A day-window [D, D+1) emits iff its end is at or before the final
     * watermark max(ts) - 1 day — note this usually excludes the last TWO
     * days unless max(ts) is exactly midnight. */
@@ -347,6 +390,7 @@ object StreamingOps {
     "stream_stac_ingest" -> ((s, _) => stacIngestQuery(s)),
     "stream_tumbling_daily" -> ((s, d) => tumblingDaily(s, d)),
     "stream_tumbling_append" -> ((s, d) => tumblingDailyAppend(s, d)),
+    "stream_sliding_append" -> ((s, d) => slidingAppend(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(s, d)),
     "stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "stream_join" -> ((s, d) => streamJoin(s, d)),
@@ -356,6 +400,7 @@ object StreamingOps {
   val oracleSql: Map[String, String] = Map(
     "stream_tumbling_daily" -> tumblingDailyOracle,
     "stream_tumbling_append" -> tumblingDailyAppendOracle,
+    "stream_sliding_append" -> slidingAppendOracle,
     "stream_sessionize" ->
       sessionOracle("epoch(CAST(ts AS TIMESTAMP))"),
     "stream_dedup" -> streamDedupOracle,

@@ -230,4 +230,24 @@ class DedupSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.size == Tables.load(spark, sf, "documents").count())
   }
+
+  test("audio WAV roundtrip recovers the closed-form sample statistics") {
+    // independent oracle: recompute each doc's features from the sample
+    // formula and compare to what Spark recovered from the WAV bytes
+    def expected(id: Long): (Long, Long, Long, Long, Long, Long, Long, Long, Long) = {
+      val sr = 8000 + (id % 4) * 4000
+      val n = (2000 + id % 1000).toInt
+      val s = Array.tabulate(n)(i => ((id * 31L + i.toLong * 7919L) % 65536L) - 32768L)
+      val zc = (1 until n).count(i => (s(i) < 0) != (s(i - 1) < 0)).toLong
+      (id, sr, n.toLong, s.min, s.max, s.sum, s.map(v => v * v).sum, zc,
+        n.toLong * 1000L / sr)
+    }
+    val rows = multimodal.Multimodal.audioFeatures(spark, sf).collect()
+    assert(rows.length == Tables.load(spark, sf, "documents").count())
+    rows.take(20).foreach { r =>
+      val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+      assert(got == expected(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+  }
 }
