@@ -128,13 +128,207 @@ object Corpus {
        |      '$numRe', '<NUM>', 'g')) AS scrub_md5
        |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---- deterministic train/val/test split ---------------------------------
+
+  /** Content-independent deterministic split: bucket on the first hex
+    * nibble of `md5(doc_id)` — train 12/16, val 2/16, test 2/16. A pure
+    * projection (zero shuffle, no RNG state): the assignment of any doc
+    * is reproducible on any cluster, any partitioning, any engine — the
+    * property a 100 TB pipeline needs so that re-runs, backfills, and
+    * incremental appends never migrate a document across splits. */
+  val splitSparkSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN h < 'c' THEN 'train' WHEN h < 'e' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id, substr(md5(CAST(doc_id AS STRING)), 1, 1) AS h
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  val splitDuckSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN h < 'c' THEN 'train' WHEN h < 'e' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- global segment dedup (CCNet-style) ---------------------------------
+
+  /** Tokens per segment for `corpus_segment_dedup`. The segmenter is
+    * pluggable in a real pipeline (sentences, paragraphs); the corpus
+    * here is newline-free token salad, so fixed 8-token windows stand in
+    * as the deterministic segmentation. */
+  val SegTokens = 8
+
+  /** Global segment-level dedup (the CCNet/RefinedWeb paragraph-dedup
+    * shape): segment every document, keep only the globally-first
+    * occurrence of each segment (first = smallest `(doc_id, pos)`), and
+    * reassemble each document from its kept segments.
+    *
+    * Scale shape: the only shuffle is the window partitioned on
+    * `md5(seg)` — a fixed-width, uniformly-distributed key (never the
+    * segment text), so the dedup state for 100 TB spreads evenly and
+    * no reducer sees more than one hash bucket's instances. Reassembly
+    * is a doc_id-keyed aggregation whose input was already co-located
+    * by the window's sort, and the emitted rows carry md5 fingerprints,
+    * not bodies. */
+  val segmentDedupSparkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, split(lower(trim(text)), '\\\\s+') AS tok
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id, s.pos AS pos, s.seg AS seg
+       |  FROM t
+       |  LATERAL VIEW posexplode(
+       |    transform(sequence(0, CAST(ceil(size(tok) / ${SegTokens}.0) AS INT) - 1),
+       |      i -> concat_ws(' ', slice(tok, i * $SegTokens + 1, $SegTokens)))) s AS pos, seg),
+       |r AS (
+       |  SELECT doc_id, pos, seg,
+       |         row_number() OVER (PARTITION BY md5(seg)
+       |                            ORDER BY doc_id, pos) AS rk
+       |  FROM seg)
+       |SELECT doc_id,
+       |       COUNT(*) AS n_seg,
+       |       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       md5(concat_ws(' ',
+       |         transform(array_sort(collect_list(
+       |           CASE WHEN rk = 1 THEN struct(pos, seg) END)),
+       |           x -> x.seg))) AS clean_md5
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val segmentDedupDuckSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |seg0 AS (
+       |  SELECT doc_id,
+       |         [{'pos': i, 'seg': array_to_string(
+       |            tok[i * $SegTokens + 1 : i * $SegTokens + $SegTokens], ' ')}
+       |          for i in generate_series(0, CAST(ceil(len(tok) / ${SegTokens}.0) AS INT) - 1)]
+       |           AS segs
+       |  FROM t),
+       |seg AS (
+       |  SELECT doc_id, s.pos AS pos, s.seg AS seg
+       |  FROM (SELECT doc_id, unnest(segs) AS s FROM seg0)),
+       |r AS (
+       |  SELECT doc_id, pos, seg,
+       |         row_number() OVER (PARTITION BY md5(seg)
+       |                            ORDER BY doc_id, pos) AS rk
+       |  FROM seg)
+       |SELECT doc_id,
+       |       COUNT(*) AS n_seg,
+       |       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       md5(COALESCE(string_agg(CASE WHEN rk = 1 THEN seg END, ' '
+       |                               ORDER BY pos), '')) AS clean_md5
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- BM25 retrieval scoring ---------------------------------------------
+
+  /** Query terms for `corpus_bm25` — high-frequency corpus vocabulary so
+    * the score surface is non-vacuous at every scale factor. */
+  val Bm25Terms: Seq[String] = Seq("join", "hash", "vector")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 scoring of the whole corpus against a fixed term set — the
+    * retrieval primitive of data-curation loops (find training docs
+    * matching a probe set). Two tiny aggregates (N/avgdl and per-term
+    * document frequencies — a handful of doubles) feed a pure map-side
+    * scoring projection: at 100 TB the stats rows broadcast and the scan
+    * never shuffles. Term scores are summed in a fixed literal order so
+    * the double arithmetic is bit-identical across engines; emitted
+    * rounded to 4 decimals. */
+  private def bm25Sql(lenFn: String, filterLen: String => String): String = {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(${filterLen(t)} AS DOUBLE) AS tf$i"
+    }.mkString(",\n       |        ")
+    val dfCols = Bm25Terms.indices.map { i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+    }.mkString(", ")
+    val terms = Bm25Terms.indices.map { i =>
+      s"ln((s.n - f.df$i + 0.5) / (f.df$i + 0.5) + 1.0) * tf.tf$i * ${Bm25K1 + 1.0} / " +
+        s"(tf.tf$i + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * tf.dl / s.avgdl))"
+    }.mkString("\n       |         + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, split_tok AS tok FROM (
+       |    SELECT doc_id, SPLIT_EXPR AS split_tok FROM documents)),
+       |tf AS (
+       |  SELECT doc_id,
+       |        $tfCols,
+       |        CAST($lenFn(tok) AS DOUBLE) AS dl
+       |  FROM d),
+       |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM tf),
+       |f AS (SELECT $dfCols FROM tf)
+       |SELECT tf.doc_id,
+       |       ROUND($terms, 4) AS bm25
+       |FROM tf CROSS JOIN s CROSS JOIN f
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val bm25SparkSql: String =
+    bm25Sql("size", t => s"size(filter(tok, x -> x = '$t'))")
+      .replace("SPLIT_EXPR", "split(lower(trim(text)), '\\\\s+')")
+
+  val bm25DuckSql: String =
+    bm25Sql("len", t => s"len(list_filter(tok, x -> x = '$t'))")
+      .replace("SPLIT_EXPR", "string_split_regex(lower(trim(text)), '\\s+')")
+
+  // ---- domain mixing weights ----------------------------------------------
+
+  /** Source-mixture planning: per-source token share plus the up/down
+    * sampling weight that would flatten the mixture to uniform across
+    * sources — the control table a training-mix scheduler consumes.
+    * Two-level aggregation (per-source partials, then one 20-row global
+    * roll-up); the global stats join is a broadcast of one row. */
+  val mixSparkSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |         CAST(size(split(lower(trim(text)), '\\s+')) AS BIGINT) AS toks
+      |  FROM documents),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n_docs, SUM(toks) AS tok_sum
+      |  FROM t GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(tok_sum) AS DOUBLE) AS total,
+      |         CAST(COUNT(*) AS DOUBLE) AS n_src
+      |  FROM agg)
+      |SELECT source, n_docs, tok_sum,
+      |       ROUND(tok_sum / total, 6) AS share,
+      |       ROUND((total / n_src) / tok_sum, 4) AS up_weight
+      |FROM agg CROSS JOIN tot ORDER BY source""".stripMargin
+
+  val mixDuckSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS toks
+      |  FROM documents),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tok_sum
+      |  FROM t GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(tok_sum) AS DOUBLE) AS total,
+      |         CAST(COUNT(*) AS DOUBLE) AS n_src
+      |  FROM agg)
+      |SELECT source, n_docs, tok_sum,
+      |       ROUND(tok_sum / total, 6) AS share,
+      |       ROUND((total / n_src) / tok_sum, 4) AS up_weight
+      |FROM agg CROSS JOIN tot ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_pack" -> ((s, d) => pack(s, d)),
-    "text_pii" -> Tables.sql(piiSparkSql)
+    "text_pii" -> Tables.sql(piiSparkSql),
+    "corpus_split" -> Tables.sql(splitSparkSql),
+    "corpus_segment_dedup" -> Tables.sql(segmentDedupSparkSql),
+    "corpus_bm25" -> Tables.sql(bm25SparkSql),
+    "corpus_mix" -> Tables.sql(mixSparkSql)
   )
 
   val oracleSql: Map[String, String] = Map(
     "corpus_pack" -> packDuckSql,
-    "text_pii" -> piiDuckSql
+    "text_pii" -> piiDuckSql,
+    "corpus_split" -> splitDuckSql,
+    "corpus_segment_dedup" -> segmentDedupDuckSql,
+    "corpus_bm25" -> bm25DuckSql,
+    "corpus_mix" -> mixDuckSql
   )
 }

@@ -96,6 +96,69 @@ class CorpusSpec extends AnyFunSuite {
       s"anti-join did not broadcast:\n$plan")
   }
 
+  test("corpus_split partitions every doc once, near the 12/2/2 nibble split") {
+    Tables.register(spark, sf)
+    val nDocs = spark.table("documents").count()
+    val split = text.Corpus.queries("corpus_split")(spark, sf).cache()
+    assert(split.count() == nDocs)
+    assert(split.select("doc_id").distinct().count() == nDocs)
+    val byName = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    // md5 nibbles are uniform: expect 75% / 12.5% / 12.5% (loose bounds)
+    val train = byName("train").toDouble / nDocs
+    assert(train > 0.65 && train < 0.85, s"train share $train")
+    split.unpersist(false)
+  }
+
+  test("corpus_segment_dedup keeps exactly the distinct segments, non-vacuously") {
+    Tables.register(spark, sf)
+    val out = text.Corpus.queries("corpus_segment_dedup")(spark, sf).cache()
+    val kept = out.agg(sum("n_kept")).head().getLong(0)
+    // globally-first-occurrence dedup keeps one instance per distinct segment
+    val distinctSegs = spark.sql(
+      s"""SELECT COUNT(DISTINCT seg) FROM (
+         |  SELECT s.seg FROM (
+         |    SELECT split(lower(trim(text)), '\\\\s+') AS tok FROM documents)
+         |  LATERAL VIEW posexplode(
+         |    transform(sequence(0, CAST(ceil(size(tok) / ${text.Corpus.SegTokens}.0) AS INT) - 1),
+         |      i -> concat_ws(' ', slice(tok, i * ${text.Corpus.SegTokens} + 1,
+         |        ${text.Corpus.SegTokens})))) s AS pos, seg)""".stripMargin)
+      .head().getLong(0)
+    assert(kept == distinctSegs, s"kept $kept != distinct segments $distinctSegs")
+    // the corpus has near-dup docs, so some doc must lose segments
+    assert(out.where(col("n_kept") < col("n_seg")).count() > 0,
+      "dedup was vacuous: no document lost a segment")
+    // the first doc can never lose its first-occurrence segments all at once:
+    // doc 0's segments are all first occurrences
+    val d0 = out.where(col("doc_id") === 0).head()
+    assert(d0.getLong(1) == d0.getLong(2), "doc 0 lost a segment")
+    out.unpersist(false)
+  }
+
+  test("corpus_bm25 scores are finite, non-negative, non-vacuous") {
+    val out = text.Corpus.queries("corpus_bm25")(spark, sf).cache()
+    assert(out.where(col("bm25") < 0 || isnan(col("bm25"))).count() == 0)
+    assert(out.where(col("bm25") > 0).count() > 0)
+    // idf of ln(1+x) form is bounded by ln((N+0.5)/0.5+1); with tf
+    // saturation the per-term cap is idf*(k1+1)
+    out.unpersist(false)
+  }
+
+  test("corpus_mix shares sum to 1 and weights invert the shares") {
+    val rows = text.Corpus.queries("corpus_mix")(spark, sf).collect()
+    assert(rows.length > 1)
+    val shares = rows.map(_.getDouble(3))
+    assert(math.abs(shares.sum - 1.0) < 1e-3, s"share sum ${shares.sum}")
+    val nSrc = rows.length.toDouble
+    rows.foreach { r =>
+      val share = r.getDouble(3); val w = r.getDouble(4)
+      // w * share ≈ uniform target share (both are rounded independently)
+      assert(math.abs(w * share - 1.0 / nSrc) < 1e-3,
+        s"source ${r.getString(0)}: w*share=${w * share}")
+    }
+  }
+
   test("embed_quantize values stay in int8 range") {
     val rows = similarity.Similarity.queries("embed_quantize")(spark, sf).collect()
     assert(rows.nonEmpty)
