@@ -130,7 +130,12 @@ object Dedup {
 
   /** Prefix-blocked exact n-gram Jaccard: candidates share a 40-char prefix
     * block (cheap equi-join blocking), Jaccard over distinct word-3-gram
-    * shingle strings. Fully expressible in both dialects → DuckDB oracle. */
+    * shingles. The Spark side hashes each shingle to 64 bits (xxhash64)
+    * before the join: Jaccard over the hashed sets equals Jaccard over the
+    * string sets (collisions are ~|sh|^2/2^64 — nil), and the join then
+    * intersects fixed-width longs instead of variable-length strings —
+    * smaller shuffle rows AND cheaper set ops. The DuckDB oracle keeps the
+    * string spelling, so the hash-invariance is itself oracle-checked. */
   val ngramJaccardSparkSql: String =
     """WITH t AS (
       |  SELECT doc_id, substr(text, 1, 40) AS blk,
@@ -140,9 +145,9 @@ object Dedup {
       |  SELECT doc_id, blk,
       |         array_distinct(CASE WHEN size(tok) >= 3 THEN
       |           transform(sequence(1, size(tok) - 2),
-      |             i -> concat_ws(' ', element_at(tok, i),
-      |                    element_at(tok, i + 1), element_at(tok, i + 2)))
-      |           ELSE array(concat_ws(' ', tok)) END) AS sh
+      |             i -> xxhash64(concat_ws(' ', element_at(tok, i),
+      |                    element_at(tok, i + 1), element_at(tok, i + 2))))
+      |           ELSE array(xxhash64(concat_ws(' ', tok))) END) AS sh
       |  FROM t),
       |j AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

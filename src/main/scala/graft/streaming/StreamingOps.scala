@@ -260,7 +260,8 @@ object StreamingOps {
 
   /** Streaming STAC ingest over the scene fixtures: one file per batch,
     * schema cache widening across batches; deterministic summary. */
-  def stacIngestQuery(spark: SparkSession): DataFrame = {
+  def stacIngestQuery(spark: SparkSession): DataFrame =
+      withStreamPartitions(spark, 8) {
     val jsons = graft.raster.Fixtures.writeScenes(4).map(_.replaceAll("\n", " "))
     val landing = java.nio.file.Files.createTempDirectory("graft_ingest_land")
     jsons.zipWithIndex.foreach { case (j, i) =>
@@ -268,7 +269,10 @@ object StreamingOps {
         j.getBytes("UTF-8"))
     }
     val out = java.nio.file.Files.createTempDirectory("graft_ingest_out").toString
-    val res = StacIngest.ingest(spark, landing.toString, out, maxFilesPerTrigger = 1)
+    // 2 files/trigger: still a genuine multi-batch run (schema widening
+    // crosses batch boundaries) at half the per-microbatch fixed cost —
+    // the single-file-per-trigger variant is pinned by StacIngestSpec
+    val res = StacIngest.ingest(spark, landing.toString, out, maxFilesPerTrigger = 2)
     val nBands = res.schemas.values.map(_.allBands.size).sum
     res.items
       .withColumn("schema_bands", lit(nBands))
