@@ -191,23 +191,59 @@ object Multimodal {
       |       CAST(SUM(v * v) AS BIGINT) AS px_sumsq
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** Frame sampling: treat payload as a "video" of 64-byte frames, keep
-    * every 4th frame, emit (doc_id, frame_idx, checksum) — the explode
-    * shape of a real frame sampler. */
+  /** Pixels per sampled frame / keep-1-in-N stride for `mm_frame_sample`. */
+  val FrameLen = 64
+  val FrameStride = 4
+
+  /** Frame sampling: treat the DECODED pixel stream as a "video" of
+    * 64-pixel frames, keep every 4th frame, and fingerprint each kept
+    * frame (plain + position-weighted sums) — the explode shape of a real
+    * frame sampler, downstream of a real codec. Sampling the decoded
+    * stream (not the compressed container bytes) is what makes the
+    * operator oracle-checkable: the DuckDB oracle recomputes the
+    * fingerprints from the closed-form pixel function, while Spark must
+    * recover the identical integers from the actual PNG decode. */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = mediaTable(spark, dir).select("doc_id", "payload")
-      .as[(Long, Array[Byte])]
-    media.flatMap { case (id, payload) =>
-      payload.grouped(64).zipWithIndex.collect {
-        case (frame, idx) if idx % 4 == 0 =>
-          var crc = 0L
-          frame.foreach(b => crc = crc * 31 + (b & 0xff))
-          (id, idx, crc)
+    val media = mediaTable(spark, dir)
+      .select("doc_id", "mime", "width", "height", "payload")
+      .as[(Long, String, Int, Int, Array[Byte])]
+    media.flatMap { case (id, mime, w0, h0, payload) =>
+      val (_, _, px) = decodeAny(id, mime, w0, h0, payload)
+      px.grouped(FrameLen).zipWithIndex.collect {
+        case (frame, idx) if idx % FrameStride == 0 =>
+          var s = 0L
+          var ws = 0L
+          var j = 0
+          while (j < frame.length) {
+            s += frame(j); ws += frame(j).toLong * (j + 1); j += 1
+          }
+          (id, idx.toLong, s, ws)
       }
-    }.toDF("doc_id", "frame_idx", "checksum")
+    }.toDF("doc_id", "frame_idx", "fr_sum", "fr_wsum")
       .orderBy("doc_id", "frame_idx")
   }
+
+  /** Oracle for frame sampling: same frames (64 px row-major, stride 4,
+    * ragged tail kept), same closed-form pixels, same fingerprints. */
+  val frameSampleDuckSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(16 + doc_id % 48 AS BIGINT) AS w,
+      |         CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS h
+      |  FROM documents),
+      |px AS (
+      |  -- dims are 16..63 so n_px < 4096: fixed index grid + filter
+      |  SELECT d.doc_id, s.i // 64 AS frame_idx,
+      |         ((s.i % d.w) * 7 + (s.i // d.w) * 13 + d.doc_id * 31) % 256 AS v,
+      |         s.i % 64 + 1 AS pos
+      |  FROM d, generate_series(0, 4095) AS s(i)
+      |  WHERE s.i < d.w * d.h)
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |       CAST(SUM(v) AS BIGINT) AS fr_sum,
+      |       CAST(SUM(v * pos) AS BIGINT) AS fr_wsum
+      |FROM px WHERE frame_idx % 4 = 0
+      |GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""".stripMargin
 
   /** Resize: real decode, nearest-neighbor downsample to a fixed
     * thumbnail grid, emit new dims + two pixel fingerprints — the
@@ -407,6 +443,7 @@ object Multimodal {
   val oracleSql: Map[String, String] = Map(
     "mm_metadata" -> metadataDuckSql,
     "mm_decode_features" -> decodeFeaturesDuckSql,
+    "mm_frame_sample" -> frameSampleDuckSql,
     "mm_resize" -> resizeDuckSql,
     "mm_audio_features" -> audioFeaturesDuckSql
   )
