@@ -314,13 +314,103 @@ object Corpus {
       |       ROUND((total / n_src) / tok_sum, 4) AS up_weight
       |FROM agg CROSS JOIN tot ORDER BY source""".stripMargin
 
+  // ---- budget-capped stratified sampling ----------------------------------
+
+  /** Per-language document cap for `corpus_sample`. */
+  val SampleCap = 100
+
+  /** Deterministic stratified downsampling: keep at most `SampleCap` docs
+    * per language, ranked by `md5(doc_id)` — the flatten-the-language-skew
+    * sampler of a corpus pipeline, reproducible across engines and re-runs
+    * (no RNG; appending docs never evicts previously-kept ones until the
+    * cap binds on the new hash order).
+    *
+    * Scale note: rank-within-group is a per-language window — skewed at
+    * 100 TB (one language dominates). The scale path keeps the same
+    * semantics with a two-pass threshold: histogram the first hash byte
+    * per language (tiny agg), pick the byte threshold bracketing the cap,
+    * then rank only the boundary bucket. The exact-rank spelling here IS
+    * the oracle contract; the threshold variant converges to it. */
+  val sampleSparkSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY lang
+       |             ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
+       |  FROM documents)
+       |SELECT doc_id, lang FROM r WHERE rk <= $SampleCap
+       |ORDER BY doc_id""".stripMargin
+
+  val sampleDuckSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY lang
+       |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |SELECT doc_id, lang FROM r WHERE rk <= $SampleCap
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- bigram-LM perplexity scoring ---------------------------------------
+
+  /** Corpus-trained word-bigram LM perplexity per document — the
+    * perplexity-filter quality signal (CCNet/Gopher shape: score each doc
+    * under an LM trained on the corpus itself; outliers are boilerplate
+    * or noise). Add-one smoothing over the emission vocabulary.
+    *
+    * Scale shape: the LM tables (`uni`, `bi`) are vocabulary-sized —
+    * broadcast joins against the exploded bigram stream, which never
+    * shuffles; the only wide exchange is the per-doc roll-up, with
+    * map-side partial sums. Per-bigram log-probs are quantized to
+    * integer micro-nats BEFORE summing, so the per-doc reduction is
+    * exact integer arithmetic — engine- and order-independent (summing
+    * raw doubles would drift with aggregation order at scale). */
+  private def lmSql(bigramCtes: String): String =
+    s"""$bigramCtes
+       |uni AS (SELECT w1, COUNT(*) AS c1 FROM e GROUP BY w1),
+       |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM e GROUP BY w1, w2),
+       |v AS (SELECT COUNT(*) AS vs FROM (SELECT DISTINCT w2 FROM e)),
+       |s AS (
+       |  SELECT e.doc_id,
+       |         CAST(ROUND(ln((bi.c2 + 1.0) / (uni.c1 + v.vs)) * 1e6) AS BIGINT) AS lp
+       |  FROM e JOIN bi ON e.w1 = bi.w1 AND e.w2 = bi.w2
+       |         JOIN uni ON e.w1 = uni.w1 CROSS JOIN v)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |       CAST(-SUM(lp) AS BIGINT) AS nll_micro,
+       |       ROUND(exp((CAST(-SUM(lp) AS DOUBLE) / 1e6) / COUNT(*)), 4) AS ppl
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val lmScoreSparkSql: String = lmSql(
+    """WITH d AS (
+      |  SELECT doc_id, split(lower(trim(text)), '\\s+') AS tok FROM documents),
+      |bg AS (
+      |  SELECT doc_id, transform(sequence(1, size(tok) - 1),
+      |           i -> struct(element_at(tok, i) AS w1,
+      |                       element_at(tok, i + 1) AS w2)) AS bgs
+      |  FROM d WHERE size(tok) >= 2),
+      |e AS (
+      |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+      |  FROM bg LATERAL VIEW explode(bgs) x AS b),""".stripMargin)
+
+  val lmScoreDuckSql: String = lmSql(
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, [{'w1': tok[i], 'w2': tok[i + 1]}
+      |                  for i in generate_series(1, len(tok) - 1)] AS bgs
+      |  FROM d WHERE len(tok) >= 2),
+      |e AS (
+      |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+      |  FROM (SELECT doc_id, unnest(bgs) AS b FROM bg)),""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_pack" -> ((s, d) => pack(s, d)),
     "text_pii" -> Tables.sql(piiSparkSql),
     "corpus_split" -> Tables.sql(splitSparkSql),
     "corpus_segment_dedup" -> Tables.sql(segmentDedupSparkSql),
     "corpus_bm25" -> Tables.sql(bm25SparkSql),
-    "corpus_mix" -> Tables.sql(mixSparkSql)
+    "corpus_mix" -> Tables.sql(mixSparkSql),
+    "corpus_sample" -> Tables.sql(sampleSparkSql),
+    "corpus_lm_score" -> Tables.sql(lmScoreSparkSql)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -329,6 +419,8 @@ object Corpus {
     "corpus_split" -> splitDuckSql,
     "corpus_segment_dedup" -> segmentDedupDuckSql,
     "corpus_bm25" -> bm25DuckSql,
-    "corpus_mix" -> mixDuckSql
+    "corpus_mix" -> mixDuckSql,
+    "corpus_sample" -> sampleDuckSql,
+    "corpus_lm_score" -> lmScoreDuckSql
   )
 }
