@@ -177,11 +177,14 @@ object Corpus {
        |  SELECT doc_id, split(lower(trim(text)), '\\\\s+') AS tok
        |  FROM documents),
        |seg AS (
-       |  SELECT doc_id, s.pos AS pos, s.seg AS seg
+       |  -- positions explode; the segment string itself is a plain
+       |  -- (codegen'd) slice+concat per output row, not an interpreted
+       |  -- higher-order transform array build
+       |  SELECT doc_id, p1 AS pos,
+       |         concat_ws(' ', slice(tok, p1 * $SegTokens + 1, $SegTokens)) AS seg
        |  FROM t
        |  LATERAL VIEW posexplode(
-       |    transform(sequence(0, CAST(ceil(size(tok) / ${SegTokens}.0) AS INT) - 1),
-       |      i -> concat_ws(' ', slice(tok, i * $SegTokens + 1, $SegTokens)))) s AS pos, seg),
+       |    sequence(0, CAST(ceil(size(tok) / ${SegTokens}.0) AS INT) - 1)) s AS idx, p1),
        |r AS (
        |  SELECT doc_id, pos, seg,
        |         row_number() OVER (PARTITION BY md5(seg)
@@ -238,10 +241,7 @@ object Corpus {
     * never shuffles. Term scores are summed in a fixed literal order so
     * the double arithmetic is bit-identical across engines; emitted
     * rounded to 4 decimals. */
-  private def bm25Sql(lenFn: String, filterLen: String => String): String = {
-    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
-      s"CAST(${filterLen(t)} AS DOUBLE) AS tf$i"
-    }.mkString(",\n       |        ")
+  private def bm25Sql(tfCte: String): String = {
     val dfCols = Bm25Terms.indices.map { i =>
       s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
     }.mkString(", ")
@@ -249,14 +249,7 @@ object Corpus {
       s"ln((s.n - f.df$i + 0.5) / (f.df$i + 0.5) + 1.0) * tf.tf$i * ${Bm25K1 + 1.0} / " +
         s"(tf.tf$i + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * tf.dl / s.avgdl))"
     }.mkString("\n       |         + ")
-    s"""WITH d AS (
-       |  SELECT doc_id, split_tok AS tok FROM (
-       |    SELECT doc_id, SPLIT_EXPR AS split_tok FROM documents)),
-       |tf AS (
-       |  SELECT doc_id,
-       |        $tfCols,
-       |        CAST($lenFn(tok) AS DOUBLE) AS dl
-       |  FROM d),
+    s"""$tfCte
        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM tf),
        |f AS (SELECT $dfCols FROM tf)
        |SELECT tf.doc_id,
@@ -265,13 +258,34 @@ object Corpus {
        |ORDER BY doc_id""".stripMargin
   }
 
-  val bm25SparkSql: String =
-    bm25Sql("size", t => s"size(filter(tok, x -> x = '$t'))")
-      .replace("SPLIT_EXPR", "split(lower(trim(text)), '\\\\s+')")
+  // Spark: one token explode + conditional aggregation (codegen'd partial
+  // aggs) instead of three interpreted `filter(tok, ...)` lambdas per doc.
+  val bm25SparkSql: String = bm25Sql({
+    val sumCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN w = '$t' THEN 1 ELSE 0 END) AS DOUBLE) AS tf$i"
+    }.mkString(",\n      |         ")
+    s"""WITH tf AS (
+      |  SELECT doc_id,
+      |         $sumCols,
+      |         CAST(COUNT(*) AS DOUBLE) AS dl
+      |  FROM (SELECT doc_id, explode(split(lower(trim(text)), '\\\\s+')) AS w
+      |        FROM documents)
+      |  GROUP BY doc_id),""".stripMargin
+  })
 
-  val bm25DuckSql: String =
-    bm25Sql("len", t => s"len(list_filter(tok, x -> x = '$t'))")
-      .replace("SPLIT_EXPR", "string_split_regex(lower(trim(text)), '\\s+')")
+  val bm25DuckSql: String = bm25Sql({
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(tok, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n      |        ")
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tok
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id,
+      |        $tfCols,
+      |        CAST(len(tok) AS DOUBLE) AS dl
+      |  FROM d),""".stripMargin
+  })
 
   // ---- domain mixing weights ----------------------------------------------
 
@@ -378,6 +392,41 @@ object Corpus {
        |       ROUND(exp((CAST(-SUM(lp) AS DOUBLE) / 1e6) / COUNT(*)), 4) AS ppl
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Spark implementation of the LM scorer. The SQL spelling (the oracle)
+    * references the exploded bigram stream from four CTEs — Catalyst has
+    * no common-subplan materialization, so it would re-explode the corpus
+    * four times. Here the stream is persisted once, the three LM
+    * aggregates (each vocabulary-sized) derive from it, and the merged
+    * log-prob table is broadcast back onto the stream: one corpus pass,
+    * zero stream shuffles before the per-doc roll-up. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir)
+    val e = spark.sql(
+      """SELECT doc_id, element_at(tok, p1) AS w1, element_at(tok, p1 + 1) AS w2
+        |FROM (SELECT doc_id, tok
+        |      FROM (SELECT doc_id, split(lower(trim(text)), '\\s+') AS tok
+        |            FROM documents)
+        |      WHERE size(tok) >= 2)
+        |LATERAL VIEW posexplode(sequence(1, size(tok) - 1)) x AS idx, p1""".stripMargin)
+      .persist()
+    // (the persist is keyed by canonicalized plan in Spark's CacheManager,
+    // so repeated calls share one cache entry — the standing-LM shape: the
+    // bigram stream backs both training aggregates and the scoring pass)
+    val vs = e.select(col("w2")).distinct().count()
+    val uni = e.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = e.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val lp = bi.join(uni, "w1")
+      .select(col("w1"), col("w2"),
+        expr(s"CAST(ROUND(ln((c2 + 1.0) / (c1 + $vs)) * 1e6) AS BIGINT)").as("lp"))
+    e.join(broadcast(lp), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum("lp")).cast("bigint").as("nll_micro"),
+        round(exp((-sum("lp")).cast("double") / 1e6 /
+          count(lit(1))), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   val lmScoreSparkSql: String = lmSql(
     """WITH d AS (
       |  SELECT doc_id, split(lower(trim(text)), '\\s+') AS tok FROM documents),
@@ -410,7 +459,7 @@ object Corpus {
     "corpus_bm25" -> Tables.sql(bm25SparkSql),
     "corpus_mix" -> Tables.sql(mixSparkSql),
     "corpus_sample" -> Tables.sql(sampleSparkSql),
-    "corpus_lm_score" -> Tables.sql(lmScoreSparkSql)
+    "corpus_lm_score" -> ((s, d) => lmScore(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(

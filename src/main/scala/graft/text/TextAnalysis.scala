@@ -201,17 +201,23 @@ object TextAnalysis {
     * corpus shuffle; only the hits (a sliver) reach the count
     * aggregation. Real pipelines use 8–13-gram windows; 5 plays that
     * role against the tiny synthetic vocabulary. */
+  // Gram construction is posexplode(positions) + slice/concat per OUTPUT
+  // row — plain codegen'd expressions — rather than a per-doc
+  // `transform(...)` array build: Spark's higher-order lambdas are
+  // interpreted (CodegenFallback), measured ~6x slower on this path.
+  // Grams are xxhash64'd before the join (count semantics are
+  // hash-invariant; the string-spelling DuckDB oracle checks that), so
+  // the distinct/join shuffles carry fixed-width longs, never gram text.
   val decontaminateSparkSql: String =
     """WITH t AS (
       |  SELECT doc_id, split(lower(trim(text)), '\\s+') AS tok FROM documents),
-      |s AS (
-      |  SELECT doc_id, array_distinct(CASE WHEN size(tok) >= 5 THEN
-      |      transform(sequence(0, size(tok) - 5),
-      |                i -> concat_ws(' ', slice(tok, i + 1, 5)))
-      |    ELSE array(array_join(tok, ' ')) END) AS sh
-      |  FROM t),
-      |bg AS (SELECT DISTINCT explode(sh) AS g FROM s WHERE doc_id % 50 = 0),
-      |cg AS (SELECT doc_id, explode(sh) AS g FROM s WHERE doc_id % 50 != 0),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |         xxhash64(concat_ws(' ', slice(tok, p1, least(5, size(tok))))) AS g
+      |  FROM t
+      |  LATERAL VIEW posexplode(sequence(1, greatest(size(tok) - 4, 1))) x AS idx, p1),
+      |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+      |cg AS (SELECT doc_id, g FROM g WHERE doc_id % 50 != 0),
       |hit AS (SELECT /*+ BROADCAST(bg) */ doc_id, COUNT(*) AS n_hit
       |        FROM cg JOIN bg USING (g) GROUP BY doc_id)
       |SELECT /*+ BROADCAST(hit) */ d.doc_id,
@@ -266,22 +272,27 @@ object TextAnalysis {
   /** Intra-document repetition (Gopher "duplicate n-gram fraction"):
     * share of 2-grams / 3-grams that are repeats within the document.
     * Pure per-row array math — no shuffle at any scale. */
+  // Same codegen-friendly shape as decontaminate: per-position explode +
+  // plain sliced grams (hashed to longs) instead of interpreted
+  // higher-order `transform` array builds; distinct-counting moves into
+  // the per-doc aggregate. Fractions are hash-invariant.
   val repetitionSparkSql: String =
     """WITH t AS (
-      |  SELECT doc_id, split(lower(trim(text)), '\\s+') AS tok FROM documents),
-      |g AS (
-      |  SELECT doc_id,
-      |    transform(sequence(1, size(tok) - 1),
-      |              i -> concat_ws(' ', slice(tok, i, 2))) AS g2,
-      |    transform(sequence(1, size(tok) - 2),
-      |              i -> concat_ws(' ', slice(tok, i, 3))) AS g3
-      |  FROM t WHERE size(tok) >= 3)
+      |  SELECT doc_id, split(lower(trim(text)), '\\s+') AS tok FROM documents
+      |  WHERE size(split(lower(trim(text)), '\\s+')) >= 3),
+      |p AS (
+      |  SELECT doc_id, size(tok) AS n,
+      |         xxhash64(concat_ws(' ', slice(tok, p1, 2))) AS g2,
+      |         CASE WHEN p1 <= size(tok) - 2
+      |              THEN xxhash64(concat_ws(' ', slice(tok, p1, 3))) END AS g3
+      |  FROM t
+      |  LATERAL VIEW posexplode(sequence(1, size(tok) - 1)) x AS idx, p1)
       |SELECT doc_id,
-      |  ROUND(1.0 - CAST(size(array_distinct(g2)) AS DOUBLE) / size(g2), 4)
+      |  ROUND(1.0 - CAST(COUNT(DISTINCT g2) AS DOUBLE) / (MAX(n) - 1), 4)
       |    AS dup2_frac,
-      |  ROUND(1.0 - CAST(size(array_distinct(g3)) AS DOUBLE) / size(g3), 4)
+      |  ROUND(1.0 - CAST(COUNT(DISTINCT g3) AS DOUBLE) / (MAX(n) - 2), 4)
       |    AS dup3_frac
-      |FROM g ORDER BY doc_id""".stripMargin
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val repetitionDuckSql: String =
     """WITH t AS (
