@@ -24,16 +24,16 @@ object Dedup {
     * references a bound array instead of re-running split() per element
     * (O(n) instead of O(n^2) per doc — 2x+ on the bench corpus).
     * Pure column expressions → whole-stage codegen, map-side only. */
-  private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
+  private def docsWithShingles(spark: SparkSession, dir: String): DataFrame = {
+    // native one-pass shingle+hash+dedup Expression: the SQL spelling
+    // (array_distinct over a transform lambda) is CodegenFallback and
+    // dominates the signature stage; `shingles3` stays in codegen
+    graft.functions.VecFunctions.register(spark)
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("tok"))
-      .select(col("doc_id"), array_distinct(expr(
-        """CASE WHEN size(tok) >= 3 THEN
-          |  transform(sequence(1, size(tok) - 2),
-          |    i -> xxhash64(concat_ws(' ', element_at(tok, i),
-          |           element_at(tok, i + 1), element_at(tok, i + 2))))
-          |ELSE array(xxhash64(concat_ws(' ', tok))) END""".stripMargin))
-        .as("hset"))
+      .select(col("doc_id"),
+        call_function("shingles3",
+          split(lower(trim(col("text"))), "\\s+")).as("hset"))
+  }
 
   // ---- exact dedup ---------------------------------------------------------
 
@@ -142,12 +142,7 @@ object Dedup {
       |         split(lower(trim(text)), '\\s+') AS tok
       |  FROM documents),
       |s AS (
-      |  SELECT doc_id, blk,
-      |         array_distinct(CASE WHEN size(tok) >= 3 THEN
-      |           transform(sequence(1, size(tok) - 2),
-      |             i -> xxhash64(concat_ws(' ', element_at(tok, i),
-      |                    element_at(tok, i + 1), element_at(tok, i + 2))))
-      |           ELSE array(xxhash64(concat_ws(' ', tok))) END) AS sh
+      |  SELECT doc_id, blk, shingles3(tok) AS sh
       |  FROM t),
       |j AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -197,6 +192,7 @@ object Dedup {
   private def clusterTable(spark: SparkSession, dir: String): DataFrame = {
     val key = spark.sparkContext.applicationId + " " + dir
     clusterCache.computeIfAbsent(key, _ => {
+      graft.functions.VecFunctions.register(spark)
       val pairs = Tables.sql(ngramJaccardSparkSql)(spark, dir)
         .select(col("doc_a"), col("doc_b")).cache()
       val out = propagateLabels(pairs)
@@ -453,7 +449,10 @@ object Dedup {
     "dedup_exact" -> Tables.sql(exactSql),
     "dedup_minhash_lsh" -> ((s, d) => minhash(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
-    "dedup_ngram_jaccard" -> Tables.sql(ngramJaccardSparkSql),
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      graft.functions.VecFunctions.register(s)
+      Tables.sql(ngramJaccardSparkSql)(s, d)
+    }),
     "dedup_clusters" -> ((s, d) => clusters(s, d)),
     "dedup_keeplist" -> ((s, d) => keepList(s, d)),
     "dedup_keeplist_bloom" -> ((s, d) => keepListBloom(s, d)),

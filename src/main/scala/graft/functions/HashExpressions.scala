@@ -55,6 +55,58 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  private val Xx64Seed = 42L // xxhash64()'s SQL default seed
+
+  /** Word-3-gram shingling + xxhash64 + first-occurrence dedup in ONE
+    * native pass: exactly `array_distinct(transform(..., i ->
+    * xxhash64(concat_ws(' ', tok[i], tok[i+1], tok[i+2]))))` (whole-doc
+    * gram when fewer than 3 tokens), but without the interpreted
+    * higher-order-function fallback — gram bytes are assembled in a
+    * reused buffer and hashed with Spark's own XXH64, so the equality
+    * with the SQL spelling is byte-exact. Token slots must be non-null
+    * (they come from split()). */
+  def shingles3(arr: ArrayData): ArrayData = {
+    import org.apache.spark.unsafe.Platform
+    val n = arr.numElements()
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    var total = 0
+    while (i < n) {
+      toks(i) = arr.getUTF8String(i)
+      total += toks(i).numBytes
+      i += 1
+    }
+    def hashJoined(from: Int, count: Int, buf: Array[Byte]): Long = {
+      var off = 0
+      var j = from
+      while (j < from + count) {
+        if (j > from) { buf(off) = ' '; off += 1 }
+        toks(j).writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + off)
+        off += toks(j).numBytes
+        j += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, off, Xx64Seed)
+    }
+    if (n < 3) {
+      val buf = new Array[Byte](total + math.max(n - 1, 0))
+      return new GenericArrayData(Array(hashJoined(0, n, buf)))
+    }
+    val out = new Array[Long](n - 2)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var buf = new Array[Byte](64)
+    var m = 0
+    i = 0
+    while (i <= n - 3) {
+      val need = toks(i).numBytes + toks(i + 1).numBytes + toks(i + 2).numBytes + 2
+      if (buf.length < need) buf = new Array[Byte](math.max(need, buf.length * 2))
+      val h = hashJoined(i, 3, buf)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
   /** 64-bit SimHash over the hashed shingle set. */
   def simhash64(arr: ArrayData): Long = {
     val hs = arr.toLongArray()
@@ -111,5 +163,27 @@ case class SimHash64(child: Expression)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.HashKernels.simhash64($c);")
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `shingles3(tok)` — word-3-gram shingle + xxhash64 + dedup in one
+  * native codegen pass over the token array (the map-side front of every
+  * dedup signature); byte-exact with the SQL spelling
+  * `array_distinct(transform(..., xxhash64(concat_ws(' ', ...))))`. */
+case class Shingles3(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  override def prettyName: String = "shingles3"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.shingles3(input.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.shingles3($c);")
+  override protected def withNewChildInternal(newChild: Expression): Shingles3 =
     copy(child = newChild)
 }

@@ -233,5 +233,12 @@ object VecFunctions {
         ZOrder64(args(0), args(1))
       },
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingles3",
+      { args: Seq[Expression] =>
+        require(args.length == 1, "shingles3(tok) takes one argument")
+        Shingles3(args(0))
+      },
+      "built-in")
   }
 }
