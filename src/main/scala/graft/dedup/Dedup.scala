@@ -443,6 +443,80 @@ object Dedup {
       |SELECT u AS doc_id, MIN(v) AS canonical FROM reach
       |GROUP BY u ORDER BY doc_id""".stripMargin
 
+  // ---- incremental (delta-vs-index) dedup ---------------------------------
+
+  /** Incremental dedup — the production shape: the standing corpus is
+    * already indexed (md5 exact keys + hashed shingle sets + prefix
+    * blocks); only the NEW batch is scored against it, never
+    * corpus x corpus. Even doc_ids play the index, odd doc_ids the
+    * arriving batch. Verdict per new doc: 'exact' (md5 hit) beats
+    * 'near' (blocked jaccard >= 0.5 vs any indexed doc) beats 'unique'.
+    *
+    * Scale shape: both joins are equi-keyed (md5 digest / 40-char
+    * block) — the delta shuffles once per key; at 100 TB the index side
+    * is a bucketed table on the same keys, so only the delta moves.
+    * Shingles ride as xxhash64 longs (native `shingles3`). */
+  val incrementalSparkSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS blk, md5(text) AS fp,
+      |         shingles3(split(lower(trim(text)), '\\s+')) AS sh
+      |  FROM documents),
+      |ex AS (SELECT blk, fp, sh FROM d WHERE doc_id % 2 = 0),
+      |nw AS (SELECT doc_id, blk, fp, sh FROM d WHERE doc_id % 2 = 1),
+      |exact AS (
+      |  SELECT nw.doc_id, COUNT(*) AS n_exact
+      |  FROM nw JOIN ex ON nw.fp = ex.fp GROUP BY nw.doc_id),
+      |near AS (
+      |  SELECT nw.doc_id,
+      |         MAX(CAST(size(array_intersect(nw.sh, ex.sh)) AS DOUBLE)
+      |             / size(array_union(nw.sh, ex.sh))) AS best_jac
+      |  FROM nw JOIN ex ON nw.blk = ex.blk
+      |  GROUP BY nw.doc_id)
+      |SELECT nw.doc_id,
+      |  CASE WHEN COALESCE(n_exact, 0) > 0 THEN 'exact'
+      |       WHEN COALESCE(best_jac, 0D) >= 0.5 THEN 'near'
+      |       ELSE 'unique' END AS verdict,
+      |  CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact,
+      |  ROUND(COALESCE(best_jac, 0D), 4) AS best_jac
+      |FROM nw
+      |LEFT JOIN exact ON nw.doc_id = exact.doc_id
+      |LEFT JOIN near ON nw.doc_id = near.doc_id
+      |ORDER BY nw.doc_id""".stripMargin
+
+  val incrementalDuckSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS blk, md5(text) AS fp,
+      |         string_split_regex(lower(trim(text)), '\s+') AS tok
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, blk, fp,
+      |         list_distinct(CASE WHEN len(tok) >= 3 THEN
+      |           [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+      |            for i in generate_series(1, len(tok) - 2)]
+      |           ELSE [array_to_string(tok, ' ')] END) AS sh
+      |  FROM t),
+      |ex AS (SELECT blk, fp, sh FROM d WHERE doc_id % 2 = 0),
+      |nw AS (SELECT doc_id, blk, fp, sh FROM d WHERE doc_id % 2 = 1),
+      |exact AS (
+      |  SELECT nw.doc_id, COUNT(*) AS n_exact
+      |  FROM nw JOIN ex ON nw.fp = ex.fp GROUP BY nw.doc_id),
+      |near AS (
+      |  SELECT nw.doc_id,
+      |         MAX(CAST(len(list_intersect(nw.sh, ex.sh)) AS DOUBLE)
+      |             / len(list_distinct(nw.sh || ex.sh))) AS best_jac
+      |  FROM nw JOIN ex ON nw.blk = ex.blk
+      |  GROUP BY nw.doc_id)
+      |SELECT nw.doc_id,
+      |  CASE WHEN COALESCE(n_exact, 0) > 0 THEN 'exact'
+      |       WHEN COALESCE(best_jac, 0) >= 0.5 THEN 'near'
+      |       ELSE 'unique' END AS verdict,
+      |  CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact,
+      |  ROUND(COALESCE(best_jac, 0), 4) AS best_jac
+      |FROM nw
+      |LEFT JOIN exact ON nw.doc_id = exact.doc_id
+      |LEFT JOIN near ON nw.doc_id = near.doc_id
+      |ORDER BY nw.doc_id""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -456,12 +530,17 @@ object Dedup {
     "dedup_clusters" -> ((s, d) => clusters(s, d)),
     "dedup_keeplist" -> ((s, d) => keepList(s, d)),
     "dedup_keeplist_bloom" -> ((s, d) => keepListBloom(s, d)),
-    "pipeline_corpus" -> ((s, d) => corpusPipeline(s, d))
+    "pipeline_corpus" -> ((s, d) => corpusPipeline(s, d)),
+    "dedup_incremental" -> ((s, d) => {
+      graft.functions.VecFunctions.register(s)
+      Tables.sql(incrementalSparkSql)(s, d)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardDuckSql,
+    "dedup_incremental" -> incrementalDuckSql,
     "dedup_clusters" -> clustersDuckSql,
     "dedup_keeplist" -> keepListDuckSql,
     "dedup_keeplist_bloom" -> keepListDuckSql,

@@ -224,6 +224,25 @@ class DedupSpec extends AnyFunSuite {
     assert(leaked <= 1, s"$leaked persistent RDDs leaked by propagation loop")
   }
 
+  test("dedup_incremental verdicts partition the batch with consistent scores") {
+    val out = dedup.Dedup.queries("dedup_incremental")(spark, sf).cache()
+    val nNew = Tables.load(spark, sf, "documents")
+      .where("doc_id % 2 = 1").count()
+    assert(out.count() == nNew, "one verdict per new-batch doc")
+    import org.apache.spark.sql.functions._
+    // verdict/score consistency: exact => n_exact>0; near => jac in
+    // [0.5,1]; unique => no exact hit and jac below threshold
+    assert(out.where(col("verdict") === "exact" && col("n_exact") <= 0).count() == 0)
+    assert(out.where(col("verdict") === "near" &&
+      (col("best_jac") < 0.5 || col("best_jac") > 1.0 || col("n_exact") > 0))
+      .count() == 0)
+    assert(out.where(col("verdict") === "unique" &&
+      (col("n_exact") > 0 || col("best_jac") >= 0.5)).count() == 0)
+    // the synthetic corpus has cross-parity near-dups: non-vacuous
+    assert(out.where(col("verdict") === "near").count() > 0)
+    out.unpersist(false)
+  }
+
   test("multimodal decode features are deterministic") {
     val a = multimodal.Multimodal.decodeFeatures(spark, sf).collect().toSeq
     val b = multimodal.Multimodal.decodeFeatures(spark, sf).collect().toSeq
