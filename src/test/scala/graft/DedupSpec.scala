@@ -224,6 +224,44 @@ class DedupSpec extends AnyFunSuite {
     assert(leaked <= 1, s"$leaked persistent RDDs leaked by propagation loop")
   }
 
+  test("shingles3 kernel is byte-exact with the SQL xxhash64 spelling") {
+    // direct equivalence on adversarial token shapes: unicode, empties,
+    // 1/2/3-token docs, repeats (exercises the first-occurrence dedup)
+    import spark.implicits._
+    graft.functions.VecFunctions.register(spark)
+    val docs = Seq(
+      "the quick brown fox jumps",
+      "one",
+      "two words",
+      "tri gram doc",
+      "a a a a a",                       // all-identical trigrams collapse
+      "naïve café über straße 東京 データ", // multi-byte UTF-8
+      "x y z x y z x y z"                // repeated trigrams across offsets
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "text")
+      .selectExpr("id", "split(lower(trim(text)), '\\\\s+') AS tok")
+    val native = df.selectExpr("id", "array_sort(shingles3(tok)) AS sh")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sql = df.selectExpr("id",
+      """array_sort(array_distinct(CASE WHEN size(tok) >= 3 THEN
+        |  transform(sequence(1, size(tok) - 2),
+        |    i -> xxhash64(concat_ws(' ', element_at(tok, i),
+        |           element_at(tok, i + 1), element_at(tok, i + 2))))
+        |ELSE array(xxhash64(concat_ws(' ', tok))) END)) AS sh""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    docs.foreach { case (id, t) =>
+      assert(native(id) == sql(id), s"doc $id ('$t')")
+    }
+  }
+
+  test("decontaminate plan: benchmark grams broadcast, corpus never SMJs") {
+    Tables.register(spark, sf)
+    val plan = text.TextAnalysis.queries("text_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "corpus grams shuffled through SMJ")
+  }
+
   test("dedup_incremental verdicts partition the batch with consistent scores") {
     val out = dedup.Dedup.queries("dedup_incremental")(spark, sf).cache()
     val nNew = Tables.load(spark, sf, "documents")
