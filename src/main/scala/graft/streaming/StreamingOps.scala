@@ -390,8 +390,47 @@ object StreamingOps {
       | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 DAY
       |ORDER BY p_id, v_id""".stripMargin
 
+  /** Stream-static join — the remaining canonical Structured Streaming
+    * join shape: an arriving delta (odd doc_ids) probes a STATIC index
+    * table (even doc_ids' 40-char prefix blocks — the candidate-
+    * generation stage of streaming dedup). The static side is broadcast
+    * and re-planned per microbatch; no state store is involved at all
+    * (unlike stream-stream joins), so the cost at 100 TB/day is exactly
+    * one broadcast-probe per batch. Deterministic (AvailableNow, ordered
+    * output) → DuckDB-oracle checked against the batch join. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame =
+      withStreamPartitions(spark, 8) {
+    val (path, rawSchema) = stagedTable(spark, dir, "documents")
+    val index = graft.Tables.load(spark, dir, "documents")
+      .where("doc_id % 2 = 0")
+      .select(col("doc_id").as("idx_id"),
+        substring(col("text"), 1, 40).as("blk"))
+    val name = s"graft_ssj_${counter.incrementAndGet()}"
+    val q = spark.readStream.schema(rawSchema).parquet(path)
+      .where("doc_id % 2 = 1")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("blk"))
+      .join(broadcast(index), "blk")
+      .select(col("doc_id"), col("idx_id"))
+      .writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("doc_id", "idx_id")
+  }
+
+  val streamStaticJoinOracle: String =
+    """SELECT n.doc_id, e.idx_id
+      |FROM (SELECT doc_id, substr(text, 1, 40) AS blk
+      |      FROM documents WHERE doc_id % 2 = 1) n
+      |JOIN (SELECT doc_id AS idx_id, substr(text, 1, 40) AS blk
+      |      FROM documents WHERE doc_id % 2 = 0) e USING (blk)
+      |ORDER BY doc_id, idx_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_stac_ingest" -> ((s, _) => stacIngestQuery(s)),
+    "stream_static_join" -> ((s, d) => streamStaticJoin(s, d)),
     "stream_tumbling_daily" -> ((s, d) => tumblingDaily(s, d)),
     "stream_tumbling_append" -> ((s, d) => tumblingDailyAppend(s, d)),
     "stream_sliding_append" -> ((s, d) => slidingAppend(s, d)),
@@ -408,6 +447,7 @@ object StreamingOps {
     "stream_sessionize" ->
       sessionOracle("epoch(CAST(ts AS TIMESTAMP))"),
     "stream_dedup" -> streamDedupOracle,
-    "stream_join" -> streamJoinOracle
+    "stream_join" -> streamJoinOracle,
+    "stream_static_join" -> streamStaticJoinOracle
   )
 }
