@@ -451,6 +451,82 @@ object Corpus {
       |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
       |  FROM (SELECT doc_id, unnest(bgs) AS b FROM bg)),""".stripMargin)
 
+  // ---- cross-doc exact substring duplication ------------------------------
+
+  /** Sliding-window width (tokens) for substring-duplication detection. */
+  val SubstrK = 8
+
+  /** Cross-document exact substring duplication (the exact-substring-
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): every token position opens a sliding
+    * K-gram; a position is DUPLICATED if its K-gram occurs in at least
+    * one other document; adjacent duplicated positions merge into
+    * maximal repeated spans (gaps-and-islands). Emits per doc the
+    * duplicated-position count, span count, and duplicated fraction —
+    * the inputs to a span-cutting cleaner.
+    *
+    * Scale shape: positions explode map-side with codegen'd gram
+    * hashing (no HOF lambdas); the gram-frequency table and the
+    * position-join shuffle on the 64-bit gram hash (uniform,
+    * fixed-width); span merging is a per-doc window over already
+    * co-located rows. The oracle uses the string grams — the hashing is
+    * oracle-checked hash-invariance, as everywhere else. */
+  val substrDupSparkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, split(lower(trim(text)), '\\\\s+') AS tok FROM documents),
+       |p AS (
+       |  SELECT doc_id, p1 AS pos,
+       |         xxhash64(concat_ws(' ', slice(tok, p1, $SubstrK))) AS g
+       |  FROM t
+       |  LATERAL VIEW posexplode(
+       |    sequence(1, greatest(size(tok) - ${SubstrK - 1}, 1))) x AS idx, p1),
+       |gd AS (SELECT g FROM p GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+       |d AS (
+       |  SELECT p.doc_id, p.pos,
+       |         row_number() OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS rn
+       |  FROM p JOIN gd ON p.g = gd.g),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_dup_pos,
+       |         COUNT(DISTINCT pos - rn) AS n_spans
+       |  FROM d GROUP BY doc_id),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_pos FROM p GROUP BY doc_id)
+       |SELECT tot.doc_id,
+       |  CAST(COALESCE(n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+       |  CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+       |  ROUND(COALESCE(n_dup_pos, 0) / CAST(n_pos AS DOUBLE), 4) AS dup_frac
+       |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+
+  val substrDupDuckSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |p0 AS (
+       |  SELECT doc_id,
+       |         [{'pos': i, 'g': array_to_string(tok[i : i + ${SubstrK - 1}], ' ')}
+       |          for i in generate_series(1, greatest(len(tok) - ${SubstrK - 1}, 1))]
+       |           AS gs
+       |  FROM t),
+       |p AS (
+       |  SELECT doc_id, s.pos AS pos, s.g AS g
+       |  FROM (SELECT doc_id, unnest(gs) AS s FROM p0)),
+       |gd AS (SELECT g FROM p GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+       |d AS (
+       |  SELECT p.doc_id, p.pos,
+       |         row_number() OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS rn
+       |  FROM p JOIN gd ON p.g = gd.g),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_dup_pos,
+       |         COUNT(DISTINCT pos - rn) AS n_spans
+       |  FROM d GROUP BY doc_id),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_pos FROM p GROUP BY doc_id)
+       |SELECT tot.doc_id,
+       |  CAST(COALESCE(n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+       |  CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+       |  ROUND(COALESCE(n_dup_pos, 0) / CAST(n_pos AS DOUBLE), 4) AS dup_frac
+       |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_pack" -> ((s, d) => pack(s, d)),
     "text_pii" -> Tables.sql(piiSparkSql),
@@ -459,7 +535,8 @@ object Corpus {
     "corpus_bm25" -> Tables.sql(bm25SparkSql),
     "corpus_mix" -> Tables.sql(mixSparkSql),
     "corpus_sample" -> Tables.sql(sampleSparkSql),
-    "corpus_lm_score" -> ((s, d) => lmScore(s, d))
+    "corpus_lm_score" -> ((s, d) => lmScore(s, d)),
+    "corpus_substr_dup" -> Tables.sql(substrDupSparkSql)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -470,6 +547,7 @@ object Corpus {
     "corpus_bm25" -> bm25DuckSql,
     "corpus_mix" -> mixDuckSql,
     "corpus_sample" -> sampleDuckSql,
-    "corpus_lm_score" -> lmScoreDuckSql
+    "corpus_lm_score" -> lmScoreDuckSql,
+    "corpus_substr_dup" -> substrDupDuckSql
   )
 }

@@ -203,6 +203,21 @@ class CorpusSpec extends AnyFunSuite {
     out.unpersist(false)
   }
 
+  test("corpus_substr_dup: spans bound positions, duplication is mutual") {
+    Tables.register(spark, sf)
+    val out = text.Corpus.queries("corpus_substr_dup")(spark, sf).cache()
+    assert(out.count() == spark.table("documents").count())
+    assert(out.where(col("n_dup_pos") < col("n_spans")).count() == 0,
+      "a span must cover at least one position")
+    assert(out.where((col("n_spans") === 0) =!= (col("n_dup_pos") === 0))
+      .count() == 0, "spans and positions must vanish together")
+    assert(out.where(col("dup_frac") < 0 || col("dup_frac") > 1).count() == 0)
+    val withSpans = out.where(col("n_spans") > 0).count()
+    assert(withSpans >= 2,
+      s"cross-doc duplication is mutual: got $withSpans docs with spans")
+    out.unpersist(false)
+  }
+
   test("embed_quantize values stay in int8 range") {
     val rows = similarity.Similarity.queries("embed_quantize")(spark, sf).collect()
     assert(rows.nonEmpty)
