@@ -334,17 +334,50 @@ object Relational {
     """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Retention cohort analysis — the canonical product-analytics shape:
+    * users cohorted by first-activity day, activity counted per
+    * (cohort, day-offset) cell. Two aggregations plus one join; the
+    * cohort table is user-count-sized, so at scale it broadcasts back
+    * onto the activity stream — the event table never self-joins. */
+  private val retentionSparkSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(d) AS cohort FROM e GROUP BY user_id)
+      |SELECT c.cohort,
+      |       CAST(datediff(e.d, c.cohort) AS BIGINT) AS day_offset,
+      |       COUNT(*) AS n_users
+      |FROM e JOIN c ON e.user_id = c.user_id
+      |GROUP BY c.cohort, datediff(e.d, c.cohort)
+      |ORDER BY cohort, day_offset""".stripMargin
+
+  private val retentionOracle: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(d) AS cohort FROM e GROUP BY user_id)
+      |SELECT c.cohort,
+      |       CAST(datediff('day', c.cohort, e.d) AS BIGINT) AS day_offset,
+      |       COUNT(*) AS n_users
+      |FROM e JOIN c ON e.user_id = c.user_id
+      |GROUP BY c.cohort, datediff('day', c.cohort, e.d)
+      |ORDER BY cohort, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> Tables.sql(q.spark)).toMap +
       ("q27_skew_salted_join" -> (saltedJoinQuery _)) +
       ("q33_upsert" -> (upsertQuery _)) +
-      ("q34_incremental_agg" -> (incrementalAggQuery _)) ++
+      ("q34_incremental_agg" -> (incrementalAggQuery _)) +
+      ("q36_retention_cohort" -> Tables.sql(retentionSparkSql)) ++
       TemporalJoins.queries
 
   val oracleSql: Map[String, String] =
     qs.map(q => q.name -> q.duck.getOrElse(q.spark)).toMap +
       ("q27_skew_salted_join" -> saltedJoinOracle) +
       ("q33_upsert" -> upsertOracle) +
-      ("q34_incremental_agg" -> incrementalAggOracle) ++
+      ("q34_incremental_agg" -> incrementalAggOracle) +
+      ("q36_retention_cohort" -> retentionOracle) ++
       TemporalJoins.oracleSql
 }

@@ -218,6 +218,25 @@ class CorpusSpec extends AnyFunSuite {
     out.unpersist(false)
   }
 
+  test("q36 retention: day-0 cells cover every user exactly once") {
+    Tables.register(spark, sf)
+    val out = relational.Relational.queries("q36_retention_cohort")(spark, sf)
+      .cache()
+    val day0 = out.where(col("day_offset") === 0)
+      .agg(sum("n_users")).head().getLong(0)
+    val users = spark.table("events").select("user_id").distinct().count()
+    assert(day0 == users, s"day-0 total $day0 != $users users")
+    // retention is monotone per cohort at offset 0: no cell exceeds its
+    // cohort's size
+    val over = out.as("o").join(
+      out.where(col("day_offset") === 0)
+        .select(col("cohort").as("c0"), col("n_users").as("size0")),
+      col("o.cohort") === col("c0"))
+      .where(col("o.n_users") > col("size0")).count()
+    assert(over == 0, "a retention cell exceeded its cohort size")
+    out.unpersist(false)
+  }
+
   test("embed_quantize values stay in int8 range") {
     val rows = similarity.Similarity.queries("embed_quantize")(spark, sf).collect()
     assert(rows.nonEmpty)
