@@ -365,12 +365,39 @@ object Relational {
       |GROUP BY c.cohort, datediff('day', c.cohort, e.d)
       |ORDER BY cohort, day_offset""".stripMargin
 
+  /** Ordered funnel with a bounded conversion window: first view, then
+    * earliest click within 1 day of it, then earliest purchase within
+    * 1 day of that click. Per-user stage times are MIN-aggregates over
+    * filtered event streams (never a sequential scan per user); the
+    * user-stage tables are user-count-sized, so each successive stage
+    * join broadcasts at scale. Identical SQL runs in both engines. */
+  private val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ets FROM events),
+      |v AS (SELECT user_id, MIN(ets) AS t1 FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ets) AS t2
+      |      FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click'
+      |        AND e.ets > v.t1 AND e.ets <= v.t1 + INTERVAL 1 DAY
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ets) AS t3
+      |      FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase'
+      |        AND e.ets > c.t2 AND e.ets <= c.t2 + INTERVAL 1 DAY
+      |      GROUP BY e.user_id)
+      |SELECT 'stage1_view' AS stage, COUNT(*) AS n_users FROM v
+      |UNION ALL SELECT 'stage2_click', COUNT(*) FROM c
+      |UNION ALL SELECT 'stage3_purchase', COUNT(*) FROM p
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> Tables.sql(q.spark)).toMap +
       ("q27_skew_salted_join" -> (saltedJoinQuery _)) +
       ("q33_upsert" -> (upsertQuery _)) +
       ("q34_incremental_agg" -> (incrementalAggQuery _)) +
-      ("q36_retention_cohort" -> Tables.sql(retentionSparkSql)) ++
+      ("q36_retention_cohort" -> Tables.sql(retentionSparkSql)) +
+      ("q37_funnel" -> Tables.sql(funnelSql)) ++
       TemporalJoins.queries
 
   val oracleSql: Map[String, String] =
@@ -378,6 +405,7 @@ object Relational {
       ("q27_skew_salted_join" -> saltedJoinOracle) +
       ("q33_upsert" -> upsertOracle) +
       ("q34_incremental_agg" -> incrementalAggOracle) +
-      ("q36_retention_cohort" -> retentionOracle) ++
+      ("q36_retention_cohort" -> retentionOracle) +
+      ("q37_funnel" -> funnelSql) ++
       TemporalJoins.oracleSql
 }
