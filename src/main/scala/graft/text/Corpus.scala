@@ -480,7 +480,9 @@ object Corpus {
        |  FROM t
        |  LATERAL VIEW posexplode(
        |    sequence(1, greatest(size(tok) - ${SubstrK - 1}, 1))) x AS idx, p1),
-       |gd AS (SELECT g FROM p GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+       |-- "appears in >= 2 docs" as MIN != MAX: same predicate, no
+       |-- distinct-count expand in the aggregate
+       |gd AS (SELECT g FROM p GROUP BY g HAVING MIN(doc_id) != MAX(doc_id)),
        |d AS (
        |  SELECT p.doc_id, p.pos,
        |         row_number() OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS rn
@@ -510,7 +512,9 @@ object Corpus {
        |p AS (
        |  SELECT doc_id, s.pos AS pos, s.g AS g
        |  FROM (SELECT doc_id, unnest(gs) AS s FROM p0)),
-       |gd AS (SELECT g FROM p GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+       |-- "appears in >= 2 docs" as MIN != MAX: same predicate, no
+       |-- distinct-count expand in the aggregate
+       |gd AS (SELECT g FROM p GROUP BY g HAVING MIN(doc_id) != MAX(doc_id)),
        |d AS (
        |  SELECT p.doc_id, p.pos,
        |         row_number() OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS rn
