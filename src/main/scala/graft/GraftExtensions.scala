@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashBands, SimHash64, ZOrder64}
+import graft.functions.{CosineSimilarity, MinHashBands, Shingles3, SimHash64, ZOrder64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -50,6 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { args: Seq[Expression] =>
         require(args.length == 2, "zorder64(x, y) takes two arguments")
         ZOrder64(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingles3"),
+      info("shingles3", "shingles3(tok) - hashed distinct word-3-gram shingles"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "shingles3(tok) takes one argument")
+        Shingles3(args(0))
       }))
     // derive pushdown-able z-range bounds from tx/ty box predicates on
     // z-clustered tables (see graft.plans.ZOrderRangePruning)

@@ -34,6 +34,10 @@ class ExtensionsSpec extends AnyFunSuite {
       val sh = spark.sql(
         "SELECT simhash64(array(CAST(-1 AS BIGINT))) AS s").head().getLong(0)
       assert(sh == -1L) // all 64 bits set by the single all-ones hash
+      val grams = spark.sql(
+        "SELECT size(shingles3(array('a', 'b', 'c', 'd'))) AS n")
+        .head().getInt(0)
+      assert(grams == 2) // 'a b c' and 'b c d'
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
