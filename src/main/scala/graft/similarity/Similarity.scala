@@ -549,6 +549,39 @@ object Similarity {
       |       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_sumsq
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** Per-label centroid (class-prototype) vectors — the aggregation a
+    * curation pipeline runs for label prototypes, outlier distance, and
+    * per-class drift monitoring. Elements are quantized to integer
+    * micro-units BEFORE summing (same trick as the LM scorer), so the
+    * per-(label, dim) reduction is exact integer arithmetic — order-
+    * independent and engine-exact; the rounded centroid derives from the
+    * exact sum. Dimension explode is map-side; the aggregate has
+    * labels x dims groups (tiny) with map-side partials. */
+  val centroidsSparkSql: String =
+    """WITH e AS (
+      |  SELECT label, p1 AS dim,
+      |         CAST(ROUND(element_at(embedding, p1) * 1e6) AS BIGINT) AS v
+      |  FROM embeddings
+      |  LATERAL VIEW posexplode(sequence(1, size(embedding))) x AS idx, p1)
+      |SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+      |       CAST(SUM(v) AS BIGINT) AS sum_micro,
+      |       ROUND(CAST(SUM(v) AS DOUBLE) / 1e6 / COUNT(*), 4) AS centroid
+      |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
+  val centroidsDuckSql: String =
+    """WITH e0 AS (
+      |  SELECT label,
+      |         [{'dim': i, 'v': CAST(ROUND(embedding[i] * 1e6) AS BIGINT)}
+      |          for i in generate_series(1, len(embedding))] AS ds
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT label, s.dim AS dim, s.v AS v
+      |  FROM (SELECT label, unnest(ds) AS s FROM e0))
+      |SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+      |       CAST(SUM(v) AS BIGINT) AS sum_micro,
+      |       ROUND(CAST(SUM(v) AS DOUBLE) / 1e6 / COUNT(*), 4) AS centroid
+      |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "sim_bruteforce_topk" -> ((s, d) => {
@@ -558,11 +591,13 @@ object Similarity {
     "sim_ivfpq_topk" -> ((s, d) => ivfPqTopK(s, d)),
     "sim_ann_recall" -> ((s, d) => annRecall(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => nearDupPairs(s, d)),
-    "embed_quantize" -> Tables.sql(quantizeSparkSql)
+    "embed_quantize" -> Tables.sql(quantizeSparkSql),
+    "embed_label_centroids" -> Tables.sql(centroidsSparkSql)
   )
 
   val oracleSql: Map[String, String] = Map(
     "sim_bruteforce_topk" -> bruteforceDuckSql,
-    "embed_quantize" -> quantizeDuckSql
+    "embed_quantize" -> quantizeDuckSql,
+    "embed_label_centroids" -> centroidsDuckSql
   )
 }

@@ -237,6 +237,23 @@ class CorpusSpec extends AnyFunSuite {
     out.unpersist(false)
   }
 
+  test("embed_label_centroids covers labels x dims with per-label counts") {
+    Tables.register(spark, sf)
+    val out = similarity.Similarity.queries("embed_label_centroids")(spark, sf)
+      .cache()
+    val emb = spark.table("embeddings")
+    val dims = emb.selectExpr("size(embedding)").head().getInt(0)
+    val labels = emb.select("label").distinct().count()
+    assert(out.count() == labels * dims)
+    val perLabel = emb.groupBy("label").count().collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    out.collect().foreach { r =>
+      assert(r.getLong(2) == perLabel(r.getAs[Number](0).longValue),
+        s"label ${r.get(0)} dim ${r.getLong(1)}: n mismatch")
+    }
+    out.unpersist(false)
+  }
+
   test("embed_quantize values stay in int8 range") {
     val rows = similarity.Similarity.queries("embed_quantize")(spark, sf).collect()
     assert(rows.nonEmpty)
