@@ -582,6 +582,68 @@ object Similarity {
       |       ROUND(CAST(SUM(v) AS DOUBLE) / 1e6 / COUNT(*), 4) AS centroid
       |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  /** Embedding-space outlier flagging — the quality-filter consumer of
+    * the centroid table: squared L2 distance of every vector to its
+    * label's (micro-unit-rounded) centroid, flagged when the distance
+    * exceeds 1.05x the label's mean distance (the synthetic uniform
+    * embeddings concentrate distances within ~12% of the mean; real
+    * corpora would use 2-3x). All reductions are exact
+    * integer sums (micro-unit elements, integer centroid), so both the
+    * distances and the flag thresholds are engine- and order-exact.
+    * Scale shape: two tiny aggregates (labels x dims centroids;
+    * per-label mean distances) broadcast back onto the element stream —
+    * the embedding table streams map-side twice, never self-joins. */
+  val outliersSparkSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, p1 AS dim,
+      |         CAST(ROUND(element_at(embedding, p1) * 1e6) AS BIGINT) AS v
+      |  FROM embeddings
+      |  LATERAL VIEW posexplode(sequence(1, size(embedding))) x AS idx, p1),
+      |c AS (
+      |  SELECT label, dim,
+      |         CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+      |  FROM e GROUP BY label, dim),
+      |d AS (
+      |  SELECT e.vec_id, e.label,
+      |         SUM((e.v - c.cv) * (e.v - c.cv)) AS dist2
+      |  FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+      |  GROUP BY e.vec_id, e.label),
+      |m AS (
+      |  SELECT label, CAST(SUM(dist2) AS DOUBLE) / COUNT(*) AS mean2
+      |  FROM d GROUP BY label)
+      |SELECT d.vec_id, d.label, CAST(d.dist2 AS BIGINT) AS dist2,
+      |       CAST(CASE WHEN d.dist2 > 1.05 * m.mean2 THEN 1 ELSE 0 END
+      |            AS BIGINT) AS is_outlier
+      |FROM d JOIN m ON d.label = m.label
+      |ORDER BY d.vec_id""".stripMargin
+
+  val outliersDuckSql: String =
+    """WITH e0 AS (
+      |  SELECT vec_id, label,
+      |         [{'dim': i, 'v': CAST(ROUND(embedding[i] * 1e6) AS BIGINT)}
+      |          for i in generate_series(1, len(embedding))] AS ds
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, label, s.dim AS dim, s.v AS v
+      |  FROM (SELECT vec_id, label, unnest(ds) AS s FROM e0)),
+      |c AS (
+      |  SELECT label, dim,
+      |         CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+      |  FROM e GROUP BY label, dim),
+      |d AS (
+      |  SELECT e.vec_id, e.label,
+      |         SUM((e.v - c.cv) * (e.v - c.cv)) AS dist2
+      |  FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+      |  GROUP BY e.vec_id, e.label),
+      |m AS (
+      |  SELECT label, CAST(SUM(dist2) AS DOUBLE) / COUNT(*) AS mean2
+      |  FROM d GROUP BY label)
+      |SELECT d.vec_id, d.label, CAST(d.dist2 AS BIGINT) AS dist2,
+      |       CAST(CASE WHEN d.dist2 > 1.05 * m.mean2 THEN 1 ELSE 0 END
+      |            AS BIGINT) AS is_outlier
+      |FROM d JOIN m ON d.label = m.label
+      |ORDER BY d.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "sim_bruteforce_topk" -> ((s, d) => {
@@ -592,12 +654,14 @@ object Similarity {
     "sim_ann_recall" -> ((s, d) => annRecall(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => nearDupPairs(s, d)),
     "embed_quantize" -> Tables.sql(quantizeSparkSql),
-    "embed_label_centroids" -> Tables.sql(centroidsSparkSql)
+    "embed_label_centroids" -> Tables.sql(centroidsSparkSql),
+    "embed_outliers" -> Tables.sql(outliersSparkSql)
   )
 
   val oracleSql: Map[String, String] = Map(
     "sim_bruteforce_topk" -> bruteforceDuckSql,
     "embed_quantize" -> quantizeDuckSql,
-    "embed_label_centroids" -> centroidsDuckSql
+    "embed_label_centroids" -> centroidsDuckSql,
+    "embed_outliers" -> outliersDuckSql
   )
 }

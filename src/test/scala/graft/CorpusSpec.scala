@@ -254,6 +254,26 @@ class CorpusSpec extends AnyFunSuite {
     out.unpersist(false)
   }
 
+  test("embed_outliers covers every vector; flags split non-vacuously") {
+    Tables.register(spark, sf)
+    val out = similarity.Similarity.queries("embed_outliers")(spark, sf).cache()
+    assert(out.count() == spark.table("embeddings").count())
+    assert(out.where(col("dist2") <= 0).count() == 0, "degenerate distance")
+    val flagged = out.where(col("is_outlier") === 1).count()
+    assert(flagged > 0 && flagged < out.count(),
+      s"outlier flag vacuous: $flagged of ${out.count()}")
+    // flagged vectors are strictly farther than at least one unflagged
+    // vector of the same label (threshold is per-label)
+    val worstKept = out.where(col("is_outlier") === 0)
+      .groupBy("label").agg(max("dist2").as("kept_max"))
+    val bestFlagged = out.where(col("is_outlier") === 1)
+      .groupBy("label").agg(min("dist2").as("flag_min"))
+    val inverted = worstKept.join(bestFlagged, "label")
+      .where(col("flag_min") <= col("kept_max")).count()
+    assert(inverted == 0, "a flagged vector was closer than a kept one")
+    out.unpersist(false)
+  }
+
   test("embed_quantize values stay in int8 range") {
     val rows = similarity.Similarity.queries("embed_quantize")(spark, sf).collect()
     assert(rows.nonEmpty)
