@@ -54,17 +54,28 @@ object Stats {
   /** Spark side: ONE `percentile(c, array(...))` buffer per column, not
     * four independent aggregates each re-buffering the column (4× the
     * aggregation work and memory — the difference between 9 s and ~2 s
-    * at sf0.1, and between one sort-buffer and four at 100 TB). */
-  private def oneSpark(tbl: String, c: String) =
-    s"""SELECT '$tbl.$c' AS col,
-       |  ROUND(q[0], 2) AS p25, ROUND(q[1], 2) AS p50,
-       |  ROUND(q[2], 2) AS p75, ROUND(q[3], 2) AS p95
-       |FROM (SELECT percentile($c, array(0.25D, 0.5D, 0.75D, 0.95D)) AS q
-       |      FROM $tbl)""".stripMargin
+    * at sf0.1, and between one sort-buffer and four at 100 TB). Columns
+    * of the SAME table share one scan+aggregate (both buffers fill in
+    * one pass), unpacked via explode — `lineitem` is read once, not
+    * per-column. */
+  private def tableSpark(tbl: String, cols: Seq[String]) = {
+    val aggs = cols.zipWithIndex.map { case (c, i) =>
+      s"percentile($c, array(0.25D, 0.5D, 0.75D, 0.95D)) AS q$i"
+    }.mkString(", ")
+    val structs = cols.zipWithIndex.map { case (c, i) =>
+      s"struct('$tbl.$c' AS col, q$i AS q)"
+    }.mkString(", ")
+    s"""SELECT e.col AS col,
+       |  ROUND(e.q[0], 2) AS p25, ROUND(e.q[1], 2) AS p50,
+       |  ROUND(e.q[2], 2) AS p75, ROUND(e.q[3], 2) AS p95
+       |FROM (SELECT explode(array($structs)) AS e
+       |      FROM (SELECT $aggs FROM $tbl))""".stripMargin
+  }
 
   val quantilesSparkSql: String =
-    Seq(oneSpark("orders", "o_totalprice"), oneSpark("lineitem", "l_quantity"),
-      oneSpark("lineitem", "l_extendedprice"), oneSpark("events", "value"))
+    Seq(tableSpark("orders", Seq("o_totalprice")),
+      tableSpark("lineitem", Seq("l_quantity", "l_extendedprice")),
+      tableSpark("events", Seq("value")))
       .mkString("", "\nUNION ALL\n", "\nORDER BY col")
 
   val quantilesDuckSql: String =
