@@ -19,6 +19,30 @@ class PlanAuditSpec extends AnyFunSuite {
   private val excluded: String => Boolean = name =>
     name.startsWith("stream_")
 
+  test("column pruning reaches the documents scan (ReadSchema minimal)") {
+    // a scan that reads all five documents columns for a two-column
+    // operator would ship 2.5x the bytes at 100 TB — assert the pruned
+    // ReadSchema for a representative query per family
+    val expected = Map(
+      "text_stats" -> Set("doc_id", "text"),
+      "corpus_split" -> Set("doc_id"),
+      "corpus_mix" -> Set("source", "text"),
+      "corpus_sample" -> Set("doc_id", "lang"),
+      "dedup_exact" -> Set("doc_id", "text"),
+      "text_langid" -> Set("doc_id", "lang", "text"))
+    expected.foreach { case (name, cols) =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val reads = "ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(reads.nonEmpty, s"$name: no parquet ReadSchema in plan")
+      reads.foreach { r =>
+        val got = r.split(",").filter(_.nonEmpty).map(_.split(":")(0)).toSet
+        assert(got == cols, s"$name scan reads $got, expected $cols")
+      }
+    }
+  }
+
   test("no registered batch query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(excluded)
