@@ -366,6 +366,68 @@ object Multimodal {
     })
   }
 
+  /** Audio resample to a common 8 kHz — the rate-normalization pass a
+    * multimodal pipeline runs before feature extraction. Real WAV decode
+    * feeds a linear interpolator; because every source rate is a
+    * multiple of 4 kHz, interpolation positions land on {0, 1/2}
+    * fractions and the doubled sample values are EXACT integers — the
+    * emitted fingerprints are integer sums, so the DuckDB oracle
+    * recomputes them from the closed-form sample function with pure
+    * integer arithmetic (no float drift possible on either engine). */
+  def audioResample(spark: SparkSession, dir: String,
+                    outRate: Int = 8000): DataFrame = {
+    import spark.implicits._
+    val audio = audioTable(spark, dir).select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+    audio.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val (sr, s) = decodeWav(id, payload)
+        val nOut = ((s.length - 1).toLong * outRate / sr + 1).toInt
+        var sum = 0L
+        var sumsq = 0L
+        var i = 0
+        while (i < nOut) {
+          val num = i.toLong * sr
+          val i0 = (num / outRate).toInt
+          val rem = num % outRate
+          val s0 = s(i0).toLong
+          // doubled interpolated value: 2*s0 + (s1-s0) at the half step
+          val v2 = if (rem != 0L) 2 * s0 + (s(i0 + 1).toLong - s0) else 2 * s0
+          sum += v2
+          sumsq += v2 * v2
+          i += 1
+        }
+        (id, sr.toLong, nOut.toLong, sum, sumsq)
+      }
+    }.toDF("doc_id", "rate", "n_out", "s2_sum", "s2_sumsq")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for the resampler: same integer positions, same closed-form
+    * samples, same doubled-value fingerprints — all integer math. */
+  val audioResampleDuckSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         2000 + doc_id % 1000 AS n,
+      |         8000 + (doc_id % 4) * 4000 AS rate
+      |  FROM documents),
+      |o AS (SELECT doc_id, n, rate,
+      |             (n - 1) * 8000 // rate + 1 AS n_out FROM d),
+      |x AS (
+      |  SELECT doc_id, rate, n_out,
+      |    [2 * (((doc_id * 31 + ((i * rate) // 8000) * 7919) % 65536) - 32768)
+      |     + CASE WHEN (i * rate) % 8000 != 0 THEN
+      |         ((((doc_id * 31 + (((i * rate) // 8000) + 1) * 7919) % 65536) - 32768)
+      |          - (((doc_id * 31 + ((i * rate) // 8000) * 7919) % 65536) - 32768))
+      |       ELSE 0 END
+      |     for i in generate_series(0, n_out - 1)] AS v2
+      |  FROM o)
+      |SELECT doc_id, CAST(rate AS BIGINT) AS rate,
+      |       CAST(n_out AS BIGINT) AS n_out,
+      |       CAST(list_sum(v2) AS BIGINT) AS s2_sum,
+      |       CAST(list_sum(list_transform(v2, x -> x * x)) AS BIGINT) AS s2_sumsq
+      |FROM x ORDER BY doc_id""".stripMargin
+
   /** Audio decode + feature-extract: real WAV decode via mapPartitions,
     * exact integer statistics (min/max/sum/sum-of-squares/zero-crossings
     * /duration) — the audio analog of decodeFeatures, DuckDB-checkable
@@ -431,7 +493,8 @@ object Multimodal {
     "mm_decode_features" -> ((s, d) => decodeFeatures(s, d)),
     "mm_frame_sample" -> ((s, d) => frameSample(s, d)),
     "mm_resize" -> ((s, d) => resize(s, d)),
-    "mm_audio_features" -> ((s, d) => audioFeatures(s, d))
+    "mm_audio_features" -> ((s, d) => audioFeatures(s, d)),
+    "mm_audio_resample" -> ((s, d) => audioResample(s, d))
   )
 
   val metadataDuckSql: String =
@@ -445,6 +508,7 @@ object Multimodal {
     "mm_decode_features" -> decodeFeaturesDuckSql,
     "mm_frame_sample" -> frameSampleDuckSql,
     "mm_resize" -> resizeDuckSql,
-    "mm_audio_features" -> audioFeaturesDuckSql
+    "mm_audio_features" -> audioFeaturesDuckSql,
+    "mm_audio_resample" -> audioResampleDuckSql
   )
 }

@@ -288,6 +288,24 @@ class DedupSpec extends AnyFunSuite {
     assert(a.size == Tables.load(spark, sf, "documents").count())
   }
 
+  test("audio resample: unit-rate docs pass through, others shrink exactly") {
+    val rows = multimodal.Multimodal.audioResample(spark, sf).collect()
+    assert(rows.length == Tables.load(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val id = r.getLong(0); val rate = r.getLong(1); val nOut = r.getLong(2)
+      val nIn = 2000 + id % 1000
+      assert(rate == 8000 + (id % 4) * 4000)
+      // out count = floor((n_in-1) * 8000 / rate) + 1
+      assert(nOut == (nIn - 1) * 8000 / rate + 1, s"doc $id")
+      if (rate == 8000) {
+        // identity resample: doubled-sum equals 2x the raw sample sum
+        val s = Array.tabulate(nIn.toInt)(i =>
+          ((id * 31L + i.toLong * 7919L) % 65536L) - 32768L)
+        assert(r.getLong(3) == 2 * s.sum, s"doc $id passthrough sum")
+      }
+    }
+  }
+
   test("audio WAV roundtrip recovers the closed-form sample statistics") {
     // independent oracle: recompute each doc's features from the sample
     // formula and compare to what Spark recovered from the WAV bytes
