@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashBands, Shingles3, SimHash64, ZOrder64}
+import graft.functions.{CosineSimilarity, MinHashBands, Shingles3, SimHash64, StopwordHits, ZOrder64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -57,6 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { args: Seq[Expression] =>
         require(args.length == 1, "shingles3(tok) takes one argument")
         Shingles3(args(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("stopword_hits"),
+      info("stopword_hits", "stopword_hits(tok) - per-language stopword hit counts [en,de,fr,es]"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "stopword_hits(tok) takes one argument")
+        StopwordHits(args(0))
       }))
     // derive pushdown-able z-range bounds from tx/ty box predicates on
     // z-clustered tables (see graft.plans.ZOrderRangePruning)

@@ -63,8 +63,10 @@ object HashKernels {
     * gram when fewer than 3 tokens), but without the interpreted
     * higher-order-function fallback — gram bytes are assembled in a
     * reused buffer and hashed with Spark's own XXH64, so the equality
-    * with the SQL spelling is byte-exact. Token slots must be non-null
-    * (they come from split()). */
+    * with the SQL spelling is byte-exact. Null token slots are skipped
+    * the way `concat_ws` skips them (no text, no separator) — split()
+    * never produces them, but the function is SQL-registered and
+    * user-reachable with e.g. `shingles3(array('a', NULL))`. */
   def shingles3(arr: ArrayData): ArrayData = {
     import org.apache.spark.unsafe.Platform
     val n = arr.numElements()
@@ -72,17 +74,19 @@ object HashKernels {
     var i = 0
     var total = 0
     while (i < n) {
-      toks(i) = arr.getUTF8String(i)
-      total += toks(i).numBytes
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      if (toks(i) != null) total += toks(i).numBytes
       i += 1
     }
     def hashJoined(from: Int, count: Int, buf: Array[Byte]): Long = {
       var off = 0
       var j = from
       while (j < from + count) {
-        if (j > from) { buf(off) = ' '; off += 1 }
-        toks(j).writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + off)
-        off += toks(j).numBytes
+        if (toks(j) != null) {
+          if (off > 0) { buf(off) = ' '; off += 1 }
+          toks(j).writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + off)
+          off += toks(j).numBytes
+        }
         j += 1
       }
       org.apache.spark.sql.catalyst.expressions.XXH64
@@ -98,13 +102,68 @@ object HashKernels {
     var m = 0
     i = 0
     while (i <= n - 3) {
-      val need = toks(i).numBytes + toks(i + 1).numBytes + toks(i + 2).numBytes + 2
+      var need = 2
+      var j = i
+      while (j < i + 3) { if (toks(j) != null) need += toks(j).numBytes; j += 1 }
       if (buf.length < need) buf = new Array[Byte](math.max(need, buf.length * 2))
       val h = hashJoined(i, 3, buf)
       if (seen.add(h)) { out(m) = h; m += 1 }
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** Language-ID stopword lists (single source of truth — the SQL
+    * spellings in `graft.text.TextAnalysis` and the DuckDB oracle are
+    * derived from these). Order: en, de, fr, es. A token may belong to
+    * more than one list (`que`/`un` are fr+es), so membership is a
+    * bitmask, not a single label. */
+  val stopwordLists: Array[Array[String]] = Array(
+    Array("the", "and", "of", "to", "in", "is", "that", "it", "for", "on", "with", "as"),
+    Array("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den", "von", "im"),
+    Array("le", "les", "et", "un", "une", "est", "pour", "dans", "que", "pas", "au", "sur"),
+    Array("el", "los", "las", "y", "en", "que", "un", "una", "es", "por", "con", "para"))
+
+  private val stopwordMask: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+    var lang = 0
+    while (lang < stopwordLists.length) {
+      for (w <- stopwordLists(lang)) {
+        val k = org.apache.spark.unsafe.types.UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << lang)))
+      }
+      lang += 1
+    }
+    m
+  }
+
+  /** Per-language stopword hit counts in ONE native pass over the token
+    * array: exactly `size(filter(tok, x -> array_contains(array(<lang
+    * list>), x)))` for each of en/de/fr/es, but one hash probe per token
+    * instead of four interpreted lambda evaluations × 12-way
+    * array_contains scans. Null tokens count for no language (the HOF
+    * spelling drops them too: `array_contains(..., NULL)` is NULL, and
+    * `filter` keeps only true). Returns [en, de, fr, es]. */
+  def stopwordHits(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val counts = new Array[Long](stopwordLists.length)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val m = stopwordMask.get(arr.getUTF8String(i))
+        if (m != null) {
+          val bits = m.intValue()
+          var lang = 0
+          while (lang < counts.length) {
+            if ((bits & (1 << lang)) != 0) counts(lang) += 1
+            lang += 1
+          }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
   }
 
   /** 64-bit SimHash over the hashed shingle set. */
@@ -163,6 +222,29 @@ case class SimHash64(child: Expression)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.HashKernels.simhash64($c);")
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `stopword_hits(tok)` — per-language stopword hit counts [en, de, fr,
+  * es] in one native codegen pass: count-exact with the four-lambda SQL
+  * spelling `size(filter(tok, x -> array_contains(array(...), x)))` but
+  * one hash probe per token instead of four interpreted
+  * (CodegenFallback) lambda walks. */
+case class StopwordHits(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  override def prettyName: String = "stopword_hits"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.stopwordHits(input.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.stopwordHits($c);")
+  override protected def withNewChildInternal(newChild: Expression): StopwordHits =
     copy(child = newChild)
 }
 

@@ -240,5 +240,12 @@ object VecFunctions {
         Shingles3(args(0))
       },
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "stopword_hits",
+      { args: Seq[Expression] =>
+        require(args.length == 1, "stopword_hits(tok) takes one argument")
+        StopwordHits(args(0))
+      },
+      "built-in")
   }
 }

@@ -64,30 +64,34 @@ object TextAnalysis {
 
   /** Heuristic language ID: CJK codepoint presence → zh; otherwise argmax
     * of per-language stopword hits with deterministic tie-break order
-    * en > de > fr > es. Pure projection; stopword lists inlined. */
-  val en = "'the','and','of','to','in','is','that','it','for','on','with','as'"
-  val de = "'der','die','das','und','ist','nicht','mit','ein','zu','den','von','im'"
-  val fr = "'le','les','et','un','une','est','pour','dans','que','pas','au','sur'"
-  val es = "'el','los','las','y','en','que','un','una','es','por','con','para'"
+    * en > de > fr > es. Pure projection; stopword lists live in
+    * [[graft.functions.HashKernels.stopwordLists]] (single source of
+    * truth for the native kernel, this SQL, and the DuckDB oracle). */
+  private def quoted(lang: Int): String =
+    graft.functions.HashKernels.stopwordLists(lang).map(w => s"'$w'").mkString(",")
+  val en: String = quoted(0)
+  val de: String = quoted(1)
+  val fr: String = quoted(2)
+  val es: String = quoted(3)
 
-  // Per-doc filter lambdas are interpreted (CodegenFallback), but an A/B
-  // against the explode+conditional-agg spelling measured the lambdas
-  // FASTER here (0.7 vs 1.2 s at sf0.1): the per-token work is a 12-way
-  // equality probe (no string building), while the explode pays a 57x
-  // row blowup + hash agg. HOF elimination only wins when the lambda
-  // constructs strings/objects (see decontaminate/repetition).
+  // Stopword counting is a native codegen expression (`stopword_hits`,
+  // functions/HashExpressions.scala): one hash probe per token, all four
+  // counts in one pass. History: the four `size(filter(tok, x ->
+  // array_contains(...)))` lambdas are interpreted (CodegenFallback) and
+  // the round-4 driver bench measured them at 3.74 s — the slowest query
+  // in the suite (an earlier in-session A/B had shown 0.7 s, but
+  // cross-session timings vary 2×+ and the driver protocol is what
+  // counts). The explode+conditional-agg rewrite also lost (57× row
+  // blowup + hash agg). The native kernel beats both.
   val langidSparkSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang, text,
-       |         split(lower(trim(text)), '\\\\s+') AS tok
+       |         stopword_hits(split(lower(trim(text)), '\\\\s+')) AS sw
        |  FROM documents),
        |c AS (
        |  SELECT doc_id, lang,
        |    CASE WHEN text RLIKE '[\\u4e00-\\u9fff]' THEN 1 ELSE 0 END AS zh,
-       |    size(filter(tok, x -> array_contains(array($en), x))) AS s_en,
-       |    size(filter(tok, x -> array_contains(array($de), x))) AS s_de,
-       |    size(filter(tok, x -> array_contains(array($fr), x))) AS s_fr,
-       |    size(filter(tok, x -> array_contains(array($es), x))) AS s_es
+       |    sw[0] AS s_en, sw[1] AS s_de, sw[2] AS s_fr, sw[3] AS s_es
        |  FROM t)
        |SELECT doc_id, lang,
        |  CASE WHEN zh = 1 THEN 'zh'
@@ -369,7 +373,9 @@ object TextAnalysis {
     "text_stats" -> Tables.sql(statsSparkSql),
     "text_tokens" -> Tables.sql(tokensSparkSql),
     "text_fingerprint" -> Tables.sql(fingerprintSparkSql),
-    "text_langid" -> Tables.sql(langidSparkSql),
+    "text_langid" -> ((s: SparkSession, d: String) => {
+      graft.functions.VecFunctions.register(s); Tables.sql(langidSparkSql)(s, d)
+    }),
     "text_quality" -> Tables.sql(qualitySparkSql),
     "text_quality_filter" -> Tables.sql(qualityFilterSparkSql),
     "text_decontaminate" -> Tables.sql(decontaminateSparkSql),

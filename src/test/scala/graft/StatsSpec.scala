@@ -55,6 +55,49 @@ class StatsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("stopword_hits is count-exact with the four-lambda HOF spelling") {
+    Tables.register(spark, sf)
+    functions.VecFunctions.register(spark)
+    import text.TextAnalysis.{en, de, fr, es}
+    val mismatches = spark.sql(
+      s"""WITH t AS (
+         |  SELECT doc_id, split(lower(trim(text)), '\\\\s+') AS tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, stopword_hits(tok) AS sw,
+         |    size(filter(tok, x -> array_contains(array($en), x))) AS s_en,
+         |    size(filter(tok, x -> array_contains(array($de), x))) AS s_de,
+         |    size(filter(tok, x -> array_contains(array($fr), x))) AS s_fr,
+         |    size(filter(tok, x -> array_contains(array($es), x))) AS s_es
+         |  FROM t)
+         |SELECT * FROM c
+         |WHERE sw[0] != s_en OR sw[1] != s_de OR sw[2] != s_fr OR sw[3] != s_es
+         |""".stripMargin).count()
+    assert(mismatches == 0)
+  }
+
+  test("stopword_hits: multi-language tokens count in every list; nulls in none") {
+    functions.VecFunctions.register(spark)
+    // 'que'/'un' are fr+es, 'the' is en-only, NULL and 'zzz' hit nothing
+    val r = spark.sql(
+      "SELECT stopword_hits(array('que', 'un', NULL, 'the', 'zzz')) AS sw")
+      .head().getSeq[Long](0)
+    assert(r == Seq(1L, 0L, 2L, 2L))
+  }
+
+  test("shingles3 skips null tokens like concat_ws (no NPE, user-reachable)") {
+    functions.VecFunctions.register(spark)
+    // < 3 tokens: whole-doc gram; concat_ws(' ', 'a', NULL) = 'a'
+    val short = spark.sql(
+      "SELECT shingles3(array('a', NULL))[0] = xxhash64('a') AS ok").head().getBoolean(0)
+    assert(short)
+    // >= 3 tokens: windows over original slots, nulls dropped per window
+    val long = spark.sql(
+      """SELECT shingles3(array('a', NULL, 'b', 'c')) AS sh,
+        |       array(xxhash64('a b'), xxhash64('b c')) AS want""".stripMargin).head()
+    assert(long.getSeq[Long](0) == long.getSeq[Long](1))
+  }
+
   test("repetition fractions are in [0,1] and detect a repeated doc") {
     Tables.register(spark, sf)
     val rows = spark.sql(text.TextAnalysis.repetitionSparkSql).collect()
