@@ -95,6 +95,28 @@ object Fixtures {
 
   def msiPath(k: Int): String = dir.resolve(s"scene$k-msi.tif").toString
 
+  def subPath(k: Int): String = dir.resolve(s"scene$k-sub.tif").toString
+
+  /** Same scenes as ONE multi-image container TIFF per item with named
+    * subdatasets `red`/`nir` (PageName-tagged images, each with its own
+    * geo tags — the zero-GDAL netCDF-container analog). Asset hrefs use
+    * URI fragments (`file://...#red`) so the STAC parser yields
+    * `RasterSource.subdataset` (reference `loader/types.py:44-56`). */
+  def writeScenesSubdatasets(nItems: Int): Seq[String] =
+    (0 until nItems).map { k =>
+      val gbox = sceneGeobox(k)
+      val f = new java.io.File(subPath(k))
+      if (!f.exists()) {
+        val subs = Seq("red", "nir").map { band =>
+          val px = scenePixels(k).map(v =>
+            if (band == "nir" && v != 0.0) v + 5000 else v)
+          (band, px, gbox, "uint16", Some(0.0): Option[Double])
+        }
+        Tiff.writeSubdatasets(subPath(k), subs)
+      }
+      itemJson(k, gbox, (kk, band) => s"${subPath(kk)}#$band")
+    }
+
   /** Band plane b (1-based) of multi-band scene k: the base ramp offset
     * by (b-1)*10000 on valid pixels, so every plane is distinguishable
     * and a band-1-instead-of-b bug cannot pass the goldens. */

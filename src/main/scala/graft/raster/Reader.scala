@@ -79,6 +79,24 @@ abstract class WindowedReader extends RasterReader {
     * A level-uri must itself be readable by formatHeader/formatWindow. */
   protected def formatOverviews(uri: String): Seq[(Int, String)]
 
+  /** Resolve named-subdataset addressing into the format's URI space
+    * (reference `loader/types.py:44-56` — netCDF/HDF variable
+    * containers; here multi-image TIFF containers). Formats without
+    * container support must throw, not silently read the base image —
+    * same loud-validation contract as the band path. */
+  protected def resolveSubdataset(uri: String, sub: String): String =
+    throw new IllegalArgumentException(
+      s"$uri: format does not support subdataset addressing " +
+        s"(subdataset='$sub' requested)")
+
+  /** Normalize a source for reading: strip the file scheme and resolve
+    * `subdataset` to a concrete image URI. */
+  protected final def resolveSource(src0: RasterSource): RasterSource = {
+    val src = src0.copy(uri = src0.uri.stripPrefix("file://"))
+    src.subdataset.fold(src)(sub =>
+      src.copy(uri = resolveSubdataset(src.uri, sub), subdataset = None))
+  }
+
   /** Sub-pixel tolerance for the paste decision (`_rio.py:444-447`):
     * loose for nearest, tight otherwise. */
   private def ttol(resampling: String): Double =
@@ -97,7 +115,7 @@ abstract class WindowedReader extends RasterReader {
 
   private def readImpl(src0: RasterSource, cfg: RasterLoadParams,
                        dstGeobox: GeoBox, dstNodata: Double): Option[(Roi, Array[Double])] = {
-    val src = src0.copy(uri = src0.uri.stripPrefix("file://"))
+    val src = resolveSource(src0)
     plan(src, cfg, dstGeobox) match {
       case None => None
       case Some(ReadPlan(header, srcNodata, roi, Some((sx0, sy0)))) =>
@@ -548,7 +566,7 @@ object GrbReader extends WindowedReader {
                         dstGeobox: GeoBox, dstNodata: Double,
                         out: Array[Double]): Long = {
     try {
-      val src = src0.copy(uri = src0.uri.stripPrefix("file://"))
+      val src = resolveSource(src0)
       plan(src, cfg, dstGeobox) match {
         case None => 0L
         case Some(ReadPlan(header, srcNodata, roi, Some((sx0, sy0)))) =>
@@ -578,6 +596,15 @@ object GrbReader extends WindowedReader {
   * (addressed as `uri#<image-index>`). See [[Tiff]] for the tag plumbing.
   * Mirrors the reference's rasterio reader shape (`_rio.py:374-475`). */
 object TiffReader extends WindowedReader {
+  /** Subdataset -> page-named image index (`path#<idx>`), loud on a
+    * miss. A source cannot address BOTH an explicit image index and a
+    * named subdataset. */
+  override protected def resolveSubdataset(uri: String, sub: String): String = {
+    require(!uri.contains("#"),
+      s"$uri already addresses an image index; cannot also resolve " +
+        s"subdataset '$sub'")
+    s"$uri#${Tiff.resolveSubdataset(uri, sub)}"
+  }
   protected def formatHeader(uri: String, band: Int): Grb.Header =
     Tiff.readHeader(uri, band)
   protected def formatWindow(uri: String, x0: Int, y0: Int,

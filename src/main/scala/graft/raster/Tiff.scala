@@ -34,6 +34,8 @@ object Tiff {
   private val TagModelTiepoint = 33922
   private val TagGeoKeyDirectory = 34735
   private val TagGdalNodata = 42113
+  private val TagNewSubfileType = BaselineTIFFTagSet.TAG_NEW_SUBFILE_TYPE // 254
+  private val TagPageName = BaselineTIFFTagSet.TAG_PAGE_NAME // 285
 
   // GeoKey ids (GeoTIFF spec §6.2)
   private val GTModelTypeGeoKey = 1024
@@ -67,6 +69,38 @@ object Tiff {
     samplesPerPixel(TIFFDirectory.createFromMetadata(reader.getImageMetadata(idx)))
   }
 
+  private def pageNameOf(reader: javax.imageio.ImageReader, i: Int): Option[String] =
+    Option(TIFFDirectory.createFromMetadata(reader.getImageMetadata(i))
+      .getTIFFField(TagPageName)).map(_.getAsString(0))
+
+  /** Resolve a named subdataset to its image index by PageName (tag 285)
+    * — multi-image TIFF containers are the zero-GDAL analog of the
+    * netCDF/HDF variable containers `RasterSource.subdataset` addresses
+    * in the reference (`loader/types.py:44-56`, `_rio.py:374-430`). A
+    * miss fails loudly listing what the container actually has, like the
+    * band path (`readHeader`'s SamplesPerPixel validation). */
+  def resolveSubdataset(path: String, name: String): Int =
+    withReader(path) { (reader, _) =>
+      val n = reader.getNumImages(true)
+      val names = (0 until n).map(i => pageNameOf(reader, i))
+      names.indexWhere(_.contains(name)) match {
+        case -1 => throw new IllegalArgumentException(
+          s"subdataset '$name' not found in $path; available: " +
+            (names.flatten match {
+              case Seq() => "none (container has no named subdatasets)"
+              case ns => ns.mkString("'", "', '", "'")
+            }))
+        case i => i
+      }
+    }
+
+  /** Names of the container's subdatasets (page-named images), in image
+    * order. */
+  def subdatasetNames(path: String): Seq[String] =
+    withReader(path) { (reader, _) =>
+      (0 until reader.getNumImages(true)).flatMap(i => pageNameOf(reader, i))
+    }
+
   /** Header of the addressed image. Overview IFDs (idx > 0) carry no geo
     * tags; their geobox is the base geobox decimated by the size ratio.
     * `band` (1-based) validates against SamplesPerPixel — a request for
@@ -80,23 +114,29 @@ object Tiff {
     require(band >= 1 && band <= nBands,
       s"band $band requested of $uri with $nBands sample band(s)")
     val dtype = dtypeOf(dir)
-    val baseDir =
-      if (idx == 0) dir
+    // An idx > 0 IFD with its OWN ModelPixelScale is a standalone
+    // subdataset image (multi-image container); one without is a
+    // reduced-resolution overview deriving georeferencing from the base
+    // IFD (GDAL writes geo tags on the base IFD only for overviews).
+    val standalone = idx == 0 || dir.getTIFFField(TagModelPixelScale) != null
+    val geoIdx = if (standalone) idx else 0
+    val geoDir =
+      if (standalone) dir
       else TIFFDirectory.createFromMetadata(reader.getImageMetadata(0))
     // the JDK reader filters tags outside its allowed TagSets out of the
     // metadata (GDAL_NODATA is no baseline/GeoTIFF tag), so fall back to a
-    // raw first-IFD scan for it
-    val nodata = Option(baseDir.getTIFFField(TagGdalNodata))
+    // raw scan of the addressed IFD for it
+    val nodata = Option(geoDir.getTIFFField(TagGdalNodata))
       .map(_.getAsString(0))
-      .orElse(rawAsciiTag(splitUri(uri)._1, TagGdalNodata))
+      .orElse(rawAsciiTag(splitUri(uri)._1, TagGdalNodata, geoIdx))
       .map(_.trim)
       .flatMap(s => if (s.equalsIgnoreCase("nan")) Some(Double.NaN)
                     else s.toDoubleOption)
-    val baseGbox = geoboxOf(baseDir, reader.getWidth(0), reader.getHeight(0))
     val gbox =
-      if (idx == 0) baseGbox
+      if (standalone) geoboxOf(geoDir, w, h)
       else {
         // decimated level: same origin, linear part scaled by size ratio
+        val baseGbox = geoboxOf(geoDir, reader.getWidth(0), reader.getHeight(0))
         val sx = baseGbox.width.toDouble / w
         val sy = baseGbox.height.toDouble / h
         val t = baseGbox.transform
@@ -137,21 +177,28 @@ object Tiff {
       out
     }
 
-  /** Decimation levels from reduced-resolution subimages: (scale, uri). */
+  /** Decimation levels from reduced-resolution subimages: (scale, uri).
+    * Page-named IFDs are subdatasets, not overviews, and are excluded;
+    * an already `#idx`-addressed image carries no pyramid of its own. */
   def overviewLevels(uri: String): Seq[(Int, String)] = withReader(uri) {
-    (reader, _) =>
-      val (path, _) = splitUri(uri)
-      val n = reader.getNumImages(true)
-      val baseW = reader.getWidth(0)
-      (1 until n).map { i =>
-        math.round(baseW.toDouble / reader.getWidth(i)).toInt -> s"$path#$i"
-      }.sortBy(_._1)
+    (reader, idx) =>
+      if (idx != 0) Seq.empty
+      else {
+        val (path, _) = splitUri(uri)
+        val n = reader.getNumImages(true)
+        val baseW = reader.getWidth(0)
+        (1 until n).filter(i => pageNameOf(reader, i).isEmpty).map { i =>
+          math.round(baseW.toDouble / reader.getWidth(i)).toInt -> s"$path#$i"
+        }.sortBy(_._1)
+      }
   }
 
-  /** Minimal raw scan of the first IFD for an ASCII tag the plugin's
-    * metadata filter dropped. Classic TIFF only (BigTIFF would arrive via
-    * a different magic); handles both byte orders and inline values. */
-  private def rawAsciiTag(path: String, tagNum: Int): Option[String] = {
+  /** Minimal raw scan of the `ifdIdx`-th IFD for an ASCII tag the
+    * plugin's metadata filter dropped. Classic TIFF only (BigTIFF would
+    * arrive via a different magic); handles both byte orders and inline
+    * values. */
+  private def rawAsciiTag(path: String, tagNum: Int,
+                          ifdIdx: Int = 0): Option[String] = {
     val raf = new java.io.RandomAccessFile(path, "r")
     try {
       val b0 = raf.read(); val b1 = raf.read()
@@ -165,8 +212,17 @@ object Tiff {
         if (le) a | (b << 16) else (a << 16) | b
       }
       if (u16() != 42) return None
-      raf.seek(raf.getFilePointer)
-      val ifdOff = u32()
+      var ifdOff = u32()
+      var skip = ifdIdx
+      while (skip > 0) {
+        if (ifdOff == 0) return None
+        raf.seek(ifdOff)
+        val entries = u16()
+        raf.seek(ifdOff + 2 + entries * 12L) // 12 bytes per IFD entry
+        ifdOff = u32()
+        skip -= 1
+      }
+      if (ifdOff == 0) return None
       raf.seek(ifdOff)
       val n = u16()
       var i = 0
@@ -363,6 +419,49 @@ object Tiff {
     }
   }
 
+  /** Write a multi-SUBDATASET container TIFF: independent named
+    * single-band images, each with its OWN geo tags and a PageName
+    * (tag 285) — the zero-GDAL analog of a netCDF/HDF variable container
+    * (what `RasterSource.subdataset` addresses; reference
+    * `loader/types.py:44-56`). Subdatasets may differ in grid, dtype and
+    * nodata. Read back via `readHeader(s"$path#${resolveSubdataset(path,
+    * name)}")`. */
+  def writeSubdatasets(path: String,
+      subs: Seq[(String, Array[Double], GeoBox, String, Option[Double])],
+      tileSize: Option[Int] = Some(64)): Unit = {
+    require(subs.nonEmpty, "a subdataset container needs at least one image")
+    require(subs.map(_._1).distinct.length == subs.length,
+      "subdataset names must be unique")
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val ios = ImageIO.createImageOutputStream(new File(path))
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      subs.foreach { case (name, pixels, gbox, dtype, nodata) =>
+        require(pixels.length == gbox.width * gbox.height,
+          s"subdataset '$name' pixel count does not match its geobox")
+        val img = toImage(pixels, gbox.width, gbox.height, dtype)
+        val param = writer.getDefaultWriteParam
+        tileSize.foreach { ts =>
+          param.setTilingMode(ImageWriteParam.MODE_EXPLICIT)
+          param.setTiling(ts, ts, 0, 0)
+        }
+        val meta = writer.getDefaultImageMetadata(
+          new ImageTypeSpecifier(img), param)
+        val dir = TIFFDirectory.createFromMetadata(meta)
+        geoFields(gbox, nodata).foreach(dir.addTIFFField)
+        dir.addTIFFField(new TIFFField(
+          new TIFFTag("PageName", TagPageName, 1 << TIFFTag.TIFF_ASCII),
+          TIFFTag.TIFF_ASCII, 1, Array(name)))
+        writer.writeToSequence(new IIOImage(img, null, dir.getAsMetadata), param)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+  }
+
   /** Write a single-band GeoTIFF; `tileSize` tiles the layout (multiple
     * of 16), `overviews` appends decimated subimage IFDs (the COG
     * shape: base + pyramid in one file), and `compression` selects a
@@ -395,6 +494,11 @@ object Tiff {
           new ImageTypeSpecifier(img), param)
         val dir = TIFFDirectory.createFromMetadata(meta)
         if (base) geoFields(gbox, nodata).foreach(dir.addTIFFField)
+        // COG-correct marking: overview IFDs are reduced-resolution
+        // images (NewSubfileType bit 0)
+        else dir.addTIFFField(new TIFFField(
+          new TIFFTag("NewSubfileType", TagNewSubfileType, 1 << TIFFTag.TIFF_LONG),
+          TIFFTag.TIFF_LONG, 1, Array[Long](1L)))
         writer.writeToSequence(new IIOImage(img, null, dir.getAsMetadata), param)
       }
 

@@ -116,7 +116,17 @@ object RasterQueries {
       Load.load(spark, mItems, mSchemas, bands = Seq("red", "green", "nir"),
         groupby = "solar_day", chunks = 64).tiles)
       .withColumn("layout", lit("packed_bands"))
-    single.unionAll(packed)
+    // multi-image container: red/nir are NAMED subdatasets of ONE tif,
+    // addressed via RasterSource.subdataset (S7 subdataset addressing);
+    // checksums must equal the per-band-files layout's
+    val sJsons = Fixtures.writeScenesSubdatasets(NScenes)
+    val (sDs, sSchemas) = StacParse.parseItems(spark, spark.createDataset(sJsons))
+    val sItems = sDs.collect().toSeq.sortBy(_.id)
+    val subds = summarize(
+      Load.load(spark, sItems, sSchemas, bands = Seq("red", "nir"),
+        groupby = "solar_day", chunks = 64).tiles)
+      .withColumn("layout", lit("subdatasets"))
+    single.unionAll(packed).unionAll(subds)
       .select(col("layout"), col("band"), col("tIdx"), col("ty"), col("tx"),
         col("width"), col("height"), col("validCount"), col("checksum"))
       .orderBy("layout", "band", "tIdx", "ty", "tx")

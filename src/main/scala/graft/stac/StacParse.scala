@@ -255,9 +255,23 @@ object StacParse extends Serializable {
     val sources = md.bands.keys.flatMap { bk =>
       Option(assetsNode.get(bk.asset)).filterNot(_.isNull).map { asset =>
         val bmd = md.bands(bk)
+        // A non-numeric URI fragment names a subdataset of a container
+        // asset (netCDF-style variable addressing; reference
+        // `loader/types.py:44-56`); a numeric fragment stays in the URI
+        // as an explicit image index (overview addressing).
+        val href = opt(asset, "href").map(_.asText()).getOrElse("")
+        val (uri, sub) = href.lastIndexOf('#') match {
+          case -1 => (href, None)
+          case i =>
+            val frag = href.substring(i + 1)
+            if (frag.nonEmpty && !frag.forall(_.isDigit))
+              (href.substring(0, i), Some(frag))
+            else (href, None)
+        }
         bk.norm -> RasterSource(
-          uri = opt(asset, "href").map(_.asText()).getOrElse(""),
+          uri = uri,
           band = bk.idx,
+          subdataset = sub,
           geobox = if (cfg.ignoreProj) None else assetGeobox(asset, props),
           dataType = bmd.dataType,
           nodata = bmd.nodata,

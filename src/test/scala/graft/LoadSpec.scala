@@ -327,6 +327,43 @@ class LoadSpec extends AnyFunSuite {
     }
   }
 
+  test("subdataset container: named images load tile-identical to GRB (S7)") {
+    import spark.implicits._
+    val sJsons = Fixtures.writeScenesSubdatasets(4)
+    val (sds, sSchemas) = StacParse.parseItems(spark, spark.createDataset(sJsons))
+    val sItems = sds.collect().toSeq.sortBy(_.id)
+    // the href fragment parsed into RasterSource.subdataset, not the uri
+    val redSrc = sItems.head.bands("red")
+    assert(redSrc.uri.endsWith("-sub.tif") && !redSrc.uri.contains("#"))
+    assert(redSrc.subdataset.contains("red"))
+    assert(sItems.head.bands("nir").subdataset.contains("nir"))
+    // pixel parity with the per-band GRB scenes
+    val sub = tileSummary(Load.load(spark, sItems, sSchemas,
+      bands = Seq("red", "nir"), groupby = "solar_day", chunks = 48))
+    val grb = tileSummary(Load.load(spark, items, schemas,
+      bands = Seq("red", "nir"), groupby = "solar_day", chunks = 48))
+    assert(sub.nonEmpty && sub == grb)
+    // each subdataset image carries its OWN georeferencing
+    val path = redSrc.uri.stripPrefix("file://")
+    val nirIdx = graft.raster.Tiff.resolveSubdataset(path, "nir")
+    val hdr = graft.raster.Tiff.readHeader(s"$path#$nirIdx")
+    assert(hdr.geobox == Fixtures.sceneGeobox(0) && hdr.nodata.contains(0.0))
+    // loud validation: unknown name lists what the container has
+    val miss = intercept[IllegalArgumentException] {
+      graft.raster.Tiff.resolveSubdataset(path, "swir")
+    }
+    assert(miss.getMessage.contains("'red', 'nir'"))
+    // formats without container support reject, never read the base image
+    val grbWithSub = items.head.bands("red").copy(subdataset = Some("red"))
+    assertThrows[IllegalArgumentException] {
+      graft.raster.GrbReader.read(grbWithSub,
+        graft.model.RasterLoadParams(failOnError = true),
+        Fixtures.sceneGeobox(0), 0.0)
+    }
+    // subdatasets are NOT overviews: the container exposes no pyramid
+    assert(graft.raster.Tiff.overviewLevels(path).isEmpty)
+  }
+
   test("COG tile export: pixel-exact, georeferenced, reads back via gtiff") {
     val res = Load.load(spark, items, schemas, bands = Seq("red"),
       groupby = "solar_day", chunks = 64)
