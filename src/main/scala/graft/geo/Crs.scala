@@ -119,30 +119,33 @@ object Crs {
     math.asin(math.max(-1.0, math.min(1.0, v)))
 
   /** Cylindrical equal-area, ellipsoidal form (Snyder eq. 10-1..10-8).
-    * EPSG:6933 = EASE-Grid 2.0 Global (WGS84, standard parallel 30N,
-    * lon0 = 0) — the grid real products (e.g. soil-moisture) publish on.
-    * Reference accepts it via rasterio/proj (`_mdtools.py:63`). */
-  final case class CylindricalEqualArea(epsg: Int, latTs: Double) extends Crs {
-    val code: String = s"EPSG:$epsg"
+    * e.g. EPSG:6933 = EASE-Grid 2.0 Global (WGS84, standard parallel
+    * 30N, lon0 = 0) — the grid real products (e.g. soil-moisture)
+    * publish on. Reference accepts any such CRS via rasterio/proj
+    * (`_mdtools.py:63`). */
+  final case class CylindricalEqualArea(code: String, latTs: Double,
+                                        lon0Deg: Double = 0.0) extends Crs {
     private val sinTs = math.sin(math.toRadians(latTs))
     private val k0 = math.cos(math.toRadians(latTs)) / math.sqrt(1 - E2 * sinTs * sinTs)
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
-      val x = A * k0 * math.toRadians(lonDeg)
+      val x = A * k0 * math.toRadians(lonDeg - lon0Deg)
       val y = A * qFor(math.sin(math.toRadians(latDeg))) / (2 * k0)
       (x, y)
     }
     def inverse(x: Double, y: Double): (Double, Double) = {
       val beta = asinSafe(2 * y * k0 / (A * Qp))
-      (math.toDegrees(x / (A * k0)), math.toDegrees(betaToPhi(beta)))
+      (lon0Deg + math.toDegrees(x / (A * k0)), math.toDegrees(betaToPhi(beta)))
     }
   }
 
   /** Albers equal-area conic, ellipsoidal form (Snyder eq. 14-1..14-12).
-    * EPSG:5070 = CONUS Albers (NAD83; GRS80 differs from the WGS84
-    * constants above by <0.1 mm — treated as identical here). */
-  final case class AlbersEqualArea(epsg: Int, lat0: Double, lon0Deg: Double,
-                                   lat1: Double, lat2: Double) extends Crs {
-    val code: String = s"EPSG:$epsg"
+    * e.g. EPSG:5070 = CONUS Albers (NAD83; GRS80 differs from the WGS84
+    * constants above by <0.1 mm — treated as identical here) or
+    * EPSG:3577 = Australian Albers (GDA94). */
+  final case class AlbersEqualArea(code: String, lat0: Double, lon0Deg: Double,
+                                   lat1: Double, lat2: Double,
+                                   falseE: Double = 0.0,
+                                   falseN: Double = 0.0) extends Crs {
     private val lon0 = math.toRadians(lon0Deg)
     private def m(latRad: Double): Double = {
       val s = math.sin(latRad)
@@ -158,11 +161,12 @@ object Crs {
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
       val theta = n * (math.toRadians(lonDeg) - lon0)
       val r = rho(qFor(math.sin(math.toRadians(latDeg))))
-      (r * math.sin(theta), rho0 - r * math.cos(theta))
+      (falseE + r * math.sin(theta), falseN + rho0 - r * math.cos(theta))
     }
-    def inverse(x: Double, y: Double): (Double, Double) = {
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val x = x0 - falseE
       // n > 0 for northern standard parallels; atan2 signs follow Snyder
-      val dy = rho0 - y
+      val dy = rho0 - (y0 - falseN)
       val r = math.hypot(x, dy) * (if (n < 0) -1 else 1)
       val theta = math.atan2(x * (if (n < 0) -1 else 1), dy * (if (n < 0) -1 else 1))
       val q = (c - (r * n / A) * (r * n / A)) / n
@@ -194,15 +198,33 @@ object Crs {
     }
   }
 
+  /** Authority-code -> (projection family, parameter row). The long
+    * tail of equal-area codes is parameter rows over the three
+    * implemented families, not new math (the reference accepts any proj
+    * CRS via rasterio, `_mdtools.py:63`) — one line per code. Datum
+    * note: GDA94/GDA2020/NAD83 ellipsoids differ from WGS84 by < 0.1 mm
+    * in the constants used here. */
+  private val EqualAreaRegistry: Map[String, Crs] = Seq[Crs](
+    // cylindrical equal-area
+    CylindricalEqualArea("EPSG:6933", latTs = 30.0), // EASE-Grid 2.0 Global
+    CylindricalEqualArea("ESRI:54034", latTs = 0.0), // World Cylindrical Equal Area
+    // Albers equal-area conic
+    AlbersEqualArea("EPSG:5070", lat0 = 23.0, lon0Deg = -96.0,
+      lat1 = 29.5, lat2 = 45.5), // CONUS Albers (NAD83)
+    AlbersEqualArea("EPSG:3577", lat0 = 0.0, lon0Deg = 132.0,
+      lat1 = -18.0, lat2 = -36.0), // Australian Albers (GDA94)
+    AlbersEqualArea("EPSG:9473", lat0 = 0.0, lon0Deg = 132.0,
+      lat1 = -18.0, lat2 = -36.0), // Australian Albers (GDA2020)
+    // polar Lambert azimuthal equal-area
+    LambertAzimuthalEqualArea(6931, south = false), // EASE-Grid 2.0 North
+    LambertAzimuthalEqualArea(6932, south = true)   // EASE-Grid 2.0 South
+  ).map(c => c.code -> c).toMap
+
   /** Parse "EPSG:4326" / "epsg:32735" / equal-area codes / "utm" auto. */
   def parse(s: String): Crs = s.trim.toUpperCase match {
     case "EPSG:4326" | "WGS84" => LonLat
     case "EPSG:3857" => WebMercator
-    case "EPSG:6933" => CylindricalEqualArea(6933, latTs = 30.0)
-    case "EPSG:5070" => AlbersEqualArea(5070, lat0 = 23.0, lon0Deg = -96.0,
-      lat1 = 29.5, lat2 = 45.5)
-    case "EPSG:6931" => LambertAzimuthalEqualArea(6931, south = false)
-    case "EPSG:6932" => LambertAzimuthalEqualArea(6932, south = true)
+    case c if EqualAreaRegistry.contains(c) => EqualAreaRegistry(c)
     case c if c.startsWith("EPSG:326") && c.length == 10 =>
       Utm(c.drop(8).toInt, south = false)
     case c if c.startsWith("EPSG:327") && c.length == 10 =>

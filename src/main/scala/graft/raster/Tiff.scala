@@ -330,7 +330,11 @@ object Tiff {
     val tie = new TIFFField(
       tag("ModelTiepointTag", TagModelTiepoint, TIFFTag.TIFF_DOUBLE),
       TIFFTag.TIFF_DOUBLE, 6, Array(0.0, 0.0, 0.0, t.c, t.f, 0.0))
-    val epsg = gbox.crs.code.stripPrefix("EPSG:").toInt
+    // the GeoKeyDirectory carries EPSG codes only; other authorities
+    // (e.g. ESRI:54034) have no GeoTIFF key and must fail loudly
+    val epsg = gbox.crs.code.stripPrefix("EPSG:").toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"GeoTIFF GeoKeyDirectory requires an EPSG code; got ${gbox.crs.code}"))
     val geographic = epsg == 4326
     val keys: Array[Char] = (Seq(
       1, 1, 0, 3, // version, revision, minor, numKeys

@@ -51,13 +51,15 @@ object RasterQueries {
       groupby = "id", chunks = 64).tiles)
   }
 
-  /** Cross-CRS warp (F15/F16): UTM scenes -> web mercator AND an
-    * equal-area grid (EPSG:6933, EASE-Grid 2.0 Global — the kind of CRS
-    * real land/soil products publish on; reference accepts any proj CRS
-    * via rasterio, `_mdtools.py:63`). */
+  /** Cross-CRS warp (F15/F16): UTM scenes -> web mercator, an equal-area
+    * grid (EPSG:6933, EASE-Grid 2.0 Global — the kind of CRS real
+    * land/soil products publish on), and a parameter-registry row
+    * (ESRI:54034, World CEA) — reference accepts any proj CRS via
+    * rasterio, `_mdtools.py:63`. */
   def loadReproject(spark: SparkSession): DataFrame = {
     val (items, schemas) = parsed(spark)
-    Seq("EPSG:3857" -> 20.0, "EPSG:6933" -> 20.0).map { case (crs, res) =>
+    Seq("EPSG:3857" -> 20.0, "EPSG:6933" -> 20.0, "ESRI:54034" -> 20.0)
+      .map { case (crs, res) =>
       summarize(Load.load(spark, items, schemas, bands = Seq("red"),
         groupby = "solar_day", chunks = 64,
         crs = Some(crs), resolution = Some(res)).tiles)

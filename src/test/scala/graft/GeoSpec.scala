@@ -47,11 +47,19 @@ class GeoSpec extends AnyFunSuite {
     assert(Crs.parse("EPSG:32735") == Crs.Utm(35, south = true))
     assert(Crs.parse("epsg:32606") == Crs.Utm(6, south = false))
     assert(Crs.parse("EPSG:4326") == Crs.LonLat)
-    assert(Crs.parse("EPSG:6933") == Crs.CylindricalEqualArea(6933, 30.0))
+    assert(Crs.parse("EPSG:6933") == Crs.CylindricalEqualArea("EPSG:6933", 30.0))
     assert(Crs.parse("EPSG:5070") ==
-      Crs.AlbersEqualArea(5070, 23.0, -96.0, 29.5, 45.5))
+      Crs.AlbersEqualArea("EPSG:5070", 23.0, -96.0, 29.5, 45.5))
     assert(Crs.parse("epsg:6931") == Crs.LambertAzimuthalEqualArea(6931, south = false))
     assert(Crs.parse("epsg:6932") == Crs.LambertAzimuthalEqualArea(6932, south = true))
+    // parameterized registry rows (round-5): families already implemented,
+    // the codes are one parameter line each
+    assert(Crs.parse("EPSG:3577") ==
+      Crs.AlbersEqualArea("EPSG:3577", 0.0, 132.0, -18.0, -36.0))
+    assert(Crs.parse("epsg:9473") ==
+      Crs.AlbersEqualArea("EPSG:9473", 0.0, 132.0, -18.0, -36.0))
+    assert(Crs.parse("ESRI:54034") ==
+      Crs.CylindricalEqualArea("ESRI:54034", 0.0))
     assertThrows[IllegalArgumentException](Crs.parse("EPSG:9999"))
   }
 
@@ -85,10 +93,44 @@ class GeoSpec extends AnyFunSuite {
     assert(math.abs(got - expected) / expected < 1e-6, s"$got vs $expected")
   }
 
+  test("EPSG:3577 projection origin and standard-parallel scale") {
+    val crs = Crs.parse("EPSG:3577")
+    // (lon0, lat0) = (132, 0) must map exactly to (0, 0)
+    val (x0, y0) = crs.forward(132.0, 0.0)
+    assert(math.abs(x0) < 1e-6 && math.abs(y0) < 1e-6, s"origin ($x0,$y0)")
+    // along a standard parallel the scale is true (same check as 5070)
+    val (xa, ya) = crs.forward(131.95, -18.0)
+    val (xb, yb) = crs.forward(132.05, -18.0)
+    val sin = math.sin(math.toRadians(-18.0))
+    val radius = 6378137.0 * math.cos(math.toRadians(-18.0)) /
+      math.sqrt(1 - 0.00669437999014132 * sin * sin)
+    val expected = math.toRadians(0.1) * radius
+    val got = math.hypot(xb - xa, yb - ya)
+    assert(math.abs(got - expected) / expected < 1e-6, s"$got vs $expected")
+    // Australia lands at plausible Albers coordinates: Sydney west-southwest
+    // quadrant sanity (x > 0 east of lon0, y < 0 south of the equator)
+    val (xs, ys) = crs.forward(151.2, -33.9)
+    assert(xs > 0 && ys < 0)
+  }
+
+  test("ESRI:54034 known extents (World Cylindrical Equal Area)") {
+    val crs = Crs.parse("ESRI:54034")
+    // lat_ts = 0: x at the antimeridian is a*pi
+    val (xMax, _) = crs.forward(180.0, 0.0)
+    assert(math.abs(xMax - 20037508.342789244) < 1e-6, s"xMax=$xMax")
+    // full-pole y: a*qp/2
+    val (_, yPole) = crs.forward(0.0, 90.0)
+    assert(math.abs(yPole - 6363885.33) < 0.5, s"yPole=$yPole")
+    val (x0, y0) = crs.forward(0.0, 0.0)
+    assert(math.abs(x0) < 1e-6 && math.abs(y0) < 1e-6)
+  }
+
   test("equal-area CRSs: random-point roundtrip sweep over validity domains") {
     val cases = Seq(
       ("EPSG:6933", -180.0, 180.0, -85.0, 85.0),
       ("EPSG:5070", -125.0, -65.0, 22.0, 52.0), // CONUS
+      ("EPSG:3577", 110.0, 155.0, -45.0, -9.0), // Australia
+      ("ESRI:54034", -180.0, 180.0, -85.0, 85.0), // world CEA
       ("EPSG:6931", -180.0, 180.0, 30.0, 89.9), // north polar
       ("EPSG:6932", -180.0, 180.0, -89.9, -30.0)) // south polar
     for ((code, lo1, hi1, lo2, hi2) <- cases) {
@@ -117,6 +159,8 @@ class GeoSpec extends AnyFunSuite {
     val cases: Seq[(String, Seq[(Double, Double)])] = Seq(
       "EPSG:6933" -> Seq((0.0, 0.0), (140.0, -35.0), (-96.0, 52.0), (30.0, 75.0)),
       "EPSG:5070" -> Seq((-96.0, 23.0), (-120.0, 49.0), (-75.0, 35.0), (-96.0, 29.5)),
+      "EPSG:3577" -> Seq((132.0, 0.0), (115.0, -32.0), (151.0, -34.0), (132.0, -18.0)),
+      "ESRI:54034" -> Seq((0.0, 0.0), (140.0, -35.0), (-96.0, 52.0)),
       "EPSG:6931" -> Seq((0.0, 85.0), (120.0, 60.0), (-45.0, 75.0)),
       "EPSG:6932" -> Seq((0.0, -85.0), (120.0, -60.0), (-45.0, -75.0)))
     for ((code, pts) <- cases; (lon, lat) <- pts) {
