@@ -78,6 +78,45 @@ object Load {
       if (Grb.isFloat(dtype)) Double.NaN
       else cfg.srcNodataFallback.getOrElse(0.0))
 
+  // ---- progress reporting (reference `_stac_load.py:110, 177-178`) ----
+  // The tqdm-style hook of the reference's eager path: `progress` fires
+  // (done, total) once per completed bin while the pixel stage runs.
+  // JVM-local registry: tasks look their load's entry up by id. On
+  // local[n] (the reference's single-process analog) every task shares
+  // the driver JVM, so callbacks are exact and per-bin; on a multi-JVM
+  // cluster executor-side lookups miss and degrade to no-op — there a
+  // driver UI should attach a SparkListener over the stage instead
+  // (per-task granularity via standard metrics plumbing). Entries
+  // self-remove at done == total; the driver-planned path reports,
+  // matching the reference's "non-Dask load only" scope.
+  private val progressIds = new java.util.concurrent.atomic.AtomicLong()
+  private val progressRegistry = new java.util.concurrent.ConcurrentHashMap[
+    java.lang.Long,
+    (java.util.concurrent.atomic.AtomicLong, Long, (Long, Long) => Unit)]()
+
+  private def registerProgress(total: Long,
+                               cb: (Long, Long) => Unit): Long = {
+    val id = progressIds.incrementAndGet()
+    progressRegistry.put(id,
+      (new java.util.concurrent.atomic.AtomicLong(), total, cb))
+    id
+  }
+
+  /** Called from the task that fused a bin; no-op if the entry is gone
+    * (finished load, or an executor JVM that never had it). The count +
+    * callback pair is serialized per load so `done` is strictly
+    * monotonic under concurrent tasks — negligible next to per-bin
+    * pixel work. */
+  def reportProgress(id: Long): Unit = {
+    val entry = progressRegistry.get(id)
+    if (entry != null) entry.synchronized {
+      val (ctr, total, cb) = entry
+      val done = math.min(ctr.incrementAndGet(), total)
+      cb(done, total)
+      if (done >= total) progressRegistry.remove(id)
+    }
+  }
+
   // scalastyle:off parameter.number
   def load(spark: SparkSession,
            items: Seq[ParsedItem],
@@ -103,6 +142,7 @@ object Load {
            resampling: Map[String, String] = Map.empty,
            preserveOriginalOrder: Boolean = false,
            maxDriverBins: Long = 1000000L,
+           progress: Option[(Long, Long) => Unit] = None,
            reader: RasterReader = AutoReader): LoadResult = {
     import spark.implicits._
     require(items.nonEmpty, "no items to load")
@@ -228,6 +268,8 @@ object Load {
         // source overlap and cost) spread across tasks instead of clustering
         val interleaved = (0 until taskUnits.length)
           .sortBy(i => (i % p, i / p)).map(taskUnits).toIndexedSeq
+        val progressId: Long =
+          progress.fold(-1L)(cb => registerProgress(bins.length, cb))
         spark.createDataset(
           spark.sparkContext.parallelize(interleaved, p)
             .mapPartitions { it =>
@@ -235,9 +277,12 @@ object Load {
               // cuts per-tile allocation from ~8 MB to the encoded payload
               val buf = new Array[Double](tw * th)
               val gbt = GeoBoxTiles(bcGbox.value.toGeoBox, tw, th)
-              it.flatMap(_.iterator.map(bin =>
-                fuseBin(bin, gbt, tw, th, bcCfg.value, bcDtypes.value,
-                  bcTimes.value, reader, buf)))
+              it.flatMap(_.iterator.map { bin =>
+                val row = fuseBin(bin, gbt, tw, th, bcCfg.value,
+                  bcDtypes.value, bcTimes.value, reader, buf)
+                if (progressId >= 0) reportProgress(progressId)
+                row
+              })
             })
       } else {
         // DISTRIBUTED binning fallback: above the driver threshold the

@@ -327,6 +327,25 @@ class LoadSpec extends AnyFunSuite {
     }
   }
 
+  test("progress hook fires once per bin, monotonic, ends at total (UI)") {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 48,
+      progress = Some((done, total) => calls.synchronized {
+        calls += ((done, total))
+      }))
+    val nTiles = res.tiles.count()
+    val snap = calls.synchronized(calls.toSeq)
+    // exactly once per bin (driver-planned path emits one row per bin)
+    assert(snap.size == nTiles, s"${snap.size} callbacks for $nTiles tiles")
+    // monotonic 1..total with a constant total
+    assert(snap.map(_._1) == (1L to nTiles))
+    assert(snap.map(_._2).distinct == Seq(nTiles))
+    // re-evaluating the (lazy) tiles plan does not fire a finished hook
+    res.tiles.count()
+    assert(calls.synchronized(calls.size) == nTiles)
+  }
+
   test("subdataset container: named images load tile-identical to GRB (S7)") {
     import spark.implicits._
     val sJsons = Fixtures.writeScenesSubdatasets(4)
