@@ -382,6 +382,16 @@ object Multimodal {
     audio.mapPartitions { it =>
       it.map { case (id, payload) =>
         val (sr, s) = decodeWav(id, payload)
+        // the doubled-value trick below (2*v stays integral) only
+        // represents fractional positions of exactly 1/2 — true for any
+        // source rate that is a multiple of outRate/2 (all fixture
+        // rates at the 8 kHz default). Other rate ratios would emit
+        // silently wrong fingerprints, so they must fail loudly.
+        require(sr % outRate == 0 || (2L * sr) % outRate == 0,
+          s"audioResample supports source rates that are multiples of " +
+            s"$outRate/2 Hz (got $sr Hz): fractional sample positions " +
+            "other than 1/2 are not representable in the integer-exact " +
+            "fingerprint")
         val nOut = ((s.length - 1).toLong * outRate / sr + 1).toInt
         var sum = 0L
         var sumsq = 0L

@@ -483,12 +483,23 @@ object Similarity {
     * query set). One row per (method, qid) plus a "_mean" row. */
   private val exactCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val ExactCacheMax = 4 // scale dirs visited per application
 
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     VecFunctions.register(spark)
     // ground truth is deterministic and reused across the three ANN
     // comparisons (and across bench reruns): materialize once per
-    // (session, dir) — the standing eval-set shape of recall monitoring
+    // (session, dir) — the standing eval-set shape of recall monitoring.
+    // Bounded: visiting many scale dirs in one application unpersists
+    // the oldest entry instead of pinning executor storage forever.
+    if (exactCache.size >= ExactCacheMax) {
+      val it = exactCache.entrySet().iterator()
+      if (it.hasNext) {
+        val victim = it.next()
+        victim.getValue.unpersist(blocking = false)
+        exactCache.remove(victim.getKey)
+      }
+    }
     val exact = exactCache.computeIfAbsent(
       spark.sparkContext.applicationId + " " + dir,
       _ => Tables.sql(bruteforceSparkSql)(spark, dir)

@@ -183,8 +183,13 @@ object Corpus {
        |  SELECT doc_id, p1 AS pos,
        |         concat_ws(' ', slice(tok, p1 * $SegTokens + 1, $SegTokens)) AS seg
        |  FROM t
+       |  -- greatest(..., 0): Spark's sequence(0, -1) is DESCENDING
+       |  -- [0, -1] (DuckDB generate_series is empty), so an empty token
+       |  -- array would emit a bogus pos=-1 segment; unreachable through
+       |  -- split() but the spelling must not depend on the tokenizer
        |  LATERAL VIEW posexplode(
-       |    sequence(0, CAST(ceil(size(tok) / ${SegTokens}.0) AS INT) - 1)) s AS idx, p1),
+       |    sequence(0, greatest(
+       |      CAST(ceil(size(tok) / ${SegTokens}.0) AS INT) - 1, 0))) s AS idx, p1),
        |r AS (
        |  SELECT doc_id, pos, seg,
        |         row_number() OVER (PARTITION BY md5(seg)
