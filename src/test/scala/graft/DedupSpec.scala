@@ -134,6 +134,23 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("ANN recall gates hold at the bench scale factor (sf0.1)") {
+    // sim_ann_recall is deterministic (fixed seeds, fixed query set), so
+    // its per-method means are pinnable: a parameter change that degrades
+    // index quality at the BENCH scale fails here, not silently in a
+    // worse recall row nobody reads. Gates sit under the measured means
+    // (lsh 0.64, ivf 0.80, ivfpq 0.66 at sf0.1) with headroom only for
+    // genuine tie-order jitter, not for quality regressions.
+    val means = similarity.Similarity.annRecall(spark, "/root/testdata/sf0.1")
+      .where("qid = -1").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    info(s"sf0.1 mean recall@${similarity.Similarity.K}: $means")
+    val gates = Map("lsh" -> 0.50, "ivf" -> 0.70, "ivfpq" -> 0.55)
+    for ((m, g) <- gates)
+      assert(means.getOrElse(m, 0.0) >= g,
+        s"$m mean recall ${means.get(m)} below gate $g")
+  }
+
   test("PQ codes are in range and quantization beats the zero coder") {
     Tables.register(spark, sf)
     val (codebooks, encoded) = similarity.Similarity.pqIndex(spark, sf)
