@@ -43,12 +43,26 @@ object Tiff {
   private val GeographicTypeGeoKey = 2048
   private val ProjectedCSTypeGeoKey = 3072
 
-  /** Split `path#idx` into (path, image index). */
+  /** Split `path#idx` or `path#name` into (path, image index) — a
+    * non-numeric fragment is a subdataset NAME, resolved via PageName
+    * (cached: raster stores are immutable, and at scale every container
+    * open is an object-store round trip). Makes every entry point
+    * (readHeader/readWindow/numBands and the `gtiff` DSv2 source)
+    * accept named-subdataset URIs. */
   private def splitUri(uri: String): (String, Int) = {
     val i = uri.lastIndexOf('#')
     if (i < 0) (uri, 0)
-    else (uri.substring(0, i), uri.substring(i + 1).toInt)
+    else {
+      val path = uri.substring(0, i)
+      val frag = uri.substring(i + 1)
+      if (frag.nonEmpty && frag.forall(_.isDigit)) (path, frag.toInt)
+      else (path, subdatasetIdxCache.computeIfAbsent(
+        (path, frag), _ => resolveSubdatasetUncached(path, frag)))
+    }
   }
+
+  private val subdatasetIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
 
   private def withReader[A](uri: String)(f: (javax.imageio.ImageReader, Int) => A): A = {
     val (path, idx) = splitUri(uri)
@@ -80,6 +94,10 @@ object Tiff {
     * miss fails loudly listing what the container actually has, like the
     * band path (`readHeader`'s SamplesPerPixel validation). */
   def resolveSubdataset(path: String, name: String): Int =
+    subdatasetIdxCache.computeIfAbsent(
+      (path, name), _ => resolveSubdatasetUncached(path, name))
+
+  private def resolveSubdatasetUncached(path: String, name: String): Int =
     withReader(path) { (reader, _) =>
       val n = reader.getNumImages(true)
       val names = (0 until n).map(i => pageNameOf(reader, i))

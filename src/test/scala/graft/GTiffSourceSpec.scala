@@ -70,6 +70,25 @@ class GTiffSourceSpec extends AnyFunSuite {
     assert(df.where("y >= 100 AND y < 200").count() == 2048L * 100)
   }
 
+  test("named-subdataset URI (#name) reads the addressed container image") {
+    val w = 32; val h = 16
+    val subs = Seq("sst", "mask").zipWithIndex.map { case (n, k) =>
+      (n, Array.tabulate(w * h)(i => (i % 100 + (k + 1) * 100).toDouble),
+        gbox(w, h), "uint16", Some(0.0): Option[Double])
+    }
+    val path = s"$tmp/container.tif"
+    Tiff.writeSubdatasets(path, subs)
+    // every Tiff entry point accepts path#name via splitUri resolution
+    assert(Tiff.readHeader(s"$path#mask").geobox == gbox(w, h))
+    assert(Tiff.readWindow(s"$path#mask", 0, 0, 1, 1).head == 200.0)
+    // ...including the DSv2 source
+    val df = spark.read.format("gtiff").load(s"$path#sst")
+    assert(df.count() == w.toLong * h)
+    assert(df.selectExpr("min(value)").head().getDouble(0) == 100.0)
+    val df2 = spark.read.format("gtiff").load(s"$path#mask")
+    assert(df2.selectExpr("min(value)").head().getDouble(0) == 200.0)
+  }
+
   test("uri pruning + per-file SQL aggregate over a directory") {
     writeSingle("d1", 32, 32)
     writeSingle("d2", 32, 16)
