@@ -536,6 +536,84 @@ object Corpus {
        |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
        |ORDER BY tot.doc_id""".stripMargin
 
+  /** Pairwise Jensen-Shannon divergence of per-source token
+    * distributions — the mixture-monitoring metric a training-data
+    * pipeline tracks when sources are reweighted or a new crawl snapshot
+    * lands (distribution shift between corpus components; bounded in
+    * [0, ln 2]). Scale shape: the only corpus-sized work is ONE
+    * (source, word) partial-agg shuffle; everything after operates on
+    * vocabulary-sized tables (pairs x vocab, S^2·V rows with S in the
+    * dozens) with the tiny pairs/totals sides broadcast. Hash-exact via
+    * the lm_score pattern: each word's JS contribution is quantized to
+    * integer nano-nats before the sum (fixed-order arithmetic inside
+    * the term; ln bit-exact across JVM and duck libm on identical
+    * doubles). */
+  val jsDivergenceSparkSql: String =
+    """WITH tok AS (
+      |  SELECT source, explode(split(lower(trim(text)), '\\s+')) AS w
+      |  FROM documents),
+      |w AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w),
+      |n AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS n FROM w GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS s1, b.source AS s2
+      |  FROM (SELECT DISTINCT source FROM documents) a
+      |  JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source),
+      |v AS (SELECT DISTINCT w FROM w),
+      |joint AS (
+      |  SELECT /*+ BROADCAST(p) */ p.s1, p.s2, v.w,
+      |         COALESCE(w1.c, 0) AS c1, COALESCE(w2.c, 0) AS c2
+      |  FROM pairs p
+      |  CROSS JOIN v
+      |  LEFT JOIN w w1 ON w1.source = p.s1 AND w1.w = v.w
+      |  LEFT JOIN w w2 ON w2.source = p.s2 AND w2.w = v.w
+      |  WHERE COALESCE(w1.c, 0) + COALESCE(w2.c, 0) > 0),
+      |terms AS (
+      |  SELECT /*+ BROADCAST(n1, n2) */ j.s1, j.s2,
+      |    CAST(ROUND((
+      |      CASE WHEN c1 > 0 THEN (c1 / n1.n)
+      |        * LN((c1 / n1.n) / ((c1 / n1.n + c2 / n2.n) / 2)) ELSE 0.0 END
+      |      + CASE WHEN c2 > 0 THEN (c2 / n2.n)
+      |        * LN((c2 / n2.n) / ((c1 / n1.n + c2 / n2.n) / 2)) ELSE 0.0 END
+      |    ) * 1e9) AS BIGINT) AS q
+      |  FROM joint j
+      |  JOIN n n1 ON n1.source = j.s1
+      |  JOIN n n2 ON n2.source = j.s2)
+      |SELECT s1, s2, ROUND(CAST(SUM(q) AS BIGINT) / 2e9, 6) AS js_div
+      |FROM terms GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
+
+  val jsDivergenceDuckSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents),
+      |w AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w),
+      |n AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS n FROM w GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS s1, b.source AS s2
+      |  FROM (SELECT DISTINCT source FROM documents) a
+      |  JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source),
+      |v AS (SELECT DISTINCT w FROM w),
+      |joint AS (
+      |  SELECT p.s1, p.s2, v.w,
+      |         COALESCE(w1.c, 0) AS c1, COALESCE(w2.c, 0) AS c2
+      |  FROM pairs p
+      |  CROSS JOIN v
+      |  LEFT JOIN w w1 ON w1.source = p.s1 AND w1.w = v.w
+      |  LEFT JOIN w w2 ON w2.source = p.s2 AND w2.w = v.w
+      |  WHERE COALESCE(w1.c, 0) + COALESCE(w2.c, 0) > 0),
+      |terms AS (
+      |  SELECT j.s1, j.s2,
+      |    CAST(ROUND((
+      |      CASE WHEN c1 > 0 THEN (c1 / n1.n)
+      |        * LN((c1 / n1.n) / ((c1 / n1.n + c2 / n2.n) / 2)) ELSE 0.0 END
+      |      + CASE WHEN c2 > 0 THEN (c2 / n2.n)
+      |        * LN((c2 / n2.n) / ((c1 / n1.n + c2 / n2.n) / 2)) ELSE 0.0 END
+      |    ) * 1e9) AS BIGINT) AS q
+      |  FROM joint j
+      |  JOIN n n1 ON n1.source = j.s1
+      |  JOIN n n2 ON n2.source = j.s2)
+      |SELECT s1, s2, ROUND(CAST(SUM(q) AS BIGINT) / 2e9, 6) AS js_div
+      |FROM terms GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_pack" -> ((s, d) => pack(s, d)),
     "text_pii" -> Tables.sql(piiSparkSql),
@@ -545,7 +623,8 @@ object Corpus {
     "corpus_mix" -> Tables.sql(mixSparkSql),
     "corpus_sample" -> Tables.sql(sampleSparkSql),
     "corpus_lm_score" -> ((s, d) => lmScore(s, d)),
-    "corpus_substr_dup" -> Tables.sql(substrDupSparkSql)
+    "corpus_substr_dup" -> Tables.sql(substrDupSparkSql),
+    "corpus_js_divergence" -> Tables.sql(jsDivergenceSparkSql)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -557,6 +636,7 @@ object Corpus {
     "corpus_mix" -> mixDuckSql,
     "corpus_sample" -> sampleDuckSql,
     "corpus_lm_score" -> lmScoreDuckSql,
-    "corpus_substr_dup" -> substrDupDuckSql
+    "corpus_substr_dup" -> substrDupDuckSql,
+    "corpus_js_divergence" -> jsDivergenceDuckSql
   )
 }

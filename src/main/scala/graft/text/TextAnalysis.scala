@@ -326,6 +326,49 @@ object TextAnalysis {
       |    AS dup3_frac
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Per-document token entropy + type/token ratio — the standard
+    * gibberish/boilerplate signals a quality gate runs next to the
+    * Gopher ratios (low entropy = repeated boilerplate, abnormally high
+    * = random noise). Scale shape: ONE (doc_id, word) partial-agg
+    * shuffle (map-side combine collapses to ~doc count); the totals
+    * join is co-partitioned on doc_id coming out of the same exchange —
+    * no second shuffle. Hash-exact across engines via the lm_score
+    * pattern: each word's p·ln(p) is quantized to integer nano-nats
+    * BEFORE the sum, so aggregation order cannot drift the double. */
+  val entropySparkSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, explode(split(lower(trim(text)), '\\s+')) AS w
+      |  FROM documents),
+      |w AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+      |t AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n, COUNT(*) AS v
+      |      FROM w GROUP BY doc_id)
+      |SELECT w.doc_id,
+      |  CAST(t.n AS BIGINT) AS n_tokens,
+      |  CAST(t.v AS BIGINT) AS n_types,
+      |  ROUND(t.v / t.n, 4) AS ttr,
+      |  ROUND(-CAST(SUM(CAST(ROUND(c / t.n * LN(c / t.n) * 1e9) AS BIGINT))
+      |              AS BIGINT) / 1e9, 4) AS entropy
+      |FROM w JOIN t ON w.doc_id = t.doc_id
+      |GROUP BY w.doc_id, t.n, t.v
+      |ORDER BY w.doc_id""".stripMargin
+
+  val entropyDuckSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents),
+      |w AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+      |t AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n, COUNT(*) AS v
+      |      FROM w GROUP BY doc_id)
+      |SELECT w.doc_id,
+      |  CAST(t.n AS BIGINT) AS n_tokens,
+      |  CAST(t.v AS BIGINT) AS n_types,
+      |  ROUND(t.v / t.n, 4) AS ttr,
+      |  ROUND(-CAST(SUM(CAST(ROUND(c / t.n * LN(c / t.n) * 1e9) AS BIGINT))
+      |              AS BIGINT) / 1e9, 4) AS entropy
+      |FROM w JOIN t ON w.doc_id = t.doc_id
+      |GROUP BY w.doc_id, t.n, t.v
+      |ORDER BY w.doc_id""".stripMargin
+
   /** TF-IDF top terms per document. Plan shape at scale: one
     * (doc_id, term) partial-agg shuffle for TF; the document-frequency
     * table is vocabulary-sized (≪ corpus) so it BROADCASTs back onto
@@ -381,6 +424,7 @@ object TextAnalysis {
     "text_decontaminate" -> Tables.sql(decontaminateSparkSql),
     "text_heavy_hitters" -> Tables.sql(heavyHittersSparkSql),
     "text_repetition" -> Tables.sql(repetitionSparkSql),
+    "text_entropy" -> Tables.sql(entropySparkSql),
     "text_tfidf" -> Tables.sql(tfidfSparkSql)
   )
 
@@ -394,6 +438,7 @@ object TextAnalysis {
     "text_decontaminate" -> decontaminateDuckSql,
     "text_heavy_hitters" -> heavyHittersDuckSql,
     "text_repetition" -> repetitionDuckSql,
+    "text_entropy" -> entropyDuckSql,
     "text_tfidf" -> tfidfDuckSql
   )
 }

@@ -29,17 +29,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "corpus_mix" -> Set("source", "text"),
       "corpus_sample" -> Set("doc_id", "lang"),
       "dedup_exact" -> Set("doc_id", "text"),
-      "text_langid" -> Set("doc_id", "lang", "text"))
+      "text_langid" -> Set("doc_id", "lang", "text"),
+      "text_entropy" -> Set("doc_id", "text"),
+      "corpus_js_divergence" -> Set("source", "text"))
     expected.foreach { case (name, cols) =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       val reads = "ReadSchema: struct<([^>]*)>".r
         .findAllMatchIn(plan).map(_.group(1)).toSeq
       assert(reads.nonEmpty, s"$name: no parquet ReadSchema in plan")
-      reads.foreach { r =>
-        val got = r.split(",").filter(_.nonEmpty).map(_.split(":")(0)).toSet
-        assert(got == cols, s"$name scan reads $got, expected $cols")
+      // each scan must read no more than the operator needs (a multi-scan
+      // plan may legitimately prune different subsets per scan, e.g. a
+      // DISTINCT-keys CTE reading one column); together they must need
+      // exactly the expected set
+      val gots = reads.map(r =>
+        r.split(",").filter(_.nonEmpty).map(_.split(":")(0)).toSet)
+      gots.foreach { got =>
+        assert(got.subsetOf(cols), s"$name scan reads $got, allowed $cols")
       }
+      assert(gots.reduce(_ ++ _) == cols,
+        s"$name scans read ${gots.reduce(_ ++ _)}, expected $cols")
     }
   }
 

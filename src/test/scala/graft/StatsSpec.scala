@@ -98,6 +98,34 @@ class StatsSpec extends AnyFunSuite {
     assert(long.getSeq[Long](0) == long.getSeq[Long](1))
   }
 
+  test("token entropy is in [0, ln(n_types)] and ttr in (0,1]") {
+    Tables.register(spark, sf)
+    val rows = spark.sql(text.TextAnalysis.entropySparkSql).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val types = r.getLong(2); val ttr = r.getDouble(3); val h = r.getDouble(4)
+      assert(ttr > 0.0 && ttr <= 1.0)
+      // uniform distribution over n_types maximizes entropy at
+      // ln(n_types); +5e-5 covers the query's 4-digit output rounding
+      assert(h >= 0.0 && h <= math.log(types.toDouble) + 5e-5,
+        s"doc ${r.getLong(0)}: H=$h types=$types")
+    }
+  }
+
+  test("JS divergence is within [0, ln 2] over all source pairs") {
+    Tables.register(spark, sf)
+    val rows = spark.sql(text.Corpus.jsDivergenceSparkSql).collect()
+    assert(rows.nonEmpty)
+    val nSrc = spark.sql("SELECT COUNT(DISTINCT source) FROM documents")
+      .head().getLong(0).toInt
+    assert(rows.length == nSrc * (nSrc - 1) / 2) // each unordered pair once
+    rows.foreach { r =>
+      val js = r.getDouble(2)
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9,
+        s"(${r.getString(0)},${r.getString(1)}): $js")
+    }
+  }
+
   test("repetition fractions are in [0,1] and detect a repeated doc") {
     Tables.register(spark, sf)
     val rows = spark.sql(text.TextAnalysis.repetitionSparkSql).collect()
