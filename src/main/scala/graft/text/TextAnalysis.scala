@@ -329,45 +329,39 @@ object TextAnalysis {
   /** Per-document token entropy + type/token ratio — the standard
     * gibberish/boilerplate signals a quality gate runs next to the
     * Gopher ratios (low entropy = repeated boilerplate, abnormally high
-    * = random noise). Scale shape: ONE (doc_id, word) partial-agg
-    * shuffle (map-side combine collapses to ~doc count); the totals
-    * join is co-partitioned on doc_id coming out of the same exchange —
-    * no second shuffle. Hash-exact across engines via the lm_score
-    * pattern: each word's p·ln(p) is quantized to integer nano-nats
-    * BEFORE the sum, so aggregation order cannot drift the double. */
+    * = random noise). Uses the identity H = ln(n) - (1/n)·Σ c·ln(c) so
+    * the whole operator is ONE (doc_id, word) partial-agg shuffle + one
+    * per-doc agg — no totals join. Hash-exact across engines via the
+    * lm_score pattern: each word's c·ln(c) is quantized to integer
+    * nano-nats BEFORE the sum, so aggregation order cannot drift the
+    * double. */
   val entropySparkSql: String =
     """WITH tok AS (
       |  SELECT doc_id, explode(split(lower(trim(text)), '\\s+')) AS w
       |  FROM documents),
-      |w AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
-      |t AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n, COUNT(*) AS v
-      |      FROM w GROUP BY doc_id)
-      |SELECT w.doc_id,
-      |  CAST(t.n AS BIGINT) AS n_tokens,
-      |  CAST(t.v AS BIGINT) AS n_types,
-      |  ROUND(t.v / t.n, 4) AS ttr,
-      |  ROUND(-CAST(SUM(CAST(ROUND(c / t.n * LN(c / t.n) * 1e9) AS BIGINT))
-      |              AS BIGINT) / 1e9, 4) AS entropy
-      |FROM w JOIN t ON w.doc_id = t.doc_id
-      |GROUP BY w.doc_id, t.n, t.v
-      |ORDER BY w.doc_id""".stripMargin
+      |w AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 4) AS ttr,
+      |  ROUND(LN(CAST(SUM(c) AS DOUBLE))
+      |    - CAST(SUM(CAST(ROUND(c * LN(CAST(c AS DOUBLE)) * 1e9) AS BIGINT))
+      |           AS BIGINT) / 1e9 / SUM(c), 4) AS entropy
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val entropyDuckSql: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
       |  FROM documents),
-      |w AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
-      |t AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n, COUNT(*) AS v
-      |      FROM w GROUP BY doc_id)
-      |SELECT w.doc_id,
-      |  CAST(t.n AS BIGINT) AS n_tokens,
-      |  CAST(t.v AS BIGINT) AS n_types,
-      |  ROUND(t.v / t.n, 4) AS ttr,
-      |  ROUND(-CAST(SUM(CAST(ROUND(c / t.n * LN(c / t.n) * 1e9) AS BIGINT))
-      |              AS BIGINT) / 1e9, 4) AS entropy
-      |FROM w JOIN t ON w.doc_id = t.doc_id
-      |GROUP BY w.doc_id, t.n, t.v
-      |ORDER BY w.doc_id""".stripMargin
+      |w AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 4) AS ttr,
+      |  ROUND(LN(CAST(SUM(c) AS DOUBLE))
+      |    - CAST(SUM(CAST(ROUND(c * LN(CAST(c AS DOUBLE)) * 1e9) AS BIGINT))
+      |           AS BIGINT) / 1e9 / SUM(c), 4) AS entropy
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** TF-IDF top terms per document. Plan shape at scale: one
     * (doc_id, term) partial-agg shuffle for TF; the document-frequency
