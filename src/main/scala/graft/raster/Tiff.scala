@@ -134,16 +134,23 @@ object Tiff {
     val dtype = dtypeOf(dir)
     // An idx > 0 IFD with its OWN ModelPixelScale is a standalone
     // subdataset image (multi-image container); one without is a
-    // reduced-resolution overview deriving georeferencing from the base
-    // IFD (GDAL writes geo tags on the base IFD only for overviews).
+    // reduced-resolution overview deriving georeferencing from its
+    // PARENT — the nearest preceding IFD that carries geo tags (the
+    // base image, or the subdataset the overview belongs to: GDAL lays
+    // a subdataset's pyramid out as the unnamed IFDs following it).
     val standalone = idx == 0 || dir.getTIFFField(TagModelPixelScale) != null
-    val geoIdx = if (standalone) idx else 0
+    val geoIdx =
+      if (standalone) idx
+      else (idx - 1 to 0 by -1).find { i =>
+        i == 0 || TIFFDirectory.createFromMetadata(reader.getImageMetadata(i))
+          .getTIFFField(TagModelPixelScale) != null
+      }.get
     val geoDir =
       if (standalone) dir
-      else TIFFDirectory.createFromMetadata(reader.getImageMetadata(0))
+      else TIFFDirectory.createFromMetadata(reader.getImageMetadata(geoIdx))
     // the JDK reader filters tags outside its allowed TagSets out of the
     // metadata (GDAL_NODATA is no baseline/GeoTIFF tag), so fall back to a
-    // raw scan of the addressed IFD for it
+    // raw scan of the geo-carrying IFD for it
     val nodata = Option(geoDir.getTIFFField(TagGdalNodata))
       .map(_.getAsString(0))
       .orElse(rawAsciiTag(splitUri(uri)._1, TagGdalNodata, geoIdx))
@@ -154,12 +161,13 @@ object Tiff {
       if (standalone) geoboxOf(geoDir, w, h)
       else {
         // decimated level: same origin, linear part scaled by size ratio
-        val baseGbox = geoboxOf(geoDir, reader.getWidth(0), reader.getHeight(0))
-        val sx = baseGbox.width.toDouble / w
-        val sy = baseGbox.height.toDouble / h
-        val t = baseGbox.transform
+        val parentGbox = geoboxOf(geoDir,
+          reader.getWidth(geoIdx), reader.getHeight(geoIdx))
+        val sx = parentGbox.width.toDouble / w
+        val sy = parentGbox.height.toDouble / h
+        val t = parentGbox.transform
         GeoBox(w, h, Affine(t.a * sx, t.b * sx, t.c, t.d * sy, t.e * sy, t.f),
-          baseGbox.crs)
+          parentGbox.crs)
       }
     Grb.Header(dtype, w, h, nodata, gbox, 0L)
   }
@@ -195,20 +203,20 @@ object Tiff {
       out
     }
 
-  /** Decimation levels from reduced-resolution subimages: (scale, uri).
-    * Page-named IFDs are subdatasets, not overviews, and are excluded;
-    * an already `#idx`-addressed image carries no pyramid of its own. */
+  /** Decimation levels of the addressed image: (scale, uri). A pyramid
+    * is the run of unnamed reduced-resolution IFDs immediately FOLLOWING
+    * its full image (the GDAL container layout — a subdataset's
+    * overviews sit between it and the next page-named image), so this
+    * works for the base image and for `#`-addressed subdatasets alike. */
   def overviewLevels(uri: String): Seq[(Int, String)] = withReader(uri) {
     (reader, idx) =>
-      if (idx != 0) Seq.empty
-      else {
-        val (path, _) = splitUri(uri)
-        val n = reader.getNumImages(true)
-        val baseW = reader.getWidth(0)
-        (1 until n).filter(i => pageNameOf(reader, i).isEmpty).map { i =>
-          math.round(baseW.toDouble / reader.getWidth(i)).toInt -> s"$path#$i"
-        }.sortBy(_._1)
-      }
+      val (path, _) = splitUri(uri)
+      val n = reader.getNumImages(true)
+      val baseW = reader.getWidth(idx)
+      Iterator.from(idx + 1).takeWhile(i =>
+        i < n && pageNameOf(reader, i).isEmpty).map { i =>
+        math.round(baseW.toDouble / reader.getWidth(i)).toInt -> s"$path#$i"
+      }.toSeq.sortBy(_._1)
   }
 
   /** Minimal raw scan of the `ifdIdx`-th IFD for an ASCII tag the
@@ -441,16 +449,42 @@ object Tiff {
     }
   }
 
+  /** Nearest-neighbor decimation of a plane by integer factor `s` —
+    * shared by the single-image and subdataset-container writers. */
+  private def decimated(pixels: Array[Double], gbox: GeoBox, s: Int)
+  : (Array[Double], GeoBox) = {
+    val ow = math.max(1, gbox.width / s)
+    val oh = math.max(1, gbox.height / s)
+    val opix = new Array[Double](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        opix(y * ow + x) = pixels(
+          math.min(y * s, gbox.height - 1) * gbox.width +
+            math.min(x * s, gbox.width - 1))
+        x += 1
+      }
+      y += 1
+    }
+    val t = gbox.transform
+    (opix, GeoBox(ow, oh,
+      Affine(t.a * s, t.b * s, t.c, t.d * s, t.e * s, t.f), gbox.crs))
+  }
+
   /** Write a multi-SUBDATASET container TIFF: independent named
     * single-band images, each with its OWN geo tags and a PageName
     * (tag 285) — the zero-GDAL analog of a netCDF/HDF variable container
     * (what `RasterSource.subdataset` addresses; reference
     * `loader/types.py:44-56`). Subdatasets may differ in grid, dtype and
-    * nodata. Read back via `readHeader(s"$path#${resolveSubdataset(path,
-    * name)}")`. */
+    * nodata. `overviews` appends each subdataset's decimated pyramid as
+    * the unnamed reduced-resolution IFDs immediately following it (the
+    * GDAL container layout `overviewLevels` enumerates). Read back via
+    * `readHeader(s"$path#$name")`. */
   def writeSubdatasets(path: String,
       subs: Seq[(String, Array[Double], GeoBox, String, Option[Double])],
-      tileSize: Option[Int] = Some(64)): Unit = {
+      tileSize: Option[Int] = Some(64),
+      overviews: Seq[Int] = Nil): Unit = {
     require(subs.nonEmpty, "a subdataset container needs at least one image")
     require(subs.map(_._1).distinct.length == subs.length,
       "subdataset names must be unique")
@@ -459,9 +493,8 @@ object Tiff {
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
-      subs.foreach { case (name, pixels, gbox, dtype, nodata) =>
-        require(pixels.length == gbox.width * gbox.height,
-          s"subdataset '$name' pixel count does not match its geobox")
+      def writeImage(pixels: Array[Double], gbox: GeoBox, dtype: String,
+                     nodata: Option[Double], name: Option[String]): Unit = {
         val img = toImage(pixels, gbox.width, gbox.height, dtype)
         val param = writer.getDefaultWriteParam
         tileSize.foreach { ts =>
@@ -471,11 +504,28 @@ object Tiff {
         val meta = writer.getDefaultImageMetadata(
           new ImageTypeSpecifier(img), param)
         val dir = TIFFDirectory.createFromMetadata(meta)
-        geoFields(gbox, nodata).foreach(dir.addTIFFField)
-        dir.addTIFFField(new TIFFField(
-          new TIFFTag("PageName", TagPageName, 1 << TIFFTag.TIFF_ASCII),
-          TIFFTag.TIFF_ASCII, 1, Array(name)))
+        name match {
+          case Some(n) =>
+            geoFields(gbox, nodata).foreach(dir.addTIFFField)
+            dir.addTIFFField(new TIFFField(
+              new TIFFTag("PageName", TagPageName, 1 << TIFFTag.TIFF_ASCII),
+              TIFFTag.TIFF_ASCII, 1, Array(n)))
+          case None => // overview IFD: no geo tags (derived from parent)
+            dir.addTIFFField(new TIFFField(
+              new TIFFTag("NewSubfileType", TagNewSubfileType,
+                1 << TIFFTag.TIFF_LONG),
+              TIFFTag.TIFF_LONG, 1, Array[Long](1L)))
+        }
         writer.writeToSequence(new IIOImage(img, null, dir.getAsMetadata), param)
+      }
+      subs.foreach { case (name, pixels, gbox, dtype, nodata) =>
+        require(pixels.length == gbox.width * gbox.height,
+          s"subdataset '$name' pixel count does not match its geobox")
+        writeImage(pixels, gbox, dtype, nodata, Some(name))
+        overviews.foreach { s =>
+          val (opix, ogb) = decimated(pixels, gbox, s)
+          writeImage(opix, ogb, dtype, nodata, None)
+        }
       }
       writer.endWriteSequence()
     } finally {
@@ -526,23 +576,7 @@ object Tiff {
 
       writeLevel(pixels, geobox, base = true)
       overviews.foreach { s =>
-        val ow = math.max(1, geobox.width / s)
-        val oh = math.max(1, geobox.height / s)
-        val opix = new Array[Double](ow * oh)
-        var y = 0
-        while (y < oh) {
-          var x = 0
-          while (x < ow) {
-            opix(y * ow + x) = pixels(
-              math.min(y * s, geobox.height - 1) * geobox.width +
-                math.min(x * s, geobox.width - 1))
-            x += 1
-          }
-          y += 1
-        }
-        val t = geobox.transform
-        val ogb = GeoBox(ow, oh,
-          Affine(t.a * s, t.b * s, t.c, t.d * s, t.e * s, t.f), geobox.crs)
+        val (opix, ogb) = decimated(pixels, geobox, s)
         writeLevel(opix, ogb, base = false)
       }
       writer.endWriteSequence()

@@ -89,6 +89,30 @@ class GTiffSourceSpec extends AnyFunSuite {
     assert(df2.selectExpr("min(value)").head().getDouble(0) == 200.0)
   }
 
+  test("subdataset pyramids: overviews attach to their parent image") {
+    val w = 64; val h = 32
+    val subs = Seq("a", "b").zipWithIndex.map { case (n, k) =>
+      (n, Array.tabulate(w * h)(i => (i % 100 + (k + 1) * 100).toDouble),
+        gbox(w, h), "uint16", Some(0.0): Option[Double])
+    }
+    val path = s"$tmp/pyr.tif"
+    Tiff.writeSubdatasets(path, subs, overviews = Seq(2))
+    // layout: [a, a.ovr2, b, b.ovr2] — each pyramid is the unnamed run
+    // following its parent
+    val la = Tiff.overviewLevels(s"$path#a")
+    val lb = Tiff.overviewLevels(s"$path#b")
+    assert(la.map(_._1) == Seq(2) && lb.map(_._1) == Seq(2))
+    assert(la.head._2 == s"$path#1" && lb.head._2 == s"$path#3")
+    // the overview's geobox derives from ITS parent, not image 0
+    val hb = Tiff.readHeader(lb.head._2)
+    assert(hb.geobox.width == w / 2 && hb.geobox.height == h / 2)
+    assert(hb.geobox.resX == 20.0) // 2x the parent's 10 m grid
+    assert(hb.nodata.contains(0.0))
+    assert(Tiff.readWindow(lb.head._2, 0, 0, 1, 1).head == 200.0)
+    // the base image's own listing stops at the next named subdataset
+    assert(Tiff.overviewLevels(path).map(_._2) == Seq(s"$path#1"))
+  }
+
   test("uri pruning + per-file SQL aggregate over a directory") {
     writeSingle("d1", 32, 32)
     writeSingle("d2", 32, 16)
