@@ -67,7 +67,9 @@ object Eo3 {
     item.bands.toSeq.sortBy(_._1).foreach { case (key, src) =>
       val bk = BandKey.parse(key)
       val m = mapper.createObjectNode()
-      m.put("path", src.uri)
+      // subdataset sources must keep their fragment: a bare container
+      // URI would silently point consumers at image 0 (wrong band data)
+      m.put("path", src.subdataset.fold(src.uri)(s => s"${src.uri}#$s"))
       if (bk.idx > 1) m.put("band", bk.idx)
       val gridName = md.band2grid.getOrElse(bk.asset, "default")
       if (gridName != "default" && md.hasProj) m.put("grid", gridName)

@@ -127,14 +127,22 @@ object Crs {
                                         lon0Deg: Double = 0.0) extends Crs {
     private val sinTs = math.sin(math.toRadians(latTs))
     private val k0 = math.cos(math.toRadians(latTs)) / math.sqrt(1 - E2 * sinTs * sinTs)
+    /** Wrap into [-180, 180]: a non-zero lon0 must not push points past
+      * the antimeridian off the map. Identity on in-range values, so
+      * lon0 = 0 codes (6933, 54034) keep their published ±180 corners. */
+    @inline private def wrap(d: Double): Double =
+      if (d > 180.0) d - 360.0 * math.ceil((d - 180.0) / 360.0)
+      else if (d < -180.0) d + 360.0 * math.ceil((-d - 180.0) / 360.0)
+      else d
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
-      val x = A * k0 * math.toRadians(lonDeg - lon0Deg)
+      val x = A * k0 * math.toRadians(wrap(lonDeg - lon0Deg))
       val y = A * qFor(math.sin(math.toRadians(latDeg))) / (2 * k0)
       (x, y)
     }
     def inverse(x: Double, y: Double): (Double, Double) = {
       val beta = asinSafe(2 * y * k0 / (A * Qp))
-      (lon0Deg + math.toDegrees(x / (A * k0)), math.toDegrees(betaToPhi(beta)))
+      (wrap(lon0Deg + math.toDegrees(x / (A * k0))),
+        math.toDegrees(betaToPhi(beta)))
     }
   }
 
@@ -215,6 +223,9 @@ object Crs {
       lat1 = -18.0, lat2 = -36.0), // Australian Albers (GDA94)
     AlbersEqualArea("EPSG:9473", lat0 = 0.0, lon0Deg = 132.0,
       lat1 = -18.0, lat2 = -36.0), // Australian Albers (GDA2020)
+    AlbersEqualArea("EPSG:3083", lat0 = 18.0, lon0Deg = -100.0,
+      lat1 = 27.5, lat2 = 35.0,
+      falseE = 1500000.0, falseN = 5000000.0), // Texas Centric Albers (NAD83)
     // polar Lambert azimuthal equal-area
     LambertAzimuthalEqualArea(6931, south = false), // EASE-Grid 2.0 North
     LambertAzimuthalEqualArea(6932, south = true)   // EASE-Grid 2.0 South

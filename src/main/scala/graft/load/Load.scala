@@ -86,16 +86,36 @@ object Load {
   // the driver JVM, so callbacks are exact and per-bin; on a multi-JVM
   // cluster executor-side lookups miss and degrade to no-op — there a
   // driver UI should attach a SparkListener over the stage instead
-  // (per-task granularity via standard metrics plumbing). Entries
-  // self-remove at done == total; the driver-planned path reports,
-  // matching the reference's "non-Dask load only" scope.
+  // (per-task granularity via standard metrics plumbing).
+  //
+  // Contract (same as a tqdm bar over the reference's eager loop): the
+  // hook tracks ONE full eager consumption of the tiles plan. Entries
+  // self-remove at done == total; partially evaluating the lazy plan
+  // (e.g. show(5)) then re-running counts the recomputed bins toward
+  // the same total. Callbacks run serialized per load, so they must be
+  // fast and non-blocking. Loads whose plan is never fully consumed
+  // leave their entry behind — the registry is capped, dropping the
+  // oldest entry past [[ProgressRegistryMax]] so a long-lived driver
+  // cannot accumulate unbounded callback closures.
   private val progressIds = new java.util.concurrent.atomic.AtomicLong()
+  private val ProgressRegistryMax = 64
   private val progressRegistry = new java.util.concurrent.ConcurrentHashMap[
     java.lang.Long,
     (java.util.concurrent.atomic.AtomicLong, Long, (Long, Long) => Unit)]()
 
   private def registerProgress(total: Long,
                                cb: (Long, Long) => Unit): Long = {
+    if (progressRegistry.size >= ProgressRegistryMax) {
+      // ids are monotonic: the smallest key is the oldest abandoned load
+      val keys = progressRegistry.keySet()
+      var oldest: java.lang.Long = null
+      val it = keys.iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (oldest == null || k < oldest) oldest = k
+      }
+      if (oldest != null) progressRegistry.remove(oldest)
+    }
     val id = progressIds.incrementAndGet()
     progressRegistry.put(id,
       (new java.util.concurrent.atomic.AtomicLong(), total, cb))

@@ -387,7 +387,7 @@ object Multimodal {
         // source rate that is a multiple of outRate/2 (all fixture
         // rates at the 8 kHz default). Other rate ratios would emit
         // silently wrong fingerprints, so they must fail loudly.
-        require(sr % outRate == 0 || (2L * sr) % outRate == 0,
+        require((2L * sr) % outRate == 0,
           s"audioResample supports source rates that are multiples of " +
             s"$outRate/2 Hz (got $sr Hz): fractional sample positions " +
             "other than 1/2 are not representable in the integer-exact " +

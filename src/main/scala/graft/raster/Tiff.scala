@@ -64,6 +64,10 @@ object Tiff {
   private val subdatasetIdxCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
 
+  /** (path, overview idx) -> index of the geo-tag-carrying parent IFD. */
+  private val parentIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Integer]()
+
   private def withReader[A](uri: String)(f: (javax.imageio.ImageReader, Int) => A): A = {
     val (path, idx) = splitUri(uri)
     val iis = ImageIO.createImageInputStream(new File(path))
@@ -139,12 +143,16 @@ object Tiff {
     // base image, or the subdataset the overview belongs to: GDAL lays
     // a subdataset's pyramid out as the unnamed IFDs following it).
     val standalone = idx == 0 || dir.getTIFFField(TagModelPixelScale) != null
-    val geoIdx =
+    // parent resolution decodes up to idx-1 IFD metadatas — cached per
+    // (path, idx) like the name cache (immutable stores; container
+    // opens are object-store round trips at scale)
+    val geoIdx: Int =
       if (standalone) idx
-      else (idx - 1 to 0 by -1).find { i =>
-        i == 0 || TIFFDirectory.createFromMetadata(reader.getImageMetadata(i))
-          .getTIFFField(TagModelPixelScale) != null
-      }.get
+      else parentIdxCache.computeIfAbsent((splitUri(uri)._1, idx), _ =>
+        (idx - 1 to 0 by -1).find { i =>
+          i == 0 || TIFFDirectory.createFromMetadata(reader.getImageMetadata(i))
+            .getTIFFField(TagModelPixelScale) != null
+        }.get)
     val geoDir =
       if (standalone) dir
       else TIFFDirectory.createFromMetadata(reader.getImageMetadata(geoIdx))

@@ -141,7 +141,12 @@ class DedupSpec extends AnyFunSuite {
     // worse recall row nobody reads. Gates sit under the measured means
     // (lsh 0.64, ivf 0.80, ivfpq 0.66 at sf0.1) with headroom only for
     // genuine tie-order jitter, not for quality regressions.
-    val means = similarity.Similarity.annRecall(spark, "/root/testdata/sf0.1")
+    val benchSf = "/root/testdata/sf0.1"
+    // precondition, not a failure: the gate is only meaningful at the
+    // bench scale factor, which a fresh checkout may not have generated
+    assume(new java.io.File(s"$benchSf/embeddings.parquet").exists(),
+      s"bench-scale dataset $benchSf not generated on this machine")
+    val means = similarity.Similarity.annRecall(spark, benchSf)
       .where("qid = -1").collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
     info(s"sf0.1 mean recall@${similarity.Similarity.K}: $means")

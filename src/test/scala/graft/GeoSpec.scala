@@ -113,6 +113,38 @@ class GeoSpec extends AnyFunSuite {
     assert(xs > 0 && ys < 0)
   }
 
+  test("EPSG:3083 false easting/northing: origin maps to (FE, FN)") {
+    val crs = Crs.parse("EPSG:3083")
+    // Texas Centric Albers: (lon0, lat0) = (-100, 18) -> (1500000, 5000000)
+    val (x0, y0) = crs.forward(-100.0, 18.0)
+    assert(math.abs(x0 - 1500000.0) < 1e-6 && math.abs(y0 - 5000000.0) < 1e-6,
+      s"origin ($x0,$y0)")
+    // roundtrip through the offset plane
+    for ((lon, lat) <- Seq((-106.0, 31.8), (-94.0, 29.7), (-100.0, 27.5))) {
+      val (x, y) = crs.forward(lon, lat)
+      val (lon2, lat2) = crs.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+  }
+
+  test("CEA central meridian wraps across the antimeridian") {
+    // constructor-level (no registry row ships a non-zero CEA lon0 yet):
+    // with lon0 = 132, lon = -180 sits 48 degrees EAST of the meridian,
+    // not 312 degrees west off the map
+    val crs = Crs.CylindricalEqualArea("TEST:CEA132", latTs = 0.0,
+      lon0Deg = 132.0)
+    val (xw, _) = crs.forward(-180.0, 0.0)
+    val (xe, _) = crs.forward(180.0, 0.0) // same physical meridian
+    assert(math.abs(xw - xe) < 1e-6)
+    assert(xw > 0 && xw < 6378137.0 * math.Pi / 2, s"xw=$xw") // ~48 deg east
+    val (lon2, _) = crs.inverse(xw, 0.0)
+    assert(math.abs(lon2 - 180.0) < 1e-9 || math.abs(lon2 + 180.0) < 1e-9)
+    // in-range identity: lon0 = 0 codes keep published +-180 behavior
+    val cea0 = Crs.parse("ESRI:54034")
+    assert(cea0.forward(180.0, 0.0)._1 > 0 && cea0.forward(-180.0, 0.0)._1 < 0)
+  }
+
   test("ESRI:54034 known extents (World Cylindrical Equal Area)") {
     val crs = Crs.parse("ESRI:54034")
     // lat_ts = 0: x at the antimeridian is a*pi
