@@ -496,6 +496,10 @@ object Tiff {
     require(subs.nonEmpty, "a subdataset container needs at least one image")
     require(subs.map(_._1).distinct.length == subs.length,
       "subdataset names must be unique")
+    // digit-only fragments always parse as an image INDEX (splitUri), so
+    // a subdataset literally named "7" would be unreachable by name
+    require(subs.forall(s => !s._1.forall(_.isDigit)),
+      "subdataset names must not be all digits (fragment parses as image index)")
     val writer = ImageIO.getImageWritersByFormatName("tiff").next()
     val ios = ImageIO.createImageOutputStream(new File(path))
     try {

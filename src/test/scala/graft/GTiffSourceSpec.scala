@@ -111,6 +111,12 @@ class GTiffSourceSpec extends AnyFunSuite {
     assert(Tiff.readWindow(lb.head._2, 0, 0, 1, 1).head == 200.0)
     // the base image's own listing stops at the next named subdataset
     assert(Tiff.overviewLevels(path).map(_._2) == Seq(s"$path#1"))
+    // digit-only names are rejected at write time: the fragment would
+    // parse as an image index and the name would be unreachable
+    assertThrows[IllegalArgumentException] {
+      Tiff.writeSubdatasets(s"$tmp/bad.tif",
+        Seq(("7", Array.fill(16)(0.0), gbox(4, 4), "uint16", None)))
+    }
   }
 
   test("uri pruning + per-file SQL aggregate over a directory") {
