@@ -97,6 +97,49 @@ object Fixtures {
 
   def subPath(k: Int): String = dir.resolve(s"scene$k-sub.tif").toString
 
+  def zarrPath(k: Int): String = dir.resolve(s"scene$k.zarr").toString
+
+  /** Same scenes as ONE zarr v2 store per item: `red`/`nir` are
+    * variables (zarr's subdataset surface), `red` also carries a 2x
+    * sidecar pyramid level; `nir` is zlib-compressed to exercise the
+    * codec path. Asset hrefs use `store.zarr#var` fragments with the
+    * zarr media type. */
+  def writeScenesZarr(nItems: Int): Seq[String] =
+    (0 until nItems).map { k =>
+      val gbox = sceneGeobox(k)
+      val f = new java.io.File(zarrPath(k))
+      if (!f.exists()) {
+        Seq("red", "nir").foreach { band =>
+          val px = scenePixels(k).map(v =>
+            if (band == "nir" && v != 0.0) v + 5000 else v)
+          Zarr.write(zarrPath(k), band, px, gbox, "uint16", Some(0.0),
+            zlib = band == "nir")
+        }
+        // red pyramid levels matching the GRB fixture's (2x, 4x) so the
+        // overview-selection parity holds level-for-level
+        val base = scenePixels(k)
+        Seq(2, 4).foreach { s =>
+          val (ow, oh) = (SceneW / s, SceneH / s)
+          val opix = Array.tabulate(ow * oh)(i =>
+            base((i / ow) * s * SceneW + (i % ow) * s))
+          val t = gbox.transform
+          Zarr.write(zarrPath(k), s"red.ovr$s", opix,
+            GeoBox(ow, oh, Affine(t.a * s, t.b * s, t.c, t.d * s, t.e * s, t.f),
+              gbox.crs), "uint16", Some(0.0))
+        }
+      }
+      itemJsonZarr(k, gbox)
+    }
+
+  /** STAC item whose assets point at zarr variables via URI fragments
+    * (`file://scene.zarr#red`) with the zarr media type — the parser
+    * classifies them as raster data (S4 NonImageRasterMedia) and yields
+    * `RasterSource.subdataset`. */
+  def itemJsonZarr(k: Int, gbox: GeoBox): String = {
+    val base = itemJson(k, gbox, (kk, band) => s"${zarrPath(kk)}#$band")
+    base.replace("image/tiff; application=geotiff", "application/x-zarr")
+  }
+
   /** Same scenes as ONE multi-image container TIFF per item with named
     * subdatasets `red`/`nir` (PageName-tagged images, each with its own
     * geo tags — the zero-GDAL netCDF-container analog). Asset hrefs use

@@ -614,13 +614,45 @@ object TiffReader extends WindowedReader {
     Tiff.overviewLevels(uri)
 }
 
+/** Zarr v2 store reader: chunked-directory containers whose variables
+  * are the subdataset surface (`store.zarr#red` — the modern netCDF
+  * analog the reference's `RasterSource.subdataset` models,
+  * `loader/types.py:44-56`). Windowed reads decode only intersecting
+  * chunks (one object-store GET per needed chunk at scale); overview
+  * levels are `<var>.ovrN` sidecar variables (the GRB convention). */
+object ZarrReader extends WindowedReader {
+  override protected def resolveSubdataset(uri: String, sub: String): String = {
+    require(!uri.contains("#"),
+      s"$uri already addresses a variable; cannot also resolve " +
+        s"subdataset '$sub'")
+    Zarr.requireVariable(uri, sub) // loud at plan time, lists variables
+    s"$uri#$sub"
+  }
+  protected def formatHeader(uri: String, band: Int): Grb.Header = {
+    require(band == 1,
+      s"zarr variables are single-band planes; band $band requested of " +
+        s"$uri — address additional variables as store.zarr#<variable>")
+    Zarr.readHeader(uri)
+  }
+  protected def formatWindow(uri: String, x0: Int, y0: Int,
+                             w: Int, h: Int, band: Int): Array[Double] = {
+    require(band == 1,
+      s"zarr variables are single-band planes; band $band requested of $uri")
+    Zarr.readWindow(uri, x0, y0, w, h)
+  }
+  protected def formatOverviews(uri: String): Seq[(Int, String)] =
+    Zarr.overviewLevels(uri)
+}
+
 /** Default reader: routes per-source by file extension (S9 driver
-  * indirection) — GeoTIFF to [[TiffReader]], everything else to the GRB
-  * container reader. */
+  * indirection) — GeoTIFF to [[TiffReader]], zarr stores to
+  * [[ZarrReader]], everything else to the GRB container reader. */
 object AutoReader extends RasterReader {
   private def pick(uri: String): RasterReader = {
     val u = uri.toLowerCase.takeWhile(_ != '#')
-    if (u.endsWith(".tif") || u.endsWith(".tiff")) TiffReader else GrbReader
+    if (u.endsWith(".tif") || u.endsWith(".tiff")) TiffReader
+    else if (u.endsWith(".zarr")) ZarrReader
+    else GrbReader
   }
   def read(src: RasterSource, cfg: RasterLoadParams, dstGeobox: GeoBox,
            dstNodata: Double): Option[(Roi, Array[Double])] =

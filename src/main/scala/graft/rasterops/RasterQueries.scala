@@ -134,6 +134,31 @@ object RasterQueries {
       .orderBy("layout", "band", "tIdx", "ty", "tx")
   }
 
+  /** Zarr store end-to-end (S7 on the chunked-directory container;
+    * variables = subdatasets): the same mosaic workload as
+    * `raster_load_mosaic` reading `store.zarr#var` sources through
+    * ZarrReader — per-tile checksums must equal the GRB container's
+    * (pinned by LoadSpec parity too), plus the overview path reading the
+    * `red.ovr2` sidecar variable at 4x output resolution. */
+  def loadZarr(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenesZarr(NScenes)
+    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
+    val items = ds.collect().toSeq.sortBy(_.id)
+    val full = summarize(
+      Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+        groupby = "solar_day", chunks = 64).tiles)
+      .withColumn("res", lit("base"))
+    val ovr = summarize(
+      Load.load(spark, items, schemas, bands = Seq("red"),
+        groupby = "solar_day", chunks = 64, resolution = Some(40.0)).tiles)
+      .withColumn("res", lit("ovr"))
+    full.unionAll(ovr)
+      .select(col("res"), col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("width"), col("height"), col("validCount"), col("checksum"))
+      .orderBy("res", "band", "tIdx", "ty", "tx")
+  }
+
   def parseItems(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val (items, schemas) = parsed(spark)
@@ -313,6 +338,7 @@ object RasterQueries {
     "raster_cog_export" -> ((s, _) => cogExport(s)),
     "raster_load_mosaic" -> ((s, _) => loadMosaic(s)),
     "raster_load_tiff" -> ((s, _) => loadTiff(s)),
+    "raster_load_zarr" -> ((s, _) => loadZarr(s)),
     "raster_load_resampling" -> ((s, _) => loadResampling(s)),
     "raster_load_groupby_id" -> ((s, _) => loadGroupById(s)),
     "raster_load_reproject" -> ((s, _) => loadReproject(s)),

@@ -383,6 +383,30 @@ class LoadSpec extends AnyFunSuite {
     assert(graft.raster.Tiff.overviewLevels(path).isEmpty)
   }
 
+  test("zarr store scenes load tile-identical to GRB scenes (ZarrReader e2e)") {
+    import spark.implicits._
+    val zJsons = Fixtures.writeScenesZarr(4)
+    val (zds, zSchemas) = StacParse.parseItems(spark, spark.createDataset(zJsons))
+    val zItems = zds.collect().toSeq.sortBy(_.id)
+    // variables parsed as subdatasets out of the #fragment hrefs
+    assert(zItems.head.bands("red").uri.endsWith(".zarr"))
+    assert(zItems.head.bands("red").subdataset.contains("red"))
+    assert(zItems.head.bands("nir").subdataset.contains("nir"))
+    val zarr = tileSummary(Load.load(spark, zItems, zSchemas,
+      bands = Seq("red", "nir"), groupby = "solar_day", chunks = 48))
+    val grb = tileSummary(Load.load(spark, items, schemas,
+      bands = Seq("red", "nir"), groupby = "solar_day", chunks = 48))
+    assert(zarr.nonEmpty && zarr == grb)
+    // overview parity: 4x coarser output picks the red.ovr2 level
+    val zOvr = tileSummary(Load.load(spark, zItems, zSchemas,
+      bands = Seq("red"), groupby = "solar_day", chunks = 64,
+      resolution = Some(40.0)))
+    val gOvr = tileSummary(Load.load(spark, items, schemas,
+      bands = Seq("red"), groupby = "solar_day", chunks = 64,
+      resolution = Some(40.0)))
+    assert(zOvr.nonEmpty && zOvr == gOvr)
+  }
+
   test("COG tile export: pixel-exact, georeferenced, reads back via gtiff") {
     val res = Load.load(spark, items, schemas, bands = Seq("red"),
       groupby = "solar_day", chunks = 64)
