@@ -140,6 +140,29 @@ object Fixtures {
     base.replace("image/tiff; application=geotiff", "application/x-zarr")
   }
 
+  def ncPath(k: Int): String = dir.resolve(s"scene$k.nc").toString
+
+  /** Same scenes as ONE netCDF classic file per item: `red`/`nir` are
+    * 2-D variables over shared y/x dims with CF coordinate axes and a
+    * `spatial_ref` grid-mapping variable (GDAL `GeoTransform` + EPSG
+    * `crs` attrs). Values fit int16, exercising the signed-storage path
+    * (classic netCDF has no unsigned types). Asset hrefs use
+    * `file.nc#var` fragments with the netCDF media type. */
+  def writeScenesNc(nItems: Int): Seq[String] =
+    (0 until nItems).map { k =>
+      val gbox = sceneGeobox(k)
+      val f = new java.io.File(ncPath(k))
+      if (!f.exists()) {
+        val planes = Seq("red", "nir").map { band =>
+          band -> scenePixels(k).map(v =>
+            if (band == "nir" && v != 0.0) v + 5000 else v)
+        }
+        NetCdf.write(ncPath(k), planes, gbox, "int16", Some(0.0))
+      }
+      itemJson(k, gbox, (kk, band) => s"${ncPath(kk)}#$band")
+        .replace("image/tiff; application=geotiff", "application/x-netcdf")
+    }
+
   /** Same scenes as ONE multi-image container TIFF per item with named
     * subdatasets `red`/`nir` (PageName-tagged images, each with its own
     * geo tags — the zero-GDAL netCDF-container analog). Asset hrefs use

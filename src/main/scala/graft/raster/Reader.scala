@@ -644,14 +644,45 @@ object ZarrReader extends WindowedReader {
     Zarr.overviewLevels(uri)
 }
 
+/** netCDF classic container reader: named 2-D variables are the
+  * subdataset surface (`file.nc#red` — the original container format
+  * the reference's `RasterSource.subdataset` models,
+  * `loader/types.py:44-56`). Contiguous row-major storage means each
+  * window row is one byte-ranged read; the format has no overview
+  * convention, so pyramid selection falls back to base resolution. */
+object NetCdfReader extends WindowedReader {
+  override protected def resolveSubdataset(uri: String, sub: String): String = {
+    require(!uri.contains("#"),
+      s"$uri already addresses a variable; cannot also resolve " +
+        s"subdataset '$sub'")
+    NetCdf.requireVariable(uri, sub) // loud at plan time, lists variables
+    s"$uri#$sub"
+  }
+  protected def formatHeader(uri: String, band: Int): Grb.Header = {
+    require(band == 1,
+      s"netCDF variables are single-band planes; band $band requested of " +
+        s"$uri — address additional variables as file.nc#<variable>")
+    NetCdf.readHeader(uri)
+  }
+  protected def formatWindow(uri: String, x0: Int, y0: Int,
+                             w: Int, h: Int, band: Int): Array[Double] = {
+    require(band == 1,
+      s"netCDF variables are single-band planes; band $band requested of $uri")
+    NetCdf.readWindow(uri, x0, y0, w, h)
+  }
+  protected def formatOverviews(uri: String): Seq[(Int, String)] = Seq.empty
+}
+
 /** Default reader: routes per-source by file extension (S9 driver
   * indirection) — GeoTIFF to [[TiffReader]], zarr stores to
-  * [[ZarrReader]], everything else to the GRB container reader. */
+  * [[ZarrReader]], netCDF classic to [[NetCdfReader]], everything else
+  * to the GRB container reader. */
 object AutoReader extends RasterReader {
   private def pick(uri: String): RasterReader = {
     val u = uri.toLowerCase.takeWhile(_ != '#')
     if (u.endsWith(".tif") || u.endsWith(".tiff")) TiffReader
     else if (u.endsWith(".zarr")) ZarrReader
+    else if (u.endsWith(".nc")) NetCdfReader
     else GrbReader
   }
   def read(src: RasterSource, cfg: RasterLoadParams, dstGeobox: GeoBox,

@@ -159,6 +159,24 @@ object RasterQueries {
       .orderBy("res", "band", "tIdx", "ty", "tx")
   }
 
+  /** netCDF classic container end-to-end (S7 on the legacy multi-variable
+    * container; variables = subdatasets): the same mosaic workload as
+    * `raster_load_mosaic` reading `file.nc#var` sources through
+    * NetCdfReader — per-tile checksums must equal the GRB container's
+    * (pinned by LoadSpec parity too). */
+  def loadNetcdf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenesNc(NScenes)
+    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
+    val items = ds.collect().toSeq.sortBy(_.id)
+    summarize(
+      Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+        groupby = "solar_day", chunks = 64).tiles)
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("width"), col("height"), col("validCount"), col("checksum"))
+      .orderBy("band", "tIdx", "ty", "tx")
+  }
+
   def parseItems(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val (items, schemas) = parsed(spark)
@@ -339,6 +357,7 @@ object RasterQueries {
     "raster_load_mosaic" -> ((s, _) => loadMosaic(s)),
     "raster_load_tiff" -> ((s, _) => loadTiff(s)),
     "raster_load_zarr" -> ((s, _) => loadZarr(s)),
+    "raster_load_netcdf" -> ((s, _) => loadNetcdf(s)),
     "raster_load_resampling" -> ((s, _) => loadResampling(s)),
     "raster_load_groupby_id" -> ((s, _) => loadGroupById(s)),
     "raster_load_reproject" -> ((s, _) => loadReproject(s)),

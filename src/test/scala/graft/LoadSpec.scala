@@ -407,6 +407,22 @@ class LoadSpec extends AnyFunSuite {
     assert(zOvr.nonEmpty && zOvr == gOvr)
   }
 
+  test("netCDF container scenes load tile-identical to GRB (NetCdfReader e2e)") {
+    import spark.implicits._
+    val nJsons = Fixtures.writeScenesNc(4)
+    val (nds, nSchemas) = StacParse.parseItems(spark, spark.createDataset(nJsons))
+    val nItems = nds.collect().toSeq.sortBy(_.id)
+    // variables parsed as subdatasets out of the #fragment hrefs
+    assert(nItems.head.bands("red").uri.endsWith(".nc"))
+    assert(nItems.head.bands("red").subdataset.contains("red"))
+    assert(nItems.head.bands("nir").subdataset.contains("nir"))
+    val nc = tileSummary(Load.load(spark, nItems, nSchemas,
+      bands = Seq("red", "nir"), groupby = "solar_day", chunks = 48))
+    val grb = tileSummary(Load.load(spark, items, schemas,
+      bands = Seq("red", "nir"), groupby = "solar_day", chunks = 48))
+    assert(nc.nonEmpty && nc == grb)
+  }
+
   test("COG tile export: pixel-exact, georeferenced, reads back via gtiff") {
     val res = Load.load(spark, items, schemas, bands = Seq("red"),
       groupby = "solar_day", chunks = 64)
