@@ -230,6 +230,74 @@ object Corpus {
        |                               ORDER BY pos), '')) AS clean_md5
        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- cross-doc segment-frequency filter (C4-style boilerplate) ----------
+
+  /** Cross-document boilerplate removal (the C4-shape complement of
+    * [[segmentDedupSparkSql]]): a segment occurring in MORE THAN ONE
+    * document is boilerplate (headers, footers, license blocks) and
+    * every occurrence is dropped — unlike segment dedup, which keeps
+    * the globally-first one. Within-doc repeats are kept (that signal
+    * belongs to `text_repetition`).
+    *
+    * Scale shape: "appears in >1 distinct doc" is decided with
+    * min/max-over-hash windows (`min(doc_id) != max(doc_id)` over
+    * `md5(seg)` — COUNT(DISTINCT) windows don't exist in either
+    * engine, and min/max carries no per-instance state). The only
+    * shuffle is that window's fixed-width uniformly-distributed hash
+    * key, exactly the segment-dedup layout, so one reducer never sees
+    * more than a hash bucket. Reassembly emits md5 fingerprints, not
+    * bodies. */
+  val segmentFilterSparkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, split(lower(trim(text)), '\\\\s+') AS tok
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id, p1 AS pos,
+       |         concat_ws(' ', slice(tok, p1 * $SegTokens + 1, $SegTokens)) AS seg
+       |  FROM t
+       |  LATERAL VIEW posexplode(
+       |    sequence(0, greatest(
+       |      CAST(ceil(size(tok) / ${SegTokens}.0) AS INT) - 1, 0))) s AS idx, p1),
+       |r AS (
+       |  SELECT doc_id, pos, seg,
+       |         min(doc_id) OVER (PARTITION BY md5(seg)) AS d0,
+       |         max(doc_id) OVER (PARTITION BY md5(seg)) AS d1
+       |  FROM seg)
+       |SELECT doc_id,
+       |       COUNT(*) AS n_seg,
+       |       CAST(SUM(CASE WHEN d0 = d1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       md5(concat_ws(' ',
+       |         transform(array_sort(collect_list(
+       |           CASE WHEN d0 = d1 THEN struct(pos, seg) END)),
+       |           x -> x.seg))) AS clean_md5
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val segmentFilterDuckSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |seg0 AS (
+       |  SELECT doc_id,
+       |         [{'pos': i, 'seg': array_to_string(
+       |            tok[i * $SegTokens + 1 : i * $SegTokens + $SegTokens], ' ')}
+       |          for i in generate_series(0, CAST(ceil(len(tok) / ${SegTokens}.0) AS INT) - 1)]
+       |           AS segs
+       |  FROM t),
+       |seg AS (
+       |  SELECT doc_id, s.pos AS pos, s.seg AS seg
+       |  FROM (SELECT doc_id, unnest(segs) AS s FROM seg0)),
+       |r AS (
+       |  SELECT doc_id, pos, seg,
+       |         min(doc_id) OVER (PARTITION BY md5(seg)) AS d0,
+       |         max(doc_id) OVER (PARTITION BY md5(seg)) AS d1
+       |  FROM seg)
+       |SELECT doc_id,
+       |       COUNT(*) AS n_seg,
+       |       CAST(SUM(CASE WHEN d0 = d1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       md5(COALESCE(string_agg(CASE WHEN d0 = d1 THEN seg END, ' '
+       |                               ORDER BY pos), '')) AS clean_md5
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- BM25 retrieval scoring ---------------------------------------------
 
   /** Query terms for `corpus_bm25` — high-frequency corpus vocabulary so
@@ -619,6 +687,7 @@ object Corpus {
     "text_pii" -> Tables.sql(piiSparkSql),
     "corpus_split" -> Tables.sql(splitSparkSql),
     "corpus_segment_dedup" -> Tables.sql(segmentDedupSparkSql),
+    "corpus_segment_filter" -> Tables.sql(segmentFilterSparkSql),
     "corpus_bm25" -> Tables.sql(bm25SparkSql),
     "corpus_mix" -> Tables.sql(mixSparkSql),
     "corpus_sample" -> Tables.sql(sampleSparkSql),
@@ -632,6 +701,7 @@ object Corpus {
     "text_pii" -> piiDuckSql,
     "corpus_split" -> splitDuckSql,
     "corpus_segment_dedup" -> segmentDedupDuckSql,
+    "corpus_segment_filter" -> segmentFilterDuckSql,
     "corpus_bm25" -> bm25DuckSql,
     "corpus_mix" -> mixDuckSql,
     "corpus_sample" -> sampleDuckSql,

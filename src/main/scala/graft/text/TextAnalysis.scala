@@ -122,6 +122,119 @@ object TextAnalysis {
        |       ELSE 'es' END AS pred
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // same deterministic 8-token segmentation as the corpus segment ops
+  private val SegTokens = Corpus.SegTokens
+
+  /** Segment-level language mixing: language-ID each `SegTokens`-token
+    * window of a document (same deterministic segmentation as the corpus
+    * segment ops), then report the dominant language, its share, and a
+    * mixed-language flag — the curation signal that drops
+    * boilerplate-wrapped translations and code-switched pages that a
+    * whole-doc argmax hides. Scale shape: one posexplode (~tokens/8 rows)
+    * feeding the native one-pass `stopword_hits` kernel per segment and
+    * a doc_id-keyed partial agg — no joins, no windows. */
+  val langidSegmentsSparkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, split(lower(trim(text)), '\\\\s+') AS tok
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id,
+       |         concat_ws(' ', slice(tok, p1 * $SegTokens + 1, $SegTokens)) AS seg,
+       |         stopword_hits(slice(tok, p1 * $SegTokens + 1, $SegTokens)) AS sw
+       |  FROM t
+       |  LATERAL VIEW posexplode(
+       |    sequence(0, greatest(
+       |      CAST(ceil(size(tok) / ${SegTokens}.0) AS INT) - 1, 0))) s AS idx, p1),
+       |c AS (
+       |  SELECT doc_id,
+       |    CASE WHEN seg RLIKE '[\\u4e00-\\u9fff]' THEN 'zh'
+       |         WHEN sw[0] >= sw[1] AND sw[0] >= sw[2] AND sw[0] >= sw[3] THEN 'en'
+       |         WHEN sw[1] >= sw[2] AND sw[1] >= sw[3] THEN 'de'
+       |         WHEN sw[2] >= sw[3] THEN 'fr'
+       |         ELSE 'es' END AS pred
+       |  FROM seg),
+       |a AS (
+       |  SELECT doc_id, COUNT(*) AS n_seg,
+       |    CAST(SUM(CASE WHEN pred = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS c_zh,
+       |    CAST(SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+       |    CAST(SUM(CASE WHEN pred = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS c_de,
+       |    CAST(SUM(CASE WHEN pred = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS c_fr,
+       |    CAST(SUM(CASE WHEN pred = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS c_es
+       |  FROM c GROUP BY doc_id)
+       |SELECT doc_id, n_seg,
+       |  CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+       |       WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+       |       WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+       |       WHEN c_es >= c_zh THEN 'es'
+       |       ELSE 'zh' END AS dom_lang,
+       |  GREATEST(c_en, c_de, c_fr, c_es, c_zh) AS dom_cnt,
+       |  ROUND(CAST(GREATEST(c_en, c_de, c_fr, c_es, c_zh) AS DOUBLE) / n_seg,
+       |        4) AS dom_frac,
+       |  CAST((CASE WHEN c_en > 0 THEN 1 ELSE 0 END) +
+       |       (CASE WHEN c_de > 0 THEN 1 ELSE 0 END) +
+       |       (CASE WHEN c_fr > 0 THEN 1 ELSE 0 END) +
+       |       (CASE WHEN c_es > 0 THEN 1 ELSE 0 END) +
+       |       (CASE WHEN c_zh > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_langs,
+       |  CAST(CASE WHEN GREATEST(c_en, c_de, c_fr, c_es, c_zh) < n_seg
+       |       THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
+       |FROM a ORDER BY doc_id""".stripMargin
+
+  val langidSegmentsDuckSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |seg0 AS (
+       |  SELECT doc_id,
+       |         [tok[i * $SegTokens + 1 : i * $SegTokens + $SegTokens]
+       |          for i in generate_series(0, CAST(ceil(len(tok) / ${SegTokens}.0) AS INT) - 1)]
+       |           AS segs
+       |  FROM t),
+       |seg AS (
+       |  SELECT doc_id, unnest(segs) AS st FROM seg0),
+       |c AS (
+       |  SELECT doc_id,
+       |    CASE WHEN regexp_matches(array_to_string(st, ' '),
+       |                             '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |         WHEN len(list_filter(st, x -> list_contains([$en], x)))
+       |           >= len(list_filter(st, x -> list_contains([$de], x)))
+       |          AND len(list_filter(st, x -> list_contains([$en], x)))
+       |           >= len(list_filter(st, x -> list_contains([$fr], x)))
+       |          AND len(list_filter(st, x -> list_contains([$en], x)))
+       |           >= len(list_filter(st, x -> list_contains([$es], x))) THEN 'en'
+       |         WHEN len(list_filter(st, x -> list_contains([$de], x)))
+       |           >= len(list_filter(st, x -> list_contains([$fr], x)))
+       |          AND len(list_filter(st, x -> list_contains([$de], x)))
+       |           >= len(list_filter(st, x -> list_contains([$es], x))) THEN 'de'
+       |         WHEN len(list_filter(st, x -> list_contains([$fr], x)))
+       |           >= len(list_filter(st, x -> list_contains([$es], x))) THEN 'fr'
+       |         ELSE 'es' END AS pred
+       |  FROM seg),
+       |a AS (
+       |  SELECT doc_id, COUNT(*) AS n_seg,
+       |    CAST(SUM(CASE WHEN pred = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS c_zh,
+       |    CAST(SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+       |    CAST(SUM(CASE WHEN pred = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS c_de,
+       |    CAST(SUM(CASE WHEN pred = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS c_fr,
+       |    CAST(SUM(CASE WHEN pred = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS c_es
+       |  FROM c GROUP BY doc_id)
+       |SELECT doc_id, n_seg,
+       |  CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+       |       WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+       |       WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+       |       WHEN c_es >= c_zh THEN 'es'
+       |       ELSE 'zh' END AS dom_lang,
+       |  GREATEST(c_en, c_de, c_fr, c_es, c_zh) AS dom_cnt,
+       |  ROUND(CAST(GREATEST(c_en, c_de, c_fr, c_es, c_zh) AS DOUBLE) / n_seg,
+       |        4) AS dom_frac,
+       |  CAST((CASE WHEN c_en > 0 THEN 1 ELSE 0 END) +
+       |       (CASE WHEN c_de > 0 THEN 1 ELSE 0 END) +
+       |       (CASE WHEN c_fr > 0 THEN 1 ELSE 0 END) +
+       |       (CASE WHEN c_es > 0 THEN 1 ELSE 0 END) +
+       |       (CASE WHEN c_zh > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_langs,
+       |  CAST(CASE WHEN GREATEST(c_en, c_de, c_fr, c_es, c_zh) < n_seg
+       |       THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
+       |FROM a ORDER BY doc_id""".stripMargin
+
   /** Corpus-level quality score rollup: bucketed composite score. */
   val qualitySparkSql: String =
     """WITH f AS (
@@ -413,6 +526,10 @@ object TextAnalysis {
     "text_langid" -> ((s: SparkSession, d: String) => {
       graft.functions.VecFunctions.register(s); Tables.sql(langidSparkSql)(s, d)
     }),
+    "text_langid_segments" -> ((s: SparkSession, d: String) => {
+      graft.functions.VecFunctions.register(s)
+      Tables.sql(langidSegmentsSparkSql)(s, d)
+    }),
     "text_quality" -> Tables.sql(qualitySparkSql),
     "text_quality_filter" -> Tables.sql(qualityFilterSparkSql),
     "text_decontaminate" -> Tables.sql(decontaminateSparkSql),
@@ -427,6 +544,7 @@ object TextAnalysis {
     "text_tokens" -> tokensDuckSql,
     "text_fingerprint" -> fingerprintDuckSql,
     "text_langid" -> langidDuckSql,
+    "text_langid_segments" -> langidSegmentsDuckSql,
     "text_quality" -> qualityDuckSql,
     "text_quality_filter" -> qualityFilterDuckSql,
     "text_decontaminate" -> decontaminateDuckSql,

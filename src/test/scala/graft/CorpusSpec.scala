@@ -136,6 +136,36 @@ class CorpusSpec extends AnyFunSuite {
     out.unpersist(false)
   }
 
+  test("corpus_segment_filter drops every occurrence of cross-doc segments") {
+    Tables.register(spark, sf)
+    val out = text.Corpus.queries("corpus_segment_filter")(spark, sf).cache()
+    val dedup = text.Corpus.queries("corpus_segment_dedup")(spark, sf)
+      .select(col("doc_id"), col("n_kept").as("dedup_kept")).cache()
+    // filter is strictly stronger than dedup: dedup keeps ONE instance
+    // of each cross-doc segment, filter keeps NONE
+    val j = out.join(dedup, "doc_id").cache()
+    assert(j.where(col("n_kept") > col("dedup_kept")).count() == 0,
+      "filter kept a segment dedup dropped")
+    // non-vacuous both ways: some doc loses segments, some keeps all
+    assert(out.where(col("n_kept") < col("n_seg")).count() > 0,
+      "filter was vacuous: no cross-doc boilerplate found")
+    assert(out.where(col("n_kept") === col("n_seg")).count() > 0,
+      "every document lost a segment — corpus cannot be all boilerplate")
+    // a fully-duplicated doc's segments are cross-doc by definition: its
+    // filtered count must be 0 while dedup kept them once globally
+    // (exact dups may be absent at the smallest scale factors)
+    val dupRow = spark.sql(
+      """SELECT min(doc_id) AS d FROM (
+        |  SELECT md5(text) AS h, min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(text) HAVING COUNT(*) > 1)""".stripMargin).head()
+    if (!dupRow.isNullAt(0)) {
+      val dupDoc = dupRow.getLong(0)
+      assert(out.where(col("doc_id") === dupDoc).head().getLong(2) == 0,
+        s"duplicated doc $dupDoc retained segments through the filter")
+    }
+    j.unpersist(false); dedup.unpersist(false); out.unpersist(false)
+  }
+
   test("corpus_bm25 scores are finite, non-negative, non-vacuous") {
     val out = text.Corpus.queries("corpus_bm25")(spark, sf).cache()
     assert(out.where(col("bm25") < 0 || isnan(col("bm25"))).count() == 0)

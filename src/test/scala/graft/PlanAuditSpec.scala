@@ -30,6 +30,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "corpus_sample" -> Set("doc_id", "lang"),
       "dedup_exact" -> Set("doc_id", "text"),
       "text_langid" -> Set("doc_id", "lang", "text"),
+      "text_langid_segments" -> Set("doc_id", "text"),
+      "corpus_segment_filter" -> Set("doc_id", "text"),
       "text_entropy" -> Set("doc_id", "text"),
       "corpus_js_divergence" -> Set("source", "text"))
     expected.foreach { case (name, cols) =>

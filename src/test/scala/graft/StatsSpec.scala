@@ -98,6 +98,31 @@ class StatsSpec extends AnyFunSuite {
     assert(long.getSeq[Long](0) == long.getSeq[Long](1))
   }
 
+  test("langid_segments: frac bounds, counts consistent, agrees with " +
+    "whole-doc langid on single-language docs") {
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, sf)
+    val seg = SparkEntry.queries("text_langid_segments")(spark, sf).cache()
+    assert(seg.where(col("dom_cnt") > col("n_seg")).count() == 0)
+    assert(seg.where(col("dom_frac") <= 0 || col("dom_frac") > 1).count() == 0)
+    // is_mixed <=> dominant share < 1 <=> more than one language seen
+    assert(seg.where((col("is_mixed") === 1) =!=
+      (col("n_langs") > 1)).count() == 0)
+    // a doc whose every segment voted one language must get the same
+    // verdict from the whole-doc argmax ONLY when that language is the
+    // whole doc's too — sanity: pure docs dominate the corpus, and for
+    // them the two operators must agree
+    val whole = SparkEntry.queries("text_langid")(spark, sf)
+      .select(col("doc_id"), col("pred"))
+    val pure = seg.where(col("n_langs") === 1).join(whole, "doc_id")
+    assert(pure.count() > 0, "no single-language docs — corpus degenerate")
+    val agree = pure.where(col("dom_lang") === col("pred")).count().toDouble /
+      pure.count()
+    assert(agree > 0.9,
+      s"segment-level and whole-doc language ID agree on only $agree")
+    seg.unpersist(false)
+  }
+
   test("token entropy is in [0, ln(n_types)] and ttr in (0,1]") {
     Tables.register(spark, sf)
     val rows = spark.sql(text.TextAnalysis.entropySparkSql).collect()
