@@ -432,6 +432,50 @@ final case class LoadResult(tiles: DataFrame, geobox: GeoBox,
     n.value
   }
 
+  /** Distributed Zarr v2 export sink: the loaded cube becomes ONE store
+    * with a variable per (band, time index) (`<band>_t<tIdx>`). The
+    * driver writes only the store metadata (`.zarray`/`.zattrs` per
+    * variable — a few hundred bytes); every chunk file is written
+    * executor-side by the task holding that tile, coordination-free
+    * because zarr chunks are independent objects — the exact shape
+    * xarray/dask use to commit a store, and the scale-true one at
+    * 100 TB (no plane assembly, no shuffle, no driver pixel traffic).
+    * Load tiles are chunk-grid-aligned by construction (F14), so tile
+    * (ty, tx) IS chunk (cy, cx); `chunk` must equal the load's chunk
+    * size. Reads straight back through [[graft.raster.ZarrReader]].
+    * Returns the number of chunk files written. */
+  def exportZarr(store: String, chunk: Int, zlib: Boolean = false): Long = {
+    val gbox = geobox
+    // variable metadata: one tiny row per (band, tIdx)
+    tiles.select("band", "tIdx", "dtype", "nodata").distinct().collect()
+      .foreach { r =>
+        val nodata = r.getAs[Double]("nodata")
+        graft.raster.Zarr.writeMeta(store,
+          s"${r.getAs[String]("band")}_t${r.getAs[Int]("tIdx")}", gbox,
+          r.getAs[String]("dtype"),
+          if (nodata.isNaN) None else Some(nodata), chunk, zlib)
+      }
+    val n = tiles.sparkSession.sparkContext.longAccumulator("zarr_chunks")
+    tiles.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      it.foreach { row =>
+        val w = row.getAs[Int]("width"); val h = row.getAs[Int]("height")
+        val ty = row.getAs[Int]("ty"); val tx = row.getAs[Int]("tx")
+        require(row.getAs[Int]("x0") == tx.toLong * chunk &&
+          row.getAs[Int]("y0") == ty.toLong * chunk,
+          s"tile ($ty,$tx) is not aligned to the $chunk-edge chunk grid — " +
+            "exportZarr needs chunk == the load's chunk size")
+        val dtype = row.getAs[String]("dtype")
+        val nodata = row.getAs[Double]("nodata")
+        graft.raster.Zarr.writeChunk(store,
+          s"${row.getAs[String]("band")}_t${row.getAs[Int]("tIdx")}",
+          ty, tx, Fuse.decode(row.getAs[Array[Byte]]("data"), dtype),
+          w, h, chunk, dtype, if (nodata.isNaN) 0.0 else nodata, zlib)
+        n.add(1)
+      }
+    }
+    n.value
+  }
+
   /** Driver-side dense assembly for tests/small outputs (S10 analog). */
   def assemble(band: String, tIdx: Int): Array[Double] = {
     val out = new Array[Double](geobox.width * geobox.height)

@@ -222,12 +222,13 @@ object Zarr {
       .sortBy(_._1).toSeq
   }
 
-  /** Write one variable (creating the store as needed). `chunk` is the
-    * square chunk edge; `zlib` enables the zlib compressor. */
-  def write(store: String, variable: String, pixels: Array[Double],
-            geobox: GeoBox, dtype: String, nodata: Option[Double],
-            chunk: Int = 64, zlib: Boolean = false): Unit = {
-    require(pixels.length == geobox.width * geobox.height)
+  /** Store + variable metadata only (`.zgroup`/`.zarray`/`.zattrs`) —
+    * the driver-side half of a distributed write: metadata is written
+    * once, chunk files are written by whoever holds the data
+    * ([[writeChunk]]), exactly how xarray/dask commit a zarr store. */
+  def writeMeta(store: String, variable: String, geobox: GeoBox,
+                dtype: String, nodata: Option[Double],
+                chunk: Int = 64, zlib: Boolean = false): Unit = {
     require(!variable.contains("#") && !variable.contains("/"),
       s"invalid variable name '$variable'")
     val zdt = DtypeToZarr.getOrElse(dtype,
@@ -251,45 +252,71 @@ object Zarr {
     Files.write(vdir.resolve(".zattrs"),
       s"""{"transform": [${t.a}, ${t.b}, ${t.c}, ${t.d}, ${t.e}, ${t.f}],
          | "crs": "${geobox.crs.code}"$nd}""".stripMargin.getBytes("UTF-8"))
+  }
+
+  /** Write ONE chunk file from a `w`x`h` tile (smaller than the chunk
+    * edge only at array edges — zarr chunk files are always full-size,
+    * padded with fill). Safe to call concurrently across chunks: each
+    * chunk is its own file, which is what makes the distributed write
+    * coordination-free. */
+  def writeChunk(store: String, variable: String, cy: Int, cx: Int,
+                 tile: Array[Double], w: Int, h: Int, chunk: Int,
+                 dtype: String, fill: Double, zlib: Boolean = false): Unit = {
+    require(tile.length == w * h && w <= chunk && h <= chunk,
+      s"chunk ($cy,$cx): ${w}x$h tile does not fit a $chunk-edge chunk")
     val px = Grb.dtypeSize(dtype)
+    val buf = ByteBuffer.allocate(chunk * chunk * px)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    var y = 0
+    while (y < chunk) {
+      var x = 0
+      while (x < chunk) {
+        putPixel(buf, dtype, if (y < h && x < w) tile(y * w + x) else fill)
+        x += 1
+      }
+      y += 1
+    }
+    val bytes =
+      if (!zlib) buf.array()
+      else {
+        val defl = new java.util.zip.Deflater(6)
+        defl.setInput(buf.array())
+        defl.finish()
+        // zlib worst case: input + ~5 B per 16 KiB block + header
+        val outB = new Array[Byte](
+          buf.array().length + buf.array().length / 1000 + 128)
+        val n = defl.deflate(outB)
+        defl.end()
+        java.util.Arrays.copyOf(outB, n)
+      }
+    Files.write(Paths.get(store, variable).resolve(s"$cy.$cx"), bytes)
+  }
+
+  /** Write one variable (creating the store as needed). `chunk` is the
+    * square chunk edge; `zlib` enables the zlib compressor. */
+  def write(store: String, variable: String, pixels: Array[Double],
+            geobox: GeoBox, dtype: String, nodata: Option[Double],
+            chunk: Int = 64, zlib: Boolean = false): Unit = {
+    require(pixels.length == geobox.width * geobox.height)
+    writeMeta(store, variable, geobox, dtype, nodata, chunk, zlib)
+    val fill = nodata.getOrElse(0.0)
     val nCy = (geobox.height + chunk - 1) / chunk
     val nCx = (geobox.width + chunk - 1) / chunk
     var cy = 0
     while (cy < nCy) {
       var cx = 0
       while (cx < nCx) {
-        val buf = ByteBuffer.allocate(chunk * chunk * px)
-          .order(ByteOrder.LITTLE_ENDIAN)
+        val w = math.min(chunk, geobox.width - cx * chunk)
+        val h = math.min(chunk, geobox.height - cy * chunk)
+        val tile = new Array[Double](w * h)
         var y = 0
-        while (y < chunk) {
-          var x = 0
-          while (x < chunk) {
-            val gy = cy * chunk + y
-            val gx = cx * chunk + x
-            // edge chunks are full-size, padded with fill (zarr layout)
-            val v =
-              if (gy < geobox.height && gx < geobox.width)
-                pixels(gy * geobox.width + gx)
-              else nodata.getOrElse(0.0)
-            putPixel(buf, dtype, v)
-            x += 1
-          }
+        while (y < h) {
+          System.arraycopy(pixels, (cy * chunk + y) * geobox.width + cx * chunk,
+            tile, y * w, w)
           y += 1
         }
-        val bytes =
-          if (!zlib) buf.array()
-          else {
-            val defl = new java.util.zip.Deflater(6)
-            defl.setInput(buf.array())
-            defl.finish()
-            // zlib worst case: input + ~5 B per 16 KiB block + header
-            val outB = new Array[Byte](
-              buf.array().length + buf.array().length / 1000 + 128)
-            val n = defl.deflate(outB)
-            defl.end()
-            java.util.Arrays.copyOf(outB, n)
-          }
-        Files.write(vdir.resolve(s"$cy.$cx"), bytes)
+        writeChunk(store, variable, cy, cx, tile, w, h, chunk, dtype, fill,
+          zlib)
         cx += 1
       }
       cy += 1

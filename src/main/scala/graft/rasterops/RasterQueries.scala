@@ -301,6 +301,39 @@ object RasterQueries {
       .orderBy("band")
   }
 
+  /** S10 sink, zarr face: distributed chunk export of the loaded cube
+    * (driver writes only store metadata; every chunk file is written by
+    * the task holding that tile), then a distributed read-back through
+    * the Zarr module — per-variable valid counts and totals must match
+    * the COG export's per-band totals (same cube, different container). */
+  def zarrExport(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val store = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_zarr_export.zarr").toString
+    res.exportZarr(store, chunk = 64)
+    val vars = graft.raster.Zarr.variables(store)
+    spark.createDataset(vars).repartition(vars.size).map { v =>
+      val hdr = graft.raster.Zarr.readHeader(s"$store#$v")
+      val px = graft.raster.Zarr.readWindow(s"$store#$v",
+        0, 0, hdr.width, hdr.height)
+      val nd = hdr.nodata.getOrElse(Double.NaN)
+      var valid = 0L; var total = 0.0
+      var i = 0
+      while (i < px.length) {
+        val x = px(i)
+        if (!x.isNaN && x != nd) { valid += 1; total += x }
+        i += 1
+      }
+      val nChunks = Option(new java.io.File(s"$store/$v").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(f => f.getName.matches("\\d+\\.\\d+"))
+      (v, nChunks, valid, math.rint(total * 100) / 100)
+    }.toDF("variable", "n_chunks", "n_valid", "total").orderBy("variable")
+  }
+
   /** S14 product inference: collection metadata -> ODC product doc. */
   def eo3Product(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -354,6 +387,7 @@ object RasterQueries {
     "raster_grb_source_sql" -> ((s, _) => grbSourceSql(s)),
     "raster_gtiff_source_sql" -> ((s, _) => gtiffSourceSql(s)),
     "raster_cog_export" -> ((s, _) => cogExport(s)),
+    "raster_zarr_export" -> ((s, _) => zarrExport(s)),
     "raster_load_mosaic" -> ((s, _) => loadMosaic(s)),
     "raster_load_tiff" -> ((s, _) => loadTiff(s)),
     "raster_load_zarr" -> ((s, _) => loadZarr(s)),

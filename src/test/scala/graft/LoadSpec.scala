@@ -423,6 +423,29 @@ class LoadSpec extends AnyFunSuite {
     assert(nc.nonEmpty && nc == grb)
   }
 
+  test("zarr export: distributed chunks read back pixel-identical to assemble") {
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_zarr_exp").resolve("cube.zarr").toString
+    val nChunks = res.exportZarr(store, chunk = 64)
+    assert(nChunks == res.tiles.count(), "one chunk file per tile row")
+    val tIdxs = res.times.indices
+    for (band <- Seq("red", "nir"); t <- tIdxs) {
+      val plane = res.assemble(band, t) // NaN where no tile covered
+      val hdr = graft.raster.Zarr.readHeader(s"$store#${band}_t$t")
+      assert(hdr.geobox == res.geobox && hdr.nodata.contains(0.0))
+      val got = graft.raster.Zarr.readWindow(s"$store#${band}_t$t",
+        0, 0, hdr.width, hdr.height)
+      var i = 0
+      while (i < got.length) {
+        val want = if (plane(i).isNaN) 0.0 else plane(i) // fill for holes
+        assert(got(i) == want, s"$band t$t pixel $i: ${got(i)} != $want")
+        i += 1
+      }
+    }
+  }
+
   test("COG tile export: pixel-exact, georeferenced, reads back via gtiff") {
     val res = Load.load(spark, items, schemas, bands = Seq("red"),
       groupby = "solar_day", chunks = 64)
