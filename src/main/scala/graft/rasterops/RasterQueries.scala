@@ -280,6 +280,40 @@ object RasterQueries {
       .orderBy("uri")
   }
 
+  /** Unified `raster` DSv2 table over a MIXED container directory (GRB +
+    * tiled GeoTIFF + zarr store + netCDF of the same scenes): per-format
+    * per-band totals over an ROI must agree format-to-format — one SQL
+    * surface, four container encodings, same pixels. */
+  def anySourceSql(spark: SparkSession): DataFrame = {
+    val mix = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_mix_src").toString
+    new java.io.File(mix).mkdirs()
+    // one scene, all four container faces, written once (idempotent)
+    val g = Fixtures.sceneGeobox(0)
+    val red = Fixtures.scenePixels(0)
+    val nir = red.map(v => if (v != 0.0) v + 5000 else v)
+    if (!new java.io.File(s"$mix/scene0.nc").exists()) {
+      graft.raster.Grb.writeWithOverviews(s"$mix/scene0-red.grb", red, g,
+        "uint16", Some(0.0))
+      graft.raster.Tiff.write(s"$mix/scene0-red.tif", red, g,
+        "uint16", Some(0.0), tileSize = Some(64))
+      graft.raster.Zarr.write(s"$mix/scene0.zarr", "red", red, g,
+        "uint16", Some(0.0))
+      graft.raster.Zarr.write(s"$mix/scene0.zarr", "nir", nir, g,
+        "uint16", Some(0.0), zlib = true)
+      graft.raster.NetCdf.write(s"$mix/scene0.nc",
+        Seq("red" -> red, "nir" -> nir), g, "int16", Some(0.0))
+    }
+    spark.read.format("raster").load(mix)
+      .where(col("x") < 96 && col("y") >= 8 && col("value") =!= 0)
+      .groupBy("uri")
+      .agg(count(lit(1)).as("n_valid"),
+        round(avg(col("value")), 2).as("mean"),
+        round(sum(col("value")), 2).as("total"))
+      .withColumn("uri", regexp_extract(col("uri"), "([^/]+)$", 1))
+      .orderBy("uri")
+  }
+
   /** S10 sink analog at scale: the fused cube exported as per-tile
     * georeferenced COGs (executor-side, zero-shuffle, no driver
     * assembly), then read BACK through the gtiff DSv2 table — the full
@@ -386,6 +420,7 @@ object RasterQueries {
     "raster_eo3_product" -> ((s, _) => eo3Product(s)),
     "raster_grb_source_sql" -> ((s, _) => grbSourceSql(s)),
     "raster_gtiff_source_sql" -> ((s, _) => gtiffSourceSql(s)),
+    "raster_any_source_sql" -> ((s, _) => anySourceSql(s)),
     "raster_cog_export" -> ((s, _) => cogExport(s)),
     "raster_zarr_export" -> ((s, _) => zarrExport(s)),
     "raster_load_mosaic" -> ((s, _) => loadMosaic(s)),
