@@ -275,6 +275,15 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     VecFunctions.register(spark)
     val (centroids, assigned) = ivfIndex(spark, dir)
+    ivfTopKFrom(centroids, assigned)
+  }
+
+  /** Probe + re-rank over an explicit index — the same path serves the
+    * session-built index and one reloaded from a persisted layout
+    * ([[saveIvfIndex]]/[[loadIvfIndex]]). */
+  private[graft] def ivfTopKFrom(
+      centroids: Array[org.apache.spark.ml.linalg.Vector],
+      assigned: DataFrame): DataFrame = {
     val k = centroids.length
     // per-query probe list: top ⌈ProbeFraction·k⌉ centroids by COSINE —
     // the probe ranking must match the re-rank metric, or the cells
@@ -311,6 +320,55 @@ object Similarity {
       .where(col("rn") <= K)
       .select(col("qid"), col("cid"), col("rn"), round(col("cos"), 4).as("cos"))
       .orderBy("qid", "rn")
+  }
+
+  /** Round-trip the persisted-index layout: save, reload, and emit
+    * per-cell occupancy from BOTH the session index and the reloaded
+    * one (they must agree row-for-row) plus the centroid count. */
+  def indexPersist(spark: SparkSession, dir: String): DataFrame = {
+    VecFunctions.register(spark)
+    val path = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_ivf_index").toString
+    saveIvfIndex(spark, dir, path)
+    val (cents, assigned) = loadIvfIndex(spark, path)
+    val live = cellCounts(spark, dir).toDF("cell", "n_live")
+    val re = assigned.groupBy("cell").agg(count(lit(1)).as("n_reloaded"))
+      .select(col("cell").cast("int").as("cell"), col("n_reloaded"))
+    live.join(re, Seq("cell"), "full_outer")
+      .select(col("cell"), col("n_live"), col("n_reloaded"),
+        lit(cents.length).as("n_centroids"))
+      .orderBy("cell")
+  }
+
+  /** Persist the IVF index as its 100 TB layout: a tiny `centroids`
+    * parquet (one row per cell) plus a `cells` parquet PARTITIONED BY
+    * the cell assignment — so a probe of p cells reads exactly p
+    * partition directories (plan-time partition pruning), and the index
+    * is a standing artifact instead of a per-session rebuild. The
+    * streaming ingest (`stream_ann_ingest`) appends to the same layout:
+    * map-side cell assignment + partitioned append. */
+  def saveIvfIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    import spark.implicits._
+    val (centroids, assigned) = ivfIndex(spark, dir)
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells")
+  }
+
+  /** Reload a persisted index in the exact shape [[ivfTopKFrom]] probes. */
+  def loadIvfIndex(spark: SparkSession, path: String)
+  : (Array[org.apache.spark.ml.linalg.Vector], DataFrame) = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => org.apache.spark.ml.linalg.Vectors.dense(
+        r.getSeq[Double](1).toArray))
+    val assigned = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), col("embedding"),
+        col("cell").cast("int").as("cell"))
+    (centroids, assigned)
   }
 
   // ---- IVF-PQ (product quantization over coarse-cell residuals) ----------
@@ -719,6 +777,7 @@ object Similarity {
     "sim_lsh_topk" -> ((s, d) => lshTopK(s, d)),
     "sim_ivfpq_topk" -> ((s, d) => ivfPqTopK(s, d)),
     "sim_ann_recall" -> ((s, d) => annRecall(s, d)),
+    "sim_index_persist" -> ((s, d) => indexPersist(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => nearDupPairs(s, d)),
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "embed_quantize" -> Tables.sql(quantizeSparkSql),

@@ -177,6 +177,28 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("persisted IVF index: reload reproduces top-k; probes prune " +
+    "cell partitions at plan time") {
+    Tables.register(spark, sf)
+    functions.VecFunctions.register(spark)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_persist").toString
+    similarity.Similarity.saveIvfIndex(spark, sf, path)
+    val (cents, assigned) = similarity.Similarity.loadIvfIndex(spark, path)
+    // identical probe results from the reloaded layout
+    val live = similarity.Similarity.ivfTopK(spark, sf).collect().toSeq
+    val reloaded = similarity.Similarity.ivfTopKFrom(cents, assigned)
+      .collect().toSeq
+    assert(reloaded == live, "reloaded index changed the top-k results")
+    // the layout IS the scale story: a cell predicate must reach the
+    // parquet scan as a partition filter (probing p cells reads p dirs)
+    val plan = spark.read.parquet(s"$path/cells")
+      .where("cell = 0").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      s"cell predicate not a partition filter:\n$plan")
+  }
+
   test("IVF-PQ top-k recall stays close to plain IVF after 16x compression") {
     Tables.register(spark, sf)
     functions.VecFunctions.register(spark)
