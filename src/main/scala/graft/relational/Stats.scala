@@ -1,7 +1,9 @@
 package graft.relational
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
 
 /** ANALYZE-style table statistics — the numbers a cost-based optimizer
   * and a pipeline health dashboard both read: per-column row count,
@@ -81,9 +83,97 @@ object Stats {
   val quantilesDuckSql: String =
     quantiles((c, p) => s"ROUND(quantile_cont($c, $p), 2)")
 
+  // ---- count-min sketch heavy hitters -------------------------------------
+
+  /** Sketch geometry: depth 4 × width 1024 = 32 KB of state regardless
+    * of corpus size — the token-frequency summary that replaces an
+    * exact vocabulary-sized group-by at 100 TB. Overcount bound
+    * e·N/width per row, min over 4 rows. */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Row-d bucket of a token: seeded MurmurHash3 — deterministic across
+    * JVMs and partitionings. */
+  def cmsIdx(tok: String, d: Int): Int =
+    (scala.util.hashing.MurmurHash3.stringHash(tok, d) & 0x7fffffff) % CmsWidth
+
+  final case class CmsBuf(var table: Array[Long])
+
+  /** Mergeable count-min sketch as a typed [[Aggregator]]: each
+    * partition folds its tokens into a private 32 KB table map-side and
+    * partials merge element-wise — one pass, no shuffle of token rows,
+    * the exact shape a 1000-executor corpus scan needs. */
+  class TokenCms extends Aggregator[String, CmsBuf, CmsBuf]
+      with Serializable {
+    override def zero: CmsBuf = CmsBuf(null)
+    override def reduce(b: CmsBuf, tok: String): CmsBuf = {
+      if (b.table == null) b.table = new Array[Long](CmsDepth * CmsWidth)
+      var d = 0
+      while (d < CmsDepth) {
+        b.table(d * CmsWidth + cmsIdx(tok, d)) += 1
+        d += 1
+      }
+      b
+    }
+    override def merge(a: CmsBuf, c: CmsBuf): CmsBuf = {
+      if (a.table == null) return c
+      if (c.table == null) return a
+      var i = 0
+      while (i < a.table.length) { a.table(i) += c.table(i); i += 1 }
+      a
+    }
+    override def finish(b: CmsBuf): CmsBuf =
+      if (b.table == null) CmsBuf(new Array[Long](CmsDepth * CmsWidth)) else b
+    override def bufferEncoder: Encoder[CmsBuf] = Encoders.product[CmsBuf]
+    override def outputEncoder: Encoder[CmsBuf] = Encoders.product[CmsBuf]
+  }
+
+  /** One-pass corpus token sketch (bounded driver traffic: 32 KB). */
+  private[graft] def tokenSketch(spark: SparkSession, dir: String): Array[Long] = {
+    Tables.register(spark, dir)
+    import spark.implicits._
+    spark.sql(
+      """SELECT explode(split(lower(trim(text)), '\\s+')) AS tok
+        |FROM documents""".stripMargin)
+      .as[String].select(new TokenCms().toColumn).head().table
+  }
+
+  /** Sketch-estimated heavy hitters, self-validating: top-20 tokens by
+    * CMS estimate with the exact count alongside. The `exact` column
+    * exists to make the check non-vacuous (est >= exact always, small
+    * bounded overcount); at scale the sketch answers point queries and
+    * feeds threshold alerts WITHOUT the vocabulary group-by this
+    * validation column needs. The point-estimate probe is a udf over
+    * the vocabulary-sized distinct-token table — off the corpus-scan
+    * hot path by construction. */
+  def heavyHittersSketch(spark: SparkSession, dir: String): DataFrame = {
+    val sketch = tokenSketch(spark, dir)
+    val bc = spark.sparkContext.broadcast(sketch)
+    val estU = udf { tok: String =>
+      var m = Long.MaxValue
+      var d = 0
+      while (d < CmsDepth) {
+        val v = bc.value(d * CmsWidth + cmsIdx(tok, d))
+        if (v < m) m = v
+        d += 1
+      }
+      m
+    }
+    spark.sql(
+      """SELECT tok, COUNT(*) AS exact FROM (
+        |  SELECT explode(split(lower(trim(text)), '\\s+')) AS tok
+        |  FROM documents)
+        |GROUP BY tok""".stripMargin)
+      .withColumn("est", estU(col("tok")))
+      .orderBy(desc("est"), asc("tok")).limit(20)
+      .select(col("tok"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("overcount"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_table" -> Tables.sql(statsSparkSql),
-    "stats_quantiles" -> Tables.sql(quantilesSparkSql))
+    "stats_quantiles" -> Tables.sql(quantilesSparkSql),
+    "text_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "stats_table" -> statsDuckSql,

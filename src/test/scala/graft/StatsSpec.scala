@@ -98,6 +98,32 @@ class StatsSpec extends AnyFunSuite {
     assert(long.getSeq[Long](0) == long.getSeq[Long](1))
   }
 
+  test("count-min sketch: mass conserved per row, est >= exact always, " +
+    "exact top-10 inside sketch top-20") {
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, sf)
+    val sketch = relational.Stats.tokenSketch(spark, sf)
+    val nTokens = spark.sql(
+      """SELECT SUM(size(split(lower(trim(text)), '\\s+')))
+        |FROM documents""".stripMargin).head().getLong(0)
+    // every token increments exactly one bucket per depth row
+    for (d <- 0 until relational.Stats.CmsDepth) {
+      val rowMass = sketch.slice(d * relational.Stats.CmsWidth,
+        (d + 1) * relational.Stats.CmsWidth).sum
+      assert(rowMass == nTokens, s"depth $d mass $rowMass != $nTokens")
+    }
+    // CMS never undercounts (deterministic invariant, not probabilistic)
+    val top = relational.Stats.heavyHittersSketch(spark, sf).cache()
+    assert(top.where(col("overcount") < 0).count() == 0)
+    // exact heavy hitters must all surface among the sketch's top-20
+    val exactTop = SparkEntry.queries("text_heavy_hitters")(spark, sf)
+      .limit(10).select("w").collect().map(_.getString(0)).toSet
+    val sketchTop = top.select("tok").collect().map(_.getString(0)).toSet
+    assert(exactTop.subsetOf(sketchTop),
+      s"missed hitters: ${exactTop -- sketchTop}")
+    top.unpersist(false)
+  }
+
   test("langid_segments: frac bounds, counts consistent, agrees with " +
     "whole-doc langid on single-language docs") {
     import org.apache.spark.sql.functions._
