@@ -146,8 +146,14 @@ object Stats {
     * validation column needs. The point-estimate probe is a udf over
     * the vocabulary-sized distinct-token table — off the corpus-scan
     * hot path by construction. */
-  def heavyHittersSketch(spark: SparkSession, dir: String): DataFrame = {
-    val sketch = tokenSketch(spark, dir)
+  def heavyHittersSketch(spark: SparkSession, dir: String): DataFrame =
+    topFromSketch(spark, dir, tokenSketch(spark, dir))
+
+  /** Top-20 by CMS estimate with exact counts alongside — shared by the
+    * batch sketch and the microbatch-merged streaming sketch. */
+  private[graft] def topFromSketch(spark: SparkSession, dir: String,
+                                   sketch: Array[Long]): DataFrame = {
+    Tables.register(spark, dir)
     val bc = spark.sparkContext.broadcast(sketch)
     val estU = udf { tok: String =>
       var m = Long.MaxValue

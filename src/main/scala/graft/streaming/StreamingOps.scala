@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -380,6 +380,43 @@ object StreamingOps {
       .orderBy("cell")
   }
 
+  /** Streaming heavy hitters: each microbatch folds its tokens into a
+    * private count-min sketch (the [[graft.relational.Stats.TokenCms]]
+    * Aggregator) and the driver merges the 32 KB partials element-wise —
+    * sketch mergeability is exactly what makes heavy-hitter monitoring
+    * stream-able: state is O(sketch), never O(vocabulary), and the
+    * merged sketch is BIT-IDENTICAL to the one-pass batch sketch
+    * (spec-pinned), so alerts fire on the same numbers either way. A
+    * multi-file landing zone + maxFilesPerTrigger=1 forces real
+    * microbatches. */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+      withStreamPartitions(spark, 8) {
+    import graft.relational.Stats
+    import spark.implicits._
+    val stage = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_stream_docs_${dir.hashCode & 0x7fffffff}").toString
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      graft.Tables.load(spark, dir, "documents").select("doc_id", "text")
+        .repartition(4).write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val merged = new Array[Long](Stats.CmsDepth * Stats.CmsWidth)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val sk = batch
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .as[String].select(new Stats.TokenCms().toColumn).head().table
+        var i = 0
+        while (i < merged.length) { merged(i) += sk(i); i += 1 }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Stats.topFromSketch(spark, dir, merged)
+  }
+
   val streamJoinOracle: String =
     """SELECT p.event_id AS p_id, v.event_id AS v_id
       |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
@@ -437,7 +474,8 @@ object StreamingOps {
     "stream_sessionize" -> ((s, d) => sessionize(s, d)),
     "stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "stream_join" -> ((s, d) => streamJoin(s, d)),
-    "stream_ann_ingest" -> ((s, d) => streamAnnIngest(s, d))
+    "stream_ann_ingest" -> ((s, d) => streamAnnIngest(s, d)),
+    "stream_heavy_hitters" -> ((s, d) => streamHeavyHitters(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -124,6 +124,18 @@ class StatsSpec extends AnyFunSuite {
     top.unpersist(false)
   }
 
+  test("streaming CMS merges to the batch sketch's exact answers") {
+    Tables.register(spark, sf)
+    // microbatch-merged sketch and one-pass batch sketch must produce
+    // identical top-20 rows (merge associativity — the property that
+    // makes heavy-hitter monitoring stream-able with O(sketch) state)
+    val streamed = streaming.StreamingOps.queries(
+      "stream_heavy_hitters")(spark, sf).collect().toSeq
+    val batch = relational.Stats.heavyHittersSketch(spark, sf)
+      .collect().toSeq
+    assert(streamed == batch, "streamed sketch diverged from batch sketch")
+  }
+
   test("langid_segments: frac bounds, counts consistent, agrees with " +
     "whole-doc langid on single-language docs") {
     import org.apache.spark.sql.functions._
