@@ -32,6 +32,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_langid" -> Set("doc_id", "lang", "text"),
       "text_langid_segments" -> Set("doc_id", "text"),
       "corpus_segment_filter" -> Set("doc_id", "text"),
+      "text_heavy_hitters_sketch" -> Set("text"),
       "text_entropy" -> Set("doc_id", "text"),
       "corpus_js_divergence" -> Set("source", "text"))
     expected.foreach { case (name, cols) =>
