@@ -365,6 +365,25 @@ object Relational {
       |GROUP BY c.cohort, datediff('day', c.cohort, e.d)
       |ORDER BY cohort, day_offset""".stripMargin
 
+  /** Explicit GROUPING SETS with grouping_id — the grouping shape
+    * rollup (q15) and cube (q16) don't cover: a hand-picked set of
+    * grouping combinations, disambiguated by GROUPING() flags (the
+    * NULL-vs-aggregated distinction every BI layer needs). One pass,
+    * partial-agg per set; identical SQL runs in both engines. */
+  private val groupingSetsSql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+      |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+      |       COUNT(*) AS n,
+      |       -- ROUND before CAST: Spark's double->BIGINT cast truncates,
+      |       -- DuckDB's rounds; rounding first makes them agree
+      |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+      |                        (o_orderpriority), (o_orderstatus))
+      |ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus""".stripMargin
+
   /** Ordered funnel with a bounded conversion window: first view, then
     * earliest click within 1 day of it, then earliest purchase within
     * 1 day of that click. Per-user stage times are MIN-aggregates over
@@ -396,6 +415,7 @@ object Relational {
       ("q27_skew_salted_join" -> (saltedJoinQuery _)) +
       ("q33_upsert" -> (upsertQuery _)) +
       ("q34_incremental_agg" -> (incrementalAggQuery _)) +
+      ("q35_grouping_sets" -> Tables.sql(groupingSetsSql)) +
       ("q36_retention_cohort" -> Tables.sql(retentionSparkSql)) +
       ("q37_funnel" -> Tables.sql(funnelSql)) ++
       TemporalJoins.queries
@@ -405,6 +425,7 @@ object Relational {
       ("q27_skew_salted_join" -> saltedJoinOracle) +
       ("q33_upsert" -> upsertOracle) +
       ("q34_incremental_agg" -> incrementalAggOracle) +
+      ("q35_grouping_sets" -> groupingSetsSql) +
       ("q36_retention_cohort" -> retentionOracle) +
       ("q37_funnel" -> funnelSql) ++
       TemporalJoins.oracleSql
