@@ -113,6 +113,16 @@ object Relational {
         |  FROM orders) t
         |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin),
 
+    Q("q38_window_distribution",
+      """SELECT o_orderpriority, o_orderkey,
+        |       NTILE(4) OVER w AS quartile,
+        |       ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        |       ROUND(CUME_DIST() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, pr, o_orderkey""".stripMargin),
+
     Q("q18_window_frame",
       """SELECT o_orderkey,
         |       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
