@@ -80,12 +80,16 @@ object HashKernels {
     }
     def hashJoined(from: Int, count: Int, buf: Array[Byte]): Long = {
       var off = 0
+      var wrote = false
       var j = from
       while (j < from + count) {
         if (toks(j) != null) {
-          if (off > 0) { buf(off) = ' '; off += 1 }
+          // separator decision must be value-based like concat_ws: an
+          // empty-string token writes 0 bytes but still earns a separator
+          if (wrote) { buf(off) = ' '; off += 1 }
           toks(j).writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + off)
           off += toks(j).numBytes
+          wrote = true
         }
         j += 1
       }

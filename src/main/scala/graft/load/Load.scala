@@ -131,9 +131,14 @@ object Load {
     val entry = progressRegistry.get(id)
     if (entry != null) entry.synchronized {
       val (ctr, total, cb) = entry
-      val done = math.min(ctr.incrementAndGet(), total)
+      // total < 0: distributed-binning mode — the bin count is only known
+      // as tasks drain, so the hook receives (done, -1) and the entry is
+      // reclaimed by the registry cap rather than self-removal
+      val done =
+        if (total < 0) ctr.incrementAndGet()
+        else math.min(ctr.incrementAndGet(), total)
       cb(done, total)
-      if (done >= total) progressRegistry.remove(id)
+      if (total >= 0 && done >= total) progressRegistry.remove(id)
     }
   }
 
@@ -321,6 +326,10 @@ object Load {
             item.bands.get(k).map(b -> _.strip)
           }.toMap)
         val bcRoi = spark.sparkContext.broadcast(roiPoly.map(GeomData.from))
+        // total bin count is only discovered executor-side here, so the
+        // hook gets (done, -1): still monotonic, still once per bin
+        val progressId: Long =
+          progress.fold(-1L)(cb => registerProgress(-1L, cb))
         val seedDs: Dataset[TaskSeed] = spark.createDataset(units)
           .repartition(math.max(1, math.min(units.length,
             spark.sparkContext.defaultParallelism * 2)))
@@ -347,13 +356,16 @@ object Load {
                 val sorted = ss.sortBy(_.rank)
                 val bin = TileBin(sorted.head.band, tIdx, sorted.head.ty,
                   sorted.head.tx, sorted.map(_.src))
-                fuseBin(bin, gbt, tw, th, bcCfg.value, bcDtypes.value,
+                val row = fuseBin(bin, gbt, tw, th, bcCfg.value, bcDtypes.value,
                   bcTimes.value, reader, buf)
+                if (progressId >= 0) reportProgress(progressId)
+                row
               }
           }
       }
 
-    LoadResult(tiles.toDF(), outGbox, times, outDtypes)
+    LoadResult(tiles.toDF(), outGbox, times, outDtypes,
+      outDtypes.map { case (b, dt) => b -> dstNodata(cfgs(b), dt) })
   }
   // scalastyle:on parameter.number
 
@@ -392,7 +404,8 @@ object Load {
   * dense assembly only happens on collect, `loader/_builder.py:215-243`). */
 final case class LoadResult(tiles: DataFrame, geobox: GeoBox,
                             times: Seq[java.sql.Timestamp],
-                            dtypes: Map[String, String]) {
+                            dtypes: Map[String, String],
+                            nodata: Map[String, Double]) {
 
   /** Distributed GeoTIFF export sink: every tile row becomes one
     * georeferenced `.tif` (`<band>_t<tIdx>_<ty>_<tx>.tif`) written
@@ -446,15 +459,30 @@ final case class LoadResult(tiles: DataFrame, geobox: GeoBox,
     * Returns the number of chunk files written. */
   def exportZarr(store: String, chunk: Int, zlib: Boolean = false): Long = {
     val gbox = geobox
-    // variable metadata: one tiny row per (band, tIdx)
-    tiles.select("band", "tIdx", "dtype", "nodata").distinct().collect()
-      .foreach { r =>
-        val nodata = r.getAs[Double]("nodata")
-        graft.raster.Zarr.writeMeta(store,
-          s"${r.getAs[String]("band")}_t${r.getAs[Int]("tIdx")}", gbox,
-          r.getAs[String]("dtype"),
-          if (nodata.isNaN) None else Some(nodata), chunk, zlib)
+    // Overwrite semantics: a pre-existing store is removed wholesale —
+    // partial overwrite would leave stale variables/chunk files from a
+    // previous export with a different geometry poisoning read-back.
+    val storeDir = new java.io.File(store)
+    if (storeDir.exists()) {
+      require(new java.io.File(storeDir, ".zgroup").exists(),
+        s"refusing to overwrite non-zarr directory $store")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
       }
+      rm(storeDir)
+    }
+    // variable metadata is fully driver-known (band dtypes/nodata + the
+    // time axis) — no action on the lazy tiles plan, which would execute
+    // every bin's read+fuse once here and again in the chunk pass below
+    for {
+      (band, dt) <- dtypes.toSeq.sortBy(_._1)
+      tIdx <- times.indices
+    } {
+      val nd = nodata(band)
+      graft.raster.Zarr.writeMeta(store, s"${band}_t$tIdx", gbox, dt,
+        if (nd.isNaN) None else Some(nd), chunk, zlib)
+    }
     val n = tiles.sparkSession.sparkContext.longAccumulator("zarr_chunks")
     tiles.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       it.foreach { row =>

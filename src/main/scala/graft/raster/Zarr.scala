@@ -102,8 +102,12 @@ object Zarr {
       case Some(c) => throw new IllegalArgumentException(
         s"$vdir: unsupported compressor ${c.get("id").asText()}")
     }
+    // quoted "NaN"/"Infinity"/"-Infinity" are the zarr v2 spelling for
+    // non-finite float fills (asDouble on a text node would yield 0.0)
+    def numOf(n: com.fasterxml.jackson.databind.JsonNode): Double =
+      if (n.isTextual) java.lang.Double.parseDouble(n.asText()) else n.asDouble()
     val fill = Option(za.get("fill_value")).filterNot(_.isNull)
-      .map(_.asDouble()).getOrElse(0.0)
+      .map(numOf).getOrElse(0.0)
     val at = readJson(s"$vdir/.zattrs")
     val t = at.get("transform")
     require(t != null && t.size() >= 6,
@@ -111,7 +115,7 @@ object Zarr {
     val tr = Affine(t.get(0).asDouble(), t.get(1).asDouble(), t.get(2).asDouble(),
       t.get(3).asDouble(), t.get(4).asDouble(), t.get(5).asDouble())
     val crs = Crs.parse(at.get("crs").asText())
-    val nodata = Option(at.get("nodata")).filterNot(_.isNull).map(_.asDouble())
+    val nodata = Option(at.get("nodata")).filterNot(_.isNull).map(numOf)
     val (h, w) = (shape.get(0).asInt(), shape.get(1).asInt())
     Meta(w, h, chunks.get(1).asInt(), chunks.get(0).asInt(), dtype, fill,
       zlib, GeoBox(w, h, tr, crs), nodata)
@@ -237,10 +241,15 @@ object Zarr {
     Files.createDirectories(vdir)
     Files.write(Paths.get(store, ".zgroup"),
       """{"zarr_format": 2}""".getBytes("UTF-8"))
-    val fill = nodata.map(v =>
-      if (v == v.floor && !v.isInfinite && !Grb.isFloat(dtype))
-        v.toLong.toString
-      else v.toString).getOrElse("0")
+    // NaN/Infinity are not JSON numbers — zarr v2 spells them as the
+    // quoted strings "NaN"/"Infinity"/"-Infinity" for float dtypes
+    def jsonNum(v: Double): String =
+      if (v.isNaN) "\"NaN\""
+      else if (v == Double.PositiveInfinity) "\"Infinity\""
+      else if (v == Double.NegativeInfinity) "\"-Infinity\""
+      else if (v == v.floor && !Grb.isFloat(dtype)) v.toLong.toString
+      else v.toString
+    val fill = nodata.map(jsonNum).getOrElse("0")
     val comp = if (zlib) """{"id": "zlib", "level": 6}""" else "null"
     Files.write(vdir.resolve(".zarray"),
       s"""{"zarr_format": 2, "shape": [${geobox.height}, ${geobox.width}],
@@ -248,7 +257,7 @@ object Zarr {
          | "compressor": $comp, "fill_value": $fill,
          | "filters": null}""".stripMargin.getBytes("UTF-8"))
     val t = geobox.transform
-    val nd = nodata.map(v => s""", "nodata": $v""").getOrElse("")
+    val nd = nodata.map(v => s""", "nodata": ${jsonNum(v)}""").getOrElse("")
     Files.write(vdir.resolve(".zattrs"),
       s"""{"transform": [${t.a}, ${t.b}, ${t.c}, ${t.d}, ${t.e}, ${t.f}],
          | "crs": "${geobox.crs.code}"$nd}""".stripMargin.getBytes("UTF-8"))

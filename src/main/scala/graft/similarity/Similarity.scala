@@ -179,8 +179,11 @@ object Similarity {
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
       .select(col("vec_a"), col("vec_b"), cosine.as("cos"))
       .where(col("cos") >= threshold)
+    // dup_cos must be the cosine TO dup_of (min_by), not the max over all
+    // dominating pairs — those can come from different vectors
     val verdicts = dupPairs.groupBy(col("vec_b").as("vec_id"))
-      .agg(min(col("vec_a")).as("dup_of"), max(col("cos")).as("dup_cos"))
+      .agg(min(col("vec_a")).as("dup_of"),
+        min_by(col("cos"), col("vec_a")).as("dup_cos"))
     assigned.select(col("vec_id"), col("cell"))
       .join(verdicts, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),

@@ -120,9 +120,14 @@ class DedupSpec extends AnyFunSuite {
     val ortho = Array(0f, 1f, 0f, 0f)
     val big = (100 until 100 + graft.dedup.Dedup.MaxBucket + 1)
       .map(i => (i.toLong, Array(0f, 0f, 1f, 0f), 2))
+    // cell 3 pins dup_cos = cosine TO the exemplar, not max over pairs:
+    // cos(20,22)=0.92 but cos(21,22)~0.99 — 22's verdict must carry 0.92
     val rows = Seq(
       (0L, tight, 0), (1L, tight, 0), (2L, tight, 0), (3L, ortho, 0),
-      (10L, Array(0f, 0f, 0f, 1f), 1), (11L, Array(0f, 0f, 0f, 1f), 1)
+      (10L, Array(0f, 0f, 0f, 1f), 1), (11L, Array(0f, 0f, 0f, 1f), 1),
+      (20L, Array(1f, 0f, 0f, 0f), 3),
+      (21L, Array(0.966f, 0.2588f, 0f, 0f), 3),
+      (22L, Array(0.92f, 0.3919f, 0f, 0f), 3)
     ) ++ big
     val assigned = rows.toDF("vec_id", "embedding", "cell")
     val out = similarity.Similarity.semanticDedupFrom(assigned, 0.9)
@@ -134,6 +139,12 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == (0L, 0L) && out(2L) == (0L, 0L))
     // pair: min id kept
     assert(out(10L) == (1L, -1L) && out(11L) == (0L, 10L))
+    // cell 3: 21 and 22 both drop to exemplar 20; 22's dup_cos is the
+    // cosine to 20 (~0.92), NOT the larger cos(21,22) (~0.99)
+    assert(out(21L) == (0L, 20L) && out(22L) == (0L, 20L))
+    val cos22 = similarity.Similarity.semanticDedupFrom(assigned, 0.9)
+      .where("vec_id = 22").head().getDouble(4)
+    assert(math.abs(cos22 - 0.92) < 0.005, s"dup_cos of 22 was $cos22")
     // oversized cell: guard skips it — all kept (quantizer wants more
     // centroids; the join must never go quadratic on a skewed cell)
     assert(big.forall { case (id, _, _) => out(id) == (1L, -1L) })

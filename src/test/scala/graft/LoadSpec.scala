@@ -346,6 +346,21 @@ class LoadSpec extends AnyFunSuite {
     assert(calls.synchronized(calls.size) == nTiles)
   }
 
+  test("progress hook also fires in the distributed-binning branch (total=-1)") {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val res = Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "solar_day", chunks = 48, maxDriverBins = 0,
+      progress = Some((done, total) => calls.synchronized {
+        calls += ((done, total))
+      }))
+    val nTiles = res.tiles.count()
+    val snap = calls.synchronized(calls.toSeq)
+    // once per bin; total is -1 (bin count unknown until tasks drain)
+    assert(snap.size == nTiles, s"${snap.size} callbacks for $nTiles tiles")
+    assert(snap.map(_._1) == (1L to nTiles))
+    assert(snap.map(_._2).distinct == Seq(-1L))
+  }
+
   test("subdataset container: named images load tile-identical to GRB (S7)") {
     import spark.implicits._
     val sJsons = Fixtures.writeScenesSubdatasets(4)
@@ -444,6 +459,30 @@ class LoadSpec extends AnyFunSuite {
         i += 1
       }
     }
+  }
+
+  test("zarr re-export overwrites wholesale: no stale variables survive") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_zarr_ovw").resolve("cube.zarr").toString
+    val both = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    both.exportZarr(store, chunk = 64)
+    assert(graft.raster.Zarr.variables(store).exists(_.startsWith("nir_")))
+    // re-export with fewer bands into the SAME store: the nir variables
+    // from the previous run must not poison the listing
+    val redOnly = Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "solar_day", chunks = 64)
+    redOnly.exportZarr(store, chunk = 64)
+    val vars = graft.raster.Zarr.variables(store)
+    assert(vars.nonEmpty && vars.forall(_.startsWith("red_")),
+      s"stale variables survived overwrite: $vars")
+    // and a non-zarr target is refused, not clobbered
+    val plain = java.nio.file.Files.createTempDirectory("graft_notzarr")
+    java.nio.file.Files.write(plain.resolve("keep.txt"), "x".getBytes)
+    intercept[IllegalArgumentException] {
+      redOnly.exportZarr(plain.toString, chunk = 64)
+    }
+    assert(java.nio.file.Files.exists(plain.resolve("keep.txt")))
   }
 
   test("COG tile export: pixel-exact, georeferenced, reads back via gtiff") {

@@ -96,6 +96,12 @@ class StatsSpec extends AnyFunSuite {
       """SELECT shingles3(array('a', NULL, 'b', 'c')) AS sh,
         |       array(xxhash64('a b'), xxhash64('b c')) AS want""".stripMargin).head()
     assert(long.getSeq[Long](0) == long.getSeq[Long](1))
+    // empty-string tokens are VALUES to concat_ws (separator still written):
+    // concat_ws(' ', '', 'a', 'b') = ' a b', not 'a b'
+    val empty = spark.sql(
+      """SELECT shingles3(array('', 'a', 'b'))[0] = xxhash64(' a b') AS ok1,
+        |       shingles3(array('a', ''))[0] = xxhash64('a ') AS ok2""".stripMargin).head()
+    assert(empty.getBoolean(0) && empty.getBoolean(1))
   }
 
   test("count-min sketch: mass conserved per row, est >= exact always, " +

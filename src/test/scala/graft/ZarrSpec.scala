@@ -33,6 +33,18 @@ class ZarrSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN nodata roundtrips via zarr v2 quoted spelling (valid JSON)") {
+    val store = s"$tmp/nan.zarr"
+    val (w, h) = (10, 8)
+    val px = ramp(w, h)
+    // natural float nodata is NaN (dstNodata chain) — must not produce
+    // a bare NaN token that jackson rejects on read-back
+    Zarr.write(store, "band", px, gbox(w, h), "float32", Some(Double.NaN))
+    val hdr = Zarr.readHeader(store)
+    assert(hdr.nodata.exists(_.isNaN), s"nodata was ${hdr.nodata}")
+    assert(Zarr.readWindow(s"$store#band", 0, 0, w, h).toSeq == px.toSeq)
+  }
+
   test("windowed read decodes only intersecting chunks, exact values") {
     val store = s"$tmp/win.zarr"
     val (w, h) = (200, 130)
