@@ -78,6 +78,56 @@ object Corpus {
     })
   }
 
+  /** Deterministic global training-order shuffle: every epoch pipeline
+    * shuffles the corpus before sharding, and doing it with an RNG makes
+    * re-runs/backfills irreproducible. Order here is `md5(doc_id)` — a
+    * content-independent pseudo-random permutation any engine replays
+    * bit-identically.
+    *
+    * The naive rank is a single global window (`row_number() OVER
+    * (ORDER BY k)`) — an unpartitioned sort through one task. This is
+    * the same two-phase distributed scan as [[pack]]: range-partition on
+    * the hash key (the only shuffle; uniform by construction, so no
+    * skew), count per partition (P longs to the driver), broadcast
+    * exclusive offsets, resume per-partition ranks map-side. */
+  def shuffle(spark: SparkSession, dir: String): DataFrame = {
+    val key = spark.sparkContext.applicationId + " shuffle " + dir
+    packCache.computeIfAbsent(key, _ => {
+      import spark.implicits._
+      val p = spark.sparkContext.defaultParallelism
+      val keyed = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"))
+        .repartitionByRange(p, col("k"), col("doc_id"))
+        .sortWithinPartitions("k", "doc_id")
+        .as[(Long, String)]
+        .persist()
+      val partCounts = keyed.mapPartitions { it =>
+        Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+      }.collect().toMap
+      val nParts = keyed.rdd.getNumPartitions
+      val offsets = new Array[Long](nParts)
+      var acc = 0L
+      var i = 0
+      while (i < nParts) {
+        offsets(i) = acc
+        acc += partCounts.getOrElse(i, 0L)
+        i += 1
+      }
+      val bc = spark.sparkContext.broadcast(offsets)
+      keyed.mapPartitions { it =>
+        var pos = bc.value(TaskContext.getPartitionId())
+        it.map { case (id, _) => pos += 1; (id, pos) }
+      }.toDF("doc_id", "pos").orderBy("doc_id")
+    })
+  }
+
+  /** Oracle: the single-window spelling of the same permutation. */
+  val shuffleDuckSql: String =
+    """SELECT doc_id,
+      |       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+      |                          doc_id) AS pos
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Oracle: the single-window spelling of the same prefix sum. */
   val packDuckSql: String =
     s"""WITH t AS (
@@ -185,11 +235,13 @@ object Corpus {
        |  FROM t
        |  -- greatest(..., 0): Spark's sequence(0, -1) is DESCENDING
        |  -- [0, -1] (DuckDB generate_series is empty), so an empty token
-       |  -- array would emit a bogus pos=-1 segment; unreachable through
-       |  -- split() but the spelling must not depend on the tokenizer
+       |  -- array would emit a bogus pos=-1 segment; the WHERE guard
+       |  -- (mirrored in the Duck spelling) drops empty/NULL-token docs
+       |  -- on both engines, so the spelling is tokenizer-independent
        |  LATERAL VIEW posexplode(
        |    sequence(0, greatest(
-       |      CAST(ceil(size(tok) / ${SegTokens}.0) AS INT) - 1, 0))) s AS idx, p1),
+       |      CAST(ceil(size(tok) / ${SegTokens}.0) AS INT) - 1, 0))) s AS idx, p1
+       |  WHERE size(tok) > 0),
        |r AS (
        |  SELECT doc_id, pos, seg,
        |         row_number() OVER (PARTITION BY md5(seg)
@@ -214,7 +266,7 @@ object Corpus {
        |            tok[i * $SegTokens + 1 : i * $SegTokens + $SegTokens], ' ')}
        |          for i in generate_series(0, CAST(ceil(len(tok) / ${SegTokens}.0) AS INT) - 1)]
        |           AS segs
-       |  FROM t),
+       |  FROM t WHERE len(tok) > 0),
        |seg AS (
        |  SELECT doc_id, s.pos AS pos, s.seg AS seg
        |  FROM (SELECT doc_id, unnest(segs) AS s FROM seg0)),
@@ -257,7 +309,8 @@ object Corpus {
        |  FROM t
        |  LATERAL VIEW posexplode(
        |    sequence(0, greatest(
-       |      CAST(ceil(size(tok) / ${SegTokens}.0) AS INT) - 1, 0))) s AS idx, p1),
+       |      CAST(ceil(size(tok) / ${SegTokens}.0) AS INT) - 1, 0))) s AS idx, p1
+       |  WHERE size(tok) > 0),
        |r AS (
        |  SELECT doc_id, pos, seg,
        |         min(doc_id) OVER (PARTITION BY md5(seg)) AS d0,
@@ -282,7 +335,7 @@ object Corpus {
        |            tok[i * $SegTokens + 1 : i * $SegTokens + $SegTokens], ' ')}
        |          for i in generate_series(0, CAST(ceil(len(tok) / ${SegTokens}.0) AS INT) - 1)]
        |           AS segs
-       |  FROM t),
+       |  FROM t WHERE len(tok) > 0),
        |seg AS (
        |  SELECT doc_id, s.pos AS pos, s.seg AS seg
        |  FROM (SELECT doc_id, unnest(segs) AS s FROM seg0)),
@@ -684,6 +737,7 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_pack" -> ((s, d) => pack(s, d)),
+    "corpus_shuffle" -> ((s, d) => shuffle(s, d)),
     "text_pii" -> Tables.sql(piiSparkSql),
     "corpus_split" -> Tables.sql(splitSparkSql),
     "corpus_segment_dedup" -> Tables.sql(segmentDedupSparkSql),
@@ -698,6 +752,7 @@ object Corpus {
 
   val oracleSql: Map[String, String] = Map(
     "corpus_pack" -> packDuckSql,
+    "corpus_shuffle" -> shuffleDuckSql,
     "text_pii" -> piiDuckSql,
     "corpus_split" -> splitDuckSql,
     "corpus_segment_dedup" -> segmentDedupDuckSql,

@@ -144,7 +144,8 @@ object TextAnalysis {
        |  FROM t
        |  LATERAL VIEW posexplode(
        |    sequence(0, greatest(
-       |      CAST(ceil(size(tok) / ${SegTokens}.0) AS INT) - 1, 0))) s AS idx, p1),
+       |      CAST(ceil(size(tok) / ${SegTokens}.0) AS INT) - 1, 0))) s AS idx, p1
+       |  WHERE size(tok) > 0),
        |c AS (
        |  SELECT doc_id,
        |    CASE WHEN seg RLIKE '[\\u4e00-\\u9fff]' THEN 'zh'
@@ -188,7 +189,7 @@ object TextAnalysis {
        |         [tok[i * $SegTokens + 1 : i * $SegTokens + $SegTokens]
        |          for i in generate_series(0, CAST(ceil(len(tok) / ${SegTokens}.0) AS INT) - 1)]
        |           AS segs
-       |  FROM t),
+       |  FROM t WHERE len(tok) > 0),
        |seg AS (
        |  SELECT doc_id, unnest(segs) AS st FROM seg0),
        |c AS (
@@ -319,6 +320,43 @@ object TextAnalysis {
       |        AND stop_ratio >= 0.03 AND avg_wlen BETWEEN 3 AND 8
       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM f ORDER BY doc_id""".stripMargin
+
+  /** Per-source percentile length gates (the Gopher/RefinedWeb "drop
+    * the tails" rule, but per source — a 10th-percentile news article
+    * and a 10th-percentile forum post are different lengths): keep docs
+    * whose `n_chars` sits inside their source's [p10, p90].
+    *
+    * Scale shape: one partial-agg pass computes per-source thresholds
+    * (sources are few → tiny result), the filter join broadcasts them,
+    * and the verdict agg is map-side partial — no doc-row shuffle on
+    * any side. Exact `percentile` here so the oracle can hash-check;
+    * at 100 TB the same query ships with `approx_percentile` (same
+    * plan shape, bounded state). */
+  val lengthFilterSparkSql: String =
+    """WITH q AS (
+      |  SELECT source,
+      |         percentile(n_chars, 0.1D) AS plo,
+      |         percentile(n_chars, 0.9D) AS phi
+      |  FROM documents GROUP BY source)
+      |SELECT d.source, COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN d.n_chars >= q.plo AND d.n_chars <= q.phi
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       ROUND(MIN(q.plo), 2) AS lo, ROUND(MIN(q.phi), 2) AS hi
+      |FROM documents d JOIN q ON d.source = q.source
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  val lengthFilterDuckSql: String =
+    """WITH q AS (
+      |  SELECT source,
+      |         quantile_cont(n_chars, 0.1) AS plo,
+      |         quantile_cont(n_chars, 0.9) AS phi
+      |  FROM documents GROUP BY source)
+      |SELECT d.source, COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN d.n_chars >= q.plo AND d.n_chars <= q.phi
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       ROUND(MIN(q.plo), 2) AS lo, ROUND(MIN(q.phi), 2) AS hi
+      |FROM documents d JOIN q ON d.source = q.source
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   /** Benchmark decontamination — flag corpus documents sharing any
     * 5-gram with a (deterministic, here doc_id%50=0) benchmark set.
@@ -532,6 +570,7 @@ object TextAnalysis {
     }),
     "text_quality" -> Tables.sql(qualitySparkSql),
     "text_quality_filter" -> Tables.sql(qualityFilterSparkSql),
+    "text_length_filter" -> Tables.sql(lengthFilterSparkSql),
     "text_decontaminate" -> Tables.sql(decontaminateSparkSql),
     "text_heavy_hitters" -> Tables.sql(heavyHittersSparkSql),
     "text_repetition" -> Tables.sql(repetitionSparkSql),
@@ -547,6 +586,7 @@ object TextAnalysis {
     "text_langid_segments" -> langidSegmentsDuckSql,
     "text_quality" -> qualityDuckSql,
     "text_quality_filter" -> qualityFilterDuckSql,
+    "text_length_filter" -> lengthFilterDuckSql,
     "text_decontaminate" -> decontaminateDuckSql,
     "text_heavy_hitters" -> heavyHittersDuckSql,
     "text_repetition" -> repetitionDuckSql,

@@ -44,6 +44,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.size > 1, "budget too large: packing produced a single shard")
   }
 
+  test("corpus_shuffle: distributed rank equals single-window row_number " +
+    "and permutes (not identity)") {
+    val got = text.Corpus.shuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Tables.register(spark, sf)
+    val naive = spark.sql(
+      """SELECT doc_id,
+        |       row_number() OVER (ORDER BY md5(CAST(doc_id AS STRING)),
+        |                          doc_id) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toSeq
+    assert(got == naive)
+    // a permutation: bijective over 1..n, and not the identity order
+    val n = got.size.toLong
+    assert(got.map(_._2).sorted == (1L to n))
+    assert(got.count { case (id, pos) => pos == id + 1 } < n / 2,
+      "shuffle left most docs in corpus order")
+  }
+
   test("text_pii redacts the injected contact line in every document") {
     val df = text.Corpus.queries("text_pii")(spark, sf)
     val rows = df.collect()
