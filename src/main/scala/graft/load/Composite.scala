@@ -120,4 +120,66 @@ object Composite {
       }
       .toDF("band", "ty", "tx", "mean", "min", "max", "count")
   }
+
+  /** Per-pixel MEDIAN across time — the robust composite of the odc
+    * ecosystem (geomedian family): unlike mean, a few cloudy/saturated
+    * outlier scenes do not drag the composite.
+    *
+    * Median is not mergeable, so there is no partial-agg shape: every
+    * valid value of a pixel must meet in one task. The scale-true plan
+    * is the rechunk odc-algo performs before its geomedian: ONE shuffle
+    * of tile rows keyed `(band, ty, tx)`, then per-group selection over
+    * the bounded time depth — task state is ≤ T decoded planes of one
+    * tile (T = time depth, tens to hundreds), never the cube.
+    * `mapGroups` rather than an `Aggregator`: a collect-list buffer
+    * would shuffle the same bytes while pretending mergeability. */
+  def medianAcrossTime(spark: SparkSession, tiles: DataFrame): DataFrame = {
+    import spark.implicits._
+    tiles
+      .select(col("band"), col("ty"), col("tx"),
+        col("data"), col("dtype"), col("nodata"),
+        col("width"), col("height"))
+      .as[(String, Int, Int, Array[Byte], String, Double, Int, Int)]
+      .groupByKey { case (band, ty, tx, _, _, _, _, _) => (band, ty, tx) }
+      .mapGroups { (key: (String, Int, Int),
+                    it: Iterator[(String, Int, Int, Array[Byte], String, Double, Int, Int)]) =>
+        val (band, ty, tx) = key
+        var w = 0
+        var h = 0
+        val planes =
+          scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
+        it.foreach { case (_, _, _, data, dtype, nodata, tw, th) =>
+          if (planes.isEmpty) { w = tw; h = th }
+          require(w == tw && h == th,
+            s"tile shape mismatch: ${w}x$h vs ${tw}x$th")
+          planes += ((Fuse.decode(data, dtype), nodata))
+        }
+        val n = w * h
+        val med = new Array[Double](n)
+        val cnt = new Array[Int](n)
+        val vals = new Array[Double](planes.length)
+        var i = 0
+        while (i < n) {
+          var m = 0
+          var p = 0
+          while (p < planes.length) {
+            val (px, nodata) = planes(p)
+            val v = px(i)
+            if (!(v.isNaN || v == nodata)) { vals(m) = v; m += 1 }
+            p += 1
+          }
+          if (m == 0) med(i) = Double.NaN
+          else {
+            java.util.Arrays.sort(vals, 0, m)
+            med(i) =
+              if (m % 2 == 1) vals(m / 2)
+              else (vals(m / 2 - 1) + vals(m / 2)) / 2.0
+          }
+          cnt(i) = m
+          i += 1
+        }
+        (band, ty, tx, med, cnt)
+      }
+      .toDF("band", "ty", "tx", "median", "count")
+  }
 }

@@ -414,8 +414,24 @@ object RasterQueries {
       .orderBy("band", "ty", "tx")
   }
 
+  /** Median composite (per-pixel across-time median): the robust
+    * geomedian-family statistic. One tile-row shuffle, per-group
+    * selection over the bounded time depth — see
+    * [[graft.load.Composite.medianAcrossTime]]. */
+  def compositeMedian(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "id", chunks = 64)
+    graft.load.Composite.medianAcrossTime(spark, res.tiles)
+      .selectExpr("band", "ty", "tx",
+        "round(aggregate(median, 0D, (s, v) -> s + if(isnan(v), 0D, v)), 2) AS med_sum",
+        "aggregate(count, 0, (s, v) -> s + v) AS n_valid")
+      .orderBy("band", "ty", "tx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "raster_composite_mean" -> ((s, _) => compositeMean(s)),
+    "raster_composite_median" -> ((s, _) => compositeMedian(s)),
     "raster_tiles_roundtrip" -> ((s, _) => tilesRoundtrip(s)),
     "raster_eo3_product" -> ((s, _) => eo3Product(s)),
     "raster_grb_source_sql" -> ((s, _) => grbSourceSql(s)),

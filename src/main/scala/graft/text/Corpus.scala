@@ -16,8 +16,26 @@ object Corpus {
     * result has many shards; at scale this is ~shard-file size in tokens. */
   val ShardBudget = 4096L
 
-  private val packCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // Bounded result cache for the two-phase prefix-scan ops: each entry
+  // pins its persisted range-partitioned intermediate (the offsets were
+  // computed from that exact layout), so eviction must unpersist it —
+  // same miss-at-capacity policy as Similarity.exactCache.
+  private val packCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, org.apache.spark.sql.Dataset[_])]()
+  private val PackCacheMax = 8
+
+  private def cachedScan(key: String)(
+      build: => (DataFrame, org.apache.spark.sql.Dataset[_])): DataFrame = {
+    if (!packCache.containsKey(key) && packCache.size >= PackCacheMax) {
+      val it = packCache.entrySet().iterator()
+      if (it.hasNext) {
+        val victim = it.next()
+        victim.getValue._2.unpersist(blocking = false)
+        packCache.remove(victim.getKey)
+      }
+    }
+    packCache.computeIfAbsent(key, _ => build)._1
+  }
 
   /** Token-budget shard packing: assign documents (in doc_id order) to
     * consecutive training shards of ~`budget` tokens, shard boundary at
@@ -37,7 +55,7 @@ object Corpus {
   def pack(spark: SparkSession, dir: String,
            budget: Long = ShardBudget): DataFrame = {
     val key = spark.sparkContext.applicationId + " " + dir + " " + budget
-    packCache.computeIfAbsent(key, _ => {
+    cachedScan(key) {
       import spark.implicits._
       val p = spark.sparkContext.defaultParallelism
       val toks = Tables.load(spark, dir, "documents")
@@ -63,7 +81,7 @@ object Corpus {
         i += 1
       }
       val bc = spark.sparkContext.broadcast(offsets)
-      toks.mapPartitions { it =>
+      val out = toks.mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         var run = bc.value(pid)
         it.map { case (id, t) =>
@@ -75,7 +93,8 @@ object Corpus {
         .groupBy("shard_id")
         .agg(count(lit(1)).as("n_docs"), sum("toks").as("tok_sum"))
         .orderBy("shard_id")
-    })
+      (out, toks)
+    }
   }
 
   /** Deterministic global training-order shuffle: every epoch pipeline
@@ -92,7 +111,7 @@ object Corpus {
     * exclusive offsets, resume per-partition ranks map-side. */
   def shuffle(spark: SparkSession, dir: String): DataFrame = {
     val key = spark.sparkContext.applicationId + " shuffle " + dir
-    packCache.computeIfAbsent(key, _ => {
+    cachedScan(key) {
       import spark.implicits._
       val p = spark.sparkContext.defaultParallelism
       val keyed = Tables.load(spark, dir, "documents")
@@ -114,11 +133,12 @@ object Corpus {
         i += 1
       }
       val bc = spark.sparkContext.broadcast(offsets)
-      keyed.mapPartitions { it =>
+      val out = keyed.mapPartitions { it =>
         var pos = bc.value(TaskContext.getPartitionId())
         it.map { case (id, _) => pos += 1; (id, pos) }
       }.toDF("doc_id", "pos").orderBy("doc_id")
-    })
+      (out, keyed)
+    }
   }
 
   /** Oracle: the single-window spelling of the same permutation. */

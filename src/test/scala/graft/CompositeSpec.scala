@@ -29,6 +29,30 @@ class CompositeSpec extends AnyFunSuite {
     assert(r.getAs[scala.collection.Seq[Int]]("count").toSeq == Seq(2, 1, 1, 2))
   }
 
+  test("median over synthetic planes: robust to outliers, hole-aware") {
+    import spark.implicits._
+    // three 2x2 planes, uint16 nodata=0; pixel stories:
+    //   p0: 10/20/900  -> median 20 (the outlier 900 does NOT drag it;
+    //       mean would be 310)
+    //   p1: 0/20/40    -> hole in t0: median of (20,40) = 30
+    //   p2: 30/0/0     -> single valid value -> 30
+    //   p3: 0/0/0      -> no valid values -> NaN, count 0
+    val rows = Seq(
+      ("b", 0, 0, 0, Fuse.encode(Array(10.0, 0.0, 30.0, 0.0), "uint16"),
+        "uint16", 0.0, 2, 2),
+      ("b", 1, 0, 0, Fuse.encode(Array(20.0, 20.0, 0.0, 0.0), "uint16"),
+        "uint16", 0.0, 2, 2),
+      ("b", 2, 0, 0, Fuse.encode(Array(900.0, 40.0, 0.0, 0.0), "uint16"),
+        "uint16", 0.0, 2, 2)
+    ).toDF("band", "tIdx", "ty", "tx", "data", "dtype", "nodata", "width", "height")
+    val out = Composite.medianAcrossTime(spark, rows).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val med = r.getAs[scala.collection.Seq[Double]]("median").toSeq
+    assert(med(0) == 20.0 && med(1) == 30.0 && med(2) == 30.0 && med(3).isNaN)
+    assert(r.getAs[scala.collection.Seq[Int]]("count").toSeq == Seq(3, 2, 1, 0))
+  }
+
   test("composite over a real load: count matches per-pixel source coverage") {
     import spark.implicits._
     val jsons = Fixtures.writeScenes(4)
