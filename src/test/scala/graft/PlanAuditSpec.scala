@@ -55,6 +55,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("text_length_filter broadcasts the per-source thresholds; " +
+    "corpus_shuffle never plans a global single-partition window") {
+    val lf = SparkEntry.queries("text_length_filter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the thresholds side is a handful of rows — a sort-merge join here
+    // would shuffle every document row at 100 TB
+    assert(lf.contains("BroadcastHashJoin"), s"no broadcast join:\n$lf")
+    assert(!lf.contains("SortMergeJoin"), "length filter shuffled the docs")
+    val sh = SparkEntry.queries("corpus_shuffle")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the two-phase scan must keep the naive spelling's Window out of
+    // the plan entirely (a global row_number serializes the corpus)
+    assert(!sh.contains("Window"), s"global window in corpus_shuffle:\n$sh")
+  }
+
   test("no registered batch query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(excluded)
