@@ -102,9 +102,11 @@ object Composite {
 
   /** Across-time composite of a `Load` tile DataFrame: one row per
     * (band, ty, tx) with per-pixel mean/min/max/count planes. */
-  def acrossTime(spark: SparkSession, tiles: DataFrame): DataFrame = {
+  /** Tile rows keyed `(band, ty, tx)` with per-row `TileIn` values —
+    * the shared prelude of every across-time composite. */
+  private def keyedTiles(spark: SparkSession, tiles: DataFrame)
+      : org.apache.spark.sql.KeyValueGroupedDataset[(String, Int, Int), TileIn] = {
     import spark.implicits._
-    val agg = new PixelComposite().toColumn
     tiles
       .select(col("band"), col("ty"), col("tx"),
         col("data"), col("dtype"), col("nodata"),
@@ -114,6 +116,12 @@ object Composite {
       .mapValues { case (_, _, _, data, dtype, nodata, w, h) =>
         TileIn(data, dtype, nodata, w, h)
       }
+  }
+
+  def acrossTime(spark: SparkSession, tiles: DataFrame): DataFrame = {
+    import spark.implicits._
+    val agg = new PixelComposite().toColumn
+    keyedTiles(spark, tiles)
       .agg(agg)
       .map { case ((band, ty, tx), out) =>
         (band, ty, tx, out.mean, out.min, out.max, out.count)
@@ -135,24 +143,18 @@ object Composite {
     * would shuffle the same bytes while pretending mergeability. */
   def medianAcrossTime(spark: SparkSession, tiles: DataFrame): DataFrame = {
     import spark.implicits._
-    tiles
-      .select(col("band"), col("ty"), col("tx"),
-        col("data"), col("dtype"), col("nodata"),
-        col("width"), col("height"))
-      .as[(String, Int, Int, Array[Byte], String, Double, Int, Int)]
-      .groupByKey { case (band, ty, tx, _, _, _, _, _) => (band, ty, tx) }
-      .mapGroups { (key: (String, Int, Int),
-                    it: Iterator[(String, Int, Int, Array[Byte], String, Double, Int, Int)]) =>
+    keyedTiles(spark, tiles)
+      .mapGroups { (key: (String, Int, Int), it: Iterator[TileIn]) =>
         val (band, ty, tx) = key
         var w = 0
         var h = 0
         val planes =
           scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
-        it.foreach { case (_, _, _, data, dtype, nodata, tw, th) =>
-          if (planes.isEmpty) { w = tw; h = th }
-          require(w == tw && h == th,
-            s"tile shape mismatch: ${w}x$h vs ${tw}x$th")
-          planes += ((Fuse.decode(data, dtype), nodata))
+        it.foreach { t =>
+          if (planes.isEmpty) { w = t.width; h = t.height }
+          require(w == t.width && h == t.height,
+            s"tile shape mismatch: ${w}x$h vs ${t.width}x${t.height}")
+          planes += ((Fuse.decode(t.data, t.dtype), t.nodata))
         }
         val n = w * h
         val med = new Array[Double](n)

@@ -587,32 +587,20 @@ object Similarity {
     * an ANN index is judged by, emitted as a query so every round's
     * correctness dump records it (deterministic: fixed seeds, fixed
     * query set). One row per (method, qid) plus a "_mean" row. */
+  // 4 = scale dirs visited per application; eviction unpersists
   private val exactCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private val ExactCacheMax = 4 // scale dirs visited per application
+    new graft.BoundedCache[DataFrame](
+      max = 4, onEvict = _.unpersist(blocking = false))
 
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     VecFunctions.register(spark)
     // ground truth is deterministic and reused across the three ANN
     // comparisons (and across bench reruns): materialize once per
     // (session, dir) — the standing eval-set shape of recall monitoring.
-    // Bounded: visiting many scale dirs in one application unpersists
-    // an existing entry instead of pinning executor storage forever —
-    // only on a MISS at capacity (a hit must never evict its own key).
-    val cacheKey = spark.sparkContext.applicationId + " " + dir
-    if (!exactCache.containsKey(cacheKey) &&
-        exactCache.size >= ExactCacheMax) {
-      val it = exactCache.entrySet().iterator()
-      if (it.hasNext) {
-        val victim = it.next()
-        victim.getValue.unpersist(blocking = false)
-        exactCache.remove(victim.getKey)
-      }
+    val exact = exactCache.get(spark.sparkContext.applicationId + " " + dir) {
+      Tables.sql(bruteforceSparkSql)(spark, dir)
+        .select(col("qid"), col("cid")).cache()
     }
-    val exact = exactCache.computeIfAbsent(
-      cacheKey,
-      _ => Tables.sql(bruteforceSparkSql)(spark, dir)
-        .select(col("qid"), col("cid")).cache())
     def recallOf(name: String, approx: DataFrame): DataFrame = {
       val hits = exact.join(approx.select(col("qid"), col("cid")), Seq("qid", "cid"))
         .groupBy("qid").agg(count(lit(1)).as("n_hit"))

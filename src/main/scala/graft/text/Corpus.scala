@@ -18,24 +18,14 @@ object Corpus {
 
   // Bounded result cache for the two-phase prefix-scan ops: each entry
   // pins its persisted range-partitioned intermediate (the offsets were
-  // computed from that exact layout), so eviction must unpersist it —
-  // same miss-at-capacity policy as Similarity.exactCache.
-  private val packCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (DataFrame, org.apache.spark.sql.Dataset[_])]()
-  private val PackCacheMax = 8
+  // computed from that exact layout), so eviction must unpersist it.
+  private val packCache =
+    new graft.BoundedCache[(DataFrame, org.apache.spark.sql.Dataset[_])](
+      max = 8, onEvict = _._2.unpersist(blocking = false))
 
   private def cachedScan(key: String)(
-      build: => (DataFrame, org.apache.spark.sql.Dataset[_])): DataFrame = {
-    if (!packCache.containsKey(key) && packCache.size >= PackCacheMax) {
-      val it = packCache.entrySet().iterator()
-      if (it.hasNext) {
-        val victim = it.next()
-        victim.getValue._2.unpersist(blocking = false)
-        packCache.remove(victim.getKey)
-      }
-    }
-    packCache.computeIfAbsent(key, _ => build)._1
-  }
+      build: => (DataFrame, org.apache.spark.sql.Dataset[_])): DataFrame =
+    packCache.get(key)(build)._1
 
   /** Token-budget shard packing: assign documents (in doc_id order) to
     * consecutive training shards of ~`budget` tokens, shard boundary at

@@ -57,9 +57,13 @@ class CorpusSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1).toLong)).toSeq
     assert(got == naive)
     // a permutation: bijective over 1..n, and not the identity order
+    // (identity = pos equals the doc's rank in ascending doc_id order,
+    // regardless of what base the fixture's doc_ids start at)
     val n = got.size.toLong
     assert(got.map(_._2).sorted == (1L to n))
-    assert(got.count { case (id, pos) => pos == id + 1 } < n / 2,
+    val rankById = got.map(_._1).sorted.zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got.count { case (id, pos) => pos == rankById(id) } < n / 2,
       "shuffle left most docs in corpus order")
   }
 
