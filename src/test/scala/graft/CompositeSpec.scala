@@ -72,5 +72,22 @@ class CompositeSpec extends AnyFunSuite {
         if (c == 0) assert(m.isNaN) else assert(!m.isNaN)
       }
     }
+    // the median composite of the same load agrees with the Aggregator on
+    // per-pixel coverage and sits inside the [min, max] envelope
+    val med = Composite.medianAcrossTime(spark, res.tiles).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r).toMap
+    comp.foreach { r =>
+      val key = (r.getString(0), r.getInt(1), r.getInt(2))
+      val m = med(key)
+      assert(m.getAs[scala.collection.Seq[Int]]("count") ==
+        r.getAs[scala.collection.Seq[Int]]("count"))
+      val medians = m.getAs[scala.collection.Seq[Double]]("median")
+      val mins = r.getAs[scala.collection.Seq[Double]]("min")
+      val maxs = r.getAs[scala.collection.Seq[Double]]("max")
+      medians.indices.foreach { i =>
+        if (medians(i).isNaN) assert(mins(i).isNaN)
+        else assert(mins(i) <= medians(i) && medians(i) <= maxs(i))
+      }
+    }
   }
 }
