@@ -216,8 +216,10 @@ object Relational {
     // Session window via Spark's native session_window() (gap-merged
     // event-time sessions — the batch twin of the flatMapGroupsWithState
     // sessionizer). Timestamps floored to whole seconds on both sides so
-    // the gap comparison is identical; a gap of exactly 1800 s starts a
-    // NEW session (window end is exclusive), hence >= in the oracle.
+    // the gap comparison is identical; a gap of EXACTLY 1800 s extends
+    // the session (Spark merges when the next event is <= last + gap —
+    // observed at sf0.1, where an exactly-gap pair exists), hence the
+    // strict > in the oracle's session-break rule.
     Q("q32_session_window",
       """SELECT user_id,
         |       CAST(unix_timestamp(session_window.start) AS BIGINT) AS start_sec,
@@ -237,7 +239,7 @@ object Relational {
         |  FROM o),
         |s AS (
         |  SELECT user_id, sec,
-        |         SUM(CASE WHEN prev IS NULL OR sec - prev >= 1800
+        |         SUM(CASE WHEN prev IS NULL OR sec - prev > 1800
         |             THEN 1 ELSE 0 END)
         |           OVER (PARTITION BY user_id ORDER BY sec, event_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid

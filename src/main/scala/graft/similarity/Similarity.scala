@@ -681,7 +681,7 @@ object Similarity {
       |  LATERAL VIEW posexplode(sequence(1, size(embedding))) x AS idx, p1)
       |SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
       |       CAST(SUM(v) AS BIGINT) AS sum_micro,
-      |       ROUND(CAST(SUM(v) AS DOUBLE) / 1e6 / COUNT(*), 4) AS centroid
+      |       ROUND(CAST(SUM(v) AS DOUBLE) / 1e6 / COUNT(*), 4) + 0 AS centroid
       |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
   val centroidsDuckSql: String =
@@ -695,7 +695,7 @@ object Similarity {
       |  FROM (SELECT label, unnest(ds) AS s FROM e0))
       |SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
       |       CAST(SUM(v) AS BIGINT) AS sum_micro,
-      |       ROUND(CAST(SUM(v) AS DOUBLE) / 1e6 / COUNT(*), 4) AS centroid
+      |       ROUND(CAST(SUM(v) AS DOUBLE) / 1e6 / COUNT(*), 4) + 0 AS centroid
       |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
   /** Embedding-space outlier flagging — the quality-filter consumer of
