@@ -138,6 +138,80 @@ object Corpus {
       |                          doc_id) AS pos
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** [[shuffle]] ∘ [[pack]]: token-budget shards over the SHUFFLED order
+    * with a per-shard doc-id manifest fingerprint — the artifact a
+    * training run actually consumes (shards must be token-balanced AND
+    * order-randomized, and the manifest is what makes a re-run provably
+    * read the same shards). Same two-phase scan, range-partitioned on
+    * the md5 key instead of doc_id; the manifest md5 is over doc_ids in
+    * shard-local shuffled order, so any divergence in membership OR
+    * order fails the oracle hash. */
+  def packShuffled(spark: SparkSession, dir: String,
+                   budget: Long = ShardBudget): DataFrame = {
+    val key = spark.sparkContext.applicationId + " packShuffled " + dir +
+      " " + budget
+    cachedScan(key) {
+      import spark.implicits._
+      val p = spark.sparkContext.defaultParallelism
+      val keyed = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"),
+          expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("toks"))
+        .repartitionByRange(p, col("k"), col("doc_id"))
+        .sortWithinPartitions("k", "doc_id")
+        .as[(Long, String, Long)]
+        .persist()
+      val partSums = keyed.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var s = 0L
+        it.foreach { case (_, _, t) => s += t }
+        Iterator.single((pid, s))
+      }.collect().toMap
+      val nParts = keyed.rdd.getNumPartitions
+      val offsets = new Array[Long](nParts)
+      var acc = 0L
+      var i = 0
+      while (i < nParts) {
+        offsets(i) = acc
+        acc += partSums.getOrElse(i, 0L)
+        i += 1
+      }
+      val bc = spark.sparkContext.broadcast(offsets)
+      val out = keyed.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var run = bc.value(pid)
+        it.map { case (id, k, t) =>
+          val shard = run / budget
+          run += t
+          (id, k, t, shard)
+        }
+      }.toDF("doc_id", "k", "toks", "shard_id")
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("tok_sum"),
+          md5(concat_ws(",", transform(
+            array_sort(collect_list(struct(col("k"), col("doc_id")))),
+            x => x("doc_id").cast("string")))).as("manifest_md5"))
+        .orderBy("shard_id")
+      (out, keyed)
+    }
+  }
+
+  /** Oracle: global window over the md5 order. */
+  val packShuffledDuckSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, k, toks,
+       |         COALESCE(SUM(toks) OVER (ORDER BY k, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+       |  FROM t)
+       |SELECT CAST(before // $ShardBudget AS BIGINT) AS shard_id,
+       |       COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tok_sum,
+       |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+       |                      ORDER BY k, doc_id)) AS manifest_md5
+       |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   /** Oracle: the single-window spelling of the same prefix sum. */
   val packDuckSql: String =
     s"""WITH t AS (
@@ -748,6 +822,7 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_pack" -> ((s, d) => pack(s, d)),
     "corpus_shuffle" -> ((s, d) => shuffle(s, d)),
+    "corpus_pack_shuffled" -> ((s, d) => packShuffled(s, d)),
     "text_pii" -> Tables.sql(piiSparkSql),
     "corpus_split" -> Tables.sql(splitSparkSql),
     "corpus_segment_dedup" -> Tables.sql(segmentDedupSparkSql),
@@ -763,6 +838,7 @@ object Corpus {
   val oracleSql: Map[String, String] = Map(
     "corpus_pack" -> packDuckSql,
     "corpus_shuffle" -> shuffleDuckSql,
+    "corpus_pack_shuffled" -> packShuffledDuckSql,
     "text_pii" -> piiDuckSql,
     "corpus_split" -> splitDuckSql,
     "corpus_segment_dedup" -> segmentDedupDuckSql,

@@ -67,6 +67,23 @@ class CorpusSpec extends AnyFunSuite {
       "shuffle left most docs in corpus order")
   }
 
+  test("corpus_pack_shuffled conserves docs and tokens vs corpus_pack") {
+    val packed = text.Corpus.pack(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (n_docs, tok_sum)
+    val shuffled = text.Corpus.packShuffled(spark, sf).collect()
+    // same corpus, different order: totals conserved, budgets respected
+    assert(shuffled.map(_.getLong(1)).sum == packed.map(_._1).sum)
+    assert(shuffled.map(_.getLong(2)).sum == packed.map(_._2).sum)
+    assert(shuffled.length > 1)
+    // manifests are non-degenerate and distinct per shard
+    val manifests = shuffled.map(_.getString(3))
+    assert(manifests.distinct.length == manifests.length)
+    // shard membership actually differs from the unshuffled packing
+    // (the permutation must reach the shard composition)
+    assert(shuffled.map(r => (r.getLong(1), r.getLong(2))).toSeq !=
+      packed.toSeq)
+  }
+
   test("text_pii redacts the injected contact line in every document") {
     val df = text.Corpus.queries("text_pii")(spark, sf)
     val rows = df.collect()
