@@ -479,9 +479,14 @@ final case class LoadResult(tiles: DataFrame, geobox: GeoBox,
       (band, dt) <- dtypes.toSeq.sortBy(_._1)
       tIdx <- times.indices
     } {
+      // float bands keep a NaN nodata as the store's fill_value (zarr v2
+      // quoted-"NaN" spelling) so never-written regions read back as NaN
+      // holes, not valid 0.0; only non-float dtypes (where NaN is not
+      // representable) fall back to the 0 fill
       val nd = nodata(band)
       graft.raster.Zarr.writeMeta(store, s"${band}_t$tIdx", gbox, dt,
-        if (nd.isNaN) None else Some(nd), chunk, zlib)
+        if (nd.isNaN && !graft.raster.Grb.isFloat(dt)) None else Some(nd),
+        chunk, zlib)
     }
     val n = tiles.sparkSession.sparkContext.longAccumulator("zarr_chunks")
     tiles.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -497,7 +502,9 @@ final case class LoadResult(tiles: DataFrame, geobox: GeoBox,
         graft.raster.Zarr.writeChunk(store,
           s"${row.getAs[String]("band")}_t${row.getAs[Int]("tIdx")}",
           ty, tx, Fuse.decode(row.getAs[Array[Byte]]("data"), dtype),
-          w, h, chunk, dtype, if (nodata.isNaN) 0.0 else nodata, zlib)
+          w, h, chunk, dtype,
+          if (nodata.isNaN && !graft.raster.Grb.isFloat(dtype)) 0.0
+          else nodata, zlib)
         n.add(1)
       }
     }

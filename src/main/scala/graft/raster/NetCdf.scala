@@ -209,6 +209,33 @@ object NetCdf {
                                 typeSize: Int, begin: Long,
                                 geobox: GeoBox, nodata: Option[Double])
 
+  /** Classify a dimension as the X ('X') or Y ('Y') raster axis, from
+    * its coordinate variable's CF attributes when present (axis,
+    * standard_name, units), else from the dimension name itself. */
+  private def axisClass(h: NcHeader, dim: (String, Int)): Option[Char] = {
+    val cv = h.vars.find(c => c.name == dim._1 && c.dimIds.size == 1 &&
+      h.dims.lift(c.dimIds.head).exists(_._1 == dim._1))
+    val byAtt = cv.flatMap { c =>
+      def att(k: String) = c.atts.get(k).flatMap(_.text).map(_.trim)
+      att("axis").map(_.toUpperCase).collect { case "X" => 'X'; case "Y" => 'Y' }
+        .orElse(att("standard_name").map(_.toLowerCase).collect {
+          case "longitude" | "projection_x_coordinate" | "grid_longitude" => 'X'
+          case "latitude" | "projection_y_coordinate" | "grid_latitude" => 'Y'
+        })
+        .orElse(att("units").map(_.toLowerCase).collect {
+          case u if u.startsWith("degrees_east") => 'X'
+          case u if u.startsWith("degrees_north") => 'Y'
+        })
+    }
+    byAtt.orElse(dim._1.toLowerCase match {
+      case "x" | "lon" | "longitude" | "easting" | "col" | "cols" |
+           "column" | "columns" | "xc" | "west_east" => Some('X')
+      case "y" | "lat" | "latitude" | "northing" | "row" | "rows" |
+           "yc" | "south_north" => Some('Y')
+      case _ => None
+    })
+  }
+
   private def readMeta(path: String, variable: String): Meta = {
     val h = parseHeader(path)
     val v = h.vars.find(_.name == variable).getOrElse(
@@ -221,6 +248,19 @@ object NetCdf {
     require(hDim._2 > 0 && wDim._2 > 0,
       s"$path#$variable uses the record dimension; record variables are " +
         "not rasters")
+    // storage order must be (y, x): an (x, y)-ordered variable would be
+    // silently transposed (width/height swapped, rows read along the
+    // wrong axis). Classify each dim via its coordinate variable's CF
+    // attributes (axis/standard_name/units) or its name; reject loudly
+    // on a confirmed flip or when neither dim is identifiable.
+    val (c0, c1) = (axisClass(h, hDim), axisClass(h, wDim))
+    require(!c0.contains('X') && !c1.contains('Y'),
+      s"$path#$variable: dims (${hDim._1}, ${wDim._1}) are (x, y)-ordered; " +
+        "only (y, x) row-major storage is supported")
+    require(c0.contains('Y') || c1.contains('X'),
+      s"$path#$variable: cannot confirm (y, x) dim order from dims " +
+        s"(${hDim._1}, ${wDim._1}) — name them y/x (or lat/lon) or give " +
+        "their coordinate variables an axis/standard_name/units attribute")
     val nodata = v.atts.get("_FillValue").orElse(v.atts.get("missing_value"))
       .flatMap(_.nums.headOption)
     val (transform, crs) = georef(path, h, v, wDim, hDim)
@@ -341,13 +381,16 @@ object NetCdf {
 
   // -------------------------------------------------------------- writer
 
-  /** Write a classic CDF-1 file holding `planes` as 2-D variables over
+  /** Write a classic netCDF file holding `planes` as 2-D variables over
     * shared `y`/`x` dims, CF coordinate variables, and a scalar
     * `spatial_ref` grid-mapping variable carrying the GDAL
     * `GeoTransform` + EPSG `crs` attributes. All planes share one
-    * geobox/dtype (the container fixture shape). */
+    * geobox/dtype (the container fixture shape). Emits CDF-1 unless a
+    * data-section offset would pass the 32-bit range, then CDF-2
+    * (64-bit begin fields); `force64` pins CDF-2 for testing. */
   def write(path: String, planes: Seq[(String, Array[Double])],
-            geobox: GeoBox, dtype: String, nodata: Option[Double]): Unit = {
+            geobox: GeoBox, dtype: String, nodata: Option[Double],
+            force64: Boolean = false): Unit = {
     require(planes.nonEmpty, "netCDF write needs at least one variable")
     planes.foreach { case (n, px) =>
       require(px.length == geobox.width * geobox.height,
@@ -367,7 +410,17 @@ object NetCdf {
     final case class V(name: String, ncType: Int, dimIds: Seq[Int],
                        atts: Seq[(String, Either[String, Seq[Double]])],
                        nElems: Long) {
-      val vsize: Long = pad4((nElems * ncSize(ncType)).toInt).toLong
+      // vsize is a 32-bit field in BOTH CDF-1 and CDF-2 — a single
+      // variable past 2 GiB needs CDF-5, which is out of scope; fail
+      // loudly instead of silently wrapping the offset
+      val vsize: Long = {
+        val raw = nElems * ncSize(ncType)
+        val padded = ((raw + 3L) / 4L) * 4L
+        require(padded <= Int.MaxValue,
+          s"variable '$name': $raw data bytes exceed the classic-format " +
+            "2 GiB per-variable limit (CDF-5 is out of scope)")
+        padded
+      }
     }
     val fillAtt = nodata.toSeq.map(v =>
       "_FillValue" -> Right(Seq(v)): (String, Either[String, Seq[Double]]))
@@ -383,8 +436,10 @@ object NetCdf {
             geobox.width.toLong * geobox.height)
         }.toList
 
-    // serialize header twice: once to size it, once with real offsets
-    def header(begins: Seq[Long]): Array[Byte] = {
+    // serialize header twice: once to size it, once with real offsets;
+    // `v64` selects CDF-2 (64-bit begin offsets) when the data section
+    // would push a begin past the CDF-1 32-bit range
+    def header(begins: Seq[Long], v64: Boolean): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       val o = new DataOutputStream(bos)
       def name(s: String): Unit = {
@@ -407,7 +462,7 @@ object NetCdf {
           val raw = ns.length * ncSize(tp)
           (raw until pad4(raw)).foreach(_ => o.writeByte(0))
       }
-      o.write(Array[Byte]('C', 'D', 'F', 1))
+      o.write(Array[Byte]('C', 'D', 'F', if (v64) 2 else 1))
       o.writeInt(0) // numrecs
       o.writeInt(TagDim); o.writeInt(2)
       name("y"); o.writeInt(geobox.height)
@@ -425,16 +480,26 @@ object NetCdf {
         }
         o.writeInt(v.ncType)
         o.writeInt(v.vsize.toInt)
-        o.writeInt(begin.toInt)
+        if (v64) o.writeLong(begin) else o.writeInt(begin.toInt)
       }
       o.flush(); bos.toByteArray
     }
-    val headerLen = header(vars.map(_ => 0L)).length.toLong
-    val begins = vars.scanLeft(headerLen)((acc, v) => acc + v.vsize).init
+    def layout(v64: Boolean): Seq[Long] = {
+      val headerLen = header(vars.map(_ => 0L), v64).length.toLong
+      vars.scanLeft(headerLen)((acc, v) => acc + v.vsize).init
+    }
+    var v64 = force64
+    var begins = layout(v64)
+    if (!v64 && begins.last + vars.last.vsize > Int.MaxValue) {
+      v64 = true // CDF-2: same layout, 64-bit begin fields
+      begins = layout(v64)
+    }
 
-    val bos = new ByteArrayOutputStream()
-    val o = new DataOutputStream(bos)
-    o.write(header(begins))
+    // stream straight to the file — the data section of a large store
+    // must not materialize as one driver-side byte array
+    val o = new DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path), 1 << 16))
+    o.write(header(begins, v64))
     def data(v: V, values: Int => Double): Unit = {
       var i = 0L
       while (i < v.nElems) { writeScalar(o, v.ncType, values(i.toInt)); i += 1 }
@@ -442,14 +507,14 @@ object NetCdf {
       (raw until v.vsize).foreach(_ => o.writeByte(0))
     }
     val byName = planes.toMap
-    vars.foreach {
-      case v if v.name == "y" => data(v, ys(_))
-      case v if v.name == "x" => data(v, xs(_))
-      case v if v.name == "spatial_ref" => data(v, _ => 0.0)
-      case v => val px = byName(v.name); data(v, px(_))
-    }
-    o.flush()
-    Files.write(Paths.get(path), bos.toByteArray)
+    try {
+      vars.foreach {
+        case v if v.name == "y" => data(v, ys(_))
+        case v if v.name == "x" => data(v, xs(_))
+        case v if v.name == "spatial_ref" => data(v, _ => 0.0)
+        case v => val px = byName(v.name); data(v, px(_))
+      }
+    } finally o.close()
   }
 
   private def writeScalar(o: DataOutputStream, ncType: Int, v: Double): Unit =

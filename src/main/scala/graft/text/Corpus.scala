@@ -19,9 +19,14 @@ object Corpus {
   // Bounded result cache for the two-phase prefix-scan ops: each entry
   // pins its persisted range-partitioned intermediate (the offsets were
   // computed from that exact layout), so eviction must unpersist it.
+  // max must exceed the worst-case live key count — 4 scan ops
+  // (pack/shuffle/packShuffled/sample ranks) x 3 scale-factor dirs — with
+  // headroom, because eviction unpersists the entry's range-partitioned
+  // intermediate and a previously returned DataFrame that still references
+  // it would silently re-sample range boundaries on recompute
   private val packCache =
     new graft.BoundedCache[(DataFrame, org.apache.spark.sql.Dataset[_])](
-      max = 8, onEvict = _._2.unpersist(blocking = false))
+      max = 16, onEvict = _._2.unpersist(blocking = false))
 
   private def cachedScan(key: String)(
       build: => (DataFrame, org.apache.spark.sql.Dataset[_])): DataFrame =

@@ -461,6 +461,36 @@ class LoadSpec extends AnyFunSuite {
     }
   }
 
+  test("zarr export: float band with NaN nodata keeps NaN holes on read-back") {
+    // the fixture's band metadata carries nodata=0 which outranks the
+    // NaN-if-float default in the dst chain, so request NaN explicitly
+    val res = Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "solar_day", chunks = 64, dtype = Some("float32"),
+      nodata = Some(Double.NaN))
+    assert(res.nodata("red").isNaN, "float dst nodata must resolve to NaN")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_zarr_nan").resolve("cube.zarr").toString
+    res.exportZarr(store, chunk = 64)
+    for (t <- res.times.indices) {
+      val plane = res.assemble("red", t)
+      val hdr = graft.raster.Zarr.readHeader(s"$store#red_t$t")
+      // fill_value must be the quoted-"NaN" spelling, not a silent 0
+      assert(hdr.nodata.exists(_.isNaN),
+        s"t$t: fill_value ${hdr.nodata} is not NaN")
+      val got = graft.raster.Zarr.readWindow(s"$store#red_t$t",
+        0, 0, hdr.width, hdr.height)
+      var i = 0
+      while (i < got.length) {
+        assert(if (plane(i).isNaN) got(i).isNaN else got(i) == plane(i),
+          s"t$t pixel $i: ${got(i)} != ${plane(i)}")
+        i += 1
+      }
+    }
+    // non-vacuous: at least one hole must exist somewhere in the cube
+    assert(res.times.indices.exists(t => res.assemble("red", t).exists(_.isNaN)),
+      "fixture left no holes — the NaN fill path was not exercised")
+  }
+
   test("zarr re-export overwrites wholesale: no stale variables survive") {
     val store = java.nio.file.Files
       .createTempDirectory("graft_zarr_ovw").resolve("cube.zarr").toString

@@ -77,6 +77,48 @@ class NetCdfSpec extends AnyFunSuite {
     assert(hdr.geobox == g) // derived from x/y cell-center axes
   }
 
+  test("CDF-2 (64-bit offsets): force64 roundtrips bit-identical") {
+    val path = s"$tmp/v2.nc"
+    val (w, h) = (80, 50)
+    val px = ramp(w, h)
+    NetCdf.write(path, Seq("band" -> px), gbox(w, h), "int32", Some(0.0),
+      force64 = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(bytes(3) == 2, "magic version byte must be 2 (CDF-2)")
+    val hdr = NetCdf.readHeader(path)
+    assert(hdr.dtype == "int32" && hdr.width == w && hdr.height == h &&
+      hdr.geobox == gbox(w, h))
+    assert(NetCdf.readWindow(s"$path#band", 0, 0, w, h).toSeq == px.toSeq)
+    // and the default stays CDF-1 for small files
+    NetCdf.write(s"$tmp/v1.nc", Seq("band" -> px), gbox(w, h), "int32",
+      Some(0.0))
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/v1.nc"))(3) == 1)
+  }
+
+  test("dim-order guard: (x, y)-ordered and unconfirmable dims are rejected") {
+    val path = s"$tmp/dims.nc"
+    val (w, h) = (64, 32)
+    NetCdf.write(path, Seq("v" -> ramp(w, h)), gbox(w, h), "int16", Some(0.0))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    // header layout: magic(4) numrecs(4) dimTag(4) ndims(4), then
+    // name("y") = len(4)+char(1)+pad(3) at 16..23, size at 24..27,
+    // name("x") at 28..35 — the two dim-name chars sit at 20 and 32
+    assert(bytes(20) == 'y' && bytes(32) == 'x')
+    def patched(c0: Byte, c1: Byte): String = {
+      val b = bytes.clone(); b(20) = c0; b(32) = c1
+      val p = s"$tmp/dims-$c0$c1.nc"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), b)
+      p
+    }
+    val flipped = intercept[IllegalArgumentException](
+      NetCdf.readHeader(patched('x', 'y')))
+    assert(flipped.getMessage.contains("(x, y)-ordered"))
+    val unknown = intercept[IllegalArgumentException](
+      NetCdf.readHeader(patched('q', 'r')))
+    assert(unknown.getMessage.contains("cannot confirm"))
+  }
+
   test("reader plugin: paste-path read through NetCdfReader, band guard") {
     val path = s"$tmp/rd.nc"
     val (w, h) = (96, 64)
