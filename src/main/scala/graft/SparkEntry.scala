@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.Relational.queries ++
       relational.Stats.queries ++
+      relational.TopK.queries ++
       dedup.Dedup.queries ++
       similarity.Similarity.queries ++
       text.TextAnalysis.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     relational.Relational.oracleSql ++
       relational.Stats.oracleSql ++
+      relational.TopK.oracleSql ++
       dedup.Dedup.oracleSql ++
       similarity.Similarity.oracleSql ++
       text.TextAnalysis.oracleSql ++
