@@ -117,10 +117,87 @@ object Layout {
     check.select("files_before", "files_after", "n_rows", "z_xor")
   }
 
+  // ---- bucketed standing layout + exchange-free join --------------------
+
+  // one build per (session, dir): the standing tables are the artifact,
+  // rebuilt only when the source dir changes (no executor storage to
+  // release on evict — external tables are plain files)
+  private val bucketedBuilt = new graft.BoundedCache[String](
+    max = 8, onEvict = _ => ())
+
+  /** Register `orders` / `lineitem` as standing bucketed tables (8
+    * buckets on the join key, one file per bucket) rooted under the JVM
+    * tmpdir, once per (session, dir). */
+  private def bucketedTables(spark: SparkSession, dir: String): (String, String) = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode) // unsigned hex, fs-safe
+    val (ot, lt) = (s"orders_bj_$tag", s"lineitem_bj_$tag")
+    bucketedBuilt.get(s"${System.identityHashCode(spark)}|$dir") {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_bucketed_$tag").toString
+      Seq(ot -> "orders", lt -> "lineitem").foreach { case (name, src) =>
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val path = s"$root/$name"
+        val f = new java.io.File(path)
+        if (f.exists()) {
+          java.nio.file.Files.walk(f.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.delete(p))
+        }
+        val key = if (src == "orders") "o_orderkey" else "l_orderkey"
+        graft.Tables.load(spark, dir, src)
+          .repartition(8, col(key)) // one writer task per bucket -> one file per bucket
+          .write.mode("overwrite")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", path)
+          .saveAsTable(name)
+      }
+      "built"
+    }
+    (ot, lt)
+  }
+
+  /** Exchange-free fact-fact join over the standing bucketed layout.
+    *
+    * At 100 TB, `orders ⋈ lineitem ON orderkey` is the join every
+    * report runs; shuffling both sides every time is the single
+    * largest avoidable exchange in the warehouse. Bucketing both
+    * tables by the join key at WRITE time (same bucket count, sorted
+    * within buckets) makes every subsequent join co-located: the scan
+    * itself satisfies the join's distribution requirement, so the only
+    * exchange left in this query is the final 5-group aggregate
+    * (`BucketedJoinSpec` asserts exactly that: SortMergeJoin present,
+    * one Exchange total, zero below the join). The `merge` hint pins
+    * SMJ so the demo doesn't degrade to a broadcast that would hide
+    * the layout's effect.
+    *
+    * Revenue is integer-quantized per row before summing (cents as
+    * BIGINT) so the aggregate is exact under any partition order —
+    * the cross-engine-stable spelling. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (ot, lt) = bucketedTables(spark, dir)
+    spark.table(ot)
+      .join(spark.table(lt).hint("merge"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+      .orderBy("priority")
+  }
+
+  private val bucketedJoinDuckSql: String =
+    """SELECT o_orderpriority AS priority, COUNT(*) AS n,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+      |                AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> ((s, _) => zorderLayout(s)),
-    "layout_compact" -> ((s, _) => compactQuery(s)))
+    "layout_compact" -> ((s, _) => compactQuery(s)),
+    "layout_bucketed_join" -> ((s, d) => bucketedJoin(s, d)))
 
   val oracleSql: Map[String, String] = Map(
-    "layout_zorder" -> zorderLayoutDuckSql)
+    "layout_zorder" -> zorderLayoutDuckSql,
+    "layout_bucketed_join" -> bucketedJoinDuckSql)
 }

@@ -176,12 +176,69 @@ object Stats {
         (col("est") - col("exact")).as("overcount"))
   }
 
+  // ---- HLL distinct sketches (persisted + re-aggregated) ------------------
+
+  /** Distinct-count sketches as STANDING DATA, not just a one-shot
+    * `approx_count_distinct`: per-group HLL sketches (Apache
+    * DataSketches via Spark's built-in `hll_sketch_agg`, lgK=14 ≈
+    * 0.8% std error) are materialized to parquet — the daily-rollup
+    * layout — then RELOADED and re-aggregated with `hll_union_agg`
+    * into the global distinct count, touching only sketch bytes.
+    * That re-aggregation property is the whole point at 100 TB: a
+    * year of "distinct users per day per segment" answers any
+    * coarser rollup from kilobytes of sketches instead of re-scanning
+    * the events table.
+    *
+    * Self-validating oracle (the `text_heavy_hitters_sketch` pattern,
+    * upgraded to hash-exact): the output carries the EXACT ndv and a
+    * 0/1 within-bound flag; the DuckDB oracle computes the exact ndv
+    * and expects the flag to be 1, so an estimator drifting past its
+    * documented bound turns the row red in the driver compare. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir)
+    val perType = spark.sql(
+      """SELECT event_type,
+        |       hll_sketch_agg(user_id, 14) AS sk,
+        |       COUNT(DISTINCT user_id) AS exact_ndv
+        |FROM events GROUP BY event_type""".stripMargin)
+    val store = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_hll_sketches").toString
+    perType.write.mode("overwrite").parquet(store)
+    val reloaded = spark.read.parquet(store)
+    reloaded.createOrReplaceTempView("hll_daily")
+    spark.sql(
+      """SELECT event_type, exact_ndv,
+        |       CAST(CASE WHEN ABS(est - exact_ndv) <= 0.03 * exact_ndv
+        |            THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+        |FROM (
+        |  SELECT event_type, exact_ndv,
+        |         CAST(hll_sketch_estimate(sk) AS DOUBLE) AS est
+        |  FROM hll_daily
+        |  UNION ALL
+        |  SELECT '__all__' AS event_type,
+        |         (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_ndv,
+        |         CAST(hll_sketch_estimate(hll_union_agg(sk)) AS DOUBLE) AS est
+        |  FROM hll_daily)
+        |ORDER BY event_type""".stripMargin)
+  }
+
+  private val hllDistinctDuckSql: String =
+    """SELECT event_type, exact_ndv, CAST(1 AS BIGINT) AS within_bound
+      |FROM (
+      |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_ndv
+      |  FROM events GROUP BY event_type
+      |  UNION ALL
+      |  SELECT '__all__', COUNT(DISTINCT user_id) FROM events)
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_table" -> Tables.sql(statsSparkSql),
     "stats_quantiles" -> Tables.sql(quantilesSparkSql),
+    "stats_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
     "text_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "stats_table" -> statsDuckSql,
-    "stats_quantiles" -> quantilesDuckSql)
+    "stats_quantiles" -> quantilesDuckSql,
+    "stats_hll_distinct" -> hllDistinctDuckSql)
 }

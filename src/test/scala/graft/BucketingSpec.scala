@@ -66,4 +66,29 @@ class BucketingSpec extends AnyFunSuite {
     // and of course the same answer
     assert(bucketed.count() == plain.count())
   }
+
+  test("layout_bucketed_join: SMJ over standing buckets, one exchange total") {
+    Tables.register(spark, GraftSpark.sf)
+    val df = graft.layout.Layout.bucketedJoin(spark, GraftSpark.sf)
+    val rows = df.collect()
+    // AQE's toString prints Final AND Initial plans — keep the final only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    // the ONLY hash exchange is the 5-group aggregate above the join;
+    // both join inputs read pre-bucketed (the layout's whole point).
+    // (orderBy adds a rangepartitioning exchange; that's the output
+    // sort, not join machinery.)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"want 1 hash exchange (agg only), got $hashExchanges:\n$plan")
+    // equality vs the plain unbucketed spelling
+    val plain = spark.sql(
+      """SELECT o_orderpriority AS priority, COUNT(*) AS n,
+        |       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |           AS BIGINT)) AS revenue_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(rows.toSeq == plain.toSeq)
+    assert(rows.nonEmpty)
+  }
 }

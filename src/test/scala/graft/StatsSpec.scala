@@ -39,6 +39,27 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("hll sketches: every ndv within bound, union consistent with " +
+    "re-estimating the merged sketch") {
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, sf)
+    val rows = relational.Stats.hllDistinct(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(2) == 1L),
+      rows.mkString("\n"))
+    // the parquet round-trip must be lossless: union of reloaded
+    // sketches == one-shot sketch over the raw column
+    val direct = spark.sql(
+      "SELECT hll_sketch_estimate(hll_sketch_agg(user_id, 14)) FROM events")
+      .head().getLong(0)
+    val merged = spark.sql(
+      """SELECT hll_sketch_estimate(hll_union_agg(sk)) FROM (
+        |  SELECT hll_sketch_agg(user_id, 14) AS sk
+        |  FROM events GROUP BY event_type)""".stripMargin)
+      .head().getLong(0)
+    assert(direct == merged,
+      s"sketch union ($merged) != direct sketch ($direct)")
+  }
+
   test("heavy hitters plans as TakeOrderedAndProject, not global sort") {
     Tables.register(spark, sf)
     val df = spark.sql(text.TextAnalysis.heavyHittersSparkSql)
