@@ -13,12 +13,17 @@ object RunOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val show = args.contains("-show")
+    // -conf key=value pairs pass straight through to the session builder
+    val confs = args.filter(_.startsWith("-conf")).map(_.stripPrefix("-conf"))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
     val names = args.filterNot(_.startsWith("-"))
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    confs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def once(n: String): Double = {
       val t0 = System.nanoTime()
