@@ -300,6 +300,89 @@ object Multimodal {
       |       CAST(SUM((raw % 256) * pos) AS BIGINT) AS thumb_wsum
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- perceptual-hash (dHash) near-duplicate image grouping -------------
+
+  /** dHash near-dup image dedup: decode, nearest-neighbor sample a 9×8
+    * luminance grid (same integer-div positions as [[resize]]), emit one
+    * bit per horizontal neighbor pair (left < right), then group images
+    * by the 64-bit fingerprint — dHash IS the perceptual quantization,
+    * so exact-equality grouping on it is the standard near-dup blocking
+    * step (scaled variants of one image land in one bucket regardless of
+    * original resolution). The hash ships as two 32-bit halves in BIGINT
+    * columns: bit 63 of a single packed BIGINT would overflow to the
+    * sign bit in Spark while DuckDB's SUM widens to HUGEINT — the two
+    * engines would disagree on the same fingerprint.
+    *
+    * Scale shape (100 TB): decode + hash are map-side mapPartitions; the
+    * only shuffle carries (h_hi, h_lo, doc_id) triples — 24 bytes/image
+    * regardless of image size. Output keeps only buckets with >1 member
+    * (the dedup candidates), aggregated as count + representative +
+    * id-sum, all order-exact integers. */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir)
+      .select("doc_id", "mime", "width", "height", "payload")
+      .as[(Long, String, Int, Int, Array[Byte])]
+    val hashed = media.mapPartitions { it =>
+      it.map { case (id, mime, w0, h0, payload) =>
+        val (w, h, px) = decodeAny(id, mime, w0, h0, payload)
+        var lo = 0L
+        var hi = 0L
+        var oy = 0
+        while (oy < 8) {
+          val sy = oy * h / 8
+          var ox = 0
+          while (ox < 8) {
+            val a = px(sy * w + ox * w / 9)
+            val b = px(sy * w + (ox + 1) * w / 9)
+            if (b > a) {
+              val bit = oy * 8 + ox
+              if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+            }
+            ox += 1
+          }
+          oy += 1
+        }
+        (id, hi, lo)
+      }
+    }.toDF("doc_id", "h_hi", "h_lo")
+    hashed.groupBy("h_hi", "h_lo")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("rep_doc"),
+        sum("doc_id").as("id_sum"))
+      .where(col("n_docs") > 1)
+      .orderBy("h_hi", "h_lo")
+  }
+
+  /** Oracle: same 9×8 grid, same integer-div sample positions, same
+    * closed-form pixels, same two-half packing — DuckDB recomputes the
+    * fingerprints from the formula while Spark recovers them from the
+    * decoded PNGs. */
+  val phashDedupDuckSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(16 + doc_id % 48 AS BIGINT) AS w,
+      |         CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS h
+      |  FROM documents),
+      |b AS (
+      |  SELECT d.doc_id, ty.oy * 8 + tx.ox AS bit,
+      |         CASE WHEN ((((tx.ox + 1) * d.w) // 9) * 7
+      |                    + ((ty.oy * d.h) // 8) * 13 + d.doc_id * 31) % 256
+      |                 > (((tx.ox * d.w) // 9) * 7
+      |                    + ((ty.oy * d.h) // 8) * 13 + d.doc_id * 31) % 256
+      |         THEN 1 ELSE 0 END AS v
+      |  FROM d, generate_series(0, 7) AS tx(ox), generate_series(0, 7) AS ty(oy)),
+      |hh AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN bit < 32 THEN v * (1::BIGINT << bit)
+      |             ELSE 0 END) AS BIGINT) AS h_lo,
+      |    CAST(SUM(CASE WHEN bit >= 32 THEN v * (1::BIGINT << (bit - 32))
+      |             ELSE 0 END) AS BIGINT) AS h_hi
+      |  FROM b GROUP BY doc_id)
+      |SELECT h_hi, h_lo, COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc,
+      |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM hh GROUP BY 1, 2 HAVING COUNT(*) > 1
+      |ORDER BY h_hi, h_lo""".stripMargin
+
   // ---- audio: real WAV (RIFF PCM16) encode + javax.sound decode ----------
 
   /** Deterministic sample function: PCM16 sample i of doc `id`. */
@@ -504,7 +587,8 @@ object Multimodal {
     "mm_frame_sample" -> ((s, d) => frameSample(s, d)),
     "mm_resize" -> ((s, d) => resize(s, d)),
     "mm_audio_features" -> ((s, d) => audioFeatures(s, d)),
-    "mm_audio_resample" -> ((s, d) => audioResample(s, d))
+    "mm_audio_resample" -> ((s, d) => audioResample(s, d)),
+    "mm_phash_dedup" -> ((s, d) => phashDedup(s, d))
   )
 
   val metadataDuckSql: String =
@@ -519,6 +603,7 @@ object Multimodal {
     "mm_frame_sample" -> frameSampleDuckSql,
     "mm_resize" -> resizeDuckSql,
     "mm_audio_features" -> audioFeaturesDuckSql,
-    "mm_audio_resample" -> audioResampleDuckSql
+    "mm_audio_resample" -> audioResampleDuckSql,
+    "mm_phash_dedup" -> phashDedupDuckSql
   )
 }

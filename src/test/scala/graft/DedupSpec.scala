@@ -398,6 +398,37 @@ class DedupSpec extends AnyFunSuite {
     assert(a.size == Tables.load(spark, sf, "documents").count())
   }
 
+  test("phash dedup: decoded dHash groups match the closed-form oracle") {
+    // independent oracle: recompute each doc's 9x8 dHash from the pixel
+    // formula, group, keep buckets of >1 — Spark must recover the same
+    // buckets from the actual decoded PNG bytes
+    def hash(id: Long): (Long, Long) = {
+      val w = (16 + id % 48).toInt
+      val h = (16 + (id * 7) % 48).toInt
+      def px(x: Int, y: Int): Long = (x * 7L + y * 13L + id * 31L) % 256L
+      var lo = 0L; var hi = 0L
+      for (oy <- 0 until 8; ox <- 0 until 8) {
+        val sy = oy * h / 8
+        if (px((ox + 1) * w / 9, sy) > px(ox * w / 9, sy)) {
+          val bit = oy * 8 + ox
+          if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+        }
+      }
+      (hi, lo)
+    }
+    val ids = Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.groupBy(hash).filter(_._2.length > 1)
+      .map { case ((hi, lo), ds) =>
+        (hi, lo, ds.length.toLong, ds.min, ds.sum) }
+      .toSeq.sorted
+    val got = multimodal.Multimodal.phashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sorted
+    assert(got == expected)
+    assert(got.nonEmpty) // non-vacuous: the corpus has dHash collisions
+  }
+
   test("audio resample: unit-rate docs pass through, others shrink exactly") {
     val rows = multimodal.Multimodal.audioResample(spark, sf).collect()
     assert(rows.length == Tables.load(spark, sf, "documents").count())
