@@ -318,12 +318,14 @@ object Multimodal {
     * regardless of image size. Output keeps only buckets with >1 member
     * (the dedup candidates), aggregated as count + representative +
     * id-sum, all order-exact integers. */
-  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, h_hi, h_lo) dHash fingerprints of every image — the
+    * shared first stage of [[phashDedup]] and [[phashNear]]. */
+  private def phashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = mediaTable(spark, dir)
       .select("doc_id", "mime", "width", "height", "payload")
       .as[(Long, String, Int, Int, Array[Byte])]
-    val hashed = media.mapPartitions { it =>
+    media.mapPartitions { it =>
       it.map { case (id, mime, w0, h0, payload) =>
         val (w, h, px) = decodeAny(id, mime, w0, h0, payload)
         var lo = 0L
@@ -346,7 +348,10 @@ object Multimodal {
         (id, hi, lo)
       }
     }.toDF("doc_id", "h_hi", "h_lo")
-    hashed.groupBy("h_hi", "h_lo")
+  }
+
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    phashes(spark, dir).groupBy("h_hi", "h_lo")
       .agg(count(lit(1)).as("n_docs"),
         min("doc_id").as("rep_doc"),
         sum("doc_id").as("id_sum"))
@@ -382,6 +387,79 @@ object Multimodal {
       |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
       |FROM hh GROUP BY 1, 2 HAVING COUNT(*) > 1
       |ORDER BY h_hi, h_lo""".stripMargin
+
+  /** Hamming radius for [[phashNear]]. With 4 bands, the pigeonhole
+    * principle makes band-blocking LOSSLESS exactly up to radius 3:
+    * two hashes differing in ≤3 bits cannot differ in all 4 bands. */
+  val NearRadius = 3
+
+  /** Near-duplicate image PAIRS within dHash Hamming distance
+    * [[NearRadius]], via 4×16-bit band blocking — the pigeonhole
+    * guarantee (≤3 differing bits can touch at most 3 of the 4 bands)
+    * means the banded equi-join finds EVERY qualifying pair without an
+    * all-pairs comparison; the DuckDB oracle runs the brute-force
+    * quadratic join, so a green row proves the blocking lossless, not
+    * just plausible.
+    *
+    * Scale shape (100 TB): candidates come from a shuffle equi-join on
+    * (band, key16) carrying 24-byte rows; the Hamming filter is pure
+    * codegen (`bit_count(a^b)`, no UDF). Band buckets inherit dHash
+    * skew (e.g. the all-ones band of saturated gradients) — at corpus
+    * scale the hot buckets take the same salting/cap treatment as the
+    * MinHash path (Dedup.MaxBucket); here the join stays exact because
+    * the oracle is exact. */
+  def phashNear(spark: SparkSession, dir: String): DataFrame = {
+    val h = phashes(spark, dir)
+    def band(i: Int, c: org.apache.spark.sql.Column) =
+      struct(lit(i).as("band"), shiftright(c, 16 * (i % 2))
+        .bitwiseAND(lit(0xFFFFL)).as("k"))
+    val bands = h.select(col("doc_id"), col("h_hi"), col("h_lo"),
+      explode(array(band(0, col("h_lo")), band(1, col("h_lo")),
+        band(2, col("h_hi")), band(3, col("h_hi")))).as("bk"))
+    val a = bands.select(col("bk"), col("doc_id").as("doc_a"),
+      col("h_hi").as("hi_a"), col("h_lo").as("lo_a"))
+    val b = bands.select(col("bk").as("bk_b"), col("doc_id").as("doc_b"),
+      col("h_hi").as("hi_b"), col("h_lo").as("lo_b"))
+    a.join(b, col("bk") === col("bk_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= NearRadius)
+      .distinct() // a pair can agree on several bands
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: BRUTE-FORCE all-pairs Hamming join over the closed-form
+    * fingerprints — deliberately a different algorithm than Spark's
+    * banded blocking, so agreement certifies losslessness. */
+  val phashNearDuckSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(16 + doc_id % 48 AS BIGINT) AS w,
+      |         CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS h
+      |  FROM documents),
+      |b AS (
+      |  SELECT d.doc_id, ty.oy * 8 + tx.ox AS bit,
+      |         CASE WHEN ((((tx.ox + 1) * d.w) // 9) * 7
+      |                    + ((ty.oy * d.h) // 8) * 13 + d.doc_id * 31) % 256
+      |                 > (((tx.ox * d.w) // 9) * 7
+      |                    + ((ty.oy * d.h) // 8) * 13 + d.doc_id * 31) % 256
+      |         THEN 1 ELSE 0 END AS v
+      |  FROM d, generate_series(0, 7) AS tx(ox), generate_series(0, 7) AS ty(oy)),
+      |hh AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN bit < 32 THEN v * (1::BIGINT << bit)
+      |             ELSE 0 END) AS BIGINT) AS h_lo,
+      |    CAST(SUM(CASE WHEN bit >= 32 THEN v * (1::BIGINT << (bit - 32))
+      |             ELSE 0 END) AS BIGINT) AS h_hi
+      |  FROM b GROUP BY doc_id)
+      |SELECT * FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(bit_count(xor(a.h_hi::UBIGINT, b.h_hi::UBIGINT))
+      |            + bit_count(xor(a.h_lo::UBIGINT, b.h_lo::UBIGINT))
+      |            AS BIGINT) AS hamming
+      |  FROM hh a JOIN hh b ON a.doc_id < b.doc_id)
+      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- audio: real WAV (RIFF PCM16) encode + javax.sound decode ----------
 
@@ -588,7 +666,8 @@ object Multimodal {
     "mm_resize" -> ((s, d) => resize(s, d)),
     "mm_audio_features" -> ((s, d) => audioFeatures(s, d)),
     "mm_audio_resample" -> ((s, d) => audioResample(s, d)),
-    "mm_phash_dedup" -> ((s, d) => phashDedup(s, d))
+    "mm_phash_dedup" -> ((s, d) => phashDedup(s, d)),
+    "mm_phash_near" -> ((s, d) => phashNear(s, d))
   )
 
   val metadataDuckSql: String =
@@ -604,6 +683,7 @@ object Multimodal {
     "mm_resize" -> resizeDuckSql,
     "mm_audio_features" -> audioFeaturesDuckSql,
     "mm_audio_resample" -> audioResampleDuckSql,
-    "mm_phash_dedup" -> phashDedupDuckSql
+    "mm_phash_dedup" -> phashDedupDuckSql,
+    "mm_phash_near" -> phashNearDuckSql
   )
 }

@@ -429,6 +429,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty) // non-vacuous: the corpus has dHash collisions
   }
 
+  test("phash near-dup: banded join equals brute-force all-pairs") {
+    def hash(id: Long): (Long, Long) = {
+      val w = (16 + id % 48).toInt
+      val h = (16 + (id * 7) % 48).toInt
+      def px(x: Int, y: Int): Long = (x * 7L + y * 13L + id * 31L) % 256L
+      var lo = 0L; var hi = 0L
+      for (oy <- 0 until 8; ox <- 0 until 8) {
+        val sy = oy * h / 8
+        if (px((ox + 1) * w / 9, sy) > px(ox * w / 9, sy)) {
+          val bit = oy * 8 + ox
+          if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+        }
+      }
+      (hi, lo)
+    }
+    val hs = Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.map(id => (id, hash(id)))
+    val expected = (for {
+      (a, (ahi, alo)) <- hs; (b, (bhi, blo)) <- hs if a < b
+      d = java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo)
+      if d <= multimodal.Multimodal.NearRadius
+    } yield (a, b, d.toLong)).toSeq.sorted
+    val got = multimodal.Multimodal.phashNear(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("audio resample: unit-rate docs pass through, others shrink exactly") {
     val rows = multimodal.Multimodal.audioResample(spark, sf).collect()
     assert(rows.length == Tables.load(spark, sf, "documents").count())
