@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashBands, Shingles3, SimHash64, StopwordHits, ZOrder64}
+import graft.functions.{CosineSimilarity, MinHashBands, NfcNormalize, Shingles3, SimHash64, StopwordHits, ZOrder64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -64,6 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { args: Seq[Expression] =>
         require(args.length == 1, "stopword_hits(tok) takes one argument")
         StopwordHits(args(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc"),
+      info("nfc", "nfc(str) - Unicode canonical composition (NFC)"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "nfc(str) takes one argument")
+        NfcNormalize(args(0))
       }))
     // derive pushdown-able z-range bounds from tx/ty box predicates on
     // z-clustered tables (see graft.plans.ZOrderRangePruning)

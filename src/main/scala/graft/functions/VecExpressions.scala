@@ -241,6 +241,13 @@ object VecFunctions {
       },
       "built-in")
     reg.createOrReplaceTempFunction(
+      "nfc",
+      { args: Seq[Expression] =>
+        require(args.length == 1, "nfc(str) takes one argument")
+        NfcNormalize(args(0))
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "stopword_hits",
       { args: Seq[Expression] =>
         require(args.length == 1, "stopword_hits(tok) takes one argument")

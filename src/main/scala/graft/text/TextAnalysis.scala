@@ -557,7 +557,46 @@ object TextAnalysis {
       |SELECT doc_id, w AS term, ROUND(score, 4) AS score, rk
       |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  // ---- Unicode NFC normalization ------------------------------------------
+
+  /** NFC normalization, the hash-before-dedup hygiene step: decomposed
+    * combining-mark sequences ("e" + U+0301) and their composed forms
+    * ("é") are visually identical but hash differently, silently
+    * splitting duplicate groups. Spark has no normalization builtin, so
+    * this runs the engine's native `nfc` codegen Expression
+    * ([[graft.functions.NfcNormalize]]); DuckDB oracles it with its own
+    * `nfc_normalize`. The corpus is ASCII (already NFC — and the
+    * expression's `isNormalized` fast path never allocates for it), so
+    * the query decorates each doc with a deterministic decomposed
+    * suffix; NFC must compose it, shrinking the byte length by exactly
+    * one and producing the composed code point both engines agree on. */
+  val normalizeSparkSql: String =
+    "WITH d AS (\n" +
+      "  SELECT doc_id, CONCAT(text, ' ', CASE CAST(doc_id % 3 AS INT)\n" +
+      "    WHEN 0 THEN 'é' WHEN 1 THEN 'å'\n" +
+      "    ELSE 'ö' END) AS raw\n" +
+      "  FROM documents)\n" +
+      "SELECT doc_id, CAST(octet_length(raw) AS BIGINT) AS n_raw,\n" +
+      "       CAST(octet_length(nfc(raw)) AS BIGINT) AS n_norm,\n" +
+      "       right(nfc(raw), 1) AS composed\n" +
+      "FROM d ORDER BY doc_id"
+
+  val normalizeDuckSql: String =
+    "WITH d AS (\n" +
+      "  SELECT doc_id, CONCAT(text, ' ', CASE CAST(doc_id % 3 AS INT)\n" +
+      "    WHEN 0 THEN 'é' WHEN 1 THEN 'å'\n" +
+      "    ELSE 'ö' END) AS raw\n" +
+      "  FROM documents)\n" +
+      "SELECT doc_id, CAST(octet_length(encode(raw)) AS BIGINT) AS n_raw,\n" +
+      "       CAST(octet_length(encode(nfc_normalize(raw))) AS BIGINT) AS n_norm,\n" +
+      "       right(nfc_normalize(raw), 1) AS composed\n" +
+      "FROM d ORDER BY doc_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> ((s: SparkSession, d: String) => {
+      graft.functions.VecFunctions.register(s)
+      Tables.sql(normalizeSparkSql)(s, d)
+    }),
     "text_stats" -> Tables.sql(statsSparkSql),
     "text_tokens" -> Tables.sql(tokensSparkSql),
     "text_fingerprint" -> Tables.sql(fingerprintSparkSql),
@@ -579,6 +618,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_normalize" -> normalizeDuckSql,
     "text_stats" -> statsDuckSql,
     "text_tokens" -> tokensDuckSql,
     "text_fingerprint" -> fingerprintDuckSql,

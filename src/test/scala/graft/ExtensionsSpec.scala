@@ -38,6 +38,11 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT size(shingles3(array('a', 'b', 'c', 'd'))) AS n")
         .head().getInt(0)
       assert(grams == 2) // 'a b c' and 'b c d'
+      // nfc: decomposed e + U+0301 composes to 2-byte é; ASCII untouched
+      val nfc = spark.sql(
+        "SELECT octet_length(nfc('é')) AS n, nfc('plain') AS p")
+        .head()
+      assert(nfc.getInt(0) == 2 && nfc.getString(1) == "plain")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
