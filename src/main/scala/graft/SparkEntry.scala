@@ -25,6 +25,7 @@ object SparkEntry {
       similarity.Similarity.queries ++
       text.TextAnalysis.queries ++
       text.Corpus.queries ++
+      text.Bpe.queries ++
       multimodal.Multimodal.queries ++
       streaming.StreamingOps.queries ++
       layout.Layout.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       similarity.Similarity.oracleSql ++
       text.TextAnalysis.oracleSql ++
       text.Corpus.oracleSql ++
+      text.Bpe.oracleSql ++
       multimodal.Multimodal.oracleSql ++
       streaming.StreamingOps.oracleSql ++
       layout.Layout.oracleSql

@@ -1,0 +1,147 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary induction — the tokenizer-training
+  * step of an LLM data pipeline (Sennrich et al. 2016; what HF
+  * `tokenizers` runs under `BpeTrainer`).
+  *
+  * Scale shape (100 TB): the corpus-sized work is ONE distributed
+  * word-count aggregation (map-side partial, vocabulary-sized result —
+  * Heaps' law bounds word TYPES regardless of corpus size). The merge
+  * loop then iterates on the word-type table: every round is a
+  * vocabulary-sized pair aggregation, a driver fetch of exactly ONE row
+  * (the argmax pair), and a map-side merge application with the pair
+  * broadcast in the closure. Nothing corpus-sized ever shuffles again,
+  * and the driver never holds more than one pair per round.
+  */
+object Bpe {
+
+  /** Number of merges the query trains. Production vocabularies run
+    * 30k–100k rounds of the SAME per-round plan; the round count only
+    * multiplies wall-clock, not shuffle width, so a small count pins
+    * the algorithm while keeping the bench query bounded. */
+  val NumMerges = 16
+
+  /** Checkpoint cadence: each round chains a `map` over the previous
+    * symbols, so lineage (and closure nesting) grows linearly; a
+    * localCheckpoint every few rounds keeps the plan flat the same way
+    * the connected-components loop does. */
+  private val CheckpointEvery = 4
+
+  /** (word, count) types from the documents table — the one
+    * corpus-sized aggregation. Tokenization matches the corpus ops:
+    * split on whitespace, lowercased, empties dropped. */
+  private def wordCounts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir)
+    spark.sql(
+      """SELECT w, COUNT(*) AS c FROM (
+        |  SELECT explode(split(lower(trim(text)), '\\s+')) AS w
+        |  FROM documents)
+        |WHERE w <> '' GROUP BY w""".stripMargin)
+  }
+
+  /** Train [[NumMerges]] BPE merges; returns one row per merge:
+    * (rank, left, right, pair_count), rank 1 = first merge. Ties on
+    * pair count break lexicographically (left, then right) so the
+    * result is deterministic on any cluster. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var syms = wordCounts(spark, dir).as[(String, Long)]
+      .map { case (w, c) => (c, w.map(_.toString).toArray) }
+      .toDF("c", "syms").as[(Long, Array[String])]
+      .localCheckpoint()
+
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    while (rank <= NumMerges) {
+      // vocabulary-sized pair aggregation; top-1 via TakeOrdered
+      val best = syms.flatMap { case (c, s) =>
+        var i = 0
+        val out = Array.newBuilder[((String, String), Long)]
+        while (i < s.length - 1) { out += (((s(i), s(i + 1)), c)); i += 1 }
+        out.result()
+      }.toDF("pair", "c")
+        .groupBy("pair").agg(sum("c").as("n"))
+        .orderBy(desc("n"), col("pair._1"), col("pair._2"))
+        .limit(1)
+        .collect() // exactly one row: the argmax pair
+      if (best.isEmpty) rank = NumMerges + 1 // degenerate corpus: done
+      else {
+        val row = best.head
+        val pr = row.getStruct(0)
+        val (a, b, n) = (pr.getString(0), pr.getString(1), row.getLong(1))
+        merges += ((rank, a, b, n))
+        val merged = a + b
+        syms = syms.map { case (c, s) =>
+          if (s.length < 2) (c, s)
+          else {
+            val out = Array.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+                out += merged; i += 2
+              } else { out += s(i); i += 1 }
+            }
+            (c, out.result())
+          }
+        }
+        if (rank % CheckpointEvery == 0) syms = syms.localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.result()
+      .toDF("rank", "left", "right", "pair_count")
+      .select(col("rank").cast("long"), col("left"), col("right"),
+        col("pair_count"))
+      .orderBy("rank")
+  }
+
+  /** Oracle-checkable foundation of the trainer: round-1 adjacent
+    * character-pair counts over the word types, top 50 with the same
+    * (count desc, left, right) tie-break the trainer uses. DuckDB
+    * replays it with substr + generate_series; the full merge LOOP is
+    * not SQL-expressible, so it is pinned by BpeSpec's sequential
+    * reference implementation instead. */
+  val bpePairsSparkSql: String =
+    """WITH wc AS (
+      |  SELECT w, COUNT(*) AS c FROM (
+      |    SELECT explode(split(lower(trim(text)), '\\s+')) AS w
+      |    FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |p AS (
+      |  SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, c
+      |  FROM wc LATERAL VIEW explode(sequence(1, length(w) - 1)) t AS i
+      |  WHERE length(w) >= 2)
+      |SELECT l, r, CAST(SUM(c) AS BIGINT) AS n
+      |FROM p GROUP BY l, r
+      |ORDER BY n DESC, l, r LIMIT 50""".stripMargin
+
+  val bpePairsDuckSql: String =
+    """WITH wc AS (
+      |  SELECT w, COUNT(*) AS c FROM (
+      |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |    FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |p AS (
+      |  -- DuckDB can't take a lateral column bound in generate_series
+      |  -- here; constant grid + filter (the mm_frame_sample pattern).
+      |  -- Corpus words are <=8 chars; a >32-char word would make this
+      |  -- row disagree with the Spark spelling = loud red oracle row.
+      |  SELECT substr(w, CAST(g.i AS INT), 1) AS l,
+      |         substr(w, CAST(g.i AS INT) + 1, 1) AS r, c
+      |  FROM wc, generate_series(1, 31) AS g(i)
+      |  WHERE g.i <= len(w) - 1)
+      |SELECT l, r, CAST(SUM(c) AS BIGINT) AS n
+      |FROM p GROUP BY l, r
+      |ORDER BY n DESC, l, r LIMIT 50""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_bpe_pairs" -> Tables.sql(bpePairsSparkSql),
+    "corpus_bpe_merges" -> ((s, d) => bpeMerges(s, d)))
+
+  val oracleSql: Map[String, String] = Map(
+    "corpus_bpe_pairs" -> bpePairsDuckSql)
+}

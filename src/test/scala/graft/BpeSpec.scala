@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import GraftSpark.{spark, sf}
+
+/** Pins the distributed BPE trainer against an independent sequential
+  * reference implementation run on the collected corpus. */
+class BpeSpec extends AnyFunSuite {
+
+  /** Textbook single-threaded BPE: word counts -> repeat(argmax pair,
+    * merge). Deliberately structured nothing like the Spark version. */
+  private def referenceMerges(texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1))
+    var words: Map[Vector[String], Long] =
+      wc.toMap.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to n) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (s, c) =>
+        s.indices.dropRight(1).foreach { i =>
+          val p = (s(i), s(i + 1)); pairs(p) = pairs.getOrElse(p, 0L) + c
+        }
+      }
+      if (pairs.nonEmpty) {
+        val ((a, b), cnt) = pairs.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((rank, a, b, cnt))
+        words = words.groupMapReduce { case (s, _) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+              merged += (a + b); i += 2
+            } else { merged += s(i); i += 1 }
+          }
+          merged.result()
+        }(_._2)(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  test("distributed BPE merges equal the sequential reference") {
+    val texts = Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val expected = referenceMerges(texts, text.Bpe.NumMerges)
+    val got = text.Bpe.bpeMerges(spark, sf).collect()
+      .map(r => (r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    assert(got.size == text.Bpe.NumMerges) // corpus is rich enough
+    // merges must be usable: later merges may reference earlier merged
+    // symbols (multi-char left/right) — assert that actually happens so
+    // the loop is exercised beyond round-1 pair counting
+    assert(got.exists { case (_, l, r, _) => l.length > 1 || r.length > 1 })
+  }
+
+  test("bpe pair counts: spark spelling is deterministic and bounded") {
+    val a = SparkEntry.queries("corpus_bpe_pairs")(spark, sf).collect()
+    val b = SparkEntry.queries("corpus_bpe_pairs")(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 50)
+  }
+}
