@@ -123,6 +123,36 @@ object Relational {
         |             ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, pr, o_orderkey""".stripMargin),
 
+    // Snapshot diff (CDC extraction): classify rows of two table
+    // versions as added/removed/changed via one full-outer join on the
+    // key — the change-set computation every incremental pipeline runs
+    // before shipping a delta downstream. v2 is derived from v1 with
+    // deterministic edits (mod-97 deletes, mod-53 price bumps, mod-89
+    // key-shifted inserts) so the diff is non-vacuous at every SF.
+    // Prices compare as integer cents: ROUND-to-2-decimals differs
+    // between engines at the ulp, integer quantization does not. At
+    // scale the join shuffles both snapshots on the key — or neither,
+    // when snapshots live in the bucketed layout (layout_bucketed_join).
+    Q("q39_snapshot_diff",
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k % 53 = 1 THEN cents + 500 ELSE cents END AS cents
+        |  FROM v1 WHERE k % 97 <> 0
+        |  UNION ALL
+        |  SELECT k + (SELECT MAX(o_orderkey) FROM orders) AS k, cents
+        |  FROM v1 WHERE k % 89 = 0)
+        |SELECT CASE WHEN a.k IS NULL THEN 'added'
+        |            WHEN b.k IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS op,
+        |       COALESCE(a.k, b.k) AS k, a.cents AS old_cents,
+        |       b.cents AS new_cents
+        |FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k
+        |WHERE a.k IS NULL OR b.k IS NULL OR a.cents <> b.cents
+        |ORDER BY op, k""".stripMargin),
+
     Q("q18_window_frame",
       """SELECT o_orderkey,
         |       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
