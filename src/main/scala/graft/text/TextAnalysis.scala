@@ -557,6 +557,91 @@ object TextAnalysis {
       |SELECT doc_id, w AS term, ROUND(score, 4) AS score, rk
       |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  // ---- sparse TF-IDF cosine retrieval -------------------------------------
+
+  /** Sparse-vector retrieval: top-3 documents per query document by
+    * TF-IDF cosine over the full vocabulary, computed through an
+    * inverted index — the lexical sibling of the dense ANN family
+    * (used in decontamination and eval-set retrieval). Plan shape at
+    * scale: one (doc_id, term) shuffle builds TF; the document-frequency
+    * table is vocabulary-sized so it broadcasts; the query side
+    * (`doc_id % 50 = 0`, a fixed 2% panel) is tiny so the
+    * inverted-index probe is a BROADCAST join against the full posting
+    * list — work is |Q|·avg-posting-length, never all-pairs. Terms with
+    * df = N carry idf 0 (no dot/norm contribution) and are pruned
+    * before the join; per-query top-3 is a bounded window. Dot products
+    * and norms are integer-quantized per term (×1e6 → BIGINT) before
+    * summing so the result is aggregation-order-exact across engines. */
+  val sparseRetrievalSparkSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, explode(split(lower(trim(text)), '\\s+')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY doc_id, w),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY w),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |wt AS (
+      |  SELECT /*+ BROADCAST(df) */ tf.doc_id, tf.w,
+      |         tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) AS wgt
+      |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+      |  WHERE df.df < n.n),
+      |nrm AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CAST(ROUND(wgt * wgt * 1e6) AS BIGINT)) AS BIGINT) AS nq
+      |  FROM wt GROUP BY doc_id),
+      |qt AS (SELECT * FROM wt WHERE doc_id % 50 = 0),
+      |dot AS (
+      |  SELECT /*+ BROADCAST(q) */ q.doc_id AS qid, d.doc_id AS did,
+      |         CAST(SUM(CAST(ROUND(q.wgt * d.wgt * 1e6) AS BIGINT)) AS BIGINT) AS dq
+      |  FROM qt q JOIN wt d ON q.w = d.w AND q.doc_id <> d.doc_id
+      |  GROUP BY q.doc_id, d.doc_id),
+      |c AS (
+      |  SELECT /*+ BROADCAST(na, nb) */ qid, did,
+      |         (dq / 1e6) / (SQRT(na.nq / 1e6) * SQRT(nb.nq / 1e6)) AS cosine
+      |  FROM dot JOIN nrm na ON na.doc_id = qid JOIN nrm nb ON nb.doc_id = did
+      |  WHERE na.nq > 0 AND nb.nq > 0),
+      |r AS (
+      |  SELECT qid, did, cosine,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |                            ORDER BY cosine DESC, did) AS rk
+      |  FROM c)
+      |SELECT qid, did, ROUND(cosine, 4) AS cosine, rk
+      |FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
+  val sparseRetrievalDuckSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY doc_id, w),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY w),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |wt AS (
+      |  SELECT tf.doc_id, tf.w,
+      |         tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) AS wgt
+      |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+      |  WHERE df.df < n.n),
+      |nrm AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CAST(ROUND(wgt * wgt * 1e6) AS BIGINT)) AS BIGINT) AS nq
+      |  FROM wt GROUP BY doc_id),
+      |qt AS (SELECT * FROM wt WHERE doc_id % 50 = 0),
+      |dot AS (
+      |  SELECT q.doc_id AS qid, d.doc_id AS did,
+      |         CAST(SUM(CAST(ROUND(q.wgt * d.wgt * 1e6) AS BIGINT)) AS BIGINT) AS dq
+      |  FROM qt q JOIN wt d ON q.w = d.w AND q.doc_id <> d.doc_id
+      |  GROUP BY q.doc_id, d.doc_id),
+      |c AS (
+      |  SELECT qid, did,
+      |         (dq / 1e6) / (SQRT(na.nq / 1e6) * SQRT(nb.nq / 1e6)) AS cosine
+      |  FROM dot JOIN nrm na ON na.doc_id = qid JOIN nrm nb ON nb.doc_id = did
+      |  WHERE na.nq > 0 AND nb.nq > 0),
+      |r AS (
+      |  SELECT qid, did, cosine,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |                            ORDER BY cosine DESC, did) AS rk
+      |  FROM c)
+      |SELECT qid, did, ROUND(cosine, 4) AS cosine, rk
+      |FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
   // ---- Unicode NFC normalization ------------------------------------------
 
   /** NFC normalization, the hash-before-dedup hygiene step: decomposed
@@ -614,7 +699,8 @@ object TextAnalysis {
     "text_heavy_hitters" -> Tables.sql(heavyHittersSparkSql),
     "text_repetition" -> Tables.sql(repetitionSparkSql),
     "text_entropy" -> Tables.sql(entropySparkSql),
-    "text_tfidf" -> Tables.sql(tfidfSparkSql)
+    "text_tfidf" -> Tables.sql(tfidfSparkSql),
+    "text_sparse_retrieval" -> Tables.sql(sparseRetrievalSparkSql)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -631,6 +717,7 @@ object TextAnalysis {
     "text_heavy_hitters" -> heavyHittersDuckSql,
     "text_repetition" -> repetitionDuckSql,
     "text_entropy" -> entropyDuckSql,
-    "text_tfidf" -> tfidfDuckSql
+    "text_tfidf" -> tfidfDuckSql,
+    "text_sparse_retrieval" -> sparseRetrievalDuckSql
   )
 }
