@@ -44,5 +44,6 @@ object SparkEntry {
       text.Bpe.oracleSql ++
       multimodal.Multimodal.oracleSql ++
       streaming.StreamingOps.oracleSql ++
-      layout.Layout.oracleSql
+      layout.Layout.oracleSql ++
+      rasterops.RasterQueries.oracleSql
 }

@@ -400,6 +400,57 @@ object RasterQueries {
     summarize(spark.read.parquet(out))
   }
 
+  /** Path shared between the Spark query and its DuckDB oracle: the
+    * mosaic's pixels land here as plain pixel-row parquet, and both
+    * engines aggregate the SAME file. */
+  private val CellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_mosaic_cells_parquet"
+
+  /** The raster family's cross-engine anchor (the one hash-checked
+    * raster row): the fused solar-day mosaic — the same cube as
+    * `raster_load_mosaic` — exploded to (band, tile, y, x, value) pixel
+    * rows, written as parquet, then aggregated per tile by Spark AND
+    * recomputed by DuckDB from the same file. A pixel decoded or fused
+    * wrongly shifts a quantized per-tile checksum an engine sharing none
+    * of our raster code verifies — the distributed analog of the
+    * reference's golden pixel checks (`loader/test_reader.py:72-125`).
+    * Sum is integer-quantized (×100 → BIGINT) so it is
+    * aggregation-order-exact across engines. */
+  def mosaicCells(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    res.tiles
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("width"),
+        posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
+        (col("pos") / col("width")).cast("int").as("py"),
+        (col("pos") % col("width")).cast("int").as("px"),
+        col("col").as("value"))
+      .write.mode("overwrite").parquet(CellsPath)
+    spark.read.parquet(CellsPath)
+      .groupBy("band", "tidx", "ty", "tx")
+      .agg(count(lit(1)).as("n_px"),
+        sum(when(isnan(col("value")), 0L)
+          .otherwise(round(col("value") * 100).cast("long"))).as("sum_q"),
+        round(min(when(!isnan(col("value")), col("value"))), 2).as("vmin"),
+        round(max(when(!isnan(col("value")), col("value"))), 2).as("vmax"))
+      .orderBy("band", "tidx", "ty", "tx")
+  }
+
+  private val mosaicCellsDuckSql: String =
+    s"""SELECT band, tidx, ty, tx, COUNT(*) AS n_px,
+       |       CAST(SUM(CASE WHEN isnan(value) THEN 0
+       |                ELSE CAST(ROUND(value * 100) AS BIGINT) END)
+       |            AS BIGINT) AS sum_q,
+       |       ROUND(MIN(CASE WHEN isnan(value) THEN NULL ELSE value END), 2) AS vmin,
+       |       ROUND(MAX(CASE WHEN isnan(value) THEN NULL ELSE value END), 2) AS vmax
+       |FROM read_parquet('$CellsPath/*.parquet')
+       |GROUP BY band, tidx, ty, tx
+       |ORDER BY band, tidx, ty, tx""".stripMargin
+
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
   def compositeMean(spark: SparkSession): DataFrame = {
@@ -440,6 +491,7 @@ object RasterQueries {
     "raster_cog_export" -> ((s, _) => cogExport(s)),
     "raster_zarr_export" -> ((s, _) => zarrExport(s)),
     "raster_load_mosaic" -> ((s, _) => loadMosaic(s)),
+    "raster_mosaic_cells" -> ((s, _) => mosaicCells(s)),
     "raster_load_tiff" -> ((s, _) => loadTiff(s)),
     "raster_load_zarr" -> ((s, _) => loadZarr(s)),
     "raster_load_netcdf" -> ((s, _) => loadNetcdf(s)),
@@ -453,5 +505,6 @@ object RasterQueries {
     "raster_eo3_export" -> ((s, _) => eo3Export(s))
   )
 
-  val oracleSql: Map[String, String] = Map.empty
+  val oracleSql: Map[String, String] = Map(
+    "raster_mosaic_cells" -> mosaicCellsDuckSql)
 }

@@ -33,11 +33,9 @@ object StreamingOps {
 
   /** FileStreamSource needs a directory; expose a single-file table
     * through a symlink dir (what a real ingest landing zone looks like).
-    * Returns (dir path, raw schema — events.ts arrives as raw nanos). */
+    * Returns (dir path, raw schema). */
   private def stagedTable(spark: SparkSession, dir: String,
                           table: String): (String, org.apache.spark.sql.types.StructType) = {
-    if (table == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // absolute target: a relative SF dir would otherwise create a
     // dangling link (resolved relative to /tmp); NOFOLLOW exists-check so
     // a stale dangling link is detected rather than re-created
@@ -53,16 +51,49 @@ object StreamingOps {
     (streamDir.toString, spark.read.parquet(streamDir.toString).schema)
   }
 
-  private def stagedEvents(spark: SparkSession, dir: String)
-  : (String, org.apache.spark.sql.types.StructType) =
-    stagedTable(spark, dir, "events")
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (resolves as a
+    * raw Long under the legacy flag) and as TIMESTAMP(MICROS) (resolves
+    * as a timestamp type) across driver testdata generations. This picks
+    * the normalizing Column for the actual staged schema — the streaming
+    * analog of the dtype guard in [[graft.Tables.load]]. The UTC session
+    * timezone makes the NTZ→TZ cast exact, matching the DuckDB oracle's
+    * naive-as-UTC `CAST(ts AS TIMESTAMP)`. */
+  private[graft] def tsNormalizer(
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)") // raw nanos → floor to micros
+      case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    }
+
+  /** Stage `events`, open it as a file-source stream with `ts` normalized
+    * to a UTC micro-second TimestampType, and run `f` over a FACTORY of
+    * such streams (stream-stream self-joins want two distinct source
+    * instances). The legacy-nanos flag is scoped around the whole of `f`
+    * — microbatch reads resolve it at execution time, not plan time, so
+    * restoring before `awaitTermination` would break a nanos-era read —
+    * and restored afterwards, never leaking into the session. */
+  private def withEventsStream[T](spark: SparkSession, dir: String)
+                                 (f: (() => DataFrame) => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val (path, rawSchema) = stagedTable(spark, dir, "events")
+      val norm = tsNormalizer(rawSchema)
+      f(() => spark.readStream.schema(rawSchema).parquet(path)
+        .withColumn("ts", norm))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   def tumblingDaily(spark: SparkSession, dir: String): DataFrame =
       withStreamPartitions(spark, 8) {
-    val (path, rawSchema) = stagedEvents(spark, dir)
+      withEventsStream(spark, dir) { src =>
     val name = s"graft_stream_${counter.incrementAndGet()}"
-    val stream = spark.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = src()
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
@@ -76,7 +107,7 @@ object StreamingOps {
       .select(col("window.start").cast("date").as("d"), col("event_type"),
         col("n"), col("v"))
       .orderBy("d", "event_type")
-  }
+  } }
 
   /** Same answer, batch SQL — the oracle for the streaming run. */
   val tumblingDailyOracle: String =
@@ -95,10 +126,9 @@ object StreamingOps {
     * by excluding the final day. */
   def tumblingDailyAppend(spark: SparkSession, dir: String): DataFrame =
       withStreamPartitions(spark, 8) {
-    val (path, rawSchema) = stagedEvents(spark, dir)
+      withEventsStream(spark, dir) { src =>
     val name = s"graft_stream_${counter.incrementAndGet()}"
-    val stream = spark.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = src()
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
@@ -112,7 +142,7 @@ object StreamingOps {
       .select(col("window.start").cast("date").as("d"), col("event_type"),
         col("n"), col("v"))
       .orderBy("d", "event_type")
-  }
+  } }
 
   /** Sliding event-time window (1 day long, 12 h slide) in append mode:
     * every event lands in length/slide = 2 overlapping windows, and only
@@ -121,10 +151,9 @@ object StreamingOps {
     * windows per key = length/slide, not history). */
   def slidingAppend(spark: SparkSession, dir: String): DataFrame =
       withStreamPartitions(spark, 8) {
-    val (path, rawSchema) = stagedEvents(spark, dir)
+      withEventsStream(spark, dir) { src =>
     val name = s"graft_stream_${counter.incrementAndGet()}"
-    val stream = spark.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = src()
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
@@ -138,7 +167,7 @@ object StreamingOps {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
         col("event_type"), col("n"), col("v"))
       .orderBy("ws", "event_type")
-  }
+  } }
 
   /** Oracle: enumerate each event's two windows by epoch arithmetic
     * (12 h slide; midnights are 12 h-aligned so boundaries agree), keep
@@ -187,11 +216,13 @@ object StreamingOps {
       withStreamPartitions(spark, 8) {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     import spark.implicits._
-    val (path, rawSchema) = stagedEvents(spark, dir)
+    withEventsStream(spark, dir) { src =>
     val name = s"graft_sessions_${counter.incrementAndGet()}"
 
-    val events = spark.readStream.schema(rawSchema).parquet(path)
-      .selectExpr("user_id", "event_id", "ts div 1000000000 AS sec")
+    // ts is already normalized to TimestampType micros; unix_seconds is
+    // the floor-to-seconds the oracle's FLOOR(epoch(...)) computes
+    val events = src()
+      .selectExpr("user_id", "event_id", "unix_seconds(ts) AS sec")
       .as[Ev]
 
     val sessions = events
@@ -233,7 +264,7 @@ object StreamingOps {
       .groupBy("user_id", "sid")
       .agg(max("n").as("n"), max("dur_s").as("dur_s"))
       .orderBy("user_id", "sid")
-  }
+  } }
 
   /** Batch SQL oracle for the sessionization: gap flags -> running sum ->
     * per-session aggregation (identical spelling works in both engines
@@ -288,10 +319,9 @@ object StreamingOps {
     * the emitted set is deterministic and equals batch DISTINCT. */
   def streamDedup(spark: SparkSession, dir: String): DataFrame =
       withStreamPartitions(spark, 8) {
-    val (path, rawSchema) = stagedEvents(spark, dir)
+      withEventsStream(spark, dir) { src =>
     val name = s"graft_dedup_${counter.incrementAndGet()}"
-    val stream = spark.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = src()
       .withWatermark("ts", "30 days")
       .select(col("ts"), col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
@@ -304,7 +334,7 @@ object StreamingOps {
     spark.table(name)
       .select(col("user_id"), col("event_type"))
       .orderBy("user_id", "event_type")
-  }
+  } }
 
   val streamDedupOracle: String =
     """SELECT DISTINCT user_id, event_type FROM events
@@ -321,10 +351,8 @@ object StreamingOps {
     * batch range join, so the run is DuckDB-oracle checkable. */
   def streamJoin(spark: SparkSession, dir: String): DataFrame =
       withStreamPartitions(spark, 8) {
-    val (path, rawSchema) = stagedEvents(spark, dir)
+      withEventsStream(spark, dir) { src =>
     val name = s"graft_sjoin_${counter.incrementAndGet()}"
-    def src() = spark.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val purchases = src().where(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"),
         col("ts").as("p_ts"))
@@ -346,7 +374,7 @@ object StreamingOps {
     spark.table(name)
       .select(col("p_id"), col("v_id"))
       .orderBy("p_id", "v_id")
-  }
+  } }
 
   /** Streaming ANN-index ingest: new embeddings stream through the
     * BATCH-built IVF coarse quantizer (`Similarity.ivfModel`, an MLlib

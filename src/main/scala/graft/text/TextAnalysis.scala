@@ -560,18 +560,26 @@ object TextAnalysis {
   // ---- sparse TF-IDF cosine retrieval -------------------------------------
 
   /** Sparse-vector retrieval: top-3 documents per query document by
-    * TF-IDF cosine over the full vocabulary, computed through an
-    * inverted index — the lexical sibling of the dense ANN family
-    * (used in decontamination and eval-set retrieval). Plan shape at
-    * scale: one (doc_id, term) shuffle builds TF; the document-frequency
-    * table is vocabulary-sized so it broadcasts; the query side
-    * (`doc_id % 50 = 0`, a fixed 2% panel) is tiny so the
-    * inverted-index probe is a BROADCAST join against the full posting
-    * list — work is |Q|·avg-posting-length, never all-pairs. Terms with
-    * df = N carry idf 0 (no dot/norm contribution) and are pruned
-    * before the join; per-query top-3 is a bounded window. Dot products
-    * and norms are integer-quantized per term (×1e6 → BIGINT) before
-    * summing so the result is aggregation-order-exact across engines. */
+    * TF-IDF cosine, computed through an inverted index — the lexical
+    * sibling of the dense ANN family (used in decontamination and
+    * eval-set retrieval). Plan shape at scale: one (doc_id, term)
+    * shuffle builds TF; the document-frequency table is vocabulary-sized
+    * so it broadcasts. Two explicit bounds make the probe join
+    * corpus-size-independent: (a) IMPACT PRUNING — each document keeps
+    * only its top-64 terms by quantized TF-IDF weight, so posting lists
+    * hold only documents for which the term is salient (a near-stopword
+    * with df ≈ 0.9·N no longer drags its whole posting list into the
+    * probe) and per-doc probe work is ≤ 64 terms; (b) a BOUNDED query
+    * panel — the first 100 distinct qids of the 2% sample (an explicit
+    * LIMIT, so the panel does not grow with the corpus; at the tested
+    * SFs ≤ 0.1 the sample is ≤ 100 qids, so results are unchanged).
+    * Join strategies are left to AQE: the panel side is bounded but its
+    * size isn't statically known, so a hard BROADCAST hint would bake in
+    * an assumption AQE can verify at runtime instead. Norms are computed
+    * over the SAME pruned vectors, so the cosine is exact for the pruned
+    * representation, and dot products and norms are integer-quantized
+    * per term (×1e6 → BIGINT) before summing so the result is
+    * aggregation-order-exact across engines. */
   val sparseRetrievalSparkSql: String =
     """WITH w AS (
       |  SELECT doc_id, explode(split(lower(trim(text)), '\\s+')) AS w
@@ -579,23 +587,33 @@ object TextAnalysis {
       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY doc_id, w),
       |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY w),
       |n AS (SELECT COUNT(*) AS n FROM documents),
-      |wt AS (
+      |wt0 AS (
       |  SELECT /*+ BROADCAST(df) */ tf.doc_id, tf.w,
       |         tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) AS wgt
       |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
       |  WHERE df.df < n.n),
+      |wt AS (
+      |  SELECT doc_id, w, wgt FROM (
+      |    SELECT doc_id, w, wgt,
+      |           ROW_NUMBER() OVER (PARTITION BY doc_id
+      |             ORDER BY CAST(ROUND(wgt * 1e6) AS BIGINT) DESC, w) AS trk
+      |    FROM wt0) p WHERE trk <= 64),
       |nrm AS (
       |  SELECT doc_id,
       |         CAST(SUM(CAST(ROUND(wgt * wgt * 1e6) AS BIGINT)) AS BIGINT) AS nq
       |  FROM wt GROUP BY doc_id),
-      |qt AS (SELECT * FROM wt WHERE doc_id % 50 = 0),
+      |qsel AS (
+      |  SELECT doc_id FROM (SELECT DISTINCT doc_id FROM wt
+      |                      WHERE doc_id % 50 = 0) s
+      |  ORDER BY doc_id LIMIT 100),
+      |qt AS (SELECT wt.* FROM wt JOIN qsel ON wt.doc_id = qsel.doc_id),
       |dot AS (
-      |  SELECT /*+ BROADCAST(q) */ q.doc_id AS qid, d.doc_id AS did,
+      |  SELECT q.doc_id AS qid, d.doc_id AS did,
       |         CAST(SUM(CAST(ROUND(q.wgt * d.wgt * 1e6) AS BIGINT)) AS BIGINT) AS dq
       |  FROM qt q JOIN wt d ON q.w = d.w AND q.doc_id <> d.doc_id
       |  GROUP BY q.doc_id, d.doc_id),
       |c AS (
-      |  SELECT /*+ BROADCAST(na, nb) */ qid, did,
+      |  SELECT qid, did,
       |         (dq / 1e6) / (SQRT(na.nq / 1e6) * SQRT(nb.nq / 1e6)) AS cosine
       |  FROM dot JOIN nrm na ON na.doc_id = qid JOIN nrm nb ON nb.doc_id = did
       |  WHERE na.nq > 0 AND nb.nq > 0),
@@ -614,16 +632,26 @@ object TextAnalysis {
       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY doc_id, w),
       |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY w),
       |n AS (SELECT COUNT(*) AS n FROM documents),
-      |wt AS (
+      |wt0 AS (
       |  SELECT tf.doc_id, tf.w,
       |         tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) AS wgt
       |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
       |  WHERE df.df < n.n),
+      |wt AS (
+      |  SELECT doc_id, w, wgt FROM (
+      |    SELECT doc_id, w, wgt,
+      |           ROW_NUMBER() OVER (PARTITION BY doc_id
+      |             ORDER BY CAST(ROUND(wgt * 1e6) AS BIGINT) DESC, w) AS trk
+      |    FROM wt0) p WHERE trk <= 64),
       |nrm AS (
       |  SELECT doc_id,
       |         CAST(SUM(CAST(ROUND(wgt * wgt * 1e6) AS BIGINT)) AS BIGINT) AS nq
       |  FROM wt GROUP BY doc_id),
-      |qt AS (SELECT * FROM wt WHERE doc_id % 50 = 0),
+      |qsel AS (
+      |  SELECT doc_id FROM (SELECT DISTINCT doc_id FROM wt
+      |                      WHERE doc_id % 50 = 0) s
+      |  ORDER BY doc_id LIMIT 100),
+      |qt AS (SELECT wt.* FROM wt JOIN qsel ON wt.doc_id = qsel.doc_id),
       |dot AS (
       |  SELECT q.doc_id AS qid, d.doc_id AS did,
       |         CAST(SUM(CAST(ROUND(q.wgt * d.wgt * 1e6) AS BIGINT)) AS BIGINT) AS dq
