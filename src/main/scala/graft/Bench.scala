@@ -48,8 +48,13 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(json)
+    // stdout scraping truncates long lines in some harnesses; the full
+    // JSON is also durably written for machine-checkable round diffs
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_last.json"), json + "\n")
     spark.stop()
   }
 }
