@@ -117,11 +117,11 @@ object Grb {
                           nodata: Option[Double], geobox: GeoBox, pixelOffset: Long)
 
   def readHeader(path: String): Header = {
-    val raf = new RandomAccessFile(path, "r")
+    val raf = RasterIO.open(path)
     try readHeader(raf) finally raf.close()
   }
 
-  private def readHeader(raf: RandomAccessFile): Header = {
+  private def readHeader(raf: RasterInput): Header = {
     require(raf.readInt() == Magic, "not a GRB file")
     val dtype = CodeDtypes(raf.readByte().toInt)
     val w = raf.readInt(); val h = raf.readInt()
@@ -133,7 +133,7 @@ object Grb {
     raf.readFully(crsBytes)
     val crs = Crs.parse(new String(crsBytes, "UTF-8"))
     Header(dtype, w, h, if (hasNodata) Some(nodataV) else None,
-      GeoBox(w, h, Affine.fromArray(t.toSeq), crs), raf.getFilePointer)
+      GeoBox(w, h, Affine.fromArray(t.toSeq), crs), raf.position)
   }
 
   /** Windowed read: only the rows/cols intersecting (x0,y0,w,h) are read
@@ -149,7 +149,7 @@ object Grb {
     * ranged GETs. Falls back to per-row reads only when the gap would
     * blow the span past `MaxSpanBytes`. */
   def readWindow(path: String, x0: Int, y0: Int, w: Int, h: Int): (Header, Array[Double]) = {
-    val raf = new RandomAccessFile(path, "r")
+    val raf = RasterIO.open(path)
     try {
       val hd = readHeader(raf)
       require(x0 >= 0 && y0 >= 0 && x0 + w <= hd.width && y0 + h <= hd.height,
@@ -196,7 +196,7 @@ object Grb {
                      srcNodata0: Option[Double],
                      out: Array[Double], outW: Int, dx0: Int, dy0: Int,
                      dstNodata: Double, permissive: Boolean = false): Long = {
-    val raf = new RandomAccessFile(path, "r")
+    val raf = RasterIO.open(path)
     var filled = 0L
     try {
       val hd = readHeader(raf)

@@ -139,12 +139,8 @@ object NetCdf {
   private def parseHeader(path: String): NcHeader = {
     // the classic header is a short prefix of the file; cap the slurp so
     // a multi-GB store never lands on the heap (1 MiB >> any real header)
-    val f = new java.io.File(path)
-    require(f.isFile, s"not a netCDF file: $path")
-    val in = new java.io.FileInputStream(f)
-    val bytes =
-      try in.readNBytes(math.min(f.length(), 1 << 20).toInt)
-      finally in.close()
+    require(RasterIO.exists(path), s"not a netCDF file: $path")
+    val bytes = RasterIO.readPrefix(path, 1 << 20)
     require(bytes.length >= 8 && bytes(0) == 'C' && bytes(1) == 'D' &&
       bytes(2) == 'F', s"$path: not a netCDF classic file (bad magic)")
     val version = bytes(3)
@@ -321,7 +317,7 @@ object NetCdf {
   }
 
   private def readVector(path: String, v: NcVar, n: Int): Array[Double] = {
-    val raf = new RandomAccessFile(path, "r")
+    val raf = RasterIO.open(path)
     try {
       val sz = ncSize(v.ncType)
       val buf = new Array[Byte](n * sz)
@@ -359,7 +355,7 @@ object NetCdf {
     require(x0 >= 0 && y0 >= 0 && x0 + w <= m.width && y0 + h <= m.height,
       s"window ($x0,$y0,$w,$h) out of bounds ${m.width}x${m.height}")
     val out = new Array[Double](w * h)
-    val raf = new RandomAccessFile(path, "r")
+    val raf = RasterIO.open(path)
     try {
       val rowBytes = new Array[Byte](w * m.typeSize)
       val bb = ByteBuffer.wrap(rowBytes).order(ByteOrder.BIG_ENDIAN)

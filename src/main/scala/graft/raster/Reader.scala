@@ -546,17 +546,15 @@ object GrbReader extends WindowedReader {
   /** Any `.ovr<N>` sidecar participates (S8 generalized — deep pyramids
     * 8x/16x included), not a hardcoded 2/4 list. */
   protected def formatOverviews(uri: String): Seq[(Int, String)] = {
-    val f = new java.io.File(uri)
-    val dir = Option(f.getParentFile).getOrElse(new java.io.File("."))
-    val prefix = f.getName + ".ovr"
-    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .flatMap { c =>
-        val n = c.getName
+    val (dir, name) = RasterIO.parentAndName(uri)
+    val prefix = name + ".ovr"
+    RasterIO.list(dir)
+      .flatMap { n =>
         if (n.startsWith(prefix))
-          n.stripPrefix(prefix).toIntOption.map(s => s -> c.getPath)
+          n.stripPrefix(prefix).toIntOption.map(s => s -> s"$dir/$n")
         else None
       }
-      .sortBy(_._1).toSeq
+      .sortBy(_._1)
   }
 
   /** Paste-aligned sources fuse straight from the read buffer into the

@@ -70,7 +70,23 @@ object Tiff {
 
   private def withReader[A](uri: String)(f: (javax.imageio.ImageReader, Int) => A): A = {
     val (path, idx) = splitUri(uri)
-    val iis = ImageIO.createImageInputStream(new File(path))
+    // remote-IO seam: ImageIO wants a File; non-local sources fall back
+    // to a stream over the byte channel (MemoryCache-backed, seekable)
+    val iis = RasterIO.localFile(path) match {
+      case Some(f) => ImageIO.createImageInputStream(f)
+      case None =>
+        val in = RasterIO.open(path)
+        ImageIO.createImageInputStream(new java.io.InputStream {
+          def read(): Int = in.read()
+          override def read(b: Array[Byte], off: Int, len: Int): Int = {
+            val buf = if (off == 0 && len == b.length) b else new Array[Byte](len)
+            val n = in.read(buf)
+            if (n > 0 && (buf ne b)) System.arraycopy(buf, 0, b, off, n)
+            n
+          }
+          override def close(): Unit = in.close()
+        })
+    }
     require(iis != null, s"cannot open $path")
     try {
       val readers = ImageIO.getImageReaders(iis)
@@ -233,7 +249,7 @@ object Tiff {
     * values. */
   private def rawAsciiTag(path: String, tagNum: Int,
                           ifdIdx: Int = 0): Option[String] = {
-    val raf = new java.io.RandomAccessFile(path, "r")
+    val raf = RasterIO.open(path)
     try {
       val b0 = raf.read(); val b1 = raf.read()
       val le = b0 == 'I' && b1 == 'I'

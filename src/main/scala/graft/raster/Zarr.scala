@@ -58,13 +58,11 @@ object Zarr {
     * name order. Pyramid sidecar levels (`x.ovrN`) are excluded — they
     * are levels of their base variable, not datasets of their own. */
   def variables(store: String): Seq[String] = {
-    val dir = new File(store)
-    require(dir.isDirectory, s"not a zarr store: $store")
-    Option(dir.listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isDirectory && new File(f, ".zarray").isFile)
-      .map(_.getName)
+    require(RasterIO.exists(store), s"not a zarr store: $store")
+    RasterIO.list(store)
+      .filter(n => RasterIO.exists(s"$store/$n/.zarray"))
       .filterNot(_.matches(".*\\.ovr\\d+$"))
-      .sorted.toSeq
+      .sorted
   }
 
   /** Loud subdataset validation (reader plan-time hook). */
@@ -76,7 +74,7 @@ object Zarr {
   }
 
   private def readJson(path: String): JsonNode =
-    mapper.readTree(Files.readAllBytes(Paths.get(path)))
+    mapper.readTree(RasterIO.readAll(path))
 
   private final case class Meta(width: Int, height: Int, chunkW: Int,
                                 chunkH: Int, dtype: String, fill: Double,
@@ -147,11 +145,11 @@ object Zarr {
     while (cy <= cy1) {
       var cx = cx0
       while (cx <= cx1) {
-        val f = new File(s"$store/$variable/$cy.$cx")
+        val chunkUri = s"$store/$variable/$cy.$cx"
         val chunk: ByteBuffer =
-          if (!f.isFile) null
+          if (!RasterIO.exists(chunkUri)) null
           else {
-            val raw = Files.readAllBytes(f.toPath)
+            val raw = RasterIO.readAll(chunkUri)
             val bytes =
               if (!m.zlib) raw
               else {
@@ -165,7 +163,7 @@ object Zarr {
                   if (k == 0) stuck = true else off += k
                 }
                 inf.end()
-                require(!stuck, s"$f: truncated or corrupt zlib chunk")
+                require(!stuck, s"$chunkUri: truncated or corrupt zlib chunk")
                 outB
               }
             ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -213,11 +211,9 @@ object Zarr {
     * variables in the same store, (scale, `store#level-var`) ascending. */
   def overviewLevels(uri: String): Seq[(Int, String)] = {
     val (store, variable) = splitUri(uri)
-    val dir = new File(store)
-    Option(dir.listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isDirectory && new File(f, ".zarray").isFile)
-      .flatMap { f =>
-        val n = f.getName
+    RasterIO.list(store)
+      .filter(n => RasterIO.exists(s"$store/$n/.zarray"))
+      .flatMap { n =>
         if (n.startsWith(variable + ".ovr"))
           n.stripPrefix(variable + ".ovr").toIntOption
             .map(s => s -> s"$store#$n")
