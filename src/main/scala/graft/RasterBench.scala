@@ -92,6 +92,28 @@ object RasterBench {
        |"assets": {$assets}}""".stripMargin
   }
 
+  /** One timed load. `planSec` covers driver-side planning (the analog
+    * of the reference's submit phase), `execSec` the distributed read+
+    * fuse (its persist-wait phase) — [[BenchCli]] reports both, like
+    * `run_bench`'s (t0, t_submit, t_persist) triple (`_run.py:425-485`). */
+  final case class RunSample(planSec: Double, execSec: Double, npix: Long)
+
+  def loadOnce(spark: SparkSession, items: Seq[graft.model.ParsedItem],
+               schemas: Map[String, graft.model.CollectionMetadata],
+               warpMode: Boolean): RunSample = {
+    val t0 = System.nanoTime()
+    val res = Load.load(spark, items, schemas, bands = Bands,
+      groupby = "solar_day", chunks = 1024,
+      crs = if (warpMode) Some("EPSG:3857") else None,
+      resolution = if (warpMode) Some(Res) else None)
+    val tPlan = System.nanoTime()
+    val npix = res.tiles
+      .selectExpr("coalesce(sum(width * height), 0) AS n").head().getLong(0)
+    require(npix > 0, "load produced no tiles — bench setup is broken")
+    val tEnd = System.nanoTime()
+    RunSample((tPlan - t0) / 1e9, (tEnd - tPlan) / 1e9, npix)
+  }
+
   def main(args: Array[String]): Unit = {
     val threads = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val nScenes = sys.env.getOrElse("SPARK_GRAFT_RB_SCENES", "9").toInt
@@ -126,19 +148,10 @@ object RasterBench {
     // the per-pixel warp kernel instead of the aligned paste fast path
     val warpMode = sys.env.get("SPARK_GRAFT_RB_MODE").contains("warp")
     def runOnce(): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val res = Load.load(spark, items, schemas, bands = Bands,
-        groupby = "solar_day", chunks = 1024,
-        crs = if (warpMode) Some("EPSG:3857") else None,
-        resolution = if (warpMode) Some(Res) else None)
-      val tPlan = System.nanoTime()
-      val npix = res.tiles
-        .selectExpr("coalesce(sum(width * height), 0) AS n").head().getLong(0)
-      require(npix > 0, "load produced no tiles — bench setup is broken")
-      val tEnd = System.nanoTime()
+      val r = loadOnce(spark, items, schemas, warpMode)
       if (sys.env.contains("GRAFT_RBENCH_DEBUG"))
-        println(f"[rbench] plan=${(tPlan - t0) / 1e9}%.3fs exec=${(tEnd - tPlan) / 1e9}%.3fs")
-      ((tEnd - t0) / 1e9, npix)
+        println(f"[rbench] plan=${r.planSec}%.3fs exec=${r.execSec}%.3fs")
+      (r.planSec + r.execSec, r.npix)
     }
     runOnce() // warmup (codegen + file cache)
     val (sec, npix) = runOnce()
