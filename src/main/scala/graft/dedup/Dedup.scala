@@ -266,6 +266,66 @@ object Dedup {
       case _ => ()
     }
 
+  /** Survivorship election — the policy layer above cluster assignment:
+    * within each near-dup cluster the member with the highest quality
+    * survives (here: longest text, ties to the smallest doc_id), not
+    * the arbitrary min-id canonical — real curation keeps the BEST
+    * copy, not the first-seen one, and logs an audit table of every
+    * clustered doc, its cluster, the elected survivor, and whether it
+    * survives. Scale shape: the cluster map is pair-graph-sized and
+    * broadcast, so the doc-length scan never shuffles; the election
+    * window shuffles only cluster members (a sliver of the corpus). */
+  def survivorship(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val members = clusterTable(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canonical").orderBy(col("len").desc, col("doc_id").asc)
+    docs.join(broadcast(members), "doc_id")
+      .withColumn("survivor_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("canonical").as("cluster"), col("len"),
+        col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val survivorshipDuckSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS blk,
+      |         string_split_regex(lower(trim(text)), '\s+') AS tok
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, blk,
+      |         list_distinct(CASE WHEN len(tok) >= 3 THEN
+      |           [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+      |            for i in generate_series(1, len(tok) - 2)]
+      |           ELSE [array_to_string(tok, ' ')] END) AS sh
+      |  FROM t),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(a.sh || b.sh)) >= 0.5),
+      |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      |      UNION ALL SELECT doc_b, doc_a FROM p),
+      |n AS (SELECT DISTINCT u FROM e),
+      |reach(u, v) AS (
+      |  SELECT u, u FROM n
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+      |c AS (SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u),
+      |l AS (
+      |  SELECT c.doc_id, c.cluster, CAST(length(d.text) AS BIGINT) AS len
+      |  FROM c JOIN documents d USING (doc_id)),
+      |w AS (
+      |  SELECT doc_id, cluster, len,
+      |         FIRST_VALUE(doc_id) OVER (PARTITION BY cluster
+      |           ORDER BY len DESC, doc_id) AS survivor_id
+      |  FROM l)
+      |SELECT doc_id, cluster, len, survivor_id,
+      |       CAST(doc_id = survivor_id AS INT) AS keep
+      |FROM w ORDER BY doc_id""".stripMargin
+
   /** The end product of the dedup pipeline: the deduplicated corpus.
     * Non-canonical cluster members drop (left-anti join against the
     * cluster table); everything else survives. Emits (doc_id, kept_len)
@@ -528,6 +588,7 @@ object Dedup {
       Tables.sql(ngramJaccardSparkSql)(s, d)
     }),
     "dedup_clusters" -> ((s, d) => clusters(s, d)),
+    "dedup_survivorship" -> ((s, d) => survivorship(s, d)),
     "dedup_keeplist" -> ((s, d) => keepList(s, d)),
     "dedup_keeplist_bloom" -> ((s, d) => keepListBloom(s, d)),
     "pipeline_corpus" -> ((s, d) => corpusPipeline(s, d)),
@@ -542,6 +603,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccardDuckSql,
     "dedup_incremental" -> incrementalDuckSql,
     "dedup_clusters" -> clustersDuckSql,
+    "dedup_survivorship" -> survivorshipDuckSql,
     "dedup_keeplist" -> keepListDuckSql,
     "dedup_keeplist_bloom" -> keepListDuckSql,
     "pipeline_corpus" -> corpusPipelineDuckSql

@@ -266,6 +266,126 @@ object StreamingOps {
       .orderBy("user_id", "sid")
   } }
 
+  final case class TtlState(nextIdx: Long, open: Option[SessionState])
+  /** `sessionizeTtl` input row: keeps the watermarked `ts` column in the
+    * Dataset — projecting it away would strip the watermark tag the
+    * event-time timeout requires. */
+  final case class EvT(user_id: Long, event_id: Long, sec: Long,
+                       ts: java.sql.Timestamp)
+
+  /** Sessionization with EVENT-TIME TIMEOUT — the production state-expiry
+    * shape `sessionize` (NoTimeout) doesn't exercise: each open session
+    * registers a timeout at `lastSec + gap`; when the watermark passes it,
+    * Spark invokes the function with `state.hasTimedOut` and the heavy
+    * per-session state is dropped, leaving only the next-index counter —
+    * at 100 TB/day this is what bounds the state store to ACTIVE sessions
+    * instead of every user ever seen. The staged input is re-written
+    * time-range-sorted into one file per range with strictly increasing
+    * mtimes, so `maxFilesPerTrigger=1` yields genuine multi-batch
+    * processing with an advancing watermark (timeouts actually fire
+    * between batches) and zero late data — making the emitted set equal
+    * batch sessionization, same DuckDB oracle as `sessionize`. */
+  /** Timed-out-session count of the LAST `sessionizeTtl` run — spec
+    * evidence that state expiry actually fired (a broken timeout path
+    * would still produce the right answer via update-mode emissions). */
+  @volatile var lastTtlTimeouts: Long = -1L
+
+  def sessionizeTtl(spark: SparkSession, dir: String): DataFrame =
+      withStreamPartitions(spark, 8) {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    import spark.implicits._
+    val name = s"graft_sessions_ttl_${counter.incrementAndGet()}"
+    val timeouts = spark.sparkContext.longAccumulator("graft.ttl.timeouts")
+
+    // stage: events sorted into 4 time-range files, published in order
+    val stage = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_stream_evsorted_${dir.hashCode & 0x7fffffff}")
+    if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS"))) {
+      java.nio.file.Files.createDirectories(stage)
+      val ev = graft.Tables.load(spark, dir, "events")
+        .selectExpr("CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_id")
+      val bounds = ev.selectExpr(
+        "percentile(unix_seconds(ts), array(0.25, 0.5, 0.75)) AS q")
+        .head().getSeq[Double](0)
+      val lo = Seq(Long.MinValue) ++ bounds.map(_.toLong)
+      val hi = bounds.map(_.toLong) ++ Seq(Long.MaxValue)
+      lo.zip(hi).zipWithIndex.foreach { case ((a, b), k) =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft_evs")
+        ev.where(expr(s"unix_seconds(ts) >= ${a}L AND unix_seconds(ts) < ${b}L"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = stage.resolve(f"events_$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // strictly increasing mtimes pin the FileStreamSource batch order
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + k * 60000L))
+      }
+      java.nio.file.Files.createFile(stage.resolve("_SUCCESS"))
+    }
+    val schema = spark.read.parquet(stage.toString).schema
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      .withWatermark("ts", "0 seconds")
+      .selectExpr("user_id", "event_id", "unix_seconds(ts) AS sec", "ts")
+      .as[EvT]
+
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TtlState, SessionOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[EvT], state: GroupState[TtlState]) =>
+          val st = state.getOption.getOrElse(TtlState(1L, None))
+          if (state.hasTimedOut) {
+            // expiry: emit the closed session's final state once more
+            // (idempotent under the sink's max-aggregation) and drop the
+            // heavy state, keeping only the index counter
+            timeouts.add(1)
+            val out = st.open.map(s =>
+              SessionOut(uid, s.idx, s.n, s.lastSec - s.startSec))
+            state.update(TtlState(st.nextIdx, None))
+            out.iterator
+          } else {
+            var open = st.open
+            var nextIdx = st.nextIdx
+            var emitted = List.empty[SessionState]
+            val evs = it.toArray.sortBy(e => (e.sec, e.event_id))
+            evs.foreach { e =>
+              open match {
+                case Some(s) if e.sec - s.lastSec <= SessionGapSec =>
+                  open = Some(s.copy(lastSec = e.sec, n = s.n + 1))
+                case Some(s) =>
+                  emitted ::= s
+                  open = Some(SessionState(e.sec, e.sec, nextIdx, 1))
+                  nextIdx += 1
+                case None =>
+                  open = Some(SessionState(e.sec, e.sec, nextIdx, 1))
+                  nextIdx += 1
+              }
+            }
+            state.update(TtlState(nextIdx, open))
+            open.foreach(s =>
+              state.setTimeoutTimestamp((s.lastSec + SessionGapSec) * 1000L))
+            (emitted.reverse ++ open.toList).map(s =>
+              SessionOut(uid, s.idx, s.n, s.lastSec - s.startSec)).iterator
+          }
+      }
+
+    val q = sessions.writeStream
+      .format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastTtlTimeouts = timeouts.value
+    spark.table(name)
+      .groupBy("user_id", "sid")
+      .agg(max("n").as("n"), max("dur_s").as("dur_s"))
+      .orderBy("user_id", "sid")
+  }
+
   /** Batch SQL oracle for the sessionization: gap flags -> running sum ->
     * per-session aggregation (identical spelling works in both engines
     * modulo epoch extraction). */
@@ -500,6 +620,7 @@ object StreamingOps {
     "stream_tumbling_append" -> ((s, d) => tumblingDailyAppend(s, d)),
     "stream_sliding_append" -> ((s, d) => slidingAppend(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(s, d)),
+    "stream_sessionize_ttl" -> ((s, d) => sessionizeTtl(s, d)),
     "stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "stream_join" -> ((s, d) => streamJoin(s, d)),
     "stream_ann_ingest" -> ((s, d) => streamAnnIngest(s, d)),
@@ -511,6 +632,8 @@ object StreamingOps {
     "stream_tumbling_append" -> tumblingDailyAppendOracle,
     "stream_sliding_append" -> slidingAppendOracle,
     "stream_sessionize" ->
+      sessionOracle("epoch(CAST(ts AS TIMESTAMP))"),
+    "stream_sessionize_ttl" ->
       sessionOracle("epoch(CAST(ts AS TIMESTAMP))"),
     "stream_dedup" -> streamDedupOracle,
     "stream_join" -> streamJoinOracle,

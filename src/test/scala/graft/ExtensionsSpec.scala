@@ -11,14 +11,26 @@ class ExtensionsSpec extends AnyFunSuite {
   test("extension-injected functions are available in SQL") {
     // getOrCreate reuses an existing default session and IGNORES the
     // extensions config — clear it so a genuinely new session is built
-    // (the shared SparkContext is reused), then restore for other suites
+    // (the shared SparkContext is reused), then restore for other suites.
+    // `spark.sql.extensions` itself is a STATIC conf resolved from the
+    // SparkContext's conf, so when another suite's context already
+    // exists in this JVM the string-classname path cannot apply — the
+    // spec replicates what Spark's applyExtensions does with the conf
+    // value (Class.forName the configured name, no-arg instantiate,
+    // apply to the builder's extensions), which pins the same
+    // deployment contract: the class is loadable by name and its
+    // injections register.
     val prior = SparkSession.getDefaultSession
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
+    val confName = "graft.GraftExtensions"
+    val inject = Class.forName(confName).getConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.extensions", confName)
+      .withExtensions(inject)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {

@@ -49,9 +49,16 @@ class GeoPropsSpec extends AnyFunSuite {
       if (math.abs(t.det) > 1e-6) {
         val (wx, wy) = t(p._1, p._2)
         val (bx, by) = t.inverse(wx, wy)
-        val scale = math.max(1.0, math.max(math.abs(p._1), math.abs(p._2)))
-        assert(math.abs(bx - p._1) / scale < 1e-6)
-        assert(math.abs(by - p._2) / scale < 1e-6)
+        // roundtrip error bound must track the CONDITIONING, not just
+        // the input magnitude: the inverse amplifies the forward's
+        // rounding (~eps*|world|) by ~||A^-1|| — a 0.1-scale/10-shear
+        // transform at 1e7 offsets legitimately loses ~1e-6 pixels
+        val condInv = (math.abs(t.a) + math.abs(t.b) + math.abs(t.d) +
+          math.abs(t.e)) / math.abs(t.det)
+        val scale = math.max(1.0,
+          (math.abs(wx) + math.abs(wy)) * math.max(1.0, condInv))
+        assert(math.abs(bx - p._1) / scale < 1e-12)
+        assert(math.abs(by - p._2) / scale < 1e-12)
       }
     }
   }

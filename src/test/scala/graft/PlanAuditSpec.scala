@@ -70,6 +70,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!sh.contains("Window"), s"global window in corpus_shuffle:\n$sh")
   }
 
+  test("sparse-retrieval probe prunes the index to hashed keys") {
+    // the standing impact index carries the raw term string for
+    // debuggability; the probe must never read it — its scans touch
+    // only (doc_id, wh, wgt), so the hot join+agg is all fixed-width
+    val probe = SparkEntry.queries("text_sparse_retrieval")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(probe).map(_.group(1)).toSeq
+    assert(reads.nonEmpty, s"no parquet scans in probe plan:\n$probe")
+    reads.foreach { r =>
+      val cols = r.split(",").filter(_.nonEmpty).map(_.split(":")(0)).toSet
+      assert(cols.subsetOf(Set("doc_id", "wh", "wgt")),
+        s"probe scan reads $cols — term strings leaked into the hot path")
+    }
+    assert(!probe.contains("BroadcastNestedLoopJoin"), probe)
+  }
+
   test("no registered batch query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(excluded)
