@@ -78,4 +78,33 @@ class RasterIoSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("'s3'"))
   }
+
+  test("GraftIoPlugin registers conf-declared sources by class name") {
+    GraftIoPlugin.registerFromConf(
+      "plugfs:graft.PlugFsSource, plugfs2:graft.PlugFsSource")
+    val p = s"$dir/plug.grb"
+    Grb.write(p, px, g, "uint16", Some(0.0))
+    assert(Grb.readHeader(s"plugfs://$p") == Grb.readHeader(p))
+    assert(Grb.readHeader(s"plugfs2://$p") == Grb.readHeader(p))
+    // malformed entries and unloadable classes fail loudly at startup
+    intercept[IllegalArgumentException] {
+      GraftIoPlugin.registerFromConf("notaclasspair")
+    }
+    intercept[ClassNotFoundException] {
+      GraftIoPlugin.registerFromConf("x:no.such.Source")
+    }
+  }
+}
+
+/** No-arg-constructible source for the plugin spec: a `plugfs://` view
+  * of the local filesystem. */
+class PlugFsSource extends RasterByteSource {
+  private def local(uri: String): String = uri.replaceFirst("^plugfs2?://", "")
+  def open(uri: String): RasterInput = LocalFileSource.open(local(uri))
+  def readAll(uri: String): Array[Byte] = LocalFileSource.readAll(local(uri))
+  def readPrefix(uri: String, maxLen: Int): Array[Byte] =
+    LocalFileSource.readPrefix(local(uri), maxLen)
+  def exists(uri: String): Boolean = LocalFileSource.exists(local(uri))
+  def list(uri: String): Seq[String] = LocalFileSource.list(local(uri))
+  def localFile(uri: String): Option[java.io.File] = None
 }
