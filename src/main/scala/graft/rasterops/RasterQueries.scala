@@ -400,6 +400,80 @@ object RasterQueries {
     summarize(spark.read.parquet(out))
   }
 
+  /** Deterministic tile summary keyed by the group TIMESTAMP instead of
+    * the group ordinal: incremental ingest assigns tIdx per batch, so
+    * batch-vs-streaming comparisons key on (band, time, ty, tx). */
+  private def summarizeByTime(df: DataFrame): DataFrame = {
+    val toSum = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype).sum }
+    df.select(col("band"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("t"),
+        col("ty"), col("tx"), col("width"), col("height"), col("validCount"),
+        round(toSum(col("data"), col("dtype")), 2).as("checksum"))
+      .orderBy("band", "t", "ty", "tx")
+  }
+
+  /** Streaming pixel ingest — the incremental-mosaic shape: STAC items
+    * land one per microbatch; each batch runs the SAME distributed
+    * read+fuse as the batch path (`Load.load`, groupby=id) and APPENDS
+    * its tile rows to a standing parquet table. With per-id grouping,
+    * batches are independent, so the standing table after the stream
+    * equals the one-shot batch load — pinned by RasterIngestSpec
+    * against `loadGroupById`'s tiles, and summarized here per tile.
+    * At 100 TB/day this is the ingest topology: metadata-sized item
+    * batches drive pixel work that lands append-only, partitioned by
+    * band; no state store is involved because the group key (item id)
+    * never spans batches. */
+  def streamRasterIngest(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenes(NScenes).map(_.replaceAll("\n", " "))
+    // incremental ingest lands on a STANDING grid declared up front
+    // (the MGRS-tile analog) — per-batch auto-planning would re-anchor
+    // tile indices to each batch's extent and the standing table would
+    // never line up with itself, let alone the batch load
+    val (allItems, allSchemas) = parsed(spark)
+    val grid = Planner.outputGeobox(allItems, allSchemas).get
+    val landing = java.nio.file.Files.createTempDirectory("graft_ring_land")
+    jsons.zipWithIndex.foreach { case (j, i) =>
+      java.nio.file.Files.write(landing.resolve(f"item_$i%03d.json"),
+        j.getBytes("UTF-8"))
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft_ring_out")
+      .toString + "/tiles"
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .text(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val js = batch.select("value").as[String](
+          org.apache.spark.sql.Encoders.STRING).collect().toSeq
+        if (js.nonEmpty) {
+          val (ds, schemas) = StacParse.parseItems(spark,
+            spark.createDataset(js))
+          val items = ds.collect().toSeq.sortBy(_.id)
+          val res = Load.load(spark, items, schemas,
+            bands = Seq("red", "nir"), groupby = "id", chunks = 64,
+            geobox = Some(grid))
+          res.tiles.write.mode("append").partitionBy("band").parquet(out)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    summarizeByTime(spark.read.parquet(out))
+  }
+
+  /** Batch twin of the streaming ingest, for the spec. */
+  def groupByIdSummaryByTime(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    summarizeByTime(Load.load(spark, items, schemas,
+      bands = Seq("red", "nir"), groupby = "id", chunks = 64).tiles)
+  }
+
   /** Path shared between the Spark query and its DuckDB oracle: the
     * mosaic's pixels land here as plain pixel-row parquet, and both
     * engines aggregate the SAME file. */
@@ -492,6 +566,7 @@ object RasterQueries {
     "raster_zarr_export" -> ((s, _) => zarrExport(s)),
     "raster_load_mosaic" -> ((s, _) => loadMosaic(s)),
     "raster_mosaic_cells" -> ((s, _) => mosaicCells(s)),
+    "stream_raster_ingest" -> ((s, _) => streamRasterIngest(s)),
     "raster_load_tiff" -> ((s, _) => loadTiff(s)),
     "raster_load_zarr" -> ((s, _) => loadZarr(s)),
     "raster_load_netcdf" -> ((s, _) => loadNetcdf(s)),
