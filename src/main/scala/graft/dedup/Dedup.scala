@@ -86,6 +86,53 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---- portable MinHash signatures (cross-engine oracle) -------------------
+
+  /** The MinHash sketch pipeline, oracle-checked END TO END: word-3-gram
+    * shingling → mod-p polynomial gram hash → 16 affine permutations →
+    * per-permutation min, spelled so DuckDB computes the identical
+    * BIGINT signature (the scale-path `minhash_bands` uses 2^64-ring
+    * arithmetic DuckDB rejects as overflow, hence rows-only there).
+    * Signatures emit as 16 scalar columns — the driver's canonical
+    * compare stringifies scalars predictably across engines. */
+  val minhashSigSparkSql: String = {
+    val cols = (0 until graft.functions.HashKernels.PortPerm)
+      .map(p => f"  sig[$p] AS m$p%02d").mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         minhash_portable(split(lower(trim(text)), '\\\\s+')) AS sig
+       |  FROM documents)
+       |SELECT doc_id,
+       |$cols
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  val minhashSigDuckSql: String = {
+    import graft.functions.HashKernels.{portA, portB, PortP, PortPerm}
+    val cols = (0 until PortPerm).map { p =>
+      f"  list_min(list_transform(hs, x -> (${portA(p)}*x + ${portB(p)}) %% $PortP)) AS m$p%02d"
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, CASE WHEN len(tok) >= 3 THEN
+       |      [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+       |       for i in generate_series(1, len(tok) - 2)]
+       |    ELSE [array_to_string(tok, ' ')] END AS sh
+       |  FROM t),
+       |h AS (
+       |  SELECT doc_id, list_transform(sh, g ->
+       |    CASE WHEN len(g) = 0 THEN 0 ELSE
+       |      list_reduce(list_transform(range(1, len(g)+1),
+       |                                 i -> CAST(unicode(g[i]) AS BIGINT)),
+       |                  (a, b) -> (a*31 + b) % $PortP) END) AS hs
+       |  FROM s)
+       |SELECT doc_id,
+       |$cols
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   val HammingThreshold = 3
@@ -583,6 +630,10 @@ object Dedup {
     "dedup_exact" -> Tables.sql(exactSql),
     "dedup_minhash_lsh" -> ((s, d) => minhash(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
+    "dedup_minhash_sig" -> ((s, d) => {
+      graft.functions.VecFunctions.register(s)
+      Tables.sql(minhashSigSparkSql)(s, d)
+    }),
     "dedup_ngram_jaccard" -> ((s, d) => {
       graft.functions.VecFunctions.register(s)
       Tables.sql(ngramJaccardSparkSql)(s, d)
@@ -601,6 +652,7 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardDuckSql,
+    "dedup_minhash_sig" -> minhashSigDuckSql,
     "dedup_incremental" -> incrementalDuckSql,
     "dedup_clusters" -> clustersDuckSql,
     "dedup_survivorship" -> survivorshipDuckSql,

@@ -55,6 +55,90 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  // ---- portable (cross-engine checkable) MinHash ---------------------------
+
+  /** Mod-p arithmetic for the cross-engine MinHash: every intermediate
+    * stays far below 2^63 (a, b, h < p ≈ 1e9 ⇒ a*h < 1e18), so DuckDB —
+    * which raises on BIGINT overflow instead of wrapping — computes the
+    * identical signature. `minhashBands` (the scale path) keeps its 2^64
+    * ring; this spelling exists so the sketch PIPELINE (shingling →
+    * hashing → permutation → min) is oracle-checkable bit-for-bit. */
+  val PortP = 1000000007L
+  val PortPerm = 16
+  val portA: Array[Long] = Array(
+    127904007L, 539572183L, 694923750L, 110205474L, 239749961L, 645351752L,
+    597600699L, 841140766L, 588208070L, 784410271L, 824757552L, 806407984L,
+    629771962L, 257627257L, 659496828L, 118902462L)
+  val portB: Array[Long] = Array(
+    343043868L, 549565454L, 923418596L, 949316402L, 960791840L, 667313473L,
+    451631864L, 614791075L, 904521971L, 833838458L, 527104586L, 830080574L,
+    473622146L, 2721764L, 86676380L, 308421828L)
+
+  /** 31-ary codepoint fold of `s` onto `h0`, mod p — the DuckDB spelling
+    * `list_reduce(list_transform(range(1, len(g)+1), i -> unicode(g[i])),
+    * (a, b) -> (a*31+b) % p)`: list_reduce seeds with the first element,
+    * which equals seeding 0 here because (0*31 + cp) % p = cp. Iterates
+    * by codepoint (surrogate pairs advance once), matching DuckDB's
+    * per-character indexing. */
+  private def portFold(h0: Long, s: String): Long = {
+    var h = h0
+    var k = 0
+    while (k < s.length) {
+      val cp = s.codePointAt(k)
+      h = (h * 31 + cp) % PortP
+      k += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Portable MinHash over word-3-gram shingles (whole-doc gram when
+    * fewer than 3 tokens, same fallback as `shingles3`): per gram, hash
+    * via [[portFold]] WITHOUT materializing the joined string (separator
+    * codepoints fold through), then take the per-permutation min of
+    * (a*h + b) % p. Min is duplicate-insensitive, so no shingle dedup is
+    * needed for equality with the distinct-shingle spelling. */
+  def minhashPortable(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val out = new Array[Long](PortPerm)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    def update(h: Long): Unit = {
+      var p = 0
+      while (p < PortPerm) {
+        val v = (portA(p) * h + portB(p)) % PortP
+        if (v < out(p)) out(p) = v
+        p += 1
+      }
+    }
+    if (n >= 3) {
+      var j = 0
+      while (j + 2 < n) {
+        var h = portFold(0L, toks(j))
+        h = (h * 31 + ' ') % PortP
+        h = portFold(h, toks(j + 1))
+        h = (h * 31 + ' ') % PortP
+        h = portFold(h, toks(j + 2))
+        update(h)
+        j += 1
+      }
+    } else {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) h = (h * 31 + ' ') % PortP
+        h = portFold(h, toks(j))
+        j += 1
+      }
+      update(h)
+    }
+    new GenericArrayData(out)
+  }
+
   private val Xx64Seed = 42L // xxhash64()'s SQL default seed
 
   /** Word-3-gram shingling + xxhash64 + first-occurrence dedup in ONE
@@ -189,6 +273,28 @@ object HashKernels {
     while (bit < 64) { if (acc(bit) > 0) out |= (1L << bit); bit += 1 }
     out
   }
+}
+
+/** `minhash_portable(tok)` — cross-engine mod-p MinHash signature (16
+  * minima) over word-3-gram shingles; bit-identical to the DuckDB
+  * list_reduce/list_transform spelling (see [[HashKernels.portFold]]),
+  * so the whole sketch pipeline is oracle-checkable. */
+case class MinHashPortable(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  override def prettyName: String = "minhash_portable"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashPortable(input.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.minhashPortable($c);")
+  override protected def withNewChildInternal(newChild: Expression): MinHashPortable =
+    copy(child = newChild)
 }
 
 private[functions] trait LongArrayInput { self: UnaryExpression =>

@@ -241,6 +241,13 @@ object VecFunctions {
       },
       "built-in")
     reg.createOrReplaceTempFunction(
+      "minhash_portable",
+      { args: Seq[Expression] =>
+        require(args.length == 1, "minhash_portable(tok) takes one argument")
+        MinHashPortable(args(0))
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "nfc",
       { args: Seq[Expression] =>
         require(args.length == 1, "nfc(str) takes one argument")

@@ -525,6 +525,60 @@ object RasterQueries {
        |GROUP BY band, tidx, ty, tx
        |ORDER BY band, tidx, ty, tx""".stripMargin
 
+  /** Shared path for the composite anchor (see [[compositeCells]]). */
+  private val CompositeCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_composite_cells_parquet"
+
+  /** Second cross-engine raster anchor, one level deeper than
+    * [[mosaicCells]]: the PER-TIME pixel planes (the median composite's
+    * INPUT, nodata already mapped to NaN) land as parquet, Spark runs
+    * the real `Composite.medianAcrossTime` operator over the tiles, and
+    * DuckDB recomputes the per-pixel across-time median FROM THE RAW
+    * PLANES with its own `median` — verifying the custom mapGroups
+    * composite's semantics (valid-set selection, odd/even interpolation)
+    * against an engine sharing none of the code, not merely re-adding
+    * its output. Interpolated-median convention matches DuckDB's;
+    * per-pixel medians are integer-quantized (×100 → BIGINT) before the
+    * per-tile sum so the check is aggregation-order-exact. */
+  def compositeCells(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "id", chunks = 64)
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    res.tiles
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("width"),
+        col("nodata"), posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
+        (col("pos") / col("width")).cast("int").as("py"),
+        (col("pos") % col("width")).cast("int").as("px"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(CompositeCellsPath)
+    graft.load.Composite.medianAcrossTime(spark, res.tiles)
+      .select(col("band"), col("ty"), col("tx"),
+        expr("aggregate(median, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("med_q"),
+        expr("CAST(aggregate(count, 0, (s, v) -> s + v) AS BIGINT)")
+          .as("n_valid"))
+      .orderBy("band", "ty", "tx")
+  }
+
+  private val compositeCellsDuckSql: String =
+    s"""WITH px AS (
+       |  SELECT band, ty, tx, py, px, value
+       |  FROM read_parquet('$CompositeCellsPath/*.parquet')
+       |  WHERE NOT isnan(value)),
+       |m AS (
+       |  SELECT band, ty, tx, py, px,
+       |         median(value) AS med, COUNT(*) AS c
+       |  FROM px GROUP BY band, ty, tx, py, px)
+       |SELECT band, ty, tx,
+       |       CAST(SUM(CAST(ROUND(med * 100) AS BIGINT)) AS BIGINT) AS med_q,
+       |       CAST(SUM(c) AS BIGINT) AS n_valid
+       |FROM m GROUP BY band, ty, tx
+       |ORDER BY band, ty, tx""".stripMargin
+
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
   def compositeMean(spark: SparkSession): DataFrame = {
@@ -566,6 +620,7 @@ object RasterQueries {
     "raster_zarr_export" -> ((s, _) => zarrExport(s)),
     "raster_load_mosaic" -> ((s, _) => loadMosaic(s)),
     "raster_mosaic_cells" -> ((s, _) => mosaicCells(s)),
+    "raster_composite_cells" -> ((s, _) => compositeCells(s)),
     "stream_raster_ingest" -> ((s, _) => streamRasterIngest(s)),
     "raster_load_tiff" -> ((s, _) => loadTiff(s)),
     "raster_load_zarr" -> ((s, _) => loadZarr(s)),
@@ -581,5 +636,6 @@ object RasterQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
-    "raster_mosaic_cells" -> mosaicCellsDuckSql)
+    "raster_mosaic_cells" -> mosaicCellsDuckSql,
+    "raster_composite_cells" -> compositeCellsDuckSql)
 }

@@ -99,6 +99,64 @@ object Bpe {
       .orderBy("rank")
   }
 
+  /** Greedy BPE apply for one word: each trained merge, in rank order,
+    * rewrites the symbol sequence with the same left-to-right scan the
+    * trainer used — so encode∘train reproduces the trainer's final
+    * symbol state exactly (spec-pinned). */
+  private[graft] def encodeWord(w: String,
+                                merges: Array[(String, String)]): Array[String] = {
+    var s: Array[String] = w.map(_.toString).toArray
+    var m = 0
+    while (m < merges.length) {
+      val (a, b) = merges(m)
+      if (s.length >= 2) {
+        val out = Array.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        s = out.result()
+      }
+      m += 1
+    }
+    s
+  }
+
+  /** Tokenizer APPLY — the other half of the BPE story: encode every
+    * document with the trained merge table. Scale shape: the merge table
+    * is tiny and ships in the closure (a production 50k-merge vocab is
+    * ~1 MB); the encode runs once per word TYPE (vocabulary-sized work,
+    * Heaps-bounded, independent of corpus size) and documents take a
+    * broadcast join on the word — the only corpus-sized passes are one
+    * explode and one per-doc aggregation. Emits per-doc whitespace-token
+    * and BPE-token counts plus fertility (pieces per word) — the numbers
+    * a tokenization pipeline actually monitors. Not SQL-expressible
+    * (iterative merges) → rows-only check + BpeSpec sequential-reference
+    * parity. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeMerges(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val bc = spark.sparkContext.broadcast(merges)
+    Tables.register(spark, dir)
+    val toks = spark.sql(
+      """SELECT doc_id, w FROM (
+        |  SELECT doc_id, explode(split(lower(trim(text)), '\\s+')) AS w
+        |  FROM documents)
+        |WHERE w <> ''""".stripMargin)
+    val types = toks.select("w").distinct().as[String]
+      .map(w => (w, encodeWord(w, bc.value).length.toLong))
+      .toDF("w", "n_pieces")
+    toks.join(broadcast(types), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Oracle-checkable foundation of the trainer: round-1 adjacent
     * character-pair counts over the word types, top 50 with the same
     * (count desc, left, right) tie-break the trainer uses. DuckDB
@@ -140,7 +198,8 @@ object Bpe {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_bpe_pairs" -> Tables.sql(bpePairsSparkSql),
-    "corpus_bpe_merges" -> ((s, d) => bpeMerges(s, d)))
+    "corpus_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
+    "corpus_bpe_encode" -> ((s, d) => bpeEncode(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "corpus_bpe_pairs" -> bpePairsDuckSql)

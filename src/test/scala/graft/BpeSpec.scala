@@ -56,6 +56,36 @@ class BpeSpec extends AnyFunSuite {
     assert(got.exists { case (_, l, r, _) => l.length > 1 || r.length > 1 })
   }
 
+  test("bpe encode matches a sequential reference encoding of the corpus") {
+    val texts = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val merges = referenceMerges(texts.map(_._2).toSeq, text.Bpe.NumMerges)
+      .map { case (_, a, b, _) => (a, b) }.toArray
+    val expected = texts.map { case (id, t) =>
+      val words = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val nBpe = words.map(w =>
+        text.Bpe.encodeWord(w, merges).length.toLong).sum
+      (id, words.length.toLong, nBpe)
+    }.sortBy(_._1).toSeq
+    val got = text.Bpe.bpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // fertility sanity: merges compress — some doc must need fewer
+    // pieces than characters, and none fewer than its word count
+    val chars = texts.toMap
+    got.foreach { case (id, nw, nb) =>
+      assert(nb >= nw, s"doc $id: fewer pieces than words")
+      val nc = chars(id).trim.toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).map(_.length.toLong).sum
+      assert(nb <= nc, s"doc $id: more pieces than characters")
+    }
+    assert(got.exists { case (_, nw, nb) => nb < 2 * nw } ||
+      got.exists { case (id, _, nb) =>
+        nb < chars(id).trim.toLowerCase.split("\\s+")
+          .filter(_.nonEmpty).map(_.length.toLong).sum })
+  }
+
   test("bpe pair counts: spark spelling is deterministic and bounded") {
     val a = SparkEntry.queries("corpus_bpe_pairs")(spark, sf).collect()
     val b = SparkEntry.queries("corpus_bpe_pairs")(spark, sf).collect()

@@ -475,6 +475,50 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("portable minhash: signature agreement estimates Jaccard") {
+    // The DuckDB oracle pins the mod-p computation bit-for-bit; this pins
+    // the SKETCH SEMANTICS: E[fraction of agreeing minima] = J(a, b).
+    // Planted near-dups (J >= 0.9) must agree on most of the 16 minima;
+    // unrelated docs (J ~ 0) on almost none.
+    functions.VecFunctions.register(spark)
+    val sigs = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "minhash_portable(split(lower(trim(text)), '\\\\s+')) AS sig")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val near = exactPairs(0.9)
+    assert(near.nonEmpty)
+    near.foreach { case (a, b) =>
+      val agree = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+      assert(agree >= 10, s"near-dup ($a,$b) agreed only $agree/16")
+    }
+    // an arbitrary non-dup pair: J ~ 0 => expected agreement ~ 0
+    val ids = sigs.keys.toSeq.sorted
+    val far = ids.combinations(2).map { case Seq(a, b) => (a, b) }
+      .filterNot(near)
+      .take(50)
+    val farAgrees = far.map { case (a, b) =>
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y } }.toSeq
+    assert(farAgrees.sum <= farAgrees.size * 2,
+      s"unrelated pairs agree too often: $farAgrees")
+  }
+
+  test("portable minhash: gram hash matches an independent codepoint fold") {
+    functions.VecFunctions.register(spark)
+    import spark.implicits._
+    val text = "alpha beta gamma delta"
+    val sig = Seq(text).toDF("text")
+      .selectExpr("minhash_portable(split(text, ' ')) AS sig")
+      .head().getSeq[Long](0)
+    val P = functions.HashKernels.PortP
+    def H(s: String): Long = s.codePoints().toArray
+      .foldLeft(0L)((a, c) => (a * 31 + c) % P)
+    val grams = Seq("alpha beta gamma", "beta gamma delta").map(H)
+    val expect = functions.HashKernels.portA
+      .zip(functions.HashKernels.portB)
+      .map { case (a, b) => grams.map(h => (a * h + b) % P).min }
+    assert(sig == expect.toSeq)
+  }
+
   test("audio WAV roundtrip recovers the closed-form sample statistics") {
     // independent oracle: recompute each doc's features from the sample
     // formula and compare to what Spark recovered from the WAV bytes
