@@ -900,7 +900,61 @@ object Corpus {
       |SELECT s1, s2, ROUND(CAST(SUM(q) AS BIGINT) / 2e9, 6) AS js_div
       |FROM terms GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
 
+  // ---- DSIR-style importance resampling ------------------------------------
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023 shape):
+    * score every document by the log-likelihood ratio of a TARGET-domain
+    * unigram LM (here: the `src0` slice plays the high-quality exemplar
+    * set) against the RAW-corpus LM, both Laplace-smoothed over the raw
+    * vocabulary, and keep the top-100 — the docs that look most like the
+    * target distribution. The paper hashes n-gram features to a fixed
+    * bucket count; over this corpus the word-TYPE table is Heaps-bounded
+    * so raw unigrams stand in (at 100 TB you'd hash types to ~10k
+    * buckets the same way, shrinking `lr` below broadcast size —
+    * everything else is unchanged).
+    *
+    * Scale shape: two vocabulary-sized LM aggregations + one
+    * vocabulary-sized ratio table joined onto per-doc term counts (AQE
+    * broadcasts it), one per-doc sum, one global top-100. Per-TYPE log
+    * ratios are integer-quantized (×1e9 → BIGINT) BEFORE the per-doc
+    * weighted sum, so doc scores are exact integer arithmetic —
+    * aggregation-order-proof and engine-exact (the js_divergence
+    * pattern). */
+  private def dsirSql(tok: String, sumQ: String): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, $tok AS w
+       |  FROM documents),
+       |tw AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+       |tgt AS (SELECT w, COUNT(*) AS c FROM tok WHERE source = 'src0' GROUP BY w),
+       |raw AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+       |nt AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM tgt),
+       |nr AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM raw),
+       |v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM raw),
+       |lr AS (
+       |  SELECT raw.w,
+       |    CAST(ROUND((
+       |      LN((CAST(COALESCE(tgt.c, 0) AS DOUBLE) + 1) / (nt.n + v.nv))
+       |      - LN((CAST(raw.c AS DOUBLE) + 1) / (nr.n + v.nv))) * 1e9)
+       |      AS BIGINT) AS q
+       |  FROM raw LEFT JOIN tgt ON raw.w = tgt.w
+       |  CROSS JOIN nt CROSS JOIN nr CROSS JOIN v),
+       |s AS (
+       |  SELECT tw.doc_id, $sumQ AS q
+       |  FROM tw JOIN lr ON tw.w = lr.w
+       |  GROUP BY tw.doc_id)
+       |SELECT doc_id, ROUND(q / 1e9, 6) AS weight
+       |FROM s ORDER BY q DESC, doc_id LIMIT 100""".stripMargin
+
+  val dsirSparkSql: String = dsirSql(
+    "explode(split(lower(trim(text)), '\\\\s+'))",
+    "SUM(tw.c * lr.q)")
+
+  val dsirDuckSql: String = dsirSql(
+    "unnest(string_split_regex(lower(trim(text)), '\\s+'))",
+    "CAST(SUM(tw.c * lr.q) AS BIGINT)") // DuckDB BIGINT sums widen to HUGEINT
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dsir_sample" -> Tables.sql(dsirSparkSql),
     "corpus_pack" -> ((s, d) => pack(s, d)),
     "corpus_shuffle" -> ((s, d) => shuffle(s, d)),
     "corpus_pack_shuffled" -> ((s, d) => packShuffled(s, d)),
@@ -918,6 +972,7 @@ object Corpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_dsir_sample" -> dsirDuckSql,
     "corpus_pack" -> packDuckSql,
     "corpus_shuffle" -> shuffleDuckSql,
     "corpus_pack_shuffled" -> packShuffledDuckSql,

@@ -642,6 +642,53 @@ object TextAnalysis {
       |SELECT qid, did, ROUND(cosine, 4) AS cosine, rk
       |FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
 
+  // ---- RAG document chunking ----------------------------------------------
+
+  /** Fixed-size token chunking with overlap — the retrieval-corpus prep
+    * step (every RAG/embedding pipeline shards long documents into
+    * overlapping windows before embedding). Window = 32 tokens, stride
+    * 24 (8-token overlap); chunk starts are 1, 1+stride, 1+2·stride …
+    * while ≤ n, the final window clipping at the document end. Each
+    * chunk emits its token count and an md5 fingerprint of the
+    * reassembled text — the identity a downstream vector store keys on.
+    * Pure per-row array math (explode of a per-doc start grid + slice):
+    * no shuffle at any scale beyond the final ORDER BY, which a real
+    * pipeline wouldn't run. The DuckDB oracle replays it with a
+    * constant start grid (the bpe-pairs pattern — corpus docs are ≤ 90
+    * words; a >4800-token doc would disagree loudly). */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  val chunkSparkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, split(lower(trim(text)), '\\\\s+') AS tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, k AS chunk_id,
+       |         slice(tok, 1 + k * $ChunkStride, $ChunkSize) AS chunk
+       |  FROM t
+       |  LATERAL VIEW explode(sequence(0,
+       |    CAST((size(tok) - 1) div $ChunkStride AS INT))) g AS k)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |       CAST(size(chunk) AS BIGINT) AS n_tok,
+       |       md5(concat_ws(' ', chunk)) AS fp
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  val chunkDuckSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, CAST(g.k AS BIGINT) AS chunk_id,
+       |         tok[1 + g.k * $ChunkStride :
+       |             g.k * $ChunkStride + $ChunkSize] AS chunk
+       |  FROM t, generate_series(0, 199) g(k)
+       |  WHERE g.k <= (len(tok) - 1) // $ChunkStride)
+       |SELECT doc_id, chunk_id,
+       |       CAST(len(chunk) AS BIGINT) AS n_tok,
+       |       md5(array_to_string(chunk, ' ')) AS fp
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Build-then-probe: materialize the pruned impact index once, probe
     * it. The index parquet is tiny (≤ 64 rows/doc, three columns). */
   def sparseRetrievalQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -755,7 +802,8 @@ object TextAnalysis {
     "text_repetition" -> Tables.sql(repetitionSparkSql),
     "text_entropy" -> Tables.sql(entropySparkSql),
     "text_tfidf" -> Tables.sql(tfidfSparkSql),
-    "text_sparse_retrieval" -> (sparseRetrievalQuery _)
+    "text_sparse_retrieval" -> (sparseRetrievalQuery _),
+    "text_chunk" -> Tables.sql(chunkSparkSql)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -773,6 +821,7 @@ object TextAnalysis {
     "text_repetition" -> repetitionDuckSql,
     "text_entropy" -> entropyDuckSql,
     "text_tfidf" -> tfidfDuckSql,
-    "text_sparse_retrieval" -> sparseRetrievalDuckSql
+    "text_sparse_retrieval" -> sparseRetrievalDuckSql,
+    "text_chunk" -> chunkDuckSql
   )
 }
