@@ -43,11 +43,34 @@ object Bpe {
         |WHERE w <> '' GROUP BY w""".stripMargin)
   }
 
+  /** Trained merge table per (session, dir) — the trainer is a build
+    * artifact; `corpus_bpe_merges` and `corpus_bpe_encode` share one
+    * training run instead of paying the 16-round loop twice (the
+    * clusterTable pattern). Rows are collected (NumMerges-sized). */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, String, Long)]]()
+
+  private def trainedMerges(spark: SparkSession,
+                            dir: String): Array[(String, String, Long)] = {
+    val key = spark.sparkContext.applicationId + " " + dir
+    mergeCache.computeIfAbsent(key, _ =>
+      trainMerges(spark, dir).map { case (_, a, b, n) => (a, b, n) }.toArray)
+  }
+
   /** Train [[NumMerges]] BPE merges; returns one row per merge:
     * (rank, left, right, pair_count), rank 1 = first merge. Ties on
     * pair count break lexicographically (left, then right) so the
     * result is deterministic on any cluster. */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainedMerges(spark, dir).zipWithIndex
+      .map { case ((a, b, n), i) => ((i + 1).toLong, a, b, n) }.toSeq
+      .toDF("rank", "left", "right", "pair_count")
+      .orderBy("rank")
+  }
+
+  private def trainMerges(spark: SparkSession,
+                          dir: String): Seq[(Int, String, String, Long)] = {
     import spark.implicits._
     var syms = wordCounts(spark, dir).as[(String, Long)]
       .map { case (w, c) => (c, w.map(_.toString).toArray) }
@@ -93,10 +116,6 @@ object Bpe {
       }
     }
     merges.result()
-      .toDF("rank", "left", "right", "pair_count")
-      .select(col("rank").cast("long"), col("left"), col("right"),
-        col("pair_count"))
-      .orderBy("rank")
   }
 
   /** Greedy BPE apply for one word: each trained merge, in rank order,
@@ -137,8 +156,7 @@ object Bpe {
     * parity. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val merges = bpeMerges(spark, dir).collect()
-      .map(r => (r.getString(1), r.getString(2)))
+    val merges = trainedMerges(spark, dir).map { case (a, b, _) => (a, b) }
     val bc = spark.sparkContext.broadcast(merges)
     Tables.register(spark, dir)
     val toks = spark.sql(

@@ -91,4 +91,36 @@ class BucketingSpec extends AnyFunSuite {
     assert(rows.toSeq == plain.toSeq)
     assert(rows.nonEmpty)
   }
+
+  test("dpp join: fact scan carries a dynamic partition filter") {
+    val sf = GraftSpark.sf
+    val df = layout.Layout.dppJoin(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 3, rows.mkString("; "))
+    // the partitioned fact scan must be pruned by a DYNAMIC filter fed
+    // from the broadcast dim — not a static literal list, not a full scan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning in plan:\n${plan.take(3000)}")
+    // and the pruning actually cut the scan: of the many day partitions
+    // in the standing layout, only the dim's 3 days are read
+    val dirs = new java.io.File(layout.Layout.partitionedEvents(spark, sf))
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("d="))
+    assert(dirs > 3, s"layout must have many day partitions, got $dirs")
+    // unwrap AQE stages to reach the physical scans
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scanned = scans(df.queryExecution.executedPlan)
+      .flatMap(_.metrics.get("numPartitions").map(_.value))
+    assert(scanned.contains(3L),
+      s"fact scan should read exactly 3 partitions, metrics: $scanned")
+  }
 }
