@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Checkpoint recovery — the exactly-once property the streaming family
+  * rests on at 100 TB/day: a query killed mid-stream and restarted with
+  * the same checkpoint must resume from the recorded offsets AND the
+  * recorded watermark, emitting every closed window exactly once across
+  * both incarnations, never reprocessing consumed files.
+  *
+  * Simulated here the way a landing zone actually behaves: half the
+  * time-ranged source files exist for run 1 (AvailableNow drains them
+  * and terminates, persisting offsets + watermark), the rest land
+  * while the query is DOWN, and run 2 restarts from the checkpoint.
+  */
+class StreamRecoverySpec extends AnyFunSuite {
+  import GraftSpark.{spark, sf}
+
+  test("restart from checkpoint: offsets + watermark resume, windows emit exactly once") {
+    val root = Files.createTempDirectory("graft_recovery")
+    val src = root.resolve("src"); Files.createDirectories(src)
+    val sink = root.resolve("sink").toString
+    val chk = root.resolve("chk").toString
+
+    // 4 time-range-sorted source files (strictly increasing mtimes pin
+    // the batch order), staged but published in two halves
+    val ev = Tables.load(spark, sf, "events")
+      .selectExpr("CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+    val bounds = ev.selectExpr(
+      "percentile(unix_seconds(ts), array(0.25, 0.5, 0.75)) AS q")
+      .head().getSeq[Double](0)
+    val lo = Seq(Long.MinValue) ++ bounds.map(_.toLong)
+    val hi = bounds.map(_.toLong) ++ Seq(Long.MaxValue)
+    val staged = lo.zip(hi).zipWithIndex.map { case ((a, b), k) =>
+      val tmp = Files.createTempDirectory("graft_rec_part")
+      ev.where(expr(s"unix_seconds(ts) >= ${a}L AND unix_seconds(ts) < ${b}L"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (part.toPath, k)
+    }
+    def publish(k: Int): Unit = {
+      val dst = src.resolve(f"events_$k%02d.parquet")
+      Files.copy(staged(k)._1, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + k * 60000L))
+    }
+    val schema = spark.read.parquet(staged.head._1.toString).schema
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("v_cents"))
+        .select(col("window.start").cast("date").cast("string").as("d"),
+          col("event_type"), col("n"), col("v_cents"))
+        .writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    publish(0); publish(1)
+    runOnce()
+    val afterRun1 = spark.read.parquet(sink).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(afterRun1.nonEmpty, "run 1 must close at least one window")
+
+    publish(2); publish(3)
+    runOnce()
+    val finalRows = spark.read.parquet(sink).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    // exactly-once: no (day, type) key emitted twice across the restart
+    val dup = finalRows.groupBy(r => (r._1, r._2)).filter(_._2.length > 1)
+    assert(dup.isEmpty, s"windows emitted twice across restart: ${dup.keys}")
+    // run-1 emissions are final — the restart must not contradict them
+    assert(afterRun1.toSet.subsetOf(finalRows.toSet))
+    assert(finalRows.length > afterRun1.length,
+      "run 2 must close the windows that arrived while the query was down")
+
+    // end-state equality with the batch spelling of the same append
+    // semantics: every day-window whose end the final watermark passed
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val expected = ev
+      .groupBy(col("ts").cast("date").as("d0"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("v_cents"))
+      .where(col("d0").cast("timestamp") + expr("INTERVAL 1 DAY")
+        <= lit(maxTs) - expr("INTERVAL 1 DAY"))
+      .select(col("d0").cast("string").as("d"), col("event_type"),
+        col("n"), col("v_cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(finalRows.toSet == expected.toSet,
+      s"restarted stream end-state != batch: missing ${expected.toSet -- finalRows.toSet}, extra ${finalRows.toSet -- expected.toSet}")
+  }
+}
