@@ -219,6 +219,52 @@ object Dedup {
       |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM j
       |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- asymmetric containment (partial-duplicate detection) ---------------
+
+  /** Containment score |sh(A) ∩ sh(B)| / |sh(A)| — the asymmetric
+    * cousin of Jaccard that catches PARTIAL duplication (doc A quoted
+    * or embedded inside a larger doc B scores high even when Jaccard
+    * is diluted by B's extra content; the dedup literature's standard
+    * fix for the quote/boilerplate-inclusion case). Directed: (a, b)
+    * and (b, a) score independently. Same prefix blocking + hashed
+    * shingles (hash-invariance oracle-checked by the string spelling)
+    * as the Jaccard path. */
+  val containmentSparkSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS blk,
+      |         split(lower(trim(text)), '\\s+') AS tok
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, blk, shingles3(tok) AS sh
+      |  FROM t),
+      |j AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
+      |           / size(a.sh) AS cont
+      |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id <> b.doc_id)
+      |SELECT doc_a, doc_b, ROUND(cont, 4) AS containment FROM j
+      |WHERE cont >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
+
+  val containmentDuckSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS blk,
+      |         string_split_regex(lower(trim(text)), '\s+') AS tok
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, blk,
+      |         list_distinct(CASE WHEN len(tok) >= 3 THEN
+      |           [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+      |            for i in generate_series(1, len(tok) - 2)]
+      |           ELSE [array_to_string(tok, ' ')] END) AS sh
+      |  FROM t),
+      |j AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |           / len(a.sh) AS cont
+      |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id <> b.doc_id)
+      |SELECT doc_a, doc_b, ROUND(cont, 4) AS containment FROM j
+      |WHERE cont >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- cluster assignment (connected components over near-dup pairs) ------
 
   /** Duplicate-cluster assignment: connected components of the near-dup
@@ -638,6 +684,10 @@ object Dedup {
       graft.functions.VecFunctions.register(s)
       Tables.sql(ngramJaccardSparkSql)(s, d)
     }),
+    "dedup_containment" -> ((s, d) => {
+      graft.functions.VecFunctions.register(s)
+      Tables.sql(containmentSparkSql)(s, d)
+    }),
     "dedup_clusters" -> ((s, d) => clusters(s, d)),
     "dedup_survivorship" -> ((s, d) => survivorship(s, d)),
     "dedup_keeplist" -> ((s, d) => keepList(s, d)),
@@ -653,6 +703,7 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardDuckSql,
     "dedup_minhash_sig" -> minhashSigDuckSql,
+    "dedup_containment" -> containmentDuckSql,
     "dedup_incremental" -> incrementalDuckSql,
     "dedup_clusters" -> clustersDuckSql,
     "dedup_survivorship" -> survivorshipDuckSql,

@@ -231,13 +231,61 @@ object Stats {
       |  SELECT '__all__', COUNT(DISTINCT user_id) FROM events)
       |ORDER BY event_type""".stripMargin
 
+  // ---- distribution drift (two-sample Kolmogorov–Smirnov) ------------------
+
+  /** KS drift monitor — the data-quality gate a pipeline runs between a
+    * reference slice and an arriving slice of the same metric (here:
+    * `value` for views vs purchases). The two-sample KS statistic is
+    * max |F1(v) − F2(v)| over the pooled support; computed EXACTLY in
+    * integers by cross-multiplying the cumulative counts
+    * (D(v) = |c1·N2 − c2·N1|, KS = max D / (N1·N2)) so both engines
+    * agree bit-for-bit — no floating-point ECDF knife edges. Shape: one
+    * groupBy on the pooled values (distinct-value-sized), one window
+    * cumulative sum, one max — at 100 TB the groupBy is the only
+    * corpus-sized pass, and a production variant would pre-bin values
+    * (equi-width or t-digest buckets), which only coarsens the support.
+    */
+  private val ksSqlBody: String =
+    """WITH src AS (
+      |  SELECT value AS v,
+      |         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS i1,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i2
+      |  FROM events
+      |  WHERE event_type IN ('view', 'purchase')),
+      |g AS (
+      |  SELECT v, CAST(SUM(i1) AS BIGINT) AS n1, CAST(SUM(i2) AS BIGINT) AS n2
+      |  FROM src GROUP BY v),
+      |c AS (
+      |  SELECT v,
+      |         SUM(n1) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+      |         SUM(n2) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+      |  FROM g),
+      |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2
+      |      FROM g)
+      |SELECT t1 AS n_view, t2 AS n_purchase,
+      |       CAST(MAX(ABS(c1 * t2 - c2 * t1)) AS BIGINT) AS ks_num,
+      |       ROUND(CAST(MAX(ABS(c1 * t2 - c2 * t1)) AS DOUBLE)
+      |             / (t1 * t2), 6) AS ks
+      |FROM c CROSS JOIN t
+      |GROUP BY t1, t2""".stripMargin
+
+  val ksSparkSql: String = ksSqlBody
+  /** DuckDB: SUM over BIGINT widens to HUGEINT; the CASTs above already
+    * pin every emitted column back to BIGINT/DOUBLE, so the spelling is
+    * shared verbatim. */
+  val ksDuckSql: String = ksSqlBody
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_ks_drift" -> Tables.sql(ksSparkSql),
     "stats_table" -> Tables.sql(statsSparkSql),
     "stats_quantiles" -> Tables.sql(quantilesSparkSql),
     "stats_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
     "text_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "stats_ks_drift" -> ksDuckSql,
     "stats_table" -> statsDuckSql,
     "stats_quantiles" -> quantilesDuckSql,
     "stats_hll_distinct" -> hllDistinctDuckSql)
