@@ -924,9 +924,11 @@ object Corpus {
     s"""WITH tok AS (
        |  SELECT doc_id, source, $tok AS w
        |  FROM documents),
-       |tw AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
-       |tgt AS (SELECT w, COUNT(*) AS c FROM tok WHERE source = 'src0' GROUP BY w),
-       |raw AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+       |tw AS (SELECT doc_id, MIN(source) AS source, w, COUNT(*) AS c
+       |       FROM tok GROUP BY doc_id, w),
+       |tgt AS (SELECT w, CAST(SUM(c) AS BIGINT) AS c FROM tw
+       |        WHERE source = 'src0' GROUP BY w),
+       |raw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS c FROM tw GROUP BY w),
        |nt AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM tgt),
        |nr AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM raw),
        |v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM raw),

@@ -87,6 +87,59 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!probe.contains("BroadcastNestedLoopJoin"), probe)
   }
 
+  test("round-7 additions: pruned scans, no corpus-sized shuffles where none needed") {
+    // dsir: the corpus explode must read exactly (doc_id, source, text);
+    // the vocab-sized ratio join must not degrade to a nested loop
+    val dsir = SparkEntry.queries("corpus_dsir_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val dsirReads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(dsir).map(_.group(1)).toSeq
+    assert(dsirReads.nonEmpty)
+    dsirReads.foreach { r =>
+      val cols = r.split(",").filter(_.nonEmpty).map(_.split(":")(0)).toSet
+      assert(cols.subsetOf(Set("doc_id", "source", "text")),
+        s"dsir scan reads $cols")
+    }
+    // the 1-row scalar CTEs (corpus totals) legitimately plan as BNLJ
+    // cross joins; the WORD join must be a hash join
+    assert(dsir.contains("HashJoin"), s"no hash join on the word key:\n$dsir")
+
+    // chunking is per-row array math: the only exchange is the output
+    // sort's range partitioning — a hash exchange would mean the chunker
+    // shuffled the corpus
+    val chunk = SparkEntry.queries("text_chunk")(spark, sf)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!chunk.contains("Exchange hashpartitioning"),
+      s"text_chunk shuffled:\n$chunk")
+    val chunkReads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(chunk).map(_.group(1)).toSeq
+    chunkReads.foreach { r =>
+      val cols = r.split(",").filter(_.nonEmpty).map(_.split(":")(0)).toSet
+      assert(cols.subsetOf(Set("doc_id", "text")), s"chunk scan reads $cols")
+    }
+
+    // ks drift: events scan must read only (event_type, value)
+    val ks = SparkEntry.queries("stats_ks_drift")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val ksReads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(ks).map(_.group(1)).toSeq
+    assert(ksReads.nonEmpty)
+    ksReads.foreach { r =>
+      val cols = r.split(",").filter(_.nonEmpty).map(_.split(":")(0)).toSet
+      assert(cols.subsetOf(Set("event_type", "value")), s"ks scan reads $cols")
+    }
+
+    // minhash signatures are one map-side pass: no join, no aggregation,
+    // no exchange but the output sort
+    val sig = SparkEntry.queries("dedup_minhash_sig")(spark, sf)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!sig.contains("Exchange hashpartitioning"),
+      s"minhash_sig shuffled:\n$sig")
+    assert(!sig.toLowerCase.contains("join"), s"minhash_sig joined:\n$sig")
+  }
+
   test("no registered batch query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(excluded)
