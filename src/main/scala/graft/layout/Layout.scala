@@ -95,14 +95,24 @@ object Layout {
     (before.length.toLong, files(outDir).length.toLong)
   }
 
+  /** Fixed staging paths so the DuckDB oracle can re-derive the file
+    * counts and the content checksum from the same directories. */
+  private val CompactFragPath =
+    s"${sys.props("java.io.tmpdir")}/graft_compact_frag_parquet"
+  private val CompactOutPath =
+    s"${sys.props("java.io.tmpdir")}/graft_compact_out_parquet"
+
   /** Contract query: fragment a z-ordered grid into 64 shard files,
-    * compact, report the shape. Deterministic counts; content equality
-    * and per-file ordering are pinned by `ZOrderSpec`. */
+    * compact, report the shape. DuckDB recomputes all four columns from
+    * the same staged directories (file counts via `filename=true`,
+    * content via `bit_xor(z)`), so the fragment write, the compaction
+    * rewrite, and the content preservation are all cross-engine
+    * checked; per-file z ordering is pinned by `ZOrderSpec`. */
   def compactQuery(spark: SparkSession): DataFrame = {
     VecFunctions.register(spark)
     import spark.implicits._
-    val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val frag = CompactFragPath
+    val out = CompactOutPath
     val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y))
       .toDF("tx", "ty")
       .selectExpr("tx", "ty", "zorder64(tx, ty) AS z")
@@ -116,6 +126,17 @@ object Layout {
       .withColumn("files_after", lit(nAfter))
     check.select("files_before", "files_after", "n_rows", "z_xor")
   }
+
+  private val compactDuckSql: String =
+    s"""WITH b AS (
+       |  SELECT COUNT(DISTINCT filename) AS files_before
+       |  FROM read_parquet('$CompactFragPath/*.parquet', filename=true)),
+       |a AS (
+       |  SELECT COUNT(DISTINCT filename) AS files_after,
+       |         COUNT(*) AS n_rows, bit_xor(z) AS z_xor
+       |  FROM read_parquet('$CompactOutPath/*.parquet', filename=true))
+       |SELECT b.files_before, a.files_after, a.n_rows, a.z_xor
+       |FROM b, a""".stripMargin
 
   // ---- bucketed standing layout + exchange-free join --------------------
 
@@ -260,6 +281,7 @@ object Layout {
 
   val oracleSql: Map[String, String] = Map(
     "layout_dpp" -> dppDuckSql,
+    "layout_compact" -> compactDuckSql,
     "layout_zorder" -> zorderLayoutDuckSql,
     "layout_bucketed_join" -> bucketedJoinDuckSql)
 }
