@@ -5,7 +5,7 @@ import graft.geo.BBox
 import graft.load.{Fuse, Load}
 import graft.planner.Planner
 import graft.raster.Fixtures
-import graft.stac.StacParse
+import graft.stac.{StacParse, StacSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -189,6 +189,68 @@ object RasterQueries {
         i.solarDate(Some(27.0)).toString)
     }.toDF("id", "collection", "n_bands", "datetime", "has_geom",
       "bands", "solar_date").orderBy("id")
+  }
+
+  /** In-process STAC API stub serving `items` in pages — the sandbox
+    * stand-in for a live endpoint (zero egress). `POST /search` returns
+    * page k (continuation body `{"page": k}`) with a rel=next POST link
+    * while pages remain — the POST-pagination form of the STAC API
+    * spec. Records request bodies so the spec can assert what the
+    * client actually sent. */
+  private[graft] def withStacApi[T](items: Seq[String], pageSize: Int)
+      (f: String => T): (T, Seq[String]) = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    server.createContext("/search",
+      (exchange: com.sun.net.httpserver.HttpExchange) => {
+        val body = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+        bodies.synchronized { bodies += body }
+        val node = mapper.readTree(if (body.isEmpty) "{}" else body)
+        val page = Option(node.get("page")).map(_.asInt).getOrElse(0)
+        val start = page * pageSize
+        val slice = items.slice(start, start + pageSize)
+        val port = server.getAddress.getPort
+        val sb = new StringBuilder("""{"type":"FeatureCollection","features":[""")
+        sb.append(slice.mkString(","))
+        sb.append("]")
+        if (start + pageSize < items.size)
+          sb.append(s""","links":[{"rel":"next","method":"POST",""" +
+            s""""href":"http://127.0.0.1:$port/search",""" +
+            s""""body":{"page":${page + 1}}}]""")
+        sb.append("}")
+        val bytes = sb.toString.getBytes("UTF-8")
+        exchange.getResponseHeaders.set("Content-Type", "application/geo+json")
+        exchange.sendResponseHeaders(200, bytes.length)
+        exchange.getResponseBody.write(bytes)
+        exchange.close()
+      })
+    server.start()
+    try (f(s"http://127.0.0.1:${server.getAddress.getPort}"), bodies.toSeq)
+    finally server.stop(0)
+  }
+
+  /** S16 end-to-end: paginated STAC API search → GeoJSON snapshot dump →
+    * snapshot re-read → the normal parse path. The API is the in-process
+    * stub above (protocol-faithful POST pagination); on a cluster the
+    * same client hits a live endpoint. Summary row per item + the dump's
+    * item count, so a pagination bug (dropped/duplicated page) is a row
+    * diff, not a silent skew. */
+  def stacSearchDump(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = graft.raster.Fixtures.writeScenes(6).map(_.replaceAll("\n", " "))
+    val out = java.nio.file.Files.createTempFile("graft_stac_dump", ".geojson")
+    val (n, _) = withStacApi(jsons, pageSize = 2) { endpoint =>
+      StacSearch.dump(endpoint, StacSearch.SearchParams(
+        collections = Seq(Fixtures.CollectionId), limit = 2), out)
+    }
+    val items = StacSearch.readDump(out)
+    val (ds, _) = StacParse.parseItems(spark, spark.createDataset(items))
+    ds.map(i => (i.id, i.collection, i.bands.size))
+      .toDF("id", "collection", "n_bands")
+      .withColumn("n_dumped", lit(n.toLong))
+      .orderBy("id")
   }
 
   /** Output-geobox planning table across parameter shapes (A4/A5/P8). */
@@ -630,6 +692,7 @@ object RasterQueries {
     "raster_load_reproject" -> ((s, _) => loadReproject(s)),
     "raster_load_overview" -> ((s, _) => loadOverview(s)),
     "raster_parse_items" -> ((s, _) => parseItems(s)),
+    "raster_stac_search" -> ((s, _) => stacSearchDump(s)),
     "raster_output_geobox" -> ((s, _) => outputGeoboxPlans(s)),
     "raster_tyx_bins" -> ((s, _) => tyxBins(s)),
     "raster_eo3_export" -> ((s, _) => eo3Export(s))
