@@ -31,6 +31,17 @@ object StreamingOps {
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Staging-dir key that changes when the SOURCE data changes, not just
+    * its path: (path, size, mtime) fingerprint. On-disk stagings outlive
+    * the JVM, and the driver regenerates testdata between rounds at the
+    * SAME paths (the round-6 schema regression) — a path-only key would
+    * silently serve last round's bytes against this round's oracle. */
+  private def stageKey(dir: String, table: String): String = {
+    val f = new java.io.File(Tables.path(dir, table))
+    val fp = s"$dir|${f.length()}|${f.lastModified()}".hashCode & 0x7fffffff
+    fp.toString
+  }
+
   /** FileStreamSource needs a directory; expose a single-file table
     * through a symlink dir (what a real ingest landing zone looks like).
     * Returns (dir path, raw schema). */
@@ -300,7 +311,7 @@ object StreamingOps {
     // stage: events sorted into 4 time-range files, published in order
     val stage = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
-      s"graft_stream_evsorted_${dir.hashCode & 0x7fffffff}")
+      s"graft_stream_evsorted_${stageKey(dir, "events")}")
     if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS"))) {
       java.nio.file.Files.createDirectories(stage)
       val ev = graft.Tables.load(spark, dir, "events")
@@ -543,7 +554,7 @@ object StreamingOps {
     import spark.implicits._
     val stage = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
-      s"graft_stream_docs_${dir.hashCode & 0x7fffffff}").toString
+      s"graft_stream_docs_${stageKey(dir, "documents")}").toString
     if (!new java.io.File(s"$stage/_SUCCESS").exists())
       graft.Tables.load(spark, dir, "documents").select("doc_id", "text")
         .repartition(4).write.mode("overwrite").parquet(stage)
