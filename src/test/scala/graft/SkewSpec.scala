@@ -51,4 +51,34 @@ class SkewSpec extends AnyFunSuite {
     val salted = Skew.saltedCount(skewed, "k", 8)
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  test("AQE splits the skewed partition at runtime (skew=true SMJ)") {
+    // manual salting (above) is the pre-planned answer; AQE's skew-join
+    // is the runtime one — the 100 TB posture is both: salt what you
+    // KNOW is skewed, let AQE catch what you didn't. Thresholds lowered
+    // so the 20k-row fixture's heavy key qualifies as skewed.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = skewed.join(dim.hint("merge"), skewed("k") === dim("dk"))
+        .select("k", "payload", "name")
+      val n = df.count()
+      assert(n == skewed.count()) // every fact row matches exactly one dim row
+      val joined = skewed.join(dim.hint("merge"), skewed("k") === dim("dk"))
+      joined.collect() // AQE finalizes the plan only at execution
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the join skewed:\n${plan.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
