@@ -689,6 +689,50 @@ object TextAnalysis {
        |       md5(array_to_string(chunk, ' ')) AS fp
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Chunk-level dedup — the vector-store ingest gate: identical chunks
+    * (same md5 fingerprint) arriving from different documents are
+    * indexed once; this emits each shared fingerprint with its
+    * occurrence count and canonical (first) owner. Chunk-grain dedup
+    * catches the partial overlap document-grain dedup misses — two
+    * docs sharing one boilerplate paragraph dedup that paragraph only.
+    * Shuffle carries (fp, doc_id, chunk_id) — fixed-width rows, never
+    * text. */
+  val chunkDedupSparkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, split(lower(trim(text)), '\\\\s+') AS tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, k AS chunk_id,
+       |         md5(concat_ws(' ',
+       |           slice(tok, 1 + k * $ChunkStride, $ChunkSize))) AS fp
+       |  FROM t
+       |  LATERAL VIEW explode(sequence(0,
+       |    CAST((size(tok) - 1) div $ChunkStride AS INT))) g AS k)
+       |SELECT fp, COUNT(*) AS n_copies,
+       |       MIN(doc_id) AS keep_doc,
+       |       CAST(MIN(struct(doc_id, chunk_id)).chunk_id AS BIGINT)
+       |         AS keep_chunk
+       |FROM c GROUP BY fp HAVING COUNT(*) > 1
+       |ORDER BY fp""".stripMargin
+
+  val chunkDedupDuckSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, CAST(g.k AS BIGINT) AS chunk_id,
+       |         md5(array_to_string(
+       |           tok[1 + g.k * $ChunkStride :
+       |               g.k * $ChunkStride + $ChunkSize], ' ')) AS fp
+       |  FROM t, generate_series(0, 199) g(k)
+       |  WHERE g.k <= (len(tok) - 1) // $ChunkStride)
+       |SELECT fp, COUNT(*) AS n_copies,
+       |       MIN(doc_id) AS keep_doc,
+       |       CAST(MIN({'doc_id': doc_id, 'chunk_id': chunk_id}).chunk_id
+       |            AS BIGINT) AS keep_chunk
+       |FROM c GROUP BY fp HAVING COUNT(*) > 1
+       |ORDER BY fp""".stripMargin
+
   /** Build-then-probe: materialize the pruned impact index once, probe
     * it. The index parquet is tiny (≤ 64 rows/doc, three columns). */
   def sparseRetrievalQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -803,7 +847,8 @@ object TextAnalysis {
     "text_entropy" -> Tables.sql(entropySparkSql),
     "text_tfidf" -> Tables.sql(tfidfSparkSql),
     "text_sparse_retrieval" -> (sparseRetrievalQuery _),
-    "text_chunk" -> Tables.sql(chunkSparkSql)
+    "text_chunk" -> Tables.sql(chunkSparkSql),
+    "text_chunk_dedup" -> Tables.sql(chunkDedupSparkSql)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -822,6 +867,7 @@ object TextAnalysis {
     "text_entropy" -> entropyDuckSql,
     "text_tfidf" -> tfidfDuckSql,
     "text_sparse_retrieval" -> sparseRetrievalDuckSql,
-    "text_chunk" -> chunkDuckSql
+    "text_chunk" -> chunkDuckSql,
+    "text_chunk_dedup" -> chunkDedupDuckSql
   )
 }
