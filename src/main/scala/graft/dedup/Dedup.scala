@@ -182,15 +182,32 @@ object Dedup {
     * string sets (collisions are ~|sh|^2/2^64 — nil), and the join then
     * intersects fixed-width longs instead of variable-length strings —
     * smaller shuffle rows AND cheaper set ops. The DuckDB oracle keeps the
-    * string spelling, so the hash-invariance is itself oracle-checked. */
+    * string spelling, so the hash-invariance is itself oracle-checked.
+    *
+    * Block membership is CAPPED at `MaxBucket` (same guard as the LSH
+    * paths at `minhash`/`simhash`): a `ROW_NUMBER() OVER (PARTITION BY
+    * blk ORDER BY doc_id)` keeps the first `MaxBucket` members of each
+    * block, so a degenerate shared prefix (license headers, ToS
+    * boilerplate, scraped templates — thousands of docs sharing 40
+    * chars) produces at most MaxBucket^2 candidate pairs instead of B^2.
+    * The sample is deterministic (doc_id order) and spelled identically
+    * in the DuckDB oracles, so the capped semantics are themselves
+    * oracle-checked; docs a real pipeline would catch via the MinHash-LSH
+    * path anyway (shared-prefix near-dups band together). The window is
+    * a per-block LINEAR pass (one shuffle on blk, degenerate block =
+    * one straggler partition, not a quadratic join). */
   val ngramJaccardSparkSql: String =
     """WITH t AS (
       |  SELECT doc_id, substr(text, 1, 40) AS blk,
       |         split(lower(trim(text)), '\\s+') AS tok
       |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, blk, tok,
+      |         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+      |  FROM t),
       |s AS (
       |  SELECT doc_id, blk, shingles3(tok) AS sh
-      |  FROM t),
+      |  FROM r WHERE rn <= @CAP@),
       |j AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |         CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -198,19 +215,24 @@ object Dedup {
       |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM j
       |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+      .replace("@CAP@", MaxBucket.toString)
 
   val ngramJaccardDuckSql: String =
     """WITH t AS (
       |  SELECT doc_id, substr(text, 1, 40) AS blk,
       |         string_split_regex(lower(trim(text)), '\s+') AS tok
       |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, blk, tok,
+      |         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+      |  FROM t),
       |s AS (
       |  SELECT doc_id, blk,
       |         list_distinct(CASE WHEN len(tok) >= 3 THEN
       |           [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
       |            for i in generate_series(1, len(tok) - 2)]
       |           ELSE [array_to_string(tok, ' ')] END) AS sh
-      |  FROM t),
+      |  FROM r WHERE rn <= @CAP@),
       |j AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -218,6 +240,7 @@ object Dedup {
       |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM j
       |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+      .replace("@CAP@", MaxBucket.toString)
 
   // ---- asymmetric containment (partial-duplicate detection) ---------------
 
@@ -228,15 +251,20 @@ object Dedup {
     * fix for the quote/boilerplate-inclusion case). Directed: (a, b)
     * and (b, a) score independently. Same prefix blocking + hashed
     * shingles (hash-invariance oracle-checked by the string spelling)
-    * as the Jaccard path. */
+    * as the Jaccard path, including the same `MaxBucket` block-membership
+    * cap (see `ngramJaccardSparkSql`). */
   val containmentSparkSql: String =
     """WITH t AS (
       |  SELECT doc_id, substr(text, 1, 40) AS blk,
       |         split(lower(trim(text)), '\\s+') AS tok
       |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, blk, tok,
+      |         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+      |  FROM t),
       |s AS (
       |  SELECT doc_id, blk, shingles3(tok) AS sh
-      |  FROM t),
+      |  FROM r WHERE rn <= @CAP@),
       |j AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |         CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -244,19 +272,24 @@ object Dedup {
       |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id <> b.doc_id)
       |SELECT doc_a, doc_b, ROUND(cont, 4) AS containment FROM j
       |WHERE cont >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
+      .replace("@CAP@", MaxBucket.toString)
 
   val containmentDuckSql: String =
     """WITH t AS (
       |  SELECT doc_id, substr(text, 1, 40) AS blk,
       |         string_split_regex(lower(trim(text)), '\s+') AS tok
       |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, blk, tok,
+      |         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+      |  FROM t),
       |s AS (
       |  SELECT doc_id, blk,
       |         list_distinct(CASE WHEN len(tok) >= 3 THEN
       |           [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
       |            for i in generate_series(1, len(tok) - 2)]
       |           ELSE [array_to_string(tok, ' ')] END) AS sh
-      |  FROM t),
+      |  FROM r WHERE rn <= @CAP@),
       |j AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -264,6 +297,7 @@ object Dedup {
       |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id <> b.doc_id)
       |SELECT doc_a, doc_b, ROUND(cont, 4) AS containment FROM j
       |WHERE cont >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
+      .replace("@CAP@", MaxBucket.toString)
 
   // ---- cluster assignment (connected components over near-dup pairs) ------
 
@@ -387,13 +421,17 @@ object Dedup {
       |  SELECT doc_id, substr(text, 1, 40) AS blk,
       |         string_split_regex(lower(trim(text)), '\s+') AS tok
       |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, blk, tok,
+      |         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+      |  FROM t),
       |s AS (
       |  SELECT doc_id, blk,
       |         list_distinct(CASE WHEN len(tok) >= 3 THEN
       |           [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
       |            for i in generate_series(1, len(tok) - 2)]
       |           ELSE [array_to_string(tok, ' ')] END) AS sh
-      |  FROM t),
+      |  FROM r WHERE rn <= @CAP@),
       |p AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
@@ -418,6 +456,7 @@ object Dedup {
       |SELECT doc_id, cluster, len, survivor_id,
       |       CAST(doc_id = survivor_id AS INT) AS keep
       |FROM w ORDER BY doc_id""".stripMargin
+      .replace("@CAP@", MaxBucket.toString)
 
   /** The end product of the dedup pipeline: the deduplicated corpus.
     * Non-canonical cluster members drop (left-anti join against the
@@ -488,13 +527,17 @@ object Dedup {
       |  SELECT doc_id, substr(text, 1, 40) AS blk,
       |         string_split_regex(lower(trim(text)), '\s+') AS tok
       |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, blk, tok,
+      |         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+      |  FROM t),
       |s AS (
       |  SELECT doc_id, blk,
       |         list_distinct(CASE WHEN len(tok) >= 3 THEN
       |           [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
       |            for i in generate_series(1, len(tok) - 2)]
       |           ELSE [array_to_string(tok, ' ')] END) AS sh
-      |  FROM t),
+      |  FROM r WHERE rn <= @CAP@),
       |p AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
@@ -512,6 +555,7 @@ object Dedup {
       |WHERE d.doc_id NOT IN (
       |  SELECT u FROM reach GROUP BY u HAVING u != MIN(v))
       |ORDER BY d.doc_id""".stripMargin
+      .replace("@CAP@", MaxBucket.toString)
 
   /** Oracle: the keep-list reachability CTE ∧ the quality-filter rules,
     * composed in one statement. SUMs cast back to BIGINT (DuckDB SUM
@@ -521,13 +565,17 @@ object Dedup {
       |  SELECT doc_id, substr(text, 1, 40) AS blk,
       |         string_split_regex(lower(trim(text)), '\s+') AS tok
       |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, blk, tok,
+      |         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+      |  FROM t),
       |s AS (
       |  SELECT doc_id, blk,
       |         list_distinct(CASE WHEN len(tok) >= 3 THEN
       |           [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
       |            for i in generate_series(1, len(tok) - 2)]
       |           ELSE [array_to_string(tok, ' ')] END) AS sh
-      |  FROM t),
+      |  FROM r WHERE rn <= @CAP@),
       |p AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
@@ -568,19 +616,24 @@ object Dedup {
       |WHERE d.doc_id NOT IN (SELECT u FROM dropped)
       |  AND d.doc_id IN (SELECT doc_id FROM keepq)
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+      .replace("@CAP@", MaxBucket.toString)
 
   val clustersDuckSql: String =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, substr(text, 1, 40) AS blk,
       |         string_split_regex(lower(trim(text)), '\s+') AS tok
       |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, blk, tok,
+      |         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+      |  FROM t),
       |s AS (
       |  SELECT doc_id, blk,
       |         list_distinct(CASE WHEN len(tok) >= 3 THEN
       |           [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
       |            for i in generate_series(1, len(tok) - 2)]
       |           ELSE [array_to_string(tok, ' ')] END) AS sh
-      |  FROM t),
+      |  FROM r WHERE rn <= @CAP@),
       |p AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
@@ -595,6 +648,7 @@ object Dedup {
       |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
       |SELECT u AS doc_id, MIN(v) AS canonical FROM reach
       |GROUP BY u ORDER BY doc_id""".stripMargin
+      .replace("@CAP@", MaxBucket.toString)
 
   // ---- incremental (delta-vs-index) dedup ---------------------------------
 
@@ -608,13 +662,22 @@ object Dedup {
     * Scale shape: both joins are equi-keyed (md5 digest / 40-char
     * block) — the delta shuffles once per key; at 100 TB the index side
     * is a bucketed table on the same keys, so only the delta moves.
-    * Shingles ride as xxhash64 longs (native `shingles3`). */
+    * Shingles ride as xxhash64 longs (native `shingles3`). The INDEX
+    * side's block membership is capped at `MaxBucket` (deterministic
+    * doc_id-order sample, mirrored in the oracle): each arriving doc
+    * then joins at most MaxBucket index members per block — per-row
+    * fan-out is constant, so a boilerplate-flooded index block can't
+    * make the delta join quadratic. */
   val incrementalSparkSql: String =
     """WITH d AS (
       |  SELECT doc_id, substr(text, 1, 40) AS blk, md5(text) AS fp,
       |         shingles3(split(lower(trim(text)), '\\s+')) AS sh
       |  FROM documents),
-      |ex AS (SELECT blk, fp, sh FROM d WHERE doc_id % 2 = 0),
+      |ex AS (
+      |  SELECT blk, fp, sh FROM (
+      |    SELECT blk, fp, sh,
+      |           ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+      |    FROM d WHERE doc_id % 2 = 0) q WHERE rn <= @CAP@),
       |nw AS (SELECT doc_id, blk, fp, sh FROM d WHERE doc_id % 2 = 1),
       |exact AS (
       |  SELECT nw.doc_id, COUNT(*) AS n_exact
@@ -635,6 +698,7 @@ object Dedup {
       |LEFT JOIN exact ON nw.doc_id = exact.doc_id
       |LEFT JOIN near ON nw.doc_id = near.doc_id
       |ORDER BY nw.doc_id""".stripMargin
+      .replace("@CAP@", MaxBucket.toString)
 
   val incrementalDuckSql: String =
     """WITH t AS (
@@ -648,7 +712,11 @@ object Dedup {
       |            for i in generate_series(1, len(tok) - 2)]
       |           ELSE [array_to_string(tok, ' ')] END) AS sh
       |  FROM t),
-      |ex AS (SELECT blk, fp, sh FROM d WHERE doc_id % 2 = 0),
+      |ex AS (
+      |  SELECT blk, fp, sh FROM (
+      |    SELECT blk, fp, sh,
+      |           ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+      |    FROM d WHERE doc_id % 2 = 0) q WHERE rn <= @CAP@),
       |nw AS (SELECT doc_id, blk, fp, sh FROM d WHERE doc_id % 2 = 1),
       |exact AS (
       |  SELECT nw.doc_id, COUNT(*) AS n_exact
@@ -669,6 +737,7 @@ object Dedup {
       |LEFT JOIN exact ON nw.doc_id = exact.doc_id
       |LEFT JOIN near ON nw.doc_id = near.doc_id
       |ORDER BY nw.doc_id""".stripMargin
+      .replace("@CAP@", MaxBucket.toString)
 
   // ---- registry ------------------------------------------------------------
 
