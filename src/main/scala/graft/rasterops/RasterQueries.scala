@@ -462,18 +462,34 @@ object RasterQueries {
     summarize(spark.read.parquet(out))
   }
 
-  /** Deterministic tile summary keyed by the group TIMESTAMP instead of
-    * the group ordinal: incremental ingest assigns tIdx per batch, so
-    * batch-vs-streaming comparisons key on (band, time, ty, tx). */
-  private def summarizeByTime(df: DataFrame): DataFrame = {
-    val toSum = udf { (data: Array[Byte], dtype: String) =>
-      Fuse.decode(data, dtype).sum }
+  /** Pixel-row explode keyed by the group TIMESTAMP instead of the group
+    * ordinal: incremental ingest assigns tIdx per batch, so
+    * batch-vs-streaming comparisons key on (band, time, ty, tx). Shared
+    * by the streaming-ingest anchor and its batch twin. */
+  private def pixelsByTime(df: DataFrame): DataFrame = {
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
     df.select(col("band"),
         date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("t"),
-        col("ty"), col("tx"), col("width"), col("height"), col("validCount"),
-        round(toSum(col("data"), col("dtype")), 2).as("checksum"))
-      .orderBy("band", "t", "ty", "tx")
+        col("ty"), col("tx"), col("width"),
+        posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("t"), col("ty"), col("tx"),
+        (col("pos") / col("width")).cast("int").as("py"),
+        (col("pos") % col("width")).cast("int").as("px"),
+        col("col").as("value"))
   }
+
+  /** Deterministic per-tile summary over pixel rows, integer-quantized
+    * (×100 → BIGINT) so it is aggregation-order-exact across engines —
+    * the same convention as [[mosaicCells]]. */
+  private def quantizedSummaryByTime(px: DataFrame): DataFrame =
+    px.groupBy("band", "t", "ty", "tx")
+      .agg(count(lit(1)).as("n_px"),
+        sum(when(isnan(col("value")), 0L)
+          .otherwise(round(col("value") * 100).cast("long"))).as("sum_q"),
+        round(min(when(!isnan(col("value")), col("value"))), 2).as("vmin"),
+        round(max(when(!isnan(col("value")), col("value"))), 2).as("vmax"))
+      .orderBy("band", "t", "ty", "tx")
 
   /** Streaming pixel ingest — the incremental-mosaic shape: STAC items
     * land one per microbatch; each batch runs the SAME distributed
@@ -526,14 +542,36 @@ object RasterQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    summarizeByTime(spark.read.parquet(out))
+    // cross-engine anchor: the standing table's pixels land as plain
+    // pixel-row parquet and BOTH engines aggregate the same file — the
+    // incremental-mosaic analog of [[mosaicCells]] (a batch dropped or
+    // double-appended by the stream shifts a checksum DuckDB recomputes)
+    pixelsByTime(spark.read.parquet(out))
+      .write.mode("overwrite").parquet(StreamCellsPath)
+    quantizedSummaryByTime(spark.read.parquet(StreamCellsPath))
   }
+
+  /** Shared path for the streaming-ingest anchor (see
+    * [[streamRasterIngest]]). */
+  private val StreamCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_stream_cells_parquet"
+
+  private val streamIngestDuckSql: String =
+    s"""SELECT band, t, ty, tx, COUNT(*) AS n_px,
+       |       CAST(SUM(CASE WHEN isnan(value) THEN 0
+       |                ELSE CAST(ROUND(value * 100) AS BIGINT) END)
+       |            AS BIGINT) AS sum_q,
+       |       ROUND(MIN(CASE WHEN isnan(value) THEN NULL ELSE value END), 2) AS vmin,
+       |       ROUND(MAX(CASE WHEN isnan(value) THEN NULL ELSE value END), 2) AS vmax
+       |FROM read_parquet('$StreamCellsPath/*.parquet')
+       |GROUP BY band, t, ty, tx
+       |ORDER BY band, t, ty, tx""".stripMargin
 
   /** Batch twin of the streaming ingest, for the spec. */
   def groupByIdSummaryByTime(spark: SparkSession): DataFrame = {
     val (items, schemas) = parsed(spark)
-    summarizeByTime(Load.load(spark, items, schemas,
-      bands = Seq("red", "nir"), groupby = "id", chunks = 64).tiles)
+    quantizedSummaryByTime(pixelsByTime(Load.load(spark, items, schemas,
+      bands = Seq("red", "nir"), groupby = "id", chunks = 64).tiles))
   }
 
   /** Path shared between the Spark query and its DuckDB oracle: the
@@ -641,6 +679,61 @@ object RasterQueries {
        |FROM m GROUP BY band, ty, tx
        |ORDER BY band, ty, tx""".stripMargin
 
+  /** Shared path for the warp anchor (see [[reprojectCells]]). */
+  private val ReprojectCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_reproject_cells_parquet"
+
+  /** Third cross-engine raster anchor — the WARP path (the hardest
+    * numerics in the repo: `raster/Reader.scala` reproject kernels +
+    * `geo/Crs.scala` projection inverses). The warped planes of the
+    * same three cross-CRS loads as `raster_load_reproject` (web
+    * mercator, EASE-Grid 2.0, World CEA) land as (crs, band, tile, y,
+    * x, value) pixel rows; Spark aggregates per tile and DuckDB
+    * recomputes the same quantized checksums from the same file. A
+    * mis-projected inverse, a wrong kernel weight, or a nodata leak in
+    * the warp shifts a per-tile sum an engine sharing none of the warp
+    * code verifies — graduating the reproject family from spec-pinned
+    * to hash-checked. */
+  def reprojectCells(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    Seq("EPSG:3857" -> 20.0, "EPSG:6933" -> 20.0, "ESRI:54034" -> 20.0)
+      .map { case (crs, res) =>
+        Load.load(spark, items, schemas, bands = Seq("red"),
+          groupby = "solar_day", chunks = 64,
+          crs = Some(crs), resolution = Some(res)).tiles
+          .withColumn("crs", lit(crs))
+      }.reduce(_ unionAll _)
+      .select(col("crs"), col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("width"), posexplode(decode(col("data"), col("dtype"))))
+      .select(col("crs"), col("band"), col("tIdx").as("tidx"), col("ty"),
+        col("tx"),
+        (col("pos") / col("width")).cast("int").as("py"),
+        (col("pos") % col("width")).cast("int").as("px"),
+        col("col").as("value"))
+      .write.mode("overwrite").parquet(ReprojectCellsPath)
+    spark.read.parquet(ReprojectCellsPath)
+      .groupBy("crs", "band", "tidx", "ty", "tx")
+      .agg(count(lit(1)).as("n_px"),
+        sum(when(isnan(col("value")), 0L)
+          .otherwise(round(col("value") * 100).cast("long"))).as("sum_q"),
+        round(min(when(!isnan(col("value")), col("value"))), 2).as("vmin"),
+        round(max(when(!isnan(col("value")), col("value"))), 2).as("vmax"))
+      .orderBy("crs", "band", "tidx", "ty", "tx")
+  }
+
+  private val reprojectCellsDuckSql: String =
+    s"""SELECT crs, band, tidx, ty, tx, COUNT(*) AS n_px,
+       |       CAST(SUM(CASE WHEN isnan(value) THEN 0
+       |                ELSE CAST(ROUND(value * 100) AS BIGINT) END)
+       |            AS BIGINT) AS sum_q,
+       |       ROUND(MIN(CASE WHEN isnan(value) THEN NULL ELSE value END), 2) AS vmin,
+       |       ROUND(MAX(CASE WHEN isnan(value) THEN NULL ELSE value END), 2) AS vmax
+       |FROM read_parquet('$ReprojectCellsPath/*.parquet')
+       |GROUP BY crs, band, tidx, ty, tx
+       |ORDER BY crs, band, tidx, ty, tx""".stripMargin
+
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
   def compositeMean(spark: SparkSession): DataFrame = {
@@ -683,6 +776,7 @@ object RasterQueries {
     "raster_load_mosaic" -> ((s, _) => loadMosaic(s)),
     "raster_mosaic_cells" -> ((s, _) => mosaicCells(s)),
     "raster_composite_cells" -> ((s, _) => compositeCells(s)),
+    "raster_reproject_cells" -> ((s, _) => reprojectCells(s)),
     "stream_raster_ingest" -> ((s, _) => streamRasterIngest(s)),
     "raster_load_tiff" -> ((s, _) => loadTiff(s)),
     "raster_load_zarr" -> ((s, _) => loadZarr(s)),
@@ -700,5 +794,7 @@ object RasterQueries {
 
   val oracleSql: Map[String, String] = Map(
     "raster_mosaic_cells" -> mosaicCellsDuckSql,
-    "raster_composite_cells" -> compositeCellsDuckSql)
+    "raster_composite_cells" -> compositeCellsDuckSql,
+    "raster_reproject_cells" -> reprojectCellsDuckSql,
+    "stream_raster_ingest" -> streamIngestDuckSql)
 }
