@@ -136,25 +136,33 @@ object Dedup {
   // ---- SimHash -------------------------------------------------------------
 
   val HammingThreshold = 3
-  private val SimChunks = 4 // 4 x 16-bit chunks: pigeonhole for dist <= 3
+  private val SimChunks = 4 // 4 x 15-bit chunks: pigeonhole for dist <= 3
+  private val SimChunkBits = graft.functions.HashKernels.PortSimBits / SimChunks
+  private val SimChunkMask = (1 << SimChunkBits) - 1
 
-  /** 64-bit SimHash signature per doc (exposed for tests) — native
-    * codegen'd pass (`SimHash64` Expression). */
+  /** 60-bit portable SimHash signature per doc (exposed for tests) —
+    * native codegen'd pass (`SimHashPortable` Expression), bit-identical
+    * to the DuckDB mod-p spelling so the ENTIRE simhash pipeline
+    * (signature, chunk candidates, bucket cap, hamming verify) is
+    * hash-checked cross-engine. The 2^64-ring `simhash64` kernel remains
+    * for workloads that want the full 64 bits and no mod-p constraint. */
   def signatures(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecFunctions.register(spark)
-    docsWithShingles(spark, dir)
-      .select(col("doc_id"), call_function("simhash64", col("hset")).as("sig"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), call_function("simhash_portable",
+        split(lower(trim(col("text"))), "\\s+")).as("sig"))
   }
 
-  /** SimHash near-dup pairs: 64-bit signature, candidates via any equal
-    * 16-bit chunk (pigeonhole guarantees recall for hamming <= 3), verified
-    * by popcount(xor). Output: (doc_a, doc_b, hamming). */
+  /** SimHash near-dup pairs: 60-bit portable signature, candidates via
+    * any equal 15-bit chunk (pigeonhole guarantees recall for hamming
+    * <= 3), verified by popcount(xor). Output: (doc_a, doc_b, hamming). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = signatures(spark, dir).cache()
     val chunks = sigs.select(col("doc_id"), col("sig"),
         explode(expr(
           s"transform(sequence(0, ${SimChunks - 1}), " +
-            "c -> struct(c AS chunk, shiftright(sig, c * 16) & 65535 AS v))")).as("ck"))
+            s"c -> struct(c AS chunk, shiftright(sig, c * $SimChunkBits) " +
+            s"& $SimChunkMask AS v))")).as("ck"))
       .select(col("doc_id"), col("sig"), col("ck.chunk"), col("ck.v"))
     // bucket-capped candidate generation (same MaxBucket guard as the
     // minhash path): a degenerate chunk value can't go quadratic
@@ -172,6 +180,82 @@ object Dedup {
     pairs.where(col("hamming") <= HammingThreshold)
       .orderBy("doc_a", "doc_b")
   }
+
+  // ---- portable SimHash oracles (cross-engine) -----------------------------
+
+  /** DuckDB CTE prefix shared by the simhash oracles: word-3-gram
+    * shingles → mod-p gram hashes (identical spelling to
+    * [[minhashSigDuckSql]]) → DISTINCT gram set (SimHash counts each
+    * shingle once). */
+  private val duckGramCtes: String = {
+    import graft.functions.HashKernels.PortP
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, CASE WHEN len(tok) >= 3 THEN
+       |      [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+       |       for i in generate_series(1, len(tok) - 2)]
+       |    ELSE [array_to_string(tok, ' ')] END AS sh
+       |  FROM t),
+       |h AS (
+       |  SELECT doc_id, list_transform(sh, g ->
+       |    CASE WHEN len(g) = 0 THEN 0 ELSE
+       |      list_reduce(list_transform(range(1, len(g)+1),
+       |                                 i -> CAST(unicode(g[i]) AS BIGINT)),
+       |                  (a, b) -> (a*31 + b) %% $PortP) END) AS hs
+       |  FROM s),
+       |hd AS (SELECT doc_id, list_distinct(hs) AS hs FROM h)""".stripMargin
+      .replace("%%", "%")
+  }
+
+  /** The 60-bit signature as one BIGINT expression over `hd.hs`: bit b
+    * (p = b/4, k = b%4) set iff the count of distinct grams whose affine
+    * permutation p has bit k set exceeds half — the exact computation of
+    * `HashKernels.simhashPortable`, spelled term by term. */
+  private val duckSimhashSigExpr: String = {
+    import graft.functions.HashKernels.{portA, portB, PortP, PortSimBits}
+    (0 until PortSimBits).map { b =>
+      val p = b / 4; val k = b % 4
+      s"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN " +
+        s"((((${portA(p)}*x + ${portB(p)}) % $PortP) >> $k) & 1) = 1 " +
+        s"THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n    + ")
+  }
+
+  /** Per-doc signature anchor (the `dedup_minhash_sig` mirror). */
+  val simhashSigSparkSql: String =
+    """SELECT doc_id,
+      |       simhash_portable(split(lower(trim(text)), '\\s+')) AS sig
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val simhashSigDuckSql: String =
+    s"""$duckGramCtes
+       |SELECT doc_id, CAST($duckSimhashSigExpr AS BIGINT) AS sig
+       |FROM hd ORDER BY doc_id""".stripMargin
+
+  /** Full mirror of [[simhash]] — signature, 15-bit chunk candidates,
+    * the MaxBucket guard, and the hamming verification — so the pair
+    * OUTPUT of the simhash dedup operator is hash-checked, not only its
+    * signatures. */
+  val simhashDuckSql: String =
+    s"""$duckGramCtes,
+       |sigs AS (
+       |  SELECT doc_id, CAST($duckSimhashSigExpr AS BIGINT) AS sig
+       |  FROM hd),
+       |ch AS (
+       |  SELECT doc_id, sig, c, (sig >> (c * $SimChunkBits)) & $SimChunkMask AS v
+       |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) cs),
+       |k AS (
+       |  SELECT doc_id, sig, c, v FROM (
+       |    SELECT ch.*, COUNT(*) OVER (PARTITION BY c, v) AS bs FROM ch) q
+       |  WHERE bs BETWEEN 2 AND $MaxBucket),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         bit_count(xor(a.sig, b.sig)) AS hamming
+       |  FROM k a JOIN k b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM p
+       |WHERE hamming <= $HammingThreshold ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- blocked n-gram Jaccard (oracle-checkable) --------------------------
 
@@ -749,6 +833,10 @@ object Dedup {
       graft.functions.VecFunctions.register(s)
       Tables.sql(minhashSigSparkSql)(s, d)
     }),
+    "dedup_simhash_sig" -> ((s, d) => {
+      graft.functions.VecFunctions.register(s)
+      Tables.sql(simhashSigSparkSql)(s, d)
+    }),
     "dedup_ngram_jaccard" -> ((s, d) => {
       graft.functions.VecFunctions.register(s)
       Tables.sql(ngramJaccardSparkSql)(s, d)
@@ -772,6 +860,8 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardDuckSql,
     "dedup_minhash_sig" -> minhashSigDuckSql,
+    "dedup_simhash_sig" -> simhashSigDuckSql,
+    "dedup_simhash" -> simhashDuckSql,
     "dedup_containment" -> containmentDuckSql,
     "dedup_incremental" -> incrementalDuckSql,
     "dedup_clusters" -> clustersDuckSql,

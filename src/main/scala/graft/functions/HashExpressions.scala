@@ -254,6 +254,69 @@ object HashKernels {
     new GenericArrayData(counts)
   }
 
+  /** Cross-engine 60-bit SimHash over word-3-gram shingles (the
+    * `dedup_minhash_sig` pattern applied to SimHash): grams hash via the
+    * same mod-p polynomial fold as [[minhashPortable]], are DEDUPED
+    * (SimHash counts distinct shingles), and — because a mod-p hash only
+    * carries ~30 well-mixed bits — signature bit b (p = b/4, k = b%4) is
+    * the majority sign of bit k of affine permutation p over the distinct
+    * grams. 15 permutations × 4 low bits = 60 bits, keeping the
+    * signature positive in a BIGINT in both engines. Bit-identical to
+    * the DuckDB spelling in `Dedup.simhashSigDuckSql`. */
+  val PortSimBits = 60
+
+  def simhashPortable(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val grams = new java.util.HashSet[java.lang.Long]()
+    if (n >= 3) {
+      var j = 0
+      while (j + 2 < n) {
+        var h = portFold(0L, toks(j))
+        h = (h * 31 + ' ') % PortP
+        h = portFold(h, toks(j + 1))
+        h = (h * 31 + ' ') % PortP
+        h = portFold(h, toks(j + 2))
+        grams.add(h)
+        j += 1
+      }
+    } else {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) h = (h * 31 + ' ') % PortP
+        h = portFold(h, toks(j))
+        j += 1
+      }
+      grams.add(h)
+    }
+    val acc = new Array[Int](PortSimBits)
+    val it = grams.iterator()
+    while (it.hasNext) {
+      val h = it.next().longValue()
+      var p = 0
+      while (p < PortSimBits / 4) {
+        val v = (portA(p) * h + portB(p)) % PortP
+        var k = 0
+        while (k < 4) {
+          if (((v >> k) & 1L) == 1L) acc(p * 4 + k) += 1
+          else acc(p * 4 + k) -= 1
+          k += 1
+        }
+        p += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < PortSimBits) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** 64-bit SimHash over the hashed shingle set. */
   def simhash64(arr: ArrayData): Long = {
     val hs = arr.toLongArray()
@@ -318,6 +381,28 @@ case class MinHashBands(child: Expression)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.HashKernels.minhashBands($c);")
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+/** `simhash_portable(tok)` — cross-engine 60-bit SimHash signature over
+  * word-3-gram shingles; bit-identical to the DuckDB mod-p spelling (see
+  * [[HashKernels.simhashPortable]]), so the SimHash dedup pipeline is
+  * oracle-checkable end to end. */
+case class SimHashPortable(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  override def prettyName: String = "simhash_portable"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhashPortable(input.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.simhashPortable($c);")
+  override protected def withNewChildInternal(newChild: Expression): SimHashPortable =
     copy(child = newChild)
 }
 

@@ -227,6 +227,13 @@ object VecFunctions {
       },
       "built-in")
     reg.createOrReplaceTempFunction(
+      "simhash_portable",
+      { args: Seq[Expression] =>
+        require(args.length == 1, "simhash_portable(tok) takes one argument")
+        SimHashPortable(args(0))
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "zorder64",
       { args: Seq[Expression] =>
         require(args.length == 2, "zorder64(x, y) takes two arguments")
