@@ -109,7 +109,10 @@ object LocalFileSource extends RasterByteSource {
 /** Scheme-keyed registry the decoders resolve through. */
 object RasterIO {
   @volatile private var registry: Map[String, RasterByteSource] =
-    Map("" -> LocalFileSource, "file" -> LocalFileSource)
+    Map("" -> LocalFileSource, "file" -> LocalFileSource,
+      // ranged-GET cloud path, on by default like GDAL's /vsicurl/
+      // (override per deployment via register/GraftIoPlugin)
+      "http" -> new HttpRangeSource(), "https" -> new HttpRangeSource())
 
   /** Register (or replace) the source for a scheme — once per JVM,
     * before any read; executor-init hooks are the natural place. */
