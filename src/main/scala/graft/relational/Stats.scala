@@ -242,8 +242,14 @@ object Stats {
     * agree bit-for-bit — no floating-point ECDF knife edges. Shape: one
     * groupBy on the pooled values (distinct-value-sized), one window
     * cumulative sum, one max — at 100 TB the groupBy is the only
-    * corpus-sized pass, and a production variant would pre-bin values
-    * (equi-width or t-digest buckets), which only coarsens the support.
+    * corpus-sized pass. NULL metrics are excluded up front: a NULL
+    * can't participate in a KS statistic, and engines disagree on
+    * default NULL ordering (Spark NULLS FIRST vs DuckDB NULLS LAST),
+    * so an unfiltered spelling would diverge cross-engine the moment
+    * one appeared. The support here is distinct-value-sized — bounded
+    * for this integer metric, unbounded for a continuous one at
+    * 100 TB; [[ksBinnedSqlBody]] below is the production variant whose
+    * support is provably bounded by the bin count.
     */
   private val ksSqlBody: String =
     """WITH src AS (
@@ -251,7 +257,7 @@ object Stats {
       |         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS i1,
       |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i2
       |  FROM events
-      |  WHERE event_type IN ('view', 'purchase')),
+      |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
       |g AS (
       |  SELECT v, CAST(SUM(i1) AS BIGINT) AS n1, CAST(SUM(i2) AS BIGINT) AS n2
       |  FROM src GROUP BY v),
@@ -277,8 +283,55 @@ object Stats {
     * shared verbatim. */
   val ksDuckSql: String = ksSqlBody
 
+  /** Pre-binned KS — the 100 TB spelling: the metric is first quantized
+    * into `KsBins` equi-width bins, so the window's support is bounded
+    * by the BIN COUNT, not the metric's distinct values (the exact
+    * variant above degenerates on continuous metrics). Binning
+    * coarsens the statistic conservatively (|KS_binned − KS| ≤ the
+    * largest per-bin mass). Bin assignment is IEEE-double arithmetic
+    * spelled identically in both engines — MIN/MAX are exact, and
+    * (v−lo)/w + FLOOR evaluate bit-identically in Spark and DuckDB —
+    * with the top edge clamped into the last bin and a degenerate
+    * lo = hi range collapsing to bin 0. */
+  val KsBins = 64
+
+  private val ksBinnedSqlBody: String =
+    s"""WITH src AS (
+       |  SELECT CAST(value AS DOUBLE) AS v,
+       |         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS i1,
+       |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i2
+       |  FROM events
+       |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+       |r AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM src),
+       |b AS (
+       |  SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(LEAST(FLOOR((v - lo) / ((hi - lo) / $KsBins.0)),
+       |                              ${KsBins - 1}) AS BIGINT) END AS bin,
+       |         i1, i2
+       |  FROM src CROSS JOIN r),
+       |g AS (
+       |  SELECT bin, CAST(SUM(i1) AS BIGINT) AS n1, CAST(SUM(i2) AS BIGINT) AS n2
+       |  FROM b GROUP BY bin),
+       |c AS (
+       |  SELECT bin,
+       |         SUM(n1) OVER (ORDER BY bin
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+       |         SUM(n2) OVER (ORDER BY bin
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+       |  FROM g),
+       |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2,
+       |             CAST(COUNT(*) AS BIGINT) AS nb
+       |      FROM g)
+       |SELECT t1 AS n_view, t2 AS n_purchase, nb AS n_bins,
+       |       CAST(MAX(ABS(c1 * t2 - c2 * t1)) AS BIGINT) AS ks_num,
+       |       ROUND(CAST(MAX(ABS(c1 * t2 - c2 * t1)) AS DOUBLE)
+       |             / (t1 * t2), 6) AS ks
+       |FROM c CROSS JOIN t
+       |GROUP BY t1, t2, nb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_ks_drift" -> Tables.sql(ksSparkSql),
+    "stats_ks_drift_binned" -> Tables.sql(ksBinnedSqlBody),
     "stats_table" -> Tables.sql(statsSparkSql),
     "stats_quantiles" -> Tables.sql(quantilesSparkSql),
     "stats_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
@@ -286,6 +339,7 @@ object Stats {
 
   val oracleSql: Map[String, String] = Map(
     "stats_ks_drift" -> ksDuckSql,
+    "stats_ks_drift_binned" -> ksBinnedSqlBody,
     "stats_table" -> statsDuckSql,
     "stats_quantiles" -> quantilesDuckSql,
     "stats_hll_distinct" -> hllDistinctDuckSql)
