@@ -46,14 +46,15 @@ object Bpe {
   /** Trained merge table per (session, dir) — the trainer is a build
     * artifact; `corpus_bpe_merges` and `corpus_bpe_encode` share one
     * training run instead of paying the 16-round loop twice (the
-    * clusterTable pattern). Rows are collected (NumMerges-sized). */
+    * clusterTable pattern). Rows are collected (NumMerges-sized);
+    * bounded like the other standing-artifact caches. */
   private val mergeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, String, Long)]]()
+    new graft.BoundedCache[Array[(String, String, Long)]](max = 8, _ => ())
 
   private def trainedMerges(spark: SparkSession,
                             dir: String): Array[(String, String, Long)] = {
     val key = spark.sparkContext.applicationId + " " + dir
-    mergeCache.computeIfAbsent(key, _ =>
+    mergeCache.get(key)(
       trainMerges(spark, dir).map { case (_, a, b, n) => (a, b, n) }.toArray)
   }
 
@@ -143,6 +144,12 @@ object Bpe {
     s
   }
 
+  /** Path shared between the Spark encode and its DuckDB oracle: the
+    * trained (rank, l, r) merge table lands here, and the oracle
+    * re-APPLIES it independently (see [[bpeEncodeDuckSql]]). */
+  private val MergesPath =
+    s"${sys.props("java.io.tmpdir")}/graft_bpe_merges_parquet"
+
   /** Tokenizer APPLY — the other half of the BPE story: encode every
     * document with the trained merge table. Scale shape: the merge table
     * is tiny and ships in the closure (a production 50k-merge vocab is
@@ -151,12 +158,24 @@ object Bpe {
     * broadcast join on the word — the only corpus-sized passes are one
     * explode and one per-doc aggregation. Emits per-doc whitespace-token
     * and BPE-token counts plus fertility (pieces per word) — the numbers
-    * a tokenization pipeline actually monitors. Not SQL-expressible
-    * (iterative merges) → rows-only check + BpeSpec sequential-reference
-    * parity. */
+    * a tokenization pipeline actually monitors.
+    *
+    * Cross-engine check: the merge table lands as parquet and DuckDB
+    * re-applies all 16 merges with its OWN greedy-scan implementation
+    * (recursive CTE + delimiter-wrapped string replace, which has
+    * exactly the trainer's left-to-right non-overlapping semantics),
+    * re-derives every word type's piece count, and re-aggregates per
+    * doc — so the distributed apply path is hash-checked, while the
+    * training loop itself stays pinned by BpeSpec's sequential
+    * reference. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val merges = trainedMerges(spark, dir).map { case (a, b, _) => (a, b) }
+    val trained = trainedMerges(spark, dir)
+    trained.zipWithIndex
+      .map { case ((a, b, _), i) => ((i + 1).toLong, a, b) }.toSeq
+      .toDF("rank", "l", "r")
+      .coalesce(1).write.mode("overwrite").parquet(MergesPath)
+    val merges = trained.map { case (a, b, _) => (a, b) }
     val bc = spark.sparkContext.broadcast(merges)
     Tables.register(spark, dir)
     val toks = spark.sql(
@@ -214,11 +233,52 @@ object Bpe {
       |FROM p GROUP BY l, r
       |ORDER BY n DESC, l, r LIMIT 50""".stripMargin
 
+  /** DuckDB re-implementation of greedy BPE apply over the landed merge
+    * table. Each word type becomes a delimiter-wrapped symbol string
+    * (`\x1f sym \x1e` per symbol — separators no corpus word contains);
+    * merge k rewrites it with `replace(s, \x1f a \x1e \x1f b \x1e,
+    * \x1f ab \x1e)`, whose leftmost-first, resume-after-replacement
+    * semantics are exactly the trainer's scan (verified: 'l l l' →
+    * 'll l', 'a b a b' → 'ab ab'). The recursive CTE applies merges in
+    * rank order; a word's piece count is its delimiter count. */
+  val bpeEncodeDuckSql: String =
+    s"""WITH RECURSIVE m AS (
+       |  SELECT rank, l, r FROM read_parquet('$MergesPath/*.parquet')),
+       |toks AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id,
+       |           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE w <> ''),
+       |types AS (SELECT DISTINCT w FROM toks),
+       |enc(w, s, k) AS (
+       |  SELECT w,
+       |         regexp_replace(w, '(.)', chr(31) || '\\1' || chr(30), 'g'),
+       |         0
+       |  FROM types
+       |  UNION ALL
+       |  SELECT e.w,
+       |         replace(e.s,
+       |           chr(31) || m.l || chr(30) || chr(31) || m.r || chr(30),
+       |           chr(31) || m.l || m.r || chr(30)),
+       |         e.k + 1
+       |  FROM enc e JOIN m ON m.rank = e.k + 1),
+       |np AS (
+       |  SELECT w, len(s) - len(replace(s, chr(31), '')) AS n_pieces
+       |  FROM enc
+       |  WHERE k = (SELECT COALESCE(MAX(rank), 0) FROM m))
+       |SELECT t.doc_id, COUNT(*) AS n_words,
+       |       CAST(SUM(np.n_pieces) AS BIGINT) AS n_bpe_tokens,
+       |       ROUND(CAST(SUM(np.n_pieces) AS DOUBLE) / COUNT(*), 4) AS fertility
+       |FROM toks t JOIN np ON t.w = np.w
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_bpe_pairs" -> Tables.sql(bpePairsSparkSql),
     "corpus_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "corpus_bpe_encode" -> ((s, d) => bpeEncode(s, d)))
 
   val oracleSql: Map[String, String] = Map(
-    "corpus_bpe_pairs" -> bpePairsDuckSql)
+    "corpus_bpe_pairs" -> bpePairsDuckSql,
+    "corpus_bpe_encode" -> bpeEncodeDuckSql)
 }
