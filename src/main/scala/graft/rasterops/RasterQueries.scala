@@ -216,9 +216,12 @@ object RasterQueries {
         sb.append(slice.mkString(","))
         sb.append("]")
         if (start + pageSize < items.size)
+          // token-only continuation body with merge:true — the client
+          // must deep-merge it over the original request or page 2+
+          // silently loses collections/bbox/datetime/limit
           sb.append(s""","links":[{"rel":"next","method":"POST",""" +
             s""""href":"http://127.0.0.1:$port/search",""" +
-            s""""body":{"page":${page + 1}}}]""")
+            s""""merge":true,"body":{"page":${page + 1}}}]""")
         sb.append("}")
         val bytes = sb.toString.getBytes("UTF-8")
         exchange.getResponseHeaders.set("Content-Type", "application/geo+json")

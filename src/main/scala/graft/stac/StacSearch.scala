@@ -38,9 +38,15 @@ object StacSearch {
       limit: Int = 100,
       maxItems: Int = 10000)
 
+  /** rel=next continuation: where to go, how (`post`), with what body,
+    * and whether that body MERGES over the original request (the STAC
+    * API `merge` flag) or replaces it. */
+  final case class NextLink(href: String, body: Option[JsonNode],
+                            merge: Boolean, post: Boolean)
+
   /** One page of a search: item JSON strings + the next-page request, if
     * any. Exposed for the spec. */
-  final case class Page(items: Seq[String], next: Option[(String, Option[String])])
+  final case class Page(items: Seq[String], next: Option[NextLink])
 
   private val mapper = new ObjectMapper()
 
@@ -79,9 +85,8 @@ object StacSearch {
   }
 
   /** Parse one FeatureCollection page: features re-serialized as
-    * standalone item JSON, plus the rel=next continuation — (href,
-    * Some(body)) means POST the body there, (href, None) means GET. */
-  private[stac] def parsePage(node: JsonNode): Page = {
+    * standalone item JSON, plus the rel=next continuation. */
+  private[graft] def parsePage(node: JsonNode): Page = {
     val feats = Option(node.get("features")).toSeq
       .flatMap(_.elements().asScala)
       .map(mapper.writeValueAsString)
@@ -90,23 +95,52 @@ object StacSearch {
       .find(l => Option(l.get("rel")).exists(_.asText() == "next"))
       .flatMap { l =>
         Option(l.get("href")).map { href =>
-          val body = Option(l.get("body")).map(mapper.writeValueAsString)
-          val isPost = Option(l.get("method")).exists(_.asText() == "POST") ||
-            body.isDefined
-          (href.asText(), if (isPost) body.orElse(Some("{}")) else None)
+          val body = Option(l.get("body"))
+          NextLink(href.asText(), body,
+            merge = Option(l.get("merge")).exists(_.asBoolean()),
+            post = Option(l.get("method")).exists(_.asText() == "POST") ||
+              body.isDefined)
         }
       }
     Page(feats, next)
   }
 
+  /** Recursive JSON merge: `over`'s fields win, nested objects merge
+    * field-wise (the STAC API continuation-`merge` semantics, matching
+    * pystac-client). */
+  private def deepMerge(base: JsonNode, over: JsonNode): JsonNode =
+    if (!base.isObject || !over.isObject) over
+    else {
+      val out = base.deepCopy[ObjectNode]()
+      over.fields().asScala.foreach { e =>
+        val existing = out.get(e.getKey)
+        if (existing != null && existing.isObject && e.getValue.isObject)
+          out.set[JsonNode](e.getKey, deepMerge(existing, e.getValue))
+        else out.set[JsonNode](e.getKey, e.getValue)
+      }
+      out
+    }
+
   /** Run a full paginated search; returns item JSON strings (at most
     * `maxItems` — a loud cap, not silent truncation: hitting it throws,
     * because a snapshot that quietly lost items corrupts every
-    * downstream answer). */
+    * downstream answer).
+    *
+    * Continuation semantics per the STAC API spec: a POST next link's
+    * `body` REPLACES the request unless `merge: true`, in which case it
+    * deep-merges over the original request (so a token-only body keeps
+    * collections/bbox/datetime filters on page 2+); a body-less POST
+    * link re-sends the original request against the new href. The page
+    * count is bounded (maxItems/limit plus slack) so a buggy or
+    * adversarial endpoint that keeps returning empty pages with a
+    * persistent rel=next cannot loop the client forever. */
   def search(endpoint: String, p: SearchParams): Seq[String] = {
     val client = HttpClient.newHttpClient()
     val out = Seq.newBuilder[String]
+    val original = mapper.readTree(requestBody(p))
+    val maxPages = p.maxItems / math.max(p.limit, 1) + 8
     var n = 0
+    var pages = 1
     var page = parsePage(post(client,
       endpoint.stripSuffix("/") + "/search", requestBody(p)))
     var done = false
@@ -116,8 +150,20 @@ object StacSearch {
       require(n <= p.maxItems,
         s"search exceeded maxItems=${p.maxItems}; raise the cap or narrow the query")
       page.next match {
-        case Some((href, Some(body))) => page = parsePage(post(client, href, body))
-        case Some((href, None)) => page = parsePage(get(client, href))
+        case Some(nx) =>
+          pages += 1
+          require(pages <= maxPages,
+            s"search exceeded $maxPages pages without terminating — the " +
+              "endpoint keeps returning rel=next (pagination loop?)")
+          page =
+            if (nx.post) {
+              val body = nx.body match {
+                case Some(b) if nx.merge => deepMerge(original, b)
+                case Some(b) => b
+                case None => original
+              }
+              parsePage(post(client, nx.href, mapper.writeValueAsString(body)))
+            } else parsePage(get(client, nx.href))
         case None => done = true
       }
     }

@@ -39,6 +39,49 @@ class StacSearchSpec extends AnyFunSuite {
     // 4 requests: the original search + three {"page": k} continuations
     assert(bodies.size == 4, bodies.mkString(" | "))
     assert((1 to 3).forall(k => bodies.exists(_.contains(s""""page":$k"""))))
+    // merge:true continuations must KEEP the original request params —
+    // a token-only body that replaced the request would drop the limit
+    // (and any collections/bbox/datetime filters) from page 2 on
+    assert(bodies.count(_.contains(""""limit":2""")) == 4,
+      s"continuation bodies lost original params: ${bodies.mkString(" | ")}")
+  }
+
+  test("merge:false continuation bodies replace the request verbatim") {
+    // spec-faithful replacement semantics: without merge, the link body
+    // IS the next request
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      """{"type":"FeatureCollection","features":[],
+        |"links":[{"rel":"next","method":"POST","href":"http://x/search",
+        |"body":{"token":"abc"}}]}""".stripMargin)
+    val page = StacSearch.parsePage(node)
+    assert(page.next.exists(n => n.post && !n.merge &&
+      n.body.exists(_.get("token").asText() == "abc")))
+  }
+
+  test("a persistent rel=next with empty pages cannot loop the client forever") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/search",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        hits.incrementAndGet()
+        val port = server.getAddress.getPort
+        val resp = (s"""{"type":"FeatureCollection","features":[],"links":""" +
+          s"""[{"rel":"next","method":"POST","href":""" +
+          s""""http://127.0.0.1:$port/search","body":{}}]}""").getBytes("UTF-8")
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      })
+    server.start()
+    try {
+      val e = intercept[IllegalArgumentException] {
+        StacSearch.search(s"http://127.0.0.1:${server.getAddress.getPort}",
+          SearchParams(limit = 2, maxItems = 10))
+      }
+      assert(e.getMessage.contains("pages"), e.getMessage)
+      assert(hits.get() <= 10 / 2 + 8 + 1, s"client made ${hits.get()} requests")
+    } finally server.stop(0)
   }
 
   test("maxItems is a loud cap, not silent truncation") {
