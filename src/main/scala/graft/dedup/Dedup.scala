@@ -257,6 +257,81 @@ object Dedup {
        |SELECT doc_a, doc_b, hamming FROM p
        |WHERE hamming <= $HammingThreshold ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- portable MinHash-LSH (full pipeline, cross-engine) ------------------
+
+  /** The ENTIRE MinHash-LSH dedup pipeline hash-checked end to end
+    * (the missing piece between `dedup_minhash_sig`, which anchors only
+    * the signatures, and `dedup_minhash_lsh`, whose 2^64-ring hashing
+    * DuckDB cannot express): portable mod-p signatures band into
+    * 4 bands × 4 minima, candidates share a band key, buckets carry the
+    * same `MaxBucket` cap as every other generator, and survivors
+    * verify by exact Jaccard. The Spark side verifies over xxhash64
+    * shingle sets while DuckDB verifies over the mod-p sets — Jaccard
+    * is hash-invariant (collisions ~|sh|²/2^64 resp. |sh|²/P — nil),
+    * and that invariance is itself part of what the green row checks.
+    * Band keys ride as '_'-joined strings: exact, overflow-free, and
+    * spelled identically in both engines. */
+  val minhashLshPortableSparkSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |         minhash_portable(split(lower(trim(text)), '\\s+')) AS sig,
+      |         shingles3(split(lower(trim(text)), '\\s+')) AS sh
+      |  FROM documents),
+      |bd AS (
+      |  SELECT doc_id, b,
+      |         concat_ws('_', sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3]) AS bk
+      |  FROM s LATERAL VIEW explode(sequence(0, 3)) t AS b),
+      |k AS (
+      |  SELECT doc_id, b, bk FROM (
+      |    SELECT doc_id, b, bk, COUNT(*) OVER (PARTITION BY b, bk) AS bs
+      |    FROM bd) q
+      |  WHERE bs BETWEEN 2 AND @CAP@),
+      |p AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |  FROM k a JOIN k b2 ON a.b = b2.b AND a.bk = b2.bk
+      |                    AND a.doc_id < b2.doc_id),
+      |j AS (
+      |  SELECT doc_a, doc_b,
+      |         CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |           / size(array_union(sa.sh, sb.sh)) AS jac
+      |  FROM p JOIN s sa ON sa.doc_id = doc_a
+      |         JOIN s sb ON sb.doc_id = doc_b)
+      |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM j
+      |WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
+      .replace("@CAP@", MaxBucket.toString)
+
+  val minhashLshPortableDuckSql: String = {
+    import graft.functions.HashKernels.{portA, portB, PortP, PortPerm}
+    val sigList = (0 until PortPerm).map { p =>
+      s"list_min(list_transform(hs, x -> (${portA(p)}*x + ${portB(p)}) % $PortP))"
+    }.mkString("[", ",\n      ", "]")
+    s"""$duckGramCtes,
+       |sg AS (
+       |  SELECT doc_id, $sigList AS sig, hs AS sh
+       |  FROM hd),
+       |bd AS (
+       |  SELECT doc_id, b,
+       |         concat_ws('_', sig[b*4+1], sig[b*4+2], sig[b*4+3], sig[b*4+4]) AS bk
+       |  FROM sg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bs),
+       |k AS (
+       |  SELECT doc_id, b, bk FROM (
+       |    SELECT doc_id, b, bk, COUNT(*) OVER (PARTITION BY b, bk) AS bs
+       |    FROM bd) q
+       |  WHERE bs BETWEEN 2 AND $MaxBucket),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM k a JOIN k b2 ON a.b = b2.b AND a.bk = b2.bk
+       |                    AND a.doc_id < b2.doc_id),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |           / len(list_distinct(sa.sh || sb.sh)) AS jac
+       |  FROM p JOIN sg sa ON sa.doc_id = doc_a
+       |         JOIN sg sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM j
+       |WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- blocked n-gram Jaccard (oracle-checkable) --------------------------
 
   /** Prefix-blocked exact n-gram Jaccard: candidates share a 40-char prefix
@@ -837,6 +912,10 @@ object Dedup {
       graft.functions.VecFunctions.register(s)
       Tables.sql(simhashSigSparkSql)(s, d)
     }),
+    "dedup_minhash_lsh_portable" -> ((s, d) => {
+      graft.functions.VecFunctions.register(s)
+      Tables.sql(minhashLshPortableSparkSql)(s, d)
+    }),
     "dedup_ngram_jaccard" -> ((s, d) => {
       graft.functions.VecFunctions.register(s)
       Tables.sql(ngramJaccardSparkSql)(s, d)
@@ -862,6 +941,7 @@ object Dedup {
     "dedup_minhash_sig" -> minhashSigDuckSql,
     "dedup_simhash_sig" -> simhashSigDuckSql,
     "dedup_simhash" -> simhashDuckSql,
+    "dedup_minhash_lsh_portable" -> minhashLshPortableDuckSql,
     "dedup_containment" -> containmentDuckSql,
     "dedup_incremental" -> incrementalDuckSql,
     "dedup_clusters" -> clustersDuckSql,
