@@ -760,12 +760,186 @@ object Similarity {
       |FROM d JOIN m ON d.label = m.label
       |ORDER BY d.vec_id""".stripMargin
 
+  // ---- portable RHP-LSH (full ANN pipeline, cross-engine) -----------------
+
+  /** Portable random-hyperplane signature CTEs, spelled once per engine.
+    *
+    * The production LSH path (`rhp_sig`, 64-bit signatures) hashes on the
+    * 2^64 ring DuckDB cannot express; this portable twin exists so the
+    * ENTIRE sublinear ANN pipeline — hyperplane projection → sign bits →
+    * banded bucketing → candidate join → exact re-rank — is hash-checked
+    * against an engine sharing none of the code (the same role
+    * `dedup_minhash_lsh_portable` plays for MinHash). Hyperplane weights
+    * are small deterministic integers `(19·(64p+i)+41) mod 1009 − 504`,
+    * so every projection is a sum of exact double products folded
+    * left-to-right — bit-identical in both engines (the convention
+    * `sim_bruteforce_topk` already proves for `list_sum` vs the SQL
+    * `aggregate` fold). 32 planes → 4 bands × 8 bits. */
+  private val PortPlanes = 32
+  private val PortBandBits = 8
+  private val Dim = 64 // embeddings fixture dimensionality (TESTDATA.md)
+
+  /** Spark CTEs: e (doubles), sg (sign bits), bd ((vec_id, band, key)).
+    * `bandBits` trades recall vs bucket size: the top-k twin keeps the
+    * production 8-bit bands (multiprobe recovers recall); the dedup twin
+    * uses 4-bit bands — all-pairs blocking has no multiprobe, so finer
+    * bands would miss the near-threshold pairs the anchor exists to
+    * check. */
+  private def portSigSparkCtes(bandBits: Int = PortBandBits): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |sg AS (
+       |  SELECT vec_id, embedding,
+       |         transform(sequence(0, ${PortPlanes - 1}), p -> IF(
+       |           aggregate(transform(sequence(1, $Dim), i ->
+       |             CAST((19 * (p * $Dim + i) + 41) % 1009 - 504 AS DOUBLE)
+       |               * element_at(emb, i)), 0D, (s, x) -> s + x) > 0D,
+       |           1, 0)) AS sig
+       |  FROM e),
+       |bd AS (
+       |  SELECT vec_id, b,
+       |         CAST(aggregate(transform(sequence(0, ${bandBits - 1}), j ->
+       |           element_at(sig, b * $bandBits + j + 1)
+       |             * CAST(shiftleft(1, j) AS INT)), 0, (s, x) -> s + x)
+       |           AS INT) AS bk
+       |  FROM sg
+       |  LATERAL VIEW explode(sequence(0, ${PortPlanes / bandBits - 1}))
+       |    t AS b)""".stripMargin
+
+  /** DuckDB spelling of the same three CTEs. */
+  private def portSigDuckCtes(bandBits: Int = PortBandBits): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |sg AS (
+       |  SELECT vec_id, embedding,
+       |         list_transform(range(0, $PortPlanes), p -> CASE WHEN
+       |           list_sum(list_transform(range(1, ${Dim + 1}), i ->
+       |             CAST((19 * (p * $Dim + i) + 41) % 1009 - 504 AS DOUBLE)
+       |               * emb[i])) > 0 THEN 1 ELSE 0 END) AS sig
+       |  FROM e),
+       |bd AS (
+       |  SELECT vec_id, b,
+       |         CAST(list_sum(list_transform(range(0, $bandBits), j ->
+       |           sig[b * $bandBits + j + 1] * (1 << j))) AS INTEGER) AS bk
+       |  FROM sg CROSS JOIN (SELECT unnest(range(0,
+       |    ${PortPlanes / bandBits})) AS b) bs)""".stripMargin
+
+  /** Exact-cosine re-rank tail shared by the portable top-k: same
+    * spelling as `sim_bruteforce_topk` (proven bit-exact cross-engine). */
+  val lshPortableSparkSql: String =
+    s"""${portSigSparkCtes()},
+       |qp AS (
+       |  SELECT vec_id AS qid, b,
+       |         CAST(CASE WHEN j = 0 THEN bk
+       |              ELSE bk ^ shiftleft(1, j - 1) END AS INT) AS bk
+       |  FROM bd LATERAL VIEW explode(sequence(0, $PortBandBits)) t AS j
+       |  WHERE vec_id < $NumQueries),
+       |cd AS (
+       |  SELECT DISTINCT qp.qid, c.vec_id AS cid
+       |  FROM qp JOIN bd c ON qp.b = c.b AND qp.bk = c.bk
+       |  WHERE qp.qid <> c.vec_id),
+       |s AS (
+       |  SELECT qid, cid, vec_cosine(qe.embedding, ce.embedding) AS cos
+       |  FROM cd JOIN e qe ON qe.vec_id = cd.qid
+       |          JOIN e ce ON ce.vec_id = cd.cid)
+       |SELECT qid, cid, rn, ROUND(cos, 4) AS cos FROM (
+       |  SELECT qid, cid, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM s) t
+       |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+
+  val lshPortableDuckSql: String =
+    s"""${portSigDuckCtes()},
+       |qp AS (
+       |  SELECT vec_id AS qid, b,
+       |         CAST(CASE WHEN j = 0 THEN bk
+       |              ELSE xor(bk, 1 << (j - 1)) END AS INTEGER) AS bk
+       |  FROM bd CROSS JOIN (SELECT unnest(range(0, ${PortBandBits + 1}))
+       |                      AS j) js
+       |  WHERE vec_id < $NumQueries),
+       |cd AS (
+       |  SELECT DISTINCT qp.qid, c.vec_id AS cid
+       |  FROM qp JOIN bd c ON qp.b = c.b AND qp.bk = c.bk
+       |  WHERE qp.qid <> c.vec_id),
+       |s AS (
+       |  SELECT qid, cid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i ->
+       |      CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform(qe.embedding,
+       |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(ce.embedding,
+       |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+       |  FROM cd JOIN e qe ON qe.vec_id = cd.qid
+       |          JOIN e ce ON ce.vec_id = cd.cid)
+       |SELECT qid, cid, rn, ROUND(cos, 4) AS cos FROM (
+       |  SELECT qid, cid, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM s) t
+       |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+
+  /** Portable twin of `dedup_embedding_cosine` (nearDupPairs): banded
+    * signature buckets with the shared `MaxBucket` cap, pair generation,
+    * exact-cosine threshold verify — all mirrored in DuckDB, so the
+    * embedding-dedup pipeline's bucket-cap and verify semantics get the
+    * same cross-engine anchor the MinHash and SimHash families have. */
+  val embDedupPortableSparkSql: String =
+    s"""${portSigSparkCtes(bandBits = 4)},
+       |k AS (
+       |  SELECT vec_id, b, bk FROM (
+       |    SELECT vec_id, b, bk, COUNT(*) OVER (PARTITION BY b, bk) AS bs
+       |    FROM bd) q
+       |  WHERE bs BETWEEN 2 AND ${graft.dedup.Dedup.MaxBucket}),
+       |p AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+       |  FROM k a JOIN k c ON a.b = c.b AND a.bk = c.bk
+       |                   AND a.vec_id < c.vec_id),
+       |j AS (
+       |  SELECT vec_a, vec_b, vec_cosine(ea.embedding, eb.embedding) AS cos
+       |  FROM p JOIN e ea ON ea.vec_id = vec_a
+       |         JOIN e eb ON eb.vec_id = vec_b)
+       |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos FROM j
+       |WHERE cos >= 0.40 ORDER BY vec_a, vec_b""".stripMargin
+
+  val embDedupPortableDuckSql: String =
+    s"""${portSigDuckCtes(bandBits = 4)},
+       |k AS (
+       |  SELECT vec_id, b, bk FROM (
+       |    SELECT vec_id, b, bk, COUNT(*) OVER (PARTITION BY b, bk) AS bs
+       |    FROM bd) q
+       |  WHERE bs BETWEEN 2 AND ${graft.dedup.Dedup.MaxBucket}),
+       |p AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+       |  FROM k a JOIN k c ON a.b = c.b AND a.bk = c.bk
+       |                   AND a.vec_id < c.vec_id),
+       |j AS (
+       |  SELECT vec_a, vec_b,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i ->
+       |      CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform(ea.embedding,
+       |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(eb.embedding,
+       |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+       |  FROM p JOIN e ea ON ea.vec_id = vec_a
+       |         JOIN e eb ON eb.vec_id = vec_b)
+       |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos FROM j
+       |WHERE cos >= 0.40 ORDER BY vec_a, vec_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "sim_bruteforce_topk" -> ((s, d) => {
       VecFunctions.register(s); Tables.sql(bruteforceSparkSql)(s, d)
     }),
     "sim_lsh_topk" -> ((s, d) => lshTopK(s, d)),
+    "sim_lsh_topk_portable" -> ((s, d) => {
+      VecFunctions.register(s); Tables.sql(lshPortableSparkSql)(s, d)
+    }),
+    "dedup_embedding_portable" -> ((s, d) => {
+      VecFunctions.register(s); Tables.sql(embDedupPortableSparkSql)(s, d)
+    }),
     "sim_ivfpq_topk" -> ((s, d) => ivfPqTopK(s, d)),
     "sim_ann_recall" -> ((s, d) => annRecall(s, d)),
     "sim_index_persist" -> ((s, d) => indexPersist(s, d)),
@@ -778,6 +952,8 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "sim_bruteforce_topk" -> bruteforceDuckSql,
+    "sim_lsh_topk_portable" -> lshPortableDuckSql,
+    "dedup_embedding_portable" -> embDedupPortableDuckSql,
     "embed_quantize" -> quantizeDuckSql,
     "embed_label_centroids" -> centroidsDuckSql,
     "embed_outliers" -> outliersDuckSql

@@ -502,6 +502,50 @@ class DedupSpec extends AnyFunSuite {
       s"unrelated pairs agree too often: $farAgrees")
   }
 
+  test("portable RHP-LSH: sign bits match an independent projection; twins yield real results") {
+    // The DuckDB oracle pins the pipeline cross-engine; this pins the
+    // SIGNATURE SEMANTICS against an independent Scala recomputation of
+    // the integer-hyperplane projections, and that both portable twins
+    // return non-degenerate results on the fixture corpus.
+    functions.VecFunctions.register(spark)
+    Tables.register(spark, sf)
+    val rows = spark.sql(
+      """SELECT vec_id, embedding,
+        |  transform(sequence(0, 31), p -> IF(
+        |    aggregate(transform(sequence(1, 64), i ->
+        |      CAST((19 * (p * 64 + i) + 41) % 1009 - 504 AS DOUBLE)
+        |        * CAST(element_at(embedding, i) AS DOUBLE)),
+        |      0D, (s, x) -> s + x) > 0D, 1, 0)) AS sig
+        |FROM embeddings WHERE vec_id < 20""".stripMargin).collect()
+    rows.foreach { r =>
+      val e = r.getSeq[Float](1)
+      val sig = r.getSeq[Int](2)
+      for (p <- 0 until 32) {
+        var acc = 0.0
+        for (i <- 1 to 64)
+          acc += ((19 * (p * 64 + i) + 41) % 1009 - 504).toDouble * e(i - 1).toDouble
+        assert(sig(p) == (if (acc > 0) 1 else 0),
+          s"vec ${r.getLong(0)} plane $p")
+      }
+    }
+    // top-k twin: full panels, valid ranks, descending cosine per query
+    val topk = similarity.Similarity.queries("sim_lsh_topk_portable")(spark, sf)
+      .collect()
+    assert(topk.length == similarity.Similarity.K * similarity.Similarity.NumQueries)
+    topk.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // dedup twin: non-empty, ordered pairs, threshold respected
+    val pairs = similarity.Similarity.queries("dedup_embedding_portable")(spark, sf)
+      .collect()
+    assert(pairs.nonEmpty, "portable dedup twin found no pairs")
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.40)
+    }
+  }
+
   test("portable minhash: gram hash matches an independent codepoint fold") {
     functions.VecFunctions.register(spark)
     import spark.implicits._
