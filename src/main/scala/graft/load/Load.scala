@@ -165,6 +165,7 @@ object Load {
            dtype: Option[String] = None,
            nodata: Option[Double] = None,
            resampling: Map[String, String] = Map.empty,
+           useOverviews: Boolean = true,
            preserveOriginalOrder: Boolean = false,
            maxDriverBins: Long = 1000000L,
            progress: Option[(Long, Long) => Unit] = None,
@@ -184,7 +185,7 @@ object Load {
     val md = schemas(items.head.collection)
     val resolved = md.resolveBands(bands)
     val cfgs = resolveLoadCfg(resolved, dtype = dtype, nodata = nodata,
-      resampling = resampling)
+      resampling = resampling, useOverviews = useOverviews)
     val outDtypes = resolved.map { case (name, bmd) =>
       name -> cfgs(name).dataType.getOrElse(
         Planner.electDtype(bmd.dataType.toSeq))

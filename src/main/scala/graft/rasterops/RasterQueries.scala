@@ -737,6 +737,141 @@ object RasterQueries {
        |GROUP BY crs, band, tidx, ty, tx
        |ORDER BY crs, band, tidx, ty, tx""".stripMargin
 
+  /** Shared paths for the resampling anchor (see [[resampleCells]]). */
+  private val ResampleNativePath =
+    s"${sys.props("java.io.tmpdir")}/graft_resample_native_parquet"
+  private val ResampleCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_resample_cells_parquet"
+
+  /** The block-expressible subset of the F16 kernel matrix (the four
+    * conv kernels — cubic/lanczos/cubic_spline/gauss — stay
+    * golden-pinned: their windows span blocks and their weights are
+    * transcendental). */
+  private val ResampleModes = Seq("nearest", "bilinear", "average", "sum",
+    "min", "max", "mode", "med", "q1", "q3", "rms")
+
+  /** Fourth cross-engine raster anchor — the RESAMPLING KERNELS
+    * themselves (F16, `loader/types.py:113-114`'s rasterio mode
+    * strings). A same-CRS 2× shrink with overviews disabled makes every
+    * pooled kernel an exact 2×2-block operation on the native grid: dst
+    * pixel (PY, PX) pools native rows 2PY..2PY+1 × cols 2PX..2PX+1, and
+    * `nearest` reads the block's odd-odd corner (floor((PX+0.5)·2)).
+    * The NATIVE planes land as absolute-grid pixel rows (scene offsets
+    * are multiples of the shrink, so no per-item offsets exist), the
+    * resampled planes land per mode, and DuckDB RECOMPUTES each dst
+    * pixel from the native block — avg/sum/min/max/rms as SQL
+    * aggregates, med/q1/q3 via the kernel's round((cnt−1)·p) order
+    * statistic, mode via max-count-then-smallest — then re-aggregates
+    * per tile. Unlike the mosaic/warp anchors (which re-aggregate
+    * landed values), this one derives the values themselves in SQL, so
+    * a wrong window origin, a nodata leak into a pool, or a tie-break
+    * flip in `Reader.sample` breaks the hash. All math is exact
+    * (uint16 sources, float64 output, quarter-step averages), and the
+    * only divisions/sqrt are single IEEE ops on identical operands. */
+  def resampleCells(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    // native 10 m per-item planes in absolute grid coords; float64 output
+    // => invalid pixels land as NaN directly
+    Load.load(spark, items, schemas, bands = Seq("red"), groupby = "id",
+      chunks = 64, dtype = Some("float64")).tiles
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("width"),
+        col("nodata"), posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tIdx").as("tidx"),
+        (col("ty") * 64 + (col("pos") / col("width")).cast("int")).as("gy"),
+        (col("tx") * 64 + (col("pos") % col("width")).cast("int")).as("gx"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(ResampleNativePath)
+    // 20 m per-mode planes (overviews off: pooling must hit base pixels)
+    ResampleModes.map { m =>
+      Load.load(spark, items, schemas, bands = Seq("red"), groupby = "id",
+        chunks = 64, resolution = Some(20.0), resampling = Map("*" -> m),
+        useOverviews = false, dtype = Some("float64")).tiles
+        .withColumn("mode", lit(m))
+    }.reduce(_ unionAll _)
+      .select(col("mode"), col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("width"), col("nodata"), posexplode(decode(col("data"), col("dtype"))))
+      .select(col("mode"), col("band"), col("tIdx").as("tidx"), col("ty"),
+        col("tx"),
+        (col("pos") / col("width")).cast("int").as("py"),
+        (col("pos") % col("width")).cast("int").as("px"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(ResampleCellsPath)
+    spark.read.parquet(ResampleCellsPath)
+      .groupBy("mode", "band", "tidx", "ty", "tx")
+      .agg(count(lit(1)).as("n_px"),
+        count(when(!isnan(col("value")), 1)).as("n_valid"),
+        sum(when(isnan(col("value")), 0L)
+          .otherwise(round(col("value") * 100).cast("long"))).as("sum_q"),
+        round(min(when(!isnan(col("value")), col("value"))), 2).as("vmin"),
+        round(max(when(!isnan(col("value")), col("value"))), 2).as("vmax"))
+      .orderBy("mode", "band", "tidx", "ty", "tx")
+  }
+
+  private val resampleCellsDuckSql: String =
+    s"""WITH nat AS (
+       |  SELECT band, tidx, gy, gx, value
+       |  FROM read_parquet('$ResampleNativePath/*.parquet')
+       |  WHERE NOT isnan(value)),
+       |bs AS (
+       |  SELECT band, tidx, gy // 2 AS by, gx // 2 AS bx,
+       |         COUNT(*) AS cnt,
+       |         AVG(value) AS avg_v,
+       |         SUM(value) AS sum_v,
+       |         MIN(value) AS min_v,
+       |         MAX(value) AS max_v,
+       |         sqrt(SUM(value * value) / COUNT(*)) AS rms_v,
+       |         MAX(CASE WHEN gy % 2 = 1 AND gx % 2 = 1 THEN value END)
+       |           AS near_v,
+       |         list(value ORDER BY value) AS vals
+       |  FROM nat GROUP BY band, tidx, by, bx),
+       |md AS (
+       |  SELECT band, tidx, by, bx, value AS mode_v FROM (
+       |    SELECT band, tidx, by, bx, value, c,
+       |           ROW_NUMBER() OVER (PARTITION BY band, tidx, by, bx
+       |                              ORDER BY c DESC, value) AS rn
+       |    FROM (SELECT band, tidx, gy // 2 AS by, gx // 2 AS bx, value,
+       |                 COUNT(*) AS c
+       |          FROM nat GROUP BY band, tidx, by, bx, value) g) t
+       |  WHERE rn = 1),
+       |dom AS (
+       |  SELECT mode, band, tidx, ty, tx,
+       |         ty * 64 + py AS gpy, tx * 64 + px AS gpx
+       |  FROM read_parquet('$ResampleCellsPath/*.parquet')),
+       |ex AS (
+       |  SELECT d.mode, d.band, d.tidx, d.ty, d.tx,
+       |         CASE d.mode
+       |           WHEN 'nearest' THEN b.near_v
+       |           WHEN 'bilinear' THEN b.avg_v
+       |           WHEN 'average' THEN b.avg_v
+       |           WHEN 'sum' THEN b.sum_v
+       |           WHEN 'min' THEN b.min_v
+       |           WHEN 'max' THEN b.max_v
+       |           WHEN 'rms' THEN b.rms_v
+       |           WHEN 'mode' THEN m.mode_v
+       |           WHEN 'med' THEN
+       |             b.vals[CAST(FLOOR((b.cnt - 1) * 0.5 + 0.5) AS INT) + 1]
+       |           WHEN 'q1' THEN
+       |             b.vals[CAST(FLOOR((b.cnt - 1) * 0.25 + 0.5) AS INT) + 1]
+       |           WHEN 'q3' THEN
+       |             b.vals[CAST(FLOOR((b.cnt - 1) * 0.75 + 0.5) AS INT) + 1]
+       |         END AS val
+       |  FROM dom d
+       |  LEFT JOIN bs b ON b.band = d.band AND b.tidx = d.tidx
+       |                AND b.by = d.gpy AND b.bx = d.gpx
+       |  LEFT JOIN md m ON m.band = d.band AND m.tidx = d.tidx
+       |                AND m.by = d.gpy AND m.bx = d.gpx)
+       |SELECT mode, band, tidx, ty, tx, COUNT(*) AS n_px,
+       |       COUNT(val) AS n_valid,
+       |       CAST(SUM(COALESCE(CAST(ROUND(val * 100) AS BIGINT), 0))
+       |            AS BIGINT) AS sum_q,
+       |       ROUND(MIN(val), 2) AS vmin, ROUND(MAX(val), 2) AS vmax
+       |FROM ex GROUP BY mode, band, tidx, ty, tx
+       |ORDER BY mode, band, tidx, ty, tx""".stripMargin
+
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
   def compositeMean(spark: SparkSession): DataFrame = {
@@ -780,6 +915,7 @@ object RasterQueries {
     "raster_mosaic_cells" -> ((s, _) => mosaicCells(s)),
     "raster_composite_cells" -> ((s, _) => compositeCells(s)),
     "raster_reproject_cells" -> ((s, _) => reprojectCells(s)),
+    "raster_resample_cells" -> ((s, _) => resampleCells(s)),
     "stream_raster_ingest" -> ((s, _) => streamRasterIngest(s)),
     "raster_load_tiff" -> ((s, _) => loadTiff(s)),
     "raster_load_zarr" -> ((s, _) => loadZarr(s)),
@@ -799,5 +935,6 @@ object RasterQueries {
     "raster_mosaic_cells" -> mosaicCellsDuckSql,
     "raster_composite_cells" -> compositeCellsDuckSql,
     "raster_reproject_cells" -> reprojectCellsDuckSql,
+    "raster_resample_cells" -> resampleCellsDuckSql,
     "stream_raster_ingest" -> streamIngestDuckSql)
 }

@@ -143,6 +143,42 @@ class LoadSpec extends AnyFunSuite {
     assert(t0(0 * w + Fixtures.SceneW - 1) == 0.0)
   }
 
+  test("2x same-CRS shrink (overviews off): kernels are exact 2x2 block ops") {
+    // Alignment identity behind raster_resample_cells: dst pixel (PY, PX)
+    // pools native block rows 2PY..2PY+1 x cols 2PX..2PX+1, and nearest
+    // reads the block's odd-odd corner. If planner origin snapping ever
+    // drifts off the native grid, this breaks immediately (and the DuckDB
+    // anchor with it).
+    val two = items.take(2)
+    val nat = Load.load(spark, two, schemas, bands = Seq("red"),
+      groupby = "id", dtype = Some("float64"))
+    def at(m: String) = Load.load(spark, two, schemas, bands = Seq("red"),
+      groupby = "id", resolution = Some(20.0), resampling = Map("*" -> m),
+      useOverviews = false, dtype = Some("float64"))
+    val near = at("nearest")
+    val avg = at("average")
+    assert(near.geobox.gsd == 20.0)
+    assert(near.geobox.width * 2 == nat.geobox.width)
+    assert(near.geobox.height * 2 == nat.geobox.height)
+    val (w2, h2, natW) = (near.geobox.width, near.geobox.height, nat.geobox.width)
+    for (t <- 0 until 2) {
+      val n = nat.assemble("red", t)
+      val nr = near.assemble("red", t)
+      val av = avg.assemble("red", t)
+      for (py <- 0 until h2; px <- 0 until w2) {
+        // nearest: odd-odd corner, nodata (0) passing straight through
+        assert(nr(py * w2 + px) == n((2 * py + 1) * natW + (2 * px + 1)),
+          s"nearest t$t ($px,$py)")
+        // average: mean of the valid block members, 0 when none
+        val block = for (dy <- 0 to 1; dx <- 0 to 1)
+          yield n((2 * py + dy) * natW + (2 * px + dx))
+        val valid = block.filter(_ != 0.0)
+        val expect = if (valid.isEmpty) 0.0 else valid.sum / valid.size
+        assert(av(py * w2 + px) == expect, s"average t$t ($px,$py)")
+      }
+    }
+  }
+
   test("e2e: both bands load and differ by the nir offset") {
     val res = Load.load(spark, items.take(1), schemas,
       bands = Seq("red", "nir"), groupby = "solar_day")
