@@ -872,6 +872,86 @@ object RasterQueries {
        |FROM ex GROUP BY mode, band, tidx, ty, tx
        |ORDER BY mode, band, tidx, ty, tx""".stripMargin
 
+  /** Shared paths for the overview anchor (see [[overviewCells]]). */
+  private val OverviewNativePath =
+    s"${sys.props("java.io.tmpdir")}/graft_overview_native_parquet"
+  private val OverviewCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_overview_cells_parquet"
+
+  /** Fifth cross-engine raster anchor — OVERVIEW SELECTION (S8,
+    * `loader/_reader.py:104-114`). The fixture pyramids are decimations
+    * of the base plane (`Grb.writeWithOverviews`: level-s pixel (j,i) =
+    * base (s·j, s·i)), and scene offsets are multiples of every level
+    * stride, so a dst pixel read through level s equals the base plane
+    * at the absolute even grid point (s·PY, s·PX). A 20 m read must
+    * pick `.ovr2` (expected = base(2PY, 2PX) — the block's EVEN-even
+    * corner, distinguishing the decimation path from
+    * `raster_resample_cells`' overviews-off nearest kernel, which reads
+    * the ODD-odd corner), and a 40 m read must pick `.ovr4`
+    * (base(4PY, 4PX)). DuckDB recomputes both from the landed native
+    * plane — selecting the wrong level, an off-by-one in the decimation
+    * origin, or a broken `pickOverview` shifts every expected value. */
+  def overviewCells(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    Load.load(spark, items, schemas, bands = Seq("red"), groupby = "id",
+      chunks = 64, dtype = Some("float64")).tiles
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("width"),
+        col("nodata"), posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tIdx").as("tidx"),
+        (col("ty") * 64 + (col("pos") / col("width")).cast("int")).as("gy"),
+        (col("tx") * 64 + (col("pos") % col("width")).cast("int")).as("gx"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(OverviewNativePath)
+    Seq(20.0 -> 2, 40.0 -> 4).map { case (res, lvl) =>
+      Load.load(spark, items, schemas, bands = Seq("red"), groupby = "id",
+        chunks = 64, resolution = Some(res), dtype = Some("float64")).tiles
+        .withColumn("lvl", lit(lvl))
+    }.reduce(_ unionAll _)
+      .select(col("lvl"), col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("width"), col("nodata"), posexplode(decode(col("data"), col("dtype"))))
+      .select(col("lvl"), col("band"), col("tIdx").as("tidx"), col("ty"),
+        col("tx"),
+        (col("pos") / col("width")).cast("int").as("py"),
+        (col("pos") % col("width")).cast("int").as("px"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(OverviewCellsPath)
+    spark.read.parquet(OverviewCellsPath)
+      .groupBy("lvl", "band", "tidx", "ty", "tx")
+      .agg(count(lit(1)).as("n_px"),
+        count(when(!isnan(col("value")), 1)).as("n_valid"),
+        sum(when(isnan(col("value")), 0L)
+          .otherwise(round(col("value") * 100).cast("long"))).as("sum_q"),
+        round(min(when(!isnan(col("value")), col("value"))), 2).as("vmin"),
+        round(max(when(!isnan(col("value")), col("value"))), 2).as("vmax"))
+      .orderBy("lvl", "band", "tidx", "ty", "tx")
+  }
+
+  private val overviewCellsDuckSql: String =
+    s"""WITH nat AS (
+       |  SELECT band, tidx, gy, gx, value
+       |  FROM read_parquet('$OverviewNativePath/*.parquet')
+       |  WHERE NOT isnan(value)),
+       |dom AS (
+       |  SELECT lvl, band, tidx, ty, tx,
+       |         lvl * (ty * 64 + py) AS sgy, lvl * (tx * 64 + px) AS sgx
+       |  FROM read_parquet('$OverviewCellsPath/*.parquet')),
+       |ex AS (
+       |  SELECT d.lvl, d.band, d.tidx, d.ty, d.tx, n.value AS val
+       |  FROM dom d
+       |  LEFT JOIN nat n ON n.band = d.band AND n.tidx = d.tidx
+       |                 AND n.gy = d.sgy AND n.gx = d.sgx)
+       |SELECT lvl, band, tidx, ty, tx, COUNT(*) AS n_px,
+       |       COUNT(val) AS n_valid,
+       |       CAST(SUM(COALESCE(CAST(ROUND(val * 100) AS BIGINT), 0))
+       |            AS BIGINT) AS sum_q,
+       |       ROUND(MIN(val), 2) AS vmin, ROUND(MAX(val), 2) AS vmax
+       |FROM ex GROUP BY lvl, band, tidx, ty, tx
+       |ORDER BY lvl, band, tidx, ty, tx""".stripMargin
+
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
   def compositeMean(spark: SparkSession): DataFrame = {
@@ -916,6 +996,7 @@ object RasterQueries {
     "raster_composite_cells" -> ((s, _) => compositeCells(s)),
     "raster_reproject_cells" -> ((s, _) => reprojectCells(s)),
     "raster_resample_cells" -> ((s, _) => resampleCells(s)),
+    "raster_overview_cells" -> ((s, _) => overviewCells(s)),
     "stream_raster_ingest" -> ((s, _) => streamRasterIngest(s)),
     "raster_load_tiff" -> ((s, _) => loadTiff(s)),
     "raster_load_zarr" -> ((s, _) => loadZarr(s)),
@@ -936,5 +1017,6 @@ object RasterQueries {
     "raster_composite_cells" -> compositeCellsDuckSql,
     "raster_reproject_cells" -> reprojectCellsDuckSql,
     "raster_resample_cells" -> resampleCellsDuckSql,
+    "raster_overview_cells" -> overviewCellsDuckSql,
     "stream_raster_ingest" -> streamIngestDuckSql)
 }
