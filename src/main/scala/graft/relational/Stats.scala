@@ -329,7 +329,50 @@ object Stats {
        |FROM c CROSS JOIN t
        |GROUP BY t1, t2, nb""".stripMargin
 
+  /** Population Stability Index between the same two event classes over
+    * the same $KsBins equi-width bins as the binned KS — the
+    * industry-standard drift score for model monitoring (PSI ≥ 0.2 ≈
+    * "significant shift"). Laplace-smoothed per bin
+    * (`p_i = (n1_i+1)/(t1+B)`) so one-sided-empty bins — the signal PSI
+    * exists to catch — stay finite; bins observed by NEITHER class are
+    * excluded (each would add only the constant smoothing floor).
+    * Contributions `(p_i − q_i)·ln(p_i/q_i)` are non-negative, so the
+    * micro-quantizing ROUND never straddles a half-even/half-away
+    * divergence; operands are exact integer ratios, so both engines
+    * hand `ln` bit-identical inputs (the `corpus_lm_score` precedent).
+    * Support is bounded by the bin count at any scale; one verbatim
+    * spelling serves both engines. */
+  private val psiSqlBody: String =
+    s"""WITH src AS (
+       |  SELECT CAST(value AS DOUBLE) AS v,
+       |         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS i1,
+       |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i2
+       |  FROM events
+       |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+       |r AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM src),
+       |b AS (
+       |  SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(LEAST(FLOOR((v - lo) / ((hi - lo) / $KsBins.0)),
+       |                              ${KsBins - 1}) AS BIGINT) END AS bin,
+       |         i1, i2
+       |  FROM src CROSS JOIN r),
+       |g AS (
+       |  SELECT bin, CAST(SUM(i1) AS BIGINT) AS n1, CAST(SUM(i2) AS BIGINT) AS n2
+       |  FROM b GROUP BY bin),
+       |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2
+       |      FROM g)
+       |SELECT bin, n1, n2,
+       |       CAST(ROUND((
+       |         (CAST(n1 + 1 AS DOUBLE) / (t1 + $KsBins)
+       |            - CAST(n2 + 1 AS DOUBLE) / (t2 + $KsBins)) *
+       |         ln((CAST(n1 + 1 AS DOUBLE) / (t1 + $KsBins))
+       |            / (CAST(n2 + 1 AS DOUBLE) / (t2 + $KsBins)))
+       |       ) * 1e6) AS BIGINT) AS psi_micro
+       |FROM g CROSS JOIN t
+       |ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_psi_drift" -> Tables.sql(psiSqlBody),
     "stats_ks_drift" -> Tables.sql(ksSparkSql),
     "stats_ks_drift_binned" -> Tables.sql(ksBinnedSqlBody),
     "stats_table" -> Tables.sql(statsSparkSql),
@@ -338,6 +381,7 @@ object Stats {
     "text_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "stats_psi_drift" -> psiSqlBody,
     "stats_ks_drift" -> ksDuckSql,
     "stats_ks_drift_binned" -> ksBinnedSqlBody,
     "stats_table" -> statsDuckSql,

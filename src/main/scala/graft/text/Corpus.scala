@@ -955,7 +955,61 @@ object Corpus {
     "unnest(string_split_regex(lower(trim(text)), '\\s+'))",
     "CAST(SUM(tw.c * lr.q) AS BIGINT)") // DuckDB BIGINT sums widen to HUGEINT
 
+  // ---- per-domain cap (source-balance filter) -----------------------------
+
+  /** Max documents kept per source domain — the Common-Crawl-style
+    * source-balance rule (cap boilerplate-heavy domains so no single
+    * host dominates the corpus mix). */
+  val DomainCap = 16
+
+  /** Per-domain document cap, spelled for skew: a domain-sized count
+    * aggregate (map-side partials) is broadcast back twice — domains at
+    * or under the cap keep ALL their docs through a broadcast semi-join
+    * (no shuffle of the corpus, no window), and only the offending
+    * oversized domains pay the per-domain `row_number` shuffle. At
+    * 100 TB the window therefore sees only the capped tail (each such
+    * domain emits at most `DomainCap` survivors), not the whole corpus —
+    * the single-window spelling would funnel a billion-doc domain
+    * through one partition. Keep order is deterministic (lowest doc_id
+    * first). Output is a per-source summary with a kept-set checksum so
+    * the oracle re-derives the kept SET, not just its size. */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "source")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val smallKept = docs.join(
+      broadcast(counts.where(col("n_docs") <= DomainCap).select("source")),
+      "source")
+    val bigKept = docs.join(
+      broadcast(counts.where(col("n_docs") > DomainCap).select("source")),
+      "source")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")))
+      .where(col("rn") <= DomainCap).drop("rn")
+    val kept = smallKept.unionByName(bigKept)
+      .groupBy("source").agg(count(lit(1)).as("n_kept"),
+        sum("doc_id").as("kept_id_sum"))
+    counts.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+      .orderBy("source")
+  }
+
+  val domainCapDuckSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, source,
+       |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(CASE WHEN rn <= $DomainCap THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN rn <= $DomainCap THEN doc_id ELSE 0 END)
+       |            AS BIGINT) AS kept_id_sum
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_domain_cap" -> ((s, d) => domainCap(s, d)),
     "corpus_dsir_sample" -> Tables.sql(dsirSparkSql),
     "corpus_pack" -> ((s, d) => pack(s, d)),
     "corpus_shuffle" -> ((s, d) => shuffle(s, d)),
@@ -974,6 +1028,7 @@ object Corpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_domain_cap" -> domainCapDuckSql,
     "corpus_dsir_sample" -> dsirDuckSql,
     "corpus_pack" -> packDuckSql,
     "corpus_shuffle" -> shuffleDuckSql,

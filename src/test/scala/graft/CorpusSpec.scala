@@ -136,6 +136,30 @@ class CorpusSpec extends AnyFunSuite {
       s"anti-join did not broadcast:\n$plan")
   }
 
+  test("corpus_domain_cap: oversized domains truncate to the cap, small keep all") {
+    import spark.implicits._
+    import graft.text.Corpus
+    // skewed fixture through the real two-arm path: one 300-doc domain,
+    // one at the cap boundary, one tiny
+    val docs = ((0 until 300).map(i => (i.toLong, s"t$i", "en", "big", 1L)) ++
+      (300 until 300 + Corpus.DomainCap).map(i => (i.toLong, s"t$i", "en", "edge", 1L)) ++
+      Seq((900L, "t900", "en", "tiny", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_domcap").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Corpus.domainCap(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("big") == ((300L, Corpus.DomainCap.toLong,
+      (0 until Corpus.DomainCap).map(_.toLong).sum)))
+    assert(out("edge") == ((Corpus.DomainCap.toLong, Corpus.DomainCap.toLong,
+      (300 until 300 + Corpus.DomainCap).map(_.toLong).sum)))
+    assert(out("tiny") == ((1L, 1L, 900L)))
+    // scale shape: the corpus joins the domain lists via broadcast
+    val plan = Corpus.domainCap(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "domain lists should broadcast")
+  }
+
   test("corpus_split partitions every doc once, near the 12/2/2 nibble split") {
     Tables.register(spark, sf)
     val nDocs = spark.table("documents").count()

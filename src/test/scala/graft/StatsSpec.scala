@@ -106,6 +106,23 @@ class StatsSpec extends AnyFunSuite {
     assert(r == Seq(1L, 0L, 2L, 2L))
   }
 
+  test("PSI drift: contributions recompute from bin counts; non-negative") {
+    import graft.relational.Stats
+    val rows = Stats.queries("stats_psi_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n1s = rows.map(_.getLong(1)); val n2s = rows.map(_.getLong(2))
+    val (t1, t2) = (n1s.sum, n2s.sum)
+    val b = Stats.KsBins
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < b)
+      val p = (r.getLong(1) + 1).toDouble / (t1 + b)
+      val q = (r.getLong(2) + 1).toDouble / (t2 + b)
+      val expect = math.round((p - q) * math.log(p / q) * 1e6)
+      assert(r.getLong(3) == expect, s"bin ${r.getLong(0)}")
+      assert(r.getLong(3) >= 0)
+    }
+  }
+
   test("shingles3 skips null tokens like concat_ws (no NPE, user-reachable)") {
     functions.VecFunctions.register(spark)
     // < 3 tokens: whole-doc gram; concat_ws(' ', 'a', NULL) = 'a'
