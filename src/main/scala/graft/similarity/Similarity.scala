@@ -928,6 +928,71 @@ object Similarity {
        |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos FROM j
        |WHERE cos >= 0.40 ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Portable twin of `dedup_semantic`: the production path blocks by
+    * trained IVF k-means cells (not mirrorable — the quantizer is
+    * fitted), so this twin swaps in a deterministic 8-bit portable-LSH
+    * cell as the semantic block and hash-checks everything DOWNSTREAM
+    * of cell assignment cross-engine: the cell-size pair guard, the
+    * min-id dominance rule (a vector is dropped iff a lower-id member
+    * of its cell clears the cosine threshold, `dup_cos` taken via
+    * `min_by` against the DOMINATING id, not the max over dominators —
+    * exactly the convention `semanticDedupFrom` implements), and the
+    * keep/dup_of/dup_cos output shape. */
+  val semanticPortableSparkSql: String =
+    s"""${portSigSparkCtes()},
+       |cells AS (SELECT vec_id, bk AS cell FROM bd WHERE b = 0),
+       |k AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, COUNT(*) OVER (PARTITION BY cell) AS cs
+       |    FROM cells) q
+       |  WHERE cs BETWEEN 2 AND ${graft.dedup.Dedup.MaxBucket}),
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       |         vec_cosine(ea.embedding, eb.embedding) AS cos
+       |  FROM k a JOIN k c ON a.cell = c.cell AND a.vec_id < c.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = c.vec_id),
+       |d AS (
+       |  SELECT vec_b AS vec_id, MIN(vec_a) AS dup_of,
+       |         MIN_BY(cos, vec_a) AS dup_cos
+       |  FROM p WHERE cos >= 0.40 GROUP BY vec_b)
+       |SELECT c.vec_id, c.cell,
+       |       CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |         AS keep,
+       |       d.dup_of, ROUND(d.dup_cos, 4) AS dup_cos
+       |FROM cells c LEFT JOIN d ON d.vec_id = c.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+
+  val semanticPortableDuckSql: String =
+    s"""${portSigDuckCtes()},
+       |cells AS (SELECT vec_id, bk AS cell FROM bd WHERE b = 0),
+       |k AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, COUNT(*) OVER (PARTITION BY cell) AS cs
+       |    FROM cells) q
+       |  WHERE cs BETWEEN 2 AND ${graft.dedup.Dedup.MaxBucket}),
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i ->
+       |      CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform(ea.embedding,
+       |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(eb.embedding,
+       |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+       |  FROM k a JOIN k c ON a.cell = c.cell AND a.vec_id < c.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = c.vec_id),
+       |d AS (
+       |  SELECT vec_b AS vec_id, MIN(vec_a) AS dup_of,
+       |         MIN_BY(cos, vec_a) AS dup_cos
+       |  FROM p WHERE cos >= 0.40 GROUP BY vec_b)
+       |SELECT c.vec_id, c.cell,
+       |       CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |         AS keep,
+       |       d.dup_of, ROUND(d.dup_cos, 4) AS dup_cos
+       |FROM cells c LEFT JOIN d ON d.vec_id = c.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "sim_bruteforce_topk" -> ((s, d) => {
@@ -939,6 +1004,9 @@ object Similarity {
     }),
     "dedup_embedding_portable" -> ((s, d) => {
       VecFunctions.register(s); Tables.sql(embDedupPortableSparkSql)(s, d)
+    }),
+    "dedup_semantic_portable" -> ((s, d) => {
+      VecFunctions.register(s); Tables.sql(semanticPortableSparkSql)(s, d)
     }),
     "sim_ivfpq_topk" -> ((s, d) => ivfPqTopK(s, d)),
     "sim_ann_recall" -> ((s, d) => annRecall(s, d)),
@@ -954,6 +1022,7 @@ object Similarity {
     "sim_bruteforce_topk" -> bruteforceDuckSql,
     "sim_lsh_topk_portable" -> lshPortableDuckSql,
     "dedup_embedding_portable" -> embDedupPortableDuckSql,
+    "dedup_semantic_portable" -> semanticPortableDuckSql,
     "embed_quantize" -> quantizeDuckSql,
     "embed_label_centroids" -> centroidsDuckSql,
     "embed_outliers" -> outliersDuckSql
