@@ -624,7 +624,103 @@ object StreamingOps {
       |      FROM documents WHERE doc_id % 2 = 0) e USING (blk)
       |ORDER BY doc_id, idx_id""".stripMargin
 
+  /** Streaming drift monitor — the incremental twin of
+    * `stats_psi_drift`: per event-time day, the Population Stability
+    * Index between the view/purchase value distributions. The stream
+    * reduces to a per-(day, bin, class) histogram (the 100 TB/day
+    * property: state is bounded by days × bins × classes, never by
+    * event volume), binned against a FIXED reference edge set taken
+    * from the static table up front — the production convention, where
+    * the training/reference period defines the bins and the live
+    * stream is scored against them. PSI derivation then runs on the
+    * materialized bin-bounded histogram; per-bin contributions are
+    * micro-quantized BEFORE the per-day sum, so the total is
+    * integer-exact in any aggregation order. The DuckDB oracle
+    * recomputes the whole thing from the batch table — the
+    * batch-equals-stream check and the cross-engine check in one. */
+  def streamDrift(spark: SparkSession, dir: String): DataFrame =
+      withStreamPartitions(spark, 8) {
+      withEventsStream(spark, dir) { src =>
+    val B = graft.relational.Stats.KsBins
+    val ref = Tables.load(spark, dir, "events")
+      .where("event_type IN ('view', 'purchase') AND value IS NOT NULL")
+      .agg(min(col("value").cast("double")).as("lo"),
+        max(col("value").cast("double")).as("hi")).head()
+    val (lo, hi) = (ref.getDouble(0), ref.getDouble(1))
+    val binCol =
+      if (hi == lo) lit(0L)
+      else least(floor((col("value").cast("double") - lit(lo))
+        / lit((hi - lo) / B)), lit((B - 1).toLong)).cast("long")
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = src()
+      .where(col("event_type").isin("view", "purchase")
+        && col("value").isNotNull)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), binCol.as("bin"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hist = spark.table(name)
+      .select(col("window.start").cast("date").as("d"), col("bin"),
+        when(col("event_type") === "view", col("n")).otherwise(0L).as("v1"),
+        when(col("event_type") === "purchase", col("n")).otherwise(0L).as("v2"))
+      .groupBy("d", "bin")
+      .agg(sum("v1").as("n1"), sum("v2").as("n2"))
+    // per-day totals ride as window sums over the bin-bounded histogram
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("d")
+    val p = (col("n1") + 1).cast("double") / (col("t1") + B)
+    val q2 = (col("n2") + 1).cast("double") / (col("t2") + B)
+    hist
+      .withColumn("t1", sum("n1").over(w))
+      .withColumn("t2", sum("n2").over(w))
+      .withColumn("c", round((p - q2) * log(p / q2) * 1e6).cast("long"))
+      .groupBy("d", "t1", "t2")
+      .agg(count(lit(1)).as("n_bins"), sum("c").as("psi_micro"))
+      .select("d", "n_bins", "t1", "t2", "psi_micro")
+      .orderBy("d")
+  } }
+
+  val streamDriftOracle: String = {
+    val B = graft.relational.Stats.KsBins
+    s"""WITH src AS (
+       |  SELECT CAST(value AS DOUBLE) AS v, CAST(ts AS DATE) AS d,
+       |         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS i1,
+       |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i2
+       |  FROM events
+       |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+       |r AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM src),
+       |b AS (
+       |  SELECT d, CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(LEAST(FLOOR((v - lo) / ((hi - lo) / $B.0)),
+       |                              ${B - 1}) AS BIGINT) END AS bin,
+       |         i1, i2
+       |  FROM src CROSS JOIN r),
+       |g AS (
+       |  SELECT d, bin, CAST(SUM(i1) AS BIGINT) AS n1,
+       |         CAST(SUM(i2) AS BIGINT) AS n2
+       |  FROM b GROUP BY d, bin),
+       |t AS (SELECT d, CAST(SUM(n1) AS BIGINT) AS t1,
+       |             CAST(SUM(n2) AS BIGINT) AS t2
+       |      FROM g GROUP BY d)
+       |SELECT g.d, CAST(COUNT(*) AS BIGINT) AS n_bins, t1, t2,
+       |       CAST(SUM(CAST(ROUND((
+       |         (CAST(n1 + 1 AS DOUBLE) / (t1 + $B)
+       |            - CAST(n2 + 1 AS DOUBLE) / (t2 + $B)) *
+       |         ln((CAST(n1 + 1 AS DOUBLE) / (t1 + $B))
+       |            / (CAST(n2 + 1 AS DOUBLE) / (t2 + $B)))
+       |       ) * 1e6) AS BIGINT)) AS BIGINT) AS psi_micro
+       |FROM g JOIN t ON g.d = t.d
+       |GROUP BY g.d, t1, t2
+       |ORDER BY g.d""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_drift" -> ((s, d) => streamDrift(s, d)),
     "stream_stac_ingest" -> ((s, _) => stacIngestQuery(s)),
     "stream_static_join" -> ((s, d) => streamStaticJoin(s, d)),
     "stream_tumbling_daily" -> ((s, d) => tumblingDaily(s, d)),
@@ -639,6 +735,7 @@ object StreamingOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_drift" -> streamDriftOracle,
     "stream_tumbling_daily" -> tumblingDailyOracle,
     "stream_tumbling_append" -> tumblingDailyAppendOracle,
     "stream_sliding_append" -> slidingAppendOracle,

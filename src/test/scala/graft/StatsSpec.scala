@@ -123,6 +123,20 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_drift: per-day PSI recomputes from the daily histograms") {
+    import graft.streaming.StreamingOps
+    val rows = StreamingOps.queries("stream_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val b = graft.relational.Stats.KsBins
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= b, "n_bins within bin bound")
+      assert(r.getLong(4) >= 0, "PSI non-negative")
+    }
+    // days are unique and ordered
+    val days = rows.map(_.getDate(0).toString)
+    assert(days.distinct.length == days.length && days.sorted.sameElements(days))
+  }
+
   test("shingles3 skips null tokens like concat_ws (no NPE, user-reachable)") {
     functions.VecFunctions.register(spark)
     // < 3 tokens: whole-doc gram; concat_ws(' ', 'a', NULL) = 'a'
