@@ -140,6 +140,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!sig.toLowerCase.contains("join"), s"minhash_sig joined:\n$sig")
   }
 
+  test("round-8 additions: portable twins hash-join their band keys; " +
+      "PSI reads only (event_type, value)") {
+    // portable LSH top-k: the candidate generation must be an equi hash/
+    // sort-merge join on (band, key) — a nested loop would mean the band
+    // key failed to plan as a join key; the embeddings scan must read
+    // only (vec_id, embedding)
+    val lsh = SparkEntry.queries("sim_lsh_topk_portable")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(lsh.contains("HashJoin") || lsh.contains("SortMergeJoin"),
+      s"portable LSH candidate join not an equi-join:\n$lsh")
+    val lshReads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(lsh).map(_.group(1)).toSeq
+    assert(lshReads.nonEmpty)
+    lshReads.foreach { r =>
+      val cols = r.split(",").filter(_.nonEmpty).map(_.split(":")(0)).toSet
+      assert(cols.subsetOf(Set("vec_id", "embedding")),
+        s"portable LSH scan reads $cols")
+    }
+    // PSI drift: events scan must read only (event_type, value)
+    val psi = SparkEntry.queries("stats_psi_drift")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val psiReads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(psi).map(_.group(1)).toSeq
+    assert(psiReads.nonEmpty)
+    psiReads.foreach { r =>
+      val cols = r.split(",").filter(_.nonEmpty).map(_.split(":")(0)).toSet
+      assert(cols.subsetOf(Set("event_type", "value")),
+        s"psi scan reads $cols")
+    }
+    // domain cap: the corpus never hash-shuffles in the small arm — the
+    // only hash exchanges belong to the domain-sized count aggregate and
+    // the oversized-domain window
+    val cap = SparkEntry.queries("corpus_domain_cap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(cap.contains("BroadcastHashJoin") || cap.contains("BroadcastExchange"),
+      s"domain lists should broadcast:\n$cap")
+    val capReads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(cap).map(_.group(1)).toSeq
+    capReads.foreach { r =>
+      val cols = r.split(",").filter(_.nonEmpty).map(_.split(":")(0)).toSet
+      assert(cols.subsetOf(Set("doc_id", "source")),
+        s"domain cap scan reads $cols")
+    }
+  }
+
   test("no registered batch query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(excluded)
