@@ -273,6 +273,56 @@ object Bpe {
        |FROM toks t JOIN np ON t.w = np.w
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** DuckDB re-TRAINING of the full merge loop — the last BPE piece to
+    * graduate from spec-pinned to hash-checked (pairs anchor round 1,
+    * encode anchors the apply; this re-derives all [[NumMerges]] merges
+    * from the raw corpus). The loop is unrolled: each round k is three
+    * chained CTEs — pair counts over the round-(k−1) symbol strings
+    * (split on the `\x1e\x1f` symbol boundary; overlapping adjacent
+    * pairs, like the trainer), the argmax with the trainer's
+    * (count desc, left, right) tie-break, and the delimiter-wrapped
+    * `replace` apply with the trainer's leftmost-first non-overlapping
+    * scan. Every CTE is `MATERIALIZED`: without it DuckDB re-inlines
+    * r(k−1) into both consumers and the plan doubles per round (2^16
+    * scans — the same re-inlining hazard `corpus_pmi` defeats
+    * Spark-side with window sums). Tie-break parity holds because the
+    * corpus is BMP-only, where UTF-8 byte order (DuckDB) and UTF-16
+    * code-unit order (Spark) both equal codepoint order. Symbols are
+    * bounded by the longest word (≤63 here, loud if exceeded — the
+    * bpePairsDuckSql convention). */
+  val bpeMergesDuckSql: String = {
+    val F = "chr(31)"
+    val G = "chr(30)"
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""wc AS MATERIALIZED (
+               |  SELECT w, COUNT(*) AS c FROM (
+               |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+               |    FROM documents)
+               |  WHERE w <> '' GROUP BY w)""".stripMargin
+    ctes += s"""r0 AS MATERIALIZED (
+               |  SELECT regexp_replace(w, '(.)', $F || '\\1' || $G, 'g') AS s, c
+               |  FROM wc)""".stripMargin
+    for (k <- 1 to NumMerges) {
+      ctes += s"""b$k AS MATERIALIZED (
+                 |  SELECT $k AS rank, l, r, CAST(SUM(c) AS BIGINT) AS n FROM (
+                 |    SELECT syms[CAST(g.i AS INT)] AS l,
+                 |           syms[CAST(g.i AS INT) + 1] AS r, c
+                 |    FROM (SELECT string_split(trim(s, $F || $G), $G || $F) AS syms, c
+                 |          FROM r${k - 1}), generate_series(1, 63) AS g(i)
+                 |    WHERE g.i <= len(syms) - 1)
+                 |  GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1)""".stripMargin
+      ctes += s"""r$k AS MATERIALIZED (
+                 |  SELECT replace(s, $F || b.l || $G || $F || b.r || $G,
+                 |                 $F || b.l || b.r || $G) AS s, c
+                 |  FROM r${k - 1} CROSS JOIN b$k b)""".stripMargin
+    }
+    "WITH " + ctes.result().mkString(",\n") +
+      "\nSELECT CAST(rank AS BIGINT) AS rank, l AS left, r AS right," +
+      " n AS pair_count FROM (" +
+      (1 to NumMerges).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ") +
+      ") ORDER BY rank"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_bpe_pairs" -> Tables.sql(bpePairsSparkSql),
     "corpus_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
@@ -280,5 +330,6 @@ object Bpe {
 
   val oracleSql: Map[String, String] = Map(
     "corpus_bpe_pairs" -> bpePairsDuckSql,
+    "corpus_bpe_merges" -> bpeMergesDuckSql,
     "corpus_bpe_encode" -> bpeEncodeDuckSql)
 }

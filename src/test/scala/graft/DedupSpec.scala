@@ -546,6 +546,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("portable twins: materialized pipelines are row-identical to the SQL spellings") {
+    // The DataFrame implementations exist to compute the signature once
+    // (cached) instead of per CTE reference; this pins that they stay
+    // row-identical to the SQL spellings the DuckDB oracles mirror.
+    functions.VecFunctions.register(spark)
+    Tables.register(spark, sf)
+    for ((impl, sql) <- Seq(
+      similarity.Similarity.queries("sim_lsh_topk_portable")(spark, sf) ->
+        similarity.Similarity.lshPortableSparkSql,
+      similarity.Similarity.queries("dedup_embedding_portable")(spark, sf) ->
+        similarity.Similarity.embDedupPortableSparkSql,
+      similarity.Similarity.queries("dedup_semantic_portable")(spark, sf) ->
+        similarity.Similarity.semanticPortableSparkSql)) {
+      val a = impl.collect().map(_.toString).toSeq
+      val b = spark.sql(sql).collect().map(_.toString).toSeq
+      assert(a == b)
+    }
+  }
+
   test("portable minhash: gram hash matches an independent codepoint fold") {
     functions.VecFunctions.register(spark)
     import spark.implicits._
