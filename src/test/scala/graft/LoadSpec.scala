@@ -179,6 +179,30 @@ class LoadSpec extends AnyFunSuite {
     }
   }
 
+  test("overview reads equal the base-plane decimation identity") {
+    // Alignment identity behind raster_overview_cells: a 20 m read picks
+    // .ovr2 and must equal base(2PY, 2PX); 40 m picks .ovr4 and must
+    // equal base(4PY, 4PX) — the EVEN-even corner, vs the overviews-off
+    // nearest kernel's odd-odd corner.
+    val two = items.take(2)
+    val nat = Load.load(spark, two, schemas, bands = Seq("red"),
+      groupby = "id", dtype = Some("float64"))
+    val natW = nat.geobox.width
+    for (lvl <- Seq(2, 4)) {
+      val ovr = Load.load(spark, two, schemas, bands = Seq("red"),
+        groupby = "id", resolution = Some(10.0 * lvl), dtype = Some("float64"))
+      assert(ovr.geobox.width * lvl == nat.geobox.width, s"lvl $lvl width")
+      val (w2, h2) = (ovr.geobox.width, ovr.geobox.height)
+      for (t <- 0 until 2) {
+        val n = nat.assemble("red", t)
+        val o = ovr.assemble("red", t)
+        for (py <- 0 until h2; px <- 0 until w2)
+          assert(o(py * w2 + px) == n(lvl * py * natW + lvl * px),
+            s"lvl $lvl t$t ($px,$py)")
+      }
+    }
+  }
+
   test("e2e: both bands load and differ by the nir offset") {
     val res = Load.load(spark, items.take(1), schemas,
       bands = Seq("red", "nir"), groupby = "solar_day")
