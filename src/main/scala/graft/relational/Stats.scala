@@ -80,6 +80,34 @@ object Stats {
       tableSpark("events", Seq("value")))
       .mkString("", "\nUNION ALL\n", "\nORDER BY col")
 
+  /** The 100 TB spelling the exact variant's doc promises, as a runnable
+    * companion: `approx_percentile` (Greenwald-Khanna) with a 10k
+    * accuracy parameter — rank error <= N/10k with a fixed-size sketch
+    * per column, mergeable map-side, no sort buffer proportional to the
+    * table. No DuckDB oracle (the sketch is Spark-specific); a spec
+    * gates it against the exact variant instead. */
+  val QuantileAccuracy = 10000
+
+  private def tableSparkApprox(tbl: String, cols: Seq[String]) = {
+    val aggs = cols.zipWithIndex.map { case (c, i) =>
+      s"approx_percentile($c, array(0.25D, 0.5D, 0.75D, 0.95D), $QuantileAccuracy) AS q$i"
+    }.mkString(", ")
+    val structs = cols.zipWithIndex.map { case (c, i) =>
+      s"struct('$tbl.$c' AS col, q$i AS q)"
+    }.mkString(", ")
+    s"""SELECT e.col AS col,
+       |  ROUND(e.q[0], 2) AS p25, ROUND(e.q[1], 2) AS p50,
+       |  ROUND(e.q[2], 2) AS p75, ROUND(e.q[3], 2) AS p95
+       |FROM (SELECT explode(array($structs)) AS e
+       |      FROM (SELECT $aggs FROM $tbl))""".stripMargin
+  }
+
+  val quantilesApproxSparkSql: String =
+    Seq(tableSparkApprox("orders", Seq("o_totalprice")),
+      tableSparkApprox("lineitem", Seq("l_quantity", "l_extendedprice")),
+      tableSparkApprox("events", Seq("value")))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col")
+
   val quantilesDuckSql: String =
     quantiles((c, p) => s"ROUND(quantile_cont($c, $p), 2)")
 
@@ -377,6 +405,7 @@ object Stats {
     "stats_ks_drift_binned" -> Tables.sql(ksBinnedSqlBody),
     "stats_table" -> Tables.sql(statsSparkSql),
     "stats_quantiles" -> Tables.sql(quantilesSparkSql),
+    "stats_quantiles_approx" -> Tables.sql(quantilesApproxSparkSql),
     "stats_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
     "text_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d)))
 

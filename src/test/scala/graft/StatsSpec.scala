@@ -106,6 +106,19 @@ class StatsSpec extends AnyFunSuite {
     assert(r == Seq(1L, 0L, 2L, 2L))
   }
 
+  test("approx quantiles stay within tolerance of the exact plan") {
+    import graft.relational.Stats
+    val key = (r: org.apache.spark.sql.Row) => r.getString(0)
+    val exact = Stats.queries("stats_quantiles")(spark, sf).collect()
+      .map(r => key(r) -> (1 to 4).map(r.getDouble)).toMap
+    val approx = Stats.queries("stats_quantiles_approx")(spark, sf).collect()
+      .map(r => key(r) -> (1 to 4).map(r.getDouble)).toMap
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    for (k <- exact.keys; (e, a) <- exact(k).zip(approx(k)))
+      assert(math.abs(a - e) <= math.max(0.05 * math.abs(e), 1.0),
+        s"$k: approx $a vs exact $e")
+  }
+
   test("PSI drift: contributions recompute from bin counts; non-negative") {
     import graft.relational.Stats
     val rows = Stats.queries("stats_psi_drift")(spark, sf).collect()
