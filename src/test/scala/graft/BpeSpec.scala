@@ -86,6 +86,25 @@ class BpeSpec extends AnyFunSuite {
           .filter(_.nonEmpty).map(_.length.toLong).sum })
   }
 
+  test("property: encodeWord pieces always concatenate back to the word") {
+    // The invariant that makes BPE a segmentation (not a rewrite): for
+    // ANY word and ANY merge list, the encoded pieces concatenated in
+    // order reproduce the input exactly, and each piece is non-empty.
+    import org.scalacheck.{Gen, Prop, Test => CTest}
+    val wordGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val mergeGen = Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.oneOf("a", "b", "c", "d", "ab", "cd", "abc")
+      b <- Gen.oneOf("a", "b", "c", "d", "ab", "cd")
+    } yield (a, b)))
+    val prop = Prop.forAll(wordGen, mergeGen) { (w, ms) =>
+      val pieces = graft.text.Bpe.encodeWord(w, ms.toArray)
+      pieces.mkString == w && pieces.forall(_.nonEmpty)
+    }
+    val res = CTest.check(CTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bpe pair counts: spark spelling is deterministic and bounded") {
     val a = SparkEntry.queries("corpus_bpe_pairs")(spark, sf).collect()
     val b = SparkEntry.queries("corpus_bpe_pairs")(spark, sf).collect()
