@@ -177,8 +177,22 @@ object RasterQueries {
       .orderBy("band", "tIdx", "ty", "tx")
   }
 
+  /** Shared path for the parse anchor (see [[parseItemsDuckSql]]). */
+  private val ParseItemsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_parse_items_parquet"
+
+  /** S1 parse summary — cross-engine anchored: the RAW item JSON lands
+    * as parquet and DuckDB re-derives every output column from the raw
+    * bytes with its own JSON parser (id/collection extraction, the
+    * image/&data asset classification behind n_bands, geometry
+    * presence, the sorted band list, the ISO datetime, and the F1
+    * solar-date truncate-toward-zero lon/15 offset). A parse bug that
+    * drops an asset, shifts the datetime, or mis-truncates the solar
+    * offset breaks the hash. */
   def parseItems(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    Fixtures.writeScenes(NScenes).toDF("json")
+      .coalesce(1).write.mode("overwrite").parquet(ParseItemsPath)
     val (items, schemas) = parsed(spark)
     val md = schemas(Fixtures.CollectionId)
     items.map { i =>
@@ -190,6 +204,38 @@ object RasterQueries {
     }.toDF("id", "collection", "n_bands", "datetime", "has_geom",
       "bands", "solar_date").orderBy("id")
   }
+
+  private val parseItemsDuckSql: String =
+    s"""WITH raw AS (
+       |  SELECT json FROM read_parquet('$ParseItemsPath/*.parquet')),
+       |a AS (
+       |  SELECT json, unnest(json_keys(json, '$$.assets')) AS ak FROM raw),
+       |cnt AS (
+       |  SELECT json_extract_string(json, '$$.id') AS id,
+       |         CAST(COUNT(*) FILTER (WHERE
+       |           json_extract_string(json, '$$.assets.' || ak || '.type')
+       |             LIKE 'image/%'
+       |           AND list_contains(CAST(json_extract(json,
+       |             '$$.assets.' || ak || '.roles') AS VARCHAR[]), 'data'))
+       |           AS INT) AS n_bands
+       |  FROM a GROUP BY 1),
+       |j AS (
+       |  SELECT json_extract_string(json, '$$.id') AS id,
+       |         json_extract_string(json, '$$.collection') AS collection,
+       |         json_extract_string(json, '$$.properties.datetime') AS datetime,
+       |         json_extract(json, '$$.geometry') IS NOT NULL AS has_geom,
+       |         list_aggregate(list_sort(json_keys(json, '$$.assets')),
+       |           'string_agg', ',') AS bands,
+       |         CAST(CAST(strptime(
+       |             json_extract_string(json, '$$.properties.datetime'),
+       |             '%Y-%m-%dT%H:%M:%SZ')
+       |           + to_hours(CAST(trunc(27.0 / 15) AS BIGINT)) AS DATE)
+       |           AS VARCHAR) AS solar_date
+       |  FROM raw)
+       |SELECT j.id, j.collection, cnt.n_bands, j.datetime, j.has_geom,
+       |       j.bands, j.solar_date
+       |FROM j JOIN cnt ON cnt.id = j.id
+       |ORDER BY j.id""".stripMargin
 
   /** In-process STAC API stub serving `items` in pages — the sandbox
     * stand-in for a live endpoint (zero egress). `POST /search` returns
@@ -249,12 +295,45 @@ object RasterQueries {
         collections = Seq(Fixtures.CollectionId), limit = 2), out)
     }
     val items = StacSearch.readDump(out)
+    // land the dumped snapshot's raw item JSON so DuckDB re-derives the
+    // summary from the dump itself (see [[stacSearchDuckSql]])
+    items.toDF("json")
+      .coalesce(1).write.mode("overwrite").parquet(StacSearchPath)
     val (ds, _) = StacParse.parseItems(spark, spark.createDataset(items))
     ds.map(i => (i.id, i.collection, i.bands.size))
       .toDF("id", "collection", "n_bands")
       .withColumn("n_dumped", lit(n.toLong))
       .orderBy("id")
   }
+
+  /** Shared path for the search-dump anchor. */
+  private val StacSearchPath =
+    s"${sys.props("java.io.tmpdir")}/graft_stac_search_parquet"
+
+  /** The dumped snapshot re-read by ANOTHER engine: DuckDB parses the
+    * landed raw feature JSON and re-derives the per-item summary plus
+    * the dump count — a dump that drops, duplicates, or mangles items
+    * across the paginated fetch breaks the hash (the HTTP protocol
+    * itself is pinned by StacSearchSpec against the in-process
+    * server). */
+  private val stacSearchDuckSql: String =
+    s"""WITH raw AS (
+       |  SELECT json FROM read_parquet('$StacSearchPath/*.parquet')),
+       |a AS (
+       |  SELECT json, unnest(json_keys(json, '$$.assets')) AS ak FROM raw),
+       |cnt AS (
+       |  SELECT json_extract_string(json, '$$.id') AS id,
+       |         json_extract_string(json, '$$.collection') AS collection,
+       |         CAST(COUNT(*) FILTER (WHERE
+       |           json_extract_string(json, '$$.assets.' || ak || '.type')
+       |             LIKE 'image/%'
+       |           AND list_contains(CAST(json_extract(json,
+       |             '$$.assets.' || ak || '.roles') AS VARCHAR[]), 'data'))
+       |           AS INT) AS n_bands
+       |  FROM a GROUP BY 1, 2),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dumped FROM raw)
+       |SELECT id, collection, n_bands, n_dumped
+       |FROM cnt CROSS JOIN t ORDER BY id""".stripMargin
 
   /** Output-geobox planning table across parameter shapes (A4/A5/P8). */
   def outputGeoboxPlans(spark: SparkSession): DataFrame = {
@@ -1018,5 +1097,7 @@ object RasterQueries {
     "raster_reproject_cells" -> reprojectCellsDuckSql,
     "raster_resample_cells" -> resampleCellsDuckSql,
     "raster_overview_cells" -> overviewCellsDuckSql,
-    "stream_raster_ingest" -> streamIngestDuckSql)
+    "stream_raster_ingest" -> streamIngestDuckSql,
+    "raster_parse_items" -> parseItemsDuckSql,
+    "raster_stac_search" -> stacSearchDuckSql)
 }
