@@ -204,6 +204,63 @@ object Stats {
         (col("est") - col("exact")).as("overcount"))
   }
 
+  /** Portable-hash CMS twin — the sketch family's cross-engine anchor
+    * (the role `dedup_minhash_lsh_portable` plays for MinHash): same
+    * depth×width geometry and min-of-bucket-counts estimator as the
+    * production [[TokenCms]], but with the mod-p codepoint-fold hash
+    * both engines can compute, spelled as plain SQL. DuckDB rebuilds
+    * the whole table (per-depth bucket occupancy from the vocabulary's
+    * exact counts) and re-derives every estimate — hash-checking the
+    * CMS property (est = min over rows of bucket mass ≥ exact) rather
+    * than only bound-asserting it. The production sketch keeps
+    * MurmurHash3 and the mergeable Aggregator (no token-row shuffle);
+    * this twin's vocabulary-sized group-by is its oracle spelling. */
+  private def cmsPortable(valuesClause: String, fold: String): String =
+    s"""WITH toks AS (
+       |  SELECT tok FROM (
+       |    $TokExplode)
+       |  WHERE tok <> ''),
+       |h AS (
+       |  SELECT tok, $fold AS hv, CAST(COUNT(*) AS BIGINT) AS exact
+       |  FROM toks GROUP BY tok),
+       |hx AS (
+       |  SELECT tok, exact, d, ((a * hv + b) % 1000000007) % $CmsWidth AS idx
+       |  FROM h CROSS JOIN $valuesClause),
+       |bx AS (
+       |  SELECT d, idx, CAST(SUM(exact) AS BIGINT) AS cnt
+       |  FROM hx GROUP BY d, idx),
+       |est AS (
+       |  SELECT hx.tok, hx.exact, MIN(bx.cnt) AS est
+       |  FROM hx JOIN bx ON bx.d = hx.d AND bx.idx = hx.idx
+       |  GROUP BY hx.tok, hx.exact)
+       |SELECT tok, est, exact, est - exact AS overcount
+       |FROM est ORDER BY est DESC, tok LIMIT 20""".stripMargin
+
+  private def cmsDepthRows: String = {
+    import graft.functions.HashKernels.{portA, portB}
+    (0 until CmsDepth)
+      .map(d => s"(${d}, ${portA(d)}, ${portB(d)})").mkString(", ")
+  }
+
+  private val TokExplode =
+    """SELECT explode(split(lower(trim(text)), '\\s+')) AS tok
+      |    FROM documents""".stripMargin
+
+  val cmsPortableSparkSql: String = cmsPortable(
+    s"(SELECT * FROM VALUES $cmsDepthRows AS t(d, a, b))",
+    "aggregate(transform(sequence(1, char_length(tok)), " +
+      "i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT)), " +
+      "0L, (acc, c) -> (acc * 31 + c) % 1000000007L)")
+
+  val cmsPortableDuckSql: String = cmsPortable(
+    s"(SELECT * FROM (VALUES $cmsDepthRows) t(d, a, b))",
+    "list_reduce(list_transform(range(1, len(tok) + 1), " +
+      "i -> CAST(unicode(tok[CAST(i AS INT)]) AS BIGINT)), " +
+      "(acc, c) -> (acc * 31 + c) % 1000000007)")
+    .replace(TokExplode,
+      """SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents""".stripMargin)
+
   // ---- HLL distinct sketches (persisted + re-aggregated) ------------------
 
   /** Distinct-count sketches as STANDING DATA, not just a one-shot
@@ -407,13 +464,15 @@ object Stats {
     "stats_quantiles" -> Tables.sql(quantilesSparkSql),
     "stats_quantiles_approx" -> Tables.sql(quantilesApproxSparkSql),
     "stats_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
-    "text_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d)))
+    "text_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d)),
+    "text_cms_portable" -> Tables.sql(cmsPortableSparkSql))
 
   val oracleSql: Map[String, String] = Map(
     "stats_psi_drift" -> psiSqlBody,
     "stats_ks_drift" -> ksDuckSql,
     "stats_ks_drift_binned" -> ksBinnedSqlBody,
     "stats_table" -> statsDuckSql,
+    "text_cms_portable" -> cmsPortableDuckSql,
     "stats_quantiles" -> quantilesDuckSql,
     "stats_hll_distinct" -> hllDistinctDuckSql)
 }

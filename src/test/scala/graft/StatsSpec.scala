@@ -119,6 +119,16 @@ class StatsSpec extends AnyFunSuite {
         s"$k: approx $a vs exact $e")
   }
 
+  test("portable CMS twin keeps the count-min guarantee (est >= exact)") {
+    import graft.relational.Stats
+    val rows = Stats.queries("text_cms_portable")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), s"token ${r.getString(0)}")
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+    }
+  }
+
   test("PSI drift: contributions recompute from bin counts; non-negative") {
     import graft.relational.Stats
     val rows = Stats.queries("stats_psi_drift")(spark, sf).collect()
