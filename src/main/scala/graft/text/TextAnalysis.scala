@@ -823,7 +823,42 @@ object TextAnalysis {
       "       right(nfc_normalize(raw), 1) AS composed\n" +
       "FROM d ORDER BY doc_id"
 
+  /** Learned quality filter — the trained stage real pipelines run
+    * after the heuristic gates (the CCNet/fastText pattern: distill a
+    * cheap rule into a model, then score everything with the model).
+    * Weak labels are the Gopher-style `keep` flag of
+    * [[qualityFilterSparkSql]]; features are that filter's own four
+    * surface signals (n_words, top-word repetition share, stopword
+    * ratio, mean word length). The label is an axis-aligned BOX in
+    * feature space, so the student is a decision tree — a form that can
+    * represent the rule exactly (a logistic hyperplane cannot); the
+    * spec gates near-perfect holdout agreement, i.e. the distillation
+    * actually captured the rule. Scale shape: signals are one
+    * explode/re-group pass (map-side combined), tree training reads the
+    * doc-count-sized signal table (MLlib aggregates split statistics —
+    * no corpus shuffle), and the fitted tree broadcasts back for a
+    * map-side score of every document. */
+  def qualityModel(spark: SparkSession, dir: String): DataFrame = {
+    val signals = Tables.sql(qualityFilterSparkSql)(spark, dir)
+      .selectExpr("doc_id", "CAST(n_words AS DOUBLE) AS f_nw",
+        "rep_ratio AS f_rep", "stop_ratio AS f_stop", "avg_wlen AS f_wlen",
+        "CAST(keep AS DOUBLE) AS label")
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("f_nw", "f_rep", "f_stop", "f_wlen"))
+      .setOutputCol("features")
+      .transform(signals)
+    val model = new org.apache.spark.ml.classification.DecisionTreeClassifier()
+      .setMaxDepth(8).setSeed(11).setLabelCol("label")
+      .fit(assembled.where("doc_id % 5 < 4"))
+    model.transform(assembled)
+      .selectExpr("doc_id", "CAST(label AS BIGINT) AS weak_label",
+        "CAST(prediction AS BIGINT) AS pred",
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS BIGINT) AS holdout")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_model" -> ((s: SparkSession, d: String) => qualityModel(s, d)),
     "text_normalize" -> ((s: SparkSession, d: String) => {
       graft.functions.VecFunctions.register(s)
       Tables.sql(normalizeSparkSql)(s, d)
