@@ -241,9 +241,11 @@ object Bpe {
     * semantics are exactly the trainer's scan (verified: 'l l l' →
     * 'll l', 'a b a b' → 'ab ab'). The recursive CTE applies merges in
     * rank order; a word's piece count is its delimiter count. */
-  val bpeEncodeDuckSql: String =
-    s"""WITH RECURSIVE m AS (
-       |  SELECT rank, l, r FROM read_parquet('$MergesPath/*.parquet')),
+  val bpeEncodeDuckSql: String = {
+    val (train, union) = bpeTrainCtes
+    s"""WITH RECURSIVE $train,
+       |m AS MATERIALIZED (
+       |  SELECT rank, l, r FROM ($union)),
        |toks AS (
        |  SELECT doc_id, w FROM (
        |    SELECT doc_id,
@@ -272,6 +274,7 @@ object Bpe {
        |       ROUND(CAST(SUM(np.n_pieces) AS DOUBLE) / COUNT(*), 4) AS fertility
        |FROM toks t JOIN np ON t.w = np.w
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  }
 
   /** DuckDB re-TRAINING of the full merge loop — the last BPE piece to
     * graduate from spec-pinned to hash-checked (pairs anchor round 1,
@@ -290,7 +293,15 @@ object Bpe {
     * code-unit order (Spark) both equal codepoint order. Symbols are
     * bounded by the longest word (≤63 here, loud if exceeded — the
     * bpePairsDuckSql convention). */
-  val bpeMergesDuckSql: String = {
+  /** Unrolled DuckDB re-training CTEs shared by the merges and encode
+    * oracles (semantics documented at [[bpeMergesDuckSql]]): the chained
+    * MATERIALIZED CTE list and the UNION ALL over the per-round argmax
+    * rows. The ENCODE oracle retrains rather than reading the landed
+    * merge table: that artifact is sf-dependent, and a bench run at
+    * another SF between Verify and the DuckDB compare would clobber it
+    * (self-containment also makes the encode row check train+apply end
+    * to end against the raw corpus). */
+  private def bpeTrainCtes: (String, String) = {
     val F = "chr(31)"
     val G = "chr(30)"
     val ctes = Seq.newBuilder[String]
@@ -316,11 +327,14 @@ object Bpe {
                  |                 $F || b.l || b.r || $G) AS s, c
                  |  FROM r${k - 1} CROSS JOIN b$k b)""".stripMargin
     }
-    "WITH " + ctes.result().mkString(",\n") +
-      "\nSELECT CAST(rank AS BIGINT) AS rank, l AS left, r AS right," +
-      " n AS pair_count FROM (" +
-      (1 to NumMerges).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ") +
-      ") ORDER BY rank"
+    (ctes.result().mkString(",\n"),
+      (1 to NumMerges).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL "))
+  }
+
+  val bpeMergesDuckSql: String = {
+    val (train, union) = bpeTrainCtes
+    s"WITH $train\nSELECT CAST(rank AS BIGINT) AS rank, l AS left," +
+      s" r AS right, n AS pair_count FROM ($union) ORDER BY rank"
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
