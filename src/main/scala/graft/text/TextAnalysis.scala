@@ -838,6 +838,13 @@ object TextAnalysis {
     * doc-count-sized signal table (MLlib aggregates split statistics —
     * no corpus shuffle), and the fitted tree broadcasts back for a
     * map-side score of every document. */
+  /** Fitted student tree per (session, dir) — training is a build
+    * artifact (the bpe mergeCache pattern): repeated invocations pay
+    * the map-side scoring pass, not the fit. */
+  private val qualityModelCache = new graft.BoundedCache[
+    org.apache.spark.ml.classification.DecisionTreeClassificationModel](
+    max = 8, _ => ())
+
   def qualityModel(spark: SparkSession, dir: String): DataFrame = {
     val signals = Tables.sql(qualityFilterSparkSql)(spark, dir)
       .selectExpr("doc_id", "CAST(n_words AS DOUBLE) AS f_nw",
@@ -847,9 +854,11 @@ object TextAnalysis {
       .setInputCols(Array("f_nw", "f_rep", "f_stop", "f_wlen"))
       .setOutputCol("features")
       .transform(signals)
-    val model = new org.apache.spark.ml.classification.DecisionTreeClassifier()
-      .setMaxDepth(8).setSeed(11).setLabelCol("label")
-      .fit(assembled.where("doc_id % 5 < 4"))
+    val model = qualityModelCache.get(
+      spark.sparkContext.applicationId + " " + dir)(
+      new org.apache.spark.ml.classification.DecisionTreeClassifier()
+        .setMaxDepth(8).setSeed(11).setLabelCol("label")
+        .fit(assembled.where("doc_id % 5 < 4")))
     model.transform(assembled)
       .selectExpr("doc_id", "CAST(label AS BIGINT) AS weak_label",
         "CAST(prediction AS BIGINT) AS pred",
