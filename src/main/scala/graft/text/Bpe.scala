@@ -241,7 +241,10 @@ object Bpe {
     * semantics are exactly the trainer's scan (verified: 'l l l' →
     * 'll l', 'a b a b' → 'ab ab'). The recursive CTE applies merges in
     * rank order; a word's piece count is its delimiter count. */
-  val bpeEncodeDuckSql: String = {
+  /** Everything through the per-word-type piece counts (`np`) — shared
+    * by the encode oracle and `corpus_pack_bpe`'s (which prefixes shard
+    * packing onto the same re-derived token counts). */
+  private[text] def bpeEncodeCtes: String = {
     val (train, union) = bpeTrainCtes
     s"""WITH RECURSIVE $train,
        |m AS MATERIALIZED (
@@ -268,13 +271,16 @@ object Bpe {
        |np AS (
        |  SELECT w, len(s) - len(replace(s, chr(31), '')) AS n_pieces
        |  FROM enc
-       |  WHERE k = (SELECT COALESCE(MAX(rank), 0) FROM m))
+       |  WHERE k = (SELECT COALESCE(MAX(rank), 0) FROM m))""".stripMargin
+  }
+
+  val bpeEncodeDuckSql: String =
+    s"""$bpeEncodeCtes
        |SELECT t.doc_id, COUNT(*) AS n_words,
        |       CAST(SUM(np.n_pieces) AS BIGINT) AS n_bpe_tokens,
        |       ROUND(CAST(SUM(np.n_pieces) AS DOUBLE) / COUNT(*), 4) AS fertility
        |FROM toks t JOIN np ON t.w = np.w
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
-  }
 
   /** DuckDB re-TRAINING of the full merge loop — the last BPE piece to
     * graduate from spec-pinned to hash-checked (pairs anchor round 1,

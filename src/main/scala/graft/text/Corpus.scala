@@ -19,14 +19,15 @@ object Corpus {
   // Bounded result cache for the two-phase prefix-scan ops: each entry
   // pins its persisted range-partitioned intermediate (the offsets were
   // computed from that exact layout), so eviction must unpersist it.
-  // max must exceed the worst-case live key count — 4 scan ops
-  // (pack/shuffle/packShuffled/sample ranks) x 3 scale-factor dirs — with
+  // max must exceed the worst-case live key count — 5 scan ops
+  // (pack/packBpe/shuffle/packShuffled/sample ranks) x 3 scale-factor
+  // dirs — with
   // headroom, because eviction unpersists the entry's range-partitioned
   // intermediate and a previously returned DataFrame that still references
   // it would silently re-sample range boundaries on recompute
   private val packCache =
     new graft.BoundedCache[(DataFrame, org.apache.spark.sql.Dataset[_])](
-      max = 16, onEvict = _._2.unpersist(blocking = false))
+      max = 20, onEvict = _._2.unpersist(blocking = false))
 
   private def cachedScan(key: String)(
       build: => (DataFrame, org.apache.spark.sql.Dataset[_])): DataFrame =
@@ -91,6 +92,73 @@ object Corpus {
       (out, toks)
     }
   }
+
+  /** Shard packing by REAL tokenizer counts — what a training pipeline
+    * actually packs by: the same two-phase distributed prefix scan as
+    * [[pack]], but over the per-doc BPE token counts the trained
+    * tokenizer produces (`Bpe.bpeEncode`, itself train-once-cached).
+    * The whitespace variant remains as the cheap pre-tokenizer
+    * estimate; this is the post-tokenizer ground truth. The DuckDB
+    * oracle re-derives training, apply, per-doc counts AND the shard
+    * assignment end to end from the raw corpus. */
+  def packBpe(spark: SparkSession, dir: String,
+              budget: Long = ShardBudget): DataFrame = {
+    val key = spark.sparkContext.applicationId + " packbpe " + dir + " " + budget
+    cachedScan(key) {
+      import spark.implicits._
+      val p = spark.sparkContext.defaultParallelism
+      val toks = Bpe.bpeEncode(spark, dir)
+        .select(col("doc_id"), col("n_bpe_tokens").as("toks"))
+        .repartitionByRange(p, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .as[(Long, Long)]
+        .persist()
+      val partSums = toks.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var s = 0L
+        it.foreach { case (_, t) => s += t }
+        Iterator.single((pid, s))
+      }.collect().toMap
+      val nParts = toks.rdd.getNumPartitions
+      val offsets = new Array[Long](nParts)
+      var acc = 0L
+      var i = 0
+      while (i < nParts) {
+        offsets(i) = acc
+        acc += partSums.getOrElse(i, 0L)
+        i += 1
+      }
+      val bc = spark.sparkContext.broadcast(offsets)
+      val out = toks.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var run = bc.value(pid)
+        it.map { case (id, t) =>
+          val shard = run / budget
+          run += t
+          (id, t, shard)
+        }
+      }.toDF("doc_id", "toks", "shard_id")
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("tok_sum"))
+        .orderBy("shard_id")
+      (out, toks)
+    }
+  }
+
+  val packBpeDuckSql: String =
+    s"""${Bpe.bpeEncodeCtes},
+       |docbpe AS (
+       |  SELECT t.doc_id, CAST(SUM(np.n_pieces) AS BIGINT) AS toks
+       |  FROM toks t JOIN np ON t.w = np.w
+       |  GROUP BY t.doc_id),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |         COALESCE(SUM(toks) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+       |  FROM docbpe)
+       |SELECT CAST(before // $ShardBudget AS BIGINT) AS shard_id,
+       |       COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tok_sum
+       |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
 
   /** Deterministic global training-order shuffle: every epoch pipeline
     * shuffles the corpus before sharding, and doing it with an RNG makes
@@ -1012,6 +1080,7 @@ object Corpus {
     "corpus_domain_cap" -> ((s, d) => domainCap(s, d)),
     "corpus_dsir_sample" -> Tables.sql(dsirSparkSql),
     "corpus_pack" -> ((s, d) => pack(s, d)),
+    "corpus_pack_bpe" -> ((s, d) => packBpe(s, d)),
     "corpus_shuffle" -> ((s, d) => shuffle(s, d)),
     "corpus_pack_shuffled" -> ((s, d) => packShuffled(s, d)),
     "text_pii" -> Tables.sql(piiSparkSql),
@@ -1031,6 +1100,7 @@ object Corpus {
     "corpus_domain_cap" -> domainCapDuckSql,
     "corpus_dsir_sample" -> dsirDuckSql,
     "corpus_pack" -> packDuckSql,
+    "corpus_pack_bpe" -> packBpeDuckSql,
     "corpus_shuffle" -> shuffleDuckSql,
     "corpus_pack_shuffled" -> packShuffledDuckSql,
     "text_pii" -> piiDuckSql,
