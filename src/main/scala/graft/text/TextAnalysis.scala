@@ -2,6 +2,7 @@ package graft.text
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, length, round, udf}
 
 /** Text-analysis operators over the `documents` table (north-star
   * extensions): per-doc quality stats, token counts (whitespace + BPE-ish
@@ -866,7 +867,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Compression-ratio quality signal: deflate each document and report
+    * compressed/raw size — the classic cheap boilerplate detector
+    * (templated or repetitive pages compress far below prose; the
+    * signal complements `text_repetition`'s token-level ratios with a
+    * substring-level one that catches structure n-gram counters miss).
+    * One map-side pass, no shuffle; a UDF because no built-in deflate
+    * exists (the bloom-filter precedent — java.util.zip in the closure).
+    * No DuckDB oracle (no SQL deflate there either): rows-only driver
+    * check + `TextModelSpec` pins the discrimination property. */
+  val LowInfoRatio = 0.35
+
+  def compressRatio(spark: SparkSession, dir: String): DataFrame = {
+    val deflated = udf { t: String =>
+      val in = t.getBytes("UTF-8")
+      val bos = new java.io.ByteArrayOutputStream(in.length / 2 + 64)
+      val d = new java.util.zip.Deflater(6)
+      val dos = new java.util.zip.DeflaterOutputStream(bos, d, 4096)
+      dos.write(in); dos.close(); d.end()
+      bos.size().toLong
+    }
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        deflated(col("text")).as("n_deflate"))
+      .select(col("doc_id"), col("n_chars"), col("n_deflate"),
+        round(col("n_deflate").cast("double") / col("n_chars"), 4).as("ratio"),
+        (col("n_deflate").cast("double") / col("n_chars") < LowInfoRatio)
+          .cast("long").as("low_info"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_compress_ratio" -> ((s: SparkSession, d: String) => compressRatio(s, d)),
     "text_quality_model" -> ((s: SparkSession, d: String) => qualityModel(s, d)),
     "text_normalize" -> ((s: SparkSession, d: String) => {
       graft.functions.VecFunctions.register(s)

@@ -67,6 +67,30 @@ class CorpusSpec extends AnyFunSuite {
       "shuffle left most docs in corpus order")
   }
 
+  test("corpus_pack_bpe: distributed scan equals a window over encode counts") {
+    val got = text.Corpus.packBpe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val naive = text.Bpe.queries("corpus_bpe_encode")(spark, sf)
+      .select(col("doc_id"), col("n_bpe_tokens").as("toks"))
+      .withColumn("bef", coalesce(sum("toks").over(w), lit(0L)))
+      .withColumn("shard_id", (col("bef") / text.Corpus.ShardBudget)
+        .cast("long"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("tok_sum"))
+      .orderBy("shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == naive)
+    assert(got.size > 1)
+    // BPE packing must differ from whitespace packing (fertility > 1)
+    val ws = text.Corpus.pack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._3).sum > ws.map(_._3).sum,
+      "BPE token totals should exceed whitespace token totals")
+  }
+
   test("corpus_pack_shuffled conserves docs and tokens vs corpus_pack") {
     val packed = text.Corpus.pack(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(2))) // (n_docs, tok_sum)
