@@ -2,7 +2,7 @@ package graft.text
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, length, round, udf}
+import org.apache.spark.sql.functions.{col, round}
 
 /** Text-analysis operators over the `documents` table (north-star
   * extensions): per-doc quality stats, token counts (whitespace + BPE-ish
@@ -879,18 +879,27 @@ object TextAnalysis {
   val LowInfoRatio = 0.35
 
   def compressRatio(spark: SparkSession, dir: String): DataFrame = {
-    val deflated = udf { t: String =>
-      val in = t.getBytes("UTF-8")
-      val bos = new java.io.ByteArrayOutputStream(in.length / 2 + 64)
-      val d = new java.util.zip.Deflater(6)
-      val dos = new java.util.zip.DeflaterOutputStream(bos, d, 4096)
-      dos.write(in); dos.close(); d.end()
-      bos.size().toLong
-    }
+    import spark.implicits._
+    // one Deflater per PARTITION, reset() per row — a per-row UDF would
+    // allocate (and native-free) a zlib stream per document, pure
+    // overhead at corpus scale
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"),
-        deflated(col("text")).as("n_deflate"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](16 * 1024)
+        it.map { case (id, t) =>
+          val in = t.getBytes("UTF-8")
+          d.reset(); d.setInput(in); d.finish()
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          (id, t.length.toLong, n)
+        }
+        // Deflater native memory is freed by its finalizer when the
+        // partition iterator is dropped; no onCompletion hook needed at
+        // this allocation rate (one per task)
+      }
+      .toDF("doc_id", "n_chars", "n_deflate")
       .select(col("doc_id"), col("n_chars"), col("n_deflate"),
         round(col("n_deflate").cast("double") / col("n_chars"), 4).as("ratio"),
         (col("n_deflate").cast("double") / col("n_chars") < LowInfoRatio)
