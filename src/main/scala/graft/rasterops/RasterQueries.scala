@@ -825,9 +825,12 @@ object RasterQueries {
   /** The block-expressible subset of the F16 kernel matrix (the four
     * conv kernels — cubic/lanczos/cubic_spline/gauss — stay
     * golden-pinned: their windows span blocks and their weights are
-    * transcendental). */
+    * transcendental) — except CUBIC: at the aligned 2× case its
+    * Catmull-Rom taps hit offsets ±0.5/±1.5 whose weights (9/16, −1/16)
+    * are exact binary fractions, so the 4×4 weighted sum is exact
+    * rational math DuckDB can recompute order-free. */
   private val ResampleModes = Seq("nearest", "bilinear", "average", "sum",
-    "min", "max", "mode", "med", "q1", "q3", "rms")
+    "min", "max", "mode", "med", "q1", "q3", "rms", "cubic")
 
   /** Fourth cross-engine raster anchor — the RESAMPLING KERNELS
     * themselves (F16, `loader/types.py:113-114`'s rasterio mode
@@ -891,7 +894,14 @@ object RasterQueries {
   }
 
   private val resampleCellsDuckSql: String =
-    s"""WITH nat AS (
+    s"""WITH natall AS (
+       |  -- scene COVERAGE (NaN rows included): the loader clips each
+       |  -- item's dst ROI to the scene's projected bbox, so a dst pixel
+       |  -- whose CENTER native cell was never landed is never sampled —
+       |  -- even when cubic's 4-tap window reaches into the scene
+       |  SELECT band, tidx, gy, gx
+       |  FROM read_parquet('$ResampleNativePath/*.parquet')),
+       |nat AS (
        |  SELECT band, tidx, gy, gx, value
        |  FROM read_parquet('$ResampleNativePath/*.parquet')
        |  WHERE NOT isnan(value)),
@@ -916,6 +926,28 @@ object RasterQueries {
        |                 COUNT(*) AS c
        |          FROM nat GROUP BY band, tidx, by, bx, value) g) t
        |  WHERE rn = 1),
+       |cbx AS (
+       |  -- NB: DuckDB's // truncates toward zero; FLOOR keeps the gy=0
+       |  -- candidate row at PY=-1 (harmlessly out of domain) instead of
+       |  -- leaking a spurious out-of-range tap into PY=1
+       |  SELECT band, tidx, value,
+       |         CAST(FLOOR((gy - 1) / 2.0) AS BIGINT) + ky.k AS py,
+       |         gy - 2 * (CAST(FLOOR((gy - 1) / 2.0) AS BIGINT) + ky.k) + 1 AS dy,
+       |         CAST(FLOOR((gx - 1) / 2.0) AS BIGINT) + kx.k AS px,
+       |         gx - 2 * (CAST(FLOOR((gx - 1) / 2.0) AS BIGINT) + kx.k) + 1 AS dx
+       |  FROM nat,
+       |       (SELECT unnest([0, 1]) AS k) ky(k),
+       |       (SELECT unnest([0, 1]) AS k) kx(k)),
+       |cb AS (
+       |  SELECT band, tidx, py, px,
+       |         SUM(value * wdy * wdx) AS acc, SUM(wdy * wdx) AS wsum
+       |  FROM (SELECT band, tidx, py, px, value,
+       |          CASE WHEN dy IN (0, 3) THEN -0.0625
+       |               WHEN dy IN (1, 2) THEN 0.5625 ELSE 0 END AS wdy,
+       |          CASE WHEN dx IN (0, 3) THEN -0.0625
+       |               WHEN dx IN (1, 2) THEN 0.5625 ELSE 0 END AS wdx
+       |        FROM cbx)
+       |  GROUP BY band, tidx, py, px),
        |dom AS (
        |  SELECT mode, band, tidx, ty, tx,
        |         ty * 64 + py AS gpy, tx * 64 + px AS gpx
@@ -937,12 +969,20 @@ object RasterQueries {
        |             b.vals[CAST(FLOOR((b.cnt - 1) * 0.25 + 0.5) AS INT) + 1]
        |           WHEN 'q3' THEN
        |             b.vals[CAST(FLOOR((b.cnt - 1) * 0.75 + 0.5) AS INT) + 1]
+       |           WHEN 'cubic' THEN
+       |             CASE WHEN ctr.gy IS NULL THEN NULL
+       |                  WHEN ABS(cc.wsum) < 1e-12 THEN NULL
+       |                  ELSE cc.acc / cc.wsum END
        |         END AS val
        |  FROM dom d
        |  LEFT JOIN bs b ON b.band = d.band AND b.tidx = d.tidx
        |                AND b.by = d.gpy AND b.bx = d.gpx
        |  LEFT JOIN md m ON m.band = d.band AND m.tidx = d.tidx
-       |                AND m.by = d.gpy AND m.bx = d.gpx)
+       |                AND m.by = d.gpy AND m.bx = d.gpx
+       |  LEFT JOIN cb cc ON cc.band = d.band AND cc.tidx = d.tidx
+       |                AND cc.py = d.gpy AND cc.px = d.gpx
+       |  LEFT JOIN natall ctr ON ctr.band = d.band AND ctr.tidx = d.tidx
+       |                AND ctr.gy = 2 * d.gpy + 1 AND ctr.gx = 2 * d.gpx + 1)
        |SELECT mode, band, tidx, ty, tx, COUNT(*) AS n_px,
        |       COUNT(val) AS n_valid,
        |       CAST(SUM(COALESCE(CAST(ROUND(val * 100) AS BIGINT), 0))
