@@ -1071,6 +1071,69 @@ object RasterQueries {
        |FROM ex GROUP BY lvl, band, tidx, ty, tx
        |ORDER BY lvl, band, tidx, ty, tx""".stripMargin
 
+  /** The eager-load SUMMARY queries re-derived from the landed pixel
+    * planes the cells anchors already write (same Verify run; content
+    * is fixture-driven, so identical at every SF — no cross-SF clobber
+    * hazard). `raster_load_mosaic`'s per-tile width/height/validCount/
+    * checksum recompute from the fused plane (`CellsPath`),
+    * `raster_load_groupby_id`'s from the per-item planes
+    * (`CompositeCellsPath`, red band), and `raster_load_overview`'s
+    * from the NATIVE per-item planes — DuckDB re-applies BOTH the
+    * `.ovr4` decimation identity (base(4PY, 4PX)) and the solar-day
+    * first-valid fuse rule (items in ascending order within the day)
+    * before summarizing, so overview selection and mosaic fusing are
+    * jointly rechecked. */
+  private val loadMosaicDuckSql: String =
+    s"""SELECT band, tidx AS "tIdx", ty, tx,
+       |       CAST(MAX(px) + 1 AS INT) AS width,
+       |       CAST(MAX(py) + 1 AS INT) AS height,
+       |       CAST(SUM(CASE WHEN value <> 0 THEN 1 ELSE 0 END) AS INT)
+       |         AS validCount,
+       |       ROUND(SUM(value), 2) AS checksum
+       |FROM read_parquet('$CellsPath/*.parquet')
+       |GROUP BY band, tidx, ty, tx
+       |ORDER BY band, "tIdx", ty, tx""".stripMargin
+
+  private val loadGroupByIdDuckSql: String =
+    s"""SELECT band, tidx AS "tIdx", ty, tx,
+       |       CAST(MAX(px) + 1 AS INT) AS width,
+       |       CAST(MAX(py) + 1 AS INT) AS height,
+       |       CAST(SUM(CASE WHEN isnan(value) THEN 0 ELSE 1 END) AS INT)
+       |         AS validCount,
+       |       ROUND(SUM(CASE WHEN isnan(value) THEN 0 ELSE value END), 2)
+       |         AS checksum
+       |FROM read_parquet('$CompositeCellsPath/*.parquet')
+       |WHERE band = 'red'
+       |GROUP BY band, tidx, ty, tx
+       |ORDER BY band, "tIdx", ty, tx""".stripMargin
+
+  private val loadOverviewDuckSql: String =
+    s"""WITH nat AS (
+       |  SELECT tidx, gy, gx, value
+       |  FROM read_parquet('$OverviewNativePath/*.parquet')
+       |  WHERE NOT isnan(value)),
+       |dom AS (
+       |  SELECT DISTINCT band, tidx // 2 AS day, ty, tx, py, px,
+       |         4 * (ty * 64 + py) AS sgy, 4 * (tx * 64 + px) AS sgx
+       |  FROM read_parquet('$OverviewCellsPath/*.parquet')
+       |  WHERE lvl = 4),
+       |f AS (
+       |  SELECT d.band, d.day, d.ty, d.tx, d.py, d.px,
+       |         COALESCE(n0.value, n1.value, 0) AS fused
+       |  FROM dom d
+       |  LEFT JOIN nat n0 ON n0.tidx = d.day * 2
+       |                  AND n0.gy = d.sgy AND n0.gx = d.sgx
+       |  LEFT JOIN nat n1 ON n1.tidx = d.day * 2 + 1
+       |                  AND n1.gy = d.sgy AND n1.gx = d.sgx)
+       |SELECT band, day AS "tIdx", ty, tx,
+       |       CAST(MAX(px) + 1 AS INT) AS width,
+       |       CAST(MAX(py) + 1 AS INT) AS height,
+       |       CAST(SUM(CASE WHEN fused <> 0 THEN 1 ELSE 0 END) AS INT)
+       |         AS validCount,
+       |       ROUND(SUM(fused), 2) AS checksum
+       |FROM f GROUP BY band, day, ty, tx
+       |ORDER BY band, "tIdx", ty, tx""".stripMargin
+
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
   def compositeMean(spark: SparkSession): DataFrame = {
@@ -1139,5 +1202,8 @@ object RasterQueries {
     "raster_overview_cells" -> overviewCellsDuckSql,
     "stream_raster_ingest" -> streamIngestDuckSql,
     "raster_parse_items" -> parseItemsDuckSql,
-    "raster_stac_search" -> stacSearchDuckSql)
+    "raster_stac_search" -> stacSearchDuckSql,
+    "raster_load_mosaic" -> loadMosaicDuckSql,
+    "raster_load_groupby_id" -> loadGroupByIdDuckSql,
+    "raster_load_overview" -> loadOverviewDuckSql)
 }
