@@ -1134,6 +1134,59 @@ object RasterQueries {
        |FROM f GROUP BY band, day, ty, tx
        |ORDER BY band, "tIdx", ty, tx""".stripMargin
 
+  /** Cross-CONTAINER checks via the same landed planes: the netCDF and
+    * zarr loads must reproduce the GRB-derived expectations, so a
+    * decode bug in either container reddens its row. netCDF is the
+    * mosaic expectation verbatim (same scenes, int16 storage). Zarr's
+    * `ovr` rows check that the store's `red.ovr2`/`red.ovr4` sidecar
+    * variables carry the same decimation pyramid as the GRB `.ovrN`
+    * files: a 40 m read must pick `red.ovr4` and paste it directly, so
+    * every fused overview pixel equals base(4P) under the solar-day
+    * first-valid rule — the identical expectation the GRB
+    * `raster_load_overview` oracle computes, now re-proven through the
+    * zarr chunk decoder. */
+  private val loadNetcdfDuckSql: String = loadMosaicDuckSql
+
+  private val loadZarrDuckSql: String =
+    s"""WITH nat AS (
+       |  SELECT tidx, gy, gx, value
+       |  FROM read_parquet('$OverviewNativePath/*.parquet')
+       |  WHERE NOT isnan(value)),
+       |base AS (
+       |  SELECT 'base' AS res, band, tidx AS day, ty, tx,
+       |         CAST(MAX(px) + 1 AS INT) AS width,
+       |         CAST(MAX(py) + 1 AS INT) AS height,
+       |         CAST(SUM(CASE WHEN value <> 0 THEN 1 ELSE 0 END) AS INT)
+       |           AS validCount,
+       |         ROUND(SUM(value), 2) AS checksum
+       |  FROM read_parquet('$CellsPath/*.parquet')
+       |  GROUP BY band, tidx, ty, tx),
+       |dom AS (
+       |  SELECT DISTINCT band, tidx // 2 AS day, ty, tx, py, px,
+       |         4 * (ty * 64 + py) AS sgy, 4 * (tx * 64 + px) AS sgx
+       |  FROM read_parquet('$OverviewCellsPath/*.parquet')
+       |  WHERE lvl = 4),
+       |f AS (
+       |  SELECT d.band, d.day, d.ty, d.tx, d.py, d.px,
+       |         COALESCE(n0.value, n1.value, 0) AS fused
+       |  FROM dom d
+       |  LEFT JOIN nat n0 ON n0.tidx = d.day * 2
+       |                  AND n0.gy = d.sgy AND n0.gx = d.sgx
+       |  LEFT JOIN nat n1 ON n1.tidx = d.day * 2 + 1
+       |                  AND n1.gy = d.sgy AND n1.gx = d.sgx),
+       |ovr AS (
+       |  SELECT 'ovr' AS res, band, day, ty, tx,
+       |         CAST(MAX(px) + 1 AS INT) AS width,
+       |         CAST(MAX(py) + 1 AS INT) AS height,
+       |         CAST(SUM(CASE WHEN fused <> 0 THEN 1 ELSE 0 END) AS INT)
+       |           AS validCount,
+       |         ROUND(SUM(fused), 2) AS checksum
+       |  FROM f GROUP BY band, day, ty, tx)
+       |SELECT res, band, day AS "tIdx", ty, tx, width, height,
+       |       validCount, checksum
+       |FROM (SELECT * FROM base UNION ALL SELECT * FROM ovr)
+       |ORDER BY res, band, "tIdx", ty, tx""".stripMargin
+
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
   def compositeMean(spark: SparkSession): DataFrame = {
@@ -1205,5 +1258,7 @@ object RasterQueries {
     "raster_stac_search" -> stacSearchDuckSql,
     "raster_load_mosaic" -> loadMosaicDuckSql,
     "raster_load_groupby_id" -> loadGroupByIdDuckSql,
-    "raster_load_overview" -> loadOverviewDuckSql)
+    "raster_load_overview" -> loadOverviewDuckSql,
+    "raster_load_netcdf" -> loadNetcdfDuckSql,
+    "raster_load_zarr" -> loadZarrDuckSql)
 }
