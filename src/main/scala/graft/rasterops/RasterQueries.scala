@@ -1187,6 +1187,86 @@ object RasterQueries {
        |FROM (SELECT * FROM base UNION ALL SELECT * FROM ovr)
        |ORDER BY res, band, "tIdx", ty, tx""".stripMargin
 
+  /** Summary oracles re-derived from landed planes, round 2 — the
+    * remaining eager-load summaries graduate from rows-only to
+    * hash-checked. `raster_load_reproject` re-aggregates the warped
+    * planes `reprojectCells` lands (same three cross-CRS loads, so the
+    * summary and the cells anchor must agree on every fused pixel).
+    * The composite summaries re-derive per-pixel mean/max/median from
+    * the per-item time planes (`CompositeCellsPath`) with DuckDB's own
+    * AVG/MAX/median — an independent recomputation of the custom
+    * `Composite` Aggregator, not a re-add of its output.
+    * `raster_load_tiff`'s three container layouts all re-derive from
+    * the GRB mosaic plane (`CellsPath`): per-band-files and named
+    * subdatasets must reproduce it verbatim, and the packed 3-band
+    * asset's planes are the fixture's algebraic shifts of red
+    * (`Fixtures.bandPixels`: +{0,10000,20000} on valid pixels), so
+    * `checksum = red + shift·validCount` — a band-addressing bug
+    * (plane 1 read as plane 3) misses the shift and reddens the row. */
+  private val loadReprojectDuckSql: String =
+    s"""SELECT crs, band, tidx AS "tIdx", ty, tx,
+       |       CAST(MAX(px) + 1 AS INT) AS width,
+       |       CAST(MAX(py) + 1 AS INT) AS height,
+       |       CAST(SUM(CASE WHEN value <> 0 THEN 1 ELSE 0 END) AS INT)
+       |         AS validCount,
+       |       ROUND(SUM(value), 2) AS checksum
+       |FROM read_parquet('$ReprojectCellsPath/*.parquet')
+       |GROUP BY crs, band, tidx, ty, tx
+       |ORDER BY crs, band, "tIdx", ty, tx""".stripMargin
+
+  private val compositeMeanDuckSql: String =
+    s"""WITH px AS (
+       |  SELECT band, ty, tx, py, px, value
+       |  FROM read_parquet('$CompositeCellsPath/*.parquet')
+       |  WHERE NOT isnan(value)),
+       |m AS (
+       |  SELECT band, ty, tx, py, px, AVG(value) AS mean,
+       |         MAX(value) AS vmax, COUNT(*) AS c
+       |  FROM px GROUP BY band, ty, tx, py, px)
+       |SELECT band, ty, tx, ROUND(SUM(mean), 2) AS mean_sum,
+       |       CAST(SUM(c) AS INT) AS n_valid,
+       |       ROUND(SUM(vmax), 2) AS max_sum
+       |FROM m GROUP BY band, ty, tx
+       |ORDER BY band, ty, tx""".stripMargin
+
+  private val compositeMedianDuckSql: String =
+    s"""WITH px AS (
+       |  SELECT band, ty, tx, py, px, value
+       |  FROM read_parquet('$CompositeCellsPath/*.parquet')
+       |  WHERE NOT isnan(value)),
+       |m AS (
+       |  SELECT band, ty, tx, py, px, median(value) AS med, COUNT(*) AS c
+       |  FROM px GROUP BY band, ty, tx, py, px)
+       |SELECT band, ty, tx, ROUND(SUM(med), 2) AS med_sum,
+       |       CAST(SUM(c) AS INT) AS n_valid
+       |FROM m GROUP BY band, ty, tx
+       |ORDER BY band, ty, tx""".stripMargin
+
+  private val loadTiffDuckSql: String =
+    s"""WITH c AS (
+       |  SELECT band, tidx, ty, tx,
+       |         CAST(MAX(px) + 1 AS INT) AS width,
+       |         CAST(MAX(py) + 1 AS INT) AS height,
+       |         CAST(SUM(CASE WHEN value <> 0 THEN 1 ELSE 0 END) AS INT)
+       |           AS validCount,
+       |         SUM(value) AS cs
+       |  FROM read_parquet('$CellsPath/*.parquet')
+       |  GROUP BY band, tidx, ty, tx),
+       |shifted AS (
+       |  SELECT s.band, c.tidx, c.ty, c.tx, c.width, c.height,
+       |         c.validCount, c.cs + s.shift * c.validCount AS cs
+       |  FROM c, (VALUES ('red', 0), ('green', 10000), ('nir', 20000))
+       |            AS s(band, shift)
+       |  WHERE c.band = 'red'),
+       |rows_ AS (
+       |  SELECT 'per_band_files' AS layout, * FROM c
+       |  UNION ALL SELECT 'subdatasets', * FROM c
+       |  UNION ALL SELECT 'packed_bands', * FROM shifted)
+       |SELECT layout, band, tidx AS "tIdx", ty, tx, width, height,
+       |       validCount, ROUND(cs, 2) AS checksum
+       |FROM rows_
+       |ORDER BY layout, band, "tIdx", ty, tx""".stripMargin
+
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
   def compositeMean(spark: SparkSession): DataFrame = {
@@ -1260,5 +1340,9 @@ object RasterQueries {
     "raster_load_groupby_id" -> loadGroupByIdDuckSql,
     "raster_load_overview" -> loadOverviewDuckSql,
     "raster_load_netcdf" -> loadNetcdfDuckSql,
-    "raster_load_zarr" -> loadZarrDuckSql)
+    "raster_load_zarr" -> loadZarrDuckSql,
+    "raster_load_reproject" -> loadReprojectDuckSql,
+    "raster_composite_mean" -> compositeMeanDuckSql,
+    "raster_composite_median" -> compositeMedianDuckSql,
+    "raster_load_tiff" -> loadTiffDuckSql)
 }
