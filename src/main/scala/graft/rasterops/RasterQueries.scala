@@ -398,7 +398,11 @@ object RasterQueries {
     * ROI predicate pushed into the windowed scan. */
   def grbSourceSql(spark: SparkSession): DataFrame = {
     Fixtures.writeScenes(NScenes)
+    // pin to the NScenes contract scenes: the fixture dir is shared with
+    // specs that write more, and a deterministic row set is what lets
+    // the DuckDB oracle re-derive this from the landed native planes
     spark.read.format("grb").load(Fixtures.dir.toString)
+      .where(col("uri").rlike("scene[0-3]-(red|nir)\\.grb$"))
       .where(col("x") < 48 && col("y") >= 8 && col("value") =!= 0)
       .groupBy("uri")
       .agg(count(lit(1)).as("n_valid"),
@@ -414,7 +418,7 @@ object RasterQueries {
   def gtiffSourceSql(spark: SparkSession): DataFrame = {
     Fixtures.writeScenesMultiband(NScenes)
     spark.read.format("gtiff").load(Fixtures.dir.toString)
-      .where(col("uri").endsWith("-msi.tif") && col("band") === 2 &&
+      .where(col("uri").rlike("scene[0-3]-msi\\.tif$") && col("band") === 2 &&
         col("x") < 48 && col("y") >= 8 && col("value") =!= 0)
       .groupBy("uri", "band")
       .agg(count(lit(1)).as("n_valid"),
@@ -1267,6 +1271,84 @@ object RasterQueries {
        |FROM rows_
        |ORDER BY layout, band, "tIdx", ty, tx""".stripMargin
 
+  /** Oracles for the DSv2 SQL sources and the export/roundtrip sinks,
+    * all re-derived from landed planes. The source-SQL queries scan raw
+    * scene files per-pixel through `spark.read.format(...)`; DuckDB
+    * recomputes the same windowed stats from the per-item native planes
+    * (`OverviewNativePath`, red band, global grid coords — scene k's
+    * local x is `gx - 64k` because consecutive scenes step east by half
+    * a 128-px scene), then shifts for the other bands via the fixture
+    * algebra (`nir = red + 5000`, msi band 2 = green = red + 10000 on
+    * valid pixels). The export oracles re-aggregate the fused mosaic
+    * plane (`CellsPath`): COG export writes one file per (band, time,
+    * ty, tx) tile and zarr one `band_t{t}` variable with one chunk per
+    * tile, so tile/chunk counts are DISTINCT tile keys and
+    * valid/total are the plane's sums — a lossy codec, a broken shift
+    * origin, or a dropped chunk reddens the row. The tiles-roundtrip
+    * summary must reproduce the mosaic summary verbatim (parquet
+    * persistence is exact), hence it shares `loadMosaicDuckSql`. */
+  private val grbSourceDuckSql: String =
+    s"""WITH reg AS (
+       |  SELECT tidx, value
+       |  FROM read_parquet('$OverviewNativePath/*.parquet')
+       |  WHERE NOT isnan(value) AND gx - 64 * tidx < 48 AND gy >= 8),
+       |per AS (
+       |  SELECT tidx, COUNT(*) AS n, AVG(value) AS m, SUM(value) AS t
+       |  FROM reg GROUP BY tidx)
+       |SELECT 'scene' || tidx || '-' || b.band || '.grb' AS uri,
+       |       n AS n_valid,
+       |       ROUND(m + b.shift, 2) AS mean,
+       |       ROUND(t + b.shift * n, 2) AS total
+       |FROM per, (VALUES ('red', 0), ('nir', 5000)) AS b(band, shift)
+       |ORDER BY uri""".stripMargin
+
+  private val gtiffSourceDuckSql: String =
+    s"""WITH reg AS (
+       |  SELECT tidx, value
+       |  FROM read_parquet('$OverviewNativePath/*.parquet')
+       |  WHERE NOT isnan(value) AND gx - 64 * tidx < 48 AND gy >= 8),
+       |per AS (
+       |  SELECT tidx, COUNT(*) AS n, AVG(value) AS m, SUM(value) AS t
+       |  FROM reg GROUP BY tidx)
+       |SELECT 'scene' || tidx || '-msi.tif' AS uri, 2 AS band,
+       |       n AS n_valid,
+       |       ROUND(m + 10000, 2) AS mean,
+       |       ROUND(t + 10000 * n, 2) AS total
+       |FROM per ORDER BY uri""".stripMargin
+
+  private val anySourceDuckSql: String =
+    s"""WITH reg AS (
+       |  SELECT value
+       |  FROM read_parquet('$OverviewNativePath/*.parquet')
+       |  WHERE NOT isnan(value) AND tidx = 0 AND gx < 96 AND gy >= 8),
+       |per AS (
+       |  SELECT COUNT(*) AS n, AVG(value) AS m, SUM(value) AS t FROM reg)
+       |SELECT b.uri, n AS n_valid,
+       |       ROUND(m + b.shift, 2) AS mean,
+       |       ROUND(t + b.shift * n, 2) AS total
+       |FROM per, (VALUES ('scene0-red.grb', 0), ('scene0-red.tif', 0),
+       |                  ('scene0.nc#red', 0), ('scene0.nc#nir', 5000),
+       |                  ('scene0.zarr#red', 0), ('scene0.zarr#nir', 5000))
+       |            AS b(uri, shift)
+       |ORDER BY uri""".stripMargin
+
+  private val cogExportDuckSql: String =
+    s"""SELECT band, COUNT(DISTINCT (tidx, ty, tx)) AS n_tiles,
+       |       CAST(SUM(CASE WHEN value <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_valid,
+       |       ROUND(SUM(value), 2) AS total
+       |FROM read_parquet('$CellsPath/*.parquet')
+       |GROUP BY band ORDER BY band""".stripMargin
+
+  private val zarrExportDuckSql: String =
+    s"""SELECT band || '_t' || tidx AS variable,
+       |       CAST(COUNT(DISTINCT (ty, tx)) AS INT) AS n_chunks,
+       |       CAST(SUM(CASE WHEN value <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_valid,
+       |       ROUND(SUM(value), 2) AS total
+       |FROM read_parquet('$CellsPath/*.parquet')
+       |GROUP BY band, tidx ORDER BY variable""".stripMargin
+
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
   def compositeMean(spark: SparkSession): DataFrame = {
@@ -1344,5 +1426,11 @@ object RasterQueries {
     "raster_load_reproject" -> loadReprojectDuckSql,
     "raster_composite_mean" -> compositeMeanDuckSql,
     "raster_composite_median" -> compositeMedianDuckSql,
-    "raster_load_tiff" -> loadTiffDuckSql)
+    "raster_load_tiff" -> loadTiffDuckSql,
+    "raster_grb_source_sql" -> grbSourceDuckSql,
+    "raster_gtiff_source_sql" -> gtiffSourceDuckSql,
+    "raster_any_source_sql" -> anySourceDuckSql,
+    "raster_cog_export" -> cogExportDuckSql,
+    "raster_zarr_export" -> zarrExportDuckSql,
+    "raster_tiles_roundtrip" -> loadMosaicDuckSql)
 }
