@@ -422,15 +422,32 @@ object StreamingOps {
 
   /** Streaming STAC ingest over the scene fixtures: one file per batch,
     * schema cache widening across batches; deterministic summary. */
+  /** Raw item JSON landed as parquet for the ingest oracle: DuckDB
+    * re-derives every output column (parse fields, the schema-widening
+    * band count, the batch count implied by maxFilesPerTrigger) from the
+    * same bytes the stream consumed. */
+  private val IngestRawPath =
+    s"${sys.props("java.io.tmpdir")}/graft_ingest_raw_parquet"
+
   def stacIngestQuery(spark: SparkSession): DataFrame =
       withStreamPartitions(spark, 8) {
+    import spark.implicits._
     val jsons = graft.raster.Fixtures.writeScenes(4).map(_.replaceAll("\n", " "))
-    val landing = java.nio.file.Files.createTempDirectory("graft_ingest_land")
+    jsons.toDF("json").coalesce(1).write.mode("overwrite")
+      .parquet(IngestRawPath)
+    // fixed dirs (idempotent content) so the run is deterministic and
+    // oracle-addressable; the sink appends, so it must start empty
+    val landing = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_ingest_landing")
+    java.nio.file.Files.createDirectories(landing)
     jsons.zipWithIndex.foreach { case (j, i) =>
       java.nio.file.Files.write(landing.resolve(f"item_$i%03d.json"),
         j.getBytes("UTF-8"))
     }
-    val out = java.nio.file.Files.createTempDirectory("graft_ingest_out").toString
+    val outDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_ingest_out")
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir.toFile)
+    val out = outDir.toString
     // 2 files/trigger: still a genuine multi-batch run (schema widening
     // crosses batch boundaries) at half the per-microbatch fixed cost —
     // the single-file-per-trigger variant is pinned by StacIngestSpec
@@ -719,6 +736,48 @@ object StreamingOps {
        |ORDER BY g.d""".stripMargin
   }
 
+  /** `stream_stac_ingest` oracle: DuckDB re-parses the landed raw JSON
+    * (same classifier spelling as the batch `raster_parse_items`
+    * oracle), recomputes the widened schema's band count as the
+    * DISTINCT classified (collection, asset) pairs — the fixed point of
+    * the per-batch `StacParse.merge` fold — and the batch count as
+    * ceil(items / maxFilesPerTrigger=2) under AvailableNow. */
+  private val stacIngestOracle: String = {
+    val raw = s"${sys.props("java.io.tmpdir")}/graft_ingest_raw_parquet"
+    s"""WITH raw AS (
+       |  SELECT json FROM read_parquet('$raw/*.parquet')),
+       |a AS (
+       |  SELECT json, unnest(json_keys(json, '$$.assets')) AS ak FROM raw),
+       |cls AS (
+       |  SELECT json_extract_string(json, '$$.id') AS id,
+       |         json_extract_string(json, '$$.collection') AS collection,
+       |         ak,
+       |         json_extract_string(json, '$$.assets.' || ak || '.type')
+       |           LIKE 'image/%'
+       |         AND list_contains(CAST(json_extract(json,
+       |           '$$.assets.' || ak || '.roles') AS VARCHAR[]), 'data')
+       |           AS is_band
+       |  FROM a),
+       |cnt AS (
+       |  SELECT id, CAST(COUNT(*) FILTER (WHERE is_band) AS INT) AS n_bands
+       |  FROM cls GROUP BY id),
+       |tot AS (
+       |  SELECT CAST(COUNT(DISTINCT (collection, ak)) AS INT)
+       |           AS schema_bands,
+       |         CAST(CEIL(COUNT(DISTINCT id) / 2.0) AS INT) AS n_batches
+       |  FROM cls WHERE is_band)
+       |SELECT j.id,
+       |       json_extract_string(j.json, '$$.collection') AS collection,
+       |       cnt.n_bands,
+       |       json_extract_string(j.json, '$$.properties.datetime')
+       |         AS datetime,
+       |       tot.schema_bands, tot.n_batches
+       |FROM (SELECT json_extract_string(json, '$$.id') AS id, json
+       |      FROM raw) j
+       |JOIN cnt ON cnt.id = j.id CROSS JOIN tot
+       |ORDER BY j.id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_drift" -> ((s, d) => streamDrift(s, d)),
     "stream_stac_ingest" -> ((s, _) => stacIngestQuery(s)),
@@ -735,6 +794,7 @@ object StreamingOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_stac_ingest" -> stacIngestOracle,
     "stream_drift" -> streamDriftOracle,
     "stream_tumbling_daily" -> tumblingDailyOracle,
     "stream_tumbling_append" -> tumblingDailyAppendOracle,
