@@ -1349,6 +1349,24 @@ object RasterQueries {
        |FROM read_parquet('$CellsPath/*.parquet')
        |GROUP BY band, tidx ORDER BY variable""".stripMargin
 
+  /** `raster_tyx_bins` oracle: the P4 spatial binning (footprint ×
+    * tile-grid intersection, driver-side planning) must agree with
+    * where the per-item pixel planes ACTUALLY landed — the distinct
+    * (item, ty, tx) keys of `CompositeCellsPath` (groupby=id, so tidx
+    * is the item index; planes include nodata-as-NaN pixels, i.e. the
+    * full task footprint). Solar-day index is the fixture's `tidx // 2`
+    * (two scenes per day). A binning bug that plans a task for a
+    * non-intersecting tile, or misses an intersecting one, breaks the
+    * domain equality. */
+  private val tyxBinsDuckSql: String =
+    s"""WITH d AS (
+       |  SELECT DISTINCT tidx, ty, tx
+       |  FROM read_parquet('$CompositeCellsPath/*.parquet'))
+       |SELECT tidx // 2 AS "tIdx", ty, tx, COUNT(*) AS n_items,
+       |       string_agg(tidx::VARCHAR, ',' ORDER BY tidx) AS item_list
+       |FROM d GROUP BY tidx // 2, ty, tx
+       |ORDER BY "tIdx", ty, tx""".stripMargin
+
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
   def compositeMean(spark: SparkSession): DataFrame = {
@@ -1432,5 +1450,6 @@ object RasterQueries {
     "raster_any_source_sql" -> anySourceDuckSql,
     "raster_cog_export" -> cogExportDuckSql,
     "raster_zarr_export" -> zarrExportDuckSql,
-    "raster_tiles_roundtrip" -> loadMosaicDuckSql)
+    "raster_tiles_roundtrip" -> loadMosaicDuckSql,
+    "raster_tyx_bins" -> tyxBinsDuckSql)
 }
