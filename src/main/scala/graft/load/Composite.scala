@@ -141,8 +141,25 @@ object Composite {
     * tile (T = time depth, tens to hundreds), never the cube.
     * `mapGroups` rather than an `Aggregator`: a collect-list buffer
     * would shuffle the same bytes while pretending mergeability. */
-  def medianAcrossTime(spark: SparkSession, tiles: DataFrame): DataFrame = {
+  def medianAcrossTime(spark: SparkSession, tiles: DataFrame): DataFrame =
+    selectionAcrossTime(spark, tiles, 0.5).toDF("band", "ty", "tx",
+      "median", "count")
+
+  /** Per-pixel interpolated QUANTILE across time (q in [0,1]) — the
+    * percentile composite (seasonal p25/p75 products): same one-shuffle
+    * rechunk shape as the median, same interpolation convention as
+    * SQL `quantile_cont`/numpy `percentile` (position q·(m−1), linear
+    * between the straddling order statistics; q=0.5 reduces exactly to
+    * the median). */
+  def quantileAcrossTime(spark: SparkSession, tiles: DataFrame,
+                         q: Double): DataFrame =
+    selectionAcrossTime(spark, tiles, q).toDF("band", "ty", "tx",
+      "quantile", "count")
+
+  private def selectionAcrossTime(spark: SparkSession, tiles: DataFrame,
+                                  q: Double) = {
     import spark.implicits._
+    require(q >= 0 && q <= 1, s"quantile out of range: $q")
     keyedTiles(spark, tiles)
       .mapGroups { (key: (String, Int, Int), it: Iterator[TileIn]) =>
         val (band, ty, tx) = key
@@ -157,7 +174,7 @@ object Composite {
           planes += ((Fuse.decode(t.data, t.dtype), t.nodata))
         }
         val n = w * h
-        val med = new Array[Double](n)
+        val out = new Array[Double](n)
         val cnt = new Array[Int](n)
         val vals = new Array[Double](planes.length)
         var i = 0
@@ -170,18 +187,20 @@ object Composite {
             if (!(v.isNaN || v == nodata)) { vals(m) = v; m += 1 }
             p += 1
           }
-          if (m == 0) med(i) = Double.NaN
+          if (m == 0) out(i) = Double.NaN
           else {
             java.util.Arrays.sort(vals, 0, m)
-            med(i) =
-              if (m % 2 == 1) vals(m / 2)
-              else (vals(m / 2 - 1) + vals(m / 2)) / 2.0
+            val pos = q * (m - 1)
+            val lo = math.floor(pos).toInt
+            val hi = math.ceil(pos).toInt
+            out(i) =
+              if (lo == hi) vals(lo)
+              else vals(lo) + (vals(hi) - vals(lo)) * (pos - lo)
           }
           cnt(i) = m
           i += 1
         }
-        (band, ty, tx, med, cnt)
+        (band, ty, tx, out, cnt)
       }
-      .toDF("band", "ty", "tx", "median", "count")
   }
 }

@@ -1,0 +1,145 @@
+package graft.load
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Focal (neighborhood) statistics — the 3×3/(2r+1)² moving-window mean
+  * of map algebra (smoothing, texture, pre-classification filtering).
+  * Beyond the reference surface, and the one raster operator whose
+  * distribution is genuinely non-trivial: a window straddling a tile
+  * boundary needs pixels the neighboring TASK holds.
+  *
+  * Scale shape — halo exchange, the stencil-computation pattern: each
+  * tile task emits its full plane to its own key plus the `radius`-wide
+  * BORDER STRIPS addressed to its 8 neighbors' keys, all in one
+  * `flatMap`; ONE shuffle then co-locates every tile with exactly the
+  * halo it needs (strip traffic is ~4·r/T of the plane bytes, 6% for
+  * r=1, T=64 — not a second copy of the cube), and each group computes
+  * its windowed means independently. No driver assembly, no global
+  * plane, no iteration: the whole operator is flatMap → groupByKey →
+  * mapGroups, and output stays tile-shaped for downstream operators.
+  *
+  * Window semantics are nodata-aware: the mean runs over the VALID taps
+  * of the window (mosaic edges and nodata holes contribute nothing); a
+  * window with zero valid taps yields NaN.
+  */
+object Focal {
+
+  /** One shuffled fragment: a plane or border strip in GLOBAL pixel
+    * coordinates, addressed to tile (ty, tx); `own` marks the center
+    * tile's full plane (groups without one are dropped — strips sent to
+    * tiles that don't exist). */
+  final case class Frag(ty: Int, tx: Int, gx0: Int, gy0: Int,
+                        w: Int, h: Int, own: Boolean, vals: Array[Double])
+
+  /** Focal mean over a `LoadResult.tiles` frame (any number of bands;
+    * windows never cross bands or times). Returns one row per tile:
+    * (band, tIdx, ty, tx, focal, n_valid). */
+  def focalMean(spark: SparkSession, tiles: DataFrame,
+                radius: Int = 1): DataFrame = {
+    import spark.implicits._
+    require(radius >= 1, s"radius must be >= 1: $radius")
+    val r = radius
+    tiles
+      .select("band", "tIdx", "ty", "tx", "x0", "y0", "width", "height",
+        "data", "dtype", "nodata")
+      .as[(String, Int, Int, Int, Int, Int, Int, Int, Array[Byte], String, Double)]
+      .flatMap { case (band, tIdx, ty, tx, x0, y0, w, h, data, dtype, nodata) =>
+        val px = Fuse.decode(data, dtype)
+        var i = 0
+        while (i < px.length) {
+          val v = px(i)
+          if (v == nodata) px(i) = Double.NaN
+          i += 1
+        }
+        def strip(sx: Int, sy: Int, sw: Int, sh: Int): Array[Double] = {
+          val out = new Array[Double](sw * sh)
+          var y = 0
+          while (y < sh) {
+            System.arraycopy(px, (sy + y) * w + sx, out, y * sw, sw)
+            y += 1
+          }
+          out
+        }
+        val frags = Seq.newBuilder[((String, Int, Int, Int), Frag)]
+        frags += (((band, tIdx, ty, tx),
+          Frag(ty, tx, x0, y0, w, h, own = true, px)))
+        // border strips to the 8 neighbors (clipped to this tile)
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            if (dx != 0 || dy != 0) {
+              val sx = if (dx < 0) 0 else if (dx > 0) math.max(0, w - r) else 0
+              val sy = if (dy < 0) 0 else if (dy > 0) math.max(0, h - r) else 0
+              val sw = if (dx == 0) w else math.min(r, w)
+              val sh = if (dy == 0) h else math.min(r, h)
+              frags += (((band, tIdx, ty + dy, tx + dx),
+                Frag(ty + dy, tx + dx, x0 + sx, y0 + sy, sw, sh,
+                  own = false, strip(sx, sy, sw, sh))))
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        frags.result()
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val (band, tIdx, ty, tx) = key
+        val frags = it.map(_._2).toArray
+        frags.find(_.own) match {
+          case None => Iterator.empty // strips addressed to a hole
+          case Some(center) =>
+            val w = center.w
+            val h = center.h
+            val pw = w + 2 * r
+            val ph = h + 2 * r
+            val pad = Array.fill(pw * ph)(Double.NaN)
+            frags.foreach { f =>
+              val ox = f.gx0 - (center.gx0 - r)
+              val oy = f.gy0 - (center.gy0 - r)
+              var y = 0
+              while (y < f.h) {
+                val py = oy + y
+                if (py >= 0 && py < ph) {
+                  var x = 0
+                  while (x < f.w) {
+                    val pxx = ox + x
+                    if (pxx >= 0 && pxx < pw)
+                      pad(py * pw + pxx) = f.vals(y * f.w + x)
+                    x += 1
+                  }
+                }
+                y += 1
+              }
+            }
+            val focal = new Array[Double](w * h)
+            var nValid = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                var s = 0.0
+                var c = 0
+                var wy = y
+                while (wy <= y + 2 * r) {
+                  var wx = x
+                  while (wx <= x + 2 * r) {
+                    val v = pad(wy * pw + wx)
+                    if (!v.isNaN) { s += v; c += 1 }
+                    wx += 1
+                  }
+                  wy += 1
+                }
+                focal(y * w + x) = if (c == 0) Double.NaN else s / c
+                if (c > 0) nValid += 1
+                x += 1
+              }
+              y += 1
+            }
+            Iterator.single((band, tIdx, ty, tx, focal, nValid))
+        }
+      }
+      .toDF("band", "tIdx", "ty", "tx", "focal", "n_valid")
+  }
+}

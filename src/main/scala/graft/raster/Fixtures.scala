@@ -251,6 +251,34 @@ object Fixtures {
   /** STAC item JSON with proj + raster + eo extensions populated the way
     * real catalogs do (FIXTURES.md §1). Scenes alternate between two
     * days; two scenes share a timestamp day for solar_day grouping. */
+  def gapPath(k: Int): String = dir.resolve(s"gapscene$k-red.grb").toString
+
+  /** Temporal-gap fixture: `n` scenes at the SAME geobox on consecutive
+    * days (k maps through itemJson as 2k, so day k at 08:00 + 2k min —
+    * deliberately a uniform time step, making the midpoint
+    * interpolation fraction exactly 1/2). Values are the base ramp
+    * + 100·k on valid pixels; the MIDDLE scene additionally has a
+    * 32×32 nodata square at x,y ∈ [16,48) — an interior temporal gap
+    * whose linear fill is base + 100·k exactly. */
+  def writeScenesGap(n: Int = 3): Seq[String] =
+    (0 until n).map { k =>
+      val gbox = sceneGeobox(0)
+      val f = new java.io.File(gapPath(k))
+      if (!f.exists()) {
+        val px = scenePixels(0).map(v => if (v == 0.0) 0.0 else v + 100.0 * k)
+        if (k == n / 2) {
+          var y = 16
+          while (y < 48) {
+            var x = 16
+            while (x < 48) { px(y * SceneW + x) = 0.0; x += 1 }
+            y += 1
+          }
+        }
+        Grb.writeWithOverviews(gapPath(k), px, gbox, "uint16", Some(0.0))
+      }
+      itemJson(2 * k, gbox, (kk, _) => gapPath(kk / 2))
+    }
+
   def itemJson(k: Int, gbox: GeoBox,
                pathOf: (Int, String) => String = grbPath): String = {
     val fp = gbox.footprint(Crs.LonLat)

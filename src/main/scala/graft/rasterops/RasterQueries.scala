@@ -1,7 +1,7 @@
 package graft.rasterops
 
 import graft.eo3.Eo3
-import graft.geo.BBox
+import graft.geo.{BBox, Geom}
 import graft.load.{Fuse, Load}
 import graft.planner.Planner
 import graft.raster.Fixtures
@@ -402,7 +402,7 @@ object RasterQueries {
     // specs that write more, and a deterministic row set is what lets
     // the DuckDB oracle re-derive this from the landed native planes
     spark.read.format("grb").load(Fixtures.dir.toString)
-      .where(col("uri").rlike("scene[0-3]-(red|nir)\\.grb$"))
+      .where(col("uri").rlike("/scene[0-3]-(red|nir)\\.grb$"))
       .where(col("x") < 48 && col("y") >= 8 && col("value") =!= 0)
       .groupBy("uri")
       .agg(count(lit(1)).as("n_valid"),
@@ -418,7 +418,7 @@ object RasterQueries {
   def gtiffSourceSql(spark: SparkSession): DataFrame = {
     Fixtures.writeScenesMultiband(NScenes)
     spark.read.format("gtiff").load(Fixtures.dir.toString)
-      .where(col("uri").rlike("scene[0-3]-msi\\.tif$") && col("band") === 2 &&
+      .where(col("uri").rlike("/scene[0-3]-msi\\.tif$") && col("band") === 2 &&
         col("x") < 48 && col("y") >= 8 && col("value") =!= 0)
       .groupBy("uri", "band")
       .agg(count(lit(1)).as("n_valid"),
@@ -1367,6 +1367,246 @@ object RasterQueries {
        |FROM d GROUP BY tidx // 2, ty, tx
        |ORDER BY "tIdx", ty, tx""".stripMargin
 
+  /** Shared path for the zonal-stats oracle: zone ring edges land as a
+    * tiny parquet table so DuckDB can run the SAME even-odd ray cast. */
+  private val ZoneEdgesPath =
+    s"${sys.props("java.io.tmpdir")}/graft_zone_edges_parquet"
+
+  /** Zonal statistics (graft.load.Zonal — beyond the reference): three
+    * zones over the demo mosaic — an axis-aligned rectangle, a triangle
+    * (non-trivial ray-cast geometry), and a rectangle with a hole
+    * (even-odd rule) — aggregated per band and solar day. The oracle
+    * recomputes zone membership from the landed mosaic plane
+    * (`CellsPath`) and the landed zone edges with the identical ray
+    * cast (`(y1 > py) != (y2 > py) AND px < (x2-x1)(py-y1)/(y2-y1)+x1`,
+    * odd crossing count = inside), then re-aggregates — so the
+    * distributed tile-partial pipeline is checked against a flat
+    * per-pixel recomputation in another engine. Zone vertices sit on
+    * 10 m grid lines while pixel centers sit at 5 m offsets, so no
+    * center lies exactly on an edge and the decision is tie-free. */
+  def zonalStats(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val crs = res.geobox.crs
+    val zones = Seq(
+      "rect" -> Geom(IndexedSeq(
+        (500200.0, 7999600.0), (500800.0, 7999600.0),
+        (500800.0, 7999900.0), (500200.0, 7999900.0)), crs),
+      "tri" -> Geom(IndexedSeq(
+        (501000.0, 7999950.0), (502000.0, 7999950.0),
+        (501500.0, 7999200.0)), crs),
+      "holed" -> Geom(IndexedSeq(graft.geo.Poly(
+        IndexedSeq((502000.0, 7999200.0), (502800.0, 7999200.0),
+          (502800.0, 7999800.0), (502000.0, 7999800.0)),
+        IndexedSeq(IndexedSeq((502300.0, 7999400.0), (502500.0, 7999400.0),
+          (502500.0, 7999600.0), (502300.0, 7999600.0))))), crs))
+    zones.flatMap { case (zid, g) =>
+      g.parts.flatMap(_.rings).flatMap { r =>
+        r.indices.map { i =>
+          val (x1, y1) = r(i)
+          val (x2, y2) = r((i + 1) % r.length)
+          (zid, x1, y1, x2, y2)
+        }
+      }
+    }.toDF("zone", "x1", "y1", "x2", "y2")
+      .coalesce(1).write.mode("overwrite").parquet(ZoneEdgesPath)
+    graft.load.Zonal.zonalStats(spark, res.tiles, res.geobox, zones)
+      .orderBy("zone", "band", "tIdx")
+  }
+
+  private val zonalStatsDuckSql: String =
+    s"""WITH e AS (
+       |  SELECT zone, x1, y1, x2, y2
+       |  FROM read_parquet('$ZoneEdgesPath/*.parquet')),
+       |p AS (
+       |  SELECT band, tidx, value,
+       |         500000 + (tx * 64 + px + 0.5) * 10 AS cx,
+       |         8000000 - (ty * 64 + py + 0.5) * 10 AS cy
+       |  FROM read_parquet('$CellsPath/*.parquet')
+       |  WHERE value <> 0),
+       |hit AS (
+       |  SELECT e.zone, p.band, p.tidx, p.cx, p.cy, MIN(p.value) AS value,
+       |         SUM(CASE WHEN (e.y1 > p.cy) <> (e.y2 > p.cy)
+       |                   AND p.cx < (e.x2 - e.x1) * (p.cy - e.y1)
+       |                              / (e.y2 - e.y1) + e.x1
+       |              THEN 1 ELSE 0 END) AS cr
+       |  FROM p CROSS JOIN e
+       |  GROUP BY e.zone, p.band, p.tidx, p.cx, p.cy)
+       |SELECT zone, band, tidx AS "tIdx",
+       |       COUNT(*) AS n_valid, ROUND(SUM(value), 2) AS total,
+       |       ROUND(MIN(value), 2) AS vmin, ROUND(MAX(value), 2) AS vmax
+       |FROM hit WHERE cr % 2 = 1
+       |GROUP BY zone, band, tidx
+       |ORDER BY zone, band, "tIdx"""".stripMargin
+
+  /** Shared path for the gap-fill oracle's input planes. */
+  private val GapCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_gap_cells_parquet"
+
+  /** Temporal gap-fill (graft.load.TemporalFill — beyond the
+    * reference): three same-footprint scenes on consecutive days, the
+    * middle one holed with a 32×32 nodata square, loaded per-item and
+    * gap-filled along time. The per-time input planes land WITH their
+    * epoch seconds and DuckDB replays the whole fill rule — interior
+    * gaps by time-weighted linear interpolation between the
+    * IGNORE-NULLS window neighbors, edges by nearest-valid carry —
+    * then re-aggregates the filled planes. The hole pixels are valid
+    * at t0/t2 with a uniform step, so their fill is exactly
+    * `base + 100` (the t1 ramp value): interpolation correctness is
+    * visible in the checksum, not just the fill count. */
+  def temporalFill(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenesGap(3)
+    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
+    val items = ds.collect().toSeq.sortBy(_.id)
+    val res = Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "id", chunks = 64, dtype = Some("float64"))
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    res.tiles
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("width"),
+        col("nodata"), unix_timestamp(col("time")).as("tsec"),
+        posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tIdx").as("tidx"), col("tsec"), col("ty"),
+        col("tx"),
+        (col("pos") / col("width")).cast("int").as("py"),
+        (col("pos") % col("width")).cast("int").as("px"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(GapCellsPath)
+    graft.load.TemporalFill.fillAcrossTime(spark, res.tiles)
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("n_filled"),
+        expr("aggregate(filled, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("fill_q"),
+        expr("aggregate(filled, 0, (s, v) -> s + if(isnan(v), 0, 1))")
+          .as("n_data"))
+      .orderBy("band", "tIdx", "ty", "tx")
+  }
+
+  private val temporalFillDuckSql: String =
+    s"""WITH w AS (
+       |  SELECT band, tidx, ty, tx, py, px, tsec, value,
+       |         last_value(CASE WHEN NOT isnan(value) THEN value END
+       |             IGNORE NULLS) OVER wp AS pv,
+       |         last_value(CASE WHEN NOT isnan(value) THEN tsec END
+       |             IGNORE NULLS) OVER wp AS pt,
+       |         first_value(CASE WHEN NOT isnan(value) THEN value END
+       |             IGNORE NULLS) OVER wn AS nv,
+       |         first_value(CASE WHEN NOT isnan(value) THEN tsec END
+       |             IGNORE NULLS) OVER wn AS nt
+       |  FROM read_parquet('$GapCellsPath/*.parquet')
+       |  WINDOW
+       |    wp AS (PARTITION BY band, ty, tx, py, px ORDER BY tsec
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    wn AS (PARTITION BY band, ty, tx, py, px ORDER BY tsec
+       |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+       |f AS (
+       |  SELECT band, tidx, ty, tx,
+       |         CASE WHEN NOT isnan(value) THEN value
+       |              WHEN pv IS NOT NULL AND nv IS NOT NULL
+       |                THEN pv + (nv - pv) * (tsec - pt) / (nt - pt)
+       |              WHEN pv IS NOT NULL THEN pv
+       |              WHEN nv IS NOT NULL THEN nv
+       |              ELSE NULL END AS fv,
+       |         CASE WHEN isnan(value)
+       |               AND (pv IS NOT NULL OR nv IS NOT NULL)
+       |              THEN 1 ELSE 0 END AS isf
+       |  FROM w)
+       |SELECT band, tidx AS "tIdx", ty, tx,
+       |       CAST(SUM(isf) AS INT) AS n_filled,
+       |       CAST(SUM(COALESCE(CAST(ROUND(fv * 100) AS BIGINT), 0))
+       |            AS BIGINT) AS fill_q,
+       |       CAST(COUNT(fv) AS INT) AS n_data
+       |FROM f GROUP BY band, tidx, ty, tx
+       |ORDER BY band, "tIdx", ty, tx""".stripMargin
+
+  /** NDVI band math (graft.load.BandMath — beyond the reference): the
+    * fused red/nir mosaic planes combine per pixel as (nir−red)/
+    * (nir+red) through a codegen'd `zip_with` (no UDF in the
+    * arithmetic). DuckDB recomputes the index by JOINING the landed
+    * red and nir planes (`CellsPath`) on pixel position — same single
+    * IEEE division, so the ×1e6 quantization is bit-agreeing. */
+  def bandMathNdvi(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    graft.load.BandMath
+      .normalizedDifference(spark, res.tiles, "nir", "red", "ndvi")
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("n_valid"),
+        expr("aggregate(values, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 1e6) AS BIGINT)))").as("ndvi_q"))
+      .orderBy("band", "tIdx", "ty", "tx")
+  }
+
+  private val bandMathNdviDuckSql: String =
+    s"""WITH r AS (
+       |  SELECT tidx, ty, tx, py, px, value
+       |  FROM read_parquet('$CellsPath/*.parquet') WHERE band = 'red'),
+       |n AS (
+       |  SELECT tidx, ty, tx, py, px, value
+       |  FROM read_parquet('$CellsPath/*.parquet') WHERE band = 'nir'),
+       |j AS (
+       |  SELECT r.tidx, r.ty, r.tx,
+       |         CASE WHEN r.value <> 0 AND n.value <> 0
+       |              THEN (n.value - r.value) / (n.value + r.value)
+       |              END AS v
+       |  FROM r JOIN n USING (tidx, ty, tx, py, px))
+       |SELECT 'ndvi' AS band, tidx AS "tIdx", ty, tx,
+       |       CAST(COUNT(v) AS BIGINT) AS n_valid,
+       |       CAST(SUM(COALESCE(CAST(ROUND(v * 1e6) AS BIGINT), 0))
+       |            AS BIGINT) AS ndvi_q
+       |FROM j GROUP BY tidx, ty, tx
+       |ORDER BY band, "tIdx", ty, tx""".stripMargin
+
+  /** Focal 3×3 mean (graft.load.Focal — halo-exchange stencil): windows
+    * crossing tile boundaries are the whole point, so the oracle must
+    * not respect tiles: DuckDB recomputes every pixel's windowed mean
+    * GLOBALLY from the landed mosaic plane (9 shifted copies of the
+    * valid pixels, equi-joined back onto the full pixel domain), then
+    * re-aggregates per tile. A wrong or missing halo strip shifts every
+    * boundary pixel's mean and breaks the checksum. */
+  def focalMean(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    graft.load.Focal.focalMean(spark, res.tiles, radius = 1)
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("n_valid"),
+        expr("aggregate(focal, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("focal_q"))
+      .orderBy("band", "tIdx", "ty", "tx")
+  }
+
+  private val focalMeanDuckSql: String =
+    s"""WITH dom AS (
+       |  SELECT band, tidx, ty, tx,
+       |         ty * 64 + py AS gy, tx * 64 + px AS gx
+       |  FROM read_parquet('$CellsPath/*.parquet')),
+       |v AS (
+       |  SELECT band, tidx, ty * 64 + py AS gy, tx * 64 + px AS gx, value
+       |  FROM read_parquet('$CellsPath/*.parquet') WHERE value <> 0),
+       |vs AS (
+       |  SELECT band, tidx, gy + o.dy AS gy, gx + o.dx AS gx, value
+       |  FROM v CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+       |                            (0,1),(1,-1),(1,0),(1,1)) o(dy, dx)),
+       |f AS (
+       |  SELECT d.band, d.tidx, d.ty, d.tx, d.gy, d.gx,
+       |         AVG(s.value) AS fv, COUNT(s.value) AS c
+       |  FROM dom d LEFT JOIN vs s
+       |    ON s.band = d.band AND s.tidx = d.tidx
+       |   AND s.gy = d.gy AND s.gx = d.gx
+       |  GROUP BY d.band, d.tidx, d.ty, d.tx, d.gy, d.gx)
+       |SELECT band, tidx AS "tIdx", ty, tx,
+       |       CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_valid,
+       |       CAST(SUM(CASE WHEN c > 0
+       |                THEN CAST(ROUND(fv * 100) AS BIGINT) ELSE 0 END)
+       |            AS BIGINT) AS focal_q
+       |FROM f GROUP BY band, tidx, ty, tx
+       |ORDER BY band, "tIdx", ty, tx""".stripMargin
+
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
   def compositeMean(spark: SparkSession): DataFrame = {
@@ -1385,6 +1625,50 @@ object RasterQueries {
     * geomedian-family statistic. One tile-row shuffle, per-group
     * selection over the bounded time depth — see
     * [[graft.load.Composite.medianAcrossTime]]. */
+  /** Percentile composite (p25/p75 across time): per-pixel interpolated
+    * quantiles quantized ×100 and summed per tile. DuckDB re-derives
+    * from the per-time planes with its own `quantile_cont` — same
+    * convention (position q·(m−1), linear interpolation), shared code
+    * zero. Quartile interpolands of integer-valued fixtures are exact
+    * binary fractions, so the ×100 quantization is tie-free. */
+  def compositeQuantile(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "id", chunks = 64)
+    Seq(0.25, 0.75).map { q =>
+      graft.load.Composite.quantileAcrossTime(spark, res.tiles, q)
+        .selectExpr(s"'p${(q * 100).toInt}' AS p", "band", "ty", "tx",
+          "aggregate(quantile, 0L, (s, v) -> s + " +
+            "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT))) AS q_sum",
+          "CAST(aggregate(count, 0, (s, v) -> s + v) AS BIGINT) AS n_valid")
+    }.reduce(_ unionAll _)
+      .orderBy("p", "band", "ty", "tx")
+  }
+
+  private val compositeQuantileDuckSql: String =
+    s"""WITH px AS (
+       |  SELECT band, ty, tx, py, px, value
+       |  FROM read_parquet('$CompositeCellsPath/*.parquet')
+       |  WHERE NOT isnan(value)),
+       |m AS (
+       |  SELECT band, ty, tx, py, px,
+       |         quantile_cont(value, 0.25) AS q25,
+       |         quantile_cont(value, 0.75) AS q75,
+       |         COUNT(*) AS c
+       |  FROM px GROUP BY band, ty, tx, py, px),
+       |t AS (
+       |  SELECT band, ty, tx,
+       |         CAST(SUM(CAST(ROUND(q25 * 100) AS BIGINT)) AS BIGINT)
+       |           AS s25,
+       |         CAST(SUM(CAST(ROUND(q75 * 100) AS BIGINT)) AS BIGINT)
+       |           AS s75,
+       |         CAST(SUM(c) AS BIGINT) AS n_valid
+       |  FROM m GROUP BY band, ty, tx)
+       |SELECT 'p25' AS p, band, ty, tx, s25 AS q_sum, n_valid FROM t
+       |UNION ALL
+       |SELECT 'p75', band, ty, tx, s75, n_valid FROM t
+       |ORDER BY p, band, ty, tx""".stripMargin
+
   def compositeMedian(spark: SparkSession): DataFrame = {
     val (items, schemas) = parsed(spark)
     val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
@@ -1399,6 +1683,7 @@ object RasterQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "raster_composite_mean" -> ((s, _) => compositeMean(s)),
     "raster_composite_median" -> ((s, _) => compositeMedian(s)),
+    "raster_composite_quantile" -> ((s, _) => compositeQuantile(s)),
     "raster_tiles_roundtrip" -> ((s, _) => tilesRoundtrip(s)),
     "raster_eo3_product" -> ((s, _) => eo3Product(s)),
     "raster_grb_source_sql" -> ((s, _) => grbSourceSql(s)),
@@ -1424,6 +1709,10 @@ object RasterQueries {
     "raster_stac_search" -> ((s, _) => stacSearchDump(s)),
     "raster_output_geobox" -> ((s, _) => outputGeoboxPlans(s)),
     "raster_tyx_bins" -> ((s, _) => tyxBins(s)),
+    "raster_zonal_stats" -> ((s, _) => zonalStats(s)),
+    "raster_temporal_fill" -> ((s, _) => temporalFill(s)),
+    "raster_band_math" -> ((s, _) => bandMathNdvi(s)),
+    "raster_focal_mean" -> ((s, _) => focalMean(s)),
     "raster_eo3_export" -> ((s, _) => eo3Export(s))
   )
 
@@ -1451,5 +1740,10 @@ object RasterQueries {
     "raster_cog_export" -> cogExportDuckSql,
     "raster_zarr_export" -> zarrExportDuckSql,
     "raster_tiles_roundtrip" -> loadMosaicDuckSql,
-    "raster_tyx_bins" -> tyxBinsDuckSql)
+    "raster_tyx_bins" -> tyxBinsDuckSql,
+    "raster_zonal_stats" -> zonalStatsDuckSql,
+    "raster_composite_quantile" -> compositeQuantileDuckSql,
+    "raster_temporal_fill" -> temporalFillDuckSql,
+    "raster_band_math" -> bandMathNdviDuckSql,
+    "raster_focal_mean" -> focalMeanDuckSql)
 }

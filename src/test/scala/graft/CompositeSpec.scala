@@ -53,6 +53,35 @@ class CompositeSpec extends AnyFunSuite {
     assert(r.getAs[scala.collection.Seq[Int]]("count").toSeq == Seq(3, 2, 1, 0))
   }
 
+  test("quantile: quantile_cont convention, q=0.5 equals the median") {
+    import spark.implicits._
+    // pixel stories over three planes:
+    //   p0: 10/20/40 -> q25 at pos 0.5 = 15, q75 at pos 1.5 = 30
+    //   p1: 0/20/40  -> two valid: q25 = 25, q75 = 35
+    //   p2: 30/0/0   -> single valid: both quartiles = 30
+    //   p3: 0/0/0    -> NaN
+    val rows = Seq(
+      ("b", 0, 0, 0, Fuse.encode(Array(10.0, 0.0, 30.0, 0.0), "uint16"),
+        "uint16", 0.0, 2, 2),
+      ("b", 1, 0, 0, Fuse.encode(Array(20.0, 20.0, 0.0, 0.0), "uint16"),
+        "uint16", 0.0, 2, 2),
+      ("b", 2, 0, 0, Fuse.encode(Array(40.0, 40.0, 0.0, 0.0), "uint16"),
+        "uint16", 0.0, 2, 2)
+    ).toDF("band", "tIdx", "ty", "tx", "data", "dtype", "nodata", "width", "height")
+    val q25 = Composite.quantileAcrossTime(spark, rows, 0.25).collect().head
+      .getAs[scala.collection.Seq[Double]]("quantile").toSeq
+    assert(q25(0) == 15.0 && q25(1) == 25.0 && q25(2) == 30.0 && q25(3).isNaN)
+    val q75 = Composite.quantileAcrossTime(spark, rows, 0.75).collect().head
+      .getAs[scala.collection.Seq[Double]]("quantile").toSeq
+    assert(q75(0) == 30.0 && q75(1) == 35.0 && q75(2) == 30.0 && q75(3).isNaN)
+    val q50 = Composite.quantileAcrossTime(spark, rows, 0.5).collect().head
+      .getAs[scala.collection.Seq[Double]]("quantile").toSeq
+    val med = Composite.medianAcrossTime(spark, rows).collect().head
+      .getAs[scala.collection.Seq[Double]]("median").toSeq
+    assert(q50.zip(med).forall { case (a, b) =>
+      (a.isNaN && b.isNaN) || a == b })
+  }
+
   test("composite over a real load: count matches per-pixel source coverage") {
     import spark.implicits._
     val jsons = Fixtures.writeScenes(4)

@@ -1,0 +1,63 @@
+package graft
+
+import graft.load.{Focal, Fuse}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Focal mean: halo exchange across tile boundaries, nodata-aware taps. */
+class FocalSpec extends AnyFunSuite {
+  import GraftSpark.spark
+
+  private def tile(ty: Int, tx: Int, x0: Int, y0: Int,
+                   vals: Array[Double]) =
+    ("b", 0, ty, tx, x0, y0, Fuse.encode(vals, "uint16"), "uint16", 0.0, 2, 2)
+
+  test("window straddling a tile boundary uses the neighbor's strip") {
+    import spark.implicits._
+    // two 2x2 tiles side by side:
+    //   t(0,0) = [1 2; 3 4]   t(0,1) = [5 6; 7 8]
+    val rows = Seq(
+      tile(0, 0, 0, 0, Array(1.0, 2.0, 3.0, 4.0)),
+      tile(0, 1, 2, 0, Array(5.0, 6.0, 7.0, 8.0))
+    ).toDF("band", "tIdx", "ty", "tx", "x0", "y0", "data", "dtype",
+      "nodata", "width", "height")
+    val out = Focal.focalMean(spark, rows).orderBy("tx").collect()
+    assert(out.length == 2)
+    val f0 = out(0).getAs[scala.collection.Seq[Double]]("focal").toSeq
+    val f1 = out(1).getAs[scala.collection.Seq[Double]]("focal").toSeq
+    // t01 pixel (0,0): taps {2,4} from t00 + {5,6,7,8} = 32/6
+    assert(f1(0) == 32.0 / 6)
+    // t00 pixel (0,1): taps {1,2,3,4} + {5,7} = 22/6
+    assert(f0(1) == 22.0 / 6)
+    // interior corner away from the seam: t00 (0,0) = (1+2+3+4)/4
+    assert(f0(0) == 10.0 / 4)
+    assert(out.forall(_.getAs[Long]("n_valid") == 4L))
+  }
+
+  test("nodata taps drop out of the window mean") {
+    import spark.implicits._
+    // t00 has a nodata hole at (0,1)
+    val rows = Seq(
+      tile(0, 0, 0, 0, Array(1.0, 0.0, 3.0, 4.0)),
+      tile(0, 1, 2, 0, Array(5.0, 6.0, 7.0, 8.0))
+    ).toDF("band", "tIdx", "ty", "tx", "x0", "y0", "data", "dtype",
+      "nodata", "width", "height")
+    val out = Focal.focalMean(spark, rows).orderBy("tx").collect()
+    val f1 = out(1).getAs[scala.collection.Seq[Double]]("focal").toSeq
+    // t01 (0,0): {4} from t00 (0 dropped) + {5,6,7,8} = 30/5
+    assert(f1(0) == 30.0 / 5)
+    // the hole pixel itself still gets a mean from its valid neighbors
+    val f0 = out(0).getAs[scala.collection.Seq[Double]]("focal").toSeq
+    assert(f0(1) == (1.0 + 3 + 4 + 5 + 7) / 5)
+  }
+
+  test("isolated tile: mosaic edges contribute nothing") {
+    import spark.implicits._
+    val rows = Seq(tile(3, 7, 6, 6, Array(2.0, 4.0, 6.0, 8.0)))
+      .toDF("band", "tIdx", "ty", "tx", "x0", "y0", "data", "dtype",
+        "nodata", "width", "height")
+    val out = Focal.focalMean(spark, rows).collect()
+    assert(out.length == 1)
+    val f = out.head.getAs[scala.collection.Seq[Double]]("focal").toSeq
+    assert(f == Seq(5.0, 5.0, 5.0, 5.0)) // every window = all four pixels
+  }
+}
