@@ -44,6 +44,11 @@ object Focal {
         "data", "dtype", "nodata")
       .as[(String, Int, Int, Int, Int, Int, Int, Int, Array[Byte], String, Double)]
       .flatMap { case (band, tIdx, ty, tx, x0, y0, w, h, data, dtype, nodata) =>
+        // one ring of neighbors is the whole halo: a window may not
+        // reach past the adjacent tile (r <= tile dims), or strips from
+        // two tiles away would be silently missing
+        require(r <= w && r <= h,
+          s"focal radius $r exceeds tile ${w}x$h — rechunk larger tiles")
         val px = Fuse.decode(data, dtype)
         var i = 0
         while (i < px.length) {
