@@ -435,19 +435,15 @@ object StreamingOps {
     val jsons = graft.raster.Fixtures.writeScenes(4).map(_.replaceAll("\n", " "))
     jsons.toDF("json").coalesce(1).write.mode("overwrite")
       .parquet(IngestRawPath)
-    // fixed dirs (idempotent content) so the run is deterministic and
-    // oracle-addressable; the sink appends, so it must start empty
-    val landing = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_ingest_landing")
-    java.nio.file.Files.createDirectories(landing)
+    // the ORACLE address is the raw parquet above — the stream's own
+    // landing/sink dirs stay per-run temps (fresh file-source listing
+    // state, append sink starts empty by construction)
+    val landing = java.nio.file.Files.createTempDirectory("graft_ingest_land")
     jsons.zipWithIndex.foreach { case (j, i) =>
       java.nio.file.Files.write(landing.resolve(f"item_$i%03d.json"),
         j.getBytes("UTF-8"))
     }
-    val outDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_ingest_out")
-    org.apache.commons.io.FileUtils.deleteQuietly(outDir.toFile)
-    val out = outDir.toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest_out").toString
     // 2 files/trigger: still a genuine multi-batch run (schema widening
     // crosses batch boundaries) at half the per-microbatch fixed cost —
     // the single-file-per-trigger variant is pinned by StacIngestSpec
