@@ -52,4 +52,34 @@ object BandMath {
                            bandA: String, bandB: String,
                            outBand: String): DataFrame =
     map2(spark, tiles, bandA, bandB, outBand)((a, b) => (a - b) / (a + b))
+
+  /** Change detection: the same band at two times, combined per pixel
+    * (default: late − early difference). Same co-keyed join shape as
+    * [[map2]] but keyed (band, ty, tx) with the TIME axis split — a
+    * pixel valid at only one time comes out NaN, so the result is the
+    * change over the ground both acquisitions actually saw. */
+  def changeAcrossTime(spark: SparkSession, tiles: DataFrame,
+                       tIdx0: Int, tIdx1: Int)
+                      (f: (Column, Column) => Column = _ - _): DataFrame = {
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    def side(t: Int, p: String) = tiles
+      .where(col("tIdx") === t)
+      .select(col("band"), col("ty"), col("tx"),
+        col("x0"), col("y0"), col("width"), col("height"),
+        decode(col("data"), col("dtype")).as(s"${p}_px"),
+        col("nodata").as(s"${p}_nd"))
+    val a = side(tIdx0, "a")
+    val b = side(tIdx1, "b").drop("x0", "y0", "width", "height")
+    val valid = (v: Column, nd: Column) => !(isnan(v) || v === nd)
+    a.join(b, Seq("band", "ty", "tx"))
+      .select(col("band"), col("ty"), col("tx"),
+        col("x0"), col("y0"), col("width"), col("height"),
+        zip_with(col("a_px"), col("b_px"), (x, y) =>
+          when(valid(x, col("a_nd")) && valid(y, col("b_nd")), f(y, x))
+            .otherwise(lit(Double.NaN))).as("change"))
+      .withColumn("n_both",
+        aggregate(col("change"), lit(0L),
+          (s, v) => s + when(isnan(v), 0L).otherwise(1L)))
+  }
 }

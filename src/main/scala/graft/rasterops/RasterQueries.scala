@@ -1607,6 +1607,78 @@ object RasterQueries {
        |FROM f GROUP BY band, tidx, ty, tx
        |ORDER BY band, "tIdx", ty, tx""".stripMargin
 
+  /** Point drill (graft.load.Drill — beyond the reference): sample the
+    * fused mosaic at world-coordinate points. The fixture points tell
+    * three stories — a plainly valid pixel, a pixel valid on one solar
+    * day and fused-nodata on the other (the drill returns NaN, not a
+    * dropped row), and a point outside every tile (no rows at all).
+    * DuckDB re-samples the landed mosaic plane at the same global pixel
+    * coords (floor((x−x0)/res) on both sides). */
+  def drillPoints(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val points = Seq(
+      ("p_valid", 500234.7, 7999812.3),   // gx 23, gy 18 — valid day 0
+      ("p_margin", 501700.0, 7999500.0),  // gx 170 — day-0 fused nodata,
+                                          // day-1 scene2 value
+      ("p_edge", 501507.2, 7999045.8),    // gy 95 — last row of the grid
+      ("p_outside", 499000.0, 7999500.0)) // west of every scene: no rows
+    graft.load.Drill.drill(spark, res.tiles, res.geobox, points)
+      .orderBy("point_id", "band", "tIdx")
+  }
+
+  private val drillPointsDuckSql: String =
+    s"""WITH pts(pid, gx, gy) AS (
+       |  VALUES ('p_valid', 23, 18), ('p_margin', 170, 50),
+       |         ('p_edge', 150, 95)),
+       |c AS (SELECT * FROM read_parquet('$CellsPath/*.parquet'))
+       |SELECT p.pid AS point_id, c.band, c.tidx AS "tIdx",
+       |       CASE WHEN c.value <> 0 THEN c.value
+       |            ELSE CAST('NaN' AS DOUBLE) END AS value
+       |FROM pts p JOIN c
+       |  ON c.ty = p.gy // 64 AND c.tx = p.gx // 64
+       | AND c.py = p.gy % 64 AND c.px = p.gx % 64
+       |ORDER BY point_id, band, "tIdx"""".stripMargin
+
+  /** Change detection day 0 → day 1 (BandMath.changeAcrossTime): the
+    * overlap columns of the marching scenes are the ground both days
+    * saw; every such pixel steps by exactly the fixture's inter-scene
+    * offset, which the checksum verifies. DuckDB recomputes the change
+    * plane by joining the landed mosaic's two time slices per pixel. */
+  def changeDetect(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    graft.load.BandMath.changeAcrossTime(spark, res.tiles, 0, 1)()
+      .select(col("band"), col("ty"), col("tx"), col("n_both"),
+        expr("aggregate(change, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("diff_q"),
+        expr("aggregate(change, 0L, (s, v) -> s + " +
+          "if(isnan(v) OR v = 0D, 0L, 1L))").as("n_changed"))
+      .orderBy("band", "ty", "tx")
+  }
+
+  private val changeDetectDuckSql: String =
+    s"""WITH a AS (
+       |  SELECT band, ty, tx, py, px, value
+       |  FROM read_parquet('$CellsPath/*.parquet')
+       |  WHERE tidx = 0 AND value <> 0),
+       |b AS (
+       |  SELECT band, ty, tx, py, px, value
+       |  FROM read_parquet('$CellsPath/*.parquet')
+       |  WHERE tidx = 1 AND value <> 0),
+       |j AS (
+       |  SELECT a.band, a.ty, a.tx, b.value - a.value AS d
+       |  FROM a JOIN b USING (band, ty, tx, py, px))
+       |SELECT band, ty, tx, CAST(COUNT(*) AS BIGINT) AS n_both,
+       |       CAST(SUM(CAST(ROUND(d * 100) AS BIGINT)) AS BIGINT)
+       |         AS diff_q,
+       |       CAST(SUM(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_changed
+       |FROM j GROUP BY band, ty, tx
+       |ORDER BY band, ty, tx""".stripMargin
+
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
   def compositeMean(spark: SparkSession): DataFrame = {
@@ -1713,6 +1785,8 @@ object RasterQueries {
     "raster_temporal_fill" -> ((s, _) => temporalFill(s)),
     "raster_band_math" -> ((s, _) => bandMathNdvi(s)),
     "raster_focal_mean" -> ((s, _) => focalMean(s)),
+    "raster_drill" -> ((s, _) => drillPoints(s)),
+    "raster_change_detect" -> ((s, _) => changeDetect(s)),
     "raster_eo3_export" -> ((s, _) => eo3Export(s))
   )
 
@@ -1745,5 +1819,7 @@ object RasterQueries {
     "raster_composite_quantile" -> compositeQuantileDuckSql,
     "raster_temporal_fill" -> temporalFillDuckSql,
     "raster_band_math" -> bandMathNdviDuckSql,
-    "raster_focal_mean" -> focalMeanDuckSql)
+    "raster_focal_mean" -> focalMeanDuckSql,
+    "raster_drill" -> drillPointsDuckSql,
+    "raster_change_detect" -> changeDetectDuckSql)
 }

@@ -29,6 +29,24 @@ class BandMathSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_valid") == 2L)
   }
 
+  test("change across time: late minus early, one-sided pixels NaN") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    // t0: (10, 20, 0), t1: (13, 0, 7): only p0 is valid both times
+    val rows = Seq(
+      ("b", 0, 0, 0, ts, 0, 0, Fuse.encode(Array(10.0, 20.0, 0.0), "uint16"),
+        "uint16", 0.0, 3, 1),
+      ("b", 1, 0, 0, ts, 0, 0, Fuse.encode(Array(13.0, 0.0, 7.0), "uint16"),
+        "uint16", 0.0, 3, 1)
+    ).toDF("band", "tIdx", "ty", "tx", "time", "x0", "y0", "data", "dtype",
+      "nodata", "width", "height")
+    val out = BandMath.changeAcrossTime(spark, rows, 0, 1)().collect()
+    assert(out.length == 1)
+    val v = out.head.getAs[scala.collection.Seq[Double]]("change").toSeq
+    assert(v(0) == 3.0 && v(1).isNaN && v(2).isNaN)
+    assert(out.head.getAs[Long]("n_both") == 1L)
+  }
+
   test("arbitrary two-band expression via map2") {
     import spark.implicits._
     val ts = new java.sql.Timestamp(0L)
