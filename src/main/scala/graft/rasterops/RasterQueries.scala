@@ -1679,6 +1679,48 @@ object RasterQueries {
        |FROM j GROUP BY band, ty, tx
        |ORDER BY band, ty, tx""".stripMargin
 
+  /** Distributed pyramid build (graft.load.Pyramid — beyond the
+    * reference, which consumes overviews but delegates building them to
+    * gdaladdo): levels 2 and 4 of the fused mosaic, decimated locally
+    * per base tile and assembled on the level grid in one shuffle.
+    * DuckDB recomputes both levels from the landed base plane via the
+    * decimation identity (level-s pixel = base(s·gy, s·gx)) — the same
+    * identity `raster_overview_cells` pins on the READ side, now
+    * re-proven for the build side. */
+  def pyramidBuild(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    Seq(2, 4).map { s =>
+      graft.load.Pyramid.buildLevel(spark, res.tiles, s)
+        .withColumn("level", lit(s))
+    }.reduce(_ unionAll _)
+      .select(col("level"), col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("n_valid"),
+        expr("aggregate(plane, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("sum_q"))
+      .orderBy("level", "band", "tIdx", "ty", "tx")
+  }
+
+  private val pyramidBuildDuckSql: String =
+    s"""WITH base AS (
+       |  SELECT band, tidx, ty * 64 + py AS gy, tx * 64 + px AS gx, value
+       |  FROM read_parquet('$CellsPath/*.parquet')),
+       |lv AS (
+       |  SELECT l.s, b.band, b.tidx,
+       |         (b.gy // l.s) // 64 AS ty, (b.gx // l.s) // 64 AS tx,
+       |         b.value
+       |  FROM base b JOIN (VALUES (2), (4)) l(s)
+       |    ON b.gy % l.s = 0 AND b.gx % l.s = 0)
+       |SELECT s AS level, band, tidx AS "tIdx", ty, tx,
+       |       CAST(SUM(CASE WHEN value <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_valid,
+       |       CAST(SUM(CASE WHEN value <> 0
+       |                THEN CAST(ROUND(value * 100) AS BIGINT)
+       |                ELSE 0 END) AS BIGINT) AS sum_q
+       |FROM lv GROUP BY s, band, tidx, ty, tx
+       |ORDER BY level, band, "tIdx", ty, tx""".stripMargin
+
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
   def compositeMean(spark: SparkSession): DataFrame = {
@@ -1787,6 +1829,7 @@ object RasterQueries {
     "raster_focal_mean" -> ((s, _) => focalMean(s)),
     "raster_drill" -> ((s, _) => drillPoints(s)),
     "raster_change_detect" -> ((s, _) => changeDetect(s)),
+    "raster_pyramid_build" -> ((s, _) => pyramidBuild(s)),
     "raster_eo3_export" -> ((s, _) => eo3Export(s))
   )
 
@@ -1821,5 +1864,6 @@ object RasterQueries {
     "raster_band_math" -> bandMathNdviDuckSql,
     "raster_focal_mean" -> focalMeanDuckSql,
     "raster_drill" -> drillPointsDuckSql,
-    "raster_change_detect" -> changeDetectDuckSql)
+    "raster_change_detect" -> changeDetectDuckSql,
+    "raster_pyramid_build" -> pyramidBuildDuckSql)
 }

@@ -846,7 +846,16 @@ object TextAnalysis {
     org.apache.spark.ml.classification.DecisionTreeClassificationModel](
     max = 8, _ => ())
 
+  /** The fitted tree landed as a node table for the oracle: DuckDB
+    * re-applies the SAME artifact to independently recomputed features
+    * with a recursive-CTE walk — checking the distributed scoring pass
+    * against another engine (the `dedup_minhash_sig` pattern: only the
+    * build artifact is shared, never the per-doc output). */
+  private val QualityTreePath =
+    s"${sys.props("java.io.tmpdir")}/graft_quality_tree_parquet"
+
   def qualityModel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val signals = Tables.sql(qualityFilterSparkSql)(spark, dir)
       .selectExpr("doc_id", "CAST(n_words AS DOUBLE) AS f_nw",
         "rep_ratio AS f_rep", "stop_ratio AS f_stop", "avg_wlen AS f_wlen",
@@ -860,6 +869,27 @@ object TextAnalysis {
       new org.apache.spark.ml.classification.DecisionTreeClassifier()
         .setMaxDepth(8).setSeed(11).setLabelCol("label")
         .fit(assembled.where("doc_id % 5 < 4")))
+    // (node_id, feat, thr, left, right, pred); feat = -1 marks a leaf.
+    // MLlib continuous-split semantics: go left iff feature <= threshold.
+    val nodes =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double, Int, Int, Double)]
+    def flatten(n: org.apache.spark.ml.tree.Node): Int = {
+      val id = nodes.length
+      nodes += ((id, -1, 0.0, -1, -1, 0.0))
+      n match {
+        case in: org.apache.spark.ml.tree.InternalNode =>
+          val cs = in.split.asInstanceOf[org.apache.spark.ml.tree.ContinuousSplit]
+          val l = flatten(in.leftChild)
+          val r = flatten(in.rightChild)
+          nodes(id) = (id, cs.featureIndex, cs.threshold, l, r, 0.0)
+        case lf: org.apache.spark.ml.tree.LeafNode =>
+          nodes(id) = (id, -1, 0.0, -1, -1, lf.prediction)
+      }
+      id
+    }
+    flatten(model.rootNode)
+    nodes.toSeq.toDF("node_id", "feat", "thr", "left", "right", "pred")
+      .coalesce(1).write.mode("overwrite").parquet(QualityTreePath)
     model.transform(assembled)
       .selectExpr("doc_id", "CAST(label AS BIGINT) AS weak_label",
         "CAST(prediction AS BIGINT) AS pred",
@@ -937,7 +967,56 @@ object TextAnalysis {
     "text_chunk_dedup" -> Tables.sql(chunkDedupSparkSql)
   )
 
+  /** `text_quality_model` oracle: recompute the four features with
+    * DuckDB's own spelling (the hash-green `text_quality_filter`
+    * derivation), then walk the LANDED tree with a recursive CTE —
+    * MLlib's go-left-iff-feature≤threshold semantics verbatim. */
+  private val qualityModelDuckSql: String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, unnest(tok) AS w FROM t),
+       |rep AS (
+       |  SELECT doc_id, MAX(c) AS topc, SUM(c) AS total,
+       |         SUM(CASE WHEN w IN ('a', 'the') THEN c ELSE 0 END) AS stopc
+       |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w) g
+       |  GROUP BY doc_id),
+       |f AS (
+       |  SELECT t.doc_id,
+       |    CAST(len(tok) AS DOUBLE) AS f0,
+       |    ROUND(CAST(rep.topc AS DOUBLE) / rep.total, 4) AS f1,
+       |    ROUND(CAST(rep.stopc AS DOUBLE) / rep.total, 4) AS f2,
+       |    ROUND(list_sum(list_transform(tok, x -> CAST(length(x) AS DOUBLE)))
+       |          / len(tok), 4) AS f3,
+       |    CASE WHEN len(tok) BETWEEN 30 AND 90
+       |          AND ROUND(CAST(rep.topc AS DOUBLE) / rep.total, 4) <= 0.12
+       |          AND ROUND(CAST(rep.stopc AS DOUBLE) / rep.total, 4) >= 0.03
+       |          AND ROUND(list_sum(list_transform(tok,
+       |                x -> CAST(length(x) AS DOUBLE))) / len(tok), 4)
+       |              BETWEEN 3 AND 8
+       |         THEN 1 ELSE 0 END AS keep
+       |  FROM t JOIN rep ON t.doc_id = rep.doc_id),
+       |nodes AS (
+       |  SELECT * FROM read_parquet(
+       |    '${sys.props("java.io.tmpdir")}/graft_quality_tree_parquet/*.parquet')),
+       |walk AS (
+       |  SELECT doc_id, f0, f1, f2, f3, keep, 0 AS node FROM f
+       |  UNION ALL
+       |  SELECT w.doc_id, w.f0, w.f1, w.f2, w.f3, w.keep,
+       |         CASE WHEN (CASE n.feat WHEN 0 THEN w.f0 WHEN 1 THEN w.f1
+       |                    WHEN 2 THEN w.f2 ELSE w.f3 END) <= n.thr
+       |              THEN n.left ELSE n.right END
+       |  FROM walk w JOIN nodes n ON n.node_id = w.node AND n.feat >= 0)
+       |SELECT w.doc_id, CAST(w.keep AS BIGINT) AS weak_label,
+       |       CAST(n.pred AS BIGINT) AS pred,
+       |       CAST(CASE WHEN w.doc_id % 5 = 4 THEN 1 ELSE 0 END AS BIGINT)
+       |         AS holdout
+       |FROM walk w JOIN nodes n ON n.node_id = w.node AND n.feat < 0
+       |ORDER BY w.doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "text_quality_model" -> qualityModelDuckSql,
     "text_normalize" -> normalizeDuckSql,
     "text_stats" -> statsDuckSql,
     "text_tokens" -> tokensDuckSql,
