@@ -156,6 +156,79 @@ object Composite {
     selectionAcrossTime(spark, tiles, q).toDF("band", "ty", "tx",
       "quantile", "count")
 
+  /** Cloud-masked median — the signature EO composite (cloud-free
+    * mosaic): per-pixel median of `dataBand` across time, using ONLY
+    * observations whose `maskBand` pixel satisfies `clear` at the same
+    * time. Data-valid-but-cloudy pixels are excluded (the case the data
+    * band alone cannot catch); a missing mask plane for a time keeps
+    * the observation (mask absence is not evidence of cloud); the mask
+    * value reaches `clear` with nodata already mapped to NaN (so a
+    * nodata mask pixel fails any equality predicate and masks out).
+    *
+    * Scale shape: the same single rechunk as the unmasked median, just
+    * keyed so the data AND mask planes of a tile meet in one task —
+    * the shuffle carries both bands' planes once, state is ≤ 2T planes.
+    */
+  def maskedMedianAcrossTime(spark: SparkSession, tiles: DataFrame,
+                             dataBand: String, maskBand: String,
+                             clear: Double => Boolean): DataFrame = {
+    import spark.implicits._
+    tiles
+      .where(col("band").isin(dataBand, maskBand))
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("data"), col("dtype"), col("nodata"),
+        col("width"), col("height"))
+      .as[(String, Int, Int, Int, Array[Byte], String, Double, Int, Int)]
+      .groupByKey { case (_, _, ty, tx, _, _, _, _, _) => (ty, tx) }
+      .mapGroups { (key, it) =>
+        val (ty, tx) = key
+        var w = 0
+        var h = 0
+        val dataPl = scala.collection.mutable.Map.empty[Int, (Array[Double], Double)]
+        val maskPl = scala.collection.mutable.Map.empty[Int, (Array[Double], Double)]
+        it.foreach { case (band, tIdx, _, _, data, dtype, nodata, tw, th) =>
+          if (w == 0) { w = tw; h = th }
+          require(w == tw && h == th,
+            s"tile shape mismatch at ($ty,$tx): ${w}x$h vs ${tw}x$th")
+          val pl = (Fuse.decode(data, dtype), nodata)
+          if (band == dataBand) dataPl(tIdx) = pl else maskPl(tIdx) = pl
+        }
+        val times = dataPl.keys.toArray.sorted
+        val n = w * h
+        val med = new Array[Double](n)
+        val cnt = new Array[Int](n)
+        val vals = new Array[Double](times.length)
+        var i = 0
+        while (i < n) {
+          var m = 0
+          var p = 0
+          while (p < times.length) {
+            val (px, nodata) = dataPl(times(p))
+            val v = px(i)
+            val ok = !(v.isNaN || v == nodata) && (maskPl.get(times(p)) match {
+              case Some((mp, mnd)) =>
+                val mv = mp(i)
+                clear(if (mv.isNaN || mv == mnd) Double.NaN else mv)
+              case None => true
+            })
+            if (ok) { vals(m) = v; m += 1 }
+            p += 1
+          }
+          if (m == 0) med(i) = Double.NaN
+          else {
+            java.util.Arrays.sort(vals, 0, m)
+            med(i) =
+              if (m % 2 == 1) vals(m / 2)
+              else (vals(m / 2 - 1) + vals(m / 2)) / 2.0
+          }
+          cnt(i) = m
+          i += 1
+        }
+        (dataBand, ty, tx, med, cnt)
+      }
+      .toDF("band", "ty", "tx", "median", "count")
+  }
+
   private def selectionAcrossTime(spark: SparkSession, tiles: DataFrame,
                                   q: Double) = {
     import spark.implicits._

@@ -279,6 +279,42 @@ object Fixtures {
       itemJson(2 * k, gbox, (kk, _) => gapPath(kk / 2))
     }
 
+  def qaRedPath(k: Int): String = dir.resolve(s"qascene$k-red.grb").toString
+  def qaMaskPath(k: Int): String = dir.resolve(s"qascene$k-qa.grb").toString
+
+  /** Cloud-mask fixture: `n` same-footprint scenes on consecutive days,
+    * each carrying a `red` data band and a `qa` mask band (1 = clear,
+    * 2 = cloud, nodata 0 on the right margin). Day k's red values are
+    * base + {0, 100, 500, …}(k) — deliberately NON-uniform steps, so a
+    * masked median over the clear days differs from the unmasked one
+    * (cloud exclusion is visible in checksums, not just counts). The
+    * middle day's qa flags a 32×32 cloud square at x,y ∈ [16,48) while
+    * its red stays VALID there — masking must exclude observations the
+    * data band alone would keep. */
+  def writeScenesQa(n: Int = 3): Seq[String] =
+    (0 until n).map { k =>
+      val gbox = sceneGeobox(0)
+      val f = new java.io.File(qaRedPath(k))
+      if (!f.exists()) {
+        val inc = if (k == 0) 0.0 else if (k == 1) 100.0 else 400.0 + 100.0 * k
+        val red = scenePixels(0).map(v => if (v == 0.0) 0.0 else v + inc)
+        val qa = scenePixels(0).map(v => if (v == 0.0) 0.0 else 1.0)
+        if (k == n / 2) {
+          var y = 16
+          while (y < 48) {
+            var x = 16
+            while (x < 48) { qa(y * SceneW + x) = 2.0; x += 1 }
+            y += 1
+          }
+        }
+        Grb.writeWithOverviews(qaRedPath(k), red, gbox, "uint16", Some(0.0))
+        Grb.writeWithOverviews(qaMaskPath(k), qa, gbox, "uint16", Some(0.0))
+      }
+      itemJson(2 * k, gbox,
+        (kk, band) => if (band == "nir") qaMaskPath(kk / 2) else qaRedPath(kk / 2))
+        .replace("\"nir\"", "\"qa\"")
+    }
+
   def itemJson(k: Int, gbox: GeoBox,
                pathOf: (Int, String) => String = grbPath): String = {
     val fp = gbox.footprint(Crs.LonLat)

@@ -1721,6 +1721,72 @@ object RasterQueries {
        |FROM lv GROUP BY s, band, tidx, ty, tx
        |ORDER BY level, band, "tIdx", ty, tx""".stripMargin
 
+  /** Shared path for the masked-composite oracle's input planes. */
+  private val MaskCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_mask_cells_parquet"
+
+  /** Cloud-masked median composite
+    * (Composite.maskedMedianAcrossTime — beyond the reference): three
+    * same-footprint days with a `qa` band; the middle day's qa flags a
+    * cloud square whose red stays VALID, and the per-day value steps
+    * are non-uniform, so excluding the cloudy observation changes the
+    * median value, not just the count. Both bands' per-time planes land
+    * and DuckDB recomputes the masked median (join red to qa per
+    * (time, pixel), keep qa = 1, `median` per pixel). */
+  def maskedComposite(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenesQa(3)
+    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
+    val items = ds.collect().toSeq.sortBy(_.id)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "qa"),
+      groupby = "id", chunks = 64)
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    res.tiles
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("width"),
+        col("nodata"), posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
+        (col("pos") / col("width")).cast("int").as("py"),
+        (col("pos") % col("width")).cast("int").as("px"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(MaskCellsPath)
+    graft.load.Composite
+      .maskedMedianAcrossTime(spark, res.tiles, "red", "qa", _ == 1.0)
+      .select(col("band"), col("ty"), col("tx"),
+        expr("aggregate(median, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("med_q"),
+        expr("CAST(aggregate(count, 0, (s, v) -> s + v) AS BIGINT)")
+          .as("n_used"))
+      .orderBy("band", "ty", "tx")
+  }
+
+  private val maskedCompositeDuckSql: String =
+    s"""WITH r AS (
+       |  SELECT tidx, ty, tx, py, px, value
+       |  FROM read_parquet('$MaskCellsPath/*.parquet')
+       |  WHERE band = 'red' AND NOT isnan(value)),
+       |q AS (
+       |  -- NaN (mask nodata) rows KEPT: NaN = 1 is false, so a nodata
+       |  -- mask pixel masks OUT (matches the operator); only a truly
+       |  -- ABSENT mask plane falls to the COALESCE keep-branch
+       |  SELECT tidx, ty, tx, py, px, value AS qa
+       |  FROM read_parquet('$MaskCellsPath/*.parquet')
+       |  WHERE band = 'qa'),
+       |clear AS (
+       |  SELECT r.* FROM r
+       |  LEFT JOIN q USING (tidx, ty, tx, py, px)
+       |  WHERE COALESCE(q.qa = 1, TRUE)),
+       |m AS (
+       |  SELECT ty, tx, py, px, median(value) AS med, COUNT(*) AS c
+       |  FROM clear GROUP BY ty, tx, py, px)
+       |SELECT 'red' AS band, ty, tx,
+       |       CAST(SUM(CAST(ROUND(med * 100) AS BIGINT)) AS BIGINT)
+       |         AS med_q,
+       |       CAST(SUM(c) AS BIGINT) AS n_used
+       |FROM m GROUP BY ty, tx
+       |ORDER BY band, ty, tx""".stripMargin
+
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
   def compositeMean(spark: SparkSession): DataFrame = {
@@ -1830,6 +1896,7 @@ object RasterQueries {
     "raster_drill" -> ((s, _) => drillPoints(s)),
     "raster_change_detect" -> ((s, _) => changeDetect(s)),
     "raster_pyramid_build" -> ((s, _) => pyramidBuild(s)),
+    "raster_masked_composite" -> ((s, _) => maskedComposite(s)),
     "raster_eo3_export" -> ((s, _) => eo3Export(s))
   )
 
@@ -1865,5 +1932,6 @@ object RasterQueries {
     "raster_focal_mean" -> focalMeanDuckSql,
     "raster_drill" -> drillPointsDuckSql,
     "raster_change_detect" -> changeDetectDuckSql,
-    "raster_pyramid_build" -> pyramidBuildDuckSql)
+    "raster_pyramid_build" -> pyramidBuildDuckSql,
+    "raster_masked_composite" -> maskedCompositeDuckSql)
 }

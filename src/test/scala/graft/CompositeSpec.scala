@@ -82,6 +82,35 @@ class CompositeSpec extends AnyFunSuite {
       (a.isNaN && b.isNaN) || a == b })
   }
 
+  test("masked median: cloudy obs excluded, missing mask keeps, nodata masks") {
+    import spark.implicits._
+    // red planes t0/t1/t2: (10, 10, 10, 10) / (100, 100, 100, 0) /
+    //                      (30, 30, 30, 30); qa planes only for t0/t1:
+    //   t0 qa: (1, 1, 1, 1)      t1 qa: (1, 2, 0, 1)
+    // pixel stories:
+    //   p0: all clear -> median(10,100,30) = 30
+    //   p1: t1 CLOUDY (qa=2) though red valid -> median(10,30) = 20
+    //   p2: t1 qa NODATA -> masks out -> median(10,30) = 20
+    //   p3: t1 red nodata; t2 has NO mask plane (kept) -> median(10,30) = 20
+    def row(band: String, t: Int, vals: Array[Double]) =
+      (band, t, 0, 0, Fuse.encode(vals, "uint16"), "uint16", 0.0, 4, 1)
+    val rows = Seq(
+      row("red", 0, Array(10.0, 10.0, 10.0, 10.0)),
+      row("red", 1, Array(100.0, 100.0, 100.0, 0.0)),
+      row("red", 2, Array(30.0, 30.0, 30.0, 30.0)),
+      row("qa", 0, Array(1.0, 1.0, 1.0, 1.0)),
+      row("qa", 1, Array(1.0, 2.0, 0.0, 1.0))
+    ).toDF("band", "tIdx", "ty", "tx", "data", "dtype", "nodata",
+      "width", "height")
+    val out = Composite.maskedMedianAcrossTime(spark, rows, "red", "qa",
+      _ == 1.0).collect()
+    assert(out.length == 1)
+    val med = out.head.getAs[scala.collection.Seq[Double]]("median").toSeq
+    assert(med == Seq(30.0, 20.0, 20.0, 20.0))
+    assert(out.head.getAs[scala.collection.Seq[Int]]("count").toSeq ==
+      Seq(3, 2, 2, 2))
+  }
+
   test("composite over a real load: count matches per-pixel source coverage") {
     import spark.implicits._
     val jsons = Fixtures.writeScenes(4)
