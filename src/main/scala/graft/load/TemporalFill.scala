@@ -87,8 +87,12 @@ object TemporalFill {
                 val f =
                   if (pi >= 0 && ni >= 0) {
                     val pv = px(pi)(i); val nv = px(ni)(i)
-                    pv + (nv - pv) * (planes(p).tSec - planes(pi).tSec).toDouble /
-                      (planes(ni).tSec - planes(pi).tSec)
+                    val dt = planes(ni).tSec - planes(pi).tSec
+                    // coincident acquisitions (dt = 0): carry the earlier
+                    // valid value instead of dividing by zero
+                    if (dt == 0L) pv
+                    else pv + (nv - pv) *
+                      (planes(p).tSec - planes(pi).tSec).toDouble / dt
                   } else if (pi >= 0) px(pi)(i)
                   else if (ni >= 0) px(ni)(i)
                   else Double.NaN

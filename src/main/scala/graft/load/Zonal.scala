@@ -55,14 +55,16 @@ object Zonal {
         else {
           val px = Fuse.decode(data, dtype)
           zs.iterator.flatMap { case (zid, g) =>
-            // pixel window of the zone's bbox within this tile
+            // pixel window of the zone's bbox within this tile — all
+            // four corners, so a rotated geobox transform still yields
+            // a covering window (axis-aligned grids reduce to two)
             val zb = g.bbox
-            val (p1x, p1y) = inv(zb.x0, zb.y0)
-            val (p2x, p2y) = inv(zb.x1, zb.y1)
-            val lx0 = math.max(0, math.floor(math.min(p1x, p2x)).toInt - x0)
-            val ly0 = math.max(0, math.floor(math.min(p1y, p2y)).toInt - y0)
-            val lx1 = math.min(w, math.ceil(math.max(p1x, p2x)).toInt - x0)
-            val ly1 = math.min(h, math.ceil(math.max(p1y, p2y)).toInt - y0)
+            val cs = Seq(inv(zb.x0, zb.y0), inv(zb.x1, zb.y0),
+              inv(zb.x0, zb.y1), inv(zb.x1, zb.y1))
+            val lx0 = math.max(0, math.floor(cs.map(_._1).min).toInt - x0)
+            val ly0 = math.max(0, math.floor(cs.map(_._2).min).toInt - y0)
+            val lx1 = math.min(w, math.ceil(cs.map(_._1).max).toInt - x0)
+            val ly1 = math.min(h, math.ceil(cs.map(_._2).max).toInt - y0)
             var n = 0L; var s = 0.0
             var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
             var y = ly0
