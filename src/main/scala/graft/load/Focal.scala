@@ -118,25 +118,43 @@ object Focal {
                 y += 1
               }
             }
+            // summed-area tables over (value, validity): every window
+            // mean is 4 lookups, O(1) per pixel at ANY radius — the
+            // naive loop is O(r²) per pixel and loses at r ≥ 2
+            val sw = pw + 1
+            val satS = new Array[Double](sw * (ph + 1))
+            val satC = new Array[Int](sw * (ph + 1))
+            var sy = 0
+            while (sy < ph) {
+              var sx = 0
+              while (sx < pw) {
+                val v = pad(sy * pw + sx)
+                val valid = !v.isNaN
+                val i = (sy + 1) * sw + (sx + 1)
+                satS(i) = (if (valid) v else 0.0) +
+                  satS(i - sw) + satS(i - 1) - satS(i - sw - 1)
+                satC(i) = (if (valid) 1 else 0) +
+                  satC(i - sw) + satC(i - 1) - satC(i - sw - 1)
+                sx += 1
+              }
+              sy += 1
+            }
             val focal = new Array[Double](w * h)
             var nValid = 0L
+            val win = 2 * r + 1
             var y = 0
             while (y < h) {
               var x = 0
               while (x < w) {
-                var s = 0.0
-                var c = 0
-                var wy = y
-                while (wy <= y + 2 * r) {
-                  var wx = x
-                  while (wx <= x + 2 * r) {
-                    val v = pad(wy * pw + wx)
-                    if (!v.isNaN) { s += v; c += 1 }
-                    wx += 1
-                  }
-                  wy += 1
-                }
-                focal(y * w + x) = if (c == 0) Double.NaN else s / c
+                // window rows y..y+2r, cols x..x+2r of the padded plane
+                val a = y * sw + x
+                val b = y * sw + (x + win)
+                val c0 = (y + win) * sw + x
+                val d = (y + win) * sw + (x + win)
+                val c = satC(d) - satC(b) - satC(c0) + satC(a)
+                focal(y * w + x) =
+                  if (c == 0) Double.NaN
+                  else (satS(d) - satS(b) - satS(c0) + satS(a)) / c
                 if (c > 0) nValid += 1
                 x += 1
               }
