@@ -50,6 +50,25 @@ class FocalSpec extends AnyFunSuite {
     assert(f0(1) == (1.0 + 3 + 4 + 5 + 7) / 5)
   }
 
+  test("radius 2: window spans a full neighbor strip across the seam") {
+    import spark.implicits._
+    // two 2x2 tiles; r=2 windows cover BOTH tiles entirely from any
+    // center -> every focal value = mean of all eight pixels
+    val rows = Seq(
+      tile(0, 0, 0, 0, Array(1.0, 2.0, 3.0, 4.0)),
+      tile(0, 1, 2, 0, Array(5.0, 6.0, 7.0, 8.0))
+    ).toDF("band", "tIdx", "ty", "tx", "x0", "y0", "data", "dtype",
+      "nodata", "width", "height")
+    val out = Focal.focalMean(spark, rows, radius = 2).orderBy("tx").collect()
+    val all = (1 to 8).sum / 8.0
+    val f0 = out(0).getAs[scala.collection.Seq[Double]]("focal").toSeq
+    val f1 = out(1).getAs[scala.collection.Seq[Double]]("focal").toSeq
+    // seam-adjacent centers reach every pixel of both tiles
+    assert(f0(1) == all && f0(3) == all && f1(0) == all && f1(2) == all)
+    // the far-west corner's window stops at global x=2: misses (6, 8)
+    assert(f0(0) == (1 + 2 + 3 + 4 + 5 + 7) / 6.0)
+  }
+
   test("isolated tile: mosaic edges contribute nothing") {
     import spark.implicits._
     val rows = Seq(tile(3, 7, 6, 6, Array(2.0, 4.0, 6.0, 8.0)))

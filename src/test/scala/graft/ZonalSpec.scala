@@ -51,6 +51,21 @@ class ZonalSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_valid") == 80L * 60 - 20L * 20)
   }
 
+  test("LonLat zone reprojects onto the UTM grid and matches native") {
+    // the same rectangle expressed in LonLat, run through Geom.toCrs —
+    // must select the identical pixel set as the native-CRS spelling
+    val native = Geom(IndexedSeq(
+      (500200.0, 7999600.0), (500800.0, 7999600.0),
+      (500800.0, 7999900.0), (500200.0, 7999900.0)), res.geobox.crs)
+    val lonlat = native.toCrs(graft.geo.Crs.LonLat).toCrs(res.geobox.crs)
+    val a = Zonal.zonalStats(spark, res.tiles, res.geobox,
+      Seq("z" -> native)).collect().head
+    val b = Zonal.zonalStats(spark, res.tiles, res.geobox,
+      Seq("z" -> lonlat)).collect().head
+    assert(a.getAs[Long]("n_valid") == b.getAs[Long]("n_valid"))
+    assert(a.getAs[Double]("total") == b.getAs[Double]("total"))
+  }
+
   test("zone outside every tile yields no rows and decodes nothing") {
     val zones = Seq("far" -> Geom(IndexedSeq(
       (900000.0, 7000000.0), (900100.0, 7000000.0),
