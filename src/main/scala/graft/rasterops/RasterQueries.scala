@@ -1787,6 +1787,39 @@ object RasterQueries {
        |FROM m GROUP BY ty, tx
        |ORDER BY band, ty, tx""".stripMargin
 
+  /** Per-band/day equi-width histogram of the fused mosaic (the
+    * `gdalinfo -hist` analog, distributed): a purely declarative plan —
+    * decode+posexplode is narrow, and the groupBy's hash aggregate
+    * computes map-side partials, so the shuffle carries only
+    * (band × time × 16 bins) partial counts, never pixels. DuckDB
+    * re-bins the landed plane with the same floor arithmetic. */
+  def histogram(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    res.tiles
+      .select(col("band"), col("tIdx"), col("nodata"),
+        posexplode(decode(col("data"), col("dtype"))))
+      .where(!isnan(col("col")) && col("col") =!= col("nodata"))
+      .select(col("band"), col("tIdx"),
+        least(lit(15), floor(col("col") / 2000).cast("int")).as("bin"))
+      .groupBy("band", "tIdx", "bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("band", "tIdx", "bin")
+  }
+
+  private val histogramDuckSql: String =
+    s"""SELECT band, tidx AS "tIdx",
+       |       CAST(LEAST(15, CAST(FLOOR(value / 2000) AS INT)) AS INT)
+       |         AS bin,
+       |       COUNT(*) AS n
+       |FROM read_parquet('$CellsPath/*.parquet')
+       |WHERE value <> 0
+       |GROUP BY band, tidx, bin
+       |ORDER BY band, "tIdx", bin""".stripMargin
+
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
   def compositeMean(spark: SparkSession): DataFrame = {
@@ -1897,6 +1930,7 @@ object RasterQueries {
     "raster_change_detect" -> ((s, _) => changeDetect(s)),
     "raster_pyramid_build" -> ((s, _) => pyramidBuild(s)),
     "raster_masked_composite" -> ((s, _) => maskedComposite(s)),
+    "raster_histogram" -> ((s, _) => histogram(s)),
     "raster_eo3_export" -> ((s, _) => eo3Export(s))
   )
 
@@ -1933,5 +1967,6 @@ object RasterQueries {
     "raster_drill" -> drillPointsDuckSql,
     "raster_change_detect" -> changeDetectDuckSql,
     "raster_pyramid_build" -> pyramidBuildDuckSql,
-    "raster_masked_composite" -> maskedCompositeDuckSql)
+    "raster_masked_composite" -> maskedCompositeDuckSql,
+    "raster_histogram" -> histogramDuckSql)
 }
