@@ -58,13 +58,25 @@ object Fixtures {
   def tiffPath(k: Int, band: String): String =
     dir.resolve(s"scene$k-$band.tif").toString
 
+  /** Crash-safe idempotence: fixture writes are guarded by a COMPLETION
+    * MARKER stamped after the payload, not by payload existence — a
+    * process killed mid-write (the driver enforces turn limits) leaves
+    * no marker, so the next run rewrites the truncated files instead of
+    * reading them forever. */
+  private def completed(marker: String)(write: => Unit): Unit = {
+    val m = dir.resolve(marker + ".ok")
+    if (!java.nio.file.Files.exists(m)) {
+      write
+      java.nio.file.Files.write(m, Array.emptyByteArray)
+    }
+  }
+
   /** Write scene rasters (idempotent) and return STAC item JSONs. */
   def writeScenes(nItems: Int): Seq[String] = {
     (0 until nItems).map { k =>
       val gbox = sceneGeobox(k)
-      Seq("red", "nir").foreach { band =>
-        val f = new java.io.File(grbPath(k, band))
-        if (!f.exists()) {
+      completed(s"scene$k-grb") {
+        Seq("red", "nir").foreach { band =>
           val px = scenePixels(k).map(v =>
             if (band == "nir" && v != 0.0) v + 5000 else v)
           Grb.writeWithOverviews(grbPath(k, band), px, gbox, "uint16", Some(0.0))
@@ -80,9 +92,8 @@ object Fixtures {
   def writeScenesTiff(nItems: Int): Seq[String] = {
     (0 until nItems).map { k =>
       val gbox = sceneGeobox(k)
-      Seq("red", "nir").foreach { band =>
-        val f = new java.io.File(tiffPath(k, band))
-        if (!f.exists()) {
+      completed(s"scene$k-tif") {
+        Seq("red", "nir").foreach { band =>
           val px = scenePixels(k).map(v =>
             if (band == "nir" && v != 0.0) v + 5000 else v)
           Tiff.write(tiffPath(k, band), px, gbox, "uint16", Some(0.0),
@@ -107,8 +118,7 @@ object Fixtures {
   def writeScenesZarr(nItems: Int): Seq[String] =
     (0 until nItems).map { k =>
       val gbox = sceneGeobox(k)
-      val f = new java.io.File(zarrPath(k))
-      if (!f.exists()) {
+      completed(s"scene$k-zarr") {
         Seq("red", "nir").foreach { band =>
           val px = scenePixels(k).map(v =>
             if (band == "nir" && v != 0.0) v + 5000 else v)
@@ -151,8 +161,7 @@ object Fixtures {
   def writeScenesNc(nItems: Int): Seq[String] =
     (0 until nItems).map { k =>
       val gbox = sceneGeobox(k)
-      val f = new java.io.File(ncPath(k))
-      if (!f.exists()) {
+      completed(s"scene$k-nc") {
         val planes = Seq("red", "nir").map { band =>
           band -> scenePixels(k).map(v =>
             if (band == "nir" && v != 0.0) v + 5000 else v)
@@ -171,8 +180,7 @@ object Fixtures {
   def writeScenesSubdatasets(nItems: Int): Seq[String] =
     (0 until nItems).map { k =>
       val gbox = sceneGeobox(k)
-      val f = new java.io.File(subPath(k))
-      if (!f.exists()) {
+      completed(s"scene$k-sub") {
         val subs = Seq("red", "nir").map { band =>
           val px = scenePixels(k).map(v =>
             if (band == "nir" && v != 0.0) v + 5000 else v)
@@ -195,10 +203,10 @@ object Fixtures {
   def writeScenesMultiband(nItems: Int): Seq[String] =
     (0 until nItems).map { k =>
       val gbox = sceneGeobox(k)
-      val f = new java.io.File(msiPath(k))
-      if (!f.exists())
+      completed(s"scene$k-msi") {
         Tiff.writeBands(msiPath(k), (1 to 3).map(bandPixels(k, _)), gbox,
           "uint16", Some(0.0))
+      }
       itemJsonMultiband(k, gbox)
     }
 
@@ -263,8 +271,7 @@ object Fixtures {
   def writeScenesGap(n: Int = 3): Seq[String] =
     (0 until n).map { k =>
       val gbox = sceneGeobox(0)
-      val f = new java.io.File(gapPath(k))
-      if (!f.exists()) {
+      completed(s"gapscene$k") {
         val px = scenePixels(0).map(v => if (v == 0.0) 0.0 else v + 100.0 * k)
         if (k == n / 2) {
           var y = 16
@@ -294,8 +301,7 @@ object Fixtures {
   def writeScenesQa(n: Int = 3): Seq[String] =
     (0 until n).map { k =>
       val gbox = sceneGeobox(0)
-      val f = new java.io.File(qaRedPath(k))
-      if (!f.exists()) {
+      completed(s"qascene$k") {
         val inc = if (k == 0) 0.0 else if (k == 1) 100.0 else 400.0 + 100.0 * k
         val red = scenePixels(0).map(v => if (v == 0.0) 0.0 else v + inc)
         val qa = scenePixels(0).map(v => if (v == 0.0) 0.0 else 1.0)
