@@ -1820,6 +1820,79 @@ object RasterQueries {
        |GROUP BY band, tidx, bin
        |ORDER BY band, "tIdx", bin""".stripMargin
 
+  /** Shared path for the rasterize oracle's zone edges. */
+  private val RasterizeEdgesPath =
+    s"${sys.props("java.io.tmpdir")}/graft_rasterize_edges_parquet"
+
+  /** Rasterize (graft.load.Rasterize — beyond the reference): burn four
+    * zones onto the mosaic grid — the zonal trio plus an overlay
+    * rectangle that overlaps the triangle, so PAINTER'S ORDER (later
+    * zones overwrite) is visible in the per-zone pixel counts, not just
+    * membership. DuckDB regenerates the whole grid with `range`,
+    * re-runs the identical even-odd ray cast from the landed edges, and
+    * resolves overlaps with `arg_max(zone, paint_order)`. */
+  def rasterizeZones(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (items, schemas) = parsed(spark)
+    val gbox = Planner.outputGeobox(items, schemas).get
+    val zones: Seq[(Int, Geom)] = Seq(
+      1 -> Geom(IndexedSeq(
+        (500200.0, 7999600.0), (500800.0, 7999600.0),
+        (500800.0, 7999900.0), (500200.0, 7999900.0)), gbox.crs),
+      2 -> Geom(IndexedSeq(
+        (501000.0, 7999950.0), (502000.0, 7999950.0),
+        (501500.0, 7999200.0)), gbox.crs),
+      3 -> Geom(IndexedSeq(graft.geo.Poly(
+        IndexedSeq((502000.0, 7999200.0), (502800.0, 7999200.0),
+          (502800.0, 7999800.0), (502000.0, 7999800.0)),
+        IndexedSeq(IndexedSeq((502300.0, 7999400.0), (502500.0, 7999400.0),
+          (502500.0, 7999600.0), (502300.0, 7999600.0))))), gbox.crs),
+      4 -> Geom(IndexedSeq(
+        (501300.0, 7999500.0), (501600.0, 7999500.0),
+        (501600.0, 7999700.0), (501300.0, 7999700.0)), gbox.crs))
+    zones.zipWithIndex.flatMap { case ((zid, g), zidx) =>
+      g.parts.flatMap(_.rings).flatMap { r =>
+        r.indices.map { i =>
+          val (x1, y1) = r(i)
+          val (x2, y2) = r((i + 1) % r.length)
+          (zidx, zid, x1, y1, x2, y2)
+        }
+      }
+    }.toDF("zidx", "zone", "x1", "y1", "x2", "y2")
+      .coalesce(1).write.mode("overwrite").parquet(RasterizeEdgesPath)
+    graft.load.Rasterize.burn(spark, gbox, 64, zones)
+      .select(col("ty"), col("tx"), posexplode(col("plane")))
+      .where(col("col") =!= 0)
+      .groupBy(col("ty"), col("tx"), col("col").as("zone"))
+      .agg(count(lit(1)).as("n_px"))
+      .orderBy("ty", "tx", "zone")
+  }
+
+  private val rasterizeDuckSql: String =
+    s"""WITH px AS (
+       |  SELECT r1.range AS gy, r2.range AS gx,
+       |         500000 + (r2.range + 0.5) * 10 AS cx,
+       |         8000000 - (r1.range + 0.5) * 10 AS cy
+       |  FROM range(96) r1 CROSS JOIN range(320) r2),
+       |e AS (
+       |  SELECT zidx, zone, x1, y1, x2, y2
+       |  FROM read_parquet('$RasterizeEdgesPath/*.parquet')),
+       |hit AS (
+       |  SELECT p.gy, p.gx, e.zidx, e.zone,
+       |         SUM(CASE WHEN (e.y1 > p.cy) <> (e.y2 > p.cy)
+       |                   AND p.cx < (e.x2 - e.x1) * (p.cy - e.y1)
+       |                              / (e.y2 - e.y1) + e.x1
+       |              THEN 1 ELSE 0 END) AS cr
+       |  FROM px p CROSS JOIN e
+       |  GROUP BY p.gy, p.gx, e.zidx, e.zone),
+       |painted AS (
+       |  SELECT gy, gx, arg_max(zone, zidx) AS zone
+       |  FROM hit WHERE cr % 2 = 1 GROUP BY gy, gx)
+       |SELECT CAST(gy // 64 AS INT) AS ty, CAST(gx // 64 AS INT) AS tx,
+       |       CAST(zone AS INT) AS zone, COUNT(*) AS n_px
+       |FROM painted GROUP BY ty, tx, zone
+       |ORDER BY ty, tx, zone""".stripMargin
+
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
   def compositeMean(spark: SparkSession): DataFrame = {
@@ -1931,6 +2004,7 @@ object RasterQueries {
     "raster_pyramid_build" -> ((s, _) => pyramidBuild(s)),
     "raster_masked_composite" -> ((s, _) => maskedComposite(s)),
     "raster_histogram" -> ((s, _) => histogram(s)),
+    "raster_rasterize" -> ((s, _) => rasterizeZones(s)),
     "raster_eo3_export" -> ((s, _) => eo3Export(s))
   )
 
@@ -1968,5 +2042,6 @@ object RasterQueries {
     "raster_change_detect" -> changeDetectDuckSql,
     "raster_pyramid_build" -> pyramidBuildDuckSql,
     "raster_masked_composite" -> maskedCompositeDuckSql,
-    "raster_histogram" -> histogramDuckSql)
+    "raster_histogram" -> histogramDuckSql,
+    "raster_rasterize" -> rasterizeDuckSql)
 }
