@@ -1831,25 +1831,28 @@ object RasterQueries {
     * membership. DuckDB regenerates the whole grid with `range`,
     * re-runs the identical even-odd ray cast from the landed edges, and
     * resolves overlaps with `arg_max(zone, paint_order)`. */
+  /** The demo label zones (shared by rasterize and sample-drill). */
+  private def demoZones(crs: graft.geo.Crs): Seq[(Int, Geom)] = Seq(
+    1 -> Geom(IndexedSeq(
+      (500200.0, 7999600.0), (500800.0, 7999600.0),
+      (500800.0, 7999900.0), (500200.0, 7999900.0)), crs),
+    2 -> Geom(IndexedSeq(
+      (501000.0, 7999950.0), (502000.0, 7999950.0),
+      (501500.0, 7999200.0)), crs),
+    3 -> Geom(IndexedSeq(graft.geo.Poly(
+      IndexedSeq((502000.0, 7999200.0), (502800.0, 7999200.0),
+        (502800.0, 7999800.0), (502000.0, 7999800.0)),
+      IndexedSeq(IndexedSeq((502300.0, 7999400.0), (502500.0, 7999400.0),
+        (502500.0, 7999600.0), (502300.0, 7999600.0))))), crs),
+    4 -> Geom(IndexedSeq(
+      (501300.0, 7999500.0), (501600.0, 7999500.0),
+      (501600.0, 7999700.0), (501300.0, 7999700.0)), crs))
+
   def rasterizeZones(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val (items, schemas) = parsed(spark)
     val gbox = Planner.outputGeobox(items, schemas).get
-    val zones: Seq[(Int, Geom)] = Seq(
-      1 -> Geom(IndexedSeq(
-        (500200.0, 7999600.0), (500800.0, 7999600.0),
-        (500800.0, 7999900.0), (500200.0, 7999900.0)), gbox.crs),
-      2 -> Geom(IndexedSeq(
-        (501000.0, 7999950.0), (502000.0, 7999950.0),
-        (501500.0, 7999200.0)), gbox.crs),
-      3 -> Geom(IndexedSeq(graft.geo.Poly(
-        IndexedSeq((502000.0, 7999200.0), (502800.0, 7999200.0),
-          (502800.0, 7999800.0), (502000.0, 7999800.0)),
-        IndexedSeq(IndexedSeq((502300.0, 7999400.0), (502500.0, 7999400.0),
-          (502500.0, 7999600.0), (502300.0, 7999600.0))))), gbox.crs),
-      4 -> Geom(IndexedSeq(
-        (501300.0, 7999500.0), (501600.0, 7999500.0),
-        (501600.0, 7999700.0), (501300.0, 7999700.0)), gbox.crs))
+    val zones = demoZones(gbox.crs)
     zones.zipWithIndex.flatMap { case ((zid, g), zidx) =>
       g.parts.flatMap(_.rings).flatMap { r =>
         r.indices.map { i =>
@@ -1892,6 +1895,73 @@ object RasterQueries {
        |       CAST(zone AS INT) AS zone, COUNT(*) AS n_px
        |FROM painted GROUP BY ty, tx, zone
        |ORDER BY ty, tx, zone""".stripMargin
+
+  /** The training-data loop closed end to end (beyond the reference):
+    * rasterize the label zones → stratified deterministic sample of 20
+    * locations per class (`Sampling.stratifiedLocations` — portable
+    * md5(gy,gx) key, map-side hash-threshold prefilter, bounded exact
+    * rank) → drill the mosaic at those locations. DuckDB replays every
+    * stage: the ray-cast paint, the same md5 ranking, and the pixel
+    * lookup against the landed mosaic plane — a divergence anywhere in
+    * the chain (mask, sample set, OR values) reddens the row. */
+  def sampleDrill(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val gbox = res.geobox
+    val labels = graft.load.Rasterize.burn(spark, gbox, 64,
+      demoZones(gbox.crs))
+    // ≤ 4 classes × 20 rows — a constant-bounded collect by construction
+    val locs = graft.load.Sampling.stratifiedLocations(spark, labels, 20)
+      .collect()
+    val t = gbox.transform
+    val points = locs.toSeq.map { r =>
+      val (zone, gy, gx) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      val (wx, wy) = t(gx + 0.5, gy + 0.5)
+      (s"z${zone}_${gy}_$gx", wx, wy)
+    }
+    graft.load.Drill.drill(spark, res.tiles, gbox, points)
+      .orderBy("point_id", "band", "tIdx")
+  }
+
+  private val sampleDrillDuckSql: String =
+    s"""WITH px AS (
+       |  SELECT r1.range AS gy, r2.range AS gx,
+       |         500000 + (r2.range + 0.5) * 10 AS cx,
+       |         8000000 - (r1.range + 0.5) * 10 AS cy
+       |  FROM range(96) r1 CROSS JOIN range(320) r2),
+       |e AS (
+       |  SELECT zidx, zone, x1, y1, x2, y2
+       |  FROM read_parquet('$RasterizeEdgesPath/*.parquet')),
+       |hit AS (
+       |  SELECT p.gy, p.gx, e.zidx, e.zone,
+       |         SUM(CASE WHEN (e.y1 > p.cy) <> (e.y2 > p.cy)
+       |                   AND p.cx < (e.x2 - e.x1) * (p.cy - e.y1)
+       |                              / (e.y2 - e.y1) + e.x1
+       |              THEN 1 ELSE 0 END) AS cr
+       |  FROM px p CROSS JOIN e
+       |  GROUP BY p.gy, p.gx, e.zidx, e.zone),
+       |painted AS (
+       |  SELECT gy, gx, arg_max(zone, zidx) AS zone
+       |  FROM hit WHERE cr % 2 = 1 GROUP BY gy, gx),
+       |keyed AS (
+       |  SELECT zone, gy, gx, md5(gy || ',' || gx) AS key
+       |  FROM painted
+       |  WHERE substr(md5(gy || ',' || gx), 1, 1) IN ('0','1','2','3')),
+       |pts AS (
+       |  SELECT zone, gy, gx FROM (
+       |    SELECT zone, gy, gx,
+       |           row_number() OVER (PARTITION BY zone ORDER BY key) AS rn
+       |    FROM keyed) WHERE rn <= 20),
+       |c AS (
+       |  SELECT band, tidx, ty * 64 + py AS gy, tx * 64 + px AS gx, value
+       |  FROM read_parquet('$CellsPath/*.parquet'))
+       |SELECT 'z' || p.zone || '_' || p.gy || '_' || p.gx AS point_id,
+       |       c.band, c.tidx AS "tIdx",
+       |       CASE WHEN c.value <> 0 THEN c.value
+       |            ELSE CAST('NaN' AS DOUBLE) END AS value
+       |FROM pts p JOIN c ON c.gy = p.gy AND c.gx = p.gx
+       |ORDER BY point_id, band, "tIdx"""".stripMargin
 
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
@@ -2005,6 +2075,7 @@ object RasterQueries {
     "raster_masked_composite" -> ((s, _) => maskedComposite(s)),
     "raster_histogram" -> ((s, _) => histogram(s)),
     "raster_rasterize" -> ((s, _) => rasterizeZones(s)),
+    "raster_sample_drill" -> ((s, _) => sampleDrill(s)),
     "raster_eo3_export" -> ((s, _) => eo3Export(s))
   )
 
@@ -2043,5 +2114,6 @@ object RasterQueries {
     "raster_pyramid_build" -> pyramidBuildDuckSql,
     "raster_masked_composite" -> maskedCompositeDuckSql,
     "raster_histogram" -> histogramDuckSql,
-    "raster_rasterize" -> rasterizeDuckSql)
+    "raster_rasterize" -> rasterizeDuckSql,
+    "raster_sample_drill" -> sampleDrillDuckSql)
 }
