@@ -39,9 +39,15 @@ object Bench {
     // a co-tenant stealing the host for one run (the r7 driver bench
     // showed 9x inflation on single samples) shifts the median by at
     // most one rank, and the min rides along as the clean-host bound.
+    // Late-suite queries otherwise inherit ~180 predecessors' heap: a
+    // major GC landing inside one timed run showed up as 5-10x
+    // inflation on end-of-alphabet queries (stats_*, stream_*) while
+    // the same query solo ran clean. Collecting BETWEEN the warm run
+    // and the timed runs moves that pause outside the measurement.
     def force(name: String): (Double, Double) =
       if (once(name) < 0) (-1.0, -1.0)
       else {
+        System.gc()
         val runs = Seq.fill(3)(once(name))
         if (runs.exists(_ < 0)) (-1.0, -1.0)
         else (runs.sorted.apply(1), runs.min)
