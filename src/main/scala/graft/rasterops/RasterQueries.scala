@@ -1963,6 +1963,92 @@ object RasterQueries {
        |FROM pts p JOIN c ON c.gy = p.gy AND c.gx = p.gx
        |ORDER BY point_id, band, "tIdx"""".stripMargin
 
+  /** Streaming zonal statistics (beyond the reference): scenes arrive
+    * one per microbatch and each batch appends only its |zones|×|bands|
+    * PARTIAL rows to a standing partials table — O(zones) incremental
+    * maintenance per batch, never a recompute over history; the final
+    * answer is a re-aggregation of partials. The zones are the zonal
+    * trio, so DuckDB recomputes the same per-zone totals from the
+    * per-item pixel planes (`CompositeCellsPath`, identical fixture
+    * items) with the ray cast from the landed zone edges — a batch
+    * dropped, double-counted, or mis-painted shifts the totals. */
+  def streamZonal(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenes(NScenes).map(_.replaceAll("\n", " "))
+    val (allItems, allSchemas) = parsed(spark)
+    val grid = Planner.outputGeobox(allItems, allSchemas).get
+    // the zonal trio under the NAMES the landed zone-edge table uses
+    val zones = demoZones(grid.crs).take(3)
+      .zip(Seq("rect", "tri", "holed"))
+      .map { case ((_, g), n) => (n, g) }
+    val landing = java.nio.file.Files.createTempDirectory("graft_szonal_land")
+    jsons.zipWithIndex.foreach { case (j, i) =>
+      java.nio.file.Files.write(landing.resolve(f"item_$i%03d.json"),
+        j.getBytes("UTF-8"))
+    }
+    val partialsOut = java.nio.file.Files
+      .createTempDirectory("graft_szonal_out").toString + "/partials"
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .text(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val js = batch.select("value").as[String](
+          org.apache.spark.sql.Encoders.STRING).collect().toSeq
+        if (js.nonEmpty) {
+          val (ds, schemas) = StacParse.parseItems(spark,
+            spark.createDataset(js))
+          val items = ds.collect().toSeq.sortBy(_.id)
+          val res = Load.load(spark, items, schemas,
+            bands = Seq("red", "nir"), groupby = "id", chunks = 64,
+            geobox = Some(grid))
+          graft.load.Zonal.zonalStats(spark, res.tiles, grid, zones)
+            .write.mode("append").parquet(partialsOut)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(partialsOut)
+      .groupBy("zone", "band")
+      .agg(sum("n_valid").as("n_valid"),
+        round(sum("total"), 2).as("total"),
+        round(min("vmin"), 2).as("vmin"),
+        round(max("vmax"), 2).as("vmax"))
+      .orderBy("zone", "band")
+  }
+
+  private val streamZonalDuckSql: String =
+    s"""WITH e AS (
+       |  SELECT zone, x1, y1, x2, y2
+       |  FROM read_parquet('$ZoneEdgesPath/*.parquet')),
+       |p AS (
+       |  -- per-ITEM observations: an overlap pixel seen by two scenes
+       |  -- is two in-zone observations, exactly as the per-batch
+       |  -- partials count it
+       |  SELECT band, tidx, value,
+       |         500000 + (tx * 64 + px + 0.5) * 10 AS cx,
+       |         8000000 - (ty * 64 + py + 0.5) * 10 AS cy
+       |  FROM read_parquet('$CompositeCellsPath/*.parquet')
+       |  WHERE NOT isnan(value)),
+       |hit AS (
+       |  SELECT e.zone, p.band, p.tidx, p.cx, p.cy, MIN(p.value) AS value,
+       |         SUM(CASE WHEN (e.y1 > p.cy) <> (e.y2 > p.cy)
+       |                   AND p.cx < (e.x2 - e.x1) * (p.cy - e.y1)
+       |                              / (e.y2 - e.y1) + e.x1
+       |              THEN 1 ELSE 0 END) AS cr
+       |  FROM p CROSS JOIN e
+       |  GROUP BY e.zone, p.band, p.tidx, p.cx, p.cy)
+       |SELECT zone, band, COUNT(*) AS n_valid,
+       |       ROUND(SUM(value), 2) AS total,
+       |       ROUND(MIN(value), 2) AS vmin, ROUND(MAX(value), 2) AS vmax
+       |FROM hit WHERE cr % 2 = 1
+       |GROUP BY zone, band ORDER BY zone, band""".stripMargin
+
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
   def compositeMean(spark: SparkSession): DataFrame = {
@@ -2076,6 +2162,7 @@ object RasterQueries {
     "raster_histogram" -> ((s, _) => histogram(s)),
     "raster_rasterize" -> ((s, _) => rasterizeZones(s)),
     "raster_sample_drill" -> ((s, _) => sampleDrill(s)),
+    "stream_zonal" -> ((s, _) => streamZonal(s)),
     "raster_eo3_export" -> ((s, _) => eo3Export(s))
   )
 
@@ -2115,5 +2202,6 @@ object RasterQueries {
     "raster_masked_composite" -> maskedCompositeDuckSql,
     "raster_histogram" -> histogramDuckSql,
     "raster_rasterize" -> rasterizeDuckSql,
-    "raster_sample_drill" -> sampleDrillDuckSql)
+    "raster_sample_drill" -> sampleDrillDuckSql,
+    "stream_zonal" -> streamZonalDuckSql)
 }
