@@ -50,4 +50,54 @@ object Drill {
       }
       .toDF("point_id", "band", "tIdx", "value")
   }
+
+  /** Bilinear (sub-pixel) drill: the value at the exact world point,
+    * interpolated from the 4 surrounding pixel centers. Cross-tile
+    * windows need no halo: each tile emits the WEIGHTED TAPS it owns
+    * (≤ 4 tiny rows per point), and a groupBy reassembles them — a
+    * point has a value only when all four taps were valid (strict
+    * nodata propagation; a cloudy tap NaNs the sample, it does not
+    * skew it). */
+  def drillBilinear(spark: SparkSession, tiles: DataFrame, geobox: GeoBox,
+                    points: Seq[(String, Double, Double)]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val inv = geobox.transform.inverse
+    // 4 taps per point, driver-side: (id, tap gx, tap gy, weight)
+    val taps = points.flatMap { case (id, x, y) =>
+      val (pxf, pyf) = inv(x, y)
+      val x0 = math.floor(pxf - 0.5).toInt
+      val y0 = math.floor(pyf - 0.5).toInt
+      val fx = pxf - 0.5 - x0
+      val fy = pyf - 0.5 - y0
+      Seq(
+        (id, x0, y0, (1 - fx) * (1 - fy)), (id, x0 + 1, y0, fx * (1 - fy)),
+        (id, x0, y0 + 1, (1 - fx) * fy), (id, x0 + 1, y0 + 1, fx * fy))
+    }
+    val bt = spark.sparkContext.broadcast(taps)
+    tiles
+      .select("band", "tIdx", "x0", "y0", "width", "height",
+        "data", "dtype", "nodata")
+      .as[(String, Int, Int, Int, Int, Int, Array[Byte], String, Double)]
+      .flatMap { case (band, tIdx, x0, y0, w, h, data, dtype, nodata) =>
+        val own = bt.value.filter { case (_, gx, gy, _) =>
+          gx >= x0 && gx < x0 + w && gy >= y0 && gy < y0 + h }
+        if (own.isEmpty) Iterator.empty
+        else {
+          val pix = Fuse.decode(data, dtype)
+          own.iterator.flatMap { case (id, gx, gy, wt) =>
+            val v = pix((gy - y0) * w + (gx - x0))
+            if (v.isNaN || v == nodata) None
+            else Some((id, band, tIdx, wt, wt * v))
+          }
+        }
+      }
+      .toDF("point_id", "band", "tIdx", "w", "wv")
+      .groupBy("point_id", "band", "tIdx")
+      .agg(count(lit(1)).as("n_taps"),
+        round(sum("wv"), 2).as("v"))
+      .select(col("point_id"), col("band"), col("tIdx"),
+        when(col("n_taps") === 4, col("v"))
+          .otherwise(lit(Double.NaN)).as("value"))
+  }
 }

@@ -2049,6 +2049,54 @@ object RasterQueries {
        |FROM hit WHERE cr % 2 = 1
        |GROUP BY zone, band ORDER BY zone, band""".stripMargin
 
+  /** Bilinear point drill (Drill.drillBilinear): sub-pixel sampling at
+    * world points. Three stories — a plainly interior point, a point
+    * whose 2×2 tap window STRADDLES a tile boundary (the cross-tile
+    * reassembly: each tile ships only the weighted taps it owns), and
+    * a point whose taps are all fused-nodata on day 0 (no row) but
+    * valid on day 1. DuckDB recomputes the same 4-tap weighted sum
+    * from the landed mosaic plane with the same floor/fraction
+    * arithmetic. */
+  def drillBilinearPoints(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val points = Seq(
+      ("b_valid", 500234.7, 7999812.3), // px 23.47, py 18.77 — interior
+      ("b_seam", 500642.0, 7999500.0),  // px 64.2 — taps straddle tx 0/1
+      ("b_nodata", 501704.0, 7999500.0)) // px 170.4 — day-0 margin
+    graft.load.Drill.drillBilinear(spark, res.tiles, res.geobox, points)
+      .orderBy("point_id", "band", "tIdx")
+  }
+
+  private val drillBilinearDuckSql: String =
+    s"""WITH pts AS (
+       |  SELECT pid, (x - 500000) / 10 AS pxf, (8000000 - y) / 10 AS pyf
+       |  FROM (VALUES ('b_valid', 500234.7, 7999812.3),
+       |               ('b_seam', 500642.0, 7999500.0),
+       |               ('b_nodata', 501704.0, 7999500.0)) v(pid, x, y)),
+       |g AS (
+       |  SELECT pid, CAST(FLOOR(pxf - 0.5) AS INT) AS x0,
+       |         CAST(FLOOR(pyf - 0.5) AS INT) AS y0,
+       |         pxf - 0.5 - FLOOR(pxf - 0.5) AS fx,
+       |         pyf - 0.5 - FLOOR(pyf - 0.5) AS fy
+       |  FROM pts),
+       |taps AS (
+       |  SELECT g.pid, g.x0 + o.dx AS gx, g.y0 + o.dy AS gy,
+       |         (CASE o.dx WHEN 0 THEN 1 - g.fx ELSE g.fx END) *
+       |         (CASE o.dy WHEN 0 THEN 1 - g.fy ELSE g.fy END) AS w
+       |  FROM g CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1))
+       |                      o(dx, dy)),
+       |c AS (
+       |  SELECT band, tidx, ty * 64 + py AS gy, tx * 64 + px AS gx, value
+       |  FROM read_parquet('$CellsPath/*.parquet') WHERE value <> 0)
+       |SELECT t.pid AS point_id, c.band, c.tidx AS "tIdx",
+       |       CASE WHEN COUNT(*) = 4 THEN ROUND(SUM(t.w * c.value), 2)
+       |            ELSE CAST('NaN' AS DOUBLE) END AS value
+       |FROM taps t JOIN c ON c.gx = t.gx AND c.gy = t.gy
+       |GROUP BY t.pid, c.band, c.tidx
+       |ORDER BY point_id, band, "tIdx"""".stripMargin
+
   /** Across-time composite (custom Aggregator with map-side partials):
     * per-pixel mean/min/max/count over the per-item time planes. */
   def compositeMean(spark: SparkSession): DataFrame = {
@@ -2163,6 +2211,7 @@ object RasterQueries {
     "raster_rasterize" -> ((s, _) => rasterizeZones(s)),
     "raster_sample_drill" -> ((s, _) => sampleDrill(s)),
     "stream_zonal" -> ((s, _) => streamZonal(s)),
+    "raster_drill_bilinear" -> ((s, _) => drillBilinearPoints(s)),
     "raster_eo3_export" -> ((s, _) => eo3Export(s))
   )
 
@@ -2203,5 +2252,6 @@ object RasterQueries {
     "raster_histogram" -> histogramDuckSql,
     "raster_rasterize" -> rasterizeDuckSql,
     "raster_sample_drill" -> sampleDrillDuckSql,
-    "stream_zonal" -> streamZonalDuckSql)
+    "stream_zonal" -> streamZonalDuckSql,
+    "raster_drill_bilinear" -> drillBilinearDuckSql)
 }

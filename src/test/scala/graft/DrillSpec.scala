@@ -32,4 +32,28 @@ class DrillSpec extends AnyFunSuite {
     assert(out(1).getDouble(3).isNaN)
     assert(out(2).getDouble(3) == 23.0)
   }
+
+  test("bilinear drill: exact weights at the quarter point; nodata taps NaN") {
+    import spark.implicits._
+    val gbox = GeoBox(4, 2, Affine.grid(1000, 2000, 10, -10),
+      Crs.Utm(35, south = true))
+    val rows = Seq(
+      ("b", 0, 0, 0, 0, 0, Fuse.encode(
+        Array(10.0, 20.0, 0.0, 40.0, 30.0, 40.0, 50.0, 60.0), "uint16"),
+        "uint16", 0.0, 4, 2)
+    ).toDF("band", "tIdx", "ty", "tx", "x0", "y0", "data", "dtype",
+      "nodata", "width", "height")
+    val points = Seq(
+      // pixel coords (0.75, 0.75): taps (0,0),(1,0),(0,1),(1,1) with
+      // fx=fy=0.25 -> 10*0.5625 + 20*0.1875 + 30*0.1875 + 40*0.0625
+      ("q", 1007.5, 1992.5),
+      // window includes the nodata pixel (2,0) -> strict NaN
+      ("n", 1025.0, 1992.5))
+    val out = Drill.drillBilinear(spark, rows, gbox, points)
+      .orderBy("point_id").collect()
+    assert(out.length == 2)
+    assert(out(1).getString(0) == "q" &&
+      out(1).getDouble(3) == 10 * 0.5625 + 20 * 0.1875 + 30 * 0.1875 + 40 * 0.0625)
+    assert(out(0).getString(0) == "n" && out(0).getDouble(3).isNaN)
+  }
 }
