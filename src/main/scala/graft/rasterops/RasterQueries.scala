@@ -2065,7 +2065,10 @@ object RasterQueries {
       ("b_valid", 500234.7, 7999812.3), // px 23.47, py 18.77 — interior
       ("b_seam", 500642.0, 7999500.0),  // px 64.2 — taps straddle tx 0/1
       ("b_nodata", 501704.0, 7999500.0)) // px 170.4 — day-0 margin
+    // the operator returns the exact interpolant; quantization to the
+    // oracle's 2-dp convention is this harness's concern, not the API's
     graft.load.Drill.drillBilinear(spark, res.tiles, res.geobox, points)
+      .withColumn("value", round(col("value"), 2))
       .orderBy("point_id", "band", "tIdx")
   }
 

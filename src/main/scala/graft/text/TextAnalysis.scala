@@ -850,9 +850,20 @@ object TextAnalysis {
     * re-applies the SAME artifact to independently recomputed features
     * with a recursive-CTE walk — checking the distributed scoring pass
     * against another engine (the `dedup_minhash_sig` pattern: only the
-    * build artifact is shared, never the per-doc output). */
-  private val QualityTreePath =
-    s"${sys.props("java.io.tmpdir")}/graft_quality_tree_parquet"
+    * build artifact is shared, never the per-doc output). The path is
+    * keyed by the source dir: the tree is SF-dependent (trained on that
+    * dir's documents), and a fixed path would let a Bench run at
+    * another SF clobber the artifact between Verify and the DuckDB
+    * compare (the same cross-SF hazard the BPE merges oracle hit). */
+  private def qualityTreePath(dir: String): String = {
+    val fp = dir.hashCode & 0x7fffffff
+    s"${sys.props("java.io.tmpdir")}/graft_quality_tree_$fp"
+  }
+
+  /** Tree path of the most recent [[qualityModel]] run — what the
+    * oracle dump (written AFTER Verify runs the queries) points at. */
+  @volatile private var lastQualityTreePath =
+    qualityTreePath("/root/testdata/sf0.01")
 
   def qualityModel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -888,8 +899,10 @@ object TextAnalysis {
       id
     }
     flatten(model.rootNode)
+    val treePath = qualityTreePath(dir)
     nodes.toSeq.toDF("node_id", "feat", "thr", "left", "right", "pred")
-      .coalesce(1).write.mode("overwrite").parquet(QualityTreePath)
+      .coalesce(1).write.mode("overwrite").parquet(treePath)
+    lastQualityTreePath = treePath
     model.transform(assembled)
       .selectExpr("doc_id", "CAST(label AS BIGINT) AS weak_label",
         "CAST(prediction AS BIGINT) AS pred",
@@ -917,22 +930,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater(6)
+        // native zlib state freed deterministically at task end —
+        // finalization is deprecated and would let native memory pile
+        // up on executors running many tasks
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => d.end()))
         val buf = new Array[Byte](16 * 1024)
         it.map { case (id, t) =>
           val in = t.getBytes("UTF-8")
           d.reset(); d.setInput(in); d.finish()
           var n = 0L
           while (!d.finished()) n += d.deflate(buf)
-          (id, t.length.toLong, n)
+          // ratio over the same unit as the numerator: UTF-8 BYTES
+          // (chars would inflate the ratio for multibyte text)
+          (id, in.length.toLong, n)
         }
-        // Deflater native memory is freed by its finalizer when the
-        // partition iterator is dropped; no onCompletion hook needed at
-        // this allocation rate (one per task)
       }
-      .toDF("doc_id", "n_chars", "n_deflate")
-      .select(col("doc_id"), col("n_chars"), col("n_deflate"),
-        round(col("n_deflate").cast("double") / col("n_chars"), 4).as("ratio"),
-        (col("n_deflate").cast("double") / col("n_chars") < LowInfoRatio)
+      .toDF("doc_id", "n_bytes", "n_deflate")
+      .select(col("doc_id"), col("n_bytes"), col("n_deflate"),
+        round(col("n_deflate").cast("double") / col("n_bytes"), 4).as("ratio"),
+        (col("n_deflate").cast("double") / col("n_bytes") < LowInfoRatio)
           .cast("long").as("low_info"))
       .orderBy("doc_id")
   }
@@ -970,8 +987,9 @@ object TextAnalysis {
   /** `text_quality_model` oracle: recompute the four features with
     * DuckDB's own spelling (the hash-green `text_quality_filter`
     * derivation), then walk the LANDED tree with a recursive CTE —
-    * MLlib's go-left-iff-feature≤threshold semantics verbatim. */
-  private val qualityModelDuckSql: String =
+    * MLlib's go-left-iff-feature≤threshold semantics verbatim. A def:
+    * the tree path follows the dir the query last ran with. */
+  private def qualityModelDuckSql: String =
     s"""WITH RECURSIVE t AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
        |  FROM documents),
@@ -998,8 +1016,7 @@ object TextAnalysis {
        |         THEN 1 ELSE 0 END AS keep
        |  FROM t JOIN rep ON t.doc_id = rep.doc_id),
        |nodes AS (
-       |  SELECT * FROM read_parquet(
-       |    '${sys.props("java.io.tmpdir")}/graft_quality_tree_parquet/*.parquet')),
+       |  SELECT * FROM read_parquet('$lastQualityTreePath/*.parquet')),
        |walk AS (
        |  SELECT doc_id, f0, f1, f2, f3, keep, 0 AS node FROM f
        |  UNION ALL
@@ -1015,7 +1032,8 @@ object TextAnalysis {
        |FROM walk w JOIN nodes n ON n.node_id = w.node AND n.feat < 0
        |ORDER BY w.doc_id""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  // def, not val: qualityModelDuckSql embeds the last-run tree path
+  def oracleSql: Map[String, String] = Map(
     "text_quality_model" -> qualityModelDuckSql,
     "text_normalize" -> normalizeDuckSql,
     "text_stats" -> statsDuckSql,

@@ -56,4 +56,34 @@ class DrillSpec extends AnyFunSuite {
       out(1).getDouble(3) == 10 * 0.5625 + 20 * 0.1875 + 30 * 0.1875 + 40 * 0.0625)
     assert(out(0).getString(0) == "n" && out(0).getDouble(3).isNaN)
   }
+
+  /** The broadcast side is pre-binned into 256-px hash buckets: a tile
+    * probes only its overlapping buckets, so per-tile candidate work is
+    * O(own + bucket slop), not O(all points) — here 10^5 points spread
+    * over a 4096² grid, and a 64² tile sees ≤ the points of its four
+    * covering buckets (~400), never the full hundred thousand. */
+  test("spatial-hash binning bounds per-tile candidates at 1e5 points") {
+    val n = 100000
+    val rnd = new scala.util.Random(42)
+    val pts = (0 until n).map { i =>
+      (s"p$i", rnd.nextInt(4096), rnd.nextInt(4096))
+    }
+    val binned = Drill.binByBucket(pts)(_._2, _._3)
+    // every point lands in exactly one bucket
+    assert(binned.valuesIterator.map(_.size).sum == n)
+    // probe every 64px tile of a 1024² corner: candidates ≤ 4 buckets'
+    // worth (~6e-3 of the points), and the exact filter recovers
+    // precisely the brute-force hits
+    for (ty <- 0 until 16; tx <- 0 until 16) {
+      val (x0, y0) = (tx * 64, ty * 64)
+      val cand = Drill.candidates(binned, x0, y0, 64, 64).toSeq
+      assert(cand.size <= 4 * (n / (16 * 16)) * 2,
+        s"tile ($ty,$tx) candidate set too large: ${cand.size}")
+      val exact = cand.filter { case (_, gx, gy) =>
+        gx >= x0 && gx < x0 + 64 && gy >= y0 && gy < y0 + 64 }.toSet
+      val brute = pts.filter { case (_, gx, gy) =>
+        gx >= x0 && gx < x0 + 64 && gy >= y0 && gy < y0 + 64 }.toSet
+      assert(exact == brute)
+    }
+  }
 }
