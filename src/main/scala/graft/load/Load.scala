@@ -236,6 +236,9 @@ object Load {
     }
 
     val bandKeys = resolved.map { case (name, _) => name -> md.bandKey(name).norm }
+    // plan-time credential capture (the reference's capture_rio_env →
+    // per-worker restore seam): rides a broadcast, never closure fields
+    val bcIo = spark.sparkContext.broadcast(graft.raster.IoSession.capture())
     val bcGbox = spark.sparkContext.broadcast(GeoBoxData.from(outGbox))
     val bcCfg = spark.sparkContext.broadcast(cfgs)
     val bcDtypes = spark.sparkContext.broadcast(outDtypes)
@@ -299,6 +302,7 @@ object Load {
         spark.createDataset(
           spark.sparkContext.parallelize(interleaved, p)
             .mapPartitions { it =>
+              bcIo.value.foreach(graft.raster.IoSession.restore(_))
               // one reusable pixel buffer per task (tiles are tw*th max):
               // cuts per-tile allocation from ~8 MB to the encoded payload
               val buf = new Array[Double](tw * th)
@@ -350,6 +354,7 @@ object Load {
         seedDs
           .groupByKey(s => (s.band, s.tIdx / tc, s.ty, s.tx))
           .flatMapGroups { (_: (String, Int, Int, Int), it: Iterator[TaskSeed]) =>
+            bcIo.value.foreach(graft.raster.IoSession.restore(_))
             val gbt = GeoBoxTiles(bcGbox.value.toGeoBox, tw, th)
             val buf = new Array[Double](tw * th)
             it.toSeq.groupBy(_.tIdx).toSeq.sortBy(_._1).iterator

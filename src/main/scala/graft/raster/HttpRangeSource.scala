@@ -20,10 +20,11 @@ package graft.raster
   * a deployment needing different policy registers its own instance via
   * [[GraftIoPlugin]] (`spark.graft.io.sources=https:com.example.Src`).
   */
-final class HttpRangeSource(
+class HttpRangeSource(
     val maxRetries: Int = 10,
     val retryDelayMs: Long = 100,
-    val blockSize: Int = 256 * 1024) extends RasterByteSource {
+    val blockSize: Int = 256 * 1024,
+    val headers: Map[String, String] = Map.empty) extends RasterByteSource {
 
   private val MaxBackoffMs = 5000L
   private def retryable(status: Int): Boolean =
@@ -61,6 +62,9 @@ final class HttpRangeSource(
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(15000)
     conn.setReadTimeout(60000)
+    // session/auth headers (signed-URL tokens, bearer auth) from the
+    // restored IoSession credentials — see [[IoSession]]
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     range.foreach { case (a, b) =>
       conn.setRequestProperty("Range", s"bytes=$a-$b") }
     val status = conn.getResponseCode
