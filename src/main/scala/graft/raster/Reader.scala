@@ -21,6 +21,43 @@ final case class Roi(x0: Int, y0: Int, w: Int, h: Int) {
   *     level (sidecar file or reduced-resolution subimage) instead of the
   *     base image.
   */
+/** Separable convolution kernel weights (F16): cubic = Catmull-Rom
+  * (cubic convolution with a = -0.5, GDAL's kernel), lanczos =
+  * sinc-windowed sinc a = 3, cubic_spline = cubic B-spline (smoothing,
+  * not interpolating). Top-level so the warp sampler and the
+  * `raster_resample_conv` oracle weight-table export share ONE
+  * implementation — the landed weights are bit-identical to what the
+  * engine multiplies with. */
+object Kernels {
+  def cubic(t0: Double): Double = {
+    val t = math.abs(t0)
+    if (t <= 1) (1.5 * t - 2.5) * t * t + 1
+    else if (t < 2) ((-0.5 * t + 2.5) * t - 4) * t + 2
+    else 0.0
+  }
+  def lanczos(t: Double): Double = {
+    if (t == 0) 1.0
+    else if (t <= -3 || t >= 3) 0.0
+    else {
+      val px = math.Pi * t
+      3 * math.sin(px) * math.sin(px / 3) / (px * px)
+    }
+  }
+  def bspline(t0: Double): Double = {
+    val t = math.abs(t0)
+    if (t <= 1) (4 + t * t * (3 * t - 6)) / 6
+    else if (t < 2) { val u = 2 - t; u * u * u / 6 }
+    else 0.0
+  }
+  /** Gauss pooled-kernel tap weight for an n×n window at squared
+    * center distance d2 (sigma tied to the pooling radius — the GDAL
+    * overview kernel). */
+  def gauss(d2: Double, n: Int): Double = {
+    val sigma = math.max(0.5, n / 2.0)
+    math.exp(-d2 / (2 * sigma * sigma))
+  }
+}
+
 trait RasterReader extends Serializable {
   /** Read the part of `src` covering `dstGeobox`; returns the dst ROI and
     * row-major pixels (length roi.w*roi.h) in **source** value space with
@@ -277,29 +314,11 @@ abstract class WindowedReader extends RasterReader {
       case "rms" => 13; case "gauss" => 14; case _ => 0
     }
 
-    // Convolution kernels: cubic = Catmull-Rom (cubic convolution with
-    // a = -0.5, GDAL's kernel), lanczos = sinc-windowed sinc a = 3,
-    // cubic_spline = cubic B-spline (smoothing, not interpolating).
-    @inline def cubicW(t0: Double): Double = {
-      val t = math.abs(t0)
-      if (t <= 1) (1.5 * t - 2.5) * t * t + 1
-      else if (t < 2) ((-0.5 * t + 2.5) * t - 4) * t + 2
-      else 0.0
-    }
-    @inline def lanczosW(t: Double): Double = {
-      if (t == 0) 1.0
-      else if (t <= -3 || t >= 3) 0.0
-      else {
-        val px = math.Pi * t
-        3 * math.sin(px) * math.sin(px / 3) / (px * px)
-      }
-    }
-    @inline def bsplineW(t0: Double): Double = {
-      val t = math.abs(t0)
-      if (t <= 1) (4 + t * t * (3 * t - 6)) / 6
-      else if (t < 2) { val u = 2 - t; u * u * u / 6 }
-      else 0.0
-    }
+    // Convolution kernels — see [[Kernels]] (shared with the oracle
+    // weight-table export so both engines use bit-identical weights).
+    @inline def cubicW(t0: Double): Double = Kernels.cubic(t0)
+    @inline def lanczosW(t: Double): Double = Kernels.lanczos(t)
+    @inline def bsplineW(t0: Double): Double = Kernels.bspline(t0)
     /** Shared 2-D convolution sampler: `taps`×`taps` window centred on
       * the source position, nodata-aware via weight renormalization
       * (same convention as the bilinear kernel above).
@@ -384,9 +403,8 @@ abstract class WindowedReader extends RasterReader {
           val mvals = if (needVals) new Array[Double](n * n) else null
           val mcnts = if (rcode == 3) new Array[Int](n * n) else null
           var mn = 0
-          // gauss: sigma tied to the pooling radius (GDAL overview kernel)
-          val sigma = math.max(0.5, n / 2.0)
-          val inv2s2 = 1.0 / (2 * sigma * sigma)
+          // gauss: sigma tied to the pooling radius (GDAL overview
+          // kernel) — weight math shared bit-for-bit via [[Kernels]]
           val cxc = lx; val cyc = ly
           var dy = 0
           while (dy < n) {
@@ -412,7 +430,7 @@ abstract class WindowedReader extends RasterReader {
                     case 13 => acc -= v; acc += v * v // rms accumulates v^2
                     case 14 =>
                       val ddx = xx + 0.5 - cxc; val ddy = yy + 0.5 - cyc
-                      val w = math.exp(-(ddx * ddx + ddy * ddy) * inv2s2)
+                      val w = Kernels.gauss(ddx * ddx + ddy * ddy, n)
                       wacc += v * w; wsum += w
                     case _ => ()
                   }

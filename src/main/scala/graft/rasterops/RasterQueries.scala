@@ -1310,6 +1310,132 @@ object RasterQueries {
        |FROM ex GROUP BY mode, band, tidx, ty, tx
        |ORDER BY mode, band, tidx, ty, tx""".stripMargin
 
+  /** Shared paths for the convolution-kernel anchor ([[resampleConv]]). */
+  private val ConvNativePath =
+    s"${sys.props("java.io.tmpdir")}/graft_conv_native_parquet"
+  private val ConvCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_conv_cells_parquet"
+  private val ConvWeightsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_conv_weights_parquet"
+
+  /** The last three resampling kernels (lanczos / cubic_spline / gauss
+    * — golden-pinned only until now: transcendental weights). At the
+    * aligned 2× shrink every dst pixel sees the SAME tap geometry
+    * (fx=fy=1/2), so the per-tap weights are a tiny constant table —
+    * landed from [[graft.raster.Kernels]], the exact functions the warp
+    * multiplies with, so both engines share bit-identical weights — and
+    * DuckDB re-applies them: join native taps at (2·P+o), fold
+    * value·w and w in the engine's (dy,dx) loop order (`list_reduce`
+    * over an ordered list — float addition is order-sensitive),
+    * renormalize over the valid taps, NaN on empty/tiny wsum, domain
+    * gated on the landed center-cell coverage. This checks kernel
+    * APPLICATION — window origin, nodata renormalization, tap
+    * clipping — complementing the weight DERIVATION the golden pins
+    * hold. `chunks=256` puts each whole scene in ONE dst tile so the
+    * per-task source window is the full scene and window truncation
+    * coincides with the landed-coverage truncation; the native landing
+    * stays at 64 (scene bboxes are 64-aligned, so tile coverage equals
+    * the exact scene clip). */
+  def resampleConv(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import graft.raster.Kernels
+    val (items, schemas) = parsed(spark)
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    Load.load(spark, items, schemas, bands = Seq("red"), groupby = "id",
+      chunks = 64, dtype = Some("float64")).tiles
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("width"),
+        col("nodata"), posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tIdx").as("tidx"),
+        (col("ty") * 64 + (col("pos") / col("width")).cast("int")).as("gy"),
+        (col("tx") * 64 + (col("pos") % col("width")).cast("int")).as("gx"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(ConvNativePath)
+    // per-tap weights at the aligned geometry: native cell 2P+o, kernel
+    // argument o-1/2; 2-D weight = wx*wy in the engine's multiply order
+    val wrows =
+      (for { dy <- 0 until 6; dx <- 0 until 6 } yield
+        ("lanczos", dy - 2, dx - 2,
+          Kernels.lanczos((dx - 2) - 0.5) * Kernels.lanczos((dy - 2) - 0.5))) ++
+        (for { dy <- 0 until 4; dx <- 0 until 4 } yield
+          ("cubic_spline", dy - 1, dx - 1,
+            Kernels.bspline((dx - 1) - 0.5) * Kernels.bspline((dy - 1) - 0.5))) ++
+        (for { dy <- 0 until 2; dx <- 0 until 2 } yield
+          ("gauss", dy, dx, Kernels.gauss(0.5, 2)))
+    wrows.toDF("mode", "oy", "ox", "w")
+      .coalesce(1).write.mode("overwrite").parquet(ConvWeightsPath)
+    Seq("lanczos", "cubic_spline", "gauss").map { m =>
+      Load.load(spark, items, schemas, bands = Seq("red"), groupby = "id",
+        chunks = 256, resolution = Some(20.0), resampling = Map("*" -> m),
+        useOverviews = false, dtype = Some("float64")).tiles
+        .withColumn("mode", lit(m))
+    }.reduce(_ unionAll _)
+      .select(col("mode"), col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("width"), col("nodata"), posexplode(decode(col("data"), col("dtype"))))
+      .select(col("mode"), col("band"), col("tIdx").as("tidx"),
+        (col("ty") * 256 + (col("pos") / col("width")).cast("int")).as("gpy"),
+        (col("tx") * 256 + (col("pos") % col("width")).cast("int")).as("gpx"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(ConvCellsPath)
+    spark.read.parquet(ConvCellsPath)
+      .groupBy("mode", "band", "tidx", "gpy")
+      .agg(count(lit(1)).as("n_px"),
+        count(when(!isnan(col("value")), 1)).as("n_valid"),
+        sum(when(isnan(col("value")), 0L)
+          .otherwise(round(col("value") * 100).cast("long"))).as("sum_q"),
+        round(min(when(!isnan(col("value")), col("value"))), 2).as("vmin"),
+        round(max(when(!isnan(col("value")), col("value"))), 2).as("vmax"))
+      .orderBy("mode", "band", "tidx", "gpy")
+  }
+
+  private val resampleConvDuckSql: String =
+    s"""WITH natall AS (
+       |  SELECT band, tidx, gy, gx
+       |  FROM read_parquet('$ConvNativePath/*.parquet')),
+       |nat AS (
+       |  SELECT band, tidx, gy, gx, value
+       |  FROM read_parquet('$ConvNativePath/*.parquet')
+       |  WHERE NOT isnan(value)),
+       |wt AS (SELECT mode, oy, ox, w
+       |       FROM read_parquet('$ConvWeightsPath/*.parquet')),
+       |dom AS (SELECT DISTINCT mode, band, tidx, gpy, gpx
+       |        FROM read_parquet('$ConvCellsPath/*.parquet')),
+       |tap AS (
+       |  SELECT d.mode, d.band, d.tidx, d.gpy, d.gpx,
+       |         n.value, t.w, t.oy, t.ox
+       |  FROM dom d
+       |  JOIN wt t ON t.mode = d.mode
+       |  LEFT JOIN nat n ON n.band = d.band AND n.tidx = d.tidx
+       |       AND n.gy = 2 * d.gpy + t.oy AND n.gx = 2 * d.gpx + t.ox),
+       |acc AS (
+       |  SELECT mode, band, tidx, gpy, gpx,
+       |    CASE WHEN COUNT(value) = 0 THEN NULL
+       |         ELSE list_reduce(list(value * w ORDER BY oy, ox)
+       |                FILTER (WHERE value IS NOT NULL), (a, b) -> a + b)
+       |    END AS acc,
+       |    CASE WHEN COUNT(value) = 0 THEN NULL
+       |         ELSE list_reduce(list(w ORDER BY oy, ox)
+       |                FILTER (WHERE value IS NOT NULL), (a, b) -> a + b)
+       |    END AS wsum
+       |  FROM tap GROUP BY 1, 2, 3, 4, 5),
+       |ex AS (
+       |  SELECT a.mode, a.band, a.tidx, a.gpy, a.gpx,
+       |    CASE WHEN c.gy IS NULL THEN NULL
+       |         WHEN a.wsum IS NULL OR ABS(a.wsum) < 1e-12 THEN NULL
+       |         ELSE a.acc / a.wsum END AS val
+       |  FROM acc a
+       |  LEFT JOIN natall c ON c.band = a.band AND c.tidx = a.tidx
+       |       AND c.gy = 2 * a.gpy + 1 AND c.gx = 2 * a.gpx + 1)
+       |SELECT mode, band, tidx, gpy, COUNT(*) AS n_px,
+       |       COUNT(val) AS n_valid,
+       |       CAST(SUM(COALESCE(CAST(ROUND(val * 100) AS BIGINT), 0))
+       |            AS BIGINT) AS sum_q,
+       |       ROUND(MIN(val), 2) AS vmin, ROUND(MAX(val), 2) AS vmax
+       |FROM ex GROUP BY mode, band, tidx, gpy
+       |ORDER BY mode, band, tidx, gpy""".stripMargin
+
   /** Shared paths for the overview anchor (see [[overviewCells]]). */
   private val OverviewNativePath =
     s"${sys.props("java.io.tmpdir")}/graft_overview_native_parquet"
@@ -2504,6 +2630,7 @@ object RasterQueries {
     "raster_composite_cells" -> ((s, _) => compositeCells(s)),
     "raster_reproject_cells" -> ((s, _) => reprojectCells(s)),
     "raster_resample_cells" -> ((s, _) => resampleCells(s)),
+    "raster_resample_conv" -> ((s, _) => resampleConv(s)),
     "raster_overview_cells" -> ((s, _) => overviewCells(s)),
     "stream_raster_ingest" -> ((s, _) => streamRasterIngest(s)),
     "raster_load_tiff" -> ((s, _) => loadTiff(s)),
@@ -2574,5 +2701,6 @@ object RasterQueries {
     "raster_drill_bilinear" -> drillBilinearDuckSql,
     "raster_output_geobox" -> outputGeoboxDuckSql,
     "raster_eo3_export" -> eo3ExportDuckSql,
-    "raster_eo3_product" -> eo3ProductDuckSql)
+    "raster_eo3_product" -> eo3ProductDuckSql,
+    "raster_resample_conv" -> resampleConvDuckSql)
 }
