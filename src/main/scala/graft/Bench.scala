@@ -56,7 +56,11 @@ object Bench {
     // session-level warmup (parquet footers, noop sink, shuffle service)
     once("q01_scan_filter")
 
+    // optional family scoping (e.g. '^(dedup|corpus|sim|text)_' for the
+    // sf1 cap-proof run) — the driver contract (no filter set) is unchanged
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => filter.forall(_.findFirstIn(n).isDefined))
     val results = names.map(n => n -> force(n))
     val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")

@@ -2020,6 +2020,25 @@ object RasterQueries {
       .orderBy("band", "tIdx", "ty", "tx")
   }
 
+  /** Same focal mean through [[graft.load.Focal.focalMeanStanding]] —
+    * the strips-only exchange over a standing (pre-clustered) tile
+    * layout. Shares [[focalMeanDuckSql]]: identical results are the
+    * contract; `FocalSpec` pins the plan shape (one plane exchange —
+    * the standing repartition itself — with the strip re-key the only
+    * operator-added shuffle). */
+  def focalMeanStanding(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val standing = res.tiles.repartition(
+      col("band"), col("tIdx"), col("ty"), col("tx"))
+    graft.load.Focal.focalMeanStanding(spark, standing, radius = 1)
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("n_valid"),
+        expr("aggregate(focal, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("focal_q"))
+      .orderBy("band", "tIdx", "ty", "tx")
+  }
+
   private val focalMeanDuckSql: String =
     s"""WITH dom AS (
        |  SELECT band, tidx, ty, tx,
@@ -2648,6 +2667,7 @@ object RasterQueries {
     "raster_temporal_fill" -> ((s, _) => temporalFill(s)),
     "raster_band_math" -> ((s, _) => bandMathNdvi(s)),
     "raster_focal_mean" -> ((s, _) => focalMean(s)),
+    "raster_focal_standing" -> ((s, _) => focalMeanStanding(s)),
     "raster_drill" -> ((s, _) => drillPoints(s)),
     "raster_change_detect" -> ((s, _) => changeDetect(s)),
     "raster_pyramid_build" -> ((s, _) => pyramidBuild(s)),
@@ -2690,6 +2710,7 @@ object RasterQueries {
     "raster_temporal_fill" -> temporalFillDuckSql,
     "raster_band_math" -> bandMathNdviDuckSql,
     "raster_focal_mean" -> focalMeanDuckSql,
+    "raster_focal_standing" -> focalMeanDuckSql,
     "raster_drill" -> drillPointsDuckSql,
     "raster_change_detect" -> changeDetectDuckSql,
     "raster_pyramid_build" -> pyramidBuildDuckSql,

@@ -79,4 +79,56 @@ class FocalSpec extends AnyFunSuite {
     val f = out.head.getAs[scala.collection.Seq[Double]]("focal").toSeq
     assert(f == Seq(5.0, 5.0, 5.0, 5.0)) // every window = all four pixels
   }
+
+  test("standing layout: same results, only strips cross a new exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // 3x3 grid of 2x2 tiles with a nodata hole — seams in both axes
+    val rows = (for { ty <- 0 to 2; tx <- 0 to 2 } yield
+      tile(ty, tx, tx * 2, ty * 2,
+        Array(1.0 + ty * 6 + tx * 2, 2.0 + ty * 6 + tx * 2,
+          if (ty == 1 && tx == 1) 0.0 else 4.0, 5.0)))
+      .toDF("band", "tIdx", "ty", "tx", "x0", "y0", "data", "dtype",
+        "nodata", "width", "height")
+    val standing = rows.repartition($"band", $"tIdx", $"ty", $"tx")
+    val viaStanding = Focal.focalMeanStanding(spark, standing)
+    viaStanding.collect() // materialize THIS plan (AQE finalizes lazily)
+    val got = viaStanding.orderBy("ty", "tx").collect()
+    val want = Focal.focalMean(spark, rows).orderBy("ty", "tx").collect()
+    assert(got.length == 9 && want.length == 9)
+    got.zip(want).foreach { case (g, e) =>
+      val gf = g.getAs[scala.collection.Seq[Double]]("focal").toSeq
+      val ef = e.getAs[scala.collection.Seq[Double]]("focal").toSeq
+      assert(gf == ef, s"tile ${e.getInt(2)},${e.getInt(3)}")
+      assert(g.getAs[Long]("n_valid") == e.getAs[Long]("n_valid"))
+    }
+    // Plan: the ONLY exchange carrying the raw tile plane (`data`) is
+    // the caller's standing repartition — executed once and
+    // ReusedExchange'd into the strip branch; the operator itself
+    // re-keys strips only. On a real standing layout (bucketed write,
+    // done once) even that one disappears from the per-query cost.
+    // AQE wraps materialized stages in leaf QueryStageExec nodes, so
+    // walk into them explicitly (ReusedExchange stays a leaf — a
+    // reused stage must not double-count).
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val into = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: into.flatMap(allNodes)
+    }
+    val exchanges = allNodes(viaStanding.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike => e }
+    val planeExchanges =
+      exchanges.filter(_.schema.fieldNames.contains("data"))
+    assert(planeExchanges.size == 1,
+      s"expected only the standing repartition to carry planes, got " +
+        s"${planeExchanges.size}:\n${planeExchanges.mkString("\n")}")
+    assert(exchanges.exists(!_.schema.fieldNames.contains("data")),
+      "strip exchange missing — halo must still be re-keyed")
+  }
 }
