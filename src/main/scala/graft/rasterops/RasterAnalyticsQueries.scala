@@ -1,0 +1,628 @@
+package graft.rasterops
+import graft.eo3.Eo3
+import graft.geo.{BBox, Geom}
+import graft.load.{Fuse, Load}
+import graft.planner.Planner
+import graft.raster.Fixtures
+import graft.stac.{StacParse, StacSearch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raster analytics layer: zonal stats, temporal fill, band math,
+  * focal mean, drill, change detection, pyramids, rasterize,
+  * stratified sampling, histograms, masked composites.
+  *
+  * One family of [[RasterQueries]]' driver-contract entries (pure
+  * code move — the registry and all member semantics live unchanged
+  * through the aggregator object, whose self-type gives every family
+  * access to the shared fixtures/paths).
+  */
+private[rasterops] trait RasterAnalyticsQueries {
+  this: RasterQueries.type =>
+  def zonalStats(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val crs = res.geobox.crs
+    val zones = Seq(
+      "rect" -> Geom(IndexedSeq(
+        (500200.0, 7999600.0), (500800.0, 7999600.0),
+        (500800.0, 7999900.0), (500200.0, 7999900.0)), crs),
+      "tri" -> Geom(IndexedSeq(
+        (501000.0, 7999950.0), (502000.0, 7999950.0),
+        (501500.0, 7999200.0)), crs),
+      "holed" -> Geom(IndexedSeq(graft.geo.Poly(
+        IndexedSeq((502000.0, 7999200.0), (502800.0, 7999200.0),
+          (502800.0, 7999800.0), (502000.0, 7999800.0)),
+        IndexedSeq(IndexedSeq((502300.0, 7999400.0), (502500.0, 7999400.0),
+          (502500.0, 7999600.0), (502300.0, 7999600.0))))), crs))
+    zones.flatMap { case (zid, g) =>
+      g.parts.flatMap(_.rings).flatMap { r =>
+        r.indices.map { i =>
+          val (x1, y1) = r(i)
+          val (x2, y2) = r((i + 1) % r.length)
+          (zid, x1, y1, x2, y2)
+        }
+      }
+    }.toDF("zone", "x1", "y1", "x2", "y2")
+      .coalesce(1).write.mode("overwrite").parquet(ZoneEdgesPath)
+    graft.load.Zonal.zonalStats(spark, res.tiles, res.geobox, zones)
+      .orderBy("zone", "band", "tIdx")
+  }
+
+  private[rasterops] val zonalStatsDuckSql: String =
+    s"""WITH e AS (
+       |  SELECT zone, x1, y1, x2, y2
+       |  FROM read_parquet('$ZoneEdgesPath/*.parquet')),
+       |p AS (
+       |  SELECT band, tidx, value,
+       |         500000 + (tx * 64 + px + 0.5) * 10 AS cx,
+       |         8000000 - (ty * 64 + py + 0.5) * 10 AS cy
+       |  FROM read_parquet('$CellsPath/*.parquet')
+       |  WHERE value <> 0),
+       |hit AS (
+       |  SELECT e.zone, p.band, p.tidx, p.cx, p.cy, MIN(p.value) AS value,
+       |         SUM(CASE WHEN (e.y1 > p.cy) <> (e.y2 > p.cy)
+       |                   AND p.cx < (e.x2 - e.x1) * (p.cy - e.y1)
+       |                              / (e.y2 - e.y1) + e.x1
+       |              THEN 1 ELSE 0 END) AS cr
+       |  FROM p CROSS JOIN e
+       |  GROUP BY e.zone, p.band, p.tidx, p.cx, p.cy)
+       |SELECT zone, band, tidx AS "tIdx",
+       |       COUNT(*) AS n_valid, ROUND(SUM(value), 2) AS total,
+       |       ROUND(MIN(value), 2) AS vmin, ROUND(MAX(value), 2) AS vmax
+       |FROM hit WHERE cr % 2 = 1
+       |GROUP BY zone, band, tidx
+       |ORDER BY zone, band, "tIdx"""".stripMargin
+  def temporalFill(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenesGap(3)
+    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
+    val items = ds.collect().toSeq.sortBy(_.id)
+    val res = Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "id", chunks = 64, dtype = Some("float64"))
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    res.tiles
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("width"),
+        col("nodata"), unix_timestamp(col("time")).as("tsec"),
+        posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tIdx").as("tidx"), col("tsec"), col("ty"),
+        col("tx"),
+        (col("pos") / col("width")).cast("int").as("py"),
+        (col("pos") % col("width")).cast("int").as("px"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(GapCellsPath)
+    graft.load.TemporalFill.fillAcrossTime(spark, res.tiles)
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("n_filled"),
+        expr("aggregate(filled, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("fill_q"),
+        expr("aggregate(filled, 0, (s, v) -> s + if(isnan(v), 0, 1))")
+          .as("n_data"))
+      .orderBy("band", "tIdx", "ty", "tx")
+  }
+
+  private[rasterops] val temporalFillDuckSql: String =
+    s"""WITH w AS (
+       |  SELECT band, tidx, ty, tx, py, px, tsec, value,
+       |         last_value(CASE WHEN NOT isnan(value) THEN value END
+       |             IGNORE NULLS) OVER wp AS pv,
+       |         last_value(CASE WHEN NOT isnan(value) THEN tsec END
+       |             IGNORE NULLS) OVER wp AS pt,
+       |         first_value(CASE WHEN NOT isnan(value) THEN value END
+       |             IGNORE NULLS) OVER wn AS nv,
+       |         first_value(CASE WHEN NOT isnan(value) THEN tsec END
+       |             IGNORE NULLS) OVER wn AS nt
+       |  FROM read_parquet('$GapCellsPath/*.parquet')
+       |  WINDOW
+       |    wp AS (PARTITION BY band, ty, tx, py, px ORDER BY tsec
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    wn AS (PARTITION BY band, ty, tx, py, px ORDER BY tsec
+       |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+       |f AS (
+       |  SELECT band, tidx, ty, tx,
+       |         CASE WHEN NOT isnan(value) THEN value
+       |              WHEN pv IS NOT NULL AND nv IS NOT NULL
+       |                THEN pv + (nv - pv) * (tsec - pt) / (nt - pt)
+       |              WHEN pv IS NOT NULL THEN pv
+       |              WHEN nv IS NOT NULL THEN nv
+       |              ELSE NULL END AS fv,
+       |         CASE WHEN isnan(value)
+       |               AND (pv IS NOT NULL OR nv IS NOT NULL)
+       |              THEN 1 ELSE 0 END AS isf
+       |  FROM w)
+       |SELECT band, tidx AS "tIdx", ty, tx,
+       |       CAST(SUM(isf) AS INT) AS n_filled,
+       |       CAST(SUM(COALESCE(CAST(ROUND(fv * 100) AS BIGINT), 0))
+       |            AS BIGINT) AS fill_q,
+       |       CAST(COUNT(fv) AS INT) AS n_data
+       |FROM f GROUP BY band, tidx, ty, tx
+       |ORDER BY band, "tIdx", ty, tx""".stripMargin
+
+  /** NDVI band math (graft.load.BandMath — beyond the reference): the
+    * fused red/nir mosaic planes combine per pixel as (nir−red)/
+    * (nir+red) through a codegen'd `zip_with` (no UDF in the
+    * arithmetic). DuckDB recomputes the index by JOINING the landed
+    * red and nir planes (`CellsPath`) on pixel position — same single
+    * IEEE division, so the ×1e6 quantization is bit-agreeing. */
+  def bandMathNdvi(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    graft.load.BandMath
+      .normalizedDifference(spark, res.tiles, "nir", "red", "ndvi")
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("n_valid"),
+        expr("aggregate(values, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 1e6) AS BIGINT)))").as("ndvi_q"))
+      .orderBy("band", "tIdx", "ty", "tx")
+  }
+
+  private[rasterops] val bandMathNdviDuckSql: String =
+    s"""WITH r AS (
+       |  SELECT tidx, ty, tx, py, px, value
+       |  FROM read_parquet('$CellsPath/*.parquet') WHERE band = 'red'),
+       |n AS (
+       |  SELECT tidx, ty, tx, py, px, value
+       |  FROM read_parquet('$CellsPath/*.parquet') WHERE band = 'nir'),
+       |j AS (
+       |  SELECT r.tidx, r.ty, r.tx,
+       |         CASE WHEN r.value <> 0 AND n.value <> 0
+       |              THEN (n.value - r.value) / (n.value + r.value)
+       |              END AS v
+       |  FROM r JOIN n USING (tidx, ty, tx, py, px))
+       |SELECT 'ndvi' AS band, tidx AS "tIdx", ty, tx,
+       |       CAST(COUNT(v) AS BIGINT) AS n_valid,
+       |       CAST(SUM(COALESCE(CAST(ROUND(v * 1e6) AS BIGINT), 0))
+       |            AS BIGINT) AS ndvi_q
+       |FROM j GROUP BY tidx, ty, tx
+       |ORDER BY band, "tIdx", ty, tx""".stripMargin
+
+  /** Focal 3×3 mean (graft.load.Focal — halo-exchange stencil): windows
+    * crossing tile boundaries are the whole point, so the oracle must
+    * not respect tiles: DuckDB recomputes every pixel's windowed mean
+    * GLOBALLY from the landed mosaic plane (9 shifted copies of the
+    * valid pixels, equi-joined back onto the full pixel domain), then
+    * re-aggregates per tile. A wrong or missing halo strip shifts every
+    * boundary pixel's mean and breaks the checksum. */
+  def focalMean(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    graft.load.Focal.focalMean(spark, res.tiles, radius = 1)
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("n_valid"),
+        expr("aggregate(focal, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("focal_q"))
+      .orderBy("band", "tIdx", "ty", "tx")
+  }
+
+  /** Same focal mean through [[graft.load.Focal.focalMeanStanding]] —
+    * the strips-only exchange over a standing (pre-clustered) tile
+    * layout. Shares [[focalMeanDuckSql]]: identical results are the
+    * contract; `FocalSpec` pins the plan shape (one plane exchange —
+    * the standing repartition itself — with the strip re-key the only
+    * operator-added shuffle). */
+  def focalMeanStanding(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val standing = res.tiles.repartition(
+      col("band"), col("tIdx"), col("ty"), col("tx"))
+    graft.load.Focal.focalMeanStanding(spark, standing, radius = 1)
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("n_valid"),
+        expr("aggregate(focal, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("focal_q"))
+      .orderBy("band", "tIdx", "ty", "tx")
+  }
+
+  private[rasterops] val focalMeanDuckSql: String =
+    s"""WITH dom AS (
+       |  SELECT band, tidx, ty, tx,
+       |         ty * 64 + py AS gy, tx * 64 + px AS gx
+       |  FROM read_parquet('$CellsPath/*.parquet')),
+       |v AS (
+       |  SELECT band, tidx, ty * 64 + py AS gy, tx * 64 + px AS gx, value
+       |  FROM read_parquet('$CellsPath/*.parquet') WHERE value <> 0),
+       |vs AS (
+       |  SELECT band, tidx, gy + o.dy AS gy, gx + o.dx AS gx, value
+       |  FROM v CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+       |                            (0,1),(1,-1),(1,0),(1,1)) o(dy, dx)),
+       |f AS (
+       |  SELECT d.band, d.tidx, d.ty, d.tx, d.gy, d.gx,
+       |         AVG(s.value) AS fv, COUNT(s.value) AS c
+       |  FROM dom d LEFT JOIN vs s
+       |    ON s.band = d.band AND s.tidx = d.tidx
+       |   AND s.gy = d.gy AND s.gx = d.gx
+       |  GROUP BY d.band, d.tidx, d.ty, d.tx, d.gy, d.gx)
+       |SELECT band, tidx AS "tIdx", ty, tx,
+       |       CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_valid,
+       |       CAST(SUM(CASE WHEN c > 0
+       |                THEN CAST(ROUND(fv * 100) AS BIGINT) ELSE 0 END)
+       |            AS BIGINT) AS focal_q
+       |FROM f GROUP BY band, tidx, ty, tx
+       |ORDER BY band, "tIdx", ty, tx""".stripMargin
+
+  /** Point drill (graft.load.Drill — beyond the reference): sample the
+    * fused mosaic at world-coordinate points. The fixture points tell
+    * three stories — a plainly valid pixel, a pixel valid on one solar
+    * day and fused-nodata on the other (the drill returns NaN, not a
+    * dropped row), and a point outside every tile (no rows at all).
+    * DuckDB re-samples the landed mosaic plane at the same global pixel
+    * coords (floor((x−x0)/res) on both sides). */
+  def drillPoints(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val points = Seq(
+      ("p_valid", 500234.7, 7999812.3),   // gx 23, gy 18 — valid day 0
+      ("p_margin", 501700.0, 7999500.0),  // gx 170 — day-0 fused nodata,
+                                          // day-1 scene2 value
+      ("p_edge", 501507.2, 7999045.8),    // gy 95 — last row of the grid
+      ("p_outside", 499000.0, 7999500.0)) // west of every scene: no rows
+    graft.load.Drill.drill(spark, res.tiles, res.geobox, points)
+      .orderBy("point_id", "band", "tIdx")
+  }
+
+  private[rasterops] val drillPointsDuckSql: String =
+    s"""WITH pts(pid, gx, gy) AS (
+       |  VALUES ('p_valid', 23, 18), ('p_margin', 170, 50),
+       |         ('p_edge', 150, 95)),
+       |c AS (SELECT * FROM read_parquet('$CellsPath/*.parquet'))
+       |SELECT p.pid AS point_id, c.band, c.tidx AS "tIdx",
+       |       CASE WHEN c.value <> 0 THEN c.value
+       |            ELSE CAST('NaN' AS DOUBLE) END AS value
+       |FROM pts p JOIN c
+       |  ON c.ty = p.gy // 64 AND c.tx = p.gx // 64
+       | AND c.py = p.gy % 64 AND c.px = p.gx % 64
+       |ORDER BY point_id, band, "tIdx"""".stripMargin
+
+  /** Change detection day 0 → day 1 (BandMath.changeAcrossTime): the
+    * overlap columns of the marching scenes are the ground both days
+    * saw; every such pixel steps by exactly the fixture's inter-scene
+    * offset, which the checksum verifies. DuckDB recomputes the change
+    * plane by joining the landed mosaic's two time slices per pixel. */
+  def changeDetect(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    graft.load.BandMath.changeAcrossTime(spark, res.tiles, 0, 1)()
+      .select(col("band"), col("ty"), col("tx"), col("n_both"),
+        expr("aggregate(change, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("diff_q"),
+        expr("aggregate(change, 0L, (s, v) -> s + " +
+          "if(isnan(v) OR v = 0D, 0L, 1L))").as("n_changed"))
+      .orderBy("band", "ty", "tx")
+  }
+
+  private[rasterops] val changeDetectDuckSql: String =
+    s"""WITH a AS (
+       |  SELECT band, ty, tx, py, px, value
+       |  FROM read_parquet('$CellsPath/*.parquet')
+       |  WHERE tidx = 0 AND value <> 0),
+       |b AS (
+       |  SELECT band, ty, tx, py, px, value
+       |  FROM read_parquet('$CellsPath/*.parquet')
+       |  WHERE tidx = 1 AND value <> 0),
+       |j AS (
+       |  SELECT a.band, a.ty, a.tx, b.value - a.value AS d
+       |  FROM a JOIN b USING (band, ty, tx, py, px))
+       |SELECT band, ty, tx, CAST(COUNT(*) AS BIGINT) AS n_both,
+       |       CAST(SUM(CAST(ROUND(d * 100) AS BIGINT)) AS BIGINT)
+       |         AS diff_q,
+       |       CAST(SUM(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_changed
+       |FROM j GROUP BY band, ty, tx
+       |ORDER BY band, ty, tx""".stripMargin
+
+  /** Distributed pyramid build (graft.load.Pyramid — beyond the
+    * reference, which consumes overviews but delegates building them to
+    * gdaladdo): levels 2 and 4 of the fused mosaic, decimated locally
+    * per base tile and assembled on the level grid in one shuffle.
+    * DuckDB recomputes both levels from the landed base plane via the
+    * decimation identity (level-s pixel = base(s·gy, s·gx)) — the same
+    * identity `raster_overview_cells` pins on the READ side, now
+    * re-proven for the build side. */
+  def pyramidBuild(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    Seq(2, 4).map { s =>
+      graft.load.Pyramid.buildLevel(spark, res.tiles, s)
+        .withColumn("level", lit(s))
+    }.reduce(_ unionAll _)
+      .select(col("level"), col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("n_valid"),
+        expr("aggregate(plane, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("sum_q"))
+      .orderBy("level", "band", "tIdx", "ty", "tx")
+  }
+
+  private[rasterops] val pyramidBuildDuckSql: String =
+    s"""WITH base AS (
+       |  SELECT band, tidx, ty * 64 + py AS gy, tx * 64 + px AS gx, value
+       |  FROM read_parquet('$CellsPath/*.parquet')),
+       |lv AS (
+       |  SELECT l.s, b.band, b.tidx,
+       |         (b.gy // l.s) // 64 AS ty, (b.gx // l.s) // 64 AS tx,
+       |         b.value
+       |  FROM base b JOIN (VALUES (2), (4)) l(s)
+       |    ON b.gy % l.s = 0 AND b.gx % l.s = 0)
+       |SELECT s AS level, band, tidx AS "tIdx", ty, tx,
+       |       CAST(SUM(CASE WHEN value <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_valid,
+       |       CAST(SUM(CASE WHEN value <> 0
+       |                THEN CAST(ROUND(value * 100) AS BIGINT)
+       |                ELSE 0 END) AS BIGINT) AS sum_q
+       |FROM lv GROUP BY s, band, tidx, ty, tx
+       |ORDER BY level, band, "tIdx", ty, tx""".stripMargin
+  def maskedComposite(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenesQa(3)
+    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
+    val items = ds.collect().toSeq.sortBy(_.id)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "qa"),
+      groupby = "id", chunks = 64)
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    res.tiles
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("width"),
+        col("nodata"), posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
+        (col("pos") / col("width")).cast("int").as("py"),
+        (col("pos") % col("width")).cast("int").as("px"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(MaskCellsPath)
+    graft.load.Composite
+      .maskedMedianAcrossTime(spark, res.tiles, "red", "qa", _ == 1.0)
+      .select(col("band"), col("ty"), col("tx"),
+        expr("aggregate(median, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("med_q"),
+        expr("CAST(aggregate(count, 0, (s, v) -> s + v) AS BIGINT)")
+          .as("n_used"))
+      .orderBy("band", "ty", "tx")
+  }
+
+  private[rasterops] val maskedCompositeDuckSql: String =
+    s"""WITH r AS (
+       |  SELECT tidx, ty, tx, py, px, value
+       |  FROM read_parquet('$MaskCellsPath/*.parquet')
+       |  WHERE band = 'red' AND NOT isnan(value)),
+       |q AS (
+       |  -- NaN (mask nodata) rows KEPT: NaN = 1 is false, so a nodata
+       |  -- mask pixel masks OUT (matches the operator); only a truly
+       |  -- ABSENT mask plane falls to the COALESCE keep-branch
+       |  SELECT tidx, ty, tx, py, px, value AS qa
+       |  FROM read_parquet('$MaskCellsPath/*.parquet')
+       |  WHERE band = 'qa'),
+       |clear AS (
+       |  SELECT r.* FROM r
+       |  LEFT JOIN q USING (tidx, ty, tx, py, px)
+       |  WHERE COALESCE(q.qa = 1, TRUE)),
+       |m AS (
+       |  SELECT ty, tx, py, px, median(value) AS med, COUNT(*) AS c
+       |  FROM clear GROUP BY ty, tx, py, px)
+       |SELECT 'red' AS band, ty, tx,
+       |       CAST(SUM(CAST(ROUND(med * 100) AS BIGINT)) AS BIGINT)
+       |         AS med_q,
+       |       CAST(SUM(c) AS BIGINT) AS n_used
+       |FROM m GROUP BY ty, tx
+       |ORDER BY band, ty, tx""".stripMargin
+
+  /** Per-band/day equi-width histogram of the fused mosaic (the
+    * `gdalinfo -hist` analog, distributed): a purely declarative plan —
+    * decode+posexplode is narrow, and the groupBy's hash aggregate
+    * computes map-side partials, so the shuffle carries only
+    * (band × time × 16 bins) partial counts, never pixels. DuckDB
+    * re-bins the landed plane with the same floor arithmetic. */
+  def histogram(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    res.tiles
+      .select(col("band"), col("tIdx"), col("nodata"),
+        posexplode(decode(col("data"), col("dtype"))))
+      .where(!isnan(col("col")) && col("col") =!= col("nodata"))
+      .select(col("band"), col("tIdx"),
+        least(lit(15), floor(col("col") / 2000).cast("int")).as("bin"))
+      .groupBy("band", "tIdx", "bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("band", "tIdx", "bin")
+  }
+
+  private[rasterops] val histogramDuckSql: String =
+    s"""SELECT band, tidx AS "tIdx",
+       |       CAST(LEAST(15, CAST(FLOOR(value / 2000) AS INT)) AS INT)
+       |         AS bin,
+       |       COUNT(*) AS n
+       |FROM read_parquet('$CellsPath/*.parquet')
+       |WHERE value <> 0
+       |GROUP BY band, tidx, bin
+       |ORDER BY band, "tIdx", bin""".stripMargin
+  private[rasterops] def demoZones(crs: graft.geo.Crs): Seq[(Int, Geom)] = Seq(
+    1 -> Geom(IndexedSeq(
+      (500200.0, 7999600.0), (500800.0, 7999600.0),
+      (500800.0, 7999900.0), (500200.0, 7999900.0)), crs),
+    2 -> Geom(IndexedSeq(
+      (501000.0, 7999950.0), (502000.0, 7999950.0),
+      (501500.0, 7999200.0)), crs),
+    3 -> Geom(IndexedSeq(graft.geo.Poly(
+      IndexedSeq((502000.0, 7999200.0), (502800.0, 7999200.0),
+        (502800.0, 7999800.0), (502000.0, 7999800.0)),
+      IndexedSeq(IndexedSeq((502300.0, 7999400.0), (502500.0, 7999400.0),
+        (502500.0, 7999600.0), (502300.0, 7999600.0))))), crs),
+    4 -> Geom(IndexedSeq(
+      (501300.0, 7999500.0), (501600.0, 7999500.0),
+      (501600.0, 7999700.0), (501300.0, 7999700.0)), crs))
+
+  def rasterizeZones(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (items, schemas) = parsed(spark)
+    val gbox = Planner.outputGeobox(items, schemas).get
+    val zones = demoZones(gbox.crs)
+    zones.zipWithIndex.flatMap { case ((zid, g), zidx) =>
+      g.parts.flatMap(_.rings).flatMap { r =>
+        r.indices.map { i =>
+          val (x1, y1) = r(i)
+          val (x2, y2) = r((i + 1) % r.length)
+          (zidx, zid, x1, y1, x2, y2)
+        }
+      }
+    }.toDF("zidx", "zone", "x1", "y1", "x2", "y2")
+      .coalesce(1).write.mode("overwrite").parquet(RasterizeEdgesPath)
+    graft.load.Rasterize.burn(spark, gbox, 64, zones)
+      .select(col("ty"), col("tx"), posexplode(col("plane")))
+      .where(col("col") =!= 0)
+      .groupBy(col("ty"), col("tx"), col("col").as("zone"))
+      .agg(count(lit(1)).as("n_px"))
+      .orderBy("ty", "tx", "zone")
+  }
+
+  private[rasterops] val rasterizeDuckSql: String =
+    s"""WITH px AS (
+       |  SELECT r1.range AS gy, r2.range AS gx,
+       |         500000 + (r2.range + 0.5) * 10 AS cx,
+       |         8000000 - (r1.range + 0.5) * 10 AS cy
+       |  FROM range(96) r1 CROSS JOIN range(320) r2),
+       |e AS (
+       |  SELECT zidx, zone, x1, y1, x2, y2
+       |  FROM read_parquet('$RasterizeEdgesPath/*.parquet')),
+       |hit AS (
+       |  SELECT p.gy, p.gx, e.zidx, e.zone,
+       |         SUM(CASE WHEN (e.y1 > p.cy) <> (e.y2 > p.cy)
+       |                   AND p.cx < (e.x2 - e.x1) * (p.cy - e.y1)
+       |                              / (e.y2 - e.y1) + e.x1
+       |              THEN 1 ELSE 0 END) AS cr
+       |  FROM px p CROSS JOIN e
+       |  GROUP BY p.gy, p.gx, e.zidx, e.zone),
+       |painted AS (
+       |  SELECT gy, gx, arg_max(zone, zidx) AS zone
+       |  FROM hit WHERE cr % 2 = 1 GROUP BY gy, gx)
+       |SELECT CAST(gy // 64 AS INT) AS ty, CAST(gx // 64 AS INT) AS tx,
+       |       CAST(zone AS INT) AS zone, COUNT(*) AS n_px
+       |FROM painted GROUP BY ty, tx, zone
+       |ORDER BY ty, tx, zone""".stripMargin
+
+  /** The training-data loop closed end to end (beyond the reference):
+    * rasterize the label zones → stratified deterministic sample of 20
+    * locations per class (`Sampling.stratifiedLocations` — portable
+    * md5(gy,gx) key, map-side hash-threshold prefilter, bounded exact
+    * rank) → drill the mosaic at those locations. DuckDB replays every
+    * stage: the ray-cast paint, the same md5 ranking, and the pixel
+    * lookup against the landed mosaic plane — a divergence anywhere in
+    * the chain (mask, sample set, OR values) reddens the row. */
+  def sampleDrill(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val gbox = res.geobox
+    val labels = graft.load.Rasterize.burn(spark, gbox, 64,
+      demoZones(gbox.crs))
+    // ≤ 4 classes × 20 rows — a constant-bounded collect by construction
+    val locs = graft.load.Sampling.stratifiedLocations(spark, labels, 20)
+      .collect()
+    val t = gbox.transform
+    val points = locs.toSeq.map { r =>
+      val (zone, gy, gx) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      val (wx, wy) = t(gx + 0.5, gy + 0.5)
+      (s"z${zone}_${gy}_$gx", wx, wy)
+    }
+    graft.load.Drill.drill(spark, res.tiles, gbox, points)
+      .orderBy("point_id", "band", "tIdx")
+  }
+
+  private[rasterops] val sampleDrillDuckSql: String =
+    s"""WITH px AS (
+       |  SELECT r1.range AS gy, r2.range AS gx,
+       |         500000 + (r2.range + 0.5) * 10 AS cx,
+       |         8000000 - (r1.range + 0.5) * 10 AS cy
+       |  FROM range(96) r1 CROSS JOIN range(320) r2),
+       |e AS (
+       |  SELECT zidx, zone, x1, y1, x2, y2
+       |  FROM read_parquet('$RasterizeEdgesPath/*.parquet')),
+       |hit AS (
+       |  SELECT p.gy, p.gx, e.zidx, e.zone,
+       |         SUM(CASE WHEN (e.y1 > p.cy) <> (e.y2 > p.cy)
+       |                   AND p.cx < (e.x2 - e.x1) * (p.cy - e.y1)
+       |                              / (e.y2 - e.y1) + e.x1
+       |              THEN 1 ELSE 0 END) AS cr
+       |  FROM px p CROSS JOIN e
+       |  GROUP BY p.gy, p.gx, e.zidx, e.zone),
+       |painted AS (
+       |  SELECT gy, gx, arg_max(zone, zidx) AS zone
+       |  FROM hit WHERE cr % 2 = 1 GROUP BY gy, gx),
+       |keyed AS (
+       |  SELECT zone, gy, gx, md5(gy || ',' || gx) AS key
+       |  FROM painted
+       |  WHERE substr(md5(gy || ',' || gx), 1, 1) IN ('0','1','2','3')),
+       |pts AS (
+       |  SELECT zone, gy, gx FROM (
+       |    SELECT zone, gy, gx,
+       |           row_number() OVER (PARTITION BY zone ORDER BY key) AS rn
+       |    FROM keyed) WHERE rn <= 20),
+       |c AS (
+       |  SELECT band, tidx, ty * 64 + py AS gy, tx * 64 + px AS gx, value
+       |  FROM read_parquet('$CellsPath/*.parquet'))
+       |SELECT 'z' || p.zone || '_' || p.gy || '_' || p.gx AS point_id,
+       |       c.band, c.tidx AS "tIdx",
+       |       CASE WHEN c.value <> 0 THEN c.value
+       |            ELSE CAST('NaN' AS DOUBLE) END AS value
+       |FROM pts p JOIN c ON c.gy = p.gy AND c.gx = p.gx
+       |ORDER BY point_id, band, "tIdx"""".stripMargin
+
+  /** Bilinear point drill (Drill.drillBilinear): sub-pixel sampling at
+    * world points. Three stories — a plainly interior point, a point
+    * whose 2×2 tap window STRADDLES a tile boundary (the cross-tile
+    * reassembly: each tile ships only the weighted taps it owns), and
+    * a point whose taps are all fused-nodata on day 0 (no row) but
+    * valid on day 1. DuckDB recomputes the same 4-tap weighted sum
+    * from the landed mosaic plane with the same floor/fraction
+    * arithmetic. */
+  def drillBilinearPoints(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val points = Seq(
+      ("b_valid", 500234.7, 7999812.3), // px 23.47, py 18.77 — interior
+      ("b_seam", 500642.0, 7999500.0),  // px 64.2 — taps straddle tx 0/1
+      ("b_nodata", 501704.0, 7999500.0)) // px 170.4 — day-0 margin
+    // the operator returns the exact interpolant; quantization to the
+    // oracle's 2-dp convention is this harness's concern, not the API's
+    graft.load.Drill.drillBilinear(spark, res.tiles, res.geobox, points)
+      .withColumn("value", round(col("value"), 2))
+      .orderBy("point_id", "band", "tIdx")
+  }
+
+  private[rasterops] val drillBilinearDuckSql: String =
+    s"""WITH pts AS (
+       |  SELECT pid, (x - 500000) / 10 AS pxf, (8000000 - y) / 10 AS pyf
+       |  FROM (VALUES ('b_valid', 500234.7, 7999812.3),
+       |               ('b_seam', 500642.0, 7999500.0),
+       |               ('b_nodata', 501704.0, 7999500.0)) v(pid, x, y)),
+       |g AS (
+       |  SELECT pid, CAST(FLOOR(pxf - 0.5) AS INT) AS x0,
+       |         CAST(FLOOR(pyf - 0.5) AS INT) AS y0,
+       |         pxf - 0.5 - FLOOR(pxf - 0.5) AS fx,
+       |         pyf - 0.5 - FLOOR(pyf - 0.5) AS fy
+       |  FROM pts),
+       |taps AS (
+       |  SELECT g.pid, g.x0 + o.dx AS gx, g.y0 + o.dy AS gy,
+       |         (CASE o.dx WHEN 0 THEN 1 - g.fx ELSE g.fx END) *
+       |         (CASE o.dy WHEN 0 THEN 1 - g.fy ELSE g.fy END) AS w
+       |  FROM g CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1))
+       |                      o(dx, dy)),
+       |c AS (
+       |  SELECT band, tidx, ty * 64 + py AS gy, tx * 64 + px AS gx, value
+       |  FROM read_parquet('$CellsPath/*.parquet') WHERE value <> 0)
+       |SELECT t.pid AS point_id, c.band, c.tidx AS "tIdx",
+       |       CASE WHEN COUNT(*) = 4 THEN ROUND(SUM(t.w * c.value), 2)
+       |            ELSE CAST('NaN' AS DOUBLE) END AS value
+       |FROM taps t JOIN c ON c.gx = t.gx AND c.gy = t.gy
+       |GROUP BY t.pid, c.band, c.tidx
+       |ORDER BY point_id, band, "tIdx"""".stripMargin
+}
