@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, max}
 
 /** Scale-corpus generator for the sf1+ cap-proof benchmarks
   * (VERDICT r8 task 2: "prove the caps at 10x bench scale").
@@ -131,24 +132,65 @@ object GenCorpus {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    spark.range(0, nDocs, 1, 32).map(r => docRow(r))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
-    spark.range(0, nVecs, 1, 32).map(r => vecRow(r))
-      .toDF("vec_id", "embedding", "label")
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
-
-    // complete the SF dir with the sf0.1 relational/event tables
-    val src = java.nio.file.Paths.get("/root/testdata/sf0.1")
-    val dst = java.nio.file.Paths.get(outDir)
-    java.nio.file.Files.list(src).forEach { p =>
-      val name = p.getFileName.toString
-      if (name != "documents.parquet" && name != "embeddings.parquet") {
-        val t = dst.resolve(name)
-        if (!java.nio.file.Files.exists(t)) java.nio.file.Files.copy(p, t)
+    /** Land `df` as a PLAIN parquet file `<outDir>/<name>.parquet`
+      * (not a directory) so DuckDB oracles read it exactly like the
+      * driver testdata layout. */
+    def writeOne(df: DataFrame, name: String): Unit = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import scala.jdk.CollectionConverters._
+      val tmp = s"$outDir/_tmp_$name"
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part under $tmp"))
+      val target = Paths.get(s"$outDir/$name.parquet")
+      if (Files.isDirectory(target)) { // leftover directory-form output
+        Files.walk(target).iterator.asScala.toSeq.reverse
+          .foreach(Files.delete)
       }
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      Files.walk(Paths.get(tmp)).iterator.asScala.toSeq.reverse
+        .foreach(Files.delete)
     }
-    println(s"== gencorpus docs=$nDocs vecs=$nVecs out=$outDir")
+
+    writeOne(spark.range(0, nDocs, 1, 32).map(r => docRow(r))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), "documents")
+    writeOne(spark.range(0, nVecs, 1, 32).map(r => vecRow(r))
+      .toDF("vec_id", "embedding", "label"), "embeddings")
+
+    // Relational + event tables: replicate sf0.1 `mult`× with disjoint
+    // per-replica key shifts (stride = max(key)+1), the TPC-H scaling
+    // shape — FK integrity and per-key join fan-outs are preserved
+    // exactly, distinct keys and group counts scale linearly, and the
+    // event stream gains mult× concurrent users inside the same time
+    // window (mult× streaming state, the part that matters).
+    val base = "/root/testdata/sf0.1"
+    def keyMax(name: String, c: String): Long =
+      Tables.load(spark, base, name).agg(max(col(c))).head.getLong(0) + 1
+    val (kc, ks, kp, ko) = (keyMax("customer", "c_custkey"),
+      keyMax("supplier", "s_suppkey"), keyMax("part", "p_partkey"),
+      keyMax("orders", "o_orderkey"))
+    val (ke, ku) = (keyMax("events", "event_id"), keyMax("events", "user_id"))
+    def rep(name: String, shifts: (String, Long)*): Unit =
+      writeOne((0 until mult).map { i =>
+        shifts.foldLeft(Tables.load(spark, base, name)) {
+          case (d, (c, k)) => d.withColumn(c, col(c) + lit(i * k))
+        }
+      }.reduce(_ unionAll _), name)
+    rep("customer", "c_custkey" -> kc)
+    rep("supplier", "s_suppkey" -> ks)
+    rep("part", "p_partkey" -> kp)
+    rep("orders", "o_orderkey" -> ko, "o_custkey" -> kc)
+    rep("lineitem", "l_orderkey" -> ko, "l_partkey" -> kp, "l_suppkey" -> ks)
+    rep("events", "event_id" -> ke, "user_id" -> ku)
+    // dimension tables stay fixed at every scale (TPC-H semantics)
+    for (name <- Seq("region", "nation")) {
+      val t = java.nio.file.Paths.get(s"$outDir/$name.parquet")
+      if (!java.nio.file.Files.exists(t))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$base/$name.parquet"), t)
+    }
+    println(s"== gencorpus docs=$nDocs vecs=$nVecs mult=$mult out=$outDir")
     spark.stop()
   }
 }

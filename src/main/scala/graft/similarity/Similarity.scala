@@ -325,13 +325,30 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Persisted-index location, keyed by a dir fingerprint so runs
+    * against different SF dirs land side by side instead of clobbering
+    * each other between query time and oracle time (the BPE/quality-tree
+    * cross-SF hazard). */
+  private def ivfIndexPath(dir: String): String = {
+    val fp = dir.hashCode & 0x7fffffff
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_index_$fp"
+  }
+
+  /** Index path of the most recent [[indexPersist]] run — what the
+    * oracle dump (written AFTER Verify runs the queries) points at. */
+  @volatile private[graft] var lastIvfIndexPath =
+    ivfIndexPath("/root/testdata/sf0.01")
+
   /** Round-trip the persisted-index layout: save, reload, and emit
     * per-cell occupancy from BOTH the session index and the reloaded
-    * one (they must agree row-for-row) plus the centroid count. */
+    * one (they must agree row-for-row) plus the centroid count.
+    * Oracle ([[indexPersistDuckSql]]): DuckDB re-derives the occupancy
+    * straight from the landed hive-partitioned files — the save must be
+    * lossless and the partition column must encode the assignment. */
   def indexPersist(spark: SparkSession, dir: String): DataFrame = {
     VecFunctions.register(spark)
-    val path = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_ivf_index").toString
+    val path = ivfIndexPath(dir)
+    lastIvfIndexPath = path
     saveIvfIndex(spark, dir, path)
     val (cents, assigned) = loadIvfIndex(spark, path)
     val live = cellCounts(spark, dir).toDF("cell", "n_live")
@@ -996,6 +1013,144 @@ object Similarity {
        |  FROM s) t
        |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
 
+  /** Portable twin of `sim_ivf_topk`: the k-means coarse quantizer
+    * itself is DuckDB-inexpressible, so land the BUILT index (centroids
+    * + cell-assigned corpus — the build-once artifact a 100 TB
+    * deployment stores anyway) and run the whole serving path — probe
+    * election (top `max(5, ceil(ProbeFraction·k))` cells by cosine,
+    * ties to the lower cell), cell equi-join, exact re-rank — from those
+    * landed bits in BOTH engines. Checks probe/re-rank APPLICATION the
+    * same way `raster_resample_conv` checks kernel application. */
+  private def ivfPortPath(dir: String): String = {
+    val fp = dir.hashCode & 0x7fffffff
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_port_$fp"
+  }
+  @volatile private var lastIvfPortPath = ivfPortPath("/root/testdata/sf0.01")
+
+  private def ivfTopKPortable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    VecFunctions.register(spark)
+    val path = ivfPortPath(dir)
+    lastIvfPortPath = path
+    val (centroids, assigned) = ivfIndex(spark, dir)
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assigned
+      .select(col("vec_id"), col("embedding"),
+        col("cell").cast("int").as("cell"))
+      .write.mode("overwrite").parquet(s"$path/cells")
+    spark.read.parquet(s"$path/centroids")
+      .createOrReplaceTempView("graft_ivf_port_cent")
+    spark.read.parquet(s"$path/cells")
+      .createOrReplaceTempView("graft_ivf_port_cells")
+    spark.sql(ivfPortableSparkSql)
+  }
+
+  /** Probe + re-rank from the landed index, Spark spelling. The probe
+    * cosine folds dimension-ascending (same order both engines); probe
+    * count re-derived from the landed centroid count so the SQL stays
+    * static while k tracks the data. */
+  private val ivfPortableSparkSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qe
+       |  FROM graft_ivf_port_cells WHERE vec_id < $NumQueries),
+       |np AS (
+       |  SELECT GREATEST(5, CAST(CEIL($ProbeFraction * COUNT(*)) AS INT))
+       |         AS p
+       |  FROM graft_ivf_port_cent),
+       |qc AS (
+       |  SELECT qid, cell,
+       |    aggregate(transform(sequence(1, $Dim), i ->
+       |      CAST(element_at(qe, i) AS DOUBLE) * element_at(centroid, i)),
+       |      0D, (s, x) -> s + x) /
+       |    (sqrt(aggregate(transform(qe,
+       |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+       |        0D, (s, x) -> s + x)) *
+       |     sqrt(aggregate(transform(centroid, v -> v * v),
+       |        0D, (s, x) -> s + x))) AS ccos
+       |  FROM q CROSS JOIN graft_ivf_port_cent),
+       |probe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |                              ORDER BY ccos DESC, cell) AS r
+       |    FROM qc) t, np WHERE t.r <= np.p),
+       |s AS (
+       |  SELECT probe.qid, a.vec_id AS cid,
+       |         vec_cosine(qe.qe, a.embedding) AS cos
+       |  FROM probe JOIN graft_ivf_port_cells a ON a.cell = probe.cell
+       |       JOIN q qe ON qe.qid = probe.qid
+       |  WHERE a.vec_id <> probe.qid)
+       |SELECT qid, cid, rn, ROUND(cos, 4) AS cos FROM (
+       |  SELECT qid, cid, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, cid) AS rn
+       |  FROM s) t
+       |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+
+  private def ivfPortableDuckSql: String =
+    s"""WITH cent AS (
+       |  SELECT cell, centroid
+       |  FROM read_parquet('$lastIvfPortPath/centroids/*.parquet')),
+       |a AS (
+       |  SELECT vec_id, embedding, cell
+       |  FROM read_parquet('$lastIvfPortPath/cells/*.parquet')),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qe
+       |  FROM a WHERE vec_id < $NumQueries),
+       |np AS (
+       |  SELECT GREATEST(5, CAST(CEIL($ProbeFraction * COUNT(*)) AS INT))
+       |         AS p
+       |  FROM cent),
+       |qc AS (
+       |  SELECT qid, cell,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i ->
+       |      CAST(qe[i] AS DOUBLE) * centroid[i])) /
+       |    (sqrt(list_sum(list_transform(qe,
+       |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(centroid, v -> v * v)))) AS ccos
+       |  FROM q CROSS JOIN cent),
+       |probe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |                              ORDER BY ccos DESC, cell) AS r
+       |    FROM qc) t, np WHERE t.r <= np.p),
+       |s AS (
+       |  SELECT probe.qid, a.vec_id AS cid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i ->
+       |      CAST(qe.qe[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform(qe.qe,
+       |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(a.embedding,
+       |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+       |  FROM probe JOIN a ON a.cell = probe.cell
+       |       JOIN q qe ON qe.qid = probe.qid
+       |  WHERE a.vec_id <> probe.qid)
+       |SELECT qid, cid, rn, ROUND(cos, 4) AS cos FROM (
+       |  SELECT qid, cid, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, cid) AS rn
+       |  FROM s) t
+       |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+
+  /** `sim_index_persist` oracle: per-cell occupancy re-derived by
+    * DuckDB straight from the landed hive-partitioned cells plus the
+    * centroid sidecar — a lossy save or a mis-encoded partition column
+    * breaks the compare. */
+  private def indexPersistDuckSql: String =
+    s"""WITH occ AS (
+       |  SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n
+       |  FROM read_parquet('$lastIvfIndexPath/cells/*/*.parquet',
+       |                    hive_partitioning=1)
+       |  GROUP BY 1),
+       |nc AS (
+       |  SELECT COUNT(*) AS n_centroids
+       |  FROM read_parquet('$lastIvfIndexPath/centroids/*.parquet'))
+       |SELECT cell, n AS n_live, n AS n_reloaded, n_centroids
+       |FROM occ, nc ORDER BY cell""".stripMargin
+
   /** Portable twin of `dedup_embedding_cosine` (nearDupPairs): banded
     * signature buckets with the shared `MaxBucket` cap, pair generation,
     * exact-cosine threshold verify — all mirrored in DuckDB, so the
@@ -1110,6 +1265,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
+    "sim_ivf_topk_portable" -> ((s, d) => ivfTopKPortable(s, d)),
     "sim_bruteforce_topk" -> ((s, d) => {
       VecFunctions.register(s); Tables.sql(bruteforceSparkSql)(s, d)
     }),
@@ -1127,7 +1283,12 @@ object Similarity {
     "embed_outliers" -> Tables.sql(outliersSparkSql)
   )
 
-  val oracleSql: Map[String, String] = Map(
+  // a def, not a val: the ivf oracle strings embed the landed-artifact
+  // paths of the MOST RECENT run (set by the queries themselves), and
+  // Verify dumps oracle_sql.json after the queries execute
+  def oracleSql: Map[String, String] = Map(
+    "sim_ivf_topk_portable" -> ivfPortableDuckSql,
+    "sim_index_persist" -> indexPersistDuckSql,
     "sim_bruteforce_topk" -> bruteforceDuckSql,
     "sim_lsh_topk_portable" -> lshPortableDuckSql,
     "dedup_embedding_portable" -> embDedupPortableDuckSql,

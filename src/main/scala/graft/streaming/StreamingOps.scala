@@ -789,7 +789,23 @@ object StreamingOps {
     "stream_heavy_hitters" -> ((s, d) => streamHeavyHitters(s, d))
   )
 
-  val oracleSql: Map[String, String] = Map(
+  /** `stream_ann_ingest` oracle: the stream assigns through the SAME
+    * session quantizer the persisted index landed with, so its per-cell
+    * occupancy must equal what DuckDB re-derives from the
+    * hive-partitioned index files (`sim_index_persist` lands them
+    * earlier in the same Verify pass — sorted query order) —
+    * batch-built index and streaming ingest agree cell-for-cell. */
+  private def annIngestDuckSql: String =
+    s"""SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n
+       |FROM read_parquet(
+       |  '${graft.similarity.Similarity.lastIvfIndexPath}/cells/*/*.parquet',
+       |  hive_partitioning=1)
+       |GROUP BY 1 ORDER BY cell""".stripMargin
+
+  // def, not val: annIngestDuckSql embeds the landed index path of the
+  // most recent sim_index_persist run (dumped after queries execute)
+  def oracleSql: Map[String, String] = Map(
+    "stream_ann_ingest" -> annIngestDuckSql,
     "stream_stac_ingest" -> stacIngestOracle,
     "stream_drift" -> streamDriftOracle,
     "stream_tumbling_daily" -> tumblingDailyOracle,
