@@ -1135,6 +1135,188 @@ object Similarity {
        |  FROM s) t
        |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
 
+  /** Portable twin of `sim_ivfpq_topk`: codebook TRAINING (Lloyd
+    * iterations) is DuckDB-inexpressible, but everything after it is
+    * arithmetic — so land the built PQ index (coarse centroids, the
+    * triple-nested codebooks, the encoded corpus with codes + stored
+    * norms) and run the whole ADC serving path from those bits in BOTH
+    * engines: probe election, per-query LUT (q·codebook-cell dots),
+    * `ip ≈ q·centroid + Σ_m lut[m][code_m]`, approximate-cosine
+    * shortlist of RefineFactor·K, bounded exact re-rank. Every fold is
+    * dimension-/subspace-ascending in both spellings (the proven
+    * aggregate ≡ list_sum equivalence), so the asymmetric-distance
+    * pipeline — code indexing, norm handling, shortlist cut, refine —
+    * gets a cross-engine hash anchor. */
+  private def pqPortPath(dir: String): String = {
+    val fp = dir.hashCode & 0x7fffffff
+    s"${sys.props("java.io.tmpdir")}/graft_pq_port_$fp"
+  }
+  @volatile private var lastPqPortPath = pqPortPath("/root/testdata/sf0.01")
+
+  private def ivfPqTopKPortable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    VecFunctions.register(spark)
+    val path = pqPortPath(dir)
+    lastPqPortPath = path
+    val (centroids, _) = ivfIndex(spark, dir)
+    val (codebooks, encoded) = pqIndex(spark, dir)
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq(Tuple1(codebooks.map(_.map(_.toSeq).toSeq).toSeq)).toDF("cb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    encoded
+      .select(col("vec_id"), col("embedding"),
+        col("cell").cast("int").as("cell"), col("codes"), col("xnorm"))
+      .write.mode("overwrite").parquet(s"$path/encoded")
+    spark.read.parquet(s"$path/centroids")
+      .createOrReplaceTempView("graft_pq_port_cent")
+    spark.read.parquet(s"$path/codebooks")
+      .createOrReplaceTempView("graft_pq_port_cb")
+    spark.read.parquet(s"$path/encoded")
+      .createOrReplaceTempView("graft_pq_port_enc")
+    spark.sql(pqPortableSparkSql)
+  }
+
+  private def subDimP = 64 / PqM // 8; spelled into the static SQL below
+
+  private val pqPortableSparkSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qe
+       |  FROM graft_pq_port_enc WHERE vec_id < $NumQueries),
+       |np AS (
+       |  SELECT GREATEST(5, CAST(CEIL($ProbeFraction * COUNT(*)) AS INT))
+       |         AS p
+       |  FROM graft_pq_port_cent),
+       |qn AS (
+       |  SELECT qid, qe,
+       |    sqrt(aggregate(transform(qe,
+       |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+       |      0D, (s, x) -> s + x)) AS qnorm,
+       |    transform(sequence(0, ${PqM - 1}), m ->
+       |      transform(sequence(0, ${PqKs - 1}), j ->
+       |        aggregate(sequence(1, $subDimP), 0D, (s, t) -> s +
+       |          CAST(element_at(qe, m * $subDimP + t) AS DOUBLE) *
+       |          element_at(element_at(element_at(cb, m + 1), j + 1), t))))
+       |      AS lut
+       |  FROM q CROSS JOIN graft_pq_port_cb),
+       |qc AS (
+       |  SELECT qid, qe, qnorm, lut, cell,
+       |    aggregate(transform(sequence(1, $Dim), i ->
+       |      CAST(element_at(qe, i) AS DOUBLE) * element_at(centroid, i)),
+       |      0D, (s, x) -> s + x) AS qcdot,
+       |    sqrt(aggregate(transform(centroid, v -> v * v),
+       |      0D, (s, x) -> s + x)) AS cnorm
+       |  FROM qn CROSS JOIN graft_pq_port_cent),
+       |probe AS (
+       |  SELECT qid, cell, qcdot, qnorm, lut FROM (
+       |    SELECT qid, cell, qcdot, qnorm, lut,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY CASE WHEN cnorm = 0D THEN 0D
+       |                      ELSE qcdot / (cnorm * qnorm) END DESC,
+       |               cell) AS r
+       |    FROM qc) t, np WHERE t.r <= np.p),
+       |adc AS (
+       |  SELECT probe.qid, e.vec_id AS cid,
+       |    CASE WHEN e.xnorm > 0D THEN
+       |      (qcdot + aggregate(sequence(0, ${PqM - 1}), 0D, (s, m) -> s +
+       |        element_at(element_at(lut, m + 1),
+       |                   element_at(e.codes, m + 1) + 1))) /
+       |      (qnorm * e.xnorm)
+       |    ELSE 0D END AS cos_approx
+       |  FROM probe JOIN graft_pq_port_enc e ON e.cell = probe.cell
+       |  WHERE e.vec_id <> probe.qid),
+       |short AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |                              ORDER BY cos_approx DESC, cid) AS arn
+       |    FROM adc) t
+       |  WHERE arn <= ${K * PqRefineFactor}),
+       |s AS (
+       |  SELECT short.qid, short.cid, vec_cosine(q.qe, e.embedding) AS cos
+       |  FROM short JOIN q ON q.qid = short.qid
+       |       JOIN graft_pq_port_enc e ON e.vec_id = short.cid)
+       |SELECT qid, cid, rn, ROUND(cos, 4) AS cos FROM (
+       |  SELECT qid, cid, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, cid) AS rn
+       |  FROM s) t
+       |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+
+  private def pqPortableDuckSql: String =
+    s"""WITH cent AS (
+       |  SELECT cell, centroid
+       |  FROM read_parquet('$lastPqPortPath/centroids/*.parquet')),
+       |cbt AS (
+       |  SELECT cb FROM read_parquet('$lastPqPortPath/codebooks/*.parquet')),
+       |enc AS (
+       |  SELECT vec_id, embedding, cell, codes, xnorm
+       |  FROM read_parquet('$lastPqPortPath/encoded/*.parquet')),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qe
+       |  FROM enc WHERE vec_id < $NumQueries),
+       |np AS (
+       |  SELECT GREATEST(5, CAST(CEIL($ProbeFraction * COUNT(*)) AS INT))
+       |         AS p
+       |  FROM cent),
+       |qn AS (
+       |  SELECT qid, qe,
+       |    sqrt(list_sum(list_transform(qe,
+       |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS qnorm,
+       |    list_transform(range(0, $PqM), m ->
+       |      list_transform(range(0, $PqKs), j ->
+       |        list_sum(list_transform(range(1, ${subDimP + 1}), t ->
+       |          CAST(qe[m * $subDimP + t] AS DOUBLE) *
+       |          cb[m + 1][j + 1][t])))) AS lut
+       |  FROM q CROSS JOIN cbt),
+       |qc AS (
+       |  SELECT qid, qe, qnorm, lut, cell,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i ->
+       |      CAST(qe[i] AS DOUBLE) * centroid[i])) AS qcdot,
+       |    sqrt(list_sum(list_transform(centroid, v -> v * v))) AS cnorm
+       |  FROM qn CROSS JOIN cent),
+       |probe AS (
+       |  SELECT qid, cell, qcdot, qnorm, lut FROM (
+       |    SELECT qid, cell, qcdot, qnorm, lut,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY CASE WHEN cnorm = 0 THEN 0
+       |                      ELSE qcdot / (cnorm * qnorm) END DESC,
+       |               cell) AS r
+       |    FROM qc) t, np WHERE t.r <= np.p),
+       |adc AS (
+       |  SELECT probe.qid, e.vec_id AS cid,
+       |    CASE WHEN e.xnorm > 0 THEN
+       |      (qcdot + list_sum(list_transform(range(0, $PqM), m ->
+       |        lut[m + 1][e.codes[m + 1] + 1]))) /
+       |      (qnorm * e.xnorm)
+       |    ELSE 0 END AS cos_approx
+       |  FROM probe JOIN enc e ON e.cell = probe.cell
+       |  WHERE e.vec_id <> probe.qid),
+       |short AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |                              ORDER BY cos_approx DESC, cid) AS arn
+       |    FROM adc) t
+       |  WHERE arn <= ${K * PqRefineFactor}),
+       |s AS (
+       |  SELECT short.qid, short.cid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i ->
+       |      CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform(q.qe,
+       |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(e.embedding,
+       |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+       |  FROM short JOIN q ON q.qid = short.qid
+       |       JOIN enc e ON e.vec_id = short.cid)
+       |SELECT qid, cid, rn, ROUND(cos, 4) AS cos FROM (
+       |  SELECT qid, cid, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, cid) AS rn
+       |  FROM s) t
+       |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+
   /** `sim_index_persist` oracle: per-cell occupancy re-derived by
     * DuckDB straight from the landed hive-partitioned cells plus the
     * centroid sidecar — a lossy save or a mis-encoded partition column
@@ -1266,6 +1448,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "sim_ivf_topk_portable" -> ((s, d) => ivfTopKPortable(s, d)),
+    "sim_ivfpq_topk_portable" -> ((s, d) => ivfPqTopKPortable(s, d)),
     "sim_bruteforce_topk" -> ((s, d) => {
       VecFunctions.register(s); Tables.sql(bruteforceSparkSql)(s, d)
     }),
@@ -1288,6 +1471,7 @@ object Similarity {
   // Verify dumps oracle_sql.json after the queries execute
   def oracleSql: Map[String, String] = Map(
     "sim_ivf_topk_portable" -> ivfPortableDuckSql,
+    "sim_ivfpq_topk_portable" -> pqPortableDuckSql,
     "sim_index_persist" -> indexPersistDuckSql,
     "sim_bruteforce_topk" -> bruteforceDuckSql,
     "sim_lsh_topk_portable" -> lshPortableDuckSql,
