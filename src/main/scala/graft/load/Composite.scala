@@ -276,4 +276,124 @@ object Composite {
         (band, ty, tx, out, cnt)
       }
   }
+
+  /** Geometric MEDIAN composite (the EO "geomedian" product — the
+    * multi-band JOINT median): per pixel, the band-vector x minimizing
+    * Σ_t ‖x − p_t‖₂ over the per-time observations p_t, so the
+    * composite pixel is spectrally consistent across bands (per-band
+    * medians can mix dates; the geomedian cannot). Computed with a
+    * FIXED-iteration Weiszfeld scheme — x⁰ = mean, then
+    * xᵏ⁺¹ = Σ wₜ·pₜ / Σ wₜ with wₜ = 1/max(‖xᵏ−pₜ‖, eps) — every fold
+    * time-ascending, so the arithmetic is a closed deterministic
+    * formula a SQL oracle can replay bit-for-bit (no convergence test,
+    * no data-dependent branching).
+    *
+    * An observation contributes only where ALL requested bands are
+    * valid at that pixel (the joint-vector requirement); pixels with
+    * zero complete observations emit NaN.
+    *
+    * Scale shape: same single rechunk as the masked median — ONE
+    * shuffle keyed (ty, tx) co-locates every band's time planes for a
+    * tile, each task runs the per-pixel iterations locally, state is
+    * ≤ B·T planes. Weiszfeld is embarrassingly parallel across pixels;
+    * nothing iterates across tasks. */
+  def geomedianAcrossTime(spark: SparkSession, tiles: DataFrame,
+                          bands: Seq[String], iters: Int = 8,
+                          eps: Double = 1e-7): DataFrame = {
+    import spark.implicits._
+    require(bands.nonEmpty, "geomedian needs at least one band")
+    val nb = bands.length
+    val bandIdx = bands.zipWithIndex.toMap
+    tiles
+      .where(col("band").isin(bands.map(x => x: Any): _*))
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("data"), col("dtype"), col("nodata"),
+        col("width"), col("height"))
+      .as[(String, Int, Int, Int, Array[Byte], String, Double, Int, Int)]
+      .groupByKey { case (_, _, ty, tx, _, _, _, _, _) => (ty, tx) }
+      .flatMapGroups { (key, it) =>
+        val (ty, tx) = key
+        var w = 0
+        var h = 0
+        // planes((tIdx, bandOrdinal)) -> (pixels, nodata)
+        val planes =
+          scala.collection.mutable.Map.empty[(Int, Int), (Array[Double], Double)]
+        it.foreach { case (band, tIdx, _, _, data, dtype, nodata, tw, th) =>
+          if (w == 0) { w = tw; h = th }
+          require(w == tw && h == th,
+            s"tile shape mismatch at ($ty,$tx): ${w}x$h vs ${tw}x$th")
+          planes((tIdx, bandIdx(band))) = (Fuse.decode(data, dtype), nodata)
+        }
+        // only times with a plane for EVERY band can contribute
+        val times = planes.keys.map(_._1).toSeq.distinct.sorted
+          .filter(t => (0 until nb).forall(b => planes.contains((t, b))))
+          .toArray
+        val n = w * h
+        val geo = Array.fill(nb)(new Array[Double](n))
+        val cnt = new Array[Int](n)
+        val obs = Array.ofDim[Double](times.length, nb)
+        var i = 0
+        while (i < n) {
+          // gather complete observations, time-ascending
+          var m = 0
+          var p = 0
+          while (p < times.length) {
+            var ok = true
+            var b = 0
+            while (b < nb && ok) {
+              val (px, nodata) = planes((times(p), b))
+              val v = px(i)
+              if (v.isNaN || v == nodata) ok = false else obs(m)(b) = v
+              b += 1
+            }
+            if (ok) m += 1
+            p += 1
+          }
+          cnt(i) = m
+          if (m == 0) {
+            var b = 0
+            while (b < nb) { geo(b)(i) = Double.NaN; b += 1 }
+          } else {
+            // x0 = component mean (time-ascending fold)
+            val x = new Array[Double](nb)
+            var b = 0
+            while (b < nb) {
+              var s = 0.0; var t = 0
+              while (t < m) { s += obs(t)(b); t += 1 }
+              x(b) = s / m
+              b += 1
+            }
+            var k = 0
+            while (k < iters) {
+              val wts = new Array[Double](m)
+              var t = 0
+              while (t < m) {
+                var d2 = 0.0; var b2 = 0
+                while (b2 < nb) {
+                  val dd = obs(t)(b2) - x(b2); d2 += dd * dd; b2 += 1
+                }
+                wts(t) = 1.0 / math.max(math.sqrt(d2), eps)
+                t += 1
+              }
+              var den = 0.0
+              t = 0
+              while (t < m) { den += wts(t); t += 1 }
+              b = 0
+              while (b < nb) {
+                var num = 0.0; t = 0
+                while (t < m) { num += obs(t)(b) * wts(t); t += 1 }
+                x(b) = num / den
+                b += 1
+              }
+              k += 1
+            }
+            b = 0
+            while (b < nb) { geo(b)(i) = x(b); b += 1 }
+          }
+          i += 1
+        }
+        bands.indices.iterator.map(b => (bands(b), ty, tx, geo(b), cnt))
+      }
+      .toDF("band", "ty", "tx", "geomedian", "count")
+  }
 }

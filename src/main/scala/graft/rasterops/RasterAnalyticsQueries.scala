@@ -625,4 +625,90 @@ private[rasterops] trait RasterAnalyticsQueries {
        |FROM taps t JOIN c ON c.gx = t.gx AND c.gy = t.gy
        |GROUP BY t.pid, c.band, c.tidx
        |ORDER BY point_id, band, "tIdx"""".stripMargin
+
+  /** Geometric-median (geomedian) composite
+    * (Composite.geomedianAcrossTime — the classic EO multi-band joint
+    * median, beyond the reference): per pixel, a FIXED 8-iteration
+    * Weiszfeld scheme over the (red, nir) time vectors — x⁰ = mean,
+    * xᵏ⁺¹ = Σ wₜ·pₜ / Σ wₜ, wₜ = 1/max(‖xᵏ−pₜ‖, 1e-7) — every fold
+    * time-ascending, no convergence test, so the whole iteration is a
+    * closed deterministic formula. DuckDB replays it bit-for-bit from
+    * the landed pixel rows with nested list lambdas (an 8-step
+    * `list_reduce` whose state is the [x_red, x_nir] pair), proving
+    * observation gathering (ALL bands valid), the mean seed, the
+    * weight/update arithmetic, and the quantized summary. */
+  def geomedian(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "id", chunks = 64)
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    res.tiles
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("width"),
+        col("nodata"), posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
+        (col("pos") / col("width")).cast("int").as("py"),
+        (col("pos") % col("width")).cast("int").as("px"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(GeomedianCellsPath)
+    graft.load.Composite.geomedianAcrossTime(spark, res.tiles,
+        Seq("red", "nir"))
+      .select(col("band"), col("ty"), col("tx"),
+        expr("aggregate(geomedian, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("geo_q"),
+        expr("CAST(aggregate(count, 0, (s, v) -> s + v) AS BIGINT)")
+          .as("n_valid"))
+      .orderBy("band", "ty", "tx")
+  }
+
+  private[rasterops] val geomedianDuckSql: String =
+    s"""WITH px AS (
+       |  SELECT band, tidx, ty, tx, py, px, value
+       |  FROM read_parquet('$GeomedianCellsPath/*.parquet')
+       |  WHERE NOT isnan(value)),
+       |pt AS (
+       |  SELECT tidx, ty, tx, py, px,
+       |         MAX(CASE WHEN band = 'red' THEN value END) AS r,
+       |         MAX(CASE WHEN band = 'nir' THEN value END) AS n
+       |  FROM px GROUP BY tidx, ty, tx, py, px
+       |  HAVING COUNT(*) = 2),
+       |pts AS (
+       |  SELECT ty, tx, py, px,
+       |         list(r ORDER BY tidx) AS pr, list(n ORDER BY tidx) AS pn,
+       |         COUNT(*) AS m
+       |  FROM pt GROUP BY ty, tx, py, px),
+       |gm AS (
+       |  SELECT ty, tx, py, px, m,
+       |    list_reduce(
+       |      list_prepend(
+       |        [list_sum(pr) / m, list_sum(pn) / m],
+       |        list_transform(range(0, 8), i -> [CAST(i AS DOUBLE), 0.0])),
+       |      (acc, it) -> [
+       |        list_sum(list_transform(range(1, CAST(m AS INT) + 1), t ->
+       |          pr[t] * (1.0 / GREATEST(sqrt(
+       |            (pr[t] - acc[1]) * (pr[t] - acc[1]) +
+       |            (pn[t] - acc[2]) * (pn[t] - acc[2])), 1e-7)))) /
+       |        list_sum(list_transform(range(1, CAST(m AS INT) + 1), t ->
+       |          1.0 / GREATEST(sqrt(
+       |            (pr[t] - acc[1]) * (pr[t] - acc[1]) +
+       |            (pn[t] - acc[2]) * (pn[t] - acc[2])), 1e-7))),
+       |        list_sum(list_transform(range(1, CAST(m AS INT) + 1), t ->
+       |          pn[t] * (1.0 / GREATEST(sqrt(
+       |            (pr[t] - acc[1]) * (pr[t] - acc[1]) +
+       |            (pn[t] - acc[2]) * (pn[t] - acc[2])), 1e-7)))) /
+       |        list_sum(list_transform(range(1, CAST(m AS INT) + 1), t ->
+       |          1.0 / GREATEST(sqrt(
+       |            (pr[t] - acc[1]) * (pr[t] - acc[1]) +
+       |            (pn[t] - acc[2]) * (pn[t] - acc[2])), 1e-7)))
+       |      ]) AS s
+       |  FROM pts)
+       |SELECT b.band, ty, tx,
+       |       CAST(SUM(CAST(ROUND(
+       |         (CASE WHEN b.band = 'red' THEN s[1] ELSE s[2] END) * 100)
+       |         AS BIGINT)) AS BIGINT) AS geo_q,
+       |       CAST(SUM(m) AS BIGINT) AS n_valid
+       |FROM gm CROSS JOIN (VALUES ('red'), ('nir')) b(band)
+       |GROUP BY b.band, ty, tx
+       |ORDER BY band, ty, tx""".stripMargin
 }

@@ -116,6 +116,7 @@ object RasterQueries
     "raster_change_detect" -> ((s, _) => changeDetect(s)),
     "raster_pyramid_build" -> ((s, _) => pyramidBuild(s)),
     "raster_masked_composite" -> ((s, _) => maskedComposite(s)),
+    "raster_geomedian" -> ((s, _) => geomedian(s)),
     "raster_histogram" -> ((s, _) => histogram(s)),
     "raster_rasterize" -> ((s, _) => rasterizeZones(s)),
     "raster_sample_drill" -> ((s, _) => sampleDrill(s)),
@@ -155,6 +156,7 @@ object RasterQueries
     "raster_band_math" -> bandMathNdviDuckSql,
     "raster_focal_mean" -> focalMeanDuckSql,
     "raster_focal_standing" -> focalMeanDuckSql,
+    "raster_geomedian" -> geomedianDuckSql,
     "raster_drill" -> drillPointsDuckSql,
     "raster_change_detect" -> changeDetectDuckSql,
     "raster_pyramid_build" -> pyramidBuildDuckSql,

@@ -254,6 +254,10 @@ private[rasterops] trait RasterQueryFixtures {
   private[rasterops] val MaskCellsPath =
     s"${sys.props("java.io.tmpdir")}/graft_mask_cells_parquet"
 
+  /** Shared path for the geomedian oracle's input planes. */
+  private[rasterops] val GeomedianCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_geomedian_cells_parquet"
+
   /** Cloud-masked median composite
     * (Composite.maskedMedianAcrossTime — beyond the reference): three
     * same-footprint days with a `qa` band; the middle day's qa flags a

@@ -212,11 +212,44 @@ object TemporalJoins {
       |  ON s.ts > e.ts AND s.ts <= e.ts + INTERVAL 1 HOUR
       |ORDER BY err_id, signup_id""".stripMargin
 
+  /** q40: the scale-correct spelling of q29. Pair DENSITY inside the
+    * interval is quadratic in event rate (measured ×100 output at ×10
+    * data in the sf1 record), so materializing pairs is the wrong
+    * production shape — aggregate them instead: per-error signup count.
+    * The same bucketed interval join feeds a partial-aggregating
+    * `groupBy` — pair rows stream map-side into per-error partials and
+    * the exchange carries O(|errors|) rows, never the pair set. */
+  private def rangeAggQuery(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+    val errs = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("err_ts"))
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("ts").as("signup_ts"))
+    intervalJoin(errs, signups, "err_ts", "signup_ts",
+        minDelta = 0L, maxDelta = 3600L * 1000000L, minOpen = true)
+      .groupBy(col("err_id"))
+      .agg(org.apache.spark.sql.functions.count(col("signup_id"))
+        .as("n_signups"))
+      .orderBy("err_id")
+  }
+
+  private val rangeAggOracle: String =
+    """SELECT e.event_id AS err_id, COUNT(s.event_id) AS n_signups
+      |FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'error') e
+      |JOIN (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'signup') s
+      |  ON s.ts > e.ts AND s.ts <= e.ts + INTERVAL 1 HOUR
+      |GROUP BY e.event_id
+      |ORDER BY err_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_asof_join" -> (asofQuery _),
-    "q29_range_join" -> (rangeQuery _))
+    "q29_range_join" -> (rangeQuery _),
+    "q40_range_join_agg" -> (rangeAggQuery _))
 
   val oracleSql: Map[String, String] = Map(
     "q28_asof_join" -> asofOracle,
-    "q29_range_join" -> rangeOracle)
+    "q29_range_join" -> rangeOracle,
+    "q40_range_join_agg" -> rangeAggOracle)
 }

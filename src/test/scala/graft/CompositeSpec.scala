@@ -148,4 +148,53 @@ class CompositeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("geomedian: joint vector median, incomplete obs excluded, NaN on empty") {
+    import spark.implicits._
+    // 1x2 tiles, two bands, three times; nodata=0.
+    //   pixel 0: (r,n) obs (10,100) (20,200) (90,900) — collinear, so
+    //     the geometric median is near the MIDDLE point (20,200); the
+    //     componentwise mean (40,400) is dragged by the outlier.
+    //   pixel 1: t0 nir hole -> only t1/t2 complete; t2 red hole too ->
+    //     only t1 complete -> geomedian == that single observation.
+    def t(band: String, ti: Int, vals: Array[Double]) =
+      (band, ti, 0, 0, Fuse.encode(vals, "uint16"), "uint16", 0.0, 2, 1)
+    val rows = Seq(
+      t("red", 0, Array(10, 30)), t("nir", 0, Array(100, 0)),
+      t("red", 1, Array(20, 50)), t("nir", 1, Array(200, 500)),
+      t("red", 2, Array(90, 0)), t("nir", 2, Array(900, 700))
+    ).toDF("band", "tIdx", "ty", "tx", "data", "dtype", "nodata",
+      "width", "height")
+    val out = Composite.geomedianAcrossTime(spark, rows, Seq("red", "nir"))
+      .orderBy("band").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("nir", "red"))
+    val nir = out(0).getAs[scala.collection.Seq[Double]]("geomedian")
+    val red = out(1).getAs[scala.collection.Seq[Double]]("geomedian")
+    // collinear pixel: converges toward the middle observation
+    assert(math.abs(red(0) - 20.0) < 1.0, s"red p0 = ${red(0)}")
+    assert(math.abs(nir(0) - 200.0) < 10.0, s"nir p0 = ${nir(0)}")
+    // single complete observation: exactly (within the 1/eps round trip)
+    assert(math.abs(red(1) - 50.0) < 1e-9 && math.abs(nir(1) - 500.0) < 1e-9)
+    assert(out(0).getAs[scala.collection.Seq[Int]]("count").toSeq == Seq(3, 1))
+    assert(out(1).getAs[scala.collection.Seq[Int]]("count").toSeq == Seq(3, 1))
+  }
+
+  test("geomedian: zero complete observations -> NaN, count 0") {
+    import spark.implicits._
+    def t(band: String, ti: Int, vals: Array[Double]) =
+      (band, ti, 0, 0, Fuse.encode(vals, "uint16"), "uint16", 0.0, 1, 1)
+    // red valid at t0 only, nir valid at t1 only: never jointly valid
+    val rows = Seq(
+      t("red", 0, Array(10)), t("nir", 0, Array(0.0)),
+      t("red", 1, Array(0.0)), t("nir", 1, Array(100))
+    ).toDF("band", "tIdx", "ty", "tx", "data", "dtype", "nodata",
+      "width", "height")
+    val out = Composite.geomedianAcrossTime(spark, rows, Seq("red", "nir"))
+      .collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Double]]("geomedian")(0).isNaN)
+      assert(r.getAs[scala.collection.Seq[Int]]("count").toSeq == Seq(0))
+    }
+  }
 }
