@@ -354,40 +354,8 @@ object Composite {
             var b = 0
             while (b < nb) { geo(b)(i) = Double.NaN; b += 1 }
           } else {
-            // x0 = component mean (time-ascending fold)
-            val x = new Array[Double](nb)
+            val x = weiszfeld(obs, m, nb, iters, eps)
             var b = 0
-            while (b < nb) {
-              var s = 0.0; var t = 0
-              while (t < m) { s += obs(t)(b); t += 1 }
-              x(b) = s / m
-              b += 1
-            }
-            var k = 0
-            while (k < iters) {
-              val wts = new Array[Double](m)
-              var t = 0
-              while (t < m) {
-                var d2 = 0.0; var b2 = 0
-                while (b2 < nb) {
-                  val dd = obs(t)(b2) - x(b2); d2 += dd * dd; b2 += 1
-                }
-                wts(t) = 1.0 / math.max(math.sqrt(d2), eps)
-                t += 1
-              }
-              var den = 0.0
-              t = 0
-              while (t < m) { den += wts(t); t += 1 }
-              b = 0
-              while (b < nb) {
-                var num = 0.0; t = 0
-                while (t < m) { num += obs(t)(b) * wts(t); t += 1 }
-                x(b) = num / den
-                b += 1
-              }
-              k += 1
-            }
-            b = 0
             while (b < nb) { geo(b)(i) = x(b); b += 1 }
           }
           i += 1
@@ -395,5 +363,169 @@ object Composite {
         bands.indices.iterator.map(b => (bands(b), ty, tx, geo(b), cnt))
       }
       .toDF("band", "ty", "tx", "geomedian", "count")
+  }
+
+  /** Fixed-iteration Weiszfeld geometric median of `obs(0 until m)`
+    * (each a length-`nb` band vector): x⁰ = component mean, then
+    * xᵏ⁺¹ = Σ wₜ·pₜ / Σ wₜ with wₜ = 1/max(‖xᵏ−pₜ‖, eps). Every fold
+    * is time- then band-ascending — the deterministic contract the SQL
+    * oracles replay. */
+  private def weiszfeld(obs: Array[Array[Double]], m: Int, nb: Int,
+                        iters: Int, eps: Double): Array[Double] = {
+    val x = new Array[Double](nb)
+    var b = 0
+    while (b < nb) {
+      var s = 0.0; var t = 0
+      while (t < m) { s += obs(t)(b); t += 1 }
+      x(b) = s / m
+      b += 1
+    }
+    var k = 0
+    while (k < iters) {
+      val wts = new Array[Double](m)
+      var t = 0
+      while (t < m) {
+        var d2 = 0.0; var b2 = 0
+        while (b2 < nb) {
+          val dd = obs(t)(b2) - x(b2); d2 += dd * dd; b2 += 1
+        }
+        wts(t) = 1.0 / math.max(math.sqrt(d2), eps)
+        t += 1
+      }
+      var den = 0.0
+      t = 0
+      while (t < m) { den += wts(t); t += 1 }
+      b = 0
+      while (b < nb) {
+        var num = 0.0; t = 0
+        while (t < m) { num += obs(t)(b) * wts(t); t += 1 }
+        x(b) = num / den
+        b += 1
+      }
+      k += 1
+    }
+    x
+  }
+
+  /** Median with the medianAcrossTime convention: middle value for odd
+    * m, mean of the two middles for even (matches SQL MEDIAN). Sorts
+    * vals(0 until m) in place. */
+  private def medianOf(vals: Array[Double], m: Int): Double = {
+    java.util.Arrays.sort(vals, 0, m)
+    if (m % 2 == 1) vals(m / 2) else (vals(m / 2 - 1) + vals(m / 2)) / 2.0
+  }
+
+  /** The geomedian's three MAD companion layers (the deviation bands
+    * every production geomedian ships with): per pixel, the MEDIAN
+    * across time of each observation's deviation from the geomedian
+    * point x —
+    *   EMAD  = median ‖pₜ − x‖₂            (Euclidean distance)
+    *   SMAD  = median 1 − cos(pₜ, x)       (spectral / angular)
+    *   BCMAD = median Σ|pₜ−x| / Σ|pₜ+x|   (Bray–Curtis)
+    * Zero denominators yield 0 (not NaN) in both engines. Same single
+    * (ty, tx)-keyed rechunk and fixed-iteration Weiszfeld as
+    * [[geomedianAcrossTime]] — the MADs are a per-pixel postpass over
+    * the same gathered observations. */
+  def geomadAcrossTime(spark: SparkSession, tiles: DataFrame,
+                       bands: Seq[String], iters: Int = 8,
+                       eps: Double = 1e-7): DataFrame = {
+    import spark.implicits._
+    require(bands.nonEmpty, "geomad needs at least one band")
+    val nb = bands.length
+    val bandIdx = bands.zipWithIndex.toMap
+    tiles
+      .where(col("band").isin(bands.map(x => x: Any): _*))
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("data"), col("dtype"), col("nodata"),
+        col("width"), col("height"))
+      .as[(String, Int, Int, Int, Array[Byte], String, Double, Int, Int)]
+      .groupByKey { case (_, _, ty, tx, _, _, _, _, _) => (ty, tx) }
+      .mapGroups { (key, it) =>
+        val (ty, tx) = key
+        var w = 0
+        var h = 0
+        val planes =
+          scala.collection.mutable.Map.empty[(Int, Int), (Array[Double], Double)]
+        it.foreach { case (band, tIdx, _, _, data, dtype, nodata, tw, th) =>
+          if (w == 0) { w = tw; h = th }
+          require(w == tw && h == th,
+            s"tile shape mismatch at ($ty,$tx): ${w}x$h vs ${tw}x$th")
+          planes((tIdx, bandIdx(band))) = (Fuse.decode(data, dtype), nodata)
+        }
+        val times = planes.keys.map(_._1).toSeq.distinct.sorted
+          .filter(t => (0 until nb).forall(b => planes.contains((t, b))))
+          .toArray
+        val n = w * h
+        val emad = new Array[Double](n)
+        val smad = new Array[Double](n)
+        val bcmad = new Array[Double](n)
+        val cnt = new Array[Int](n)
+        val obs = Array.ofDim[Double](times.length, nb)
+        val dev = new Array[Double](times.length)
+        var i = 0
+        while (i < n) {
+          var m = 0
+          var p = 0
+          while (p < times.length) {
+            var ok = true
+            var b = 0
+            while (b < nb && ok) {
+              val (px, nodata) = planes((times(p), b))
+              val v = px(i)
+              if (v.isNaN || v == nodata) ok = false else obs(m)(b) = v
+              b += 1
+            }
+            if (ok) m += 1
+            p += 1
+          }
+          cnt(i) = m
+          if (m == 0) {
+            emad(i) = Double.NaN; smad(i) = Double.NaN; bcmad(i) = Double.NaN
+          } else {
+            val x = weiszfeld(obs, m, nb, iters, eps)
+            var xn2 = 0.0
+            var b = 0
+            while (b < nb) { xn2 += x(b) * x(b); b += 1 }
+            val xn = math.sqrt(xn2)
+            // EMAD
+            var t = 0
+            while (t < m) {
+              var d2 = 0.0; b = 0
+              while (b < nb) { val d = obs(t)(b) - x(b); d2 += d * d; b += 1 }
+              dev(t) = math.sqrt(d2)
+              t += 1
+            }
+            emad(i) = medianOf(dev, m)
+            // SMAD
+            t = 0
+            while (t < m) {
+              var dot = 0.0; var pn2 = 0.0; b = 0
+              while (b < nb) {
+                dot += obs(t)(b) * x(b); pn2 += obs(t)(b) * obs(t)(b); b += 1
+              }
+              val den = math.sqrt(pn2) * xn
+              dev(t) = if (den == 0.0) 0.0 else 1.0 - dot / den
+              t += 1
+            }
+            smad(i) = medianOf(dev, m)
+            // BCMAD
+            t = 0
+            while (t < m) {
+              var num = 0.0; var den = 0.0; b = 0
+              while (b < nb) {
+                num += math.abs(obs(t)(b) - x(b))
+                den += math.abs(obs(t)(b) + x(b))
+                b += 1
+              }
+              dev(t) = if (den == 0.0) 0.0 else num / den
+              t += 1
+            }
+            bcmad(i) = medianOf(dev, m)
+          }
+          i += 1
+        }
+        (ty, tx, emad, smad, bcmad, cnt)
+      }
+      .toDF("ty", "tx", "emad", "smad", "bcmad", "count")
   }
 }

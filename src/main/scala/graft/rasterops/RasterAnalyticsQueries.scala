@@ -662,7 +662,62 @@ private[rasterops] trait RasterAnalyticsQueries {
       .orderBy("band", "ty", "tx")
   }
 
-  private[rasterops] val geomedianDuckSql: String =
+  private[rasterops] def geomedianDuckSql: String =
+    s"""$geomedianGmCtes
+       |SELECT b.band, ty, tx,
+       |       CAST(SUM(CAST(ROUND(
+       |         (CASE WHEN b.band = 'red' THEN s[1] ELSE s[2] END) * 100)
+       |         AS BIGINT)) AS BIGINT) AS geo_q,
+       |       CAST(SUM(m) AS BIGINT) AS n_valid
+       |FROM gm CROSS JOIN (VALUES ('red'), ('nir')) b(band)
+       |GROUP BY b.band, ty, tx
+       |ORDER BY band, ty, tx""".stripMargin
+
+  /** The geomedian's MAD companion layers (EMAD / SMAD / BCMAD — the
+    * deviation bands every production geomedian ships with): median
+    * across time of each complete observation's Euclidean / spectral /
+    * Bray-Curtis deviation from the per-pixel Weiszfeld point. DuckDB
+    * recomputes the SAME fixed 8-iteration geomedian from the landed
+    * pixel rows (the [[geomedian]] list_reduce), derives the three
+    * deviation lists per pixel, and takes the median with the engine's
+    * exact convention (sorted list, (lo+hi)/2 for even counts — NOT
+    * quantile_cont, whose lo+(hi-lo)/2 interpolation differs in the
+    * last ulp). Lands its own cells (idempotent, bit-identical to the
+    * [[geomedian]] landing) because this query sorts before it. */
+  def geomad(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "id", chunks = 64)
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    res.tiles
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("width"),
+        col("nodata"), posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
+        (col("pos") / col("width")).cast("int").as("py"),
+        (col("pos") % col("width")).cast("int").as("px"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(GeomedianCellsPath)
+    graft.load.Composite.geomadAcrossTime(spark, res.tiles,
+        Seq("red", "nir"))
+      .select(col("ty"), col("tx"),
+        expr("aggregate(emad, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("emad_q"),
+        expr("aggregate(smad, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 1000000) AS BIGINT)))")
+          .as("smad_q"),
+        expr("aggregate(bcmad, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 1000000) AS BIGINT)))")
+          .as("bcmad_q"),
+        expr("CAST(aggregate(count, 0, (s, v) -> s + v) AS BIGINT)")
+          .as("n_valid"))
+      .orderBy("ty", "tx")
+  }
+
+  /** Shared Weiszfeld CTE chain (px -> pt -> pts -> gm) of the
+    * geomedian oracles. */
+  private[rasterops] val geomedianGmCtes: String =
     s"""WITH px AS (
        |  SELECT band, tidx, ty, tx, py, px, value
        |  FROM read_parquet('$GeomedianCellsPath/*.parquet')
@@ -679,7 +734,7 @@ private[rasterops] trait RasterAnalyticsQueries {
        |         COUNT(*) AS m
        |  FROM pt GROUP BY ty, tx, py, px),
        |gm AS (
-       |  SELECT ty, tx, py, px, m,
+       |  SELECT ty, tx, py, px, m, pr, pn,
        |    list_reduce(
        |      list_prepend(
        |        [list_sum(pr) / m, list_sum(pn) / m],
@@ -702,13 +757,45 @@ private[rasterops] trait RasterAnalyticsQueries {
        |            (pr[t] - acc[1]) * (pr[t] - acc[1]) +
        |            (pn[t] - acc[2]) * (pn[t] - acc[2])), 1e-7)))
        |      ]) AS s
-       |  FROM pts)
-       |SELECT b.band, ty, tx,
-       |       CAST(SUM(CAST(ROUND(
-       |         (CASE WHEN b.band = 'red' THEN s[1] ELSE s[2] END) * 100)
-       |         AS BIGINT)) AS BIGINT) AS geo_q,
-       |       CAST(SUM(m) AS BIGINT) AS n_valid
-       |FROM gm CROSS JOIN (VALUES ('red'), ('nir')) b(band)
-       |GROUP BY b.band, ty, tx
-       |ORDER BY band, ty, tx""".stripMargin
+       |  FROM pts)""".stripMargin
+
+  private[rasterops] val geomadDuckSql: String =
+    s"""$geomedianGmCtes,
+       |dv AS (
+       |  SELECT ty, tx, py, px, m,
+       |    list_sort(list_transform(range(1, CAST(m AS INT) + 1), t ->
+       |      sqrt((pr[t] - s[1]) * (pr[t] - s[1]) +
+       |           (pn[t] - s[2]) * (pn[t] - s[2])))) AS eds,
+       |    list_sort(list_transform(range(1, CAST(m AS INT) + 1), t ->
+       |      CASE WHEN sqrt(pr[t] * pr[t] + pn[t] * pn[t]) *
+       |                sqrt(s[1] * s[1] + s[2] * s[2]) = 0 THEN 0.0
+       |      ELSE 1.0 - (pr[t] * s[1] + pn[t] * s[2]) /
+       |        (sqrt(pr[t] * pr[t] + pn[t] * pn[t]) *
+       |         sqrt(s[1] * s[1] + s[2] * s[2])) END)) AS sms,
+       |    list_sort(list_transform(range(1, CAST(m AS INT) + 1), t ->
+       |      CASE WHEN abs(pr[t] + s[1]) + abs(pn[t] + s[2]) = 0 THEN 0.0
+       |      ELSE (abs(pr[t] - s[1]) + abs(pn[t] - s[2])) /
+       |           (abs(pr[t] + s[1]) + abs(pn[t] + s[2])) END)) AS bcs
+       |  FROM gm),
+       |md AS (
+       |  SELECT ty, tx, py, px, m,
+       |    CASE WHEN m % 2 = 1 THEN eds[CAST((m + 1) // 2 AS INT)]
+       |    ELSE (eds[CAST(m // 2 AS INT)] + eds[CAST(m // 2 AS INT) + 1])
+       |         / 2.0 END AS emad,
+       |    CASE WHEN m % 2 = 1 THEN sms[CAST((m + 1) // 2 AS INT)]
+       |    ELSE (sms[CAST(m // 2 AS INT)] + sms[CAST(m // 2 AS INT) + 1])
+       |         / 2.0 END AS smad,
+       |    CASE WHEN m % 2 = 1 THEN bcs[CAST((m + 1) // 2 AS INT)]
+       |    ELSE (bcs[CAST(m // 2 AS INT)] + bcs[CAST(m // 2 AS INT) + 1])
+       |         / 2.0 END AS bcmad
+       |  FROM dv)
+       |SELECT ty, tx,
+       |  CAST(SUM(CAST(ROUND(emad * 100) AS BIGINT)) AS BIGINT) AS emad_q,
+       |  CAST(SUM(CAST(ROUND(smad * 1000000) AS BIGINT)) AS BIGINT)
+       |    AS smad_q,
+       |  CAST(SUM(CAST(ROUND(bcmad * 1000000) AS BIGINT)) AS BIGINT)
+       |    AS bcmad_q,
+       |  CAST(SUM(m) AS BIGINT) AS n_valid
+       |FROM md GROUP BY ty, tx
+       |ORDER BY ty, tx""".stripMargin
 }

@@ -117,6 +117,7 @@ object RasterQueries
     "raster_pyramid_build" -> ((s, _) => pyramidBuild(s)),
     "raster_masked_composite" -> ((s, _) => maskedComposite(s)),
     "raster_geomedian" -> ((s, _) => geomedian(s)),
+    "raster_geomad" -> ((s, _) => geomad(s)),
     "raster_histogram" -> ((s, _) => histogram(s)),
     "raster_rasterize" -> ((s, _) => rasterizeZones(s)),
     "raster_sample_drill" -> ((s, _) => sampleDrill(s)),
@@ -157,6 +158,7 @@ object RasterQueries
     "raster_focal_mean" -> focalMeanDuckSql,
     "raster_focal_standing" -> focalMeanDuckSql,
     "raster_geomedian" -> geomedianDuckSql,
+    "raster_geomad" -> geomadDuckSql,
     "raster_drill" -> drillPointsDuckSql,
     "raster_change_detect" -> changeDetectDuckSql,
     "raster_pyramid_build" -> pyramidBuildDuckSql,

@@ -197,4 +197,32 @@ class CompositeSpec extends AnyFunSuite {
       assert(r.getAs[scala.collection.Seq[Int]]("count").toSeq == Seq(0))
     }
   }
+
+  test("geomad: deviation medians around the geomedian point") {
+    import spark.implicits._
+    def t(band: String, ti: Int, vals: Array[Double]) =
+      (band, ti, 0, 0, Fuse.encode(vals, "uint16"), "uint16", 0.0, 2, 1)
+    val rows = Seq(
+      t("red", 0, Array(10, 30)), t("nir", 0, Array(100, 0)),
+      t("red", 1, Array(20, 50)), t("nir", 1, Array(200, 500)),
+      t("red", 2, Array(90, 0)), t("nir", 2, Array(900, 700))
+    ).toDF("band", "tIdx", "ty", "tx", "data", "dtype", "nodata",
+      "width", "height")
+    val out = Composite.geomadAcrossTime(spark, rows, Seq("red", "nir"))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    val emad = r.getAs[scala.collection.Seq[Double]]("emad")
+    val smad = r.getAs[scala.collection.Seq[Double]]("smad")
+    val bcmad = r.getAs[scala.collection.Seq[Double]]("bcmad")
+    // pixel 0: three collinear obs, geomedian near the middle one ->
+    // sorted deviations ~[0, |p0-p1|, |p2-p1|], median ~ |p0-p1| ~ 100.5
+    assert(emad(0) > 50 && emad(0) < 200, s"emad ${emad(0)}")
+    // collinear SAME direction: every angle to the geomedian ~ 0
+    assert(smad(0) >= 0 && smad(0) < 1e-3, s"smad ${smad(0)}")
+    assert(bcmad(0) > 0 && bcmad(0) < 1, s"bcmad ${bcmad(0)}")
+    // pixel 1: single complete obs -> all deviations from itself ~ 0
+    assert(emad(1) < 1e-6 && smad(1) < 1e-9 && bcmad(1) < 1e-9)
+    assert(r.getAs[scala.collection.Seq[Int]]("count").toSeq == Seq(3, 1))
+  }
 }
