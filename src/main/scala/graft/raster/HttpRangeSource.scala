@@ -24,7 +24,18 @@ class HttpRangeSource(
     val maxRetries: Int = 10,
     val retryDelayMs: Long = 100,
     val blockSize: Int = 256 * 1024,
-    val headers: Map[String, String] = Map.empty) extends RasterByteSource {
+    val headers: Map[String, String] = Map.empty,
+    val originHeaders: Map[String, Map[String, String]] = Map.empty)
+  extends RasterByteSource {
+
+  /** Copy with the origin-header map REPLACED (never merged — a
+    * refreshed or cleared credential payload must fully supersede the
+    * previous one). Static `headers` and retry/buffer policy carry
+    * over, so [[IoSession.restore]] decorating a tuned instance keeps
+    * its tuning. */
+  override def withOriginHeaders(
+      origins: Map[String, Map[String, String]]): HttpRangeSource =
+    new HttpRangeSource(maxRetries, retryDelayMs, blockSize, headers, origins)
 
   private val MaxBackoffMs = 5000L
   private def retryable(status: Int): Boolean =
@@ -33,6 +44,12 @@ class HttpRangeSource(
   /** Marker for retryable HTTP statuses (connect/read IOExceptions are
     * retryable as thrown). */
   private final class TransientHttp(uri: String, val status: Int)
+    extends java.io.IOException(s"HTTP $status for $uri")
+
+  /** Definitive client errors (401/403/…): retrying cannot help, so
+    * they fail the read immediately — no retry storm against an auth
+    * wall (the reference relies on GDAL's same distinction). */
+  private final class NonRetryableHttp(uri: String, val status: Int)
     extends java.io.IOException(s"HTTP $status for $uri")
 
   private def withRetry[T](what: String)(f: => T): T = {
@@ -48,6 +65,7 @@ class HttpRangeSource(
       catch {
         case e: TransientHttp => lastErr = e
         case e: java.io.FileNotFoundException => throw e // 404: not transient
+        case e: NonRetryableHttp => throw e // 401/403/…: fail fast
         case e: java.io.IOException => lastErr = e
       }
       attempt += 1
@@ -62,9 +80,15 @@ class HttpRangeSource(
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(15000)
     conn.setReadTimeout(60000)
-    // session/auth headers (signed-URL tokens, bearer auth) from the
-    // restored IoSession credentials — see [[IoSession]]
+    // static session headers (explicitly-constructed sources), then
+    // restored IoSession credentials — attached ONLY when the request
+    // URL's normalized origin matches the configured origin, so a
+    // bearer for one endpoint is never sent to other hosts in a
+    // mixed-source catalog — see [[IoSession]]
     headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    if (originHeaders.nonEmpty)
+      originHeaders.getOrElse(HttpRangeSource.originOf(uri), Map.empty)
+        .foreach { case (k, v) => conn.setRequestProperty(k, v) }
     range.foreach { case (a, b) =>
       conn.setRequestProperty("Range", s"bytes=$a-$b") }
     val status = conn.getResponseCode
@@ -78,6 +102,7 @@ class HttpRangeSource(
     }
     if (status != 200 && status != 206) {
       conn.disconnect()
+      if (status >= 400 && status < 500) throw new NonRetryableHttp(uri, status)
       throw new java.io.IOException(s"HTTP $status for $uri")
     }
     conn
@@ -219,4 +244,22 @@ class HttpRangeSource(
   def list(uri: String): Seq[String] = Seq.empty
 
   def localFile(uri: String): Option[java.io.File] = None
+}
+
+object HttpRangeSource {
+  /** Normalized request origin `scheme://host[:port]` — same convention
+    * as [[IoSession.normalizeOrigin]] (lowercase, default ports 80/443
+    * dropped) so configured and request origins compare equal. */
+  def originOf(uri: String): String = {
+    val u = java.net.URI.create(uri)
+    val scheme = u.getScheme.toLowerCase
+    val port = u.getPort match {
+      case -1 => -1
+      case 80 if scheme == "http" => -1
+      case 443 if scheme == "https" => -1
+      case p => p
+    }
+    val host = Option(u.getHost).map(_.toLowerCase).getOrElse("")
+    if (port == -1) s"$scheme://$host" else s"$scheme://$host:$port"
+  }
 }

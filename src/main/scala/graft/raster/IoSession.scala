@@ -7,9 +7,16 @@ package graft.raster
   * the plan CAPTURES them (`_rio.py:478-491` `capture_rio_env`), and
   * every worker task RESTORES them before its first read
   * (`_rio.py:126-176` thread-local session setup). Here the payload is
-  * a scheme → request-header map (bearer tokens, signed-URL session
-  * headers) and restore registers header-attaching [[HttpRangeSource]]s
-  * into the JVM-local [[RasterIO]] registry.
+  * an ORIGIN → request-header map (bearer tokens, signed-URL session
+  * headers) and restore decorates the JVM-local [[RasterIO]] sources
+  * with origin-matched header attachment.
+  *
+  * Credentials are scoped by origin (`scheme://host[:port]`), never by
+  * bare scheme: a mixed-source catalog (your authed endpoint plus
+  * public third-party hosts) must not broadcast the bearer token to
+  * every https host it touches. [[HttpRangeSource]] attaches a header
+  * set only when the request URL's normalized origin equals the
+  * configured origin.
   *
   * Transport: the payload rides a Spark BROADCAST, never plain fields
   * of a task closure — closures are written into stage metadata and
@@ -17,10 +24,10 @@ package graft.raster
   * masked for the same reason.
   */
 final case class IoCredentials(version: Long,
-    headers: Map[String, Map[String, String]]) {
+    origins: Map[String, Map[String, String]]) {
   /** Masked: credentials must never reach logs via toString. */
   override def toString: String =
-    s"IoCredentials(v$version, schemes=[${headers.keys.toSeq.sorted.mkString(",")}])"
+    s"IoCredentials(v$version, origins=[${origins.keys.toSeq.sorted.mkString(",")}])"
 }
 
 object IoSession {
@@ -30,46 +37,98 @@ object IoSession {
   @volatile private var current: Option[IoCredentials] = None
   /** Last payload version restored into THIS JVM's registry. */
   @volatile private var installedVersion: Long = -1L
+  /** Schemes whose registered source THIS JVM decorated — so a newer
+    * payload (including the empty clear() payload) resets them before
+    * applying its own origins; stale headers never outlive a refresh. */
+  private var installedSchemes: Set[String] = Set.empty
   private val versions = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Configure the driver-side session: `scheme -> request headers`.
+  /** Normalized `scheme://host[:port]` (lowercase scheme+host, default
+    * ports 80/443 dropped); any path/query on the configured endpoint
+    * is ignored. Throws on a bare scheme — scheme-wide credentials are
+    * exactly the cross-host leak this seam exists to prevent. */
+  def normalizeOrigin(o: String): String = {
+    require(o.contains("://"),
+      s"credential key '$o' must be an origin (scheme://host[:port]); " +
+        "bare-scheme credentials would be sent to every host")
+    val u = java.net.URI.create(o)
+    require(u.getHost != null, s"credential origin '$o' has no host")
+    val scheme = u.getScheme.toLowerCase
+    val port = u.getPort match {
+      case -1 => -1
+      case 80 if scheme == "http" => -1
+      case 443 if scheme == "https" => -1
+      case p => p
+    }
+    val host = u.getHost.toLowerCase
+    if (port == -1) s"$scheme://$host" else s"$scheme://$host:$port"
+  }
+
+  private def schemeOf(origin: String): String =
+    origin.substring(0, origin.indexOf("://"))
+
+  /** Configure the driver-side session: `origin -> request headers`.
     * Returns the versioned payload (each configure bumps the version so
     * executors re-install on credential refresh — the STS-refresh
     * concern of `get_aws_settings`). */
-  def configure(headers: Map[String, Map[String, String]]): IoCredentials = {
-    val c = IoCredentials(versions.incrementAndGet(), headers)
+  def configure(origins: Map[String, Map[String, String]]): IoCredentials = {
+    val c = IoCredentials(versions.incrementAndGet(),
+      origins.map { case (o, h) => normalizeOrigin(o) -> h })
     current = Some(c)
     c
   }
 
   /** Environment capture (the `aws_unsigned_check_env` pattern):
     * `GRAFT_IO_BEARER` becomes an `Authorization: Bearer` header for
-    * http/https. Returns None when nothing is configured. */
+    * each origin listed in `GRAFT_IO_BEARER_ORIGINS` (comma-separated
+    * `scheme://host[:port]`). Both variables are required: a bearer
+    * with no origin list would have to be attached host-wide, which is
+    * the leak — so it configures nothing. Returns None when not (or
+    * incompletely) configured. */
   def configureFromEnv(env: Map[String, String] = sys.env): Option[IoCredentials] =
-    env.get("GRAFT_IO_BEARER").map { tok =>
+    for {
+      tok <- env.get("GRAFT_IO_BEARER")
+      origins <- env.get("GRAFT_IO_BEARER_ORIGINS")
+      list = origins.split(',').map(_.trim).filter(_.nonEmpty)
+      if list.nonEmpty
+    } yield {
       val h = Map("Authorization" -> s"Bearer $tok")
-      configure(Map("http" -> h, "https" -> h))
+      configure(list.map(_ -> h).toMap)
     }
 
   /** Plan-time capture (the `capture_rio_env` analog): what Load
-    * broadcasts to its read tasks. None = nothing to restore. */
+    * broadcasts to its read tasks. None = nothing was ever configured
+    * in this session, so there is nothing to restore OR de-register. */
   def capture(): Option[IoCredentials] = current
 
-  def clear(): Unit = current = None
+  /** Drop the driver session. Produces a versioned EMPTY payload (not
+    * None): subsequent loads broadcast it and [[restore]] strips the
+    * previously-attached origin headers from executor registries —
+    * cleared credentials stop being sent, not merely stop being
+    * re-sent. */
+  def clear(): Unit =
+    current = Some(IoCredentials(versions.incrementAndGet(), Map.empty))
 
-  /** Executor-side restore, idempotent per payload version: register a
-    * header-attaching source for every scheme in the payload. Runs at
-    * the top of each read task (cheap version check after the first).
-    * `mk` is the source factory — overridable for non-HTTP schemes or
-    * test policies. */
+  /** Executor-side restore, idempotent per payload version. For each
+    * scheme touched by the payload (or decorated by an earlier one),
+    * DECORATE the currently-registered source via
+    * [[RasterByteSource.withOriginHeaders]] — never replace it, so a
+    * deployment's custom [[GraftIoPlugin]] source keeps its policy
+    * (its default `withOriginHeaders` is a no-op). `mkDefault` supplies
+    * a source only when the scheme has none registered at all. */
   def restore(creds: IoCredentials,
-              mk: Map[String, String] => RasterByteSource =
-                hs => new HttpRangeSource(headers = hs)): Unit =
+              mkDefault: String => RasterByteSource =
+                _ => new HttpRangeSource()): Unit =
     synchronized {
       if (installedVersion != creds.version) {
-        creds.headers.foreach { case (scheme, hs) =>
-          RasterIO.register(scheme, mk(hs))
+        val bySch: Map[String, Map[String, Map[String, String]]] =
+          creds.origins.groupBy { case (o, _) => schemeOf(o) }
+        (installedSchemes ++ bySch.keySet).foreach { sch =>
+          val base = RasterIO.get(sch).getOrElse(mkDefault(sch))
+          RasterIO.register(sch,
+            base.withOriginHeaders(bySch.getOrElse(sch, Map.empty)))
         }
+        installedSchemes = bySch.keySet
         installedVersion = creds.version
       }
     }

@@ -45,6 +45,16 @@ trait RasterByteSource {
     * fast path for JDK APIs that demand one (javax.imageio). Remote
     * sources return None and callers fall back to stream access. */
   def localFile(uri: String): Option[java.io.File]
+
+  /** Credential-decoration seam for [[IoSession.restore]]: return a
+    * source that attaches `origin -> headers` to matching requests,
+    * REPLACING any origin headers from a previous decoration (so a
+    * refreshed/cleared payload never stacks on a stale one). Default is
+    * a no-op returning `this`: sources that don't speak per-request
+    * headers — including custom [[GraftIoPlugin]] registrations — keep
+    * their identity and policy untouched. */
+  def withOriginHeaders(
+      origins: Map[String, Map[String, String]]): RasterByteSource = this
 }
 
 /** Positioned big-endian binary input: exactly the `RandomAccessFile`
@@ -118,6 +128,11 @@ object RasterIO {
     * before any read; executor-init hooks are the natural place. */
   def register(scheme: String, src: RasterByteSource): Unit =
     synchronized { registry += scheme.toLowerCase -> src }
+
+  /** Currently-registered source for a scheme, if any — the decoration
+    * base for [[IoSession.restore]]. */
+  def get(scheme: String): Option[RasterByteSource] =
+    registry.get(scheme.toLowerCase)
 
   /** URI scheme, lowercased; "" for bare local paths. Single-letter
     * "schemes" are treated as bare paths (Windows drive letters). */
