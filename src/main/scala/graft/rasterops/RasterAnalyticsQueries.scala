@@ -377,7 +377,8 @@ private[rasterops] trait RasterAnalyticsQueries {
           lit(Double.NaN)).otherwise(col("col")).as("value"))
       .write.mode("overwrite").parquet(MaskCellsPath)
     graft.load.Composite
-      .maskedMedianAcrossTime(spark, res.tiles, "red", "qa", _ == 1.0)
+      .maskedMedianAcrossTime(spark, res.tiles, "red", "qa", _ == 1.0,
+        planesPerTile = 2 * res.times.length)
       .select(col("band"), col("ty"), col("tx"),
         expr("aggregate(median, 0L, (s, v) -> s + " +
           "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("med_q"),
@@ -653,7 +654,7 @@ private[rasterops] trait RasterAnalyticsQueries {
           lit(Double.NaN)).otherwise(col("col")).as("value"))
       .write.mode("overwrite").parquet(GeomedianCellsPath)
     graft.load.Composite.geomedianAcrossTime(spark, res.tiles,
-        Seq("red", "nir"))
+        Seq("red", "nir"), planesPerTile = 2 * res.times.length)
       .select(col("band"), col("ty"), col("tx"),
         expr("aggregate(geomedian, 0L, (s, v) -> s + " +
           "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("geo_q"),
@@ -700,7 +701,7 @@ private[rasterops] trait RasterAnalyticsQueries {
           lit(Double.NaN)).otherwise(col("col")).as("value"))
       .write.mode("overwrite").parquet(GeomedianCellsPath)
     graft.load.Composite.geomadAcrossTime(spark, res.tiles,
-        Seq("red", "nir"))
+        Seq("red", "nir"), planesPerTile = 2 * res.times.length)
       .select(col("ty"), col("tx"),
         expr("aggregate(emad, 0L, (s, v) -> s + " +
           "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("emad_q"),
@@ -735,7 +736,7 @@ private[rasterops] trait RasterAnalyticsQueries {
        |  FROM pt GROUP BY ty, tx, py, px),
        |gm AS (
        |  SELECT ty, tx, py, px, m, pr, pn,
-       |    list_reduce(
+       |    CASE WHEN m = 1 THEN [pr[1], pn[1]] ELSE list_reduce(
        |      list_prepend(
        |        [list_sum(pr) / m, list_sum(pn) / m],
        |        list_transform(range(0, 8), i -> [CAST(i AS DOUBLE), 0.0])),
@@ -756,7 +757,7 @@ private[rasterops] trait RasterAnalyticsQueries {
        |          1.0 / GREATEST(sqrt(
        |            (pr[t] - acc[1]) * (pr[t] - acc[1]) +
        |            (pn[t] - acc[2]) * (pn[t] - acc[2])), 1e-7)))
-       |      ]) AS s
+       |      ]) END AS s
        |  FROM pts)""".stripMargin
 
   private[rasterops] val geomadDuckSql: String =
