@@ -11,8 +11,23 @@ object Verify {
     }
     val sfDir = args(0)
     val outDir = args(1)
-    // optional name filter (dev use): dump only the named queries
-    val only = args.drop(2).toSet
+    // optional name filter (dev use): dump only the named queries —
+    // plus their landing producers (below), so a filtered run never
+    // compares an oracle against a stale tmp artifact
+    val asked = args.drop(2).toSet
+    val only =
+      if (asked.isEmpty) asked
+      else {
+        // transitive closure: a producer may itself consume a landing
+        var s = asked
+        var grown = true
+        while (grown) {
+          val next = s ++ s.flatMap(landingDeps.getOrElse(_, Nil))
+          grown = next.size > s.size
+          s = next
+        }
+        s
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +38,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // SORTED name order: some oracles read artifacts landed by an
+    // earlier query (landingDeps); sorted iteration makes that ordering
+    // deterministic instead of riding HashMap iteration luck
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -44,9 +62,53 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // a filtered run dumps oracles ONLY for the queries it ran — the
+    // compare step must never judge an unrun query against whatever a
+    // previous pass left at the shared tmp landing paths
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  /** Cross-query landing dependencies: these queries' ORACLES (or, for
+    * the stream entries, the queries themselves) read tmp artifacts
+    * that ONLY the named producer queries (re)land. A full pass is safe
+    * because the DuckDB compare runs after every query; a FILTERED dev
+    * run must pull the producers in too, or it silently compares
+    * against whatever a previous pass left at the shared paths.
+    * Derived from the `$...Path` references inside each registered
+    * DuckSql (see rasterops/RasterQueryFixtures landing paths). */
+  private val landingDeps: Map[String, Seq[String]] = {
+    val mosaic = Seq("raster_mosaic_cells")
+    val composite = Seq("raster_composite_cells")
+    Map(
+      "raster_band_math" -> mosaic,
+      "raster_change_detect" -> mosaic,
+      "raster_cog_export" -> mosaic,
+      "raster_drill" -> mosaic,
+      "raster_drill_bilinear" -> mosaic,
+      "raster_focal_mean" -> mosaic,
+      "raster_focal_standing" -> mosaic,
+      "raster_histogram" -> mosaic,
+      "raster_load_mosaic" -> mosaic,
+      "raster_load_netcdf" -> mosaic,
+      "raster_load_tiff" -> mosaic,
+      "raster_pyramid_build" -> mosaic,
+      "raster_sample_drill" -> mosaic,
+      "raster_tiles_roundtrip" -> mosaic,
+      "raster_zarr_export" -> mosaic,
+      "raster_zonal_stats" -> mosaic,
+      "raster_composite_mean" -> composite,
+      "raster_composite_median" -> composite,
+      "raster_composite_quantile" -> composite,
+      "raster_load_groupby_id" -> composite,
+      "raster_tyx_bins" -> composite,
+      "raster_load_overview" -> Seq("raster_overview_cells"),
+      "raster_load_zarr" -> Seq("raster_mosaic_cells", "raster_overview_cells"),
+      "raster_load_reproject" -> Seq("raster_reproject_cells"),
+      "stream_ann_ingest" -> Seq("sim_index_persist"),
+      "stream_zonal" -> Seq("raster_composite_cells", "raster_zonal_stats"))
   }
 }

@@ -591,7 +591,11 @@ private[rasterops] trait RasterAnalyticsQueries {
     val points = Seq(
       ("b_valid", 500234.7, 7999812.3), // px 23.47, py 18.77 — interior
       ("b_seam", 500642.0, 7999500.0),  // px 64.2 — taps straddle tx 0/1
-      ("b_nodata", 501704.0, 7999500.0)) // px 170.4 — day-0 margin
+      ("b_nodata", 501704.0, 7999500.0), // px 170.4 — day-0 margin
+      // pixel-center gridline (fx = 0): the dx=1 taps carry weight 0 and
+      // are dropped, so only 2 taps are expected — exercises the
+      // dropped-tap convention both engines must share
+      ("b_gridline", 500235.0, 7999812.3))
     // the operator returns the exact interpolant; quantization to the
     // oracle's 2-dp convention is this harness's concern, not the API's
     graft.load.Drill.drillBilinear(spark, res.tiles, res.geobox, points)
@@ -604,26 +608,37 @@ private[rasterops] trait RasterAnalyticsQueries {
        |  SELECT pid, (x - 500000) / 10 AS pxf, (8000000 - y) / 10 AS pyf
        |  FROM (VALUES ('b_valid', 500234.7, 7999812.3),
        |               ('b_seam', 500642.0, 7999500.0),
-       |               ('b_nodata', 501704.0, 7999500.0)) v(pid, x, y)),
+       |               ('b_nodata', 501704.0, 7999500.0),
+       |               ('b_gridline', 500235.0, 7999812.3)) v(pid, x, y)),
        |g AS (
        |  SELECT pid, CAST(FLOOR(pxf - 0.5) AS INT) AS x0,
        |         CAST(FLOOR(pyf - 0.5) AS INT) AS y0,
        |         pxf - 0.5 - FLOOR(pxf - 0.5) AS fx,
        |         pyf - 0.5 - FLOOR(pyf - 0.5) AS fy
        |  FROM pts),
-       |taps AS (
+       |taps0 AS (
        |  SELECT g.pid, g.x0 + o.dx AS gx, g.y0 + o.dy AS gy,
        |         (CASE o.dx WHEN 0 THEN 1 - g.fx ELSE g.fx END) *
        |         (CASE o.dy WHEN 0 THEN 1 - g.fy ELSE g.fy END) AS w
        |  FROM g CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1))
        |                      o(dx, dy)),
+       |-- zero-weight taps are DROPPED and the per-point expected tap
+       |-- count replaces the hard-coded 4 — the engine's convention
+       |-- (Drill.drillBilinear filters w = 0 before counting), so a
+       |-- point on a pixel-center gridline whose zero-weight tap is
+       |-- nodata agrees between the two engines
+       |taps AS (SELECT * FROM taps0 WHERE w <> 0),
+       |texp AS (SELECT pid, COUNT(*) AS nexp FROM taps GROUP BY pid),
        |c AS (
        |  SELECT band, tidx, ty * 64 + py AS gy, tx * 64 + px AS gx, value
        |  FROM read_parquet('$CellsPath/*.parquet') WHERE value <> 0)
        |SELECT t.pid AS point_id, c.band, c.tidx AS "tIdx",
-       |       CASE WHEN COUNT(*) = 4 THEN ROUND(SUM(t.w * c.value), 2)
+       |       CASE WHEN COUNT(*) = MAX(e.nexp)
+       |            THEN ROUND(SUM(t.w * c.value), 2)
        |            ELSE CAST('NaN' AS DOUBLE) END AS value
-       |FROM taps t JOIN c ON c.gx = t.gx AND c.gy = t.gy
+       |FROM taps t
+       |JOIN texp e ON e.pid = t.pid
+       |JOIN c ON c.gx = t.gx AND c.gy = t.gy
        |GROUP BY t.pid, c.band, c.tidx
        |ORDER BY point_id, band, "tIdx"""".stripMargin
 

@@ -59,22 +59,62 @@ private[rasterops] trait RasterLoadQueries {
 
   /** F16 resampling surface: the cross-CRS warp run under every kernel
     * (nearest/bilinear/average/mode/sum/cubic/lanczos) — per-mode
-    * per-tile checksums. `mode` serves categorical rasters, `sum` flux
-    * totals, `cubic`/`lanczos` continuous imagery
-    * (`loader/types.py:113-114`). */
+    * per-tile quantized summaries. `mode` serves categorical rasters,
+    * `sum` flux totals, `cubic`/`lanczos` continuous imagery
+    * (`loader/types.py:113-114`). float64 output so invalid pixels are
+    * NaN directly (no integer clip can alias a valid pixel onto the
+    * nodata sentinel); per-pixel planes land as parquet and DuckDB
+    * re-aggregates the SAME file (the [[mosaicCells]] convention — the
+    * kernels themselves are cross-engine-checked at the pixel level by
+    * `raster_resample_cells`/`raster_resample_conv`). */
   def loadResampling(spark: SparkSession): DataFrame = {
     val (items, schemas) = parsed(spark)
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
     Seq("nearest", "bilinear", "average", "mode", "sum", "cubic", "lanczos").map { m =>
-      summarize(Load.load(spark, items, schemas, bands = Seq("red"),
+      Load.load(spark, items, schemas, bands = Seq("red"),
         groupby = "solar_day", chunks = 64,
         crs = Some("EPSG:3857"), resolution = Some(30.0),
-        resampling = Map("*" -> m)).tiles)
+        resampling = Map("*" -> m), dtype = Some("float64")).tiles
         .withColumn("mode", lit(m))
     }.reduce(_ unionAll _)
       .select(col("mode"), col("band"), col("tIdx"), col("ty"), col("tx"),
-        col("validCount"), col("checksum"))
-      .orderBy("mode", "band", "tIdx", "ty", "tx")
+        col("width"), col("nodata"), posexplode(decode(col("data"), col("dtype"))))
+      .select(col("mode"), col("band"), col("tIdx").as("tidx"),
+        col("ty"), col("tx"),
+        (col("pos") / col("width")).cast("int").as("py"),
+        (col("pos") % col("width")).cast("int").as("px"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(LoadResampleCellsPath)
+    spark.read.parquet(LoadResampleCellsPath)
+      .groupBy("mode", "band", "tidx", "ty", "tx")
+      .agg(count(lit(1)).as("n_px"),
+        count(when(!isnan(col("value")), 1)).as("n_valid"),
+        sum(when(isnan(col("value")), 0L)
+          .otherwise(round(col("value") * 100).cast("long"))).as("sum_q"),
+        round(min(when(!isnan(col("value")), col("value"))), 2).as("vmin"),
+        round(max(when(!isnan(col("value")), col("value"))), 2).as("vmax"))
+      .orderBy("mode", "band", "tidx", "ty", "tx")
   }
+
+  /** Oracle: DuckDB re-aggregates the landed per-mode pixel planes with
+    * the same quantized conventions. */
+  private[rasterops] val loadResamplingDuckSql: String =
+    s"""SELECT mode, band, tidx, ty, tx,
+       |       COUNT(*) AS n_px,
+       |       CAST(SUM(CASE WHEN isnan(value) THEN 0 ELSE 1 END)
+       |            AS BIGINT) AS n_valid,
+       |       CAST(SUM(CASE WHEN isnan(value) THEN 0
+       |                ELSE CAST(ROUND(value * 100) AS BIGINT) END)
+       |            AS BIGINT) AS sum_q,
+       |       ROUND(MIN(CASE WHEN isnan(value) THEN NULL ELSE value END), 2)
+       |         AS vmin,
+       |       ROUND(MAX(CASE WHEN isnan(value) THEN NULL ELSE value END), 2)
+       |         AS vmax
+       |FROM read_parquet('$LoadResampleCellsPath/*.parquet')
+       |GROUP BY mode, band, tidx, ty, tx
+       |ORDER BY mode, band, tidx, ty, tx""".stripMargin
 
   /** GeoTIFF end-to-end (S7 on real TIFF containers): the same mosaic
     * workload as `raster_load_mosaic` but reading tiled GeoTIFFs with

@@ -141,6 +141,7 @@ object RasterQueries
     "raster_load_netcdf" -> loadNetcdfDuckSql,
     "raster_load_zarr" -> loadZarrDuckSql,
     "raster_load_reproject" -> loadReprojectDuckSql,
+    "raster_load_resampling" -> loadResamplingDuckSql,
     "raster_composite_mean" -> compositeMeanDuckSql,
     "raster_composite_median" -> compositeMedianDuckSql,
     "raster_load_tiff" -> loadTiffDuckSql,

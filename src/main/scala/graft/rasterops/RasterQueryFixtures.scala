@@ -18,6 +18,12 @@ private[rasterops] trait RasterQueryFixtures {
   private[rasterops] val CellsPath =
     s"${sys.props("java.io.tmpdir")}/graft_mosaic_cells_parquet"
 
+  /** Landed per-pixel planes of the 7-kernel cross-CRS load
+    * ([[RasterLoadQueries.loadResampling]]); its oracle re-aggregates
+    * the same file. */
+  private[rasterops] val LoadResampleCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_load_resample_cells_parquet"
+
 
 
   /** Shared path for the parse anchor (see [[parseItemsDuckSql]]). */
