@@ -321,6 +321,96 @@ object Fixtures {
         .replace("\"nir\"", "\"qa\"")
     }
 
+  /** 20 m companion grid of scene k: same extent and origin as the
+    * 10 m [[sceneGeobox]], half the pixels each way — the Sentinel-2
+    * red/swir layout (`_mdtools.py:334-397` multi-grid fixtures). */
+  def swirGeobox(k: Int): GeoBox = {
+    val ox = 500000.0 + k * (SceneW / 2) * Res
+    GeoBox(SceneW / 2, SceneH / 2,
+      Affine.grid(ox, 8000000.0, Res * 2, -Res * 2), Crs.Utm(35, south = true))
+  }
+
+  /** 20 m swir ramp, distinguishable from every red/nir value, nodata
+    * margin on the right quarter like [[scenePixels]]. */
+  def swirPixels(k: Int): Array[Double] = {
+    val w = SceneW / 2
+    val h = SceneH / 2
+    val px = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) =
+          if (x >= w * 3 / 4) 0.0 // nodata margin
+          else 3000.0 * (k + 1) + (y % 24) * 8 + (x % 16)
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  def swirPath(k: Int): String = dir.resolve(s"scene$k-swir.grb").toString
+
+  /** Multi-GRID scenes (A8 end-to-end): ONE item whose `red` asset
+    * lives on the 10 m grid and whose `swir` asset lives on its own
+    * 20 m grid (per-asset proj:shape/proj:transform/gsd), so
+    * `band2grid` groups them separately and a joint load must
+    * paste/warp each band from its own source grid. */
+  def writeScenesMultigrid(nItems: Int): Seq[String] =
+    (0 until nItems).map { k =>
+      val g10 = sceneGeobox(k)
+      val g20 = swirGeobox(k)
+      completed(s"scene$k-mg") {
+        Grb.writeWithOverviews(grbPath(k, "red"), scenePixels(k), g10,
+          "uint16", Some(0.0))
+        Grb.writeWithOverviews(swirPath(k), swirPixels(k), g20,
+          "uint16", Some(0.0))
+      }
+      val t10 = g10.transform
+      val t20 = g20.transform
+      val fp = g10.footprint(Crs.LonLat)
+      val ring = (fp.ring :+ fp.ring.head)
+        .map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
+      val dt = java.time.LocalDateTime.of(2020, 6, 6, 8, 0, 0)
+        .plusDays(k / 2).plusMinutes(k % 60)
+      val dtStr = dt.format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+      def asset(band: String, href: String, g: GeoBox, gsd: Double) = {
+        val t = g.transform
+        s"""
+           |    "$band": {
+           |      "href": "file://$href",
+           |      "type": "image/tiff; application=geotiff",
+           |      "roles": ["data"],
+           |      "gsd": $gsd,
+           |      "eo:bands": [{"name": "$band", "common_name": "$band"}],
+           |      "proj:shape": [${g.height}, ${g.width}],
+           |      "proj:transform": [${t.a}, ${t.b}, ${t.c}, ${t.d}, ${t.e}, ${t.f}],
+           |      "raster:bands": [{"nodata": 0, "data_type": "uint16"}]
+           |    }""".stripMargin
+      }
+      s"""{
+         |  "type": "Feature",
+         |  "stac_version": "1.0.0",
+         |  "id": "mgscene-$k",
+         |  "collection": "$CollectionId-mg",
+         |  "stac_extensions": [
+         |    "https://stac-extensions.github.io/projection/v1.1.0/schema.json",
+         |    "https://stac-extensions.github.io/raster/v1.1.0/schema.json",
+         |    "https://stac-extensions.github.io/eo/v1.1.0/schema.json"],
+         |  "geometry": {"type": "Polygon", "coordinates": [$ring]},
+         |  "properties": {
+         |    "datetime": "${dtStr}Z",
+         |    "proj:epsg": 32735,
+         |    "platform": "graft-${k % 2}"
+         |  },
+         |  "assets": {${asset("red", grbPath(k, "red"), g10, Res)},${
+          asset("swir", swirPath(k), g20, Res * 2)}
+         |  }
+         |}""".stripMargin
+    }
+
   def itemJson(k: Int, gbox: GeoBox,
                pathOf: (Int, String) => String = grbPath): String = {
     val fp = gbox.footprint(Crs.LonLat)

@@ -98,6 +98,94 @@ private[rasterops] trait RasterLoadQueries {
       .orderBy("mode", "band", "tidx", "ty", "tx")
   }
 
+  /** Multi-grid band loading end to end (A8, the Sentinel-2 signature
+    * layout, reference `_mdtools.py:334-397`): ONE load of `red` (10 m
+    * native grid) + `swir` (its own 20 m grid) onto a single 10 m
+    * output grid — red pastes from its grid, swir nearest-upsamples 2×
+    * from its grid. The joint 10 m planes land as parquet, the swir
+    * band's NATIVE 20 m planes land separately (a same-grid paste-only
+    * load), and DuckDB RE-DERIVES the upsample: every 10 m swir pixel
+    * must equal native(gy // 2, gx // 2) — the dst-center → floor
+    * source-index convention of the warp's nearest kernel. */
+  def loadMultigrid(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenesMultigrid(NScenes)
+    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
+    val items = ds.collect().toSeq.sortBy(_.id)
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    def landCells(tiles: DataFrame, path: String): Unit =
+      tiles
+        .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("width"),
+          col("nodata"), posexplode(decode(col("data"), col("dtype"))))
+        .select(col("band"), col("tIdx").as("tidx"),
+          (col("ty") * 64 + (col("pos") / col("width")).cast("int")).as("gy"),
+          (col("tx") * 64 + (col("pos") % col("width")).cast("int")).as("gx"),
+          when(isnan(col("col")) || col("col") === col("nodata"),
+            lit(Double.NaN)).otherwise(col("col")).as("value"))
+        .write.mode("overwrite").parquet(path)
+    // joint load: both bands on ONE 10 m grid, each from its own grid
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "swir"),
+      groupby = "id", chunks = 64, resolution = Some(10.0),
+      dtype = Some("float64"))
+    landCells(res.tiles, MultigridCellsPath)
+    // swir native reference: a 20 m grid SHARING the joint grid's
+    // origin, so the load is a pure paste of the source pixels and
+    // native index (gy, gx) aligns as joint // 2
+    val g = res.geobox
+    val g20 = graft.geo.GeoBox((g.width + 1) / 2, (g.height + 1) / 2,
+      graft.geo.Affine.grid(g.transform.c, g.transform.f, 20.0, -20.0), g.crs)
+    val nat = Load.load(spark, items, schemas, bands = Seq("swir"),
+      groupby = "id", chunks = 64, geobox = Some(g20),
+      dtype = Some("float64"))
+    landCells(nat.tiles, MultigridNativePath)
+    spark.read.parquet(MultigridCellsPath)
+      .withColumn("ty", floor(col("gy") / 64).cast("int"))
+      .withColumn("tx", floor(col("gx") / 64).cast("int"))
+      .groupBy("band", "tidx", "ty", "tx")
+      .agg(count(lit(1)).as("n_px"),
+        count(when(!isnan(col("value")), 1)).as("n_valid"),
+        sum(when(isnan(col("value")), 0L)
+          .otherwise(round(col("value") * 100).cast("long"))).as("sum_q"),
+        round(min(when(!isnan(col("value")), col("value"))), 2).as("vmin"),
+        round(max(when(!isnan(col("value")), col("value"))), 2).as("vmax"))
+      .orderBy("band", "tidx", "ty", "tx")
+  }
+
+  /** Oracle: red re-aggregates from the joint landing; swir is instead
+    * REBUILT from the native 20 m planes (nearest upsample re-derived
+    * in SQL) and aggregated — a wrong source grid, origin, or sampling
+    * convention in the engine's multi-grid warp breaks the hash. */
+  private[rasterops] val loadMultigridDuckSql: String =
+    s"""WITH joint AS (
+       |  SELECT band, tidx, gy, gx, value
+       |  FROM read_parquet('$MultigridCellsPath/*.parquet')),
+       |nat AS (
+       |  SELECT tidx, gy, gx, value
+       |  FROM read_parquet('$MultigridNativePath/*.parquet')),
+       |expected AS (
+       |  SELECT band, tidx, gy, gx, value FROM joint WHERE band = 'red'
+       |  UNION ALL
+       |  SELECT j.band, j.tidx, j.gy, j.gx, n.value
+       |  FROM (SELECT band, tidx, gy, gx FROM joint WHERE band = 'swir') j
+       |  JOIN nat n ON n.tidx = j.tidx
+       |            AND n.gy = j.gy // 2 AND n.gx = j.gx // 2)
+       |SELECT band, tidx,
+       |       CAST(gy // 64 AS INT) AS ty, CAST(gx // 64 AS INT) AS tx,
+       |       COUNT(*) AS n_px,
+       |       CAST(SUM(CASE WHEN isnan(value) THEN 0 ELSE 1 END)
+       |            AS BIGINT) AS n_valid,
+       |       CAST(SUM(CASE WHEN isnan(value) THEN 0
+       |                ELSE CAST(ROUND(value * 100) AS BIGINT) END)
+       |            AS BIGINT) AS sum_q,
+       |       ROUND(MIN(CASE WHEN isnan(value) THEN NULL ELSE value END), 2)
+       |         AS vmin,
+       |       ROUND(MAX(CASE WHEN isnan(value) THEN NULL ELSE value END), 2)
+       |         AS vmax
+       |FROM expected
+       |GROUP BY band, tidx, ty, tx
+       |ORDER BY band, tidx, ty, tx""".stripMargin
+
   /** Oracle: DuckDB re-aggregates the landed per-mode pixel planes with
     * the same quantized conventions. */
   private[rasterops] val loadResamplingDuckSql: String =

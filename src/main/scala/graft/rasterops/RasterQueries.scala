@@ -100,6 +100,7 @@ object RasterQueries
     "raster_load_zarr" -> ((s, _) => loadZarr(s)),
     "raster_load_netcdf" -> ((s, _) => loadNetcdf(s)),
     "raster_load_resampling" -> ((s, _) => loadResampling(s)),
+    "raster_load_multigrid" -> ((s, _) => loadMultigrid(s)),
     "raster_load_groupby_id" -> ((s, _) => loadGroupById(s)),
     "raster_load_reproject" -> ((s, _) => loadReproject(s)),
     "raster_load_overview" -> ((s, _) => loadOverview(s)),
@@ -142,6 +143,7 @@ object RasterQueries
     "raster_load_zarr" -> loadZarrDuckSql,
     "raster_load_reproject" -> loadReprojectDuckSql,
     "raster_load_resampling" -> loadResamplingDuckSql,
+    "raster_load_multigrid" -> loadMultigridDuckSql,
     "raster_composite_mean" -> compositeMeanDuckSql,
     "raster_composite_median" -> compositeMedianDuckSql,
     "raster_load_tiff" -> loadTiffDuckSql,

@@ -24,6 +24,15 @@ private[rasterops] trait RasterQueryFixtures {
   private[rasterops] val LoadResampleCellsPath =
     s"${sys.props("java.io.tmpdir")}/graft_load_resample_cells_parquet"
 
+  /** Multi-grid joint-load landings
+    * ([[RasterLoadQueries.loadMultigrid]]): the 10 m joint planes and
+    * the swir band's NATIVE 20 m planes; the oracle re-derives the
+    * swir upsample from the native planes. */
+  private[rasterops] val MultigridCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_multigrid_cells_parquet"
+  private[rasterops] val MultigridNativePath =
+    s"${sys.props("java.io.tmpdir")}/graft_multigrid_native_parquet"
+
 
 
   /** Shared path for the parse anchor (see [[parseItemsDuckSql]]). */
