@@ -70,6 +70,49 @@ object Bpe {
       .orderBy("rank")
   }
 
+  /** Candidates fetched per pass for the batched merge selection. */
+  private val BatchMax = 64
+
+  /** Longest safely-batchable prefix of one pass's pair ranking —
+    * merges PROVABLY identical to selecting them one at a time.
+    *
+    * Why a disjoint prefix is sequential-exact: applying merge (a, b)
+    * only changes the counts of pairs touching an occurrence of the new
+    * symbol — i.e. pairs sharing a symbol in {a, b, ab}. A candidate
+    * disjoint from every accepted merge keeps its snapshot count
+    * exactly. Pairs whose counts DID change can only have decreased,
+    * and every NEWLY CREATED pair (x·ab / ab·y / ab·ab) is bounded by
+    * the snapshot count of an overlapping pair (each new occurrence was
+    * an (x,a) / (b,y) / (b,a) occurrence pre-merge). Walking the
+    * ranking in (count desc, left, right) order and STOPPING at the
+    * first candidate that overlaps the accepted set therefore keeps
+    * every accepted merge the true sequential argmax of its round —
+    * except possibly accepted entries TIED with that stop count, where
+    * a new pair could tie and win the lexicographic break, so those are
+    * trimmed (the pass's first merge is the unconditional argmax and is
+    * always kept). A truncated fetch (list == BatchMax) bounds unseen
+    * pairs by the last fetched count the same way. */
+  private[graft] def batchable(top: Seq[(String, String, Long)],
+                               complete: Boolean,
+                               maxAccept: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var stopCount = if (complete) -1L else top.last._3
+    var i = 0
+    var stopped = false
+    while (i < top.length && !stopped && accepted.length < maxAccept) {
+      val (l, r, n) = top(i)
+      if (used(l) || used(r)) { stopCount = math.max(stopCount, n); stopped = true }
+      else {
+        accepted += ((l, r, n))
+        used += l; used += r; used += l + r
+        i += 1
+      }
+    }
+    if (accepted.isEmpty) accepted.toSeq
+    else accepted.head +: accepted.tail.filter(_._3 > stopCount).toSeq
+  }
+
   private def trainMerges(spark: SparkSession,
                           dir: String): Seq[(Int, String, String, Long)] = {
     import spark.implicits._
@@ -80,9 +123,12 @@ object Bpe {
 
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
+    var pass = 0
     while (rank <= NumMerges) {
-      // vocabulary-sized pair aggregation; top-1 via TakeOrdered
-      val best = syms.flatMap { case (c, s) =>
+      // vocabulary-sized pair aggregation; ONE driver fetch of the top
+      // candidates serves a whole BATCH of merges (BatchMax rows, not
+      // the pair table)
+      val top = syms.flatMap { case (c, s) =>
         var i = 0
         val out = Array.newBuilder[((String, String), Long)]
         while (i < s.length - 1) { out += (((s(i), s(i + 1)), c)); i += 1 }
@@ -90,30 +136,41 @@ object Bpe {
       }.toDF("pair", "c")
         .groupBy("pair").agg(sum("c").as("n"))
         .orderBy(desc("n"), col("pair._1"), col("pair._2"))
-        .limit(1)
-        .collect() // exactly one row: the argmax pair
-      if (best.isEmpty) rank = NumMerges + 1 // degenerate corpus: done
+        .limit(BatchMax)
+        .collect()
+        .map(row => {
+          val pr = row.getStruct(0)
+          (pr.getString(0), pr.getString(1), row.getLong(1))
+        }).toSeq
+      if (top.isEmpty) rank = NumMerges + 1 // degenerate corpus: done
       else {
-        val row = best.head
-        val pr = row.getStruct(0)
-        val (a, b, n) = (pr.getString(0), pr.getString(1), row.getLong(1))
-        merges += ((rank, a, b, n))
-        val merged = a + b
+        val batch = batchable(top, complete = top.length < BatchMax,
+          maxAccept = NumMerges - rank + 1)
+        batch.foreach { case (a, b, n) => merges += ((rank, a, b, n)); rank += 1 }
+        // ONE map applies the whole batch: the merges are symbol-disjoint,
+        // so in-order application within the scan equals sequential
+        val bcBatch = batch.map { case (a, b, _) => (a, b) }.toArray
         syms = syms.map { case (c, s) =>
-          if (s.length < 2) (c, s)
-          else {
-            val out = Array.newBuilder[String]
-            var i = 0
-            while (i < s.length) {
-              if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
-                out += merged; i += 2
-              } else { out += s(i); i += 1 }
+          var cur = s
+          var m = 0
+          while (m < bcBatch.length) {
+            val (a, b) = bcBatch(m)
+            if (cur.length >= 2) {
+              val out = Array.newBuilder[String]
+              var i = 0
+              while (i < cur.length) {
+                if (i < cur.length - 1 && cur(i) == a && cur(i + 1) == b) {
+                  out += (a + b); i += 2
+                } else { out += cur(i); i += 1 }
+              }
+              cur = out.result()
             }
-            (c, out.result())
+            m += 1
           }
+          (c, cur)
         }
-        if (rank % CheckpointEvery == 0) syms = syms.localCheckpoint()
-        rank += 1
+        pass += 1
+        if (pass % CheckpointEvery == 0) syms = syms.localCheckpoint()
       }
     }
     merges.result()

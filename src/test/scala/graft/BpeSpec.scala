@@ -56,6 +56,41 @@ class BpeSpec extends AnyFunSuite {
     assert(got.exists { case (_, l, r, _) => l.length > 1 || r.length > 1 })
   }
 
+  test("batchable: accepts only the provably sequential-exact prefix") {
+    import text.Bpe.batchable
+    // disjoint prefix: all three accepted in one pass
+    assert(batchable(Seq(("a", "b", 100L), ("c", "d", 90L), ("e", "f", 80L)),
+      complete = true, maxAccept = 16) ==
+      Seq(("a", "b", 100L), ("c", "d", 90L), ("e", "f", 80L)))
+    // (c,a) overlaps merge 1: applying (a,b) may create (c,ab) with up
+    // to 100 occurrences, which would outrank (d,e) — batch must stop
+    // at the overlap, keeping only the unconditional argmax
+    assert(batchable(Seq(("a", "b", 100L), ("c", "a", 100L), ("d", "e", 60L)),
+      complete = true, maxAccept = 16) == Seq(("a", "b", 100L)))
+    // overlap ranked BELOW a disjoint candidate: (d,e) is safe because
+    // any pair created by (a,b) is bounded by the 80-count (c,a); the
+    // tie-trim then drops nothing above the stop count
+    assert(batchable(Seq(("a", "b", 100L), ("d", "e", 90L), ("c", "a", 80L)),
+      complete = true, maxAccept = 16) ==
+      Seq(("a", "b", 100L), ("d", "e", 90L)))
+    // accepted entry TIED with the stop count is trimmed (a new pair
+    // could tie it and win the lexicographic break)
+    assert(batchable(Seq(("a", "b", 100L), ("d", "e", 80L), ("c", "a", 80L)),
+      complete = true, maxAccept = 16) == Seq(("a", "b", 100L)))
+    // merged-name collision counts as overlap: accepting (a,b) creates
+    // new "ab" symbols, so a pair naming symbol "ab" is tainted
+    assert(batchable(Seq(("a", "b", 100L), ("ab", "x", 90L), ("d", "e", 85L)),
+      complete = true, maxAccept = 16) == Seq(("a", "b", 100L)))
+    // truncated fetch: unseen pairs are bounded by the last count, so
+    // the tail tie is trimmed
+    assert(batchable(Seq(("a", "b", 100L), ("c", "d", 90L)),
+      complete = false, maxAccept = 16) == Seq(("a", "b", 100L)))
+    // maxAccept caps the batch
+    assert(batchable(Seq(("a", "b", 3L), ("c", "d", 2L), ("e", "f", 1L)),
+      complete = true, maxAccept = 2) ==
+      Seq(("a", "b", 3L), ("c", "d", 2L)))
+  }
+
   test("bpe encode matches a sequential reference encoding of the corpus") {
     val texts = Tables.load(spark, sf, "documents")
       .select("doc_id", "text").collect()
