@@ -74,9 +74,14 @@ object Bench {
       s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
     // stdout scraping truncates long lines in some harnesses; the full
-    // JSON is also durably written for machine-checkable round diffs
+    // JSON is also durably written for machine-checkable round diffs —
+    // both the dev-local copy and a COMMITTED repo-root copy (the
+    // driver's BENCH_r{N}.json tail keeps only ~57 of the per-query
+    // entries, so round-over-round diff tooling reads this file)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_last.json"), json + "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_full_latest.json"), json + "\n")
     spark.stop()
   }
 }
