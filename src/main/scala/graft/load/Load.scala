@@ -413,6 +413,46 @@ final case class LoadResult(tiles: DataFrame, geobox: GeoBox,
                             dtypes: Map[String, String],
                             nodata: Map[String, Double]) {
 
+  private def spark = tiles.sparkSession
+
+  /** Across-time composites with the time-depth memory bound WIRED IN:
+    * these overloads pass `planesPerTile` (the B·T plane count this
+    * result knows driver-side) to [[Composite]], so deep archives get
+    * the row-band-sliced bounded plan automatically — a caller using
+    * the raw `Composite.*(spark, tiles)` spellings must size the state
+    * hint itself. */
+  def medianComposite(
+      budgetBytes: Long = Composite.DefaultStateBudgetBytes): DataFrame =
+    Composite.medianAcrossTime(spark, tiles,
+      planesPerTile = times.length, stateBudgetBytes = budgetBytes)
+
+  def quantileComposite(q: Double,
+      budgetBytes: Long = Composite.DefaultStateBudgetBytes): DataFrame =
+    Composite.quantileAcrossTime(spark, tiles, q,
+      planesPerTile = times.length, stateBudgetBytes = budgetBytes)
+
+  def maskedMedianComposite(dataBand: String, maskBand: String,
+      clear: Double => Boolean,
+      budgetBytes: Long = Composite.DefaultStateBudgetBytes): DataFrame =
+    Composite.maskedMedianAcrossTime(spark, tiles, dataBand, maskBand, clear,
+      planesPerTile = 2 * times.length, stateBudgetBytes = budgetBytes)
+
+  def geomedianComposite(bands: Seq[String], iters: Int = 8,
+      budgetBytes: Long = Composite.DefaultStateBudgetBytes): DataFrame =
+    Composite.geomedianAcrossTime(spark, tiles, bands, iters = iters,
+      planesPerTile = bands.length * times.length,
+      stateBudgetBytes = budgetBytes)
+
+  def geomadComposite(bands: Seq[String], iters: Int = 8,
+      budgetBytes: Long = Composite.DefaultStateBudgetBytes): DataFrame =
+    Composite.geomadAcrossTime(spark, tiles, bands, iters = iters,
+      planesPerTile = bands.length * times.length,
+      stateBudgetBytes = budgetBytes)
+
+  /** Mean/min/max/count composite — mergeable Aggregator, already
+    * bounded (one buffer per group), no hint needed. */
+  def meanComposite(): DataFrame = Composite.acrossTime(spark, tiles)
+
   /** Distributed GeoTIFF export sink: every tile row becomes one
     * georeferenced `.tif` (`<band>_t<tIdx>_<ty>_<tx>.tif`) written
     * executor-side — the per-tile COG layout tile pyramids use, and the

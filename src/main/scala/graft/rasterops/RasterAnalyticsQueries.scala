@@ -376,9 +376,7 @@ private[rasterops] trait RasterAnalyticsQueries {
         when(isnan(col("col")) || col("col") === col("nodata"),
           lit(Double.NaN)).otherwise(col("col")).as("value"))
       .write.mode("overwrite").parquet(MaskCellsPath)
-    graft.load.Composite
-      .maskedMedianAcrossTime(spark, res.tiles, "red", "qa", _ == 1.0,
-        planesPerTile = 2 * res.times.length)
+    res.maskedMedianComposite("red", "qa", _ == 1.0)
       .select(col("band"), col("ty"), col("tx"),
         expr("aggregate(median, 0L, (s, v) -> s + " +
           "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("med_q"),
@@ -668,8 +666,7 @@ private[rasterops] trait RasterAnalyticsQueries {
         when(isnan(col("col")) || col("col") === col("nodata"),
           lit(Double.NaN)).otherwise(col("col")).as("value"))
       .write.mode("overwrite").parquet(GeomedianCellsPath)
-    graft.load.Composite.geomedianAcrossTime(spark, res.tiles,
-        Seq("red", "nir"), planesPerTile = 2 * res.times.length)
+    res.geomedianComposite(Seq("red", "nir"))
       .select(col("band"), col("ty"), col("tx"),
         expr("aggregate(geomedian, 0L, (s, v) -> s + " +
           "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("geo_q"),
@@ -715,8 +712,7 @@ private[rasterops] trait RasterAnalyticsQueries {
         when(isnan(col("col")) || col("col") === col("nodata"),
           lit(Double.NaN)).otherwise(col("col")).as("value"))
       .write.mode("overwrite").parquet(GeomedianCellsPath)
-    graft.load.Composite.geomadAcrossTime(spark, res.tiles,
-        Seq("red", "nir"), planesPerTile = 2 * res.times.length)
+    res.geomadComposite(Seq("red", "nir"))
       .select(col("ty"), col("tx"),
         expr("aggregate(emad, 0L, (s, v) -> s + " +
           "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("emad_q"),

@@ -78,8 +78,7 @@ private[rasterops] trait RasterCellsQueries {
         when(isnan(col("col")) || col("col") === col("nodata"),
           lit(Double.NaN)).otherwise(col("col")).as("value"))
       .write.mode("overwrite").parquet(CompositeCellsPath)
-    graft.load.Composite.medianAcrossTime(spark, res.tiles,
-        planesPerTile = res.times.length)
+    res.medianComposite()
       .select(col("band"), col("ty"), col("tx"),
         expr("aggregate(median, 0L, (s, v) -> s + " +
           "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("med_q"),
@@ -498,8 +497,7 @@ private[rasterops] trait RasterCellsQueries {
     val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
       groupby = "id", chunks = 64)
     Seq(0.25, 0.75).map { q =>
-      graft.load.Composite.quantileAcrossTime(spark, res.tiles, q,
-        planesPerTile = res.times.length)
+      res.quantileComposite(q)
         .selectExpr(s"'p${(q * 100).toInt}' AS p", "band", "ty", "tx",
           "aggregate(quantile, 0L, (s, v) -> s + " +
             "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT))) AS q_sum",
@@ -536,8 +534,7 @@ private[rasterops] trait RasterCellsQueries {
     val (items, schemas) = parsed(spark)
     val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
       groupby = "id", chunks = 64)
-    graft.load.Composite.medianAcrossTime(spark, res.tiles,
-        planesPerTile = res.times.length)
+    res.medianComposite()
       .selectExpr("band", "ty", "tx",
         "round(aggregate(median, 0D, (s, v) -> s + if(isnan(v), 0D, v)), 2) AS med_sum",
         "aggregate(count, 0, (s, v) -> s + v) AS n_valid")

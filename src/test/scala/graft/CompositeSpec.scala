@@ -147,6 +147,13 @@ class CompositeSpec extends AnyFunSuite {
         else assert(mins(i) <= medians(i) && medians(i) <= maxs(i))
       }
     }
+    // LoadResult.medianComposite wires the time-depth state hint in
+    // automatically and must equal the raw spelling bit-for-bit
+    val viaResult = res.medianComposite().collect()
+      .map(_.toString).sorted.toSeq
+    val viaRaw = Composite.medianAcrossTime(spark, res.tiles).collect()
+      .map(_.toString).sorted.toSeq
+    assert(viaResult == viaRaw)
   }
 
   test("geomedian: joint vector median, incomplete obs excluded, NaN on empty") {
