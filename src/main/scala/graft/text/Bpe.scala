@@ -100,7 +100,11 @@ object Bpe {
     var stopCount = if (complete) -1L else top.last._3
     var i = 0
     var stopped = false
-    while (i < top.length && !stopped && accepted.length < maxAccept) {
+    // scan the WHOLE fetched list for the stop point even past
+    // maxAccept: an overlapping candidate TIED with an accepted merge
+    // must still trigger the tie-trim, or a new pair it bounds could
+    // have outranked the accepted tail (truncation happens after)
+    while (i < top.length && !stopped) {
       val (l, r, n) = top(i)
       if (used(l) || used(r)) { stopCount = math.max(stopCount, n); stopped = true }
       else {
@@ -110,7 +114,8 @@ object Bpe {
       }
     }
     if (accepted.isEmpty) accepted.toSeq
-    else accepted.head +: accepted.tail.filter(_._3 > stopCount).toSeq
+    else (accepted.head +: accepted.tail.filter(_._3 > stopCount).toSeq)
+      .take(maxAccept)
   }
 
   private def trainMerges(spark: SparkSession,

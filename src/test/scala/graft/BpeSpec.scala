@@ -89,6 +89,13 @@ class BpeSpec extends AnyFunSuite {
     assert(batchable(Seq(("a", "b", 3L), ("c", "d", 2L), ("e", "f", 1L)),
       complete = true, maxAccept = 2) ==
       Seq(("a", "b", 3L), ("c", "d", 2L)))
+    // the sf1 regression: an overlapping candidate TIED with the last
+    // accepted merge must trigger the tie-trim even when the batch has
+    // already filled maxAccept — after (cus,t), the new pair (cust,o)
+    // (bounded by the unseen (t,o) tie) can outrank (o,mer) on the
+    // lexicographic break, so (o,mer) is not sequential-exact
+    assert(batchable(Seq(("cus", "t", 9L), ("o", "mer", 8L), ("t", "o", 8L)),
+      complete = true, maxAccept = 2) == Seq(("cus", "t", 9L)))
   }
 
   test("bpe encode matches a sequential reference encoding of the corpus") {
