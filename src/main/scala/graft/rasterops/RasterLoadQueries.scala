@@ -98,6 +98,77 @@ private[rasterops] trait RasterLoadQueries {
       .orderBy("mode", "band", "tidx", "ty", "tx")
   }
 
+  /** Per-band MIXED resampling in ONE load (the reference's
+    * `resampling={"red": ..., "*": ...}` per-band map,
+    * `loader/types.py:113-124`): red warps with `nearest` while nir
+    * warps with `bilinear` in the same plan. The oracle proves the
+    * per-band config is honored by comparing the red half
+    * PIXEL-FOR-PIXEL against the `nearest` mode of
+    * [[loadResampling]]'s landing (same load parameters) — a config
+    * resolution that leaked one band's kernel onto the other breaks
+    * the join — and re-aggregates the bilinear nir half. */
+  def loadResamplingMixed(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+        groupby = "solar_day", chunks = 64,
+        crs = Some("EPSG:3857"), resolution = Some(30.0),
+        resampling = Map("red" -> "nearest", "nir" -> "bilinear"),
+        dtype = Some("float64")).tiles
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("width"), col("nodata"), posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tIdx").as("tidx"),
+        col("ty"), col("tx"),
+        (col("pos") / col("width")).cast("int").as("py"),
+        (col("pos") % col("width")).cast("int").as("px"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(MixedResampleCellsPath)
+    spark.read.parquet(MixedResampleCellsPath)
+      .groupBy("band", "tidx", "ty", "tx")
+      .agg(count(lit(1)).as("n_px"),
+        count(when(!isnan(col("value")), 1)).as("n_valid"),
+        sum(when(isnan(col("value")), 0L)
+          .otherwise(round(col("value") * 100).cast("long"))).as("sum_q"),
+        round(min(when(!isnan(col("value")), col("value"))), 2).as("vmin"),
+        round(max(when(!isnan(col("value")), col("value"))), 2).as("vmax"))
+      .orderBy("band", "tidx", "ty", "tx")
+  }
+
+  /** Oracle: the red half is REBUILT from the nearest-mode landing of
+    * `raster_load_resampling` (pixel-position join — per-band kernel
+    * leakage breaks it); the nir half re-aggregates its own landing. */
+  private[rasterops] val loadResamplingMixedDuckSql: String =
+    s"""WITH mixed AS (
+       |  SELECT band, tidx, ty, tx, py, px, value
+       |  FROM read_parquet('$MixedResampleCellsPath/*.parquet')),
+       |near_red AS (
+       |  SELECT tidx, ty, tx, py, px, value
+       |  FROM read_parquet('$LoadResampleCellsPath/*.parquet')
+       |  WHERE mode = 'nearest' AND band = 'red'),
+       |expected AS (
+       |  SELECT 'red' AS band, m.tidx, m.ty, m.tx, n.value
+       |  FROM (SELECT tidx, ty, tx, py, px FROM mixed WHERE band = 'red') m
+       |  JOIN near_red n ON n.tidx = m.tidx AND n.ty = m.ty
+       |                 AND n.tx = m.tx AND n.py = m.py AND n.px = m.px
+       |  UNION ALL
+       |  SELECT band, tidx, ty, tx, value FROM mixed WHERE band = 'nir')
+       |SELECT band, tidx, ty, tx,
+       |       COUNT(*) AS n_px,
+       |       CAST(SUM(CASE WHEN isnan(value) THEN 0 ELSE 1 END)
+       |            AS BIGINT) AS n_valid,
+       |       CAST(SUM(CASE WHEN isnan(value) THEN 0
+       |                ELSE CAST(ROUND(value * 100) AS BIGINT) END)
+       |            AS BIGINT) AS sum_q,
+       |       ROUND(MIN(CASE WHEN isnan(value) THEN NULL ELSE value END), 2)
+       |         AS vmin,
+       |       ROUND(MAX(CASE WHEN isnan(value) THEN NULL ELSE value END), 2)
+       |         AS vmax
+       |FROM expected
+       |GROUP BY band, tidx, ty, tx
+       |ORDER BY band, tidx, ty, tx""".stripMargin
+
   /** Multi-grid band loading end to end (A8, the Sentinel-2 signature
     * layout, reference `_mdtools.py:334-397`): ONE load of `red` (10 m
     * native grid) + `swir` (its own 20 m grid) onto a single 10 m

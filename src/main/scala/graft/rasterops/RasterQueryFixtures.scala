@@ -24,6 +24,13 @@ private[rasterops] trait RasterQueryFixtures {
   private[rasterops] val LoadResampleCellsPath =
     s"${sys.props("java.io.tmpdir")}/graft_load_resample_cells_parquet"
 
+  /** Landed planes of the per-band MIXED-kernel load
+    * ([[RasterLoadQueries.loadResamplingMixed]]); its oracle compares
+    * the red half pixel-for-pixel against [[LoadResampleCellsPath]]'s
+    * nearest-mode landing. */
+  private[rasterops] val MixedResampleCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_mixed_resample_cells_parquet"
+
   /** Multi-grid joint-load landings
     * ([[RasterLoadQueries.loadMultigrid]]): the 10 m joint planes and
     * the swir band's NATIVE 20 m planes; the oracle re-derives the
