@@ -453,6 +453,14 @@ final case class LoadResult(tiles: DataFrame, geobox: GeoBox,
     * bounded (one buffer per group), no hint needed. */
   def meanComposite(): DataFrame = Composite.acrossTime(spark, tiles)
 
+  /** Temporal gap-fill with the bounded (row-band-sliced) plan: the
+    * fill buffers decoded + filled planes (2·T), and this wrapper
+    * passes T so one task never exceeds the state budget. */
+  def temporalFill(
+      budgetBytes: Long = Composite.DefaultStateBudgetBytes): DataFrame =
+    TemporalFill.fillAcrossTime(spark, tiles, timeDepth = times.length,
+      stateBudgetBytes = budgetBytes)
+
   /** Distributed GeoTIFF export sink: every tile row becomes one
     * georeferenced `.tif` (`<band>_t<tIdx>_<ty>_<tx>.tif`) written
     * executor-side — the per-tile COG layout tile pyramids use, and the

@@ -95,7 +95,7 @@ private[rasterops] trait RasterAnalyticsQueries {
         when(isnan(col("col")) || col("col") === col("nodata"),
           lit(Double.NaN)).otherwise(col("col")).as("value"))
       .write.mode("overwrite").parquet(GapCellsPath)
-    graft.load.TemporalFill.fillAcrossTime(spark, res.tiles)
+    res.temporalFill()
       .select(col("band"), col("tIdx"), col("ty"), col("tx"),
         col("n_filled"),
         expr("aggregate(filled, 0L, (s, v) -> s + " +

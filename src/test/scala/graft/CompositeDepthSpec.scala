@@ -110,6 +110,26 @@ class CompositeDepthSpec extends AnyFunSuite {
       s"peak decoded state ${acc.value} exceeds budget $budget")
   }
 
+  test("temporal fill: sliced plan bit-identical, state capped (T=160)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // the fill keys planes by timestamp, so give each tIdx a real time
+    val tiles = deepTiles(1).withColumn("time",
+      expr("timestampadd(DAY, tIdx, timestamp'2020-06-01 00:00:00')"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("n_filled"), col("filled"))
+        .collect().map(_.toString).sorted.toSeq
+    val full = canon(graft.load.TemporalFill.fillAcrossTime(spark, tiles))
+    val acc = probe()
+    // the fill holds decoded + filled planes: 2·T enters the slicing
+    val budget = budgetFor(2 * T)
+    val sliced = canon(graft.load.TemporalFill.fillAcrossTime(spark, tiles,
+      timeDepth = T, stateBudgetBytes = budget, stateProbe = Some(acc)))
+    assert(sliced == full)
+    assert(acc.value > 0 && acc.value <= budget,
+      s"peak decoded state ${acc.value} exceeds budget $budget")
+  }
+
   test("geomedian + MADs: sliced plan bit-identical, state capped (T=160 ×2 bands)") {
     val tiles = deepTiles(2)
     val bands = Seq("red", "nir")
