@@ -96,6 +96,7 @@ object RasterQueries
     "raster_resample_conv" -> ((s, _) => resampleConv(s)),
     "raster_overview_cells" -> ((s, _) => overviewCells(s)),
     "stream_raster_ingest" -> ((s, _) => streamRasterIngest(s)),
+    "stream_composite" -> ((s, _) => streamComposite(s)),
     "raster_load_tiff" -> ((s, _) => loadTiff(s)),
     "raster_load_zarr" -> ((s, _) => loadZarr(s)),
     "raster_load_netcdf" -> ((s, _) => loadNetcdf(s)),
@@ -135,6 +136,7 @@ object RasterQueries
     "raster_resample_cells" -> resampleCellsDuckSql,
     "raster_overview_cells" -> overviewCellsDuckSql,
     "stream_raster_ingest" -> streamIngestDuckSql,
+    "stream_composite" -> streamCompositeDuckSql,
     "raster_parse_items" -> parseItemsDuckSql,
     "raster_stac_search" -> stacSearchDuckSql,
     "raster_load_mosaic" -> loadMosaicDuckSql,

@@ -308,4 +308,10 @@ private[rasterops] trait RasterQueryFixtures {
     * [[streamRasterIngest]]). */
   private[rasterops] val StreamCellsPath =
     s"${sys.props("java.io.tmpdir")}/graft_stream_cells_parquet"
+
+  /** Landed per-time pixel planes for the RUNNING-composite anchor
+    * (see [[streamComposite]]): the oracle recomputes the across-time
+    * statistics the streamed state accumulated. */
+  private[rasterops] val StreamCompCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_stream_comp_cells_parquet"
 }

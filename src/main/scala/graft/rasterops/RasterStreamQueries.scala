@@ -79,6 +79,185 @@ private[rasterops] trait RasterStreamQueries {
     quantizedSummaryByTime(spark.read.parquet(StreamCellsPath))
   }
 
+  /** Streaming RUNNING COMPOSITE (beyond the reference): scenes arrive
+    * one per microbatch and fold into a STANDING per-tile composite
+    * state table — one row per (band, ty, tx) holding per-pixel
+    * (sum, min, max, count) plane ARRAYS. The composite is mergeable,
+    * so each batch computes its own partial buffers (task-local decode
+    * + accumulate) and merges them into the standing table with a
+    * full-outer join and codegen'd `zip_with` array arithmetic — the
+    * continental-running-mosaic topology: state is one buffer set per
+    * tile (never the scene history), each batch's work is
+    * metadata-driven, and at 100 TB the swap-dir state table becomes a
+    * Delta/Iceberg MERGE with identical semantics.
+    *
+    * Oracle: the streamed state must equal the across-time statistics
+    * of a one-shot batch load of the same scenes — the per-time pixel
+    * planes land as parquet and DuckDB recomputes sum/min/max/count
+    * per pixel and the quantized per-tile summary (valid values are
+    * uint16 integers, so double sums are exact and the ×100 rounding
+    * is order-independent). A dropped batch, double merge, or wrong
+    * zip_with breaks the hash. */
+  def streamComposite(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenes(NScenes).map(_.replaceAll("\n", " "))
+    val (allItems, allSchemas) = parsed(spark)
+    val grid = Planner.outputGeobox(allItems, allSchemas).get
+    val landing = java.nio.file.Files.createTempDirectory("graft_comp_land")
+    jsons.zipWithIndex.foreach { case (j, i) =>
+      java.nio.file.Files.write(landing.resolve(f"item_$i%03d.json"),
+        j.getBytes("UTF-8"))
+    }
+    val stateRoot = java.nio.file.Files
+      .createTempDirectory("graft_comp_state").toString
+    val statePath = stateRoot + "/state"
+
+    /** Batch tiles -> partial buffer rows (one per band/ty/tx). */
+    def partials(tiles: DataFrame) =
+      tiles
+        .select(col("band"), col("ty"), col("tx"), col("data"),
+          col("dtype"), col("nodata"), col("width"), col("height"))
+        .as[(String, Int, Int, Array[Byte], String, Double, Int, Int)]
+        .groupByKey { case (band, ty, tx, _, _, _, _, _) => (band, ty, tx) }
+        .mapGroups { (key, it) =>
+          val (band, ty, tx) = key
+          var sum: Array[Double] = null
+          var mn: Array[Double] = null
+          var mx: Array[Double] = null
+          var cnt: Array[Int] = null
+          it.foreach { case (_, _, _, data, dtype, nodata, w, h) =>
+            val n = w * h
+            if (sum == null) {
+              sum = new Array[Double](n)
+              mn = Array.fill(n)(Double.PositiveInfinity)
+              mx = Array.fill(n)(Double.NegativeInfinity)
+              cnt = new Array[Int](n)
+            }
+            val px = Fuse.decode(data, dtype)
+            var i = 0
+            while (i < n) {
+              val v = px(i)
+              if (!(v.isNaN || v == nodata)) {
+                sum(i) += v
+                if (v < mn(i)) mn(i) = v
+                if (v > mx(i)) mx(i) = v
+                cnt(i) += 1
+              }
+              i += 1
+            }
+          }
+          (band, ty, tx, sum, mn, mx, cnt)
+        }
+        .toDF("band", "ty", "tx", "sum", "mn", "mx", "cnt")
+
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .text(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val js = batch.select("value").as[String](
+          org.apache.spark.sql.Encoders.STRING).collect().toSeq
+        if (js.nonEmpty) {
+          val (ds, schemas) = StacParse.parseItems(spark,
+            spark.createDataset(js))
+          val items = ds.collect().toSeq.sortBy(_.id)
+          val res = Load.load(spark, items, schemas,
+            bands = Seq("red", "nir"), groupby = "id", chunks = 64,
+            geobox = Some(grid))
+          val cur = partials(res.tiles)
+          val stateDir = new java.io.File(statePath)
+          val merged =
+            if (!stateDir.exists()) cur
+            else {
+              val prev = spark.read.parquet(statePath)
+              def mergeArr(c: String,
+                  f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+                    => org.apache.spark.sql.Column) =
+                when(col(s"a.$c").isNull, col(s"b.$c"))
+                  .when(col(s"b.$c").isNull, col(s"a.$c"))
+                  .otherwise(zip_with(col(s"a.$c"), col(s"b.$c"), f))
+                  .as(c)
+              prev.as("a").join(cur.as("b"), Seq("band", "ty", "tx"),
+                  "full_outer")
+                .select(col("band"), col("ty"), col("tx"),
+                  mergeArr("sum", (x, y) => x + y),
+                  mergeArr("mn", (x, y) => least(x, y)),
+                  mergeArr("mx", (x, y) => greatest(x, y)),
+                  mergeArr("cnt", (x, y) => x + y))
+            }
+          // swap-dir commit: write next, then atomically replace the
+          // standing dir (the Delta MERGE analog at fixture scale)
+          merged.write.mode("overwrite").parquet(statePath + "_next")
+          def rmDir(d: java.io.File): Unit = {
+            Option(d.listFiles()).foreach(_.foreach(rmDir))
+            d.delete(); ()
+          }
+          rmDir(stateDir)
+          require(new java.io.File(statePath + "_next").renameTo(stateDir),
+            s"state swap failed at $statePath")
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // oracle anchor: the same scenes in ONE batch load, per-time pixel
+    // planes landed for DuckDB's independent across-time recompute
+    val res = Load.load(spark, allItems, allSchemas,
+      bands = Seq("red", "nir"), groupby = "id", chunks = 64,
+      geobox = Some(grid))
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    res.tiles
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("width"),
+        col("nodata"), posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
+        (col("pos") / col("width")).cast("int").as("py"),
+        (col("pos") % col("width")).cast("int").as("px"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(StreamCompCellsPath)
+
+    // summary of the STREAMED state (quantized, order-exact)
+    spark.read.parquet(statePath)
+      .select(col("band"), col("ty"), col("tx"),
+        expr("size(cnt)").as("n_px"),
+        expr("aggregate(cnt, 0L, (a, c) -> a + c)").as("cnt_total"),
+        expr("aggregate(zip_with(sum, cnt, (s, c) -> " +
+          "if(c > 0, CAST(round(s * 100) AS BIGINT), 0L)), 0L, " +
+          "(a, b) -> a + b)").as("sum_q"),
+        round(expr("array_min(zip_with(mn, cnt, (v, c) -> " +
+          "if(c > 0, v, CAST(NULL AS DOUBLE))))"), 2).as("vmin"),
+        round(expr("array_max(zip_with(mx, cnt, (v, c) -> " +
+          "if(c > 0, v, CAST(NULL AS DOUBLE))))"), 2).as("vmax"))
+      .orderBy("band", "ty", "tx")
+  }
+
+  private[rasterops] val streamCompositeDuckSql: String =
+    s"""WITH px AS (
+       |  SELECT band, ty, tx, py, px,
+       |         SUM(CASE WHEN isnan(value) THEN 0 ELSE value END) AS s,
+       |         MIN(CASE WHEN isnan(value) THEN NULL ELSE value END) AS mn,
+       |         MAX(CASE WHEN isnan(value) THEN NULL ELSE value END) AS mx,
+       |         SUM(CASE WHEN isnan(value) THEN 0 ELSE 1 END) AS c
+       |  FROM read_parquet('$StreamCompCellsPath/*.parquet')
+       |  GROUP BY band, ty, tx, py, px)
+       |SELECT band, ty, tx,
+       |       CAST(COUNT(*) AS INT) AS n_px,
+       |       CAST(SUM(c) AS BIGINT) AS cnt_total,
+       |       CAST(SUM(CASE WHEN c > 0
+       |                THEN CAST(ROUND(s * 100) AS BIGINT)
+       |                ELSE 0 END) AS BIGINT) AS sum_q,
+       |       ROUND(MIN(mn), 2) AS vmin,
+       |       ROUND(MAX(mx), 2) AS vmax
+       |FROM px
+       |GROUP BY band, ty, tx
+       |ORDER BY band, ty, tx""".stripMargin
+
   private[rasterops] val streamIngestDuckSql: String =
     s"""SELECT band, t, ty, tx, COUNT(*) AS n_px,
        |       CAST(SUM(CASE WHEN isnan(value) THEN 0
