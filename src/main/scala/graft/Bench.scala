@@ -75,13 +75,16 @@ object Bench {
     println(json)
     // stdout scraping truncates long lines in some harnesses; the full
     // JSON is also durably written for machine-checkable round diffs —
-    // both the dev-local copy and a COMMITTED repo-root copy (the
-    // driver's BENCH_r{N}.json tail keeps only ~57 of the per-query
-    // entries, so round-over-round diff tooling reads this file)
+    // a dev-local copy plus a committed-record copy (the driver's
+    // BENCH_r{N}.json tail keeps only ~57 of the per-query entries).
+    // Both paths resolve against the cwd (the driver runs from the
+    // repo root); SPARK_GRAFT_BENCH_OUT overrides the record path for
+    // runs launched elsewhere.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_last.json"), json + "\n")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_full_latest.json"), json + "\n")
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "BENCH_full_latest.json")), json + "\n")
     spark.stop()
   }
 }

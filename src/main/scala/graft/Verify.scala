@@ -96,7 +96,6 @@ object Verify {
       "raster_load_netcdf" -> mosaic,
       "raster_load_tiff" -> mosaic,
       "raster_pyramid_build" -> mosaic,
-      "raster_sample_drill" -> mosaic,
       "raster_tiles_roundtrip" -> mosaic,
       "raster_zarr_export" -> mosaic,
       "raster_zonal_stats" -> mosaic,
@@ -106,6 +105,14 @@ object Verify {
       "raster_load_groupby_id" -> composite,
       "raster_tyx_bins" -> composite,
       "raster_load_overview" -> Seq("raster_overview_cells"),
+      // the DSv2 source-SQL oracles re-derive overview pixels from the
+      // native planes raster_overview_cells lands
+      "raster_grb_source_sql" -> Seq("raster_overview_cells"),
+      "raster_gtiff_source_sql" -> Seq("raster_overview_cells"),
+      "raster_any_source_sql" -> Seq("raster_overview_cells"),
+      // sample_drill's oracle replays the zone raster from the edge
+      // table raster_rasterize lands
+      "raster_sample_drill" -> Seq("raster_mosaic_cells", "raster_rasterize"),
       "raster_load_zarr" -> Seq("raster_mosaic_cells", "raster_overview_cells"),
       "raster_load_reproject" -> Seq("raster_reproject_cells"),
       "raster_load_resampling_mixed" -> Seq("raster_load_resampling"),

@@ -375,6 +375,33 @@ object Composite {
       }
   }
 
+  /** Concatenate slice-ordered plane fragments — the ONE arraycopy
+    * kernel every bounded reassembly shares: `parts(i) = (sliceIdx,
+    * doublePlanes, cntSlice)`, all parts carrying the same number of
+    * double planes. Sorts by slice index in place. */
+  private[load] def concatSlices(
+      parts: Array[(Int, Array[Array[Double]], Array[Int])])
+      : (Array[Array[Double]], Array[Int]) = {
+    scala.util.Sorting.stableSort(parts,
+      (a: (Int, Array[Array[Double]], Array[Int]),
+       b: (Int, Array[Array[Double]], Array[Int])) => a._1 < b._1)
+    val nPlanes = parts(0)._2.length
+    val n = parts.iterator.map(_._3.length).sum
+    val planes = Array.fill(nPlanes)(new Array[Double](n))
+    val cnt = new Array[Int](n)
+    var off = 0
+    parts.foreach { case (_, ps, c) =>
+      var b = 0
+      while (b < nPlanes) {
+        System.arraycopy(ps(b), 0, planes(b), off, c.length)
+        b += 1
+      }
+      System.arraycopy(c, 0, cnt, off, c.length)
+      off += c.length
+    }
+    (planes, cnt)
+  }
+
   /** Reassemble full output planes from per-slice results: one
     * output-sized shuffle keyed (band, ty, tx); task state is the S
     * slices of ONE tile's output planes — i.e. exactly the contract
@@ -388,18 +415,10 @@ object Composite {
         Encoders.tuple(Encoders.STRING, Encoders.scalaInt, Encoders.scalaInt))
       .mapGroups { (key, it) =>
         val (band, ty, tx) = key
-        val parts = it.map { case (_, _, _, s, o, c) => (s, o, c) }
-          .toArray.sortBy(_._1)
-        val n = parts.iterator.map(_._2.length).sum
-        val out = new Array[Double](n)
-        val cnt = new Array[Int](n)
-        var off = 0
-        parts.foreach { case (_, o, c) =>
-          System.arraycopy(o, 0, out, off, o.length)
-          System.arraycopy(c, 0, cnt, off, c.length)
-          off += o.length
-        }
-        (band, ty, tx, out, cnt)
+        val parts = it.map { case (_, _, _, s, o, c) => (s, Array(o), c) }
+          .toArray
+        val (planes, cnt) = concatSlices(parts)
+        (band, ty, tx, planes(0), cnt)
       }
 
   private def selectionAcrossTime(spark: SparkSession, tiles: DataFrame,
@@ -701,22 +720,11 @@ object Composite {
         .groupByKey { case (ty, tx, _, _, _, _, _) => (ty, tx) }
         .mapGroups { (key, it) =>
           val (ty, tx) = key
-          val parts = it.map { case (_, _, s, e, sm, bc, c) => (s, e, sm, bc, c) }
-            .toArray.sortBy(_._1)
-          val n = parts.iterator.map(_._2.length).sum
-          val emad = new Array[Double](n)
-          val smad = new Array[Double](n)
-          val bcmad = new Array[Double](n)
-          val cnt = new Array[Int](n)
-          var off = 0
-          parts.foreach { case (_, e, sm, bc, c) =>
-            System.arraycopy(e, 0, emad, off, e.length)
-            System.arraycopy(sm, 0, smad, off, sm.length)
-            System.arraycopy(bc, 0, bcmad, off, bc.length)
-            System.arraycopy(c, 0, cnt, off, c.length)
-            off += e.length
-          }
-          (ty, tx, emad, smad, bcmad, cnt)
+          val parts = it.map { case (_, _, s, e, sm, bc, c) =>
+            (s, Array(e, sm, bc), c)
+          }.toArray
+          val (planes, cnt) = concatSlices(parts)
+          (ty, tx, planes(0), planes(1), planes(2), cnt)
         }
         .toDF("ty", "tx", "emad", "smad", "bcmad", "count")
     }

@@ -247,19 +247,10 @@ class HttpRangeSource(
 }
 
 object HttpRangeSource {
-  /** Normalized request origin `scheme://host[:port]` — same convention
-    * as [[IoSession.normalizeOrigin]] (lowercase, default ports 80/443
-    * dropped) so configured and request origins compare equal. */
-  def originOf(uri: String): String = {
-    val u = java.net.URI.create(uri)
-    val scheme = u.getScheme.toLowerCase
-    val port = u.getPort match {
-      case -1 => -1
-      case 80 if scheme == "http" => -1
-      case 443 if scheme == "https" => -1
-      case p => p
-    }
-    val host = Option(u.getHost).map(_.toLowerCase).getOrElse("")
-    if (port == -1) s"$scheme://$host" else s"$scheme://$host:$port"
-  }
+  /** Normalized request origin — delegates to the ONE shared
+    * normalization ([[IoSession.parseOrigin]]) so configured and
+    * request origins can never diverge; returns the empty string (which
+    * matches no configured origin) when the URI has no parsable host. */
+  def originOf(uri: String): String =
+    IoSession.originOf(uri).getOrElse("")
 }

@@ -43,25 +43,44 @@ object IoSession {
   private var installedSchemes: Set[String] = Set.empty
   private val versions = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Normalized `scheme://host[:port]` (lowercase scheme+host, default
-    * ports 80/443 dropped); any path/query on the configured endpoint
-    * is ignored. Throws on a bare scheme — scheme-wide credentials are
-    * exactly the cross-host leak this seam exists to prevent. */
+  /** Shared origin normalization: `Some(scheme://host[:port])`
+    * (lowercase scheme+host, default ports 80/443 dropped, path/query
+    * ignored), or None when no host can be parsed — ONE implementation
+    * for both the config side ([[normalizeOrigin]], which throws) and
+    * the request side ([[originOf]], which must not). */
+  def parseOrigin(o: String): Option[String] =
+    for {
+      u <- scala.util.Try(java.net.URI.create(o)).toOption
+      scheme <- Option(u.getScheme).map(_.toLowerCase)
+      host <- Option(u.getHost).map(_.toLowerCase)
+    } yield {
+      val port = u.getPort match {
+        case -1 => -1
+        case 80 if scheme == "http" => -1
+        case 443 if scheme == "https" => -1
+        case p => p
+      }
+      if (port == -1) s"$scheme://$host" else s"$scheme://$host:$port"
+    }
+
+  /** Request-side origin: None (no match, no headers attached) instead
+    * of throwing — a read of an odd-but-servable URI must not die in
+    * origin parsing when it needs no credentials at all. */
+  def originOf(uri: String): Option[String] = parseOrigin(uri)
+
+  /** Normalized `scheme://host[:port]`. Throws on a bare scheme or a
+    * host java.net.URI cannot parse — scheme-wide credentials are
+    * exactly the cross-host leak this seam exists to prevent, and a
+    * configured endpoint that silently never matches (e.g. an
+    * underscore hostname URI rejects) would be a 401 with no
+    * diagnostic. */
   def normalizeOrigin(o: String): String = {
     require(o.contains("://"),
       s"credential key '$o' must be an origin (scheme://host[:port]); " +
         "bare-scheme credentials would be sent to every host")
-    val u = java.net.URI.create(o)
-    require(u.getHost != null, s"credential origin '$o' has no host")
-    val scheme = u.getScheme.toLowerCase
-    val port = u.getPort match {
-      case -1 => -1
-      case 80 if scheme == "http" => -1
-      case 443 if scheme == "https" => -1
-      case p => p
-    }
-    val host = u.getHost.toLowerCase
-    if (port == -1) s"$scheme://$host" else s"$scheme://$host:$port"
+    parseOrigin(o).getOrElse(throw new IllegalArgumentException(
+      s"credential origin '$o' has no parsable host (java.net.URI " +
+        "rejects e.g. underscore hostnames; use the resolved address)"))
   }
 
   private def schemeOf(origin: String): String =
@@ -85,8 +104,8 @@ object IoSession {
     * with no origin list would have to be attached host-wide, which is
     * the leak — so it configures nothing. Returns None when not (or
     * incompletely) configured. */
-  def configureFromEnv(env: Map[String, String] = sys.env): Option[IoCredentials] =
-    for {
+  def configureFromEnv(env: Map[String, String] = sys.env): Option[IoCredentials] = {
+    val out = for {
       tok <- env.get("GRAFT_IO_BEARER")
       origins <- env.get("GRAFT_IO_BEARER_ORIGINS")
       list = origins.split(',').map(_.trim).filter(_.nonEmpty)
@@ -95,6 +114,17 @@ object IoSession {
       val h = Map("Authorization" -> s"Bearer $tok")
       configure(list.map(_ -> h).toMap)
     }
+    // a bearer with no origin list must not be silently dropped: the
+    // next read against the authed endpoint would 401 with nothing
+    // pointing at the missing variable
+    if (out.isEmpty && env.contains("GRAFT_IO_BEARER"))
+      System.err.println(
+        "[graft.io] WARNING: GRAFT_IO_BEARER is set but " +
+          "GRAFT_IO_BEARER_ORIGINS is missing/empty — no credentials " +
+          "configured (origin scoping is required; set e.g. " +
+          "GRAFT_IO_BEARER_ORIGINS=https://data.example.com)")
+    out
+  }
 
   /** Plan-time capture (the `capture_rio_env` analog): what Load
     * broadcasts to its read tasks. None = nothing was ever configured
@@ -120,7 +150,10 @@ object IoSession {
               mkDefault: String => RasterByteSource =
                 _ => new HttpRangeSource()): Unit =
     synchronized {
-      if (installedVersion != creds.version) {
+      // strictly newer only: a straggler task carrying an OLDER
+      // broadcast payload must not reinstall stale credentials over a
+      // later refresh or clear()
+      if (installedVersion < creds.version) {
         val bySch: Map[String, Map[String, Map[String, String]]] =
           creds.origins.groupBy { case (o, _) => schemeOf(o) }
         (installedSchemes ++ bySch.keySet).foreach { sch =>

@@ -103,13 +103,25 @@ private[rasterops] trait RasterStreamQueries {
     val jsons = Fixtures.writeScenes(NScenes).map(_.replaceAll("\n", " "))
     val (allItems, allSchemas) = parsed(spark)
     val grid = Planner.outputGeobox(allItems, allSchemas).get
-    val landing = java.nio.file.Files.createTempDirectory("graft_comp_land")
+    // FIXED shared tmp dirs (the other queries' convention), cleared at
+    // query start — per-invocation createTempDirectory trees would leak
+    // scene JSONs + two parquet state copies every bench/verify round
+    def resetDir(p: java.nio.file.Path): java.nio.file.Path = {
+      def rm(d: java.io.File): Unit = {
+        Option(d.listFiles()).foreach(_.foreach(rm))
+        d.delete(); ()
+      }
+      rm(p.toFile)
+      java.nio.file.Files.createDirectories(p)
+      p
+    }
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val landing = resetDir(tmp.resolve("graft_stream_comp_landing"))
     jsons.zipWithIndex.foreach { case (j, i) =>
       java.nio.file.Files.write(landing.resolve(f"item_$i%03d.json"),
         j.getBytes("UTF-8"))
     }
-    val stateRoot = java.nio.file.Files
-      .createTempDirectory("graft_comp_state").toString
+    val stateRoot = resetDir(tmp.resolve("graft_stream_comp_state")).toString
     val statePath = stateRoot + "/state"
 
     /** Batch tiles -> partial buffer rows (one per band/ty/tx). */
