@@ -1445,7 +1445,76 @@ object Similarity {
        |FROM cells c LEFT JOIN d ON d.vec_id = c.vec_id
        |ORDER BY c.vec_id""".stripMargin
 
+  /** Per-cluster sample quota of [[clusterSample]]. */
+  val ClusterQuota = 8
+
+  private def clusterSampPath(dir: String): String = {
+    val fp = dir.hashCode & 0x7fffffff
+    s"${sys.props("java.io.tmpdir")}/graft_cluster_samp_$fp"
+  }
+  @volatile private var lastClusterSampPath =
+    clusterSampPath("/root/testdata/sf0.01")
+
+  /** Cluster-balanced (diversity) sampling — the SemDeDup/D4-style
+    * curation move: cap every embedding cluster's contribution to the
+    * training mix at [[ClusterQuota]] documents, so over-represented
+    * semantic neighborhoods (boilerplate farms, template families)
+    * cannot dominate the sample. Clusters are the IVF coarse cells
+    * (shared k-means build, bounded training sample); WITHIN each cell
+    * the kept rows are the bottom-[[ClusterQuota]] by the portable
+    * md5(vec_id) rank — selected with the mergeable bounded-heap
+    * Aggregator from `load.Sampling` (map-side partials, exchange
+    * carries O(cells·quota), no per-cell window sort — the shape that
+    * survives a mega-cell at 100 TB).
+    *
+    * Portable twin convention: the cell assignment lands as parquet
+    * and DuckDB re-derives the per-cell quota with its own window
+    * rank, so quota application is hash-checked end to end (clustering
+    * itself is checked by the ivf portable twins). */
+  def clusterSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = clusterSampPath(dir)
+    lastClusterSampPath = path
+    val (_, assigned) = ivfIndex(spark, dir)
+    assigned
+      .select(col("vec_id"), col("cell").cast("int").as("cell"))
+      .write.mode("overwrite").parquet(s"$path/cells")
+    val cells = spark.read.parquet(s"$path/cells")
+    val md5hex = udf { (id: Long) =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val agg = new graft.load.Sampling.BottomKLocs(ClusterQuota).toColumn
+    val kept = cells
+      .select(col("cell"), md5hex(col("vec_id")).as("key"), col("vec_id"))
+      .as[(Int, String, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, key, id) => graft.load.Sampling.LocIn(key, id) }
+      .agg(agg)
+      .flatMap { case (cell, out) =>
+        out.ps.indices.map(i => (cell, (i + 1).toLong, out.ps(i)))
+      }
+      .toDF("cell", "rk", "vec_id")
+    val counts = cells.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+    kept.join(broadcast(counts), "cell")
+      .select(col("cell"), col("rk"), col("vec_id"), col("n_cell"))
+      .orderBy("cell", "rk")
+  }
+
+  private def clusterSampleDuckSql: String =
+    s"""WITH r AS (
+       |  SELECT cell, vec_id,
+       |         ROW_NUMBER() OVER (PARTITION BY cell
+       |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk,
+       |         COUNT(*) OVER (PARTITION BY cell) AS n_cell
+       |  FROM read_parquet('$lastClusterSampPath/cells/*.parquet'))
+       |SELECT cell, rk, vec_id, n_cell FROM r
+       |WHERE rk <= $ClusterQuota
+       |ORDER BY cell, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_cluster_sample" -> ((s, d) => clusterSample(s, d)),
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "sim_ivf_topk_portable" -> ((s, d) => ivfTopKPortable(s, d)),
     "sim_ivfpq_topk_portable" -> ((s, d) => ivfPqTopKPortable(s, d)),
@@ -1470,6 +1539,7 @@ object Similarity {
   // paths of the MOST RECENT run (set by the queries themselves), and
   // Verify dumps oracle_sql.json after the queries execute
   def oracleSql: Map[String, String] = Map(
+    "corpus_cluster_sample" -> clusterSampleDuckSql,
     "sim_ivf_topk_portable" -> ivfPortableDuckSql,
     "sim_ivfpq_topk_portable" -> pqPortableDuckSql,
     "sim_index_persist" -> indexPersistDuckSql,
