@@ -88,6 +88,7 @@ object Verify {
       "raster_change_detect" -> mosaic,
       "raster_cog_export" -> mosaic,
       "raster_drill" -> mosaic,
+      "raster_chips" -> mosaic,
       "raster_drill_bilinear" -> mosaic,
       "raster_focal_mean" -> mosaic,
       "raster_focal_standing" -> mosaic,

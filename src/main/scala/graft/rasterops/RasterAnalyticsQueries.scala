@@ -252,6 +252,56 @@ private[rasterops] trait RasterAnalyticsQueries {
     * dropped row), and a point outside every tile (no rows at all).
     * DuckDB re-samples the landed mosaic plane at the same global pixel
     * coords (floor((x−x0)/res) on both sides). */
+  /** ML chip extraction ([[graft.load.Chips]]): 16×16 training patches
+    * cut from the standing solar-day mosaic around three anchor
+    * corners — one interior, one straddling a 4-tile corner (its
+    * fragments assemble from four tasks), one clipped at the raster
+    * edge (NaN padding). The oracle rebuilds every chip from the
+    * landed mosaic pixels with a POSITION-WEIGHTED quantized checksum
+    * (each pixel weighted by 1 + its chip-local index), so a fragment
+    * placed one pixel off — not just a wrong value — breaks the hash. */
+  def chipsQuery(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val points = Seq(
+      ("c_mid", 30, 40),    // interior of tile (0, 0)
+      ("c_seam", 50, 120),  // rows 50..65 × cols 120..135: 4-tile corner
+      ("c_edge", 88, 310))  // clipped at the 96-row / 320-col grid edge
+    graft.load.Chips.chips(spark, res.tiles, points, size = 16)
+      .select(col("point_id"), col("band"), col("tIdx"),
+        col("n_valid").cast("long").as("n_valid"),
+        expr("aggregate(zip_with(chip, sequence(1, 256), (v, i) -> " +
+          "if(isnan(v), 0L, CAST(i AS BIGINT) * " +
+          "CAST(round(v * 100) AS BIGINT))), 0L, (a, b) -> a + b)")
+          .as("chip_q"))
+      .orderBy("point_id", "band", "tIdx")
+  }
+
+  private[rasterops] val chipsDuckSql: String =
+    s"""WITH pts AS (
+       |  SELECT pid, gy0, gx0
+       |  FROM (VALUES ('c_mid', 30, 40), ('c_seam', 50, 120),
+       |               ('c_edge', 88, 310)) v(pid, gy0, gx0)),
+       |-- ALL landed cells, nodata included: a chip whose covered
+       |-- pixels are all nodata is still a chip (all-NaN patch), so the
+       |-- row must exist with n_valid = 0 — validity is computed inside
+       |px AS (
+       |  SELECT band, tidx, ty * 64 + py AS gy, tx * 64 + px AS gx, value
+       |  FROM read_parquet('$CellsPath/*.parquet'))
+       |SELECT p.pid AS point_id, x.band, x.tidx AS "tIdx",
+       |       CAST(SUM(CASE WHEN x.value <> 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_valid,
+       |       CAST(SUM(CASE WHEN x.value <> 0
+       |                THEN (1 + (x.gy - p.gy0) * 16 + (x.gx - p.gx0)) *
+       |                     CAST(ROUND(x.value * 100) AS BIGINT)
+       |                ELSE 0 END) AS BIGINT) AS chip_q
+       |FROM pts p JOIN px x
+       |  ON x.gy >= p.gy0 AND x.gy < p.gy0 + 16
+       | AND x.gx >= p.gx0 AND x.gx < p.gx0 + 16
+       |GROUP BY p.pid, x.band, x.tidx
+       |ORDER BY point_id, band, "tIdx"""".stripMargin
+
   def drillPoints(spark: SparkSession): DataFrame = {
     val (items, schemas) = parsed(spark)
     val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),

@@ -116,6 +116,7 @@ object RasterQueries
     "raster_focal_mean" -> ((s, _) => focalMean(s)),
     "raster_focal_standing" -> ((s, _) => focalMeanStanding(s)),
     "raster_drill" -> ((s, _) => drillPoints(s)),
+    "raster_chips" -> ((s, _) => chipsQuery(s)),
     "raster_change_detect" -> ((s, _) => changeDetect(s)),
     "raster_pyramid_build" -> ((s, _) => pyramidBuild(s)),
     "raster_masked_composite" -> ((s, _) => maskedComposite(s)),
@@ -167,6 +168,7 @@ object RasterQueries
     "raster_geomedian" -> geomedianDuckSql,
     "raster_geomad" -> geomadDuckSql,
     "raster_drill" -> drillPointsDuckSql,
+    "raster_chips" -> chipsDuckSql,
     "raster_change_detect" -> changeDetectDuckSql,
     "raster_pyramid_build" -> pyramidBuildDuckSql,
     "raster_masked_composite" -> maskedCompositeDuckSql,
