@@ -245,6 +245,89 @@ object Multimodal {
       |FROM px WHERE frame_idx % 4 = 0
       |GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Scene-boundary threshold for [[sceneDetect]], in ×100 integer
+    * math: a cut where the mean absolute inter-frame pixel difference
+    * is ≥ 40.0 (`sumAbs · 100 ≥ 4000 · complen` — both engines compare
+    * integers, so no float-equality hazard at the threshold). */
+  val SceneDiffThresholdQ = 4000L
+
+  /** Shot/scene detection over the frame stream — the segmentation
+    * step of a video curation pipeline (dedup/captioning work per
+    * SHOT, not per frame): consecutive [[FrameLen]]-pixel frames of
+    * the decoded stream compare by mean absolute difference, and a
+    * difference above the threshold starts a new scene. Emits per doc
+    * the frame count, scene count, the sum of cut frame indices (a
+    * position-sensitive fingerprint of WHERE the cuts landed) and the
+    * total integer difference mass. Spark recovers the pixels from the
+    * real PNG decode; DuckDB recomputes everything from the closed-form
+    * pixel function — same decode-vs-formula split as the other mm
+    * anchors. Per-doc work is a single sequential pass (frames of one
+    * document are inherently ordered); parallelism is across docs,
+    * which is the 100 TB axis. */
+  def sceneDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir)
+      .select("doc_id", "mime", "width", "height", "payload")
+      .as[(Long, String, Int, Int, Array[Byte])]
+    media.map { case (id, mime, w0, h0, payload) =>
+      val (_, _, px) = decodeAny(id, mime, w0, h0, payload)
+      val n = px.length
+      val frames = (n + FrameLen - 1) / FrameLen
+      var f = 1
+      var nScenes = 1L
+      var cutsQ = 0L
+      var diffQ = 0L
+      while (f < frames) {
+        val start = f * FrameLen
+        val len = math.min(FrameLen, n - start)
+        var s = 0L
+        var j = 0
+        while (j < len) {
+          s += math.abs(px(start + j) - px(start - FrameLen + j))
+          j += 1
+        }
+        diffQ += s
+        if (s * 100 >= SceneDiffThresholdQ * len) { nScenes += 1; cutsQ += f }
+        f += 1
+      }
+      (id, frames.toLong, nScenes, cutsQ, diffQ)
+    }.toDF("doc_id", "n_frames", "n_scenes", "cuts_q", "diff_q")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: same frames, same integer threshold, pixels from the
+    * closed-form generator instead of the decode. */
+  val sceneDetectDuckSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(16 + doc_id % 48 AS BIGINT) AS w,
+      |         CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS h
+      |  FROM documents),
+      |diffs AS (
+      |  SELECT d.doc_id, s.i // 64 AS f,
+      |         ABS(CAST(((s.i % d.w) * 7 + (s.i // d.w) * 13
+      |                   + d.doc_id * 31) % 256 AS BIGINT) -
+      |             CAST((((s.i - 64) % d.w) * 7 + ((s.i - 64) // d.w) * 13
+      |                   + d.doc_id * 31) % 256 AS BIGINT)) AS dv
+      |  FROM d, generate_series(64, 4095) AS s(i)
+      |  WHERE s.i < d.w * d.h),
+      |fr AS (
+      |  SELECT doc_id, f, SUM(dv) AS s, COUNT(*) AS len
+      |  FROM diffs GROUP BY doc_id, f),
+      |fb AS (
+      |  SELECT doc_id, f, s,
+      |         CASE WHEN s * 100 >= 4000 * len THEN 1 ELSE 0 END AS b
+      |  FROM fr)
+      |SELECT d.doc_id,
+      |       CAST((d.w * d.h + 63) // 64 AS BIGINT) AS n_frames,
+      |       CAST(1 + COALESCE(SUM(fb.b), 0) AS BIGINT) AS n_scenes,
+      |       CAST(COALESCE(SUM(CASE WHEN fb.b = 1 THEN fb.f END), 0)
+      |            AS BIGINT) AS cuts_q,
+      |       CAST(COALESCE(SUM(fb.s), 0) AS BIGINT) AS diff_q
+      |FROM d LEFT JOIN fb ON fb.doc_id = d.doc_id
+      |GROUP BY d.doc_id, d.w, d.h
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Resize: real decode, nearest-neighbor downsample to a fixed
     * thumbnail grid, emit new dims + two pixel fingerprints — the
     * batch-resize shape of a real thumbnailing pipeline. The fingerprints
@@ -663,6 +746,7 @@ object Multimodal {
     "mm_metadata" -> Tables.sql(metadataSparkSql),
     "mm_decode_features" -> ((s, d) => decodeFeatures(s, d)),
     "mm_frame_sample" -> ((s, d) => frameSample(s, d)),
+    "mm_scene_detect" -> ((s, d) => sceneDetect(s, d)),
     "mm_resize" -> ((s, d) => resize(s, d)),
     "mm_audio_features" -> ((s, d) => audioFeatures(s, d)),
     "mm_audio_resample" -> ((s, d) => audioResample(s, d)),
@@ -679,6 +763,7 @@ object Multimodal {
   val oracleSql: Map[String, String] = Map(
     "mm_metadata" -> metadataDuckSql,
     "mm_decode_features" -> decodeFeaturesDuckSql,
+    "mm_scene_detect" -> sceneDetectDuckSql,
     "mm_frame_sample" -> frameSampleDuckSql,
     "mm_resize" -> resizeDuckSql,
     "mm_audio_features" -> audioFeaturesDuckSql,
