@@ -117,6 +117,7 @@ object Verify {
       "raster_load_zarr" -> Seq("raster_mosaic_cells", "raster_overview_cells"),
       "raster_load_reproject" -> Seq("raster_reproject_cells"),
       "raster_load_resampling_mixed" -> Seq("raster_load_resampling"),
+      "raster_load_polygon" -> mosaic,
       "stream_ann_ingest" -> Seq("sim_index_persist"),
       "stream_zonal" -> Seq("raster_composite_cells", "raster_zonal_stats"))
   }

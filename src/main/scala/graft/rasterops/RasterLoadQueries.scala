@@ -98,6 +98,129 @@ private[rasterops] trait RasterLoadQueries {
       .orderBy("mode", "band", "tidx", "ty", "tx")
   }
 
+  /** Polygon-ROI loading end to end (the reference's
+    * `geopolygon=` parameter, P4/J1): a sliver triangle from the ROI
+    * grid's top-left to bottom-right corner keeps only the tiles the
+    * polygon ITSELF touches — its bbox touches all six, so a
+    * bbox-approximate filter would over-bin (the case
+    * `output_geobox(geopolygon=...)` exists for). The polygon's bbox
+    * corners are 640 m-aligned with the full mosaic grid, so the
+    * ROI grid's tiles coincide with full-grid tiles (shifted by one
+    * tile column) and the oracle can (1) replay the engine's exact
+    * rect×polygon intersection — vertex-in-rect, corner-in-polygon
+    * ray cast, edge×edge orientation test — from the landed polygon
+    * edges, and (2) rebuild every kept tile's summary from the
+    * already-landed full-mosaic pixels. A bbox-only (over-binning)
+    * filter, a shifted ROI grid, or wrong pixel phase all break the
+    * hash. */
+  def loadPolygon(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (items, schemas) = parsed(spark)
+    val crs = graft.geo.Crs.Utm(35, south = true)
+    val tri = Geom(IndexedSeq(
+      (500640.0, 8000000.0),   // ROI grid's top-left corner
+      (502560.0, 7999040.0),   // ROI grid's bottom-right corner
+      (500893.4, 7999903.6)),  // sliver: hugs the TL->BR diagonal
+      crs)
+    tri.parts.flatMap(_.rings).flatMap { r =>
+      r.indices.map { i =>
+        val (x1, y1) = r(i)
+        val (x2, y2) = r((i + 1) % r.length)
+        (x1, y1, x2, y2)
+      }
+    }.toDF("x1", "y1", "x2", "y2")
+      .coalesce(1).write.mode("overwrite").parquet(PolyRoiEdgesPath)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 32,
+      geopolygon = Some(tri), resolution = Some(10.0))
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    res.tiles
+      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
+        posexplode(decode(col("data"), col("dtype"))))
+      .groupBy("band", "tidx", "ty", "tx")
+      .agg(count(lit(1)).as("n_px"),
+        sum(when(isnan(col("col")), 0L)
+          .otherwise(round(col("col") * 100).cast("long"))).as("sum_q"),
+        round(min(when(!isnan(col("col")), col("col"))), 2).as("vmin"),
+        round(max(when(!isnan(col("col")), col("col"))), 2).as("vmax"))
+      .orderBy("band", "tidx", "ty", "tx")
+  }
+
+  /** Oracle: kept-tile set re-derived with the engine's exact
+    * rect×polygon predicate, summaries rebuilt from the full-mosaic
+    * landing via global pixel coordinates (the ROI grid's 32-px tiles
+    * are phase-aligned quarters of the 64-px full-grid tiles; footprint
+    * edges are 64-px aligned, so ROI binning matches exactly). */
+  private[rasterops] val loadPolygonDuckSql: String =
+    s"""WITH e AS (
+       |  SELECT x1, y1, x2, y2
+       |  FROM read_parquet('$PolyRoiEdgesPath/*.parquet')),
+       |rect AS (
+       |  SELECT g1.ty, g2.tx,
+       |         500640.0 + g2.tx * 320 AS rx0,
+       |         500640.0 + g2.tx * 320 + 320 AS rx1,
+       |         8000000.0 - g1.ty * 320 - 320 AS ry0,
+       |         8000000.0 - g1.ty * 320 AS ry1
+       |  FROM generate_series(0, 2) g1(ty), generate_series(0, 5) g2(tx)),
+       |-- (a) any polygon vertex inside the tile rect (inclusive)
+       |ka AS (
+       |  SELECT DISTINCT r.ty, r.tx FROM rect r JOIN e
+       |    ON e.x1 BETWEEN r.rx0 AND r.rx1
+       |   AND e.y1 BETWEEN r.ry0 AND r.ry1),
+       |-- (b) any rect corner inside the polygon (even-odd ray cast)
+       |corners AS (
+       |  SELECT ty, tx, rx0 AS cx, ry0 AS cy FROM rect UNION ALL
+       |  SELECT ty, tx, rx0, ry1 FROM rect UNION ALL
+       |  SELECT ty, tx, rx1, ry0 FROM rect UNION ALL
+       |  SELECT ty, tx, rx1, ry1 FROM rect),
+       |kb AS (
+       |  SELECT ty, tx FROM (
+       |    SELECT c.ty, c.tx, c.cx, c.cy,
+       |           SUM(CASE WHEN (e.y1 > c.cy) <> (e.y2 > c.cy)
+       |                     AND c.cx < (e.x2 - e.x1) * (c.cy - e.y1)
+       |                                / (e.y2 - e.y1) + e.x1
+       |                THEN 1 ELSE 0 END) AS cr
+       |    FROM corners c CROSS JOIN e
+       |    GROUP BY c.ty, c.tx, c.cx, c.cy) t
+       |  WHERE cr % 2 = 1),
+       |-- (c) proper polygon-edge x rect-edge crossing (orientation signs)
+       |redges AS (
+       |  SELECT ty, tx, rx0 AS ax, ry0 AS ay, rx1 AS bx, ry0 AS byy FROM rect
+       |  UNION ALL SELECT ty, tx, rx1, ry0, rx1, ry1 FROM rect
+       |  UNION ALL SELECT ty, tx, rx1, ry1, rx0, ry1 FROM rect
+       |  UNION ALL SELECT ty, tx, rx0, ry1, rx0, ry0 FROM rect),
+       |kc AS (
+       |  SELECT DISTINCT r.ty, r.tx FROM redges r JOIN e ON
+       |    sign((e.x2 - e.x1) * (r.ay - e.y1) - (e.y2 - e.y1) * (r.ax - e.x1)) *
+       |    sign((e.x2 - e.x1) * (r.byy - e.y1) - (e.y2 - e.y1) * (r.bx - e.x1)) < 0
+       |    AND
+       |    sign((r.bx - r.ax) * (e.y1 - r.ay) - (r.byy - r.ay) * (e.x1 - r.ax)) *
+       |    sign((r.bx - r.ax) * (e.y2 - r.ay) - (r.byy - r.ay) * (e.x2 - r.ax)) < 0),
+       |kept AS (
+       |  SELECT DISTINCT ty, tx FROM (
+       |    SELECT * FROM ka UNION SELECT * FROM kb UNION SELECT * FROM kc) u),
+       |cells AS (
+       |  SELECT band, tidx, ty * 64 + py AS gy, tx * 64 + px AS gx, value
+       |  FROM read_parquet('$CellsPath/*.parquet'))
+       |-- ROI tile (ty, tx) covers full-grid pixels
+       |-- gy in [32·ty, 32·ty+32), gx in [64 + 32·tx, 64 + 32·tx + 32)
+       |SELECT c.band, c.tidx, k.ty, k.tx,
+       |       COUNT(*) AS n_px,
+       |       CAST(SUM(CASE WHEN isnan(c.value) THEN 0
+       |                ELSE CAST(ROUND(c.value * 100) AS BIGINT) END)
+       |            AS BIGINT) AS sum_q,
+       |       ROUND(MIN(CASE WHEN isnan(c.value) THEN NULL ELSE c.value END), 2)
+       |         AS vmin,
+       |       ROUND(MAX(CASE WHEN isnan(c.value) THEN NULL ELSE c.value END), 2)
+       |         AS vmax
+       |FROM kept k
+       |JOIN cells c
+       |  ON c.gy >= 32 * k.ty AND c.gy < 32 * k.ty + 32
+       | AND c.gx >= 64 + 32 * k.tx AND c.gx < 64 + 32 * k.tx + 32
+       |GROUP BY c.band, c.tidx, k.ty, k.tx
+       |ORDER BY c.band, c.tidx, k.ty, k.tx""".stripMargin
+
   /** Per-band MIXED resampling in ONE load (the reference's
     * `resampling={"red": ..., "*": ...}` per-band map,
     * `loader/types.py:113-124`): red warps with `nearest` while nir

@@ -103,6 +103,7 @@ object RasterQueries
     "raster_load_resampling" -> ((s, _) => loadResampling(s)),
     "raster_load_multigrid" -> ((s, _) => loadMultigrid(s)),
     "raster_load_resampling_mixed" -> ((s, _) => loadResamplingMixed(s)),
+    "raster_load_polygon" -> ((s, _) => loadPolygon(s)),
     "raster_load_groupby_id" -> ((s, _) => loadGroupById(s)),
     "raster_load_reproject" -> ((s, _) => loadReproject(s)),
     "raster_load_overview" -> ((s, _) => loadOverview(s)),
@@ -149,6 +150,7 @@ object RasterQueries
     "raster_load_resampling" -> loadResamplingDuckSql,
     "raster_load_multigrid" -> loadMultigridDuckSql,
     "raster_load_resampling_mixed" -> loadResamplingMixedDuckSql,
+    "raster_load_polygon" -> loadPolygonDuckSql,
     "raster_composite_mean" -> compositeMeanDuckSql,
     "raster_composite_median" -> compositeMedianDuckSql,
     "raster_load_tiff" -> loadTiffDuckSql,

@@ -31,6 +31,13 @@ private[rasterops] trait RasterQueryFixtures {
   private[rasterops] val MixedResampleCellsPath =
     s"${sys.props("java.io.tmpdir")}/graft_mixed_resample_cells_parquet"
 
+  /** Polygon-ROI load oracle landing
+    * ([[RasterLoadQueries.loadPolygon]]): the ROI polygon's edges in
+    * world coordinates; the oracle replays the engine's rect×polygon
+    * intersection from them. */
+  private[rasterops] val PolyRoiEdgesPath =
+    s"${sys.props("java.io.tmpdir")}/graft_polyroi_edges_parquet"
+
   /** Multi-grid joint-load landings
     * ([[RasterLoadQueries.loadMultigrid]]): the 10 m joint planes and
     * the swir band's NATIVE 20 m planes; the oracle re-derives the
