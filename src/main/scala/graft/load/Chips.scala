@@ -44,6 +44,9 @@ object Chips {
       .flatMap { case (band, tIdx, x0, y0, w, h, data, dtype, nodata) =>
         val pts = bc.value
         val out = Seq.newBuilder[Frag]
+        // decode at most once per tile regardless of how many chip
+        // windows overlap it (sample lists are thousands of points)
+        var pxCache: Array[Double] = null
         var p = 0
         while (p < pts.length) {
           val (pid, gy0, gx0) = pts(p)
@@ -53,7 +56,8 @@ object Chips {
           val lx0 = math.max(gx0, x0)
           val lx1 = math.min(gx0 + sz, x0 + w)
           if (ly0 < ly1 && lx0 < lx1) {
-            val px = Fuse.decode(data, dtype)
+            if (pxCache == null) pxCache = Fuse.decode(data, dtype)
+            val px = pxCache
             val n = (ly1 - ly0) * (lx1 - lx0)
             val idxs = new Array[Int](n)
             val vals = new Array[Double](n)
@@ -93,5 +97,17 @@ object Chips {
         (pid, band, tIdx, nValid, chip)
       }
       .toDF("point_id", "band", "tIdx", "n_valid", "chip")
+      // a point whose chip rect overlaps NO tile of a (band, tIdx)
+      // plane must not vanish: every (point × band × tIdx) combination
+      // gets a row, all-NaN when uncovered — callers join chips back to
+      // their sample lists and silent loss would corrupt the join
+      .join(
+        tiles.select(col("band"), col("tIdx")).distinct()
+          .crossJoin(points.map(_._1).toDF("point_id")),
+        Seq("point_id", "band", "tIdx"), "right_outer")
+      .select(col("point_id"), col("band"), col("tIdx"),
+        coalesce(col("n_valid"), lit(0)).as("n_valid"),
+        coalesce(col("chip"),
+          expr(s"array_repeat(CAST('NaN' AS DOUBLE), ${sz * sz})")).as("chip"))
   }
 }

@@ -284,23 +284,36 @@ private[rasterops] trait RasterAnalyticsQueries {
        |  FROM (VALUES ('c_mid', 30, 40), ('c_seam', 50, 120),
        |               ('c_edge', 88, 310)) v(pid, gy0, gx0)),
        |-- ALL landed cells, nodata included: a chip whose covered
-       |-- pixels are all nodata is still a chip (all-NaN patch), so the
-       |-- row must exist with n_valid = 0 — validity is computed inside
+       |-- pixels are all nodata is still a chip (all-NaN patch) —
+       |-- validity is computed inside. EVERY (point × band × tIdx)
+       |-- combination emits a row; a chip overlapping no landed tile
+       |-- at all is the all-NaN patch with zero stats (the engine's
+       |-- no-silent-loss contract).
        |px AS (
        |  SELECT band, tidx, ty * 64 + py AS gy, tx * 64 + px AS gx, value
-       |  FROM read_parquet('$CellsPath/*.parquet'))
-       |SELECT p.pid AS point_id, x.band, x.tidx AS "tIdx",
-       |       CAST(SUM(CASE WHEN x.value <> 0 THEN 1 ELSE 0 END)
-       |            AS BIGINT) AS n_valid,
-       |       CAST(SUM(CASE WHEN x.value <> 0
-       |                THEN (1 + (x.gy - p.gy0) * 16 + (x.gx - p.gx0)) *
-       |                     CAST(ROUND(x.value * 100) AS BIGINT)
-       |                ELSE 0 END) AS BIGINT) AS chip_q
-       |FROM pts p JOIN px x
-       |  ON x.gy >= p.gy0 AND x.gy < p.gy0 + 16
-       | AND x.gx >= p.gx0 AND x.gx < p.gx0 + 16
-       |GROUP BY p.pid, x.band, x.tidx
-       |ORDER BY point_id, band, "tIdx"""".stripMargin
+       |  FROM read_parquet('$CellsPath/*.parquet')),
+       |combos AS (
+       |  SELECT p.pid, b.band, b.tidx
+       |  FROM pts p CROSS JOIN (SELECT DISTINCT band, tidx FROM px) b),
+       |hit AS (
+       |  SELECT p.pid, x.band, x.tidx,
+       |         CAST(SUM(CASE WHEN x.value <> 0 THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_valid,
+       |         CAST(SUM(CASE WHEN x.value <> 0
+       |                  THEN (1 + (x.gy - p.gy0) * 16 + (x.gx - p.gx0)) *
+       |                       CAST(ROUND(x.value * 100) AS BIGINT)
+       |                  ELSE 0 END) AS BIGINT) AS chip_q
+       |  FROM pts p JOIN px x
+       |    ON x.gy >= p.gy0 AND x.gy < p.gy0 + 16
+       |   AND x.gx >= p.gx0 AND x.gx < p.gx0 + 16
+       |  GROUP BY p.pid, x.band, x.tidx)
+       |SELECT c.pid AS point_id, c.band, c.tidx AS "tIdx",
+       |       COALESCE(h.n_valid, 0) AS n_valid,
+       |       COALESCE(h.chip_q, 0) AS chip_q
+       |FROM combos c
+       |LEFT JOIN hit h
+       |  ON h.pid = c.pid AND h.band = c.band AND h.tidx = c.tidx
+       |ORDER BY point_id, c.band, "tIdx"""".stripMargin
 
   def drillPoints(spark: SparkSession): DataFrame = {
     val (items, schemas) = parsed(spark)

@@ -184,19 +184,47 @@ private[rasterops] trait RasterLoadQueries {
        |    FROM corners c CROSS JOIN e
        |    GROUP BY c.ty, c.tx, c.cx, c.cy) t
        |  WHERE cr % 2 = 1),
-       |-- (c) proper polygon-edge x rect-edge crossing (orientation signs)
+       |-- (c) polygon-edge × rect-edge intersection — the engine's EXACT
+       |-- predicate (Geom.segmentsIntersect): orientation signs with the
+       |-- 1e-12 epsilon AND the collinear/endpoint-touch cases, which
+       |-- are live here (the sliver's diagonal passes exactly through a
+       |-- tile corner)
        |redges AS (
        |  SELECT ty, tx, rx0 AS ax, ry0 AS ay, rx1 AS bx, ry0 AS byy FROM rect
        |  UNION ALL SELECT ty, tx, rx1, ry0, rx1, ry1 FROM rect
        |  UNION ALL SELECT ty, tx, rx1, ry1, rx0, ry1 FROM rect
        |  UNION ALL SELECT ty, tx, rx0, ry1, rx0, ry0 FROM rect),
+       |kc0 AS (
+       |  SELECT r.ty, r.tx,
+       |         e.x1 AS p1x, e.y1 AS p1y, e.x2 AS p2x, e.y2 AS p2y,
+       |         r.ax AS p3x, r.ay AS p3y, r.bx AS p4x, r.byy AS p4y,
+       |         (e.y2 - e.y1) * (r.ax - e.x2)
+       |           - (e.x2 - e.x1) * (r.ay - e.y2) AS v1,
+       |         (e.y2 - e.y1) * (r.bx - e.x2)
+       |           - (e.x2 - e.x1) * (r.byy - e.y2) AS v2,
+       |         (r.byy - r.ay) * (e.x1 - r.bx)
+       |           - (r.bx - r.ax) * (e.y1 - r.byy) AS v3,
+       |         (r.byy - r.ay) * (e.x2 - r.bx)
+       |           - (r.bx - r.ax) * (e.y2 - r.byy) AS v4
+       |  FROM redges r CROSS JOIN e),
+       |kc1 AS (
+       |  SELECT *,
+       |    CASE WHEN v1 > 1e-12 THEN 1 WHEN v1 < -1e-12 THEN -1 ELSE 0 END AS o1,
+       |    CASE WHEN v2 > 1e-12 THEN 1 WHEN v2 < -1e-12 THEN -1 ELSE 0 END AS o2,
+       |    CASE WHEN v3 > 1e-12 THEN 1 WHEN v3 < -1e-12 THEN -1 ELSE 0 END AS o3,
+       |    CASE WHEN v4 > 1e-12 THEN 1 WHEN v4 < -1e-12 THEN -1 ELSE 0 END AS o4
+       |  FROM kc0),
        |kc AS (
-       |  SELECT DISTINCT r.ty, r.tx FROM redges r JOIN e ON
-       |    sign((e.x2 - e.x1) * (r.ay - e.y1) - (e.y2 - e.y1) * (r.ax - e.x1)) *
-       |    sign((e.x2 - e.x1) * (r.byy - e.y1) - (e.y2 - e.y1) * (r.bx - e.x1)) < 0
-       |    AND
-       |    sign((r.bx - r.ax) * (e.y1 - r.ay) - (r.byy - r.ay) * (e.x1 - r.ax)) *
-       |    sign((r.bx - r.ax) * (e.y2 - r.ay) - (r.byy - r.ay) * (e.x2 - r.ax)) < 0),
+       |  SELECT DISTINCT ty, tx FROM kc1
+       |  WHERE (o1 <> o2 AND o3 <> o4)
+       |     OR (o1 = 0 AND p3x BETWEEN LEAST(p1x, p2x) AND GREATEST(p1x, p2x)
+       |                AND p3y BETWEEN LEAST(p1y, p2y) AND GREATEST(p1y, p2y))
+       |     OR (o2 = 0 AND p4x BETWEEN LEAST(p1x, p2x) AND GREATEST(p1x, p2x)
+       |                AND p4y BETWEEN LEAST(p1y, p2y) AND GREATEST(p1y, p2y))
+       |     OR (o3 = 0 AND p1x BETWEEN LEAST(p3x, p4x) AND GREATEST(p3x, p4x)
+       |                AND p1y BETWEEN LEAST(p3y, p4y) AND GREATEST(p3y, p4y))
+       |     OR (o4 = 0 AND p2x BETWEEN LEAST(p3x, p4x) AND GREATEST(p3x, p4x)
+       |                AND p2y BETWEEN LEAST(p3y, p4y) AND GREATEST(p3y, p4y))),
        |kept AS (
        |  SELECT DISTINCT ty, tx FROM (
        |    SELECT * FROM ka UNION SELECT * FROM kb UNION SELECT * FROM kc) u),

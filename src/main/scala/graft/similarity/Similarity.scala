@@ -1480,14 +1480,11 @@ object Similarity {
       .select(col("vec_id"), col("cell").cast("int").as("cell"))
       .write.mode("overwrite").parquet(s"$path/cells")
     val cells = spark.read.parquet(s"$path/cells")
-    val md5hex = udf { (id: Long) =>
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-    }
     val agg = new graft.load.Sampling.BottomKLocs(ClusterQuota).toColumn
     val kept = cells
-      .select(col("cell"), md5hex(col("vec_id")).as("key"), col("vec_id"))
+      // native codegen'd md5 (the Corpus.scala portable-rank spelling)
+      .select(col("cell"), md5(col("vec_id").cast("string").cast("binary"))
+        .as("key"), col("vec_id"))
       .as[(Int, String, Long)]
       .groupByKey(_._1)
       .mapValues { case (_, key, id) => graft.load.Sampling.LocIn(key, id) }

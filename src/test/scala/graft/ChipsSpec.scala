@@ -55,6 +55,18 @@ class ChipsSpec extends AnyFunSuite {
     assert(out.head.getAs[Int]("n_valid") == 4)
   }
 
+  test("a point overlapping no tile still emits an all-NaN row") {
+    val rows = Seq(tile("red", 0, 0, 0, 100))
+    val out = Chips.chips(spark, tilesDf(rows),
+      Seq(("off", 500, 500), ("on", 0, 0)), 4).collect()
+      .map(r => r.getAs[String]("point_id") -> r).toMap
+    assert(out.keySet == Set("off", "on"))
+    val off = out("off")
+    assert(off.getAs[Int]("n_valid") == 0)
+    assert(off.getAs[scala.collection.Seq[Double]]("chip").forall(_.isNaN))
+    assert(out("on").getAs[Int]("n_valid") == 15)
+  }
+
   test("bands and time indices produce independent chips") {
     val rows = Seq(
       tile("red", 0, 0, 0, 100), tile("nir", 0, 0, 0, 500),
