@@ -332,6 +332,84 @@ object Dedup {
        |WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- near-duplicate decontamination (portable, cross-engine) ------------
+
+  /** NEAR-duplicate decontamination — the modern successor to exact
+    * n-gram decontamination (`text_decontaminate`): a training document
+    * that is a near-copy of an evaluation document leaks the benchmark
+    * even when no 13-gram matches verbatim (paraphrase, whitespace
+    * mangling, truncation). The held-out set here is the deterministic
+    * `doc_id % 11 = 0` slice (the driver tables carry no separate
+    * benchmark corpus); candidates are train×eval pairs sharing a
+    * MinHash band key (same portable mod-p signatures, 4×4 banding and
+    * `MaxBucket` cap as `dedup_minhash_lsh_portable`), and survivors
+    * verify by exact trigram-shingle Jaccard ≥ 0.7. Scale shape:
+    * banding makes the train side stream — no train×eval cross join
+    * ever materializes, and the eval side is benchmark-sized. Both
+    * engines run the whole pipeline from raw text. */
+  val decontaminateNearSparkSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, doc_id % 11 = 0 AS is_eval,
+      |         minhash_portable(split(lower(trim(text)), '\\s+')) AS sig,
+      |         shingles3(split(lower(trim(text)), '\\s+')) AS sh
+      |  FROM documents),
+      |bd AS (
+      |  SELECT doc_id, is_eval, b,
+      |         concat_ws('_', sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3]) AS bk
+      |  FROM s LATERAL VIEW explode(sequence(0, 3)) t AS b),
+      |k AS (
+      |  SELECT doc_id, is_eval, b, bk FROM (
+      |    SELECT doc_id, is_eval, b, bk,
+      |           COUNT(*) OVER (PARTITION BY b, bk) AS bs
+      |    FROM bd) q
+      |  WHERE bs BETWEEN 2 AND @CAP@),
+      |p AS (
+      |  SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+      |  FROM k t JOIN k e ON t.b = e.b AND t.bk = e.bk
+      |  WHERE NOT t.is_eval AND e.is_eval),
+      |j AS (
+      |  SELECT train_id, eval_id,
+      |         CAST(size(array_intersect(st.sh, se.sh)) AS DOUBLE)
+      |           / size(array_union(st.sh, se.sh)) AS jac
+      |  FROM p JOIN s st ON st.doc_id = train_id
+      |         JOIN s se ON se.doc_id = eval_id)
+      |SELECT train_id, eval_id, ROUND(jac, 4) AS jaccard FROM j
+      |WHERE jac >= 0.7 ORDER BY train_id, eval_id""".stripMargin
+      .replace("@CAP@", MaxBucket.toString)
+
+  val decontaminateNearDuckSql: String = {
+    import graft.functions.HashKernels.{portA, portB, PortP, PortPerm}
+    val sigList = (0 until PortPerm).map { p =>
+      s"list_min(list_transform(hs, x -> (${portA(p)}*x + ${portB(p)}) % $PortP))"
+    }.mkString("[", ",\n      ", "]")
+    s"""$duckGramCtes,
+       |sg AS (
+       |  SELECT doc_id, doc_id % 11 = 0 AS is_eval, $sigList AS sig, hs AS sh
+       |  FROM hd),
+       |bd AS (
+       |  SELECT doc_id, is_eval, b,
+       |         concat_ws('_', sig[b*4+1], sig[b*4+2], sig[b*4+3], sig[b*4+4]) AS bk
+       |  FROM sg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bs),
+       |k AS (
+       |  SELECT doc_id, is_eval, b, bk FROM (
+       |    SELECT doc_id, is_eval, b, bk,
+       |           COUNT(*) OVER (PARTITION BY b, bk) AS bs
+       |    FROM bd) q
+       |  WHERE bs BETWEEN 2 AND $MaxBucket),
+       |p AS (
+       |  SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+       |  FROM k t JOIN k e ON t.b = e.b AND t.bk = e.bk
+       |  WHERE NOT t.is_eval AND e.is_eval),
+       |j AS (
+       |  SELECT train_id, eval_id,
+       |         CAST(len(list_intersect(st.sh, se.sh)) AS DOUBLE)
+       |           / len(list_distinct(st.sh || se.sh)) AS jac
+       |  FROM p JOIN sg st ON st.doc_id = train_id
+       |         JOIN sg se ON se.doc_id = eval_id)
+       |SELECT train_id, eval_id, ROUND(jac, 4) AS jaccard FROM j
+       |WHERE jac >= 0.7 ORDER BY train_id, eval_id""".stripMargin
+  }
+
   // ---- blocked n-gram Jaccard (oracle-checkable) --------------------------
 
   /** Prefix-blocked exact n-gram Jaccard: candidates share a 40-char prefix
@@ -916,6 +994,10 @@ object Dedup {
       graft.functions.VecFunctions.register(s)
       Tables.sql(minhashLshPortableSparkSql)(s, d)
     }),
+    "text_decontaminate_near" -> ((s, d) => {
+      graft.functions.VecFunctions.register(s)
+      Tables.sql(decontaminateNearSparkSql)(s, d)
+    }),
     "dedup_ngram_jaccard" -> ((s, d) => {
       graft.functions.VecFunctions.register(s)
       Tables.sql(ngramJaccardSparkSql)(s, d)
@@ -942,6 +1024,7 @@ object Dedup {
     "dedup_simhash_sig" -> simhashSigDuckSql,
     "dedup_simhash" -> simhashDuckSql,
     "dedup_minhash_lsh_portable" -> minhashLshPortableDuckSql,
+    "text_decontaminate_near" -> decontaminateNearDuckSql,
     "dedup_containment" -> containmentDuckSql,
     "dedup_incremental" -> incrementalDuckSql,
     "dedup_clusters" -> clustersDuckSql,
