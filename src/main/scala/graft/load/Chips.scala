@@ -35,14 +35,20 @@ object Chips {
             points: Seq[(String, Int, Int)], size: Int): DataFrame = {
     import spark.implicits._
     require(size > 0, s"chip size must be positive: $size")
-    val bc = spark.sparkContext.broadcast(points.toArray)
+    // pre-binned by anchor bucket (the Drill convention): a tile scans
+    // only the points whose chips can overlap it, not the whole sample
+    // list — the probe rect grows by size-1 on the top/left because a
+    // chip extends size px down-right of its anchor
+    val bc = spark.sparkContext.broadcast(
+      Drill.binByBucket(points)(_._3, _._2))
     val sz = size
     tiles
       .select(col("band"), col("tIdx"), col("x0"), col("y0"),
         col("width"), col("height"), col("data"), col("dtype"), col("nodata"))
       .as[(String, Int, Int, Int, Int, Int, Array[Byte], String, Double)]
       .flatMap { case (band, tIdx, x0, y0, w, h, data, dtype, nodata) =>
-        val pts = bc.value
+        val pts = Drill.candidates(bc.value,
+          x0 - (sz - 1), y0 - (sz - 1), w + sz - 1, h + sz - 1).toArray
         val out = Seq.newBuilder[Frag]
         // decode at most once per tile regardless of how many chip
         // windows overlap it (sample lists are thousands of points)
