@@ -271,66 +271,96 @@ object Dedup {
     * and that invariance is itself part of what the green row checks.
     * Band keys ride as '_'-joined strings: exact, overflow-free, and
     * spelled identically in both engines. */
-  val minhashLshPortableSparkSql: String =
-    """WITH s AS (
-      |  SELECT doc_id,
-      |         minhash_portable(split(lower(trim(text)), '\\s+')) AS sig,
-      |         shingles3(split(lower(trim(text)), '\\s+')) AS sh
-      |  FROM documents),
-      |bd AS (
-      |  SELECT doc_id, b,
-      |         concat_ws('_', sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3]) AS bk
-      |  FROM s LATERAL VIEW explode(sequence(0, 3)) t AS b),
-      |k AS (
-      |  SELECT doc_id, b, bk FROM (
-      |    SELECT doc_id, b, bk, COUNT(*) OVER (PARTITION BY b, bk) AS bs
-      |    FROM bd) q
-      |  WHERE bs BETWEEN 2 AND @CAP@),
-      |p AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-      |  FROM k a JOIN k b2 ON a.b = b2.b AND a.bk = b2.bk
-      |                    AND a.doc_id < b2.doc_id),
-      |j AS (
-      |  SELECT doc_a, doc_b,
-      |         CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)
-      |           / size(array_union(sa.sh, sb.sh)) AS jac
-      |  FROM p JOIN s sa ON sa.doc_id = doc_a
-      |         JOIN s sb ON sb.doc_id = doc_b)
-      |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM j
-      |WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
-      .replace("@CAP@", MaxBucket.toString)
+  /** ONE template builds both LSH-portable spellings (all-pairs dedup
+    * and train×eval decontamination), so the banding width, bucket cap,
+    * signature arithmetic, and Jaccard threshold cannot drift between
+    * the two operators. `evalSplit` adds the held-out flag and swaps
+    * the pair predicate from `doc_id <` ordering to train×eval. */
+  private def lshPortableSpark(evalSplit: Boolean): String = {
+    val evalCol = if (evalSplit) " doc_id % 11 = 0 AS is_eval," else ""
+    val carry = if (evalSplit) "is_eval, " else ""
+    val pair =
+      if (evalSplit)
+        """  SELECT DISTINCT t.doc_id AS out_a, e.doc_id AS out_b
+          |  FROM k t JOIN k e ON t.b = e.b AND t.bk = e.bk
+          |  WHERE NOT t.is_eval AND e.is_eval""".stripMargin
+      else
+        """  SELECT DISTINCT a.doc_id AS out_a, b2.doc_id AS out_b
+          |  FROM k a JOIN k b2 ON a.b = b2.b AND a.bk = b2.bk
+          |                    AND a.doc_id < b2.doc_id""".stripMargin
+    val (oa, ob) = if (evalSplit) ("train_id", "eval_id") else ("doc_a", "doc_b")
+    s"""WITH s AS (
+       |  SELECT doc_id,$evalCol
+       |         minhash_portable(split(lower(trim(text)), '\\\\s+')) AS sig,
+       |         shingles3(split(lower(trim(text)), '\\\\s+')) AS sh
+       |  FROM documents),
+       |bd AS (
+       |  SELECT doc_id, ${carry}b,
+       |         concat_ws('_', sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3]) AS bk
+       |  FROM s LATERAL VIEW explode(sequence(0, 3)) t AS b),
+       |k AS (
+       |  SELECT doc_id, ${carry}b, bk FROM (
+       |    SELECT doc_id, ${carry}b, bk, COUNT(*) OVER (PARTITION BY b, bk) AS bs
+       |    FROM bd) q
+       |  WHERE bs BETWEEN 2 AND $MaxBucket),
+       |p AS (
+       |$pair),
+       |j AS (
+       |  SELECT out_a, out_b,
+       |         CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |           / size(array_union(sa.sh, sb.sh)) AS jac
+       |  FROM p JOIN s sa ON sa.doc_id = out_a
+       |         JOIN s sb ON sb.doc_id = out_b)
+       |SELECT out_a AS $oa, out_b AS $ob, ROUND(jac, 4) AS jaccard FROM j
+       |WHERE jac >= 0.7 ORDER BY $oa, $ob""".stripMargin
+  }
 
-  val minhashLshPortableDuckSql: String = {
+  val minhashLshPortableSparkSql: String = lshPortableSpark(evalSplit = false)
+
+  /** DuckDB twin of [[lshPortableSpark]] — same single-template rule. */
+  private def lshPortableDuck(evalSplit: Boolean): String = {
     import graft.functions.HashKernels.{portA, portB, PortP, PortPerm}
     val sigList = (0 until PortPerm).map { p =>
       s"list_min(list_transform(hs, x -> (${portA(p)}*x + ${portB(p)}) % $PortP))"
     }.mkString("[", ",\n      ", "]")
+    val evalCol = if (evalSplit) " doc_id % 11 = 0 AS is_eval," else ""
+    val carry = if (evalSplit) "is_eval, " else ""
+    val pair =
+      if (evalSplit)
+        """  SELECT DISTINCT t.doc_id AS out_a, e.doc_id AS out_b
+          |  FROM k t JOIN k e ON t.b = e.b AND t.bk = e.bk
+          |  WHERE NOT t.is_eval AND e.is_eval""".stripMargin
+      else
+        """  SELECT DISTINCT a.doc_id AS out_a, b2.doc_id AS out_b
+          |  FROM k a JOIN k b2 ON a.b = b2.b AND a.bk = b2.bk
+          |                    AND a.doc_id < b2.doc_id""".stripMargin
+    val (oa, ob) = if (evalSplit) ("train_id", "eval_id") else ("doc_a", "doc_b")
     s"""$duckGramCtes,
        |sg AS (
-       |  SELECT doc_id, $sigList AS sig, hs AS sh
+       |  SELECT doc_id,$evalCol $sigList AS sig, hs AS sh
        |  FROM hd),
        |bd AS (
-       |  SELECT doc_id, b,
+       |  SELECT doc_id, ${carry}b,
        |         concat_ws('_', sig[b*4+1], sig[b*4+2], sig[b*4+3], sig[b*4+4]) AS bk
        |  FROM sg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bs),
        |k AS (
-       |  SELECT doc_id, b, bk FROM (
-       |    SELECT doc_id, b, bk, COUNT(*) OVER (PARTITION BY b, bk) AS bs
+       |  SELECT doc_id, ${carry}b, bk FROM (
+       |    SELECT doc_id, ${carry}b, bk, COUNT(*) OVER (PARTITION BY b, bk) AS bs
        |    FROM bd) q
        |  WHERE bs BETWEEN 2 AND $MaxBucket),
        |p AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-       |  FROM k a JOIN k b2 ON a.b = b2.b AND a.bk = b2.bk
-       |                    AND a.doc_id < b2.doc_id),
+       |$pair),
        |j AS (
-       |  SELECT doc_a, doc_b,
+       |  SELECT out_a, out_b,
        |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
        |           / len(list_distinct(sa.sh || sb.sh)) AS jac
-       |  FROM p JOIN sg sa ON sa.doc_id = doc_a
-       |         JOIN sg sb ON sb.doc_id = doc_b)
-       |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM j
-       |WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
+       |  FROM p JOIN sg sa ON sa.doc_id = out_a
+       |         JOIN sg sb ON sb.doc_id = out_b)
+       |SELECT out_a AS $oa, out_b AS $ob, ROUND(jac, 4) AS jaccard FROM j
+       |WHERE jac >= 0.7 ORDER BY $oa, $ob""".stripMargin
   }
+
+  val minhashLshPortableDuckSql: String = lshPortableDuck(evalSplit = false)
 
   // ---- near-duplicate decontamination (portable, cross-engine) ------------
 
@@ -347,68 +377,9 @@ object Dedup {
     * banding makes the train side stream — no train×eval cross join
     * ever materializes, and the eval side is benchmark-sized. Both
     * engines run the whole pipeline from raw text. */
-  val decontaminateNearSparkSql: String =
-    """WITH s AS (
-      |  SELECT doc_id, doc_id % 11 = 0 AS is_eval,
-      |         minhash_portable(split(lower(trim(text)), '\\s+')) AS sig,
-      |         shingles3(split(lower(trim(text)), '\\s+')) AS sh
-      |  FROM documents),
-      |bd AS (
-      |  SELECT doc_id, is_eval, b,
-      |         concat_ws('_', sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3]) AS bk
-      |  FROM s LATERAL VIEW explode(sequence(0, 3)) t AS b),
-      |k AS (
-      |  SELECT doc_id, is_eval, b, bk FROM (
-      |    SELECT doc_id, is_eval, b, bk,
-      |           COUNT(*) OVER (PARTITION BY b, bk) AS bs
-      |    FROM bd) q
-      |  WHERE bs BETWEEN 2 AND @CAP@),
-      |p AS (
-      |  SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
-      |  FROM k t JOIN k e ON t.b = e.b AND t.bk = e.bk
-      |  WHERE NOT t.is_eval AND e.is_eval),
-      |j AS (
-      |  SELECT train_id, eval_id,
-      |         CAST(size(array_intersect(st.sh, se.sh)) AS DOUBLE)
-      |           / size(array_union(st.sh, se.sh)) AS jac
-      |  FROM p JOIN s st ON st.doc_id = train_id
-      |         JOIN s se ON se.doc_id = eval_id)
-      |SELECT train_id, eval_id, ROUND(jac, 4) AS jaccard FROM j
-      |WHERE jac >= 0.7 ORDER BY train_id, eval_id""".stripMargin
-      .replace("@CAP@", MaxBucket.toString)
+  val decontaminateNearSparkSql: String = lshPortableSpark(evalSplit = true)
 
-  val decontaminateNearDuckSql: String = {
-    import graft.functions.HashKernels.{portA, portB, PortP, PortPerm}
-    val sigList = (0 until PortPerm).map { p =>
-      s"list_min(list_transform(hs, x -> (${portA(p)}*x + ${portB(p)}) % $PortP))"
-    }.mkString("[", ",\n      ", "]")
-    s"""$duckGramCtes,
-       |sg AS (
-       |  SELECT doc_id, doc_id % 11 = 0 AS is_eval, $sigList AS sig, hs AS sh
-       |  FROM hd),
-       |bd AS (
-       |  SELECT doc_id, is_eval, b,
-       |         concat_ws('_', sig[b*4+1], sig[b*4+2], sig[b*4+3], sig[b*4+4]) AS bk
-       |  FROM sg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bs),
-       |k AS (
-       |  SELECT doc_id, is_eval, b, bk FROM (
-       |    SELECT doc_id, is_eval, b, bk,
-       |           COUNT(*) OVER (PARTITION BY b, bk) AS bs
-       |    FROM bd) q
-       |  WHERE bs BETWEEN 2 AND $MaxBucket),
-       |p AS (
-       |  SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
-       |  FROM k t JOIN k e ON t.b = e.b AND t.bk = e.bk
-       |  WHERE NOT t.is_eval AND e.is_eval),
-       |j AS (
-       |  SELECT train_id, eval_id,
-       |         CAST(len(list_intersect(st.sh, se.sh)) AS DOUBLE)
-       |           / len(list_distinct(st.sh || se.sh)) AS jac
-       |  FROM p JOIN sg st ON st.doc_id = train_id
-       |         JOIN sg se ON se.doc_id = eval_id)
-       |SELECT train_id, eval_id, ROUND(jac, 4) AS jaccard FROM j
-       |WHERE jac >= 0.7 ORDER BY train_id, eval_id""".stripMargin
-  }
+  val decontaminateNearDuckSql: String = lshPortableDuck(evalSplit = true)
 
   // ---- blocked n-gram Jaccard (oracle-checkable) --------------------------
 

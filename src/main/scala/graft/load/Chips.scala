@@ -30,9 +30,14 @@ object Chips {
     * `points` give each chip's TOP-LEFT global pixel corner
     * (pid, gy0, gx0), so callers control alignment exactly. Returns
     * one row per (point_id, band, tIdx): `chip` is the row-major
-    * size² plane (NaN = nodata/uncovered), `n_valid` its valid count. */
+    * size² plane (NaN = nodata/uncovered), `n_valid` its valid count.
+    * `combos` optionally declares the (band, tIdx) domain driver-side
+    * (a `LoadResult` caller knows bands × times) — without it the
+    * domain comes from `tiles.distinct()`, which re-executes the tile
+    * lineage a second time when `tiles` is an unpersisted load. */
   def chips(spark: SparkSession, tiles: DataFrame,
-            points: Seq[(String, Int, Int)], size: Int): DataFrame = {
+            points: Seq[(String, Int, Int)], size: Int,
+            combos: Seq[(String, Int)] = Nil): DataFrame = {
     import spark.implicits._
     require(size > 0, s"chip size must be positive: $size")
     // pre-binned by anchor bucket (the Drill convention): a tile scans
@@ -108,7 +113,8 @@ object Chips {
       // gets a row, all-NaN when uncovered — callers join chips back to
       // their sample lists and silent loss would corrupt the join
       .join(
-        tiles.select(col("band"), col("tIdx")).distinct()
+        (if (combos.nonEmpty) combos.toDF("band", "tIdx")
+         else tiles.select(col("band"), col("tIdx")).distinct())
           .crossJoin(points.map(_._1).toDF("point_id")),
         Seq("point_id", "band", "tIdx"), "right_outer")
       .select(col("point_id"), col("band"), col("tIdx"),

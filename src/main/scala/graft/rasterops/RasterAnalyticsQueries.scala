@@ -252,6 +252,33 @@ private[rasterops] trait RasterAnalyticsQueries {
     * dropped row), and a point outside every tile (no rows at all).
     * DuckDB re-samples the landed mosaic plane at the same global pixel
     * coords (floor((x−x0)/res) on both sides). */
+  def drillPoints(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val points = Seq(
+      ("p_valid", 500234.7, 7999812.3),   // gx 23, gy 18 — valid day 0
+      ("p_margin", 501700.0, 7999500.0),  // gx 170 — day-0 fused nodata,
+                                          // day-1 scene2 value
+      ("p_edge", 501507.2, 7999045.8),    // gy 95 — last row of the grid
+      ("p_outside", 499000.0, 7999500.0)) // west of every scene: no rows
+    graft.load.Drill.drill(spark, res.tiles, res.geobox, points)
+      .orderBy("point_id", "band", "tIdx")
+  }
+
+  private[rasterops] val drillPointsDuckSql: String =
+    s"""WITH pts(pid, gx, gy) AS (
+       |  VALUES ('p_valid', 23, 18), ('p_margin', 170, 50),
+       |         ('p_edge', 150, 95)),
+       |c AS (SELECT * FROM read_parquet('$CellsPath/*.parquet'))
+       |SELECT p.pid AS point_id, c.band, c.tidx AS "tIdx",
+       |       CASE WHEN c.value <> 0 THEN c.value
+       |            ELSE CAST('NaN' AS DOUBLE) END AS value
+       |FROM pts p JOIN c
+       |  ON c.ty = p.gy // 64 AND c.tx = p.gx // 64
+       | AND c.py = p.gy % 64 AND c.px = p.gx % 64
+       |ORDER BY point_id, band, "tIdx"""".stripMargin
+
   /** ML chip extraction ([[graft.load.Chips]]): 16×16 training patches
     * cut from the standing solar-day mosaic around three anchor
     * corners — one interior, one straddling a 4-tile corner (its
@@ -268,7 +295,11 @@ private[rasterops] trait RasterAnalyticsQueries {
       ("c_mid", 30, 40),    // interior of tile (0, 0)
       ("c_seam", 50, 120),  // rows 50..65 × cols 120..135: 4-tile corner
       ("c_edge", 88, 310))  // clipped at the 96-row / 320-col grid edge
-    graft.load.Chips.chips(spark, res.tiles, points, size = 16)
+    graft.load.Chips.chips(spark, res.tiles, points, size = 16,
+      combos = for {
+        b <- Seq("red", "nir")
+        t <- res.times.indices
+      } yield (b, t))
       .select(col("point_id"), col("band"), col("tIdx"),
         col("n_valid").cast("long").as("n_valid"),
         expr("aggregate(zip_with(chip, sequence(1, 256), (v, i) -> " +
@@ -296,10 +327,13 @@ private[rasterops] trait RasterAnalyticsQueries {
        |  SELECT p.pid, b.band, b.tidx
        |  FROM pts p CROSS JOIN (SELECT DISTINCT band, tidx FROM px) b),
        |hit AS (
+       |  -- valid = NOT isnan AND <> nodata(0): the isnan guard keeps a
+       |  -- NaN cell from counting as valid (DuckDB NaN <> 0 is true)
+       |  -- and from hard-erroring the BIGINT cast
        |  SELECT p.pid, x.band, x.tidx,
-       |         CAST(SUM(CASE WHEN x.value <> 0 THEN 1 ELSE 0 END)
-       |              AS BIGINT) AS n_valid,
-       |         CAST(SUM(CASE WHEN x.value <> 0
+       |         CAST(SUM(CASE WHEN NOT isnan(x.value) AND x.value <> 0
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       |         CAST(SUM(CASE WHEN NOT isnan(x.value) AND x.value <> 0
        |                  THEN (1 + (x.gy - p.gy0) * 16 + (x.gx - p.gx0)) *
        |                       CAST(ROUND(x.value * 100) AS BIGINT)
        |                  ELSE 0 END) AS BIGINT) AS chip_q
@@ -315,32 +349,6 @@ private[rasterops] trait RasterAnalyticsQueries {
        |  ON h.pid = c.pid AND h.band = c.band AND h.tidx = c.tidx
        |ORDER BY point_id, c.band, "tIdx"""".stripMargin
 
-  def drillPoints(spark: SparkSession): DataFrame = {
-    val (items, schemas) = parsed(spark)
-    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
-      groupby = "solar_day", chunks = 64)
-    val points = Seq(
-      ("p_valid", 500234.7, 7999812.3),   // gx 23, gy 18 — valid day 0
-      ("p_margin", 501700.0, 7999500.0),  // gx 170 — day-0 fused nodata,
-                                          // day-1 scene2 value
-      ("p_edge", 501507.2, 7999045.8),    // gy 95 — last row of the grid
-      ("p_outside", 499000.0, 7999500.0)) // west of every scene: no rows
-    graft.load.Drill.drill(spark, res.tiles, res.geobox, points)
-      .orderBy("point_id", "band", "tIdx")
-  }
-
-  private[rasterops] val drillPointsDuckSql: String =
-    s"""WITH pts(pid, gx, gy) AS (
-       |  VALUES ('p_valid', 23, 18), ('p_margin', 170, 50),
-       |         ('p_edge', 150, 95)),
-       |c AS (SELECT * FROM read_parquet('$CellsPath/*.parquet'))
-       |SELECT p.pid AS point_id, c.band, c.tidx AS "tIdx",
-       |       CASE WHEN c.value <> 0 THEN c.value
-       |            ELSE CAST('NaN' AS DOUBLE) END AS value
-       |FROM pts p JOIN c
-       |  ON c.ty = p.gy // 64 AND c.tx = p.gx // 64
-       | AND c.py = p.gy % 64 AND c.px = p.gx % 64
-       |ORDER BY point_id, band, "tIdx"""".stripMargin
 
   /** Change detection day 0 → day 1 (BandMath.changeAcrossTime): the
     * overlap columns of the marching scenes are the ground both days
