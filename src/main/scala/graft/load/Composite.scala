@@ -379,7 +379,7 @@ object Composite {
     * kernel every bounded reassembly shares: `parts(i) = (sliceIdx,
     * doublePlanes, cntSlice)`, all parts carrying the same number of
     * double planes. Sorts by slice index in place. */
-  private[load] def concatSlices(
+  private[graft] def concatSlices(
       parts: Array[(Int, Array[Array[Double]], Array[Int])])
       : (Array[Array[Double]], Array[Int]) = {
     scala.util.Sorting.stableSort(parts,
