@@ -20,9 +20,14 @@ object Relational {
   private case class Q(name: String, spark: String, duck: Option[String] = None)
 
   private val qs: Seq[Q] = Seq(
+    // ORDER BY spans ALL output columns: the synthetic lineitem has
+    // duplicate (orderkey, linenumber) pairs, and an order-sensitive
+    // oracle compare must not depend on which engine breaks the tie
+    // (exposed when the split-starvation guard repartitioned the scan)
     Q("q01_scan_filter",
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin),
+        |WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin),
 
     Q("q02_predicate_combo",
       """SELECT o_orderkey FROM orders
