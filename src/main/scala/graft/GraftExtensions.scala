@@ -75,5 +75,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // derive pushdown-able z-range bounds from tx/ty box predicates on
     // z-clustered tables (see graft.plans.ZOrderRangePruning)
     ext.injectOptimizerRule(graft.plans.ZOrderRangePruning(_))
+    // repartition split-starved parquet scans under expensive per-row
+    // work (see graft.plans.ScanRebalanceRule)
+    ext.injectOptimizerRule(graft.plans.ScanRebalanceRule(_))
   }
 }

@@ -2,40 +2,42 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: run named queries with Bench's steady-state protocol (noop
-  * sink, second-run timing) without paying for the whole suite. Usage:
-  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.RunOne q07_multi_join
-  * Pass `-show` to also print the first rows (runs the query once more).
+/** Dev-only diagnostic: run named registered queries once (or N times)
+  * under the Bench session shape and print per-run wall times, with an
+  * optional formatted plan dump — for isolating one query's behavior
+  * without the full Bench protocol.
+  *
+  * Usage: runMain graft.RunOne <sfDir> <query> [<query>...]
+  *   SPARK_GRAFT_RUNS=N       timed runs per query (default 2)
+  *   SPARK_GRAFT_EXPLAIN=1    print .explain("formatted") per query
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    require(args.length >= 2, "usage: RunOne <sfDir> <query> [<query>...]")
+    val sfDir = args(0)
+    val names = args.drop(1).toSeq
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val show = args.contains("-show")
-    // -conf key=value pairs pass straight through to the session builder
-    val confs = args.filter(_.startsWith("-conf")).map(_.stripPrefix("-conf"))
-      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
-    val names = args.filterNot(_.startsWith("-"))
-    val builder = SparkSession.builder().master(s"local[$cpus]")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    confs.foreach { case (k, v) => builder.config(k, v) }
-    val spark = builder.getOrCreate()
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def once(n: String): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    names.foreach { n =>
-      val cold = once(n)
-      val warm = once(n)
-      println(f"== $n cold=$cold%.3f s warm=$warm%.3f s")
-      if (show) SparkEntry.queries(n)(spark, dir).show(20, truncate = false)
+    names.foreach { name =>
+      val q = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query: $name"))
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").exists(_ == "1"))
+        q(spark, sfDir).explain("formatted")
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        q(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(s"== $name: " + times.map(t => f"$t%.2f").mkString(" ") + " s")
     }
     spark.stop()
   }

@@ -374,7 +374,14 @@ object Similarity {
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    assigned.write.mode("overwrite").partitionBy("cell")
+    // cluster by cell before the partitioned write: without it every
+    // input partition writes one file per cell it touches — tasks x cells
+    // small files (22k observed from a 32-partition 707-cell index; at
+    // 1000 executors it would be millions) — and the reload pays a
+    // footer read per file. One hash exchange bounds it at one file per
+    // cell, each written whole by one task.
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells")
   }
 

@@ -1,12 +1,17 @@
 package graft
 
+import org.apache.spark.sql.catalyst.plans.logical.Repartition
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Split-starvation guard ([[Tables.rebalance]]): a 1-row-group parquet
-  * file is read by exactly one task regardless of `maxPartitionBytes`,
-  * so CPU-heavy per-row kernels serialize on the accident of how the
-  * input was written. The guard repartitions such tables when each
-  * row group carries more than `spark.graft.scan.minSplitMB`.
+/** Split-starvation rebalance ([[graft.plans.ScanRebalanceRule]]): a
+  * 1-row-group parquet file is read by exactly one task regardless of
+  * `maxPartitionBytes`, so CPU-heavy per-row kernels serialize on the
+  * accident of how the input was written. The rule repartitions such
+  * scans — but ONLY when expensive per-row work (regex, UDFs, HOFs,
+  * natives, explodes) runs in the scan stage; scan-bound aggregates keep
+  * their map-side combine (an injected exchange below a partial
+  * aggregate measurably regressed sketch queries 1.5-3x at sf10).
   */
 class ScanSplitSpec extends AnyFunSuite {
   import GraftSpark.{spark, sf}
@@ -22,40 +27,76 @@ class ScanSplitSpec extends AnyFunSuite {
     }
   }
 
+  /** An expensive projection (regex) over the docs table. */
+  private def heavy =
+    Tables.load(spark, sf, "documents")
+      .select(regexp_extract(col("text"), "([a-z]+)", 1).as("w"))
+
+  private def injected(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan
+      .collect { case r: Repartition if r.shuffle => r }.nonEmpty
+
   test("default threshold leaves small single-group files alone") {
     // sf0.001 documents: 1 row group, ~0.1 MB — far under 24 MB/group,
-    // the guard must not add an exchange at gating scale factors
-    val df = Tables.load(spark, sf, "documents")
-    assert(df.rdd.getNumPartitions == 1)
+    // the rule must not add an exchange at gating scale factors
+    assert(!injected(heavy))
+    assert(heavy.rdd.getNumPartitions == 1)
   }
 
-  test("starved layout is rebalanced to defaultParallelism") {
+  test("starved scan under expensive work is rebalanced to cores") {
     withThreshold("0.00001") {
-      val df = Tables.load(spark, sf, "documents")
-      assert(df.rdd.getNumPartitions ==
+      assert(injected(heavy))
+      assert(heavy.rdd.getNumPartitions ==
         spark.sparkContext.defaultParallelism)
       // rebalancing must not change the relation's contents
-      assert(df.count() ==
+      assert(heavy.count() ==
         spark.read.parquet(Tables.path(sf, "documents")).count())
     }
   }
 
-  test("threshold <= 0 disables the guard") {
-    withThreshold("0") {
-      assert(Tables.load(spark, sf, "documents").rdd.getNumPartitions == 1)
+  test("scan-bound aggregate keeps map-side combine (no injection)") {
+    withThreshold("0.00001") {
+      // cheap projection into a partial aggregate: an exchange below it
+      // would shuffle full rows instead of tiny partial states
+      val agg = Tables.load(spark, sf, "documents")
+        .agg(sum(length(col("text"))).as("b"))
+      assert(!injected(agg))
+      // expensive work ABOVE the aggregate boundary doesn't fire either:
+      // it runs post-exchange, not in the scan task
+      val above = Tables.load(spark, sf, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .select(md5(concat_ws("|", col("lang"), col("n"))).as("h"))
+      assert(!injected(above))
     }
   }
 
-  test("well-chunked inputs never trigger (groups >= cores)") {
+  test("expensive map-side aggregate expressions do fire") {
     withThreshold("0.00001") {
-      // a table written with >= cores row groups keeps its native splits
+      // grouping by a crypto hash evaluates it in the scan-stage partial
+      val agg = Tables.load(spark, sf, "documents")
+        .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("n"))
+      assert(injected(agg))
+    }
+  }
+
+  test("threshold <= 0 disables the rule") {
+    withThreshold("0") {
+      assert(!injected(heavy))
+      assert(heavy.rdd.getNumPartitions == 1)
+    }
+  }
+
+  test("well-chunked inputs never trigger (files >= cores)") {
+    withThreshold("0.00001") {
       val tmp = java.nio.file.Files.createTempDirectory("scansplit").toString
       val n = spark.sparkContext.defaultParallelism
       import spark.implicits._
-      (0 until 1000).toDF("v").repartition(n)
+      (0 until 1000).map(_.toString).toDF("text").repartition(n)
         .write.mode("overwrite").parquet(s"$tmp/t.parquet")
-      val before = Tables.load(spark, tmp, "t")
-      assert(before.rdd.getNumPartitions >= n)
+      val df = Tables.load(spark, tmp, "t")
+        .select(regexp_extract(col("text"), "(\\d+)", 1).as("w"))
+      assert(!injected(df))
+      assert(df.rdd.getNumPartitions >= n)
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator
         .asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
@@ -64,8 +105,10 @@ class ScanSplitSpec extends AnyFunSuite {
 
   test("column pruning still reaches the scan through the repartition") {
     withThreshold("0.00001") {
-      val executed = Tables.load(spark, sf, "documents").select("doc_id")
-        .queryExecution.executedPlan match {
+      val df = Tables.load(spark, sf, "documents")
+        .select(md5(col("text")).as("h"))
+      assert(injected(df))
+      val executed = df.queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           a.executedPlan
         case p => p
@@ -74,9 +117,9 @@ class ScanSplitSpec extends AnyFunSuite {
         .collectFirst {
           case s: org.apache.spark.sql.execution.FileSourceScanExec => s
         }.get
-      // the file scan must read only doc_id, not the text column
+      // the file scan must read only text, not doc_id/lang/...
       val cols = scan.output.map(_.name)
-      assert(cols == Seq("doc_id"), s"scan not pruned: $cols")
+      assert(cols == Seq("text"), s"scan not pruned: $cols")
     }
   }
 }
