@@ -17,11 +17,6 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read it as raw nanos (legacy long mode)
-    * and floor-convert to a microsecond TimestampType column — matching
-    * what the DuckDB oracle sees after `CAST(ts AS TIMESTAMP)`.
-    */
   /** Loading a table also installs [[graft.plans.ScanRebalanceRule]]
     * (idempotent): a plan-aware optimizer rule that repartitions
     * split-starved parquet scans — but only under expensive per-row
@@ -32,6 +27,10 @@ object Tables {
     loadRaw(spark, dir, name)
   }
 
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read it as raw nanos (legacy long mode)
+    * and floor-convert to a microsecond TimestampType column — matching
+    * what the DuckDB oracle sees after `CAST(ts AS TIMESTAMP)`. */
   private def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // scope the legacy-nanos flag to this read: leaking it session-wide

@@ -30,8 +30,13 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * (aggregate without expensive map-side expressions, window, sort,
   * distinct, limit — each resets the flag because work above it runs
   * after that exchange anyway). Only a starved leaf with expensive work
-  * in its scan stage gets a `Repartition(defaultParallelism)`; column
-  * pruning and predicate pushdown still reach the scan through it.
+  * in its scan stage gets a `Repartition(defaultParallelism)`, injected
+  * ABOVE any pushed-down cheap filters so parquet predicate pushdown is
+  * preserved and the shuffle carries post-filter rows only; column
+  * pruning is re-applied through the injected exchange. A `reb` flag
+  * tracks explicit shuffle repartitions already on the path so the rule
+  * converges to a single exchange even when the surrounding fixed-point
+  * batch pushes an expensive filter back through the injected node.
   *
   * Starvation test (driver-side, metadata-only, cached): fewer files than
   * cores AND fewer row groups than cores AND more than
@@ -49,7 +54,7 @@ case class ScanRebalanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .map(_.toDouble).getOrElse(24.0)
     if (minSplitMB <= 0) plan
     else {
-      val out = walk(plan, exp = false, minSplitMB)
+      val out = walk(plan, exp = false, reb = false, minSplitMB)
       // this rule runs after the built-in pruning batch, and an injected
       // Repartition hides the scan from PhysicalOperation — re-run
       // column pruning so the narrow Project lands back on the relation
@@ -60,62 +65,91 @@ case class ScanRebalanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def cores: Int = spark.sparkContext.defaultParallelism
 
+  /** The pushdown-able tower over a starved leaf: consecutive CHEAP
+    * deterministic filters (and aliases) directly above a parquet
+    * relation. The rebalance exchange is injected ABOVE this tower, not
+    * between it and the scan — `PhysicalOperation` cannot collect
+    * filters through a `Repartition`, so injecting below the tower
+    * would cost the scan its parquet predicate pushdown and shuffle
+    * pre-filter rows. */
+  private def tower(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+      Some(lr)
+    case f: Filter if !expensive(f.condition) && f.condition.deterministic =>
+      tower(f.child)
+    case s: SubqueryAlias => tower(s.child)
+    case _ => None
+  }
+
   /** Expensive-above-scan propagation. `exp` = some ancestor between this
     * node and the nearest exchange boundary does heavy per-row work that
-    * would execute inside the scan task. */
-  private def walk(p: LogicalPlan, exp: Boolean, mb: Double): LogicalPlan =
+    * would execute inside the scan task. `reb` = an explicit shuffle
+    * repartition already sits between here and that boundary, so the
+    * scan stage below is already parallel — never inject a second
+    * exchange (keeps the rule convergent when the surrounding fixed
+    * point batch pushes filters through an injected Repartition). */
+  private def walk(
+      p: LogicalPlan, exp: Boolean, reb: Boolean, mb: Double): LogicalPlan =
     p match {
-      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-        if (exp && starved(lr.relation.asInstanceOf[HadoopFsRelation], mb))
-          Repartition(cores, shuffle = true, lr)
-        else lr
+      case _ if exp && !reb && tower(p).exists(lr =>
+          starved(lr.relation.asInstanceOf[HadoopFsRelation], mb)) =>
+        Repartition(cores, shuffle = true, p)
+      case lr: LogicalRelation => lr
       case pj: Project =>
         pj.copy(child =
-          walk(pj.child, exp || pj.projectList.exists(expensive), mb))
+          walk(pj.child, exp || pj.projectList.exists(expensive), reb, mb))
       case f: Filter =>
-        f.copy(child = walk(f.child, exp || expensive(f.condition), mb))
+        f.copy(child = walk(f.child, exp || expensive(f.condition), reb, mb))
       // row expansion: downstream per-row work multiplies inside the scan
       // task even when the generator itself is cheap
-      case g: Generate => g.copy(child = walk(g.child, exp = true, mb))
-      case s: SubqueryAlias => s.copy(child = walk(s.child, exp, mb))
-      case s: Sample => s.copy(child = walk(s.child, exp, mb))
+      case g: Generate => g.copy(child = walk(g.child, exp = true, reb, mb))
+      case s: SubqueryAlias => s.copy(child = walk(s.child, exp, reb, mb))
+      case s: Sample => s.copy(child = walk(s.child, exp, reb, mb))
       // typed Dataset ops run opaque per-row lambdas in the scan stage
-      case m: MapElements => m.copy(child = walk(m.child, exp = true, mb))
-      case m: MapPartitions => m.copy(child = walk(m.child, exp = true, mb))
-      case t: TypedFilter => t.copy(child = walk(t.child, exp = true, mb))
-      case s: SerializeFromObject => s.copy(child = walk(s.child, exp, mb))
-      case d: DeserializeToObject => d.copy(child = walk(d.child, exp, mb))
+      case m: MapElements =>
+        m.copy(child = walk(m.child, exp = true, reb, mb))
+      case m: MapPartitions =>
+        m.copy(child = walk(m.child, exp = true, reb, mb))
+      case t: TypedFilter => t.copy(child = walk(t.child, exp = true, reb, mb))
+      case s: SerializeFromObject =>
+        s.copy(child = walk(s.child, exp, reb, mb))
+      case d: DeserializeToObject =>
+        d.copy(child = walk(d.child, exp, reb, mb))
       case u: Union =>
-        u.withNewChildren(u.children.map(walk(_, exp, mb)))
-      // partial aggregation evaluates grouping expressions and aggregate
-      // FUNCTION INPUTS map-side, i.e. inside the scan stage; result
-      // projections folded into aggregateExpressions by CollapseProject
-      // evaluate post-exchange and must not count
+        u.withNewChildren(u.children.map(walk(_, exp, reb, mb)))
+      // partial aggregation evaluates grouping expressions, aggregate
+      // FUNCTION INPUTS and FILTER clauses map-side, i.e. inside the
+      // scan stage; result projections folded into aggregateExpressions
+      // by CollapseProject evaluate post-exchange and must not count
       case a: Aggregate =>
+        val aggs = a.aggregateExpressions.flatMap(_.collect {
+          case ae: org.apache.spark.sql.catalyst.expressions.aggregate
+            .AggregateExpression => ae
+        })
         val mapSide = a.groupingExpressions ++
-          a.aggregateExpressions
-            .flatMap(_.collect {
-              case ae: org.apache.spark.sql.catalyst.expressions.aggregate
-                .AggregateExpression => ae
-            })
-            .flatMap(_.aggregateFunction.children)
-        a.copy(child = walk(a.child, mapSide.exists(expensive), mb))
+          aggs.flatMap(_.aggregateFunction.children) ++ aggs.flatMap(_.filter)
+        a.copy(child =
+          walk(a.child, mapSide.exists(expensive), reb = false, mb))
       // a broadcast join streams the big side with no exchange, so work
       // above it still lands in the scan stage; for a shuffle join the
       // extra exchange is wasted but bounded. Joins between starved
       // CPU-heavy scans are broadcast-shaped in this engine, so pass
-      // `exp` through rather than reset.
-      case j: Join => j.withNewChildren(j.children.map(walk(_, exp, mb)))
-      // an explicit repartition IS the rebalance — also makes this rule
-      // idempotent under the optimizer's fixed-point batch
-      case r: Repartition => r.copy(child = walk(r.child, exp = false, mb))
+      // `exp` through rather than reset (an above-join repartition does
+      // not parallelize the scans below it, so `reb` does reset).
+      case j: Join =>
+        j.withNewChildren(j.children.map(walk(_, exp, reb = false, mb)))
+      // an explicit shuffle repartition IS the rebalance for everything
+      // below it; work above it runs post-exchange
+      case r: Repartition =>
+        r.copy(child = walk(r.child, exp = false, reb || r.shuffle, mb))
       case r: RepartitionByExpression =>
-        r.withNewChildren(Seq(walk(r.child, exp = false, mb)))
+        r.withNewChildren(Seq(walk(r.child, exp = false, reb = true, mb)))
       // anything else (window, sort, distinct, limit, setops, write):
       // conservatively treat as a boundary — work above it does not run
       // in the scan task, or we cannot tell
       case other =>
-        other.withNewChildren(other.children.map(walk(_, exp = false, mb)))
+        other.withNewChildren(
+          other.children.map(walk(_, exp = false, reb = false, mb)))
     }
 
   /** Per-row work heavy enough that serializing it on one scan task
@@ -166,6 +200,10 @@ object ScanRebalance {
     val key = statuses.map { case (p, s) =>
       s"$p:${s.getLen}:${s.getModificationTime}"
     }
+    // rewritten artifacts at the same path produce fresh fingerprints;
+    // drop the map wholesale before it can grow without bound in a
+    // long-lived session (streaming appends re-fingerprint every batch)
+    if (footerCache.size > 1024) footerCache.clear()
     footerCache.computeIfAbsent(key, { _ =>
       var groups = 0L
       var bytes = 0L
@@ -183,8 +221,11 @@ object ScanRebalance {
 
   /** Install on a running session (the `spark.sql.extensions` path
     * injects at build time; this covers sessions built without it).
-    * Idempotent. */
-  def install(spark: SparkSession): Unit = {
+    * Idempotent within this list; a copy injected via extensions is not
+    * visible here, but a duplicate rule is harmless — the `reb` flag
+    * makes a second pass a no-op. Synchronized: concurrent loads must
+    * not both pass the exists check and append two copies. */
+  def install(spark: SparkSession): Unit = synchronized {
     val cur = spark.experimental.extraOptimizations
     if (!cur.exists(_.isInstanceOf[ScanRebalanceRule]))
       spark.experimental.extraOptimizations = cur :+ ScanRebalanceRule(spark)

@@ -79,6 +79,61 @@ class ScanSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("injection lands above pushed-down cheap filters") {
+    withThreshold("0.00001") {
+      val df = Tables.load(spark, sf, "documents")
+        .filter(col("lang") === "en")
+        .select(regexp_extract(col("text"), "([a-z]+)", 1).as("w"))
+      assert(injected(df))
+      // the repartition must sit ABOVE the filter so the parquet scan
+      // keeps its predicate pushdown (PhysicalOperation cannot collect
+      // filters through a Repartition)
+      val opt = df.queryExecution.optimizedPlan
+      val rep = opt.collect {
+        case r: Repartition if r.shuffle => r
+      }.head
+      assert(rep.child.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }.nonEmpty, s"filter not below the injected repartition:\n$opt")
+      val executed = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scan = executed.collectLeaves()
+        .collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.get
+      assert(scan.dataFilters.nonEmpty, "lang filter lost from the scan")
+    }
+  }
+
+  test("aggregate FILTER clauses count as map-side work") {
+    withThreshold("0.00001") {
+      // the FILTER predicate evaluates in the partial (scan-stage) agg
+      Tables.load(spark, sf, "documents")
+        .createOrReplaceTempView("docs_scansplit")
+      val df = spark.sql(
+        "SELECT count(*) FILTER (WHERE text RLIKE '[0-9]{3}') AS n " +
+          "FROM docs_scansplit")
+      assert(injected(df))
+    }
+  }
+
+  test("an explicit repartition below already rebalances (no double)") {
+    withThreshold("0.00001") {
+      val df = Tables.load(spark, sf, "documents")
+        .repartition(4, col("doc_id"))
+        .select(regexp_extract(col("text"), "([a-z]+)", 1).as("w"))
+      val reps = df.queryExecution.optimizedPlan.collect {
+        case r: Repartition if r.shuffle => r
+        case r: org.apache.spark.sql.catalyst.plans.logical
+          .RepartitionByExpression => r
+      }
+      assert(reps.size == 1, s"expected exactly one exchange, got $reps")
+    }
+  }
+
   test("threshold <= 0 disables the rule") {
     withThreshold("0") {
       assert(!injected(heavy))

@@ -10,6 +10,8 @@ import sys
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        sys.exit("usage: merge_bench.py OUT IN1 [IN2 ...]")
     out, *ins = sys.argv[1:]
     merged: dict = {}
     merged_min: dict = {}
@@ -17,6 +19,9 @@ def main() -> None:
     for p in ins:
         with open(p) as f:
             j = json.load(f)
+        if meta is not None and j["sf"] != meta["sf"]:
+            sys.exit(f"sf mismatch: {p} has {j['sf']}, "
+                     f"earlier inputs {meta['sf']}")
         meta = j
         for k, v in j["queries"].items():
             if v >= 0:
