@@ -74,17 +74,18 @@ object Bench {
       s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
     // stdout scraping truncates long lines in some harnesses; the full
-    // JSON is also durably written for machine-checkable round diffs —
-    // a dev-local copy plus a committed-record copy (the driver's
-    // BENCH_r{N}.json tail keeps only ~57 of the per-query entries).
-    // Both paths resolve against the cwd (the driver runs from the
-    // repo root); SPARK_GRAFT_BENCH_OUT overrides the record path for
-    // runs launched elsewhere.
+    // JSON is also durably written for machine-checkable round diffs
+    // (the driver's BENCH_r{N}.json tail keeps only ~57 of the
+    // per-query entries). Both copies default to target/ so smoke and
+    // family runs never clobber the committed record; refreshing
+    // BENCH_full_latest.json is the opt-in action via
+    // SPARK_GRAFT_BENCH_OUT=BENCH_full_latest.json. Paths resolve
+    // against the cwd (the driver runs from the repo root).
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_last.json"), json + "\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "BENCH_full_latest.json")), json + "\n")
+        "target/bench_full_latest.json")), json + "\n")
     spark.stop()
   }
 }

@@ -111,14 +111,23 @@ object Chips {
       // a point whose chip rect overlaps NO tile of a (band, tIdx)
       // plane must not vanish: every (point × band × tIdx) combination
       // gets a row, all-NaN when uncovered — callers join chips back to
-      // their sample lists and silent loss would corrupt the join
+      // their sample lists and silent loss would corrupt the join.
+      // FULL outer (not right): a caller-supplied combos list that
+      // omits a (band, tIdx) actually present in `tiles` is a
+      // mis-declared domain, and the computed chips for it must ERROR
+      // loudly (left-only rows) rather than be dropped by the join.
       .join(
         (if (combos.nonEmpty) combos.toDF("band", "tIdx")
          else tiles.select(col("band"), col("tIdx")).distinct())
-          .crossJoin(points.map(_._1).toDF("point_id")),
-        Seq("point_id", "band", "tIdx"), "right_outer")
+          .crossJoin(points.map(_._1).toDF("point_id"))
+          .withColumn("_dom", lit(true)),
+        Seq("point_id", "band", "tIdx"), "full_outer")
       .select(col("point_id"), col("band"), col("tIdx"),
-        coalesce(col("n_valid"), lit(0)).as("n_valid"),
+        when(col("_dom").isNull, raise_error(concat(
+          lit("Chips: computed chip for (band="), col("band"),
+          lit(", tIdx="), col("tIdx").cast("string"),
+          lit(") absent from the supplied combos domain"))).cast("int"))
+          .otherwise(coalesce(col("n_valid"), lit(0))).as("n_valid"),
         coalesce(col("chip"),
           expr(s"array_repeat(CAST('NaN' AS DOUBLE), ${sz * sz})")).as("chip"))
   }

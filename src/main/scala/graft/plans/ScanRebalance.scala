@@ -131,13 +131,24 @@ case class ScanRebalanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
         a.copy(child =
           walk(a.child, mapSide.exists(expensive), reb = false, mb))
       // a broadcast join streams the big side with no exchange, so work
-      // above it still lands in the scan stage; for a shuffle join the
-      // extra exchange is wasted but bounded. Joins between starved
-      // CPU-heavy scans are broadcast-shaped in this engine, so pass
-      // `exp` through rather than reset (an above-join repartition does
-      // not parallelize the scans below it, so `reb` does reset).
+      // above it still lands in the STREAMED side's scan stage; the
+      // build side is materialized through a BroadcastExchange and never
+      // executes downstream per-row work, so `exp` resets for a child
+      // carrying a broadcast hint (an injected exchange there would be a
+      // pure waste before the broadcast). Auto-broadcast without a hint
+      // is not visible here; that residual waste is bounded (one
+      // round-robin pass of the pruned build columns). For a shuffle
+      // join the extra exchange is likewise wasted but bounded. An
+      // above-join repartition does not parallelize the scans below it,
+      // so `reb` does reset.
       case j: Join =>
-        j.withNewChildren(j.children.map(walk(_, exp, reb = false, mb)))
+        val bl = j.hint.leftHint.exists(_.strategy.exists(
+          _ == org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+        val br = j.hint.rightHint.exists(_.strategy.exists(
+          _ == org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+        j.withNewChildren(Seq(
+          walk(j.left, exp && !bl, reb = false, mb),
+          walk(j.right, exp && !br, reb = false, mb)))
       // an explicit shuffle repartition IS the rebalance for everything
       // below it; work above it runs post-exchange
       case r: Repartition =>

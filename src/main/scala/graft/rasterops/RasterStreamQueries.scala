@@ -89,7 +89,12 @@ private[rasterops] trait RasterStreamQueries {
     * continental-running-mosaic topology: state is one buffer set per
     * tile (never the scene history), each batch's work is
     * metadata-driven, and at 100 TB the swap-dir state table becomes a
-    * Delta/Iceberg MERGE with identical semantics.
+    * Delta/Iceberg MERGE with identical semantics. The commit is
+    * replay-safe the way a MERGE-on-batchId is: the state dir carries
+    * the last-merged batchId (`_batchid`, underscore-hidden from the
+    * parquet reader), a retried at-least-once microbatch is skipped,
+    * and the swap renames the old state ASIDE before promoting `_next`
+    * (a death mid-swap leaves `_old` to recover from, never nothing).
     *
     * Oracle: the streamed state must equal the across-time statistics
     * of a one-shot batch load of the same scenes — the per-time pixel
@@ -169,47 +174,20 @@ private[rasterops] trait RasterStreamQueries {
       .option("maxFilesPerTrigger", "1")
       .text(landing.toString)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val js = batch.select("value").as[String](
           org.apache.spark.sql.Encoders.STRING).collect().toSeq
-        if (js.nonEmpty) {
+        // replay guard BEFORE the expensive parse+load: foreachBatch is
+        // at-least-once, and a retried microbatch must not double-merge
+        // its scenes into the standing sum/cnt buffers
+        if (js.nonEmpty && batchId > lastMergedBatch(statePath)) {
           val (ds, schemas) = StacParse.parseItems(spark,
             spark.createDataset(js))
           val items = ds.collect().toSeq.sortBy(_.id)
           val res = Load.load(spark, items, schemas,
             bands = Seq("red", "nir"), groupby = "id", chunks = 64,
             geobox = Some(grid))
-          val cur = partials(res.tiles)
-          val stateDir = new java.io.File(statePath)
-          val merged =
-            if (!stateDir.exists()) cur
-            else {
-              val prev = spark.read.parquet(statePath)
-              def mergeArr(c: String,
-                  f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
-                    => org.apache.spark.sql.Column) =
-                when(col(s"a.$c").isNull, col(s"b.$c"))
-                  .when(col(s"b.$c").isNull, col(s"a.$c"))
-                  .otherwise(zip_with(col(s"a.$c"), col(s"b.$c"), f))
-                  .as(c)
-              prev.as("a").join(cur.as("b"), Seq("band", "ty", "tx"),
-                  "full_outer")
-                .select(col("band"), col("ty"), col("tx"),
-                  mergeArr("sum", (x, y) => x + y),
-                  mergeArr("mn", (x, y) => least(x, y)),
-                  mergeArr("mx", (x, y) => greatest(x, y)),
-                  mergeArr("cnt", (x, y) => x + y))
-            }
-          // swap-dir commit: write next, then atomically replace the
-          // standing dir (the Delta MERGE analog at fixture scale)
-          merged.write.mode("overwrite").parquet(statePath + "_next")
-          def rmDir(d: java.io.File): Unit = {
-            Option(d.listFiles()).foreach(_.foreach(rmDir))
-            d.delete(); ()
-          }
-          rmDir(stateDir)
-          require(new java.io.File(statePath + "_next").renameTo(stateDir),
-            s"state swap failed at $statePath")
+          commitMerge(spark, statePath, batchId, partials(res.tiles))
         }
         ()
       }
@@ -247,6 +225,76 @@ private[rasterops] trait RasterStreamQueries {
         round(expr("array_max(zip_with(mx, cnt, (v, c) -> " +
           "if(c > 0, v, CAST(NULL AS DOUBLE))))"), 2).as("vmax"))
       .orderBy("band", "ty", "tx")
+  }
+
+  /** Last batchId merged into the standing composite state, -1 when the
+    * state is empty. Recovers a crash between the two swap renames
+    * first (state missing, `_old` present → restore `_old`), so the
+    * guard never reads a half-swapped layout. Package-visible so
+    * [[graft.StreamRecoverySpec]] can pin the replay semantics. */
+  private[graft] def lastMergedBatch(statePath: String): Long = {
+    val stateDir = new java.io.File(statePath)
+    val oldDir = new java.io.File(statePath + "_old")
+    if (!stateDir.exists() && oldDir.exists())
+      require(oldDir.renameTo(stateDir),
+        s"state recovery failed at $statePath")
+    val idFile = new java.io.File(stateDir, "_batchid")
+    if (!idFile.exists()) -1L
+    else new String(java.nio.file.Files.readAllBytes(idFile.toPath),
+      "UTF-8").trim.toLong
+  }
+
+  /** Merge one batch's partial buffers into the standing state and
+    * commit with a replay-safe swap. Idempotent per batchId: a retried
+    * microbatch (foreachBatch is at-least-once) is a no-op. The swap
+    * renames the current state ASIDE to `_old` before promoting
+    * `_next`, so a death at any step leaves a recoverable dir — never
+    * the rmDir-then-rename window where the standing table is gone. */
+  private[graft] def commitMerge(spark: SparkSession, statePath: String,
+      batchId: Long, cur: DataFrame): Unit = {
+    if (batchId <= lastMergedBatch(statePath)) return
+    val stateDir = new java.io.File(statePath)
+    val merged =
+      if (!stateDir.exists()) cur
+      else {
+        val prev = spark.read.parquet(statePath)
+        def mergeArr(c: String,
+            f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+              => org.apache.spark.sql.Column) =
+          when(col(s"a.$c").isNull, col(s"b.$c"))
+            .when(col(s"b.$c").isNull, col(s"a.$c"))
+            .otherwise(zip_with(col(s"a.$c"), col(s"b.$c"), f))
+            .as(c)
+        prev.as("a").join(cur.as("b"), Seq("band", "ty", "tx"),
+            "full_outer")
+          .select(col("band"), col("ty"), col("tx"),
+            mergeArr("sum", (x, y) => x + y),
+            mergeArr("mn", (x, y) => least(x, y)),
+            mergeArr("mx", (x, y) => greatest(x, y)),
+            mergeArr("cnt", (x, y) => x + y))
+      }
+    val nextDir = new java.io.File(statePath + "_next")
+    val oldDir = new java.io.File(statePath + "_old")
+    def rmDir(d: java.io.File): Unit = {
+      Option(d.listFiles()).foreach(_.foreach(rmDir))
+      d.delete(); ()
+    }
+    // the merge must materialize BEFORE the old state moves aside —
+    // `merged` reads `statePath` lazily, so write-to-next comes first
+    merged.write.mode("overwrite").parquet(nextDir.toString)
+    // the batchId marker travels inside the parquet dir (underscore
+    // prefix = hidden from the reader), so the swap commits state and
+    // marker atomically together
+    java.nio.file.Files.write(
+      new java.io.File(nextDir, "_batchid").toPath,
+      (batchId.toString + "\n").getBytes("UTF-8"))
+    rmDir(oldDir) // clear any stale recovery dir from a prior crash
+    if (stateDir.exists())
+      require(stateDir.renameTo(oldDir),
+        s"state swap (aside) failed at $statePath")
+    require(nextDir.renameTo(stateDir),
+      s"state swap (promote) failed at $statePath")
+    rmDir(oldDir)
   }
 
   private[rasterops] val streamCompositeDuckSql: String =

@@ -79,4 +79,23 @@ class ChipsSpec extends AnyFunSuite {
     assert(out(("nir", 0)) == 505.0)
     assert(out(("red", 1)) == 905.0)
   }
+
+  test("a combos domain that omits a present (band, tIdx) errors loudly") {
+    val rows = Seq(tile("red", 0, 0, 0, 100), tile("nir", 0, 0, 0, 500))
+    // declared domain misses nir/0, which IS present in tiles: the
+    // computed nir chip must not be silently dropped by the domain join
+    val ex = intercept[Exception] {
+      Chips.chips(spark, tilesDf(rows), Seq(("m", 0, 0)), 4,
+        combos = Seq(("red", 0))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("undeclared") ||
+      m != null && m.contains("absent from the supplied combos")),
+      s"expected a domain-validation error, got: ${ex.getMessage}")
+    // a COMPLETE declared domain still works and bounds the output
+    val ok = Chips.chips(spark, tilesDf(rows), Seq(("m", 0, 0)), 4,
+      combos = Seq(("red", 0), ("nir", 0))).collect()
+    assert(ok.length == 2)
+  }
 }

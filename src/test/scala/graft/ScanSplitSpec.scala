@@ -177,4 +177,41 @@ class ScanSplitSpec extends AnyFunSuite {
       assert(cols == Seq("text"), s"scan not pruned: $cols")
     }
   }
+
+  test("a broadcast-hinted build side gets no useless exchange") {
+    withThreshold("0.00001") {
+      // expensive work above a broadcast join runs only in the STREAMED
+      // side's scan stage; an injected exchange on the build side would
+      // be a wasted shuffle feeding the BroadcastExchange
+      val dim = Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), col("lang"))
+      val fact = Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), col("text"))
+      val df = fact.join(broadcast(dim), Seq("doc_id"))
+        .select(regexp_extract(col("text"), "([a-z]+)", 1).as("w"),
+          col("lang"))
+      val reps = df.queryExecution.optimizedPlan.collect {
+        case r: Repartition if r.shuffle => r
+      }
+      assert(reps.size == 1,
+        s"expected exactly one injected exchange (streamed side only):\n" +
+          df.queryExecution.optimizedPlan)
+      // and it must sit on the fact lineage: the build subtree below
+      // the broadcast hint stays exchange-free
+      val hintSides = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hintSides.nonEmpty)
+      val opt = df.queryExecution.optimizedPlan
+      val join = opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.head
+      val buildSide =
+        if (join.hint.rightHint.exists(_.strategy.nonEmpty)) join.right
+        else join.left
+      assert(buildSide.collect {
+        case r: Repartition if r.shuffle => r
+      }.isEmpty, s"useless exchange under the broadcast build side:\n$opt")
+    }
+  }
 }

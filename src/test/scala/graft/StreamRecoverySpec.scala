@@ -103,4 +103,52 @@ class StreamRecoverySpec extends AnyFunSuite {
     assert(finalRows.toSet == expected.toSet,
       s"restarted stream end-state != batch: missing ${expected.toSet -- finalRows.toSet}, extra ${finalRows.toSet -- expected.toSet}")
   }
+
+  /** The standing-composite state commit (streamComposite's foreachBatch
+    * seam): at-least-once microbatch retries must not double-merge, and
+    * a crash between the two swap renames must leave a recoverable
+    * state dir — the replay contract of a Delta MERGE-on-batchId. */
+  test("commitMerge: batchId replay is a no-op and mid-swap crash recovers") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_commit_merge")
+    val statePath = root.resolve("state").toString
+
+    def buf(b: String, s: Double, c: Int) =
+      Seq((b, 0, 0, Array(s, s), Array(s, s), Array(s, s), Array(c, c)))
+        .toDF("band", "ty", "tx", "sum", "mn", "mx", "cnt")
+    def sums(): Map[String, (Double, Int)] =
+      spark.read.parquet(statePath)
+        .select(col("band"), expr("sum[0]"), expr("cnt[0]"))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getInt(2))).toMap
+
+    rasterops.RasterQueries.commitMerge(spark, statePath, 0L,
+      buf("red", 10.0, 1))
+    assert(sums() == Map("red" -> (10.0, 1)))
+    assert(rasterops.RasterQueries.lastMergedBatch(statePath) == 0L)
+
+    // a RETRIED batch 0 (at-least-once delivery) must not double-merge
+    rasterops.RasterQueries.commitMerge(spark, statePath, 0L,
+      buf("red", 10.0, 1))
+    assert(sums() == Map("red" -> (10.0, 1)),
+      "replayed batchId double-merged into the standing buffers")
+
+    rasterops.RasterQueries.commitMerge(spark, statePath, 1L,
+      buf("red", 5.0, 2))
+    assert(sums() == Map("red" -> (15.0, 3)))
+
+    // crash between the two swap renames: state moved aside to _old,
+    // _next never promoted — the next read must restore _old, keeping
+    // batch 1's merge, and accept batch 2
+    val stateDir = new java.io.File(statePath)
+    assert(stateDir.renameTo(new java.io.File(statePath + "_old")))
+    assert(rasterops.RasterQueries.lastMergedBatch(statePath) == 1L,
+      "mid-swap crash did not recover the standing state from _old")
+    assert(sums() == Map("red" -> (15.0, 3)))
+    rasterops.RasterQueries.commitMerge(spark, statePath, 2L,
+      buf("red", 1.0, 1))
+    assert(sums() == Map("red" -> (16.0, 4)))
+    assert(!new java.io.File(statePath + "_old").exists(),
+      "recovery dir must be cleared after a successful commit")
+  }
 }

@@ -22,6 +22,9 @@ def main() -> None:
         if meta is not None and j["sf"] != meta["sf"]:
             sys.exit(f"sf mismatch: {p} has {j['sf']}, "
                      f"earlier inputs {meta['sf']}")
+        if meta is not None and j.get("protocol") != meta.get("protocol"):
+            sys.exit(f"protocol mismatch: {p} has {j.get('protocol')}, "
+                     f"earlier inputs {meta.get('protocol')}")
         meta = j
         for k, v in j["queries"].items():
             if v >= 0:
