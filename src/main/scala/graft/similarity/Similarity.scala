@@ -54,6 +54,73 @@ object Similarity {
        |  FROM s) t
        |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
 
+  // ---- hybrid retrieval: RRF fusion of dense cosine + BM25 ranks ----------
+
+  val RrfK = 60 // the standard reciprocal-rank-fusion constant
+  val HybridDepth = 20 // per-arm candidate depth before fusion
+
+  /** Reciprocal-rank fusion of the two retrieval arms this engine
+    * already ships — the retrieve-then-fuse primitive of data-curation
+    * loops (filter a corpus by "semantically near my seed docs AND
+    * matching my keyword probes"). Per query vector: the dense arm is
+    * exact cosine top-[[HybridDepth]] (the [[bruteforceSparkSql]]
+    * spelling, broadcast query panel, map-side candidate scan); the
+    * sparse arm is the global BM25 probe ranking
+    * ([[graft.text.Corpus.bm25SparkCtes]] — two tiny broadcast stats
+    * rows, scan never shuffles). Candidates are the UNION of both
+    * top-[[HybridDepth]] lists; rrf = Σ 1/([[RrfK]]+rank), a missing
+    * arm contributing 0 — the textbook RRF over two rankers. Ranks are
+    * integers, so the fused doubles are bit-identical across engines;
+    * ties break on cid. At 100 TB both arms keep their proven scale
+    * shapes and the fusion joins touch only Q×depth rows. */
+  private def hybridTail(bmCtes: String, denseScore: String): String =
+    s"""$bmCtes,
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |      WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+       |sc AS (SELECT qid, cid, $denseScore AS cos
+       |       FROM q JOIN c ON qid <> cid),
+       |dr AS (SELECT qid, cid,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, cid) AS drn
+       |       FROM sc),
+       |d20 AS (SELECT qid, cid, drn FROM dr WHERE drn <= $HybridDepth),
+       |sr AS (SELECT doc_id,
+       |         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS srn
+       |       FROM bm),
+       |s20 AS (SELECT doc_id, srn FROM sr WHERE srn <= $HybridDepth),
+       |cand AS (SELECT qid, cid FROM d20
+       |         UNION
+       |         SELECT qs.qid, s20.doc_id AS cid
+       |         FROM (SELECT DISTINCT qid FROM d20) qs CROSS JOIN s20
+       |         WHERE s20.doc_id <> qs.qid),
+       |fused AS (SELECT cand.qid, cand.cid,
+       |            COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + d20.drn),
+       |                     CAST(0.0 AS DOUBLE)) +
+       |            COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + s20.srn),
+       |                     CAST(0.0 AS DOUBLE)) AS rrf
+       |          FROM cand
+       |          LEFT JOIN d20 ON cand.qid = d20.qid AND cand.cid = d20.cid
+       |          LEFT JOIN s20 ON cand.cid = s20.doc_id)
+       |SELECT qid, cid, rn, ROUND(rrf, 6) AS rrf FROM (
+       |  SELECT qid, cid, rrf,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY rrf DESC, cid) AS rn
+       |  FROM fused) t
+       |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+
+  val hybridRrfSparkSql: String =
+    hybridTail(graft.text.Corpus.bm25SparkCtes, "vec_cosine(qe, ce)")
+
+  val hybridRrfDuckSql: String = hybridTail(
+    graft.text.Corpus.bm25DuckCtes,
+    """list_sum(list_transform(generate_series(1, len(qe)),
+      |           i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+      |  (sqrt(list_sum(list_transform(qe,
+      |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+      |   sqrt(list_sum(list_transform(ce,
+      |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))""".stripMargin)
+
   // ---- LSH (random hyperplanes, 64-bit native signatures) -----------------
 
   val SigBits = 64 // native rhp_sig codegen Expression (VecExpressions)
@@ -1525,6 +1592,9 @@ object Similarity {
     "sim_bruteforce_topk" -> ((s, d) => {
       VecFunctions.register(s); Tables.sql(bruteforceSparkSql)(s, d)
     }),
+    "sim_hybrid_rrf" -> ((s, d) => {
+      VecFunctions.register(s); Tables.sql(hybridRrfSparkSql)(s, d)
+    }),
     "sim_lsh_topk" -> ((s, d) => lshTopK(s, d)),
     "sim_lsh_topk_portable" -> ((s, d) => lshTopKPortable(s, d)),
     "dedup_embedding_portable" -> ((s, d) => embDedupPortable(s, d)),
@@ -1548,6 +1618,7 @@ object Similarity {
     "sim_ivfpq_topk_portable" -> pqPortableDuckSql,
     "sim_index_persist" -> indexPersistDuckSql,
     "sim_bruteforce_topk" -> bruteforceDuckSql,
+    "sim_hybrid_rrf" -> hybridRrfDuckSql,
     "sim_lsh_topk_portable" -> lshPortableDuckSql,
     "dedup_embedding_portable" -> embDedupPortableDuckSql,
     "dedup_semantic_portable" -> semanticPortableDuckSql,

@@ -524,7 +524,11 @@ object Corpus {
     * never shuffles. Term scores are summed in a fixed literal order so
     * the double arithmetic is bit-identical across engines; emitted
     * rounded to 4 decimals. */
-  private def bm25Sql(tfCte: String): String = {
+  /** The WITH-list of the BM25 computation, ending in a `bm(doc_id,
+    * bm25)` CTE — reusable by compound retrieval queries (hybrid RRF
+    * fusion in [[graft.similarity.Similarity]]) without re-spelling the
+    * scoring arithmetic. Starts with `WITH` (the tfCte carries it). */
+  private def bm25Ctes(tfCte: String): String = {
     val dfCols = Bm25Terms.indices.map { i =>
       s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
     }.mkString(", ")
@@ -534,16 +538,18 @@ object Corpus {
     }.mkString("\n       |         + ")
     s"""$tfCte
        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM tf),
-       |f AS (SELECT $dfCols FROM tf)
-       |SELECT tf.doc_id,
+       |f AS (SELECT $dfCols FROM tf),
+       |bm AS (SELECT tf.doc_id,
        |       ROUND($terms, 4) AS bm25
-       |FROM tf CROSS JOIN s CROSS JOIN f
-       |ORDER BY doc_id""".stripMargin
+       |FROM tf CROSS JOIN s CROSS JOIN f)""".stripMargin
   }
+
+  private def bm25Sql(tfCte: String): String =
+    bm25Ctes(tfCte) + "\nSELECT doc_id, bm25 FROM bm ORDER BY doc_id"
 
   // Spark: one token explode + conditional aggregation (codegen'd partial
   // aggs) instead of three interpreted `filter(tok, ...)` lambdas per doc.
-  val bm25SparkSql: String = bm25Sql({
+  private val bm25SparkTfCte: String = {
     val sumCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
       s"CAST(SUM(CASE WHEN w = '$t' THEN 1 ELSE 0 END) AS DOUBLE) AS tf$i"
     }.mkString(",\n      |         ")
@@ -554,9 +560,9 @@ object Corpus {
       |  FROM (SELECT doc_id, explode(split(lower(trim(text)), '\\\\s+')) AS w
       |        FROM documents)
       |  GROUP BY doc_id),""".stripMargin
-  })
+  }
 
-  val bm25DuckSql: String = bm25Sql({
+  private val bm25DuckTfCte: String = {
     val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(tok, x -> x = '$t')) AS DOUBLE) AS tf$i"
     }.mkString(",\n      |        ")
@@ -568,7 +574,15 @@ object Corpus {
       |        $tfCols,
       |        CAST(len(tok) AS DOUBLE) AS dl
       |  FROM d),""".stripMargin
-  })
+  }
+
+  val bm25SparkSql: String = bm25Sql(bm25SparkTfCte)
+  val bm25DuckSql: String = bm25Sql(bm25DuckTfCte)
+
+  /** WITH-lists ending in `bm(doc_id, bm25)` for compound retrieval
+    * queries (hybrid RRF). */
+  private[graft] val bm25SparkCtes: String = bm25Ctes(bm25SparkTfCte)
+  private[graft] val bm25DuckCtes: String = bm25Ctes(bm25DuckTfCte)
 
   // ---- domain mixing weights ----------------------------------------------
 
