@@ -142,6 +142,66 @@ private[rasterops] trait RasterAnalyticsQueries {
        |FROM f GROUP BY band, tidx, ty, tx
        |ORDER BY band, "tIdx", ty, tx""".stripMargin
 
+  /** Savitzky–Golay temporal smoothing (graft.load.TemporalSmooth —
+    * beyond the reference): SEVEN same-footprint daily scenes, the
+    * middle one holed, loaded per-item, gap-FILLED along time
+    * ([[graft.load.TemporalFill]] — the real pipeline order), then
+    * convolved with the window-5/order-2 SG kernel. The filled pixel
+    * series lands ([[SmoothCellsPath]], keyed band/ty/tx/pos so pixel
+    * identity needs no width arithmetic) and DuckDB re-runs the
+    * convolution with lag/lead windows in the identical left-to-right
+    * summation order — kernel misweighting, window misalignment, or a
+    * dropped edge contract shifts the ×100 checksum. Interior centers
+    * only (tIdx 2..4 of 7): full-window SG is the one
+    * edge-handling-free contract. */
+  def temporalSmooth(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenesGap(7)
+    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
+    val items = ds.collect().toSeq.sortBy(_.id)
+    val res = Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "id", chunks = 64, dtype = Some("float64"))
+    val fill = res.temporalFill()
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("filled"))
+      .localCheckpoint() // landed cells and smoothing share one fill run
+    fill
+      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
+        posexplode(col("filled")))
+      .withColumnRenamed("col", "value")
+      .write.mode("overwrite").parquet(SmoothCellsPath)
+    graft.load.TemporalSmooth.smoothAcrossTime(spark, fill)
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("n_valid"),
+        expr("aggregate(smooth, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("smooth_q"))
+      .orderBy("band", "tIdx", "ty", "tx")
+  }
+
+  private[rasterops] val temporalSmoothDuckSql: String =
+    s"""WITH w AS (
+       |  SELECT band, tidx, ty, tx, pos,
+       |         lag(value, 2) OVER pw AS l2,
+       |         lag(value, 1) OVER pw AS l1,
+       |         value AS v,
+       |         lead(value, 1) OVER pw AS n1,
+       |         lead(value, 2) OVER pw AS n2
+       |  FROM read_parquet('$SmoothCellsPath/*.parquet')
+       |  WINDOW pw AS (PARTITION BY band, ty, tx, pos ORDER BY tidx)),
+       |s AS (
+       |  SELECT band, tidx, ty, tx,
+       |         (-3.0/35.0) * l2 + (12.0/35.0) * l1 + (17.0/35.0) * v
+       |           + (12.0/35.0) * n1 + (-3.0/35.0) * n2 AS sv
+       |  FROM w
+       |  WHERE l2 IS NOT NULL AND l1 IS NOT NULL
+       |    AND n1 IS NOT NULL AND n2 IS NOT NULL)
+       |SELECT band, tidx AS "tIdx", ty, tx,
+       |       CAST(COUNT(CASE WHEN NOT isnan(sv) THEN 1 END) AS INT)
+       |         AS n_valid,
+       |       CAST(SUM(CASE WHEN isnan(sv) THEN 0
+       |                     ELSE CAST(ROUND(sv * 100) AS BIGINT) END)
+       |            AS BIGINT) AS smooth_q
+       |FROM s GROUP BY band, tidx, ty, tx
+       |ORDER BY band, "tIdx", ty, tx""".stripMargin
+
   /** NDVI band math (graft.load.BandMath — beyond the reference): the
     * fused red/nir mosaic planes combine per pixel as (nir−red)/
     * (nir+red) through a codegen'd `zip_with` (no UDF in the

@@ -113,6 +113,7 @@ object RasterQueries
     "raster_tyx_bins" -> ((s, _) => tyxBins(s)),
     "raster_zonal_stats" -> ((s, _) => zonalStats(s)),
     "raster_temporal_fill" -> ((s, _) => temporalFill(s)),
+    "raster_temporal_smooth" -> ((s, _) => temporalSmooth(s)),
     "raster_band_math" -> ((s, _) => bandMathNdvi(s)),
     "raster_focal_mean" -> ((s, _) => focalMean(s)),
     "raster_focal_standing" -> ((s, _) => focalMeanStanding(s)),
@@ -164,6 +165,7 @@ object RasterQueries
     "raster_zonal_stats" -> zonalStatsDuckSql,
     "raster_composite_quantile" -> compositeQuantileDuckSql,
     "raster_temporal_fill" -> temporalFillDuckSql,
+    "raster_temporal_smooth" -> temporalSmoothDuckSql,
     "raster_band_math" -> bandMathNdviDuckSql,
     "raster_focal_mean" -> focalMeanDuckSql,
     "raster_focal_standing" -> focalMeanDuckSql,

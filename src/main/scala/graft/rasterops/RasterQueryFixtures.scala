@@ -266,6 +266,11 @@ private[rasterops] trait RasterQueryFixtures {
   private[rasterops] val GapCellsPath =
     s"${sys.props("java.io.tmpdir")}/graft_gap_cells_parquet"
 
+  /** Landed FILLED pixel series (7-scene gap fixture) — the smoothing
+    * oracle's input: DuckDB re-runs the SG convolution over these. */
+  private[rasterops] val SmoothCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_smooth_cells_parquet"
+
   /** Temporal gap-fill (graft.load.TemporalFill — beyond the
     * reference): three same-footprint scenes on consecutive days, the
     * middle one holed with a 32×32 nodata square, loaded per-item and

@@ -73,7 +73,8 @@ class PlanAuditSpec extends AnyFunSuite {
   test("sparse-retrieval probe prunes the index to hashed keys") {
     // the standing impact index carries the raw term string for
     // debuggability; the probe must never read it — its scans touch
-    // only (doc_id, wh, wgt), so the hot join+agg is all fixed-width
+    // only (doc_id, wh, wgt) plus the posting-truncation `kept` flag
+    // (one byte/row), so the hot join+agg is all fixed-width
     val probe = SparkEntry.queries("text_sparse_retrieval")(spark, sf)
       .queryExecution.executedPlan.toString
     val reads = "ReadSchema: struct<([^>]*)>".r
@@ -81,7 +82,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(reads.nonEmpty, s"no parquet scans in probe plan:\n$probe")
     reads.foreach { r =>
       val cols = r.split(",").filter(_.nonEmpty).map(_.split(":")(0)).toSet
-      assert(cols.subsetOf(Set("doc_id", "wh", "wgt")),
+      assert(cols.subsetOf(Set("doc_id", "wh", "wgt", "kept")),
         s"probe scan reads $cols — term strings leaked into the hot path")
     }
     assert(!probe.contains("BroadcastNestedLoopJoin"), probe)
