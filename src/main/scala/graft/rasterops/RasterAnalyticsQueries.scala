@@ -202,6 +202,83 @@ private[rasterops] trait RasterAnalyticsQueries {
        |FROM s GROUP BY band, tidx, ty, tx
        |ORDER BY band, "tIdx", ty, tx""".stripMargin
 
+  /** Per-pixel OLS trend (graft.load.Trend — beyond the reference):
+    * the same 7-scene holed fixture, regressed value-on-days per
+    * pixel through the MERGEABLE running-sums aggregate (map-side
+    * combine; no time-depth rechunk — the aggregation-friendly
+    * contrast to the geomedian family). The raw pixel series + epochs
+    * land ([[TrendCellsPath]]) and DuckDB recomputes n/Σt/Σt²/Σv/Σtv
+    * per pixel and the identical closed form — day numbers and pixel
+    * values are integers, so every sum is order-exact and the slope/
+    * intercept doubles match bit-for-bit. The holed scene gives those
+    * pixels n=6 with a missing interior day: the count plane, the
+    * intercept, and the ≥2-observations guard are all load-bearing in
+    * the checksum. */
+  def trend(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenesGap(7)
+    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
+    val items = ds.collect().toSeq.sortBy(_.id)
+    val res = Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "id", chunks = 64, dtype = Some("float64"))
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    res.tiles
+      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
+        unix_timestamp(col("time")).as("tsec"), col("nodata"),
+        posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tidx"), col("ty"), col("tx"), col("tsec"),
+        col("pos"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(TrendCellsPath)
+    val t0Sec = res.times.map(_.getTime / 1000L).min
+    graft.load.Trend.trendAcrossTime(spark, res.tiles, t0Sec)
+      .select(col("band"), col("ty"), col("tx"),
+        expr("aggregate(count, 0, (s, c) -> s + c)").as("n_obs"),
+        expr("aggregate(slope, 0, (s, v) -> s + if(isnan(v), 0, 1))")
+          .as("n_fit"),
+        expr("aggregate(slope, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 1e6) AS BIGINT)))").as("slope_q"),
+        expr("aggregate(icept, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("icept_q"))
+      .orderBy("band", "ty", "tx")
+  }
+
+  private[rasterops] val trendDuckSql: String =
+    s"""WITH c AS (
+       |  SELECT band, ty, tx, pos,
+       |         (tsec - (SELECT MIN(tsec)
+       |                  FROM read_parquet('$TrendCellsPath/*.parquet')))
+       |           / 86400.0 AS t,
+       |         value
+       |  FROM read_parquet('$TrendCellsPath/*.parquet')
+       |  WHERE NOT isnan(value)),
+       |px AS (
+       |  SELECT band, ty, tx, pos,
+       |         COUNT(*) AS n, SUM(t) AS st, SUM(t * t) AS stt,
+       |         SUM(value) AS sv, SUM(t * value) AS stv
+       |  FROM c GROUP BY band, ty, tx, pos),
+       |f AS (
+       |  SELECT band, ty, tx, pos, n,
+       |         CASE WHEN n >= 2 AND n * stt - st * st <> 0
+       |              THEN (n * stv - st * sv) / (n * stt - st * st)
+       |              END AS slope,
+       |         CASE WHEN n >= 2 AND n * stt - st * st <> 0
+       |              THEN (sv - ((n * stv - st * sv) / (n * stt - st * st))
+       |                    * st) / n
+       |              END AS icept
+       |  FROM px)
+       |SELECT band, ty, tx,
+       |       CAST(SUM(n) AS INT) AS n_obs,
+       |       CAST(COUNT(slope) AS INT) AS n_fit,
+       |       CAST(SUM(COALESCE(CAST(ROUND(slope * 1e6) AS BIGINT), 0))
+       |            AS BIGINT) AS slope_q,
+       |       CAST(SUM(COALESCE(CAST(ROUND(icept * 100) AS BIGINT), 0))
+       |            AS BIGINT) AS icept_q
+       |FROM f GROUP BY band, ty, tx
+       |ORDER BY band, ty, tx""".stripMargin
+
   /** NDVI band math (graft.load.BandMath — beyond the reference): the
     * fused red/nir mosaic planes combine per pixel as (nir−red)/
     * (nir+red) through a codegen'd `zip_with` (no UDF in the

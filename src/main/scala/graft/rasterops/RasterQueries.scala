@@ -114,6 +114,7 @@ object RasterQueries
     "raster_zonal_stats" -> ((s, _) => zonalStats(s)),
     "raster_temporal_fill" -> ((s, _) => temporalFill(s)),
     "raster_temporal_smooth" -> ((s, _) => temporalSmooth(s)),
+    "raster_trend" -> ((s, _) => trend(s)),
     "raster_band_math" -> ((s, _) => bandMathNdvi(s)),
     "raster_focal_mean" -> ((s, _) => focalMean(s)),
     "raster_focal_standing" -> ((s, _) => focalMeanStanding(s)),
@@ -166,6 +167,7 @@ object RasterQueries
     "raster_composite_quantile" -> compositeQuantileDuckSql,
     "raster_temporal_fill" -> temporalFillDuckSql,
     "raster_temporal_smooth" -> temporalSmoothDuckSql,
+    "raster_trend" -> trendDuckSql,
     "raster_band_math" -> bandMathNdviDuckSql,
     "raster_focal_mean" -> focalMeanDuckSql,
     "raster_focal_standing" -> focalMeanDuckSql,

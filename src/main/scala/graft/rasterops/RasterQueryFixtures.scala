@@ -271,6 +271,11 @@ private[rasterops] trait RasterQueryFixtures {
   private[rasterops] val SmoothCellsPath =
     s"${sys.props("java.io.tmpdir")}/graft_smooth_cells_parquet"
 
+  /** Landed RAW pixel series + epochs (7-scene gap fixture) — the
+    * trend oracle's input: DuckDB re-runs the per-pixel OLS. */
+  private[rasterops] val TrendCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_trend_cells_parquet"
+
   /** Temporal gap-fill (graft.load.TemporalFill — beyond the
     * reference): three same-footprint scenes on consecutive days, the
     * middle one holed with a 32×32 nodata square, loaded per-item and
