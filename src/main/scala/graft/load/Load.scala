@@ -461,6 +461,24 @@ final case class LoadResult(tiles: DataFrame, geobox: GeoBox,
     TemporalFill.fillAcrossTime(spark, tiles, timeDepth = times.length,
       stateBudgetBytes = budgetBytes)
 
+  /** Gap-fill then Savitzky–Golay smooth along time — the standard
+    * post-fill polish; interior full-window centers only. */
+  def temporalSmooth(
+      budgetBytes: Long = Composite.DefaultStateBudgetBytes): DataFrame =
+    TemporalSmooth.smoothAcrossTime(spark, temporalFill(budgetBytes)
+      .select(org.apache.spark.sql.functions.col("band"),
+        org.apache.spark.sql.functions.col("tIdx"),
+        org.apache.spark.sql.functions.col("ty"),
+        org.apache.spark.sql.functions.col("tx"),
+        org.apache.spark.sql.functions.col("filled")))
+
+  /** Per-pixel OLS trend (slope/intercept/count planes), anchored at
+    * the archive's first group timestamp — mergeable Aggregator,
+    * bounded state at any depth, no hint needed. */
+  def trend(): DataFrame =
+    Trend.trendAcrossTime(spark, tiles,
+      times.map(_.getTime / 1000L).min)
+
   /** Distributed GeoTIFF export sink: every tile row becomes one
     * georeferenced `.tif` (`<band>_t<tIdx>_<ty>_<tx>.tif`) written
     * executor-side — the per-tile COG layout tile pyramids use, and the
