@@ -46,10 +46,16 @@ object TemporalSmooth {
     * per interior center: (band, tIdx, ty, tx, smooth, n_valid). */
   def smoothAcrossTime(spark: SparkSession, filled: DataFrame): DataFrame = {
     val wArr = array(Coeffs.map(lit): _*)
+    // a plane at tIdx serves centers tIdx-H .. tIdx+H; the part's `o`
+    // is its offset AS SEEN FROM THE CENTER (plane = ctr + o), so the
+    // by-`o` sorted fold runs x(c-H) .. x(c+H) — the same left-to-right
+    // order the DuckDB oracle's lag/lead sum uses, keeping the double
+    // summation bit-identical (the palindromic kernel makes the weights
+    // agree either way; the ADDITION order only agrees this way)
     val contrib = filled
       .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("filled"),
         explode(sequence(lit(-H), lit(H))).as("o"))
-      .select(col("band"), (col("tIdx") + col("o")).as("ctr"),
+      .select(col("band"), (col("tIdx") - col("o")).as("ctr"),
         col("ty"), col("tx"),
         struct(col("o"),
           element_at(wArr, col("o") + lit(H + 1)).as("w"),

@@ -121,17 +121,22 @@ object Trend {
 
   /** OLS trend of a `Load` tile DataFrame across time. `t0Sec` anchors
     * the day axis (pass the archive's first group timestamp, known
-    * driver-side from `LoadResult.times`) — daily-cadence epochs then
-    * map to INTEGER day numbers, keeping every running sum order-exact.
-    * Returns one row per (band, ty, tx): per-pixel slope (units/day),
-    * intercept (value at t0), and valid-observation count planes. */
+    * driver-side from `LoadResult.times`); observation times are
+    * SNAPPED to whole day numbers — the trend's unit is per-day, a
+    * sub-day offset moves a daily-cadence slope by under 1e-4 relative,
+    * and integer day numbers keep every running sum order-exact, which
+    * is what lets a nondeterministic partial-merge order still hash
+    * bit-for-bit against the oracle's scan-order sums. Returns one row
+    * per (band, ty, tx): per-pixel slope (units/day), intercept (value
+    * at t0), and valid-observation count planes. */
   def trendAcrossTime(spark: SparkSession, tiles: DataFrame,
                       t0Sec: Long): DataFrame = {
     import spark.implicits._
     val agg = new PixelTrend().toColumn
     tiles
       .select(col("band"), col("ty"), col("tx"),
-        ((unix_timestamp(col("time")) - t0Sec) / 86400.0).as("tDays"),
+        floor(((unix_timestamp(col("time")) - t0Sec) / 86400.0) + 0.5)
+          .as("tDays"),
         col("data"), col("dtype"), col("nodata"),
         col("width"), col("height"))
       .as[(String, Int, Int, Double, Array[Byte], String, Double, Int, Int)]

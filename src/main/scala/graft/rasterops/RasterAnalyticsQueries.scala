@@ -248,9 +248,9 @@ private[rasterops] trait RasterAnalyticsQueries {
   private[rasterops] val trendDuckSql: String =
     s"""WITH c AS (
        |  SELECT band, ty, tx, pos,
-       |         (tsec - (SELECT MIN(tsec)
+       |         FLOOR((tsec - (SELECT MIN(tsec)
        |                  FROM read_parquet('$TrendCellsPath/*.parquet')))
-       |           / 86400.0 AS t,
+       |           / 86400.0 + 0.5) AS t,
        |         value
        |  FROM read_parquet('$TrendCellsPath/*.parquet')
        |  WHERE NOT isnan(value)),
