@@ -97,6 +97,7 @@ object RasterQueries
     "raster_overview_cells" -> ((s, _) => overviewCells(s)),
     "stream_raster_ingest" -> ((s, _) => streamRasterIngest(s)),
     "stream_composite" -> ((s, _) => streamComposite(s)),
+    "stream_trend" -> ((s, _) => streamTrend(s)),
     "raster_load_tiff" -> ((s, _) => loadTiff(s)),
     "raster_load_zarr" -> ((s, _) => loadZarr(s)),
     "raster_load_netcdf" -> ((s, _) => loadNetcdf(s)),
@@ -141,6 +142,7 @@ object RasterQueries
     "raster_overview_cells" -> overviewCellsDuckSql,
     "stream_raster_ingest" -> streamIngestDuckSql,
     "stream_composite" -> streamCompositeDuckSql,
+    "stream_trend" -> streamTrendDuckSql,
     "raster_parse_items" -> parseItemsDuckSql,
     "raster_stac_search" -> stacSearchDuckSql,
     "raster_load_mosaic" -> loadMosaicDuckSql,

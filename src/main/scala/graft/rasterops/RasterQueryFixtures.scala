@@ -276,6 +276,11 @@ private[rasterops] trait RasterQueryFixtures {
   private[rasterops] val TrendCellsPath =
     s"${sys.props("java.io.tmpdir")}/graft_trend_cells_parquet"
 
+  /** Landed RAW pixel series + epochs of the one-shot batch load the
+    * STREAMED running-trend state must equal. */
+  private[rasterops] val StreamTrendCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_stream_trend_cells_parquet"
+
   /** Temporal gap-fill (graft.load.TemporalFill — beyond the
     * reference): three same-footprint scenes on consecutive days, the
     * middle one holed with a 32×32 nodata square, loaded per-item and

@@ -251,7 +251,21 @@ private[rasterops] trait RasterStreamQueries {
     * `_next`, so a death at any step leaves a recoverable dir — never
     * the rmDir-then-rename window where the standing table is gone. */
   private[graft] def commitMerge(spark: SparkSession, statePath: String,
-      batchId: Long, cur: DataFrame): Unit = {
+      batchId: Long, cur: DataFrame): Unit =
+    commitMergeWith(spark, statePath, batchId, cur, Seq(
+      "sum" -> ((x, y) => x + y),
+      "mn" -> ((x, y) => least(x, y)),
+      "mx" -> ((x, y) => greatest(x, y)),
+      "cnt" -> ((x, y) => x + y)))
+
+  /** [[commitMerge]] generalized over the per-column element merge
+    * functions — the running-trend state reuses the identical swap and
+    * replay protocol with five additive plane columns. */
+  private[graft] def commitMergeWith(spark: SparkSession, statePath: String,
+      batchId: Long, cur: DataFrame,
+      mergeCols: Seq[(String,
+        (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+          => org.apache.spark.sql.Column)]): Unit = {
     if (batchId <= lastMergedBatch(statePath)) return
     val stateDir = new java.io.File(statePath)
     val merged =
@@ -267,11 +281,8 @@ private[rasterops] trait RasterStreamQueries {
             .as(c)
         prev.as("a").join(cur.as("b"), Seq("band", "ty", "tx"),
             "full_outer")
-          .select(col("band"), col("ty"), col("tx"),
-            mergeArr("sum", (x, y) => x + y),
-            mergeArr("mn", (x, y) => least(x, y)),
-            mergeArr("mx", (x, y) => greatest(x, y)),
-            mergeArr("cnt", (x, y) => x + y))
+          .select(Seq(col("band"), col("ty"), col("tx")) ++
+            mergeCols.map { case (c, f) => mergeArr(c, f) }: _*)
       }
     val nextDir = new java.io.File(statePath + "_next")
     val oldDir = new java.io.File(statePath + "_old")
@@ -296,6 +307,198 @@ private[rasterops] trait RasterStreamQueries {
       s"state swap (promote) failed at $statePath")
     rmDir(oldDir)
   }
+
+  /** Day-number anchor for the running-trend state: a FIXED epoch
+    * (2020-01-01T00:00:00Z), not the archive minimum — partial OLS sums
+    * only merge when every batch used the same time origin, and a
+    * stream cannot know the global minimum up front. Integer day
+    * numbers keep the standing sums order-exact. */
+  private[rasterops] val TrendAnchorSec = 1577836800L
+
+  /** Streaming RUNNING TREND (beyond the reference): the per-pixel OLS
+    * sums (n, Σt, Σt², Σv, Σtv) are MERGEABLE, so a standing trend map
+    * updates per microbatch exactly like [[streamComposite]]'s
+    * composite — each batch computes its own partial sum planes
+    * task-locally and folds them into the standing table with the same
+    * replay-safe batchId-guarded swap commit ([[commitMergeWith]], all
+    * five columns additive). The slope/intercept are DERIVED from the
+    * standing sums at read time, never stored — the state stays
+    * merge-closed. Oracle: the streamed state must equal the one-shot
+    * batch OLS of the same scenes; the batch load's raw pixel series
+    * lands and DuckDB recomputes the sums and the identical closed
+    * form (anchored at the same fixed epoch). A dropped or
+    * double-merged batch shifts every sum and breaks the hash. */
+  def streamTrend(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenes(NScenes).map(_.replaceAll("\n", " "))
+    val (allItems, allSchemas) = parsed(spark)
+    val grid = Planner.outputGeobox(allItems, allSchemas).get
+    def resetDir(p: java.nio.file.Path): java.nio.file.Path = {
+      def rm(d: java.io.File): Unit = {
+        Option(d.listFiles()).foreach(_.foreach(rm))
+        d.delete(); ()
+      }
+      rm(p.toFile)
+      java.nio.file.Files.createDirectories(p)
+      p
+    }
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val landing = resetDir(tmp.resolve("graft_stream_trend_landing"))
+    jsons.zipWithIndex.foreach { case (j, i) =>
+      java.nio.file.Files.write(landing.resolve(f"item_$i%03d.json"),
+        j.getBytes("UTF-8"))
+    }
+    val stateRoot = resetDir(tmp.resolve("graft_stream_trend_state")).toString
+    val statePath = stateRoot + "/state"
+
+    // local copy: a trait-member reference inside mapGroups would drag
+    // the whole (non-serializable) registry object into the closure
+    val anchorSec = TrendAnchorSec
+
+    /** Batch tiles -> partial OLS sum planes (one row per band/ty/tx). */
+    def partials(tiles: DataFrame) =
+      tiles
+        .select(col("band"), col("ty"), col("tx"), col("data"),
+          col("dtype"), col("nodata"), col("width"), col("height"),
+          unix_timestamp(col("time")).as("tsec"))
+        .as[(String, Int, Int, Array[Byte], String, Double, Int, Int, Long)]
+        .groupByKey { case (band, ty, tx, _, _, _, _, _, _) => (band, ty, tx) }
+        .mapGroups { (key, it) =>
+          val (band, ty, tx) = key
+          var n: Array[Int] = null
+          var st: Array[Double] = null
+          var stt: Array[Double] = null
+          var sv: Array[Double] = null
+          var stv: Array[Double] = null
+          it.foreach { case (_, _, _, data, dtype, nodata, w, h, tsec) =>
+            val m = w * h
+            if (n == null) {
+              n = new Array[Int](m); st = new Array[Double](m)
+              stt = new Array[Double](m); sv = new Array[Double](m)
+              stv = new Array[Double](m)
+            }
+            val td = math.floor((tsec - anchorSec) / 86400.0 + 0.5)
+            val px = Fuse.decode(data, dtype)
+            var i = 0
+            while (i < m) {
+              val v = px(i)
+              if (!(v.isNaN || v == nodata)) {
+                n(i) += 1; st(i) += td; stt(i) += td * td
+                sv(i) += v; stv(i) += td * v
+              }
+              i += 1
+            }
+          }
+          (band, ty, tx, n, st, stt, sv, stv)
+        }
+        .toDF("band", "ty", "tx", "n", "st", "stt", "sv", "stv")
+
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .text(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val js = batch.select("value").as[String](
+          org.apache.spark.sql.Encoders.STRING).collect().toSeq
+        if (js.nonEmpty && batchId > lastMergedBatch(statePath)) {
+          val (ds, schemas) = StacParse.parseItems(spark,
+            spark.createDataset(js))
+          val items = ds.collect().toSeq.sortBy(_.id)
+          val res = Load.load(spark, items, schemas,
+            bands = Seq("red", "nir"), groupby = "id", chunks = 64,
+            geobox = Some(grid))
+          commitMergeWith(spark, statePath, batchId, partials(res.tiles),
+            Seq[(String,
+              (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+                => org.apache.spark.sql.Column)](
+              "n" -> ((x, y) => x + y), "st" -> ((x, y) => x + y),
+              "stt" -> ((x, y) => x + y), "sv" -> ((x, y) => x + y),
+              "stv" -> ((x, y) => x + y)))
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // oracle anchor: the same scenes in ONE batch load, raw per-time
+    // pixel series landed for DuckDB's independent OLS recompute
+    val res = Load.load(spark, allItems, allSchemas,
+      bands = Seq("red", "nir"), groupby = "id", chunks = 64,
+      geobox = Some(grid))
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    res.tiles
+      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
+        unix_timestamp(col("time")).as("tsec"), col("nodata"),
+        posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tidx"), col("ty"), col("tx"), col("tsec"),
+        col("pos"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(StreamTrendCellsPath)
+
+    // summary of the STREAMED state: slope/intercept derived from the
+    // standing sums per pixel, quantized per tile
+    spark.read.parquet(statePath)
+      .select(col("band"), col("ty"), col("tx"),
+        posexplode(arrays_zip(col("n"), col("st"), col("stt"),
+          col("sv"), col("stv"))))
+      .select(col("band"), col("ty"), col("tx"),
+        col("col.n").as("n"), col("col.st").as("st"),
+        col("col.stt").as("stt"), col("col.sv").as("sv"),
+        col("col.stv").as("stv"))
+      .select(col("band"), col("ty"), col("tx"), col("n"),
+        expr("""CASE WHEN n >= 2 AND n * stt - st * st <> 0
+                THEN (n * stv - st * sv) / (n * stt - st * st) END""")
+          .as("slope"),
+        expr("""CASE WHEN n >= 2 AND n * stt - st * st <> 0
+                THEN (sv - ((n * stv - st * sv) / (n * stt - st * st))
+                      * st) / n END""").as("icept"))
+      .groupBy(col("band"), col("ty"), col("tx"))
+      .agg(sum(col("n")).cast("int").as("n_obs"),
+        count(col("slope")).cast("int").as("n_fit"),
+        sum(coalesce(expr("CAST(ROUND(slope * 1e6) AS BIGINT)"), lit(0L)))
+          .cast("long").as("slope_q"),
+        sum(coalesce(expr("CAST(ROUND(icept * 100) AS BIGINT)"), lit(0L)))
+          .cast("long").as("icept_q"))
+      .orderBy("band", "ty", "tx")
+  }
+
+  private[rasterops] val streamTrendDuckSql: String =
+    s"""WITH c AS (
+       |  SELECT band, ty, tx, pos,
+       |         FLOOR((tsec - $TrendAnchorSec) / 86400.0 + 0.5) AS t,
+       |         value
+       |  FROM read_parquet('$StreamTrendCellsPath/*.parquet')
+       |  WHERE NOT isnan(value)),
+       |px AS (
+       |  SELECT band, ty, tx, pos,
+       |         COUNT(*) AS n, SUM(t) AS st, SUM(t * t) AS stt,
+       |         SUM(value) AS sv, SUM(t * value) AS stv
+       |  FROM c GROUP BY band, ty, tx, pos),
+       |f AS (
+       |  SELECT band, ty, tx, pos, n,
+       |         CASE WHEN n >= 2 AND n * stt - st * st <> 0
+       |              THEN (n * stv - st * sv) / (n * stt - st * st)
+       |              END AS slope,
+       |         CASE WHEN n >= 2 AND n * stt - st * st <> 0
+       |              THEN (sv - ((n * stv - st * sv) / (n * stt - st * st))
+       |                    * st) / n
+       |              END AS icept
+       |  FROM px)
+       |SELECT band, ty, tx,
+       |       CAST(SUM(n) AS INT) AS n_obs,
+       |       CAST(COUNT(slope) AS INT) AS n_fit,
+       |       CAST(SUM(COALESCE(CAST(ROUND(slope * 1e6) AS BIGINT), 0))
+       |            AS BIGINT) AS slope_q,
+       |       CAST(SUM(COALESCE(CAST(ROUND(icept * 100) AS BIGINT), 0))
+       |            AS BIGINT) AS icept_q
+       |FROM f GROUP BY band, ty, tx
+       |ORDER BY band, ty, tx""".stripMargin
 
   private[rasterops] val streamCompositeDuckSql: String =
     s"""WITH px AS (

@@ -456,7 +456,104 @@ object Stats {
        |FROM g CROSS JOIN t
        |ORDER BY bin""".stripMargin
 
+  // ---- declarative data-quality expectations ------------------------------
+
+  /** Great-Expectations-style quality gate — the validation report a
+    * training pipeline runs before admitting a batch: null/range/enum/
+    * uniqueness/cross-column-consistency/time-window rules, one row per
+    * rule with checked/failed counts and a pass/fail status. Two rules
+    * are deliberately tight against this corpus (the `error` event type
+    * is outside the billable enum; a 100-char length floor) so the
+    * FAILURE path is exercised in the checksum, not just the zeros.
+    *
+    * Scale shape: ALL of a table's rules evaluate in ONE scan — a
+    * single multi-counter aggregate (conditional sums + two exact
+    * distincts) unpivoted to rows by `stack`, so adding a rule adds a
+    * counter, not a pass. At 100 TB the distinct-count arms swap to
+    * `approx_count_distinct` exactly like [[statsSparkSql]]'s twin. */
+  val expectationsSparkSql: String =
+    """WITH e AS (
+      |  SELECT COUNT(*) AS n,
+      |         SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS f_null,
+      |         SUM(CASE WHEN value < 0 OR value > 400 THEN 1 ELSE 0 END)
+      |           AS f_range,
+      |         SUM(CASE WHEN event_type NOT IN
+      |               ('click', 'view', 'purchase', 'signup')
+      |             THEN 1 ELSE 0 END) AS f_enum,
+      |         COUNT(*) - COUNT(DISTINCT event_id) AS f_uniq,
+      |         SUM(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00' OR
+      |                       ts >= TIMESTAMP '2024-02-01 00:00:00'
+      |             THEN 1 ELSE 0 END) AS f_ts
+      |  FROM events),
+      |d AS (
+      |  SELECT COUNT(*) AS n,
+      |         SUM(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END) AS f_len,
+      |         SUM(CASE WHEN lang NOT IN ('en', 'de', 'es', 'fr', 'zh')
+      |             THEN 1 ELSE 0 END) AS f_lang,
+      |         COUNT(*) - COUNT(DISTINCT doc_id) AS f_uniq,
+      |         SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+      |           AS f_cons
+      |  FROM documents)
+      |SELECT tbl, rule, n_checked, n_failed,
+      |       CASE WHEN n_failed = 0 THEN 'pass' ELSE 'fail' END AS status
+      |FROM (
+      |  SELECT 'events' AS tbl, n AS n_checked,
+      |         stack(5,
+      |           'value_not_null', f_null,
+      |           'value_in_range', f_range,
+      |           'type_in_enum', f_enum,
+      |           'id_unique', f_uniq,
+      |           'ts_in_window', f_ts) AS (rule, n_failed)
+      |  FROM e
+      |  UNION ALL
+      |  SELECT 'documents' AS tbl, n AS n_checked,
+      |         stack(4,
+      |           'len_ge_100', f_len,
+      |           'lang_in_enum', f_lang,
+      |           'id_unique', f_uniq,
+      |           'nchars_consistent', f_cons) AS (rule, n_failed)
+      |  FROM d) t
+      |ORDER BY tbl, rule""".stripMargin
+
+  val expectationsDuckSql: String =
+    """WITH e AS (
+      |  SELECT COUNT(*) AS n,
+      |         SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS f_null,
+      |         SUM(CASE WHEN value < 0 OR value > 400 THEN 1 ELSE 0 END)
+      |           AS f_range,
+      |         SUM(CASE WHEN event_type NOT IN
+      |               ('click', 'view', 'purchase', 'signup')
+      |             THEN 1 ELSE 0 END) AS f_enum,
+      |         COUNT(*) - COUNT(DISTINCT event_id) AS f_uniq,
+      |         SUM(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00' OR
+      |                       ts >= TIMESTAMP '2024-02-01 00:00:00'
+      |             THEN 1 ELSE 0 END) AS f_ts
+      |  FROM events),
+      |d AS (
+      |  SELECT COUNT(*) AS n,
+      |         SUM(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END) AS f_len,
+      |         SUM(CASE WHEN lang NOT IN ('en', 'de', 'es', 'fr', 'zh')
+      |             THEN 1 ELSE 0 END) AS f_lang,
+      |         COUNT(*) - COUNT(DISTINCT doc_id) AS f_uniq,
+      |         SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+      |           AS f_cons
+      |  FROM documents),
+      |u AS (
+      |  SELECT 'events' AS tbl, 'value_not_null' AS rule, n, f_null AS f FROM e
+      |  UNION ALL SELECT 'events', 'value_in_range', n, f_range FROM e
+      |  UNION ALL SELECT 'events', 'type_in_enum', n, f_enum FROM e
+      |  UNION ALL SELECT 'events', 'id_unique', n, f_uniq FROM e
+      |  UNION ALL SELECT 'events', 'ts_in_window', n, f_ts FROM e
+      |  UNION ALL SELECT 'documents', 'len_ge_100', n, f_len FROM d
+      |  UNION ALL SELECT 'documents', 'lang_in_enum', n, f_lang FROM d
+      |  UNION ALL SELECT 'documents', 'id_unique', n, f_uniq FROM d
+      |  UNION ALL SELECT 'documents', 'nchars_consistent', n, f_cons FROM d)
+      |SELECT tbl, rule, n AS n_checked, f AS n_failed,
+      |       CASE WHEN f = 0 THEN 'pass' ELSE 'fail' END AS status
+      |FROM u ORDER BY tbl, rule""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_expectations" -> Tables.sql(expectationsSparkSql),
     "stats_psi_drift" -> Tables.sql(psiSqlBody),
     "stats_ks_drift" -> Tables.sql(ksSparkSql),
     "stats_ks_drift_binned" -> Tables.sql(ksBinnedSqlBody),
@@ -468,6 +565,7 @@ object Stats {
     "text_cms_portable" -> Tables.sql(cmsPortableSparkSql))
 
   val oracleSql: Map[String, String] = Map(
+    "stats_expectations" -> expectationsDuckSql,
     "stats_psi_drift" -> psiSqlBody,
     "stats_ks_drift" -> ksDuckSql,
     "stats_ks_drift_binned" -> ksBinnedSqlBody,
