@@ -120,6 +120,15 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(cols.subsetOf(Set("doc_id", "text")), s"chunk scan reads $cols")
     }
 
+    // expectations: ALL of a table's rules fold into one scan — adding
+    // a rule must add a counter, never a pass over the data
+    val exp = SparkEntry.queries("stats_expectations")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val expScans = "Scan parquet".r.findAllMatchIn(exp).size
+    assert(expScans == 2,
+      s"stats_expectations must scan events + documents exactly once " +
+        s"each, found $expScans scans:\n$exp")
+
     // ks drift: events scan must read only (event_type, value)
     val ks = SparkEntry.queries("stats_ks_drift")(spark, sf)
       .queryExecution.executedPlan.toString
