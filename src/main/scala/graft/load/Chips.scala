@@ -40,22 +40,6 @@ object Chips {
             combos: Seq[(String, Int)] = Nil): DataFrame = {
     import spark.implicits._
     require(size > 0, s"chip size must be positive: $size")
-    // a caller-supplied combos list that omits a (band, tIdx) present
-    // in `tiles` is a mis-declared domain: the domain join would
-    // silently drop the computed chips for it, so validate EAGERLY
-    // driver-side (a lazy in-plan raise_error can be pruned away with
-    // the column that carries it). One tiny metadata-column job, only
-    // on the explicit-combos path; the undeclared set is bounded by
-    // bands × times, so the collect is constant-sized.
-    if (combos.nonEmpty) {
-      val undeclared = tiles.select(col("band"), col("tIdx")).distinct()
-        .except(combos.toDF("band", "tIdx"))
-        .collect().map(r => (r.getString(0), r.getInt(1)))
-      require(undeclared.isEmpty,
-        s"Chips: tiles contain (band, tIdx) combinations absent from " +
-          s"the supplied combos domain: ${undeclared.toSeq.sorted
-            .mkString(", ")} — declare them or drop the combos argument")
-    }
     // pre-binned by anchor bucket (the Drill convention): a tile scans
     // only the points whose chips can overlap it, not the whole sample
     // list — the probe rect grows by size-1 on the top/left because a
@@ -127,15 +111,34 @@ object Chips {
       // a point whose chip rect overlaps NO tile of a (band, tIdx)
       // plane must not vanish: every (point × band × tIdx) combination
       // gets a row, all-NaN when uncovered — callers join chips back to
-      // their sample lists and silent loss would corrupt the join
+      // their sample lists and silent loss would corrupt the join.
+      // FULL outer: a caller-supplied combos list that omits a
+      // (band, tIdx) actually present in `tiles` is a mis-declared
+      // domain, and its computed chips surface as left-only rows. The
+      // error guard rides IN BOTH data columns (not a driver-side
+      // pre-scan, which would re-execute the whole load lineage a
+      // second time — the very cost combos exists to avoid): any
+      // consumer that reads chip pixels or validity counts trips it;
+      // a keys-only projection cannot observe chip loss either way.
       .join(
         (if (combos.nonEmpty) combos.toDF("band", "tIdx")
          else tiles.select(col("band"), col("tIdx")).distinct())
-          .crossJoin(points.map(_._1).toDF("point_id")),
-        Seq("point_id", "band", "tIdx"), "right_outer")
+          .crossJoin(points.map(_._1).toDF("point_id"))
+          .withColumn("_dom", lit(true)),
+        Seq("point_id", "band", "tIdx"), "full_outer")
       .select(col("point_id"), col("band"), col("tIdx"),
-        coalesce(col("n_valid"), lit(0)).as("n_valid"),
-        coalesce(col("chip"),
-          expr(s"array_repeat(CAST('NaN' AS DOUBLE), ${sz * sz})")).as("chip"))
+        when(col("_dom").isNull, raise_error(concat(
+          lit("Chips: computed chip for (band="), col("band"),
+          lit(", tIdx="), col("tIdx").cast("string"),
+          lit(") absent from the supplied combos domain"))).cast("int"))
+          .otherwise(coalesce(col("n_valid"), lit(0))).as("n_valid"),
+        when(col("_dom").isNull, raise_error(concat(
+          lit("Chips: computed chip for (band="), col("band"),
+          lit(", tIdx="), col("tIdx").cast("string"),
+          lit(") absent from the supplied combos domain")))
+          .cast("array<double>"))
+          .otherwise(coalesce(col("chip"),
+            expr(s"array_repeat(CAST('NaN' AS DOUBLE), ${sz * sz})")))
+          .as("chip"))
   }
 }

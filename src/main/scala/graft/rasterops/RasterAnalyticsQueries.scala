@@ -252,12 +252,17 @@ private[rasterops] trait RasterAnalyticsQueries {
        |                  FROM read_parquet('$TrendCellsPath/*.parquet')))
        |           / 86400.0 + 0.5) AS t,
        |         value
-       |  FROM read_parquet('$TrendCellsPath/*.parquet')
-       |  WHERE NOT isnan(value)),
+       |  FROM read_parquet('$TrendCellsPath/*.parquet')),
        |px AS (
+       |  -- NaN rows stay (CASE arms, not a WHERE): the engine emits a
+       |  -- row per LOADED tile, so a tile with zero valid observations
+       |  -- must still produce its all-zero summary row here
        |  SELECT band, ty, tx, pos,
-       |         COUNT(*) AS n, SUM(t) AS st, SUM(t * t) AS stt,
-       |         SUM(value) AS sv, SUM(t * value) AS stv
+       |         COUNT(CASE WHEN NOT isnan(value) THEN 1 END) AS n,
+       |         SUM(CASE WHEN isnan(value) THEN 0 ELSE t END) AS st,
+       |         SUM(CASE WHEN isnan(value) THEN 0 ELSE t * t END) AS stt,
+       |         SUM(CASE WHEN isnan(value) THEN 0 ELSE value END) AS sv,
+       |         SUM(CASE WHEN isnan(value) THEN 0 ELSE t * value END) AS stv
        |  FROM c GROUP BY band, ty, tx, pos),
        |f AS (
        |  SELECT band, ty, tx, pos, n,

@@ -103,14 +103,25 @@ private[rasterops] trait RasterStreamQueries {
     * uint16 integers, so double sums are exact and the ×100 rounding
     * is order-independent). A dropped batch, double merge, or wrong
     * zip_with breaks the hash. */
-  def streamComposite(spark: SparkSession): DataFrame = {
+  /** Shared scaffold of the standing-merge streaming queries
+    * ([[streamComposite]], [[streamTrend]]): stage the scene JSONs into
+    * a fixed landing dir (cleared at query start — per-invocation
+    * createTempDirectory trees would leak scene JSONs + two parquet
+    * state copies every bench/verify round), drain them one scene per
+    * microbatch through `foreachBatch`, and fold each batch's
+    * `partials` into the standing state with the replay-safe
+    * batchId-guarded swap commit. Returns the state path to summarize.
+    * The replay guard runs BEFORE the expensive parse+load:
+    * foreachBatch is at-least-once, and a retried microbatch must not
+    * double-merge its scenes into the standing buffers. */
+  private def runMergeStream(spark: SparkSession,
+      landingName: String, stateName: String,
+      jsons: Seq[String], grid: graft.geo.GeoBox,
+      partials: DataFrame => DataFrame,
+      mergeCols: Seq[(String,
+        (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+          => org.apache.spark.sql.Column)]): String = {
     import spark.implicits._
-    val jsons = Fixtures.writeScenes(NScenes).map(_.replaceAll("\n", " "))
-    val (allItems, allSchemas) = parsed(spark)
-    val grid = Planner.outputGeobox(allItems, allSchemas).get
-    // FIXED shared tmp dirs (the other queries' convention), cleared at
-    // query start — per-invocation createTempDirectory trees would leak
-    // scene JSONs + two parquet state copies every bench/verify round
     def resetDir(p: java.nio.file.Path): java.nio.file.Path = {
       def rm(d: java.io.File): Unit = {
         Option(d.listFiles()).foreach(_.foreach(rm))
@@ -121,13 +132,45 @@ private[rasterops] trait RasterStreamQueries {
       p
     }
     val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    val landing = resetDir(tmp.resolve("graft_stream_comp_landing"))
+    val landing = resetDir(tmp.resolve(landingName))
     jsons.zipWithIndex.foreach { case (j, i) =>
       java.nio.file.Files.write(landing.resolve(f"item_$i%03d.json"),
         j.getBytes("UTF-8"))
     }
-    val stateRoot = resetDir(tmp.resolve("graft_stream_comp_state")).toString
-    val statePath = stateRoot + "/state"
+    val statePath = resetDir(tmp.resolve(stateName)).toString + "/state"
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .text(landing.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val js = batch.select("value").as[String](
+          org.apache.spark.sql.Encoders.STRING).collect().toSeq
+        if (js.nonEmpty && batchId > lastMergedBatch(statePath)) {
+          val (ds, schemas) = StacParse.parseItems(spark,
+            spark.createDataset(js))
+          val items = ds.collect().toSeq.sortBy(_.id)
+          val res = Load.load(spark, items, schemas,
+            bands = Seq("red", "nir"), groupby = "id", chunks = 64,
+            geobox = Some(grid))
+          commitMergeWith(spark, statePath, batchId, partials(res.tiles),
+            mergeCols)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    statePath
+  }
+
+  def streamComposite(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenes(NScenes).map(_.replaceAll("\n", " "))
+    val (allItems, allSchemas) = parsed(spark)
+    val grid = Planner.outputGeobox(allItems, allSchemas).get
 
     /** Batch tiles -> partial buffer rows (one per band/ty/tx). */
     def partials(tiles: DataFrame) =
@@ -167,33 +210,9 @@ private[rasterops] trait RasterStreamQueries {
         }
         .toDF("band", "ty", "tx", "sum", "mn", "mx", "cnt")
 
-    val q = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.StringType))))
-      .option("maxFilesPerTrigger", "1")
-      .text(landing.toString)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val js = batch.select("value").as[String](
-          org.apache.spark.sql.Encoders.STRING).collect().toSeq
-        // replay guard BEFORE the expensive parse+load: foreachBatch is
-        // at-least-once, and a retried microbatch must not double-merge
-        // its scenes into the standing sum/cnt buffers
-        if (js.nonEmpty && batchId > lastMergedBatch(statePath)) {
-          val (ds, schemas) = StacParse.parseItems(spark,
-            spark.createDataset(js))
-          val items = ds.collect().toSeq.sortBy(_.id)
-          val res = Load.load(spark, items, schemas,
-            bands = Seq("red", "nir"), groupby = "id", chunks = 64,
-            geobox = Some(grid))
-          commitMerge(spark, statePath, batchId, partials(res.tiles))
-        }
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val statePath = runMergeStream(spark,
+      "graft_stream_comp_landing", "graft_stream_comp_state",
+      jsons, grid, partials, CompositeMergeCols)
 
     // oracle anchor: the same scenes in ONE batch load, per-time pixel
     // planes landed for DuckDB's independent across-time recompute
@@ -250,13 +269,18 @@ private[rasterops] trait RasterStreamQueries {
     * renames the current state ASIDE to `_old` before promoting
     * `_next`, so a death at any step leaves a recoverable dir — never
     * the rmDir-then-rename window where the standing table is gone. */
+  /** The composite state's per-column element merges. */
+  private[rasterops] val CompositeMergeCols: Seq[(String,
+    (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+      => org.apache.spark.sql.Column)] = Seq(
+    "sum" -> ((x, y) => x + y),
+    "mn" -> ((x, y) => least(x, y)),
+    "mx" -> ((x, y) => greatest(x, y)),
+    "cnt" -> ((x, y) => x + y))
+
   private[graft] def commitMerge(spark: SparkSession, statePath: String,
       batchId: Long, cur: DataFrame): Unit =
-    commitMergeWith(spark, statePath, batchId, cur, Seq(
-      "sum" -> ((x, y) => x + y),
-      "mn" -> ((x, y) => least(x, y)),
-      "mx" -> ((x, y) => greatest(x, y)),
-      "cnt" -> ((x, y) => x + y)))
+    commitMergeWith(spark, statePath, batchId, cur, CompositeMergeCols)
 
   /** [[commitMerge]] generalized over the per-column element merge
     * functions — the running-trend state reuses the identical swap and
@@ -333,23 +357,6 @@ private[rasterops] trait RasterStreamQueries {
     val jsons = Fixtures.writeScenes(NScenes).map(_.replaceAll("\n", " "))
     val (allItems, allSchemas) = parsed(spark)
     val grid = Planner.outputGeobox(allItems, allSchemas).get
-    def resetDir(p: java.nio.file.Path): java.nio.file.Path = {
-      def rm(d: java.io.File): Unit = {
-        Option(d.listFiles()).foreach(_.foreach(rm))
-        d.delete(); ()
-      }
-      rm(p.toFile)
-      java.nio.file.Files.createDirectories(p)
-      p
-    }
-    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    val landing = resetDir(tmp.resolve("graft_stream_trend_landing"))
-    jsons.zipWithIndex.foreach { case (j, i) =>
-      java.nio.file.Files.write(landing.resolve(f"item_$i%03d.json"),
-        j.getBytes("UTF-8"))
-    }
-    val stateRoot = resetDir(tmp.resolve("graft_stream_trend_state")).toString
-    val statePath = stateRoot + "/state"
 
     // local copy: a trait-member reference inside mapGroups would drag
     // the whole (non-serializable) registry object into the closure
@@ -393,36 +400,12 @@ private[rasterops] trait RasterStreamQueries {
         }
         .toDF("band", "ty", "tx", "n", "st", "stt", "sv", "stv")
 
-    val q = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.StringType))))
-      .option("maxFilesPerTrigger", "1")
-      .text(landing.toString)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val js = batch.select("value").as[String](
-          org.apache.spark.sql.Encoders.STRING).collect().toSeq
-        if (js.nonEmpty && batchId > lastMergedBatch(statePath)) {
-          val (ds, schemas) = StacParse.parseItems(spark,
-            spark.createDataset(js))
-          val items = ds.collect().toSeq.sortBy(_.id)
-          val res = Load.load(spark, items, schemas,
-            bands = Seq("red", "nir"), groupby = "id", chunks = 64,
-            geobox = Some(grid))
-          commitMergeWith(spark, statePath, batchId, partials(res.tiles),
-            Seq[(String,
-              (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
-                => org.apache.spark.sql.Column)](
-              "n" -> ((x, y) => x + y), "st" -> ((x, y) => x + y),
-              "stt" -> ((x, y) => x + y), "sv" -> ((x, y) => x + y),
-              "stv" -> ((x, y) => x + y)))
-        }
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val statePath = runMergeStream(spark,
+      "graft_stream_trend_landing", "graft_stream_trend_state",
+      jsons, grid, partials,
+      Seq("n", "st", "stt", "sv", "stv").map(c =>
+        (c, (x: org.apache.spark.sql.Column,
+             y: org.apache.spark.sql.Column) => x + y)))
 
     // oracle anchor: the same scenes in ONE batch load, raw per-time
     // pixel series landed for DuckDB's independent OLS recompute
@@ -473,12 +456,18 @@ private[rasterops] trait RasterStreamQueries {
        |  SELECT band, ty, tx, pos,
        |         FLOOR((tsec - $TrendAnchorSec) / 86400.0 + 0.5) AS t,
        |         value
-       |  FROM read_parquet('$StreamTrendCellsPath/*.parquet')
-       |  WHERE NOT isnan(value)),
+       |  FROM read_parquet('$StreamTrendCellsPath/*.parquet')),
        |px AS (
+       |  -- NaN rows stay (CASE arms, not a WHERE): the streamed state
+       |  -- holds a row for every tile ever LOADED, so a tile with zero
+       |  -- valid observations must still produce its all-zero summary
+       |  -- row here (the streamComposite oracle's convention)
        |  SELECT band, ty, tx, pos,
-       |         COUNT(*) AS n, SUM(t) AS st, SUM(t * t) AS stt,
-       |         SUM(value) AS sv, SUM(t * value) AS stv
+       |         COUNT(CASE WHEN NOT isnan(value) THEN 1 END) AS n,
+       |         SUM(CASE WHEN isnan(value) THEN 0 ELSE t END) AS st,
+       |         SUM(CASE WHEN isnan(value) THEN 0 ELSE t * t END) AS stt,
+       |         SUM(CASE WHEN isnan(value) THEN 0 ELSE value END) AS sv,
+       |         SUM(CASE WHEN isnan(value) THEN 0 ELSE t * value END) AS stv
        |  FROM c GROUP BY band, ty, tx, pos),
        |f AS (
        |  SELECT band, ty, tx, pos, n,
