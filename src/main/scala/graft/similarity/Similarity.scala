@@ -710,6 +710,196 @@ object Similarity {
     per.unionAll(mean).orderBy("method", "qid")
   }
 
+  // ---- PCA projection (landed rotation + portable matmul twin) ------------
+
+  val PcaK = 8 // retained components
+
+  /** Rotation landing path of the MOST RECENT [[pcaProject]] run —
+    * per-source-dir (two SF dirs verified back-to-back must not poison
+    * each other's oracle), read by the `def pcaDuckSql` the same way
+    * the ivf oracles embed their last-run artifact paths. */
+  private[graft] var lastPcaPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_pca_rotation_default_parquet"
+
+  private def pcaPathFor(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_pca_rotation_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_parquet"
+
+  /** Mergeable mean+Gram sums over the embedding column: buffer is
+    * (n, Σx (d), Σxxᵀ (d², upper triangle mirrored)) — fixed-size
+    * regardless of corpus size, map-side combine, one ~32 KB partial
+    * per partition at d=64. */
+  final case class GramBuf(var n: Long, var s: Array[Double],
+                           var g: Array[Double])
+
+  class GramAgg extends org.apache.spark.sql.expressions
+      .Aggregator[Array[Float], GramBuf, GramBuf] with Serializable {
+    override def zero: GramBuf = GramBuf(0L, null, null)
+    override def reduce(b: GramBuf, x: Array[Float]): GramBuf = {
+      val d = x.length
+      if (b.s == null) { b.s = new Array[Double](d); b.g = new Array[Double](d * d) }
+      var i = 0
+      while (i < d) {
+        val xi = x(i).toDouble
+        b.s(i) += xi
+        var j = 0
+        while (j < d) { b.g(i * d + j) += xi * x(j).toDouble; j += 1 }
+        i += 1
+      }
+      b.n += 1
+      b
+    }
+    override def merge(a: GramBuf, c: GramBuf): GramBuf = {
+      if (a.s == null) return c
+      if (c.s == null) return a
+      var i = 0
+      while (i < a.s.length) { a.s(i) += c.s(i); i += 1 }
+      i = 0
+      while (i < a.g.length) { a.g(i) += c.g(i); i += 1 }
+      a.n += c.n
+      a
+    }
+    override def finish(b: GramBuf): GramBuf = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[GramBuf] =
+      org.apache.spark.sql.Encoders.product[GramBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[GramBuf] =
+      org.apache.spark.sql.Encoders.product[GramBuf]
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * deterministic sweep order, driver-side on the d×d covariance (a
+    * CONSTANT-size solve, the k-means-centroid pattern: the corpus
+    * never leaves the executors, only d² sums do). Returns
+    * (eigenvalues, eigenvectors as rows), unsorted. */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone)
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-20) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 // theta == 0 → 45° rotation
+                case x => x
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)),
+      Array.tabulate(n)(j => Array.tabulate(n)(i => v(i)(j))))
+  }
+
+  /** PCA projection of the embedding table — the dimensionality
+    * reduction step before ANN indexing / clustering at scale. One
+    * mergeable [[GramAgg]] pass collects (n, Σx, Σxxᵀ) — d² doubles,
+    * CONSTANT in corpus size — the covariance eigensolve runs
+    * driver-side (cyclic Jacobi, deterministic), and the top-[[PcaK]]
+    * rotation rows LAND as a standing artifact with per-component bias
+    * `b_j = R_j·μ`. The projection itself is a broadcast join of the
+    * 8-row rotation against the corpus — map-side matmul, no shuffle.
+    * Oracle: DuckDB recomputes `R_j·x − b_j` from the landed rotation
+    * with the identical ascending-index fold (the proven
+    * bruteforce-cosine list_sum equivalence), so the distributed
+    * projection and the artifact contract are both pinned; the
+    * eigensolve is additionally property-checked in `PcaSpec`
+    * (orthonormality, descending explained variance, residual
+    * reconstruction). Each eigenvector is sign-normalized (largest-
+    * magnitude component positive) so the landed artifact is unique. */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.register(spark, dir)
+    val emb = spark.table("embeddings")
+      .select(col("embedding").as[Array[Float]])
+    val agg = new GramAgg().toColumn
+    val gb = emb.select(agg).head()
+    val d = gb.s.length
+    val n = gb.n.toDouble
+    val mu = gb.s.map(_ / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      gb.g(i * d + j) / n - mu(i) * mu(j))
+    val (evals, evecs) = jacobiEigen(cov)
+    val top = evals.zip(evecs).zipWithIndex
+      .sortBy { case ((ev, _), idx) => (-ev, idx) }
+      .take(math.min(PcaK, d))
+    val rows = top.zipWithIndex.map { case (((ev, vec0), _), comp) =>
+      // sign normalization: the largest-|component| entry is positive
+      val m = vec0.indices.maxBy(i => (math.abs(vec0(i)), -i))
+      val vec = if (vec0(m) < 0) vec0.map(-_) else vec0
+      val bias = {
+        var s = 0.0; var i = 0
+        while (i < d) { s += vec(i) * mu(i); i += 1 }
+        s
+      }
+      (comp, vec, bias, ev)
+    }
+    lastPcaPath = pcaPathFor(dir)
+    rows.toSeq.toDF("comp", "vec", "bias", "eigval")
+      .coalesce(1).write.mode("overwrite").parquet(lastPcaPath)
+    val rot = spark.read.parquet(lastPcaPath)
+    spark.table("embeddings").select(col("vec_id"), col("embedding"))
+      .join(org.apache.spark.sql.functions.broadcast(rot))
+      .select(col("vec_id"), col("comp"),
+        // + 0.0 canonicalizes ROUND's -0.0 (a tiny negative projection
+        // rounds to negative zero, which the engines print differently)
+        expr("""ROUND(AGGREGATE(zip_with(vec, embedding,
+                |  (a, b) -> a * CAST(b AS DOUBLE)),
+                |  CAST(0.0 AS DOUBLE), (s, x) -> s + x) - bias, 4) + 0.0
+                |""".stripMargin.replaceAll("\n", " ")).as("pc"))
+      .orderBy("vec_id", "comp")
+  }
+
+  def pcaDuckSql: String =
+    s"""WITH r AS (
+       |  SELECT comp, vec, bias FROM read_parquet('$lastPcaPath/*.parquet')),
+       |e AS (SELECT vec_id, embedding FROM embeddings)
+       |SELECT e.vec_id, r.comp,
+       |       ROUND(list_sum(list_transform(generate_series(1, len(r.vec)),
+       |                i -> r.vec[i] * CAST(e.embedding[i] AS DOUBLE)))
+       |             - r.bias, 4) + 0.0 AS pc
+       |FROM e CROSS JOIN r
+       |ORDER BY vec_id, comp""".stripMargin
+
   /** Symmetric int8 quantization of the embedding column (the storage
     * layout ANN indexes and training pipelines ship vectors in): scale =
     * max|x|/127, q_i = floor(x_i·127/max|x| + 0.5). Emitted as exact
@@ -1605,6 +1795,7 @@ object Similarity {
     "dedup_embedding_cosine" -> ((s, d) => nearDupPairs(s, d)),
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "embed_quantize" -> Tables.sql(quantizeSparkSql),
+    "embed_pca" -> ((s, d) => pcaProject(s, d)),
     "embed_label_centroids" -> Tables.sql(centroidsSparkSql),
     "embed_outliers" -> Tables.sql(outliersSparkSql)
   )
@@ -1623,6 +1814,7 @@ object Similarity {
     "dedup_embedding_portable" -> embDedupPortableDuckSql,
     "dedup_semantic_portable" -> semanticPortableDuckSql,
     "embed_quantize" -> quantizeDuckSql,
+    "embed_pca" -> pcaDuckSql,
     "embed_label_centroids" -> centroidsDuckSql,
     "embed_outliers" -> outliersDuckSql
   )

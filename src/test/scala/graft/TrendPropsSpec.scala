@@ -1,0 +1,103 @@
+package graft
+
+import graft.load.{Fuse, Trend}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck invariants of the per-pixel OLS trend aggregator: the
+  * mergeability claim (any partition of the observations into partial
+  * buffers merges to the single-pass result BIT-FOR-BIT on integer
+  * inputs), exact recovery of noiseless linear series, and the
+  * minimum-observations / zero-variance guards. */
+class TrendPropsSpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def forAll[A](ga: Gen[A])(f: A => Unit): Unit =
+    check(Prop.forAll(ga) { a => f(a); true })
+
+  /** Run the aggregator over one single-pixel plane per (t, v), with
+    * the observation list split into `cuts` partial buffers that are
+    * then merged — cuts = Nil means one buffer (the reference). */
+  private def fit(obs: Seq[(Double, Double)], cuts: Seq[Int] = Nil)
+      : (Double, Double, Int) = {
+    val agg = new Trend.PixelTrend
+    val groups =
+      if (cuts.isEmpty) Seq(obs)
+      else {
+        val bounds = (0 +: cuts.sorted :+ obs.length).distinct
+        bounds.zip(bounds.tail).map { case (a, b) => obs.slice(a, b) }
+      }
+    val bufs = groups.map { g =>
+      g.foldLeft(agg.zero) { case (b, (t, v)) =>
+        agg.reduce(b, Trend.TrendIn(t, Fuse.encode(Array(v), "float64"),
+          "float64", Double.NaN, 1, 1))
+      }
+    }
+    val out = agg.finish(bufs.reduce(agg.merge))
+    if (out.slope.isEmpty) (Double.NaN, Double.NaN, 0)
+    else (out.slope(0), out.icept(0), out.count(0))
+  }
+
+  test("any partition of observations merges to the one-pass result") {
+    val gen = for {
+      n <- Gen.choose(2, 24)
+      vs <- Gen.listOfN(n, Gen.choose(0, 4000))
+      nCuts <- Gen.choose(0, 4)
+      cuts <- Gen.listOfN(nCuts, Gen.choose(1, math.max(1, n - 1)))
+    } yield (vs.map(_.toDouble), cuts)
+    forAll(gen) { case (vs, cuts) =>
+      // integer days + integer values: sums are order-exact, so the
+      // merged fit must equal the single-buffer fit BIT-FOR-BIT
+      val obs = vs.zipWithIndex.map { case (v, t) => (t.toDouble, v) }
+      val one = fit(obs)
+      val merged = fit(obs, cuts)
+      assert(one == merged,
+        s"merge changed the fit: $one vs $merged (cuts=$cuts)")
+    }
+  }
+
+  test("noiseless linear series recover slope and intercept exactly") {
+    val gen = for {
+      a <- Gen.choose(-1000, 1000)
+      b <- Gen.choose(-50, 50)
+      n <- Gen.choose(2, 30)
+    } yield (a, b, n)
+    forAll(gen) { case (a, b, n) =>
+      val obs = (0 until n).map(t => (t.toDouble, (a + b * t).toDouble))
+      val (slope, icept, cnt) = fit(obs)
+      assert(cnt == n)
+      assert(slope == b.toDouble, s"slope $slope != $b")
+      assert(icept == a.toDouble, s"icept $icept != $a")
+    }
+  }
+
+  test("fewer than 2 observations, or zero time variance, yield NaN") {
+    val (s1, i1, c1) = fit(Seq((3.0, 42.0)))
+    assert(s1.isNaN && i1.isNaN && c1 == 1)
+    // two observations at the SAME day: den = 0
+    val (s2, i2, c2) = fit(Seq((3.0, 42.0), (3.0, 43.0)))
+    assert(s2.isNaN && i2.isNaN && c2 == 2)
+  }
+
+  test("slope is invariant under a value offset; intercept shifts by it") {
+    val gen = for {
+      n <- Gen.choose(3, 16)
+      vs <- Gen.listOfN(n, Gen.choose(0, 1000))
+      off <- Gen.choose(1, 500)
+    } yield (vs.map(_.toDouble), off.toDouble)
+    forAll(gen) { case (vs, off) =>
+      val obs = vs.zipWithIndex.map { case (v, t) => (t.toDouble, v) }
+      val shifted = obs.map { case (t, v) => (t, v + off) }
+      val (s0, i0, _) = fit(obs)
+      val (s1, i1, _) = fit(shifted)
+      assert(s0 == s1, "value offset must not change the slope")
+      assert(math.abs((i1 - i0) - off) < 1e-9,
+        "intercept must shift by the offset")
+    }
+  }
+}
