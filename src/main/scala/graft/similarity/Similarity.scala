@@ -718,7 +718,7 @@ object Similarity {
     * per-source-dir (two SF dirs verified back-to-back must not poison
     * each other's oracle), read by the `def pcaDuckSql` the same way
     * the ivf oracles embed their last-run artifact paths. */
-  private[graft] var lastPcaPath: String =
+  @volatile private[graft] var lastPcaPath: String =
     s"${sys.props("java.io.tmpdir")}/graft_pca_rotation_default_parquet"
 
   private def pcaPathFor(dir: String): String =
@@ -726,9 +726,9 @@ object Similarity {
       dir.replaceAll("[^A-Za-z0-9]", "_") + "_parquet"
 
   /** Mergeable mean+Gram sums over the embedding column: buffer is
-    * (n, Σx (d), Σxxᵀ (d², upper triangle mirrored)) — fixed-size
-    * regardless of corpus size, map-side combine, one ~32 KB partial
-    * per partition at d=64. */
+    * (n, Σx (d), Σxxᵀ upper triangle in a d² array — mirrored at the
+    * covariance build) — fixed-size regardless of corpus size,
+    * map-side combine, one ~32 KB partial per partition at d=64. */
   final case class GramBuf(var n: Long, var s: Array[Double],
                            var g: Array[Double])
 
@@ -738,11 +738,16 @@ object Similarity {
     override def reduce(b: GramBuf, x: Array[Float]): GramBuf = {
       val d = x.length
       if (b.s == null) { b.s = new Array[Double](d); b.g = new Array[Double](d * d) }
+      require(b.s.length == d,
+        s"embedding length mismatch: ${b.s.length} vs $d")
       var i = 0
       while (i < d) {
         val xi = x(i).toDouble
         b.s(i) += xi
-        var j = 0
+        // symmetric: accumulate the upper triangle only (j >= i) — the
+        // covariance build mirrors it, halving the flops of the one
+        // corpus-size-proportional pass
+        var j = i
         while (j < d) { b.g(i * d + j) += xi * x(j).toDouble; j += 1 }
         i += 1
       }
@@ -752,6 +757,8 @@ object Similarity {
     override def merge(a: GramBuf, c: GramBuf): GramBuf = {
       if (a.s == null) return c
       if (c.s == null) return a
+      require(a.s.length == c.s.length,
+        s"embedding length mismatch in merge: ${a.s.length} vs ${c.s.length}")
       var i = 0
       while (i < a.s.length) { a.s(i) += c.s(i); i += 1 }
       i = 0
@@ -795,11 +802,14 @@ object Similarity {
           val apq = a(p)(q)
           if (math.abs(apq) > 1e-300) {
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-            val t = math.signum(theta) /
-              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
-                case 0.0 => 1.0 // theta == 0 → 45° rotation
-                case x => x
-              }
+            // the Numerical-Recipes guards: for huge theta, theta² would
+            // overflow to Inf and the quotient underflow to 0 — use the
+            // asymptotic t ≈ 1/(2θ); exact zero theta means a 45° rotation
+            val t =
+              if (math.abs(theta) > 1e150) 1.0 / (2.0 * theta)
+              else if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val s = t * c
             var k = 0
@@ -853,11 +863,15 @@ object Similarity {
       .select(col("embedding").as[Array[Float]])
     val agg = new GramAgg().toColumn
     val gb = emb.select(agg).head()
+    require(gb.n >= 2 && gb.s != null,
+      s"embed_pca needs at least 2 embedding rows, found ${gb.n}")
     val d = gb.s.length
     val n = gb.n.toDouble
     val mu = gb.s.map(_ / n)
+    // the aggregator fills the upper triangle only; mirror here
     val cov = Array.tabulate(d, d)((i, j) =>
-      gb.g(i * d + j) / n - mu(i) * mu(j))
+      (if (j >= i) gb.g(i * d + j) else gb.g(j * d + i)) / n
+        - mu(i) * mu(j))
     val (evals, evecs) = jacobiEigen(cov)
     val top = evals.zip(evecs).zipWithIndex
       .sortBy { case ((ev, _), idx) => (-ev, idx) }

@@ -61,4 +61,34 @@ class PcaSpec extends AnyFunSuite {
         s"component $c variance $v != eigenvalue $ev")
     }
   }
+
+  test("reconstruction residual equals the discarded variance") {
+    Similarity.pcaProject(spark, sf).collect() // ensure artifact is fresh
+    val rot = spark.read.parquet(Similarity.lastPcaPath)
+      .select("comp", "vec", "eigval").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val xs = graft.Tables.load(spark, sf, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = xs.head.length
+    val n = xs.length.toDouble
+    val mu = Array.tabulate(d)(i => xs.map(_(i)).sum / n)
+    // total variance (trace of the covariance) minus the kept
+    // eigenvalues = the variance PCA provably discards; the mean
+    // squared residual of (x-μ) - Rᵀ R (x-μ) must equal it
+    val totalVar = (0 until d).map { i =>
+      xs.map(x => (x(i) - mu(i)) * (x(i) - mu(i))).sum / n
+    }.sum
+    val discarded = totalVar - rot.map(_._3).sum
+    val mse = xs.map { x =>
+      val cx = Array.tabulate(d)(i => x(i) - mu(i))
+      val y = rot.map(_._2.zip(cx).map { case (a, b) => a * b }.sum)
+      val recon = Array.tabulate(d)(i =>
+        rot.zip(y).map { case ((_, v, _), yj) => v(i) * yj }.sum)
+      cx.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sum / n
+    assert(math.abs(mse - discarded) <= 1e-6 * math.max(1.0, discarded),
+      s"residual MSE $mse != discarded variance $discarded")
+  }
 }
