@@ -354,7 +354,7 @@ object Composite {
     * All planes of a tile share (w, h), so every row of a group
     * computes the same slicing — slice `s` of every time plane lands in
     * the same `(…, s)` group. */
-  private def slicedTiles(spark: SparkSession, tiles: DataFrame,
+  private[graft] def slicedTiles(spark: SparkSession, tiles: DataFrame,
                           planesPerTile: Int, budgetBytes: Long)
       : org.apache.spark.sql.Dataset[SliceIn] = {
     import spark.implicits._

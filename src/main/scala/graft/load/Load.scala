@@ -479,6 +479,15 @@ final case class LoadResult(tiles: DataFrame, geobox: GeoBox,
     Trend.trendAcrossTime(spark, tiles,
       times.map(_.getTime / 1000L).min)
 
+  /** Theil–Sen robust trend — the rechunk sibling of [[trend]]; this
+    * wrapper passes the time depth so the row-band-sliced bounded plan
+    * applies at any archive depth. */
+  def trendRobust(
+      budgetBytes: Long = Composite.DefaultStateBudgetBytes): DataFrame =
+    Trend.theilSenAcrossTime(spark, tiles,
+      times.map(_.getTime / 1000L).min,
+      planesPerTile = times.length, stateBudgetBytes = budgetBytes)
+
   /** Distributed GeoTIFF export sink: every tile row becomes one
     * georeferenced `.tif` (`<band>_t<tIdx>_<ty>_<tx>.tif`) written
     * executor-side — the per-tile COG layout tile pyramids use, and the

@@ -119,6 +119,149 @@ object Trend {
       Encoders.product[TrendOut]
   }
 
+  /** Interpolated median over `a(0 until m)` (sorted in place) — the
+    * `quantile_cont(0.5)` convention the composite family already
+    * proved cross-engine exact: `lo + (hi − lo)·(pos − lo)`. */
+  private def med(a: Array[Double], m: Int): Double = {
+    java.util.Arrays.sort(a, 0, m)
+    val pos = 0.5 * (m - 1)
+    val lo = math.floor(pos).toInt
+    val hi = math.ceil(pos).toInt
+    if (lo == hi) a(lo) else a(lo) + (a(hi) - a(lo)) * (pos - lo)
+  }
+
+  /** Theil–Sen kernel over one slice: planes MUST be time-ascending.
+    * Per pixel: slope = median of all distinct-time pairwise slopes,
+    * intercept = median of `v − slope·t` residuals; NaN when fewer
+    * than 2 valid observations or no distinct-time pair exists. */
+  private def theilSenKernel(
+      planes: scala.collection.IndexedSeq[(Array[Double], Double, Double)],
+      n: Int): (Array[Double], Array[Double], Array[Int]) = {
+    val slopeOut = new Array[Double](n)
+    val iceptOut = new Array[Double](n)
+    val cnt = new Array[Int](n)
+    val tmax = planes.length
+    val tv = new Array[Double](tmax)
+    val vv = new Array[Double](tmax)
+    val slopes = new Array[Double](math.max(1, tmax * (tmax - 1) / 2))
+    val resid = new Array[Double](tmax)
+    var i = 0
+    while (i < n) {
+      var m = 0
+      var p = 0
+      while (p < tmax) {
+        val (px, nodata, td) = planes(p)
+        val v = px(i)
+        if (!(v.isNaN || v == nodata)) { tv(m) = td; vv(m) = v; m += 1 }
+        p += 1
+      }
+      var k = 0
+      var a = 0
+      while (a < m) {
+        var b = a + 1
+        while (b < m) {
+          if (tv(b) != tv(a)) {
+            slopes(k) = (vv(b) - vv(a)) / (tv(b) - tv(a)); k += 1
+          }
+          b += 1
+        }
+        a += 1
+      }
+      if (m < 2 || k == 0) {
+        slopeOut(i) = Double.NaN; iceptOut(i) = Double.NaN
+      } else {
+        val s = med(slopes, k)
+        slopeOut(i) = s
+        var j = 0
+        while (j < m) { resid(j) = vv(j) - s * tv(j); j += 1 }
+        iceptOut(i) = med(resid, m)
+      }
+      cnt(i) = m
+      i += 1
+    }
+    (slopeOut, iceptOut, cnt)
+  }
+
+  /** Theil–Sen ROBUST trend — the median-of-pairwise-slopes estimator
+    * (up to ~29% outlier contamination without breakdown; the cloudy-
+    * scene-tolerant sibling of [[trendAcrossTime]]'s OLS). The median
+    * is NOT mergeable, so unlike OLS this is the rechunk family: one
+    * shuffle keyed `(band, ty, tx, slice)` co-locates a tile's time
+    * planes — row-band-sliced via [[Composite.slicedTiles]] when
+    * `planesPerTile` is passed, so task state stays under the byte
+    * budget at ANY archive depth — then the O(T²)-per-pixel kernel
+    * runs task-locally and output planes reassemble in an output-sized
+    * second shuffle. Times snap to whole days as in OLS. */
+  def theilSenAcrossTime(spark: SparkSession, tiles: DataFrame,
+                         t0Sec: Long, planesPerTile: Int = 0,
+                         stateBudgetBytes: Long =
+                           Composite.DefaultStateBudgetBytes): DataFrame = {
+    import spark.implicits._
+    val withT = tiles.withColumn("tDays",
+      floor(((unix_timestamp(col("time")) - t0Sec) / 86400.0) + 0.5)
+        .cast("double"))
+    if (planesPerTile <= 0) {
+      withT
+        .select(col("band"), col("ty"), col("tx"), col("tDays"),
+          col("data"), col("dtype"), col("nodata"),
+          col("width"), col("height"))
+        .as[(String, Int, Int, Double, Array[Byte], String, Double, Int, Int)]
+        .groupByKey { case (band, ty, tx, _, _, _, _, _, _) => (band, ty, tx) }
+        .mapGroups { (key, it) =>
+          val (band, ty, tx) = key
+          var w = 0; var h = 0
+          val planes = scala.collection.mutable
+            .ArrayBuffer.empty[(Array[Double], Double, Double)]
+          it.foreach { case (_, _, _, td, data, dtype, nodata, tw, th) =>
+            if (planes.isEmpty) { w = tw; h = th }
+            require(w == tw && h == th,
+              s"tile shape mismatch: ${w}x$h vs ${tw}x$th")
+            planes += ((Fuse.decode(data, dtype), nodata, td))
+          }
+          val sorted = planes.sortBy(_._3)
+          val (s, ic, c) = theilSenKernel(sorted, w * h)
+          (band, ty, tx, s, ic, c)
+        }
+        .toDF("band", "ty", "tx", "slope", "icept", "count")
+    } else {
+      // bounded path: encoded row-band slices → one rechunk → kernel →
+      // output-sized reassembly (the Composite selection plan)
+      val dayOf = withT.select(col("tIdx"), col("tDays"))
+        .distinct().collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val sliced =
+        Composite.slicedTiles(spark, tiles, planesPerTile, stateBudgetBytes)
+          .groupByKey(s => (s.band, s.ty, s.tx, s.slice))
+          .mapGroups { (key, it) =>
+            val (band, ty, tx, slice) = key
+            var w = 0; var sh = 0
+            val planes = scala.collection.mutable
+              .ArrayBuffer.empty[(Array[Double], Double, Double)]
+            it.foreach { s =>
+              if (planes.isEmpty) { w = s.width; sh = s.sliceH }
+              require(w == s.width && sh == s.sliceH,
+                s"slice shape mismatch: ${w}x$sh vs ${s.width}x${s.sliceH}")
+              planes += ((Fuse.decode(s.data, s.dtype), s.nodata,
+                dayOf(s.tIdx)))
+            }
+            val sorted = planes.sortBy(_._3)
+            val (sl, ic, c) = theilSenKernel(sorted, w * sh)
+            (band, ty, tx, slice, sl, ic, c)
+          }
+      sliced
+        .groupByKey { case (band, ty, tx, _, _, _, _) => (band, ty, tx) }
+        .mapGroups { (key, it) =>
+          val (band, ty, tx) = key
+          val parts = it.map { case (_, _, _, s, sl, ic, c) =>
+            (s, Array(sl, ic), c)
+          }.toArray
+          val (planes, cnt) = Composite.concatSlices(parts)
+          (band, ty, tx, planes(0), planes(1), cnt)
+        }
+        .toDF("band", "ty", "tx", "slope", "icept", "count")
+    }
+  }
+
   /** OLS trend of a `Load` tile DataFrame across time. `t0Sec` anchors
     * the day axis (pass the archive's first group timestamp, known
     * driver-side from `LoadResult.times`); observation times are

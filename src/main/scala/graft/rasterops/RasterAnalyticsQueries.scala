@@ -284,6 +284,91 @@ private[rasterops] trait RasterAnalyticsQueries {
        |FROM f GROUP BY band, ty, tx
        |ORDER BY band, ty, tx""".stripMargin
 
+  /** Theil–Sen robust trend (graft.load.Trend.theilSenAcrossTime —
+    * beyond the reference): same 7-scene holed fixture, per-pixel
+    * MEDIAN of pairwise slopes + median-residual intercept — the
+    * outlier-tolerant sibling of [[trend]]'s OLS, and the rechunk
+    * family's counterpart to its mergeable shape (the median is not
+    * mergeable; row-band slicing bounds task state in archive depth).
+    * DuckDB re-derives every pairwise slope from the landed raw
+    * series, takes `quantile_cont(0.5)` (the interpolation convention
+    * the composite quantile already proved cross-engine exact), and
+    * recomputes the residual median — slopes are integer ratios, so
+    * the doubles agree bit-for-bit. */
+  def trendRobust(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenesGap(7)
+    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
+    val items = ds.collect().toSeq.sortBy(_.id)
+    val res = Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "id", chunks = 64, dtype = Some("float64"))
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    res.tiles
+      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
+        unix_timestamp(col("time")).as("tsec"), col("nodata"),
+        posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tidx"), col("ty"), col("tx"), col("tsec"),
+        col("pos"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(TrendRobustCellsPath)
+    val t0Sec = res.times.map(_.getTime / 1000L).min
+    graft.load.Trend.theilSenAcrossTime(spark, res.tiles, t0Sec,
+        planesPerTile = res.times.length)
+      .select(col("band"), col("ty"), col("tx"),
+        expr("aggregate(count, 0, (s, c) -> s + c)").as("n_obs"),
+        expr("aggregate(slope, 0, (s, v) -> s + if(isnan(v), 0, 1))")
+          .as("n_fit"),
+        expr("aggregate(slope, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 1e6) AS BIGINT)))").as("slope_q"),
+        expr("aggregate(icept, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("icept_q"))
+      .orderBy("band", "ty", "tx")
+  }
+
+  private[rasterops] val trendRobustDuckSql: String =
+    s"""WITH c AS (
+       |  SELECT band, ty, tx, pos,
+       |         FLOOR((tsec - (SELECT MIN(tsec)
+       |              FROM read_parquet('$TrendRobustCellsPath/*.parquet')))
+       |           / 86400.0 + 0.5) AS t,
+       |         value
+       |  FROM read_parquet('$TrendRobustCellsPath/*.parquet')),
+       |v AS (SELECT * FROM c WHERE NOT isnan(value)),
+       |pr AS (
+       |  SELECT a.band, a.ty, a.tx, a.pos,
+       |         (b.value - a.value) / (b.t - a.t) AS s
+       |  FROM v a JOIN v b
+       |    ON a.band = b.band AND a.ty = b.ty AND a.tx = b.tx
+       |   AND a.pos = b.pos AND a.t < b.t),
+       |sl AS (
+       |  SELECT band, ty, tx, pos, quantile_cont(s, 0.5) AS slope
+       |  FROM pr GROUP BY band, ty, tx, pos),
+       |ic AS (
+       |  SELECT v.band, v.ty, v.tx, v.pos, sl.slope,
+       |         quantile_cont(v.value - sl.slope * v.t, 0.5) AS icept
+       |  FROM v JOIN sl ON v.band = sl.band AND v.ty = sl.ty
+       |    AND v.tx = sl.tx AND v.pos = sl.pos
+       |  GROUP BY v.band, v.ty, v.tx, v.pos, sl.slope),
+       |nv AS (
+       |  SELECT band, ty, tx, pos,
+       |         COUNT(CASE WHEN NOT isnan(value) THEN 1 END) AS n
+       |  FROM c GROUP BY band, ty, tx, pos),
+       |f AS (
+       |  SELECT nv.band, nv.ty, nv.tx, nv.pos, nv.n, ic.slope, ic.icept
+       |  FROM nv LEFT JOIN ic ON nv.band = ic.band AND nv.ty = ic.ty
+       |    AND nv.tx = ic.tx AND nv.pos = ic.pos)
+       |SELECT band, ty, tx,
+       |       CAST(SUM(n) AS INT) AS n_obs,
+       |       CAST(COUNT(slope) AS INT) AS n_fit,
+       |       CAST(SUM(COALESCE(CAST(ROUND(slope * 1e6) AS BIGINT), 0))
+       |            AS BIGINT) AS slope_q,
+       |       CAST(SUM(COALESCE(CAST(ROUND(icept * 100) AS BIGINT), 0))
+       |            AS BIGINT) AS icept_q
+       |FROM f GROUP BY band, ty, tx
+       |ORDER BY band, ty, tx""".stripMargin
+
   /** NDVI band math (graft.load.BandMath — beyond the reference): the
     * fused red/nir mosaic planes combine per pixel as (nir−red)/
     * (nir+red) through a codegen'd `zip_with` (no UDF in the

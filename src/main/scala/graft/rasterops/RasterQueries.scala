@@ -116,6 +116,7 @@ object RasterQueries
     "raster_temporal_fill" -> ((s, _) => temporalFill(s)),
     "raster_temporal_smooth" -> ((s, _) => temporalSmooth(s)),
     "raster_trend" -> ((s, _) => trend(s)),
+    "raster_trend_robust" -> ((s, _) => trendRobust(s)),
     "raster_band_math" -> ((s, _) => bandMathNdvi(s)),
     "raster_focal_mean" -> ((s, _) => focalMean(s)),
     "raster_focal_standing" -> ((s, _) => focalMeanStanding(s)),
@@ -170,6 +171,7 @@ object RasterQueries
     "raster_temporal_fill" -> temporalFillDuckSql,
     "raster_temporal_smooth" -> temporalSmoothDuckSql,
     "raster_trend" -> trendDuckSql,
+    "raster_trend_robust" -> trendRobustDuckSql,
     "raster_band_math" -> bandMathNdviDuckSql,
     "raster_focal_mean" -> focalMeanDuckSql,
     "raster_focal_standing" -> focalMeanDuckSql,

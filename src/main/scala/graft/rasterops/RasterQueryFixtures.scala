@@ -281,6 +281,11 @@ private[rasterops] trait RasterQueryFixtures {
   private[rasterops] val StreamTrendCellsPath =
     s"${sys.props("java.io.tmpdir")}/graft_stream_trend_cells_parquet"
 
+  /** Landed RAW pixel series + epochs (7-scene gap fixture) — the
+    * Theil–Sen oracle's input: DuckDB re-runs the pairwise-median fit. */
+  private[rasterops] val TrendRobustCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_trend_robust_cells_parquet"
+
   /** Temporal gap-fill (graft.load.TemporalFill — beyond the
     * reference): three same-footprint scenes on consecutive days, the
     * middle one holed with a 32×32 nodata square, loaded per-item and

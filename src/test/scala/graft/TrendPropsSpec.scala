@@ -20,6 +20,15 @@ class TrendPropsSpec extends AnyFunSuite {
   private def forAll[A](ga: Gen[A])(f: A => Unit): Unit =
     check(Prop.forAll(ga) { a => f(a); true })
 
+  /** Reduced case count for properties whose every case runs real
+    * Spark jobs (the driver-local properties keep the full 100). */
+  private def forAllN[A](n: Int, ga: Gen[A])(f: A => Unit): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n),
+      Prop.forAll(ga) { a => f(a); true })
+    assert(res.passed, res.status.toString)
+  }
+
   /** Run the aggregator over one single-pixel plane per (t, v), with
     * the observation list split into `cuts` partial buffers that are
     * then merged — cuts = Nil means one buffer (the reference). */
@@ -82,6 +91,56 @@ class TrendPropsSpec extends AnyFunSuite {
     // two observations at the SAME day: den = 0
     val (s2, i2, c2) = fit(Seq((3.0, 42.0), (3.0, 43.0)))
     assert(s2.isNaN && i2.isNaN && c2 == 2)
+  }
+
+  /** Tile frame with one 1×1 plane per (day, value) for the Theil–Sen
+    * operator (which consumes the Load tiles schema). */
+  private def tsFit(obs: Seq[(Int, Double)], bounded: Boolean)
+      : (Double, Double) = {
+    val spark = GraftSpark.spark
+    import spark.implicits._
+    val rows = obs.map { case (day, v) =>
+      ("red", day, 0, 0, new java.sql.Timestamp(day * 86400000L),
+        Fuse.encode(Array(v), "float64"), "float64", Double.NaN, 1, 1)
+    }
+    val tiles = rows.toDF("band", "tIdx", "ty", "tx", "time",
+      "data", "dtype", "nodata", "width", "height")
+    val out = Trend.theilSenAcrossTime(spark, tiles, 0L,
+        planesPerTile = if (bounded) obs.length else 0)
+      .selectExpr("slope[0]", "icept[0]").head()
+    (out.getDouble(0), out.getDouble(1))
+  }
+
+  test("theil-sen recovers noiseless lines exactly and shrugs off one outlier") {
+    val gen = for {
+      a <- Gen.choose(-500, 500)
+      b <- Gen.choose(-20, 20)
+      n <- Gen.choose(5, 10)
+      bad <- Gen.choose(0, 4)
+      spike <- Gen.choose(5000, 50000)
+    } yield (a, b, n, bad, spike)
+    forAllN(12, gen) { case (a, b, n, bad, spike) =>
+      val clean = (0 until n).map(t => (t, (a + b * t).toDouble))
+      val (s0, i0) = tsFit(clean, bounded = false)
+      assert(s0 == b.toDouble && i0 == a.toDouble,
+        s"clean line: ($s0, $i0) != ($b, $a)")
+      // one corrupted observation: the clean pairwise slopes (a strict
+      // majority for n >= 5) all equal b exactly, so the median holds
+      val dirty = clean.updated(bad % n, (bad % n, spike.toDouble))
+      val (s1, _) = tsFit(dirty, bounded = false)
+      assert(s1 == b.toDouble, s"one outlier moved the slope: $s1 != $b")
+    }
+  }
+
+  test("theil-sen bounded (sliced) path equals the full-tile path") {
+    val gen = for {
+      n <- Gen.choose(3, 9)
+      vs <- Gen.listOfN(n, Gen.choose(0, 3000))
+    } yield vs.map(_.toDouble)
+    forAllN(12, gen) { vs =>
+      val obs = vs.zipWithIndex.map { case (v, t) => (t, v) }
+      assert(tsFit(obs, bounded = false) == tsFit(obs, bounded = true))
+    }
   }
 
   test("slope is invariant under a value offset; intercept shifts by it") {
