@@ -369,6 +369,72 @@ private[rasterops] trait RasterAnalyticsQueries {
        |FROM f GROUP BY band, ty, tx
        |ORDER BY band, ty, tx""".stripMargin
 
+  /** Per-observation anomaly scoring (graft.load.Anomaly — beyond the
+    * reference): the same 7-scene holed fixture, each observation
+    * z-scored against its own pixel's across-time mean/std (computed
+    * by the mergeable (n, Σv, Σv²) aggregate; scoring is a co-keyed
+    * stats-to-planes join + codegen'd zip_with). The raw series lands
+    * and DuckDB recomputes the identical `(v − Σv/n)/√(Σv²/n −
+    * (Σv/n)²)` expression — integer sums make the doubles bit-exact.
+    * The gap fixture's middle-scene hole gives those pixels n=6 and a
+    * different mean, so the quantized z-sums are structure-sensitive. */
+  def anomaly(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenesGap(7)
+    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
+    val items = ds.collect().toSeq.sortBy(_.id)
+    val res = Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "id", chunks = 64, dtype = Some("float64"))
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    res.tiles
+      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
+        col("nodata"), posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tidx"), col("ty"), col("tx"), col("pos"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(AnomalyCellsPath)
+    graft.load.Anomaly.scoreAcrossTime(spark, res.tiles)
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("n_valid"),
+        expr("aggregate(z, 0L, (s, x) -> s + " +
+          "if(isnan(x), 0L, CAST(round(x * 1e4) AS BIGINT)))").as("z_q"),
+        expr("aggregate(z, 0, (s, x) -> s + " +
+          "if(NOT isnan(x) AND abs(x) > 1.5, 1, 0))").as("n_outlier"))
+      .orderBy("band", "tIdx", "ty", "tx")
+  }
+
+  private[rasterops] val anomalyDuckSql: String =
+    s"""WITH c AS (
+       |  SELECT band, tidx, ty, tx, pos, value
+       |  FROM read_parquet('$AnomalyCellsPath/*.parquet')),
+       |st AS (
+       |  SELECT band, ty, tx, pos,
+       |         COUNT(CASE WHEN NOT isnan(value) THEN 1 END) AS n,
+       |         SUM(CASE WHEN isnan(value) THEN 0 ELSE value END) AS sv,
+       |         SUM(CASE WHEN isnan(value) THEN 0
+       |                  ELSE value * value END) AS svv
+       |  FROM c GROUP BY band, ty, tx, pos),
+       |z AS (
+       |  SELECT c.band, c.tidx, c.ty, c.tx,
+       |         CASE
+       |           WHEN isnan(c.value) OR st.n < ${graft.load.Anomaly.MinObs}
+       |             OR st.svv / st.n - (st.sv / st.n) * (st.sv / st.n) <= 0
+       |           THEN NULL
+       |           ELSE (c.value - st.sv / st.n)
+       |                / SQRT(st.svv / st.n - (st.sv / st.n) * (st.sv / st.n))
+       |         END AS zv
+       |  FROM c JOIN st ON c.band = st.band AND c.ty = st.ty
+       |    AND c.tx = st.tx AND c.pos = st.pos)
+       |SELECT band, tidx AS "tIdx", ty, tx,
+       |       CAST(COUNT(zv) AS INT) AS n_valid,
+       |       CAST(SUM(COALESCE(CAST(ROUND(zv * 1e4) AS BIGINT), 0))
+       |            AS BIGINT) AS z_q,
+       |       CAST(SUM(CASE WHEN zv IS NOT NULL AND ABS(zv) > 1.5
+       |                THEN 1 ELSE 0 END) AS INT) AS n_outlier
+       |FROM z GROUP BY band, tidx, ty, tx
+       |ORDER BY band, "tIdx", ty, tx""".stripMargin
+
   /** NDVI band math (graft.load.BandMath — beyond the reference): the
     * fused red/nir mosaic planes combine per pixel as (nir−red)/
     * (nir+red) through a codegen'd `zip_with` (no UDF in the

@@ -286,6 +286,11 @@ private[rasterops] trait RasterQueryFixtures {
   private[rasterops] val TrendRobustCellsPath =
     s"${sys.props("java.io.tmpdir")}/graft_trend_robust_cells_parquet"
 
+  /** Landed RAW pixel series (7-scene gap fixture) — the anomaly
+    * oracle's input: DuckDB re-runs the per-pixel z-scoring. */
+  private[rasterops] val AnomalyCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_anomaly_cells_parquet"
+
   /** Temporal gap-fill (graft.load.TemporalFill — beyond the
     * reference): three same-footprint scenes on consecutive days, the
     * middle one holed with a 32×32 nodata square, loaded per-item and
