@@ -548,7 +548,8 @@ object Stats {
       |  UNION ALL SELECT 'documents', 'lang_in_enum', n, f_lang FROM d
       |  UNION ALL SELECT 'documents', 'id_unique', n, f_uniq FROM d
       |  UNION ALL SELECT 'documents', 'nchars_consistent', n, f_cons FROM d)
-      |SELECT tbl, rule, n AS n_checked, f AS n_failed,
+      |SELECT tbl, rule,
+      |       CAST(n AS BIGINT) AS n_checked, CAST(f AS BIGINT) AS n_failed,
       |       CASE WHEN f = 0 THEN 'pass' ELSE 'fail' END AS status
       |FROM u ORDER BY tbl, rule""".stripMargin
 

@@ -9,6 +9,8 @@ canonical CSV (columns sorted by name, values stringified).
 import sys, os, json, glob
 import duckdb
 
+from oracle_lint import banned_cols
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -38,6 +40,13 @@ def main(sf_dir, out_dir):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        bad = banned_cols(con, oracle[name])
+        if bad:
+            # HUGEINT-class oracle results hash-diverge on the driver even
+            # when Python-int compare is green — hard-fail locally too.
+            print(f"FAIL {name}: oracle result has HUGEINT-class cols {bad}")
+            n_fail += 1
+            continue
         try:
             ours_rel = con.execute(
                 f"SELECT * FROM read_parquet({files!r})")
