@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   * mergeable (Σv, Σv², n)-per-pixel [[Aggregator]] — fixed-size
   * buffers, map-side combine, the OLS-trend plan. Stage 2 joins the
   * ONE stats row per (band, ty, tx) back to that tile's T plane rows
-  * (co-keyed equi join) and scores each plane with a codegen'd
-  * `zip_with` — no custom kernel in the per-observation hot path, no
-  * state beyond one plane pair per task. */
+  * (co-keyed equi join) and scores each plane in a single JVM kernel
+  * UDF (decode + z + valid-count in one primitive loop). The earlier
+  * spelling — a decode UDF feeding nested `zip_with`/`aggregate`
+  * higher-order functions — was NOT codegen'd as its docstring
+  * claimed: Spark HOFs are CodegenFallback, i.e. per-element
+  * interpreted lambdas with boxing (the r4 gram-path lesson, 6×). The
+  * kernel keeps state at one plane pair per task either way. */
 object Anomaly {
 
   val MinObs = 3
@@ -97,24 +101,40 @@ object Anomaly {
       .agg(agg)
       .map { case ((band, ty, tx), s) => (band, ty, tx, s.n, s.sv, s.svv) }
       .toDF("band", "ty", "tx", "sn", "sv", "svv")
-    val decode = udf { (data: Array[Byte], dtype: String) =>
-      Fuse.decode(data, dtype) }
+    // one-pass JVM kernel: decode, z-score, and count in primitive
+    // loops. Arithmetic is spelled in EXACTLY the order of the previous
+    // zip_with expression (mean = sv/n recomputed per use, variance =
+    // svv/n − (sv/n)·(sv/n)) so the landed hashes are unchanged.
+    val scoreK = udf {
+      (data: Array[Byte], dtype: String, nodata: Double,
+       sn: Array[Int], sv: Array[Double], svv: Array[Double]) =>
+        val px = Fuse.decode(data, dtype)
+        val z = new Array[Double](px.length)
+        var nValid = 0
+        var i = 0
+        while (i < px.length) {
+          val v = px(i)
+          val n = sn(i).toDouble
+          val variance =
+            if (sn(i) == 0) 0.0 else svv(i) / n - (sv(i) / n) * (sv(i) / n)
+          if (v.isNaN || v == nodata || sn(i) < MinObs || variance <= 0)
+            z(i) = Double.NaN
+          else {
+            z(i) = (v - sv(i) / n) / math.sqrt(variance)
+            nValid += 1
+          }
+          i += 1
+        }
+        (z, nValid)
+    }
     tiles
       .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("nodata"),
-        decode(col("data"), col("dtype")).as("v"))
+        col("data"), col("dtype"))
       .join(stats, Seq("band", "ty", "tx"))
       .select(col("band"), col("tIdx"), col("ty"), col("tx"),
-        expr(s"""zip_with(zip_with(v, sn, (a, b) -> struct(a AS v, b AS n)),
-                |        zip_with(sv, svv, (a, b) -> struct(a AS sv, b AS svv)),
-                |  (x, y) -> CASE
-                |    WHEN isnan(x.v) OR x.v = nodata OR x.n < $MinObs
-                |      OR y.svv / x.n - (y.sv / x.n) * (y.sv / x.n) <= 0
-                |    THEN CAST('NaN' AS DOUBLE)
-                |    ELSE (x.v - y.sv / x.n)
-                |         / SQRT(y.svv / x.n - (y.sv / x.n) * (y.sv / x.n))
-                |  END)""".stripMargin.replaceAll("\n", " ")).as("z"))
-      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("z"),
-        expr("aggregate(z, 0, (s, x) -> s + if(isnan(x), 0, 1))")
-          .as("n_valid"))
+        scoreK(col("data"), col("dtype"), col("nodata"),
+          col("sn"), col("sv"), col("svv")).as("zk"))
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"),
+        col("zk._1").as("z"), col("zk._2").as("n_valid"))
   }
 }

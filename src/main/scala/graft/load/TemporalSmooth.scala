@@ -25,9 +25,14 @@ import org.apache.spark.sql.functions._
   * `(band, center, ty, tx)` shuffle groups exactly ≤ W planes per
   * task — per-task state is W planes REGARDLESS of archive depth T
   * (the fill must see the whole T-deep series per pixel; a fixed-width
-  * convolution never does). The weighted fold is codegen'd
-  * `zip_with` array arithmetic ordered by offset, so the double
-  * summation order is fixed and cross-engine exact.
+  * convolution never does). The weighted fold is `aggregate`/`zip_with`
+  * array arithmetic ordered by offset, so the double summation order is
+  * fixed and cross-engine exact. NOTE: Spark higher-order functions are
+  * CodegenFallback — this fold runs interpreted, per-element lambdas
+  * with boxing. It stays acceptable here because the work per output
+  * plane is a fixed W=5 multiply-adds per pixel (measured at depth in
+  * BASELINE.md r12); a depth-proportional interpreted path would not
+  * be (see [[Anomaly]]'s kernel rewrite).
   */
 object TemporalSmooth {
 

@@ -133,17 +133,34 @@ object Trend {
   /** Theil–Sen kernel over one slice: planes MUST be time-ascending.
     * Per pixel: slope = median of all distinct-time pairwise slopes,
     * intercept = median of `v − slope·t` residuals; NaN when fewer
-    * than 2 valid observations or no distinct-time pair exists. */
+    * than 2 valid observations or no distinct-time pair exists.
+    *
+    * CPU envelope: the estimator is O(T²) per pixel BY DEFINITION —
+    * T(T−1)/2 slope divisions plus an O(P log P) median sort. Memory is
+    * row-band bounded by the caller's rechunk, but a T≈1000 archive
+    * pays ~500k divisions and a ~4 MB sort buffer PER PIXEL
+    * (~2·10¹¹ divisions per 512² tile) — CPU, not memory, is the deep-
+    * archive wall. `maxPairs > 0` caps it with the standard
+    * pair-subsampled estimator: when a pixel's T(T−1)/2 exceeds the
+    * cap, pairs are taken at a deterministic stride over the canonical
+    * (a,b) enumeration — same subset every run, no RNG — giving
+    * ≤ maxPairs slopes (the subsample median; a DIFFERENT, converging
+    * estimator, so it is the scale path, not the oracle path). */
   private def theilSenKernel(
       planes: scala.collection.IndexedSeq[(Array[Double], Double, Double)],
-      n: Int): (Array[Double], Array[Double], Array[Int]) = {
+      n: Int, maxPairs: Int = 0)
+      : (Array[Double], Array[Double], Array[Int]) = {
     val slopeOut = new Array[Double](n)
     val iceptOut = new Array[Double](n)
     val cnt = new Array[Int](n)
     val tmax = planes.length
     val tv = new Array[Double](tmax)
     val vv = new Array[Double](tmax)
-    val slopes = new Array[Double](math.max(1, tmax * (tmax - 1) / 2))
+    val allPairs = tmax.toLong * (tmax - 1) / 2
+    val slopesCap =
+      if (maxPairs > 0) math.min(allPairs, maxPairs.toLong).toInt
+      else allPairs.toInt
+    val slopes = new Array[Double](math.max(1, slopesCap))
     val resid = new Array[Double](tmax)
     var i = 0
     while (i < n) {
@@ -155,14 +172,21 @@ object Trend {
         if (!(v.isNaN || v == nodata)) { tv(m) = td; vv(m) = v; m += 1 }
         p += 1
       }
+      val mPairs = m.toLong * (m - 1) / 2
+      val stride =
+        if (maxPairs > 0 && mPairs > maxPairs)
+          ((mPairs + maxPairs - 1) / maxPairs).toInt
+        else 1
       var k = 0
+      var pairIdx = 0L
       var a = 0
       while (a < m) {
         var b = a + 1
         while (b < m) {
-          if (tv(b) != tv(a)) {
+          if (pairIdx % stride == 0 && tv(b) != tv(a) && k < slopes.length) {
             slopes(k) = (vv(b) - vv(a)) / (tv(b) - tv(a)); k += 1
           }
+          pairIdx += 1
           b += 1
         }
         a += 1
@@ -191,11 +215,16 @@ object Trend {
     * `planesPerTile` is passed, so task state stays under the byte
     * budget at ANY archive depth — then the O(T²)-per-pixel kernel
     * runs task-locally and output planes reassemble in an output-sized
-    * second shuffle. Times snap to whole days as in OLS. */
+    * second shuffle. Times snap to whole days as in OLS.
+    *
+    * `maxPairsPerPixel` (0 = exact, the oracle path) bounds the
+    * kernel's O(T²) CPU for deep archives via deterministic pair
+    * subsampling — see [[theilSenKernel]] for the envelope numbers. */
   def theilSenAcrossTime(spark: SparkSession, tiles: DataFrame,
                          t0Sec: Long, planesPerTile: Int = 0,
                          stateBudgetBytes: Long =
-                           Composite.DefaultStateBudgetBytes): DataFrame = {
+                           Composite.DefaultStateBudgetBytes,
+                         maxPairsPerPixel: Int = 0): DataFrame = {
     import spark.implicits._
     val withT = tiles.withColumn("tDays",
       floor(((unix_timestamp(col("time")) - t0Sec) / 86400.0) + 0.5)
@@ -219,7 +248,7 @@ object Trend {
             planes += ((Fuse.decode(data, dtype), nodata, td))
           }
           val sorted = planes.sortBy(_._3)
-          val (s, ic, c) = theilSenKernel(sorted, w * h)
+          val (s, ic, c) = theilSenKernel(sorted, w * h, maxPairsPerPixel)
           (band, ty, tx, s, ic, c)
         }
         .toDF("band", "ty", "tx", "slope", "icept", "count")
@@ -245,7 +274,7 @@ object Trend {
                 dayOf(s.tIdx)))
             }
             val sorted = planes.sortBy(_._3)
-            val (sl, ic, c) = theilSenKernel(sorted, w * sh)
+            val (sl, ic, c) = theilSenKernel(sorted, w * sh, maxPairsPerPixel)
             (band, ty, tx, slice, sl, ic, c)
           }
       sliced

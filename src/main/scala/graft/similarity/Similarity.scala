@@ -836,6 +836,20 @@ object Similarity {
       }
       sweep += 1
     }
+    // loud on non-convergence: a silently degraded (non-orthonormal)
+    // rotation would land as a standing artifact and poison every
+    // downstream projection. 64 sweeps is ~6x the quadratic-convergence
+    // envelope, so only a genuinely pathological matrix trips this;
+    // the bound is relative to the diagonal's scale (the absolute
+    // 1e-20 loop exit is unreachable for large-magnitude covariances).
+    val diagSq = {
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i)(i) * a(i)(i); i += 1 }
+      s
+    }
+    require(off() <= 1e-16 * (1.0 + diagSq),
+      s"Jacobi eigensolve failed to converge after 64 sweeps: " +
+        s"off=${off()} diagSq=$diagSq (d=$n)")
     (Array.tabulate(n)(i => a(i)(i)),
       Array.tabulate(n)(j => Array.tabulate(n)(i => v(i)(j))))
   }

@@ -779,13 +779,17 @@ object TextAnalysis {
     val topk = udaf(
       new graft.relational.TopK.GroupedTopK(SparseMaxPosting),
       org.apache.spark.sql.Encoders.product[graft.relational.TopK.TopKIn])
+    // truncate per RAW term `w`, not per 64-bit hash `wh`: an xxhash64
+    // collision would otherwise merge two terms' posting lists under a
+    // single per-term cap and silently diverge from the oracle (which
+    // partitions by the term string); only the probe joins on `wh`
     val keep = idx0
-      .groupBy(col("wh"))
+      .groupBy(col("w"))
       .agg(topk(expr("CAST(FLOOR(wgt * 1e6 + 0.5) AS DOUBLE)"),
         col("doc_id")).as("t"))
-      .select(col("wh"), explode(col("t.ids")).as("doc_id"),
+      .select(col("w"), explode(col("t.ids")).as("doc_id"),
         lit(true).as("kept"))
-    idx0.join(keep, Seq("wh", "doc_id"), "left")
+    idx0.join(keep, Seq("w", "doc_id"), "left")
       .select(col("doc_id"), col("w"), col("wh"), col("wgt"),
         coalesce(col("kept"), lit(false)).as("kept"))
       .write.mode("overwrite").parquet(idxPath)

@@ -95,7 +95,8 @@ class TrendPropsSpec extends AnyFunSuite {
 
   /** Tile frame with one 1×1 plane per (day, value) for the Theil–Sen
     * operator (which consumes the Load tiles schema). */
-  private def tsFit(obs: Seq[(Int, Double)], bounded: Boolean)
+  private def tsFit(obs: Seq[(Int, Double)], bounded: Boolean,
+                    maxPairs: Int = 0)
       : (Double, Double) = {
     val spark = GraftSpark.spark
     import spark.implicits._
@@ -106,7 +107,8 @@ class TrendPropsSpec extends AnyFunSuite {
     val tiles = rows.toDF("band", "tIdx", "ty", "tx", "time",
       "data", "dtype", "nodata", "width", "height")
     val out = Trend.theilSenAcrossTime(spark, tiles, 0L,
-        planesPerTile = if (bounded) obs.length else 0)
+        planesPerTile = if (bounded) obs.length else 0,
+        maxPairsPerPixel = maxPairs)
       .selectExpr("slope[0]", "icept[0]").head()
     (out.getDouble(0), out.getDouble(1))
   }
@@ -129,6 +131,32 @@ class TrendPropsSpec extends AnyFunSuite {
       val dirty = clean.updated(bad % n, (bad % n, spike.toDouble))
       val (s1, _) = tsFit(dirty, bounded = false)
       assert(s1 == b.toDouble, s"one outlier moved the slope: $s1 != $b")
+    }
+  }
+
+  test("theil-sen pair cap: no-op above T(T-1)/2, exact on clean lines " +
+      "below it, deterministic") {
+    val gen = for {
+      a <- Gen.choose(-200, 200)
+      b <- Gen.choose(-15, 15)
+      n <- Gen.choose(5, 12)
+      vs <- Gen.listOfN(n, Gen.choose(0, 3000))
+    } yield (a, b, n, vs.map(_.toDouble))
+    forAllN(8, gen) { case (a, b, n, vs) =>
+      val allPairs = n * (n - 1) / 2
+      // cap >= all pairs: bit-identical to the exact estimator
+      val arbitrary = vs.zipWithIndex.map { case (v, t) => (t, v) }
+      assert(tsFit(arbitrary, bounded = false) ==
+        tsFit(arbitrary, bounded = false, maxPairs = allPairs),
+        "a non-binding cap must not change the estimate")
+      // clean line: every pair slope is b, so ANY subsample median is b
+      val clean = (0 until n).map(t => (t, (a + b * t).toDouble))
+      val (sc, ic) = tsFit(clean, bounded = false, maxPairs = 3)
+      assert(sc == b.toDouble && ic == a.toDouble,
+        s"capped clean line: ($sc, $ic) != ($b, $a)")
+      // deterministic: the stride subsample has no RNG
+      assert(tsFit(arbitrary, bounded = false, maxPairs = 4) ==
+        tsFit(arbitrary, bounded = false, maxPairs = 4))
     }
   }
 
