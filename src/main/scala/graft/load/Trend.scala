@@ -176,20 +176,44 @@ object Trend {
       val stride =
         if (maxPairs > 0 && mPairs > maxPairs)
           ((mPairs + maxPairs - 1) / maxPairs).toInt
-        else 1
+        else 1L
       var k = 0
-      var pairIdx = 0L
-      var a = 0
-      while (a < m) {
-        var b = a + 1
-        while (b < m) {
-          if (pairIdx % stride == 0 && tv(b) != tv(a) && k < slopes.length) {
-            slopes(k) = (vv(b) - vv(a)) / (tv(b) - tv(a)); k += 1
+      if (stride == 1L) {
+        var a = 0
+        while (a < m) {
+          var b = a + 1
+          while (b < m) {
+            if (tv(b) != tv(a) && k < slopes.length) {
+              slopes(k) = (vv(b) - vv(a)) / (tv(b) - tv(a)); k += 1
+            }
+            b += 1
           }
-          pairIdx += 1
-          b += 1
+          a += 1
         }
-        a += 1
+      } else {
+        // capped path: touch ONLY the selected pair indices (p = j*stride
+        // over the canonical a<b row-major enumeration), inverting each
+        // linear index to its (a, b) — O(maxPairs) per pixel, CONSTANT
+        // in archive depth, where a stride-filtered full enumeration
+        // would still pay the O(T²) iteration it was meant to avoid.
+        // f(a) = a*m - a*(a+1)/2 is the index of row a's first pair.
+        def rowStart(a: Long): Long = a * m - a * (a + 1) / 2
+        var p = 0L
+        while (p < mPairs) {
+          // closed-form row from the quadratic, then clamp FP rounding
+          var a = ((2.0 * m - 1.0 -
+            math.sqrt((2.0 * m - 1.0) * (2.0 * m - 1.0) - 8.0 * p)) / 2.0)
+            .toLong
+          if (a < 0) a = 0
+          while (a + 1 < m - 1 && rowStart(a + 1) <= p) a += 1
+          while (a > 0 && rowStart(a) > p) a -= 1
+          val ai = a.toInt
+          val bi = (p - rowStart(a) + a + 1).toInt
+          if (tv(bi) != tv(ai) && k < slopes.length) {
+            slopes(k) = (vv(bi) - vv(ai)) / (tv(bi) - tv(ai)); k += 1
+          }
+          p += stride
+        }
       }
       if (m < 2 || k == 0) {
         slopeOut(i) = Double.NaN; iceptOut(i) = Double.NaN
