@@ -284,6 +284,80 @@ private[rasterops] trait RasterAnalyticsQueries {
        |FROM f GROUP BY band, ty, tx
        |ORDER BY band, ty, tx""".stripMargin
 
+  /** Per-pixel peak-of-season argmax (graft.load.Phenology — beyond
+    * the reference): the same 7-scene holed fixture, each pixel's
+    * maximum value + the day number of the FIRST observation attaining
+    * it (ties to the earliest day, spelled identically in both
+    * engines). The argmax is MERGEABLE — three fixed-size running
+    * planes with map-side combine, the [[trend]] plan shape — while
+    * DuckDB recomputes peak/day from the landed raw series with a
+    * per-pixel window MAX + conditional MIN. Values and day numbers
+    * are integers on this fixture, so the quantized per-tile checksum
+    * pins value ordering, tie direction, and the zero-valid guard. */
+  def phenology(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenesGap(7)
+    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
+    val items = ds.collect().toSeq.sortBy(_.id)
+    val res = Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "id", chunks = 64, dtype = Some("float64"))
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    res.tiles
+      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
+        unix_timestamp(col("time")).as("tsec"), col("nodata"),
+        posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tidx"), col("ty"), col("tx"), col("tsec"),
+        col("pos"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(PhenologyCellsPath)
+    val t0Sec = res.times.map(_.getTime / 1000L).min
+    graft.load.Phenology.peakAcrossTime(spark, res.tiles, t0Sec)
+      .select(col("band"), col("ty"), col("tx"),
+        expr("aggregate(count, 0, (s, c) -> s + c)").as("n_obs"),
+        expr("aggregate(day, 0, (s, d) -> s + if(d >= 0, 1, 0))")
+          .as("n_peak"),
+        expr("aggregate(peak, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("peak_q"),
+        expr("aggregate(day, 0L, (s, d) -> s + " +
+          "if(d < 0, 0L, CAST(d AS BIGINT)))").as("day_sum"))
+      .orderBy("band", "ty", "tx")
+  }
+
+  private[rasterops] val phenologyDuckSql: String =
+    s"""WITH c AS (
+       |  SELECT band, ty, tx, pos,
+       |         FLOOR((tsec - (SELECT MIN(tsec)
+       |                  FROM read_parquet('$PhenologyCellsPath/*.parquet')))
+       |           / 86400.0 + 0.5) AS t,
+       |         value
+       |  FROM read_parquet('$PhenologyCellsPath/*.parquet')),
+       |w AS (
+       |  SELECT band, ty, tx, pos, t, value,
+       |         MAX(CASE WHEN isnan(value) THEN NULL ELSE value END)
+       |           OVER (PARTITION BY band, ty, tx, pos) AS pk
+       |  FROM c),
+       |px AS (
+       |  -- NaN rows stay (CASE arms, not a WHERE): the engine emits a
+       |  -- row per LOADED tile, so a tile with zero valid observations
+       |  -- must still produce its all-zero summary row here
+       |  SELECT band, ty, tx, pos,
+       |         COUNT(CASE WHEN NOT isnan(value) THEN 1 END) AS n,
+       |         ANY_VALUE(pk) AS peak,
+       |         MIN(CASE WHEN NOT isnan(value) AND value = pk
+       |             THEN t END) AS day
+       |  FROM w GROUP BY band, ty, tx, pos)
+       |SELECT band, ty, tx,
+       |       CAST(SUM(n) AS INT) AS n_obs,
+       |       CAST(COUNT(day) AS INT) AS n_peak,
+       |       CAST(SUM(COALESCE(CAST(ROUND(peak * 100) AS BIGINT), 0))
+       |            AS BIGINT) AS peak_q,
+       |       CAST(SUM(COALESCE(CAST(day AS BIGINT), 0))
+       |            AS BIGINT) AS day_sum
+       |FROM px GROUP BY band, ty, tx
+       |ORDER BY band, ty, tx""".stripMargin
+
   /** Theil–Sen robust trend (graft.load.Trend.theilSenAcrossTime —
     * beyond the reference): same 7-scene holed fixture, per-pixel
     * MEDIAN of pairwise slopes + median-residual intercept — the

@@ -117,6 +117,7 @@ object RasterQueries
     "raster_temporal_smooth" -> ((s, _) => temporalSmooth(s)),
     "raster_trend" -> ((s, _) => trend(s)),
     "raster_trend_robust" -> ((s, _) => trendRobust(s)),
+    "raster_phenology" -> ((s, _) => phenology(s)),
     "raster_anomaly" -> ((s, _) => anomaly(s)),
     "raster_band_math" -> ((s, _) => bandMathNdvi(s)),
     "raster_focal_mean" -> ((s, _) => focalMean(s)),
@@ -173,6 +174,7 @@ object RasterQueries
     "raster_temporal_smooth" -> temporalSmoothDuckSql,
     "raster_trend" -> trendDuckSql,
     "raster_trend_robust" -> trendRobustDuckSql,
+    "raster_phenology" -> phenologyDuckSql,
     "raster_anomaly" -> anomalyDuckSql,
     "raster_band_math" -> bandMathNdviDuckSql,
     "raster_focal_mean" -> focalMeanDuckSql,

@@ -276,6 +276,11 @@ private[rasterops] trait RasterQueryFixtures {
   private[rasterops] val TrendCellsPath =
     s"${sys.props("java.io.tmpdir")}/graft_trend_cells_parquet"
 
+  /** Landed RAW pixel series + epochs for the peak-of-season argmax
+    * oracle ([[RasterAnalyticsQueries]]' `raster_phenology`). */
+  private[rasterops] val PhenologyCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_phenology_cells_parquet"
+
   /** Landed RAW pixel series + epochs of the one-shot batch load the
     * STREAMED running-trend state must equal. */
   private[rasterops] val StreamTrendCellsPath =

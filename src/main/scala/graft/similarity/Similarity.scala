@@ -121,6 +121,196 @@ object Similarity {
       |   sqrt(list_sum(list_transform(ce,
       |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))""".stripMargin)
 
+  // ---- MMR: maximal-marginal-relevance diversified top-k ------------------
+
+  val MmrDepth = 20 // candidate pool per query (dense top-D)
+  // spelled as two literals, NOT (1 - lambda): 1.0 - 0.7 is
+  // 0.30000000000000004 in IEEE doubles while the SQL oracle parses the
+  // literal 0.3 — the kernel must use the same parsed literals
+  val MmrLambda = 0.7
+  val MmrOneMinusLambda = 0.3
+
+  /** The exact fold of the native `vec_cosine` Expression
+    * ([[graft.functions.CosineSimilarity]]) on plain float arrays —
+    * the MMR kernel's candidate-candidate similarity must be
+    * bit-identical to the SQL spelling both engines use. */
+  private[graft] def cosineF(x: Array[Float], y: Array[Float]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x(i).toDouble * y(i); i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < x.length) { val v = x(i).toDouble; na += v * v; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < y.length) { val v = y(i).toDouble; nb += v * v; i += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Dense top-[[MmrDepth]] candidate pool per query — the bruteforce
+    * spelling with the pool depth instead of K, keeping the raw
+    * cosine as `rel`. */
+  private def mmrCandSql(cosExpr: String): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |           WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+       |s AS (SELECT qid, cid, $cosExpr AS rel
+       |  FROM q JOIN c ON qid <> cid)
+       |SELECT qid, cid, rel FROM (
+       |  SELECT qid, cid, rel,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY rel DESC, cid) AS rn
+       |  FROM s) t
+       |WHERE rn <= $MmrDepth""".stripMargin
+
+  private val duckCosExpr: String =
+    """list_sum(list_transform(generate_series(1, len(qe)),
+      |           i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+      |  (sqrt(list_sum(list_transform(qe,
+      |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+      |   sqrt(list_sum(list_transform(ce,
+      |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))""".stripMargin
+
+  /** Maximal-marginal-relevance selection — the diversified top-k the
+    * curation loop runs instead of plain nearest-neighbor when it
+    * wants coverage, not five near-duplicates of the same result:
+    * greedily pick argmax of `λ·rel(q,c) − (1−λ)·max_{s∈selected}
+    * cos(c,s)` (Carbonell & Goldstein 1998), K picks from the dense
+    * top-[[MmrDepth]] pool, ties to the smaller cid.
+    *
+    * Scale shape: the pool is Q×[[MmrDepth]] rows (the bruteforce
+    * broadcast-panel scan everything dense already uses); the greedy
+    * is inherently sequential in K but over a BOUNDED per-query set,
+    * so it runs as one `mapGroups` with ≤ depth embeddings of state
+    * per group and the candidate-candidate cosines (≤ depth² per
+    * query) computed on demand task-locally — nothing quadratic ever
+    * crosses an exchange, and queries parallelize freely. The oracle
+    * replays the greedy as K unrolled argmax CTE steps in DuckDB;
+    * scores round at 6 with the `+ 0.0` negative-zero guard. */
+  def mmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    VecFunctions.register(spark)
+    Tables.register(spark, dir)
+    val cand = spark.sql(mmrCandSql("vec_cosine(qe, ce)"))
+    val emb = spark.table("embeddings")
+      .select(col("vec_id").cast("long").as("cid"), col("embedding").as("ce"))
+    val lam = MmrLambda
+    val oml = MmrOneMinusLambda
+    val k = K
+    cand.select(col("qid").cast("long"), col("cid").cast("long"),
+        col("rel").cast("double"))
+      .join(emb, "cid")
+      .select(col("qid"), col("cid"), col("rel"), col("ce"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // cid-ascending base order: the argmax tie-break below ("keep
+        // the FIRST maximum") then matches the oracle's (score DESC,
+        // cid ASC) row_number
+        val cs = it.map { case (_, cid, rel, ce) => (cid, rel, ce) }
+          .toArray.sortBy(_._1)
+        val picked = new Array[Boolean](cs.length)
+        val selEmb = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Int, Double)]
+        var step = 1
+        while (step <= k && step <= cs.length) {
+          var bestIdx = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            if (!picked(i)) {
+              // MAX over the selected set, exactly the oracle's
+              // MAX(pc.sim); 0.0 over the empty set (step 1), matching
+              // the oracle's literal `- 0.3 * 0.0`
+              var ms = Double.NegativeInfinity
+              var j = 0
+              while (j < selEmb.length) {
+                val s = cosineF(cs(i)._3, selEmb(j))
+                if (s > ms) ms = s
+                j += 1
+              }
+              if (selEmb.isEmpty) ms = 0.0
+              val score = lam * cs(i)._2 - oml * ms
+              if (score > bestScore) { bestScore = score; bestIdx = i }
+            }
+            i += 1
+          }
+          picked(bestIdx) = true
+          selEmb += cs(bestIdx)._3
+          out += ((qid, cs(bestIdx)._1, step, bestScore))
+          step += 1
+        }
+        out.iterator
+      }
+      .toDF("qid", "cid", "rn", "score")
+      .selectExpr("qid", "cid", "rn", "ROUND(score, 6) + 0.0 AS score")
+      .orderBy("qid", "rn")
+  }
+
+  /** K unrolled greedy steps; step i's argmax sees the union of the
+    * previous picks. `ms` is MAX over the selected set — order-free,
+    * so the doubles match the kernel's incremental max. */
+  val mmrDuckSql: String = {
+    val steps = (2 to K).map { i =>
+      val prev = (1 until i).map(j => s"SELECT * FROM p$j").mkString(" UNION ALL ")
+      s"""sel$i AS ($prev),
+         |p$i AS (
+         |  SELECT qid, cid, rn, score FROM (
+         |    SELECT c.qid, c.cid, $i AS rn,
+         |           $MmrLambda * c.rel - $MmrOneMinusLambda * m.ms AS score,
+         |           ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+         |             $MmrLambda * c.rel - $MmrOneMinusLambda * m.ms DESC,
+         |             c.cid) AS prk
+         |    FROM cand c
+         |    JOIN (SELECT pc.qid, pc.c1 AS cid, MAX(pc.sim) AS ms
+         |          FROM pc JOIN sel$i s ON pc.qid = s.qid AND pc.c2 = s.cid
+         |          GROUP BY pc.qid, pc.c1) m
+         |      ON m.qid = c.qid AND m.cid = c.cid
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel$i s
+         |                      WHERE s.qid = c.qid AND s.cid = c.cid)
+         |  ) t WHERE prk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |           WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+       |s AS (SELECT qid, cid, $duckCosExpr AS rel
+       |  FROM q JOIN c ON qid <> cid),
+       |cand AS (SELECT qid, cid, rel FROM (
+       |  SELECT qid, cid, rel,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY rel DESC, cid) AS rn
+       |  FROM s) t WHERE rn <= $MmrDepth),
+       |pc AS (
+       |  SELECT a.qid, a.cid AS c1, b.cid AS c2,
+       |         list_sum(list_transform(generate_series(1, len(ea.embedding)),
+       |           i -> CAST(ea.embedding[i] AS DOUBLE)
+       |              * CAST(eb.embedding[i] AS DOUBLE))) /
+       |         (sqrt(list_sum(list_transform(ea.embedding,
+       |               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+       |          sqrt(list_sum(list_transform(eb.embedding,
+       |               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS sim
+       |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+       |  JOIN embeddings ea ON ea.vec_id = a.cid
+       |  JOIN embeddings eb ON eb.vec_id = b.cid),
+       |p1 AS (
+       |  SELECT qid, cid, 1 AS rn,
+       |         $MmrLambda * rel - $MmrOneMinusLambda * CAST(0.0 AS DOUBLE)
+       |           AS score
+       |  FROM (SELECT qid, cid, rel,
+       |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+       |            $MmrLambda * rel - $MmrOneMinusLambda
+       |              * CAST(0.0 AS DOUBLE) DESC, cid) AS prk
+       |        FROM cand) t WHERE prk = 1),
+       |$steps,
+       |allp AS (${(1 to K).map(i => s"SELECT * FROM p$i").mkString(" UNION ALL ")})
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(cid AS BIGINT) AS cid,
+       |       CAST(rn AS INT) AS rn, ROUND(score, 6) + 0.0 AS score
+       |FROM allp ORDER BY qid, rn""".stripMargin
+  }
+
   // ---- LSH (random hyperplanes, 64-bit native signatures) -----------------
 
   val SigBits = 64 // native rhp_sig codegen Expression (VecExpressions)
@@ -1813,6 +2003,7 @@ object Similarity {
     "sim_hybrid_rrf" -> ((s, d) => {
       VecFunctions.register(s); Tables.sql(hybridRrfSparkSql)(s, d)
     }),
+    "sim_mmr" -> ((s, d) => mmrSelect(s, d)),
     "sim_lsh_topk" -> ((s, d) => lshTopK(s, d)),
     "sim_lsh_topk_portable" -> ((s, d) => lshTopKPortable(s, d)),
     "dedup_embedding_portable" -> ((s, d) => embDedupPortable(s, d)),
@@ -1838,6 +2029,7 @@ object Similarity {
     "sim_index_persist" -> indexPersistDuckSql,
     "sim_bruteforce_topk" -> bruteforceDuckSql,
     "sim_hybrid_rrf" -> hybridRrfDuckSql,
+    "sim_mmr" -> mmrDuckSql,
     "sim_lsh_topk_portable" -> lshPortableDuckSql,
     "dedup_embedding_portable" -> embDedupPortableDuckSql,
     "dedup_semantic_portable" -> semanticPortableDuckSql,
