@@ -157,6 +157,12 @@ object Trend {
     val tv = new Array[Double](tmax)
     val vv = new Array[Double](tmax)
     val allPairs = tmax.toLong * (tmax - 1) / 2
+    // loud, not wrapped: .toInt overflow at tmax >= 65536 would silently
+    // truncate the slope buffer and the k-guard below would then DROP
+    // slopes -> wrong medians with no error
+    require(maxPairs > 0 || allPairs <= Int.MaxValue,
+      s"exact Theil-Sen needs $allPairs slope slots for $tmax planes; " +
+        "pass maxPairsPerPixel to cap archives this deep")
     val slopesCap =
       if (maxPairs > 0) math.min(allPairs, maxPairs.toLong).toInt
       else allPairs.toInt

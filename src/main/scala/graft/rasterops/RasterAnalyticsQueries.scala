@@ -202,6 +202,37 @@ private[rasterops] trait RasterAnalyticsQueries {
        |FROM s GROUP BY band, tidx, ty, tx
        |ORDER BY band, "tIdx", ty, tx""".stripMargin
 
+  /** Shared oracle-anchor scaffold of the trend/anomaly/phenology
+    * family: load the 7-scene holed fixture (red band, float64,
+    * per-id groups) and land its raw per-time pixel series —
+    * (band, tidx, ty, tx[, tsec], pos, value) with nodata masked to
+    * NaN — at `path` for DuckDB's independent recompute. Returns the
+    * LoadResult the operator under test then consumes. */
+  private def landGapSeries(spark: SparkSession, path: String,
+      withTsec: Boolean = true): graft.load.LoadResult = {
+    import spark.implicits._
+    val jsons = Fixtures.writeScenesGap(7)
+    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
+    val items = ds.collect().toSeq.sortBy(_.id)
+    val res = Load.load(spark, items, schemas, bands = Seq("red"),
+      groupby = "id", chunks = 64, dtype = Some("float64"))
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    val tsec =
+      if (withTsec) Seq(unix_timestamp(col("time")).as("tsec")) else Nil
+    val tsecOut = if (withTsec) Seq(col("tsec")) else Nil
+    res.tiles
+      .select(Seq(col("band"), col("tIdx").as("tidx"), col("ty"),
+        col("tx")) ++ tsec ++ Seq(col("nodata"),
+        posexplode(decode(col("data"), col("dtype")))): _*)
+      .select(Seq(col("band"), col("tidx"), col("ty"), col("tx")) ++
+        tsecOut ++ Seq(col("pos"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value")): _*)
+      .write.mode("overwrite").parquet(path)
+    res
+  }
+
   /** Per-pixel OLS trend (graft.load.Trend — beyond the reference):
     * the same 7-scene holed fixture, regressed value-on-days per
     * pixel through the MERGEABLE running-sums aggregate (map-side
@@ -215,23 +246,7 @@ private[rasterops] trait RasterAnalyticsQueries {
     * intercept, and the ≥2-observations guard are all load-bearing in
     * the checksum. */
   def trend(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val jsons = Fixtures.writeScenesGap(7)
-    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
-    val items = ds.collect().toSeq.sortBy(_.id)
-    val res = Load.load(spark, items, schemas, bands = Seq("red"),
-      groupby = "id", chunks = 64, dtype = Some("float64"))
-    val decode = udf { (data: Array[Byte], dtype: String) =>
-      Fuse.decode(data, dtype) }
-    res.tiles
-      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
-        unix_timestamp(col("time")).as("tsec"), col("nodata"),
-        posexplode(decode(col("data"), col("dtype"))))
-      .select(col("band"), col("tidx"), col("ty"), col("tx"), col("tsec"),
-        col("pos"),
-        when(isnan(col("col")) || col("col") === col("nodata"),
-          lit(Double.NaN)).otherwise(col("col")).as("value"))
-      .write.mode("overwrite").parquet(TrendCellsPath)
+    val res = landGapSeries(spark, TrendCellsPath)
     val t0Sec = res.times.map(_.getTime / 1000L).min
     graft.load.Trend.trendAcrossTime(spark, res.tiles, t0Sec)
       .select(col("band"), col("ty"), col("tx"),
@@ -295,23 +310,7 @@ private[rasterops] trait RasterAnalyticsQueries {
     * are integers on this fixture, so the quantized per-tile checksum
     * pins value ordering, tie direction, and the zero-valid guard. */
   def phenology(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val jsons = Fixtures.writeScenesGap(7)
-    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
-    val items = ds.collect().toSeq.sortBy(_.id)
-    val res = Load.load(spark, items, schemas, bands = Seq("red"),
-      groupby = "id", chunks = 64, dtype = Some("float64"))
-    val decode = udf { (data: Array[Byte], dtype: String) =>
-      Fuse.decode(data, dtype) }
-    res.tiles
-      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
-        unix_timestamp(col("time")).as("tsec"), col("nodata"),
-        posexplode(decode(col("data"), col("dtype"))))
-      .select(col("band"), col("tidx"), col("ty"), col("tx"), col("tsec"),
-        col("pos"),
-        when(isnan(col("col")) || col("col") === col("nodata"),
-          lit(Double.NaN)).otherwise(col("col")).as("value"))
-      .write.mode("overwrite").parquet(PhenologyCellsPath)
+    val res = landGapSeries(spark, PhenologyCellsPath)
     val t0Sec = res.times.map(_.getTime / 1000L).min
     graft.load.Phenology.peakAcrossTime(spark, res.tiles, t0Sec)
       .select(col("band"), col("ty"), col("tx"),
@@ -370,23 +369,7 @@ private[rasterops] trait RasterAnalyticsQueries {
     * recomputes the residual median — slopes are integer ratios, so
     * the doubles agree bit-for-bit. */
   def trendRobust(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val jsons = Fixtures.writeScenesGap(7)
-    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
-    val items = ds.collect().toSeq.sortBy(_.id)
-    val res = Load.load(spark, items, schemas, bands = Seq("red"),
-      groupby = "id", chunks = 64, dtype = Some("float64"))
-    val decode = udf { (data: Array[Byte], dtype: String) =>
-      Fuse.decode(data, dtype) }
-    res.tiles
-      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
-        unix_timestamp(col("time")).as("tsec"), col("nodata"),
-        posexplode(decode(col("data"), col("dtype"))))
-      .select(col("band"), col("tidx"), col("ty"), col("tx"), col("tsec"),
-        col("pos"),
-        when(isnan(col("col")) || col("col") === col("nodata"),
-          lit(Double.NaN)).otherwise(col("col")).as("value"))
-      .write.mode("overwrite").parquet(TrendRobustCellsPath)
+    val res = landGapSeries(spark, TrendRobustCellsPath)
     val t0Sec = res.times.map(_.getTime / 1000L).min
     graft.load.Trend.theilSenAcrossTime(spark, res.tiles, t0Sec,
         planesPerTile = res.times.length)
@@ -447,27 +430,13 @@ private[rasterops] trait RasterAnalyticsQueries {
     * reference): the same 7-scene holed fixture, each observation
     * z-scored against its own pixel's across-time mean/std (computed
     * by the mergeable (n, Σv, Σv²) aggregate; scoring is a co-keyed
-    * stats-to-planes join + codegen'd zip_with). The raw series lands
+    * stats-to-planes join + one-pass JVM kernel). The raw series lands
     * and DuckDB recomputes the identical `(v − Σv/n)/√(Σv²/n −
     * (Σv/n)²)` expression — integer sums make the doubles bit-exact.
     * The gap fixture's middle-scene hole gives those pixels n=6 and a
     * different mean, so the quantized z-sums are structure-sensitive. */
   def anomaly(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val jsons = Fixtures.writeScenesGap(7)
-    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
-    val items = ds.collect().toSeq.sortBy(_.id)
-    val res = Load.load(spark, items, schemas, bands = Seq("red"),
-      groupby = "id", chunks = 64, dtype = Some("float64"))
-    val decode = udf { (data: Array[Byte], dtype: String) =>
-      Fuse.decode(data, dtype) }
-    res.tiles
-      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
-        col("nodata"), posexplode(decode(col("data"), col("dtype"))))
-      .select(col("band"), col("tidx"), col("ty"), col("tx"), col("pos"),
-        when(isnan(col("col")) || col("col") === col("nodata"),
-          lit(Double.NaN)).otherwise(col("col")).as("value"))
-      .write.mode("overwrite").parquet(AnomalyCellsPath)
+    val res = landGapSeries(spark, AnomalyCellsPath, withTsec = false)
     graft.load.Anomaly.scoreAcrossTime(spark, res.tiles)
       .select(col("band"), col("tIdx"), col("ty"), col("tx"),
         col("n_valid"),

@@ -238,10 +238,18 @@ object Similarity {
             }
             i += 1
           }
-          picked(bestIdx) = true
-          selEmb += cs(bestIdx)._3
-          out += ((qid, cs(bestIdx)._1, step, bestScore))
-          step += 1
+          if (bestIdx < 0) {
+            // every remaining score is NaN (e.g. a NaN embedding
+            // component poisons all cosines): stop picking, matching
+            // the SQL spelling where NaN rows drop out of the rank
+            // window instead of crashing the task
+            step = k + 1
+          } else {
+            picked(bestIdx) = true
+            selEmb += cs(bestIdx)._3
+            out += ((qid, cs(bestIdx)._1, step, bestScore))
+            step += 1
+          }
         }
         out.iterator
       }

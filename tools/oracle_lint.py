@@ -19,7 +19,10 @@ Exit 0 = clean, 1 = at least one banned type.
 import sys, os, json
 import duckdb
 
-BANNED = ("HUGEINT", "UHUGEINT", "DECIMAL(38,0)")
+BANNED = ("HUGEINT", "UHUGEINT")
+# any DECIMAL(38,s): DuckDB widens SUM over DECIMAL(p,s) to DECIMAL(38,s),
+# which stringifies differently from Spark's narrower sum type
+BANNED_PREFIX = "DECIMAL(38,"
 
 def connect(sf_dir):
     con = duckdb.connect()
@@ -35,8 +38,10 @@ def banned_cols(con, sql):
     """Column names with banned result types, or None if SQL won't bind."""
     try:
         rel = con.sql(sql)
-        return [c for c, t in zip(rel.columns, rel.types)
-                if str(t).upper().replace(" ", "") in BANNED]
+        def bad(t):
+            s = str(t).upper().replace(" ", "")
+            return s in BANNED or s.startswith(BANNED_PREFIX)
+        return [c for c, t in zip(rel.columns, rel.types) if bad(t)]
     except Exception:
         return None
 
