@@ -98,6 +98,7 @@ object RasterQueries
     "stream_raster_ingest" -> ((s, _) => streamRasterIngest(s)),
     "stream_composite" -> ((s, _) => streamComposite(s)),
     "stream_trend" -> ((s, _) => streamTrend(s)),
+    "stream_phenology" -> ((s, _) => streamPhenology(s)),
     "raster_load_tiff" -> ((s, _) => loadTiff(s)),
     "raster_load_zarr" -> ((s, _) => loadZarr(s)),
     "raster_load_netcdf" -> ((s, _) => loadNetcdf(s)),
@@ -146,6 +147,7 @@ object RasterQueries
     "stream_raster_ingest" -> streamIngestDuckSql,
     "stream_composite" -> streamCompositeDuckSql,
     "stream_trend" -> streamTrendDuckSql,
+    "stream_phenology" -> streamPhenologyDuckSql,
     "raster_parse_items" -> parseItemsDuckSql,
     "raster_stac_search" -> stacSearchDuckSql,
     "raster_load_mosaic" -> loadMosaicDuckSql,

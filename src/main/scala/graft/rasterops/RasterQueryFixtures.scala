@@ -286,6 +286,11 @@ private[rasterops] trait RasterQueryFixtures {
   private[rasterops] val StreamTrendCellsPath =
     s"${sys.props("java.io.tmpdir")}/graft_stream_trend_cells_parquet"
 
+  /** Landed RAW pixel series + epochs of the one-shot batch load the
+    * STREAMED standing peak-argmax state must equal. */
+  private[rasterops] val StreamPeakCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_stream_peak_cells_parquet"
+
   /** Landed RAW pixel series + epochs (7-scene gap fixture) — the
     * Theil–Sen oracle's input: DuckDB re-runs the pairwise-median fit. */
   private[rasterops] val TrendRobustCellsPath =

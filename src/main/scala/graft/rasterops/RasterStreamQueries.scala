@@ -162,9 +162,10 @@ private[rasterops] trait RasterStreamQueries {
     * own state. The fixture is session-constant (synthetic scenes,
     * independent of the sf dir), so the memo can never serve stale
     * state to a different input. */
-  @volatile private var mergedStatePaths: Option[(String, String)] = None
+  @volatile private var mergedStatePaths: Option[Seq[String]] = None
 
-  private def ensureMergeStates(spark: SparkSession): (String, String) =
+  /** (composite, trend, peak) standing-state paths. */
+  private def ensureMergeStates(spark: SparkSession): Seq[String] =
     synchronized {
       mergedStatePaths.getOrElse {
         val jsons =
@@ -176,10 +177,11 @@ private[rasterops] trait RasterStreamQueries {
             ("graft_stream_comp_state", compositePartials(spark)(_),
               CompositeMergeCols),
             ("graft_stream_trend_state", trendPartials(spark)(_),
-              TrendMergeCols)))
-        val out = (paths(0), paths(1))
-        mergedStatePaths = Some(out)
-        out
+              TrendMergeCols),
+            ("graft_stream_peak_state", peakPartials(spark)(_),
+              PeakMergeCols)))
+        mergedStatePaths = Some(paths)
+        paths
       }
     }
 
@@ -253,7 +255,7 @@ private[rasterops] trait RasterStreamQueries {
     * is order-independent). A dropped batch, double merge, or wrong
     * zip_with breaks the hash. */
   def streamComposite(spark: SparkSession): DataFrame = {
-    val (statePath, _) = ensureMergeStates(spark)
+    val statePath = ensureMergeStates(spark)(0)
     val (allItems, allSchemas) = parsed(spark)
     val grid = Planner.outputGeobox(allItems, allSchemas).get
 
@@ -460,7 +462,7 @@ private[rasterops] trait RasterStreamQueries {
   }
 
   def streamTrend(spark: SparkSession): DataFrame = {
-    val (_, statePath) = ensureMergeStates(spark)
+    val statePath = ensureMergeStates(spark)(1)
     val (allItems, allSchemas) = parsed(spark)
     val grid = Planner.outputGeobox(allItems, allSchemas).get
 
@@ -507,6 +509,149 @@ private[rasterops] trait RasterStreamQueries {
           .cast("long").as("icept_q"))
       .orderBy("band", "ty", "tx")
   }
+
+  /** The standing peak-argmax state's merges: `bd` (array of
+    * (value, day) structs) picks the better observation per pixel —
+    * larger value, ties to the smaller day; `-Inf` marks "no valid
+    * observation yet" so a real value always wins. NOTE the sentinel
+    * is −Inf and NOT NaN: Spark SQL orders NaN ABOVE every number, so
+    * a NaN sentinel would beat every real observation in the `>`
+    * comparison. The comparison is associative+commutative, so the
+    * standing state equals the one-shot batch argmax regardless of
+    * batch arrival order. `cnt` is plain additive. */
+  private[graft] val PeakMergeCols: Seq[(String,
+    (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+      => org.apache.spark.sql.Column)] = Seq(
+    "bd" -> ((x, y) =>
+      when(y("_1") > x("_1") ||
+        (y("_1") === x("_1") && y("_2") < x("_2")), y).otherwise(x)),
+    "cnt" -> ((x, y) => x + y))
+
+  /** Batch tiles -> standing-argmax partial planes: one row per
+    * (band, ty, tx) with `bd` = (best value, best day) struct planes
+    * (−Inf/−1 where the batch has no valid observation) and `cnt`. */
+  private def peakPartials(spark: SparkSession)(tiles: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    val anchorSec = TrendAnchorSec
+    tiles
+      .select(col("band"), col("ty"), col("tx"), col("data"),
+        col("dtype"), col("nodata"), col("width"), col("height"),
+        unix_timestamp(col("time")).as("tsec"))
+      .as[(String, Int, Int, Array[Byte], String, Double, Int, Int, Long)]
+      .groupByKey { case (band, ty, tx, _, _, _, _, _, _) => (band, ty, tx) }
+      .mapGroups { (key, it) =>
+        val (band, ty, tx) = key
+        var bv: Array[Double] = null
+        var bd: Array[Double] = null
+        var cnt: Array[Int] = null
+        var tw = -1
+        var th = -1
+        it.foreach { case (_, _, _, data, dtype, nodata, w, h, tsec) =>
+          val m = w * h
+          if (bv == null) {
+            tw = w; th = h
+            bv = Array.fill(m)(Double.NegativeInfinity)
+            bd = Array.fill(m)(-1.0)
+            cnt = new Array[Int](m)
+          }
+          require(w == tw && h == th,
+            s"tile shape mismatch in group ($band,$ty,$tx): " +
+              s"(${w}x$h) vs (${tw}x$th)")
+          val td = math.floor((tsec - anchorSec) / 86400.0 + 0.5)
+          val px = Fuse.decode(data, dtype)
+          var i = 0
+          while (i < m) {
+            val v = px(i)
+            if (!(v.isNaN || v == nodata)) {
+              cnt(i) += 1
+              if (v > bv(i) || (v == bv(i) && td < bd(i))) {
+                bv(i) = v; bd(i) = td
+              }
+            }
+            i += 1
+          }
+        }
+        (band, ty, tx, bv.zip(bd), cnt)
+      }
+      .toDF("band", "ty", "tx", "bd", "cnt")
+  }
+
+  /** Streaming STANDING PEAK MAP (beyond the reference): the
+    * peak-of-season argmax ([[graft.load.Phenology]]'s batch
+    * semantics) maintained incrementally — each microbatch's partial
+    * (best value, best day) planes fold into the standing state with
+    * the SAME replay-safe batchId-guarded swap commit as the other
+    * standing-merge sinks, on the SAME shared drain
+    * ([[ensureMergeStates]], third sink). The argmax merge is
+    * associative and commutative, so the streamed state equals the
+    * one-shot batch argmax of the same scenes — which is exactly what
+    * the oracle recomputes from the landed raw series. */
+  def streamPhenology(spark: SparkSession): DataFrame = {
+    val statePath = ensureMergeStates(spark)(2)
+    val (allItems, allSchemas) = parsed(spark)
+    val grid = Planner.outputGeobox(allItems, allSchemas).get
+
+    // oracle anchor: the same scenes in ONE batch load, raw per-time
+    // pixel series landed for DuckDB's independent argmax recompute
+    val res = Load.load(spark, allItems, allSchemas,
+      bands = Seq("red", "nir"), groupby = "id", chunks = 64,
+      geobox = Some(grid))
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    res.tiles
+      .select(col("band"), col("tIdx").as("tidx"), col("ty"), col("tx"),
+        unix_timestamp(col("time")).as("tsec"), col("nodata"),
+        posexplode(decode(col("data"), col("dtype"))))
+      .select(col("band"), col("tidx"), col("ty"), col("tx"), col("tsec"),
+        col("pos"),
+        when(isnan(col("col")) || col("col") === col("nodata"),
+          lit(Double.NaN)).otherwise(col("col")).as("value"))
+      .write.mode("overwrite").parquet(StreamPeakCellsPath)
+
+    // summary of the STREAMED state (quantized, order-exact)
+    spark.read.parquet(statePath)
+      .select(col("band"), col("ty"), col("tx"),
+        expr("aggregate(cnt, 0, (s, c) -> s + c)").as("n_obs"),
+        expr("aggregate(bd, 0, (s, e) -> s + " +
+          "if(e._1 = CAST('-Infinity' AS DOUBLE), 0, 1))").as("n_peak"),
+        expr("aggregate(bd, 0L, (s, e) -> s + " +
+          "if(e._1 = CAST('-Infinity' AS DOUBLE), 0L, " +
+          "CAST(round(e._1 * 100) AS BIGINT)))").as("peak_q"),
+        expr("aggregate(bd, 0L, (s, e) -> s + " +
+          "if(e._2 < 0, 0L, CAST(e._2 AS BIGINT)))").as("day_sum"))
+      .orderBy("band", "ty", "tx")
+  }
+
+  private[rasterops] val streamPhenologyDuckSql: String =
+    s"""WITH c AS (
+       |  SELECT band, ty, tx, pos,
+       |         FLOOR((tsec - $TrendAnchorSec) / 86400.0 + 0.5) AS t,
+       |         value
+       |  FROM read_parquet('$StreamPeakCellsPath/*.parquet')),
+       |w AS (
+       |  SELECT band, ty, tx, pos, t, value,
+       |         MAX(CASE WHEN isnan(value) THEN NULL ELSE value END)
+       |           OVER (PARTITION BY band, ty, tx, pos) AS pk
+       |  FROM c),
+       |px AS (
+       |  -- NaN rows stay (CASE arms, not a WHERE): the streamed state
+       |  -- holds a row for every tile ever LOADED
+       |  SELECT band, ty, tx, pos,
+       |         COUNT(CASE WHEN NOT isnan(value) THEN 1 END) AS n,
+       |         ANY_VALUE(pk) AS peak,
+       |         MIN(CASE WHEN NOT isnan(value) AND value = pk
+       |             THEN t END) AS day
+       |  FROM w GROUP BY band, ty, tx, pos)
+       |SELECT band, ty, tx,
+       |       CAST(SUM(n) AS INT) AS n_obs,
+       |       CAST(COUNT(day) AS INT) AS n_peak,
+       |       CAST(SUM(COALESCE(CAST(ROUND(peak * 100) AS BIGINT), 0))
+       |            AS BIGINT) AS peak_q,
+       |       CAST(SUM(COALESCE(CAST(day AS BIGINT), 0))
+       |            AS BIGINT) AS day_sum
+       |FROM px GROUP BY band, ty, tx
+       |ORDER BY band, ty, tx""".stripMargin
 
   private[rasterops] val streamTrendDuckSql: String =
     s"""WITH c AS (

@@ -262,6 +262,70 @@ object TextAnalysis {
       |FROM f GROUP BY LEAST(FLOOR(toks / 20), 5)
       |ORDER BY len_bucket""".stripMargin
 
+  /** Flesch reading-ease per document — the readability signal quality
+    * filters bucket on (alongside the Gopher-style ratios): words =
+    * nonempty whitespace tokens, sentences = `[.!?]+` runs (min 1),
+    * syllables = `[aeiouy]+` vowel groups per lowercased word (min 1
+    * per word — the standard heuristic), score = 206.835 − 1.015·W/S −
+    * 84.6·Y/W. All three counts are integers, so the score doubles are
+    * cross-engine exact (identical literal order; `+ 0.0` guards the
+    * rounded negative zero — heavy-punctuation docs score negative).
+    * One projection pass, no shuffle beyond the final sort. */
+  val readabilitySparkSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(size(filter(split(trim(text), '\\s+'), x -> x <> ''))
+      |      AS BIGINT) AS n_words,
+      |    CAST(GREATEST(size(regexp_extract_all(text, '[.!?]+', 0)), 1)
+      |      AS BIGINT) AS n_sent,
+      |    CAST(aggregate(filter(split(trim(text), '\\s+'), x -> x <> ''),
+      |      0L, (s, w) -> s + GREATEST(
+      |        size(regexp_extract_all(lower(w), '[aeiouy]+', 0)), 1))
+      |      AS BIGINT) AS n_syll
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, n_words, n_sent, n_syll,
+      |    CASE WHEN n_words = 0 THEN NULL
+      |         ELSE ROUND(206.835
+      |           - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+      |           - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) + 0.0
+      |    END AS flesch
+      |  FROM f)
+      |SELECT doc_id, n_words, n_sent, n_syll, flesch,
+      |  CASE WHEN flesch IS NULL THEN 'empty'
+      |       WHEN flesch >= 60 THEN 'easy'
+      |       WHEN flesch >= 30 THEN 'medium'
+      |       ELSE 'hard' END AS band
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  val readabilityDuckSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> x <> '')) AS BIGINT) AS n_words,
+      |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+      |      AS BIGINT) AS n_sent,
+      |    CAST(list_sum(list_transform(
+      |      list_filter(string_split_regex(trim(text), '\s+'),
+      |        x -> x <> ''),
+      |      w -> GREATEST(len(regexp_extract_all(lower(w), '[aeiouy]+')),
+      |        1))) AS BIGINT) AS n_syll
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, n_words, n_sent, n_syll,
+      |    CASE WHEN n_words = 0 THEN NULL
+      |         ELSE ROUND(206.835
+      |           - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+      |           - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) + 0.0
+      |    END AS flesch
+      |  FROM f)
+      |SELECT doc_id, n_words, n_sent, n_syll, flesch,
+      |  CASE WHEN flesch IS NULL THEN 'empty'
+      |       WHEN flesch >= 60 THEN 'easy'
+      |       WHEN flesch >= 30 THEN 'medium'
+      |       ELSE 'hard' END AS band
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   /** Gopher/C4-style document quality filter — the gate a training-data
     * pipeline runs before dedup: per-document signals (length, top-word
     * repetition share, stopword ratio, mean word length) and a composite
@@ -1037,6 +1101,7 @@ object TextAnalysis {
       Tables.sql(langidSegmentsSparkSql)(s, d)
     }),
     "text_quality" -> Tables.sql(qualitySparkSql),
+    "text_readability" -> Tables.sql(readabilitySparkSql),
     "text_quality_filter" -> Tables.sql(qualityFilterSparkSql),
     "text_length_filter" -> Tables.sql(lengthFilterSparkSql),
     "text_decontaminate" -> Tables.sql(decontaminateSparkSql),
@@ -1107,6 +1172,7 @@ object TextAnalysis {
     "text_langid" -> langidDuckSql,
     "text_langid_segments" -> langidSegmentsDuckSql,
     "text_quality" -> qualityDuckSql,
+    "text_readability" -> readabilityDuckSql,
     "text_quality_filter" -> qualityFilterDuckSql,
     "text_length_filter" -> lengthFilterDuckSql,
     "text_decontaminate" -> decontaminateDuckSql,

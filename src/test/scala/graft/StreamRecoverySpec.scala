@@ -151,4 +151,43 @@ class StreamRecoverySpec extends AnyFunSuite {
     assert(!new java.io.File(statePath + "_old").exists(),
       "recovery dir must be cleared after a successful commit")
   }
+
+  /** The standing peak-argmax merge (streamPhenology's sink): larger
+    * value wins, ties to the smaller day, the −Inf "no valid obs"
+    * sentinel always loses to a real value — and the merge is
+    * order-invariant, so any batch arrival order lands the same
+    * standing state. */
+  test("PeakMergeCols: argmax semantics, -Inf sentinel, order-invariance") {
+    import spark.implicits._
+    val negInf = Double.NegativeInfinity
+
+    def buf(vd: Seq[(Double, Double)], c: Int) =
+      Seq(("red", 0, 0, vd.toArray, Array.fill(vd.length)(c)))
+        .toDF("band", "ty", "tx", "bd", "cnt")
+    def state(path: String): (Seq[(Double, Double)], Seq[Int]) = {
+      val r = spark.read.parquet(path)
+        .selectExpr("bd", "cnt").head()
+      (r.getSeq[org.apache.spark.sql.Row](0)
+        .map(x => (x.getDouble(0), x.getDouble(1))),
+        r.getSeq[Int](1))
+    }
+
+    // px0: b wins on value; px1: tie -> smaller day (a); px2: a is the
+    // sentinel -> b's real value wins; px3: both sentinel -> stays
+    val a = Seq((10.0, 5.0), (7.0, 2.0), (negInf, -1.0), (negInf, -1.0))
+    val b = Seq((12.0, 9.0), (7.0, 8.0), (3.0, 4.0), (negInf, -1.0))
+    val want = Seq((12.0, 9.0), (7.0, 2.0), (3.0, 4.0), (negInf, -1.0))
+
+    for ((first, second, name) <- Seq((a, b, "ab"), (b, a, "ba"))) {
+      val root = Files.createTempDirectory(s"graft_peak_merge_$name")
+      val path = root.resolve("state").toString
+      rasterops.RasterQueries.commitMergeWith(spark, path, 0L,
+        buf(first, 1), rasterops.RasterQueries.PeakMergeCols)
+      rasterops.RasterQueries.commitMergeWith(spark, path, 1L,
+        buf(second, 2), rasterops.RasterQueries.PeakMergeCols)
+      val (bd, cnt) = state(path)
+      assert(bd == want, s"order $name: $bd != $want")
+      assert(cnt == Seq(3, 3, 3, 3), s"order $name: cnt $cnt")
+    }
+  }
 }
