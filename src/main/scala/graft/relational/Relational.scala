@@ -457,9 +457,55 @@ object Relational {
       |UNION ALL SELECT 'stage3_purchase', COUNT(*) FROM p
       |ORDER BY stage""".stripMargin
 
+  /** Batch gap-based sessionization — the canonical clickstream shape
+    * the streaming sessionizers (stream_sessionize/_ttl) compute
+    * incrementally: a new session starts when a user's inter-event gap
+    * exceeds 12 h. One shuffle on user_id; the lag window, the
+    * cumulative session-id sum, the per-session aggregate, and the
+    * per-user rollup all ride the SAME hash partitioning (Catalyst
+    * reuses the exchange), and the output is user-count-sized — no
+    * event self-join anywhere. Timestamps are compared as exact epoch
+    * micros so both engines see identical integers (events.ts is
+    * parquet NANOS; Spark's reader and DuckDB's TIMESTAMP cast both
+    * floor to micros). `ts` arrives TIMESTAMP_NTZ, so the micros are
+    * wall-clock diffs against the NTZ epoch — session-timezone-proof
+    * in both engines (DuckDB TIMESTAMP is naive; `epoch_us` is the
+    * same wall-clock arithmetic). */
+  private def sessionizeSql(tusExpr: String): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, $tusExpr AS tus FROM events),
+       |g AS (
+       |  SELECT user_id, event_id, tus,
+       |         CASE WHEN lag(tus) OVER w IS NULL
+       |                OR tus - lag(tus) OVER w > 43200000000 THEN 1
+       |              ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+       |s AS (
+       |  SELECT user_id, tus,
+       |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |                          ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM g),
+       |x AS (
+       |  SELECT user_id, sid, COUNT(*) AS n, MAX(tus) - MIN(tus) AS span
+       |  FROM s GROUP BY user_id, sid)
+       |SELECT user_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       |       CAST(SUM(n) AS BIGINT) AS n_events,
+       |       CAST(MAX(n) AS BIGINT) AS max_events,
+       |       CAST(MAX(span) AS BIGINT) AS max_span_us
+       |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  private[graft] val sessionizeSparkSql: String =
+    sessionizeSql(
+      "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+
+  private val sessionizeOracle: String =
+    sessionizeSql("epoch_us(CAST(ts AS TIMESTAMP))")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> Tables.sql(q.spark)).toMap +
       ("q27_skew_salted_join" -> (saltedJoinQuery _)) +
+      ("q41_sessionize" -> Tables.sql(sessionizeSparkSql)) +
       ("q33_upsert" -> (upsertQuery _)) +
       ("q34_incremental_agg" -> (incrementalAggQuery _)) +
       ("q35_grouping_sets" -> Tables.sql(groupingSetsSql)) +
@@ -470,6 +516,7 @@ object Relational {
   val oracleSql: Map[String, String] =
     qs.map(q => q.name -> q.duck.getOrElse(q.spark)).toMap +
       ("q27_skew_salted_join" -> saltedJoinOracle) +
+      ("q41_sessionize" -> sessionizeOracle) +
       ("q33_upsert" -> upsertOracle) +
       ("q34_incremental_agg" -> incrementalAggOracle) +
       ("q35_grouping_sets" -> groupingSetsSql) +

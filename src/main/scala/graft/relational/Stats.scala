@@ -553,7 +553,87 @@ object Stats {
       |       CASE WHEN f = 0 THEN 'pass' ELSE 'fail' END AS status
       |FROM u ORDER BY tbl, rule""".stripMargin
 
+  /** Pairwise Pearson correlation matrix over lineitem's numeric
+    * columns — the feature-correlation pass every training-data audit
+    * runs. ONE scan, ONE aggregate row: all six pair co-moments fill
+    * their buffers in the same partial-aggregation pass (map-side
+    * combine; `corr` is a mergeable (n, Σx, Σy, Σxx, Σyy, Σxy)
+    * sketch), so at 100 TB this is a single pass over the table with
+    * constant-size state — never six scans. Both engines accumulate
+    * doubles in different orders, so results round through
+    * DECIMAL(18,6) (≈1e-15 relative error vs a 1e-6 grid).
+    *
+    * Spark spelling: `try_divide(covar_samp, σ·σ)` instead of `corr` —
+    * ANSI mode makes Spark's corr THROW on a zero-variance column,
+    * where DuckDB's returns NULL; the explicit quotient is the same
+    * Pearson value (the n/(n−1) sample factors cancel exactly) from
+    * the same one-pass moments, and try_divide restores the NULL. */
+  private def corrMatrixSql(
+      corrOf: (String, String) => String, toStr: String => String): String = {
+    val pairs = Seq(
+      "l_quantity" -> "l_extendedprice", "l_quantity" -> "l_discount",
+      "l_quantity" -> "l_tax", "l_extendedprice" -> "l_discount",
+      "l_extendedprice" -> "l_tax", "l_discount" -> "l_tax")
+    val cols = pairs.map { case (a, b) =>
+      val short = (c: String) => c.stripPrefix("l_").take(5)
+      s"  ${toStr(corrOf(a, b))} AS c_${short(a)}_${short(b)}"
+    }.mkString(",\n")
+    s"""SELECT COUNT(*) AS n,\n$cols\nFROM lineitem""".stripMargin
+  }
+
+  val corrMatrixSparkSql: String = corrMatrixSql(
+    (a, b) => s"try_divide(covar_samp($a, $b), " +
+      s"stddev_samp($a) * stddev_samp($b))",
+    e => s"CAST(CAST($e AS DECIMAL(18,6)) AS STRING)")
+
+  val corrMatrixDuckSql: String = corrMatrixSql(
+    (a, b) => s"corr($a, $b)",
+    e => s"CAST(CAST($e AS DECIMAL(18,6)) AS VARCHAR)")
+
+  /** Robust outlier detection per group: median + MAD (median absolute
+    * deviation), then count observations beyond 3 robust z-scores
+    * (1.4826·MAD ≈ σ under normality). Exact interpolated medians here
+    * so DuckDB can hash-check (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the equivalence stats_quantiles pins); at 100 TB
+    * the same three-pass shape ships with `approx_percentile` sketches.
+    * Pass 1 computes per-type medians (group-count-sized → broadcasts
+    * back), pass 2 the MAD over deviations, pass 3 the outlier counts —
+    * the event table is never self-joined, and every join side except
+    * the stream is tiny. */
+  private def madOutliersSql(med: String => String,
+      toStr: String => String): String =
+    s"""WITH m AS (
+       |  SELECT event_type, ${med("value")} AS med
+       |  FROM events GROUP BY event_type),
+       |d AS (
+       |  SELECT e.event_type, e.value, abs(e.value - m.med) AS dev
+       |  FROM events e JOIN m ON e.event_type = m.event_type),
+       |s AS (
+       |  SELECT event_type, ${med("dev")} AS mad
+       |  FROM d GROUP BY event_type)
+       |SELECT e.event_type,
+       |       CAST(COUNT(*) AS BIGINT) AS n,
+       |       ${toStr("MIN(m.med)")} AS med,
+       |       ${toStr("MIN(s.mad)")} AS mad,
+       |       CAST(SUM(CASE WHEN abs(e.value - m.med) >
+       |                          3 * 1.4826 * s.mad THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_outliers
+       |FROM events e
+       |JOIN m ON e.event_type = m.event_type
+       |JOIN s ON e.event_type = s.event_type
+       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  val madOutliersSparkSql: String = madOutliersSql(
+    c => s"percentile($c, 0.5)",
+    e => s"CAST(CAST($e AS DECIMAL(18,4)) AS STRING)")
+
+  val madOutliersDuckSql: String = madOutliersSql(
+    c => s"quantile_cont($c, 0.5)",
+    e => s"CAST(CAST($e AS DECIMAL(18,4)) AS VARCHAR)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_corr_matrix" -> Tables.sql(corrMatrixSparkSql),
+    "stats_mad_outliers" -> Tables.sql(madOutliersSparkSql),
     "stats_expectations" -> Tables.sql(expectationsSparkSql),
     "stats_psi_drift" -> Tables.sql(psiSqlBody),
     "stats_ks_drift" -> Tables.sql(ksSparkSql),
@@ -566,6 +646,8 @@ object Stats {
     "text_cms_portable" -> Tables.sql(cmsPortableSparkSql))
 
   val oracleSql: Map[String, String] = Map(
+    "stats_corr_matrix" -> corrMatrixDuckSql,
+    "stats_mad_outliers" -> madOutliersDuckSql,
     "stats_expectations" -> expectationsDuckSql,
     "stats_psi_drift" -> psiSqlBody,
     "stats_ks_drift" -> ksDuckSql,

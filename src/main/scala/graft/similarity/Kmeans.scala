@@ -1,0 +1,197 @@
+package graft.similarity
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over the embedding table — the coarse
+  * clustering a curation pipeline runs for data maps, cluster-balanced
+  * sampling, and IVF coarse quantizers (the IVF index build samples;
+  * this is the full-corpus trainer).
+  *
+  * Scale shape (the k-means-centroid pattern the PCA op also uses):
+  * per iteration, centroids (k×d, tiny) BROADCAST to the executors;
+  * assignment is map-side; the centroid update is a typed mergeable
+  * [[Aggregator]] producing k partial (count, Σvec) states with
+  * map-side combine — one shuffle of k×(d+1) longs per iteration, the
+  * corpus is never collected or self-joined. Driver state is k×d.
+  *
+  * Oracle exactness: elements are quantized to integer micro-units up
+  * front (the embed_label_centroids trick), so distances, argmins, and
+  * centroid sums are exact integer arithmetic — order-independent and
+  * engine-exact. The only non-integer step, the mean, divides two
+  * exactly-representable integers in IEEE doubles and rounds half away
+  * from zero — spelled identically in DuckDB ([[oracleSql]] unrolls
+  * the same three iterations as CTE chains). Ties in the argmin break
+  * to the LOWEST cluster id in both engines; a cluster that loses all
+  * members KEEPS its previous centroid. */
+object Kmeans {
+
+  val K = 8
+  val Iters = 3
+
+  /** Half-away-from-zero rounding — Spark SQL ROUND / DuckDB ROUND
+    * semantics (Scala's math.round rounds half toward +∞ and would
+    * diverge on negative .5 means). */
+  private def roundHalf(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
+  private def sqDist(v: Array[Long], c: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def argmin(v: Array[Long], cents: Array[Array[Long]]): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = sqDist(v, cents(c))
+      if (d < bestD) { bestD = d; best = c } // strict: ties keep lowest id
+      c += 1
+    }
+    best
+  }
+
+  /** Mergeable element-wise (count, Σvec) — fixed d-sized state. */
+  private class SumVec(d: Int)
+      extends Aggregator[(Int, Array[Long]), (Long, Array[Long]),
+        (Long, Array[Long])] {
+    def zero: (Long, Array[Long]) = (0L, new Array[Long](d))
+    def reduce(b: (Long, Array[Long]), a: (Int, Array[Long])):
+        (Long, Array[Long]) = {
+      var i = 0; while (i < d) { b._2(i) += a._2(i); i += 1 }
+      (b._1 + 1, b._2)
+    }
+    def merge(x: (Long, Array[Long]), y: (Long, Array[Long])):
+        (Long, Array[Long]) = {
+      var i = 0; while (i < d) { x._2(i) += y._2(i); i += 1 }
+      (x._1 + y._1, x._2)
+    }
+    def finish(r: (Long, Array[Long])): (Long, Array[Long]) = r
+    def bufferEncoder: Encoder[(Long, Array[Long])] =
+      Encoders.tuple(Encoders.scalaLong, ExpressionEncoderHelper.longArray)
+    def outputEncoder: Encoder[(Long, Array[Long])] = bufferEncoder
+  }
+
+  private object ExpressionEncoderHelper {
+    val longArray: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.register(spark, dir)
+    // micro-unit quantization via Spark SQL ROUND (half away from zero,
+    // the DuckDB ROUND convention the centroid ops already pin)
+    val q = spark.sql(
+      """SELECT vec_id,
+        |       transform(embedding,
+        |         x -> CAST(ROUND(x * 1e6) AS BIGINT)) AS v
+        |FROM embeddings""".stripMargin)
+      .as[(Long, Array[Long])]
+    val d = q.head()._2.length
+
+    // deterministic init: the K lowest vec_ids (k×d collect, bounded)
+    var cents: Array[Array[Long]] =
+      q.orderBy("vec_id").limit(K).collect().sortBy(_._1).map(_._2)
+
+    val sumVec = new SumVec(d)
+    for (_ <- 1 to Iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val updated = q
+        .map { case (_, v) => (argmin(v, bc.value), v) }
+        .groupByKey(_._1)
+        .agg(sumVec.toColumn.name("s"))
+        .collect() // k rows of (cluster, (n, Σvec)) — bounded
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        updated.get(c) match {
+          case Some((n, sums)) if n > 0 =>
+            sums.map(s => roundHalf(s.toDouble / n))
+          case _ => old // empty cluster keeps its centroid
+        }
+      }
+      bc.destroy()
+    }
+
+    // scoring pass with the landed centroids: per-cluster size + exact
+    // integer inertia; clusters that ended empty still emit a row
+    val bc = spark.sparkContext.broadcast(cents)
+    val stats = q
+      .map { case (_, v) =>
+        val c = argmin(v, bc.value)
+        (c, sqDist(v, bc.value(c)))
+      }
+      .toDF("cluster", "dist")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum("dist").as("inertia_q"))
+    val centDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c.map(math.abs).sum) }
+      .toSeq.toDF("cluster", "c_abs_q")
+    centDf.join(stats, Seq("cluster"), "left")
+      .select(col("cluster").cast("long").as("cluster"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("inertia_q"), lit(0L)).as("inertia_q"),
+        col("c_abs_q"))
+      .orderBy("cluster")
+  }
+
+  /** DuckDB oracle: the SAME three Lloyd iterations unrolled as CTE
+    * chains — integer micro-unit quantization, exact integer distances,
+    * argmin ties to the lowest cluster, half-away-from-zero centroid
+    * means, empty clusters keeping their centroid via COALESCE. */
+  def kmeansDuckSql: String = {
+    def assign(c: String, a: String) =
+      s"""$a AS (
+         |  SELECT vec_id, v, cl, dd FROM (
+         |    SELECT e.vec_id, e.v, $c.cl, $c.cv,
+         |           CAST(list_sum([ (e.v[i] - $c.cv[i]) * (e.v[i] - $c.cv[i])
+         |                for i in generate_series(1, len(e.v))]) AS BIGINT)
+         |             AS dd,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY CAST(list_sum(
+         |             [ (e.v[i] - $c.cv[i]) * (e.v[i] - $c.cv[i])
+         |                for i in generate_series(1, len(e.v))]) AS BIGINT),
+         |                              $c.cl) AS rn
+         |    FROM e CROSS JOIN $c) WHERE rn = 1)""".stripMargin
+    def update(a: String, cPrev: String, u: String, c: String) =
+      s"""$u AS (
+         |  SELECT cl, list(cv_d ORDER BY dim) AS cv FROM (
+         |    SELECT cl, s.dim AS dim,
+         |           CAST(ROUND(CAST(SUM(s.v) AS DOUBLE) / COUNT(*))
+         |                AS BIGINT) AS cv_d
+         |    FROM (SELECT cl, unnest([{'dim': i, 'v': v[i]}
+         |            for i in generate_series(1, len(v))]) AS s FROM $a)
+         |    GROUP BY cl, s.dim) GROUP BY cl),
+         |$c AS (
+         |  SELECT $cPrev.cl, COALESCE($u.cv, $cPrev.cv) AS cv
+         |  FROM $cPrev LEFT JOIN $u ON $cPrev.cl = $u.cl)""".stripMargin
+    val iters = (1 to Iters).map { i =>
+      assign(s"c${i - 1}", s"a$i") + ",\n" +
+        update(s"a$i", s"c${i - 1}", s"u$i", s"c$i")
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |         [CAST(ROUND(x * 1e6) AS BIGINT) for x in embedding] AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+       |  FROM e ORDER BY vec_id LIMIT $K),
+       |$iters,
+       |${assign(s"c$Iters", "af")},
+       |st AS (
+       |  SELECT cl, COUNT(*) AS n, CAST(SUM(dd) AS BIGINT) AS inertia_q
+       |  FROM af GROUP BY cl)
+       |SELECT CAST(c$Iters.cl AS BIGINT) AS cluster,
+       |       CAST(COALESCE(st.n, 0) AS BIGINT) AS n,
+       |       CAST(COALESCE(st.inertia_q, 0) AS BIGINT) AS inertia_q,
+       |       CAST(list_sum([abs(x) for x in c$Iters.cv]) AS BIGINT)
+       |         AS c_abs_q
+       |FROM c$Iters LEFT JOIN st ON c$Iters.cl = st.cl
+       |ORDER BY cluster""".stripMargin
+  }
+}

@@ -2022,6 +2022,7 @@ object Similarity {
     "dedup_embedding_cosine" -> ((s, d) => nearDupPairs(s, d)),
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "embed_quantize" -> Tables.sql(quantizeSparkSql),
+    "embed_kmeans" -> ((s, d) => Kmeans.kmeans(s, d)),
     "embed_pca" -> ((s, d) => pcaProject(s, d)),
     "embed_label_centroids" -> Tables.sql(centroidsSparkSql),
     "embed_outliers" -> Tables.sql(outliersSparkSql)
@@ -2042,6 +2043,7 @@ object Similarity {
     "dedup_embedding_portable" -> embDedupPortableDuckSql,
     "dedup_semantic_portable" -> semanticPortableDuckSql,
     "embed_quantize" -> quantizeDuckSql,
+    "embed_kmeans" -> Kmeans.kmeansDuckSql,
     "embed_pca" -> pcaDuckSql,
     "embed_label_centroids" -> centroidsDuckSql,
     "embed_outliers" -> outliersDuckSql

@@ -1083,7 +1083,99 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Zipf's-law fit over the corpus token frequencies — the standard
+    * vocabulary health check (natural corpora slope ≈ −1; scraped spam
+    * and synthetic text drift off it). One token-table shuffle builds
+    * the frequency table, the rank window runs over the VOCABULARY-
+    * sized aggregate (never the token stream), and the log-log
+    * regression is a single mergeable `regr_*` co-moment aggregate —
+    * the whole plan is one pass + vocab-sized tail at any corpus size.
+    * Log sums accumulate in engine-specific order → DECIMAL(18,6)
+    * rounding, the corr-matrix convention. */
+  private def zipfSql(split: String, toStr: String => String): String =
+    s"""WITH t AS (
+       |  SELECT $split AS w FROM documents),
+       |f AS (SELECT w, COUNT(*) AS c FROM t GROUP BY w),
+       |r AS (SELECT w, c,
+       |             row_number() OVER (ORDER BY c DESC, w) AS rnk
+       |      FROM f)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+       |       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |       ${toStr("regr_slope(ln(c), ln(rnk))")} AS zipf_slope,
+       |       ${toStr("regr_r2(ln(c), ln(rnk))")} AS zipf_r2
+       |FROM r""".stripMargin
+
+  val zipfSparkSql: String = zipfSql(
+    "explode(split(trim(lower(text)), '\\\\s+'))",
+    e => s"CAST(CAST($e AS DECIMAL(18,6)) AS STRING)")
+
+  val zipfDuckSql: String = zipfSql(
+    "unnest(string_split_regex(trim(lower(text)), '\\s+'))",
+    e => s"CAST(CAST($e AS DECIMAL(18,6)) AS VARCHAR)")
+
+  /** Cross-document boilerplate detection — the C4/Gopher cleanup step
+    * the within-doc repetition score (text_repetition) can't see: a
+    * word 3-gram that recurs in ≥2 DISTINCT documents of the same
+    * source is navigation/template boilerplate, and each document
+    * reports how much of it is made of such grams. The gram table
+    * shuffles once on (source, gram); the boilerplate set is
+    * repeated-gram-sized (≪ the gram stream) so the probe back onto
+    * the per-doc grams broadcasts at scale. Left join + count, never
+    * a doc×doc self-join. */
+  private def boilerplateSql(grams: String, toStr: String => String,
+      unnestFn: String): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, source,
+       |         $grams AS gs
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, source, $unnestFn(gs) AS gram FROM w),
+       |d AS (SELECT DISTINCT doc_id, source, gram FROM g),
+       |b AS (SELECT source, gram FROM d
+       |      GROUP BY source, gram HAVING COUNT(*) >= 2),
+       |per AS (
+       |  SELECT g.doc_id, COUNT(*) AS n_grams,
+       |         SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS n_boiler
+       |  FROM g LEFT JOIN b
+       |    ON g.source = b.source AND g.gram = b.gram
+       |  GROUP BY g.doc_id)
+       |-- left join back onto documents: a doc too short to produce
+       |-- grams still reports (0, 0, NULL) instead of vanishing
+       |SELECT w.doc_id,
+       |       CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+       |       CAST(COALESCE(per.n_boiler, 0) AS BIGINT) AS n_boiler,
+       |       ${toStr("CAST(COALESCE(per.n_boiler, 0) AS DOUBLE) / " +
+           "NULLIF(COALESCE(per.n_grams, 0), 0)")}
+       |         AS boiler_ratio
+       |FROM w LEFT JOIN per ON w.doc_id = per.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+
+  val boilerplateSparkSql: String = boilerplateSql(
+    """CASE WHEN size(split(trim(lower(text)), '\\s+')) >= 3
+      |           THEN transform(
+      |             sequence(0, size(split(trim(lower(text)), '\\s+')) - 3),
+      |             i -> concat_ws(' ',
+      |               split(trim(lower(text)), '\\s+')[i],
+      |               split(trim(lower(text)), '\\s+')[i+1],
+      |               split(trim(lower(text)), '\\s+')[i+2]))
+      |           ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin,
+    e => s"CAST(CAST($e AS DECIMAL(18,4)) AS STRING)", "explode")
+
+  val boilerplateDuckSql: String = boilerplateSql(
+    """CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) >= 3
+      |           THEN list_transform(
+      |             range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
+      |             i -> concat_ws(' ',
+      |               string_split_regex(trim(lower(text)), '\s+')[i],
+      |               string_split_regex(trim(lower(text)), '\s+')[i+1],
+      |               string_split_regex(trim(lower(text)), '\s+')[i+2]))
+      |           ELSE [] END""".stripMargin,
+    e => s"CAST(CAST($e AS DECIMAL(18,4)) AS VARCHAR)", "unnest")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf" -> Tables.sql(zipfSparkSql),
+    "text_boilerplate" -> Tables.sql(boilerplateSparkSql),
     "text_compress_ratio" -> ((s: SparkSession, d: String) => compressRatio(s, d)),
     "text_quality_model" -> ((s: SparkSession, d: String) => qualityModel(s, d)),
     "text_normalize" -> ((s: SparkSession, d: String) => {
@@ -1164,6 +1256,8 @@ object TextAnalysis {
 
   // def, not val: qualityModelDuckSql embeds the last-run tree path
   def oracleSql: Map[String, String] = Map(
+    "text_zipf" -> zipfDuckSql,
+    "text_boilerplate" -> boilerplateDuckSql,
     "text_quality_model" -> qualityModelDuckSql,
     "text_normalize" -> normalizeDuckSql,
     "text_stats" -> statsDuckSql,
