@@ -92,6 +92,7 @@ object Verify {
       "raster_drill_bilinear" -> mosaic,
       "raster_focal_mean" -> mosaic,
       "raster_focal_standing" -> mosaic,
+      "raster_terrain" -> mosaic,
       "raster_histogram" -> mosaic,
       "raster_load_mosaic" -> mosaic,
       "raster_load_netcdf" -> mosaic,

@@ -36,18 +36,13 @@ object Focal {
   final case class Strip(gx0: Int, gy0: Int, sw: Int, sh: Int,
                          vals: Array[Double])
 
-  /** Shared windowed-mean kernel: assemble the padded plane from the
-    * center + halo fragments, then summed-area tables over
-    * (value, validity) — every window mean is 4 lookups, O(1) per pixel
-    * at ANY radius (the naive loop is O(r²) per pixel and loses at
-    * r ≥ 2). Both exchange strategies call THIS, so their outputs are
-    * bit-identical. */
-  private def windowedMean(center: Frag, frags: Iterator[Frag],
-                           r: Int): (Array[Double], Long) = {
-    val w = center.w
-    val h = center.h
-    val pw = w + 2 * r
-    val ph = h + 2 * r
+  /** Assemble the (w+2r)×(h+2r) padded plane from the center + halo
+    * fragments — NaN beyond what any fragment covers. The shared front
+    * half of every focal kernel. */
+  private def assemblePad(center: Frag, frags: Iterator[Frag],
+                          r: Int): Array[Double] = {
+    val pw = center.w + 2 * r
+    val ph = center.h + 2 * r
     val pad = Array.fill(pw * ph)(Double.NaN)
     (Iterator.single(center) ++ frags).foreach { f =>
       val ox = f.gx0 - (center.gx0 - r)
@@ -67,6 +62,22 @@ object Focal {
         y += 1
       }
     }
+    pad
+  }
+
+  /** Shared windowed-mean kernel: assemble the padded plane from the
+    * center + halo fragments, then summed-area tables over
+    * (value, validity) — every window mean is 4 lookups, O(1) per pixel
+    * at ANY radius (the naive loop is O(r²) per pixel and loses at
+    * r ≥ 2). Both exchange strategies call THIS, so their outputs are
+    * bit-identical. */
+  private def windowedMean(center: Frag, frags: Iterator[Frag],
+                           r: Int): (Array[Double], Long) = {
+    val w = center.w
+    val h = center.h
+    val pw = w + 2 * r
+    val ph = h + 2 * r
+    val pad = assemblePad(center, frags, r)
     val sw = pw + 1
     val satS = new Array[Double](sw * (ph + 1))
     val satC = new Array[Int](sw * (ph + 1))
@@ -155,14 +166,16 @@ object Focal {
     b.result()
   }
 
-  /** Focal mean over a `LoadResult.tiles` frame (any number of bands;
-    * windows never cross bands or times). Returns one row per tile:
-    * (band, tIdx, ty, tx, focal, n_valid). */
-  def focalMean(spark: SparkSession, tiles: DataFrame,
-                radius: Int = 1): DataFrame = {
+  /** The full-exchange skeleton every focal operator shares: each tile
+    * task emits its plane to its own key + border strips to its 8
+    * neighbors, ONE shuffle co-locates them, and `kernel` computes the
+    * output plane(s) from (center, halo). Returns one row per tile:
+    * (band, tIdx, ty, tx, planes, n_valid). */
+  private[load] def focalExchange(spark: SparkSession, tiles: DataFrame,
+      r: Int)(kernel: (Frag, Iterator[Frag]) => (Array[Array[Double]], Long))
+      : DataFrame = {
     import spark.implicits._
-    require(radius >= 1, s"radius must be >= 1: $radius")
-    val r = radius
+    require(r >= 1, s"radius must be >= 1: $r")
     tiles
       .select("band", "tIdx", "ty", "tx", "x0", "y0", "width", "height",
         "data", "dtype", "nodata")
@@ -190,12 +203,80 @@ object Focal {
         frags.find(_.own) match {
           case None => Iterator.empty // strips addressed to a hole
           case Some(center) =>
-            val (focal, nValid) =
-              windowedMean(center, frags.iterator.filterNot(_.own), r)
-            Iterator.single((band, tIdx, ty, tx, focal, nValid))
+            val (planes, nValid) =
+              kernel(center, frags.iterator.filterNot(_.own))
+            Iterator.single((band, tIdx, ty, tx, planes, nValid))
         }
       }
-      .toDF("band", "tIdx", "ty", "tx", "focal", "n_valid")
+      .toDF("band", "tIdx", "ty", "tx", "planes", "n_valid")
+  }
+
+  /** Focal mean over a `LoadResult.tiles` frame (any number of bands;
+    * windows never cross bands or times). Returns one row per tile:
+    * (band, tIdx, ty, tx, focal, n_valid). */
+  def focalMean(spark: SparkSession, tiles: DataFrame,
+                radius: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val r = radius
+    focalExchange(spark, tiles, r) { (center, frags) =>
+      val (focal, nValid) = windowedMean(center, frags, r)
+      (Array(focal), nValid)
+    }
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"),
+        expr("planes[0]").as("focal"), col("n_valid"))
+  }
+
+  /** Horn terrain gradients over a `LoadResult.tiles` frame — the
+    * slope/aspect front half of every DEM pipeline: per pixel, the
+    * 8-neighbor weighted differences
+    * `gx = ((c + 2f + i) − (a + 2d + g)) / 8`,
+    * `gy = ((g + 2h + i) − (a + 2b + c)) / 8` (per-pixel-unit; divide
+    * by cell size for world-unit slopes; +y points DOWN rows), and the
+    * gradient magnitude `√(gx² + gy²)`. A pixel whose 3×3 window has
+    * ANY missing tap (nodata hole or mosaic edge) yields NaN — the
+    * GDAL edge convention, and the same rule the oracle's
+    * count-9-taps join spells. Same halo-exchange scale shape as
+    * [[focalMean]]; `n_valid` counts pixels with a complete window. */
+  def horn(spark: SparkSession, tiles: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    focalExchange(spark, tiles, 1) { (center, frags) =>
+      val w = center.w
+      val h = center.h
+      val pw = w + 2
+      val pad = assemblePad(center, frags, 1)
+      val gx = new Array[Double](w * h)
+      val gy = new Array[Double](w * h)
+      val mag = new Array[Double](w * h)
+      var nValid = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val c0 = (y + 1) * pw + (x + 1)
+          val a = pad(c0 - pw - 1); val b = pad(c0 - pw); val c = pad(c0 - pw + 1)
+          val d = pad(c0 - 1); val f = pad(c0 + 1)
+          val g = pad(c0 + pw - 1); val hh = pad(c0 + pw); val i = pad(c0 + pw + 1)
+          val e = pad(c0)
+          val o = y * w + x
+          if (a.isNaN || b.isNaN || c.isNaN || d.isNaN || e.isNaN ||
+              f.isNaN || g.isNaN || hh.isNaN || i.isNaN) {
+            gx(o) = Double.NaN; gy(o) = Double.NaN; mag(o) = Double.NaN
+          } else {
+            val gxv = ((c + 2 * f + i) - (a + 2 * d + g)) / 8.0
+            val gyv = ((g + 2 * hh + i) - (a + 2 * b + c)) / 8.0
+            gx(o) = gxv; gy(o) = gyv
+            mag(o) = math.sqrt(gxv * gxv + gyv * gyv)
+            nValid += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (Array(gx, gy, mag), nValid)
+    }
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"),
+        expr("planes[0]").as("gx"), expr("planes[1]").as("gy"),
+        expr("planes[2]").as("mag"), col("n_valid"))
   }
 
   /** Focal mean for a STANDING tile layout — `tiles` already clustered

@@ -426,6 +426,108 @@ private[rasterops] trait RasterAnalyticsQueries {
        |FROM f GROUP BY band, ty, tx
        |ORDER BY band, ty, tx""".stripMargin
 
+  /** Per-pixel harmonic (seasonal) fit (graft.load.Harmonic — beyond
+    * the reference): the same 7-scene holed fixture, each pixel fit
+    * with `a + b·cos(ωt) + c·sin(ωt)` at an 8-day demo period (annual
+    * at scale — the period is a parameter) through ONE mergeable
+    * nine-sum aggregate, the [[trend]] plan shape with a 3×3 Cramer
+    * finish. The basis is quantized to integer milli-units JVM-side
+    * and LANDED as a (tsec → cq, sq) lookup ([[HarmonicBasisPath]]) so
+    * DuckDB consumes the same integers instead of re-running libm
+    * trig (last-ulp divergence would break the hash); every sum is
+    * then exact integer arithmetic and the Cramer solve — spelled
+    * token-for-token in both engines — matches bit-for-bit. The holed
+    * scene leaves n=6 pixels whose basis sums differ from their
+    * neighbours', so the checksum pins the per-pixel masking too. */
+  def harmonic(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val res = landGapSeries(spark, HarmonicCellsPath)
+    val t0Sec = res.times.map(_.getTime / 1000L).min
+    val periodDays = 8.0
+    val basis = res.times.map { t =>
+      val tsec = t.getTime / 1000L
+      val tDays = math.floor((tsec - t0Sec) / 86400.0 + 0.5)
+      tsec -> graft.load.Harmonic.basisOf(tDays, periodDays)
+    }.toMap
+    basis.toSeq.map { case (ts, (c, s)) => (ts, c, s) }
+      .toDF("tsec", "cq", "sq")
+      .coalesce(1).write.mode("overwrite").parquet(HarmonicBasisPath)
+    graft.load.Harmonic.harmonicAcrossTime(spark, res.tiles, basis)
+      .select(col("band"), col("ty"), col("tx"),
+        expr("aggregate(count, 0, (s, c) -> s + c)").as("n_obs"),
+        expr("aggregate(level, 0, (s, v) -> s + if(isnan(v), 0, 1))")
+          .as("n_fit"),
+        expr("aggregate(level, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 100) AS BIGINT)))").as("level_q"),
+        expr("aggregate(cosb, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 1e6) AS BIGINT)))").as("cos_q"),
+        expr("aggregate(sinb, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 1e6) AS BIGINT)))").as("sin_q"))
+      .orderBy("band", "ty", "tx")
+  }
+
+  private[rasterops] val harmonicDuckSql: String =
+    s"""WITH c AS (
+       |  SELECT r.band, r.ty, r.tx, r.pos, r.value, b.cq, b.sq
+       |  FROM read_parquet('$HarmonicCellsPath/*.parquet') r
+       |  JOIN read_parquet('$HarmonicBasisPath/*.parquet') b
+       |    ON r.tsec = b.tsec),
+       |px AS (
+       |  -- NaN rows stay (CASE arms, not a WHERE): a zero-valid tile
+       |  -- must still emit its all-zero summary row
+       |  SELECT band, ty, tx, pos,
+       |         COUNT(CASE WHEN NOT isnan(value) THEN 1 END) AS n,
+       |         CAST(SUM(CASE WHEN isnan(value) THEN 0 ELSE cq END)
+       |              AS DOUBLE) AS sc,
+       |         CAST(SUM(CASE WHEN isnan(value) THEN 0 ELSE sq END)
+       |              AS DOUBLE) AS ss,
+       |         CAST(SUM(CASE WHEN isnan(value) THEN 0 ELSE cq * cq END)
+       |              AS DOUBLE) AS scc,
+       |         CAST(SUM(CASE WHEN isnan(value) THEN 0 ELSE sq * sq END)
+       |              AS DOUBLE) AS sss,
+       |         CAST(SUM(CASE WHEN isnan(value) THEN 0 ELSE cq * sq END)
+       |              AS DOUBLE) AS scs,
+       |         CAST(SUM(CASE WHEN isnan(value) THEN 0 ELSE value END)
+       |              AS DOUBLE) AS sv,
+       |         CAST(SUM(CASE WHEN isnan(value) THEN 0
+       |                       ELSE value * cq END) AS DOUBLE) AS svc,
+       |         CAST(SUM(CASE WHEN isnan(value) THEN 0
+       |                       ELSE value * sq END) AS DOUBLE) AS svs
+       |  FROM c GROUP BY band, ty, tx, pos),
+       |d AS (
+       |  -- Cramer's rule, transcribed token-for-token from
+       |  -- Harmonic.PixelHarmonic.finish
+       |  SELECT *,
+       |         n * (scc * sss - scs * scs) - sc * (sc * sss - scs * ss)
+       |           + ss * (sc * scs - scc * ss) AS det
+       |  FROM px),
+       |f AS (
+       |  SELECT band, ty, tx, pos, n,
+       |         CASE WHEN n >= 3 AND det <> 0 THEN
+       |           (sv * (scc * sss - scs * scs)
+       |             - sc * (svc * sss - scs * svs)
+       |             + ss * (svc * scs - scc * svs)) / det END AS level,
+       |         CASE WHEN n >= 3 AND det <> 0 THEN
+       |           (n * (svc * sss - scs * svs)
+       |             - sv * (sc * sss - scs * ss)
+       |             + ss * (sc * svs - svc * ss)) / det END AS cosb,
+       |         CASE WHEN n >= 3 AND det <> 0 THEN
+       |           (n * (scc * svs - svc * scs)
+       |             - sc * (sc * svs - svc * ss)
+       |             + sv * (sc * scs - scc * ss)) / det END AS sinb
+       |  FROM d)
+       |SELECT band, ty, tx,
+       |       CAST(SUM(n) AS INT) AS n_obs,
+       |       CAST(COUNT(level) AS INT) AS n_fit,
+       |       CAST(SUM(COALESCE(CAST(ROUND(level * 100) AS BIGINT), 0))
+       |            AS BIGINT) AS level_q,
+       |       CAST(SUM(COALESCE(CAST(ROUND(cosb * 1e6) AS BIGINT), 0))
+       |            AS BIGINT) AS cos_q,
+       |       CAST(SUM(COALESCE(CAST(ROUND(sinb * 1e6) AS BIGINT), 0))
+       |            AS BIGINT) AS sin_q
+       |FROM f GROUP BY band, ty, tx
+       |ORDER BY band, ty, tx""".stripMargin
+
   /** Per-observation anomaly scoring (graft.load.Anomaly — beyond the
     * reference): the same 7-scene holed fixture, each observation
     * z-scored against its own pixel's across-time mean/std (computed
@@ -579,6 +681,72 @@ private[rasterops] trait RasterAnalyticsQueries {
        |                THEN CAST(ROUND(fv * 100) AS BIGINT) ELSE 0 END)
        |            AS BIGINT) AS focal_q
        |FROM f GROUP BY band, tidx, ty, tx
+       |ORDER BY band, "tIdx", ty, tx""".stripMargin
+
+  /** Horn terrain gradients (graft.load.Focal.horn — beyond the
+    * reference): per-pixel 8-neighbor weighted differences gx/gy plus
+    * the gradient magnitude, NaN wherever the 3×3 window is incomplete
+    * (nodata hole or mosaic edge). Same halo-exchange plan as
+    * [[focalMean]] and deliberately the same landed mosaic plane, so
+    * the oracle recomputes GLOBALLY (9 tap-shifted joins with Horn
+    * weights, complete-window = all 9 taps present) — a wrong or
+    * missing halo strip shifts boundary gradients and breaks the
+    * checksum. Integer pixel values make the weighted sums order-exact;
+    * /8 and √ are IEEE-identical in both engines. */
+  def terrain(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    graft.load.Focal.horn(spark, res.tiles)
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("n_valid"),
+        expr("aggregate(gx, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 1000) AS BIGINT)))").as("gx_q"),
+        expr("aggregate(gy, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 1000) AS BIGINT)))").as("gy_q"),
+        expr("aggregate(mag, 0L, (s, v) -> s + " +
+          "if(isnan(v), 0L, CAST(round(v * 1000) AS BIGINT)))").as("mag_q"))
+      .orderBy("band", "tIdx", "ty", "tx")
+  }
+
+  private[rasterops] val terrainDuckSql: String =
+    s"""WITH dom AS (
+       |  SELECT band, tidx, ty, tx,
+       |         ty * 64 + py AS gy, tx * 64 + px AS gx
+       |  FROM read_parquet('$CellsPath/*.parquet')),
+       |v AS (
+       |  SELECT band, tidx, ty * 64 + py AS gy, tx * 64 + px AS gx, value
+       |  FROM read_parquet('$CellsPath/*.parquet') WHERE value <> 0),
+       |-- tap offsets with Horn weights: wx = dx·(2 if dy=0 else 1),
+       |-- wy = dy·(2 if dx=0 else 1); +y points down rows
+       |f AS (
+       |  SELECT d.band, d.tidx, d.ty, d.tx, d.gy, d.gx,
+       |         SUM(s.value * o.wx) AS gxn,
+       |         SUM(s.value * o.wy) AS gyn,
+       |         COUNT(s.value) AS c
+       |  FROM dom d
+       |  CROSS JOIN (VALUES (-1,-1,-1,-1),(-1,0,0,-2),(-1,1,1,-1),
+       |                     (0,-1,-2,0),(0,0,0,0),(0,1,2,0),
+       |                     (1,-1,-1,1),(1,0,0,2),(1,1,1,1)) o(dy,dx,wx,wy)
+       |  LEFT JOIN v s
+       |    ON s.band = d.band AND s.tidx = d.tidx
+       |   AND s.gy = d.gy + o.dy AND s.gx = d.gx + o.dx
+       |  GROUP BY d.band, d.tidx, d.ty, d.tx, d.gy, d.gx),
+       |g AS (
+       |  SELECT band, tidx, ty, tx,
+       |         CASE WHEN c = 9 THEN gxn / 8.0 END AS gxv,
+       |         CASE WHEN c = 9 THEN gyn / 8.0 END AS gyv
+       |  FROM f)
+       |SELECT band, tidx AS "tIdx", ty, tx,
+       |       CAST(SUM(CASE WHEN gxv IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_valid,
+       |       CAST(SUM(COALESCE(CAST(ROUND(gxv * 1000) AS BIGINT), 0))
+       |            AS BIGINT) AS gx_q,
+       |       CAST(SUM(COALESCE(CAST(ROUND(gyv * 1000) AS BIGINT), 0))
+       |            AS BIGINT) AS gy_q,
+       |       CAST(SUM(COALESCE(CAST(ROUND(
+       |              sqrt(gxv * gxv + gyv * gyv) * 1000) AS BIGINT), 0))
+       |            AS BIGINT) AS mag_q
+       |FROM g GROUP BY band, tidx, ty, tx
        |ORDER BY band, "tIdx", ty, tx""".stripMargin
 
   /** Point drill (graft.load.Drill — beyond the reference): sample the

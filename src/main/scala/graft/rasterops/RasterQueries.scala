@@ -118,11 +118,13 @@ object RasterQueries
     "raster_temporal_smooth" -> ((s, _) => temporalSmooth(s)),
     "raster_trend" -> ((s, _) => trend(s)),
     "raster_trend_robust" -> ((s, _) => trendRobust(s)),
+    "raster_harmonic" -> ((s, _) => harmonic(s)),
     "raster_phenology" -> ((s, _) => phenology(s)),
     "raster_anomaly" -> ((s, _) => anomaly(s)),
     "raster_band_math" -> ((s, _) => bandMathNdvi(s)),
     "raster_focal_mean" -> ((s, _) => focalMean(s)),
     "raster_focal_standing" -> ((s, _) => focalMeanStanding(s)),
+    "raster_terrain" -> ((s, _) => terrain(s)),
     "raster_drill" -> ((s, _) => drillPoints(s)),
     "raster_chips" -> ((s, _) => chipsQuery(s)),
     "raster_change_detect" -> ((s, _) => changeDetect(s)),
@@ -176,11 +178,13 @@ object RasterQueries
     "raster_temporal_smooth" -> temporalSmoothDuckSql,
     "raster_trend" -> trendDuckSql,
     "raster_trend_robust" -> trendRobustDuckSql,
+    "raster_harmonic" -> harmonicDuckSql,
     "raster_phenology" -> phenologyDuckSql,
     "raster_anomaly" -> anomalyDuckSql,
     "raster_band_math" -> bandMathNdviDuckSql,
     "raster_focal_mean" -> focalMeanDuckSql,
     "raster_focal_standing" -> focalMeanDuckSql,
+    "raster_terrain" -> terrainDuckSql,
     "raster_geomedian" -> geomedianDuckSql,
     "raster_geomad" -> geomadDuckSql,
     "raster_drill" -> drillPointsDuckSql,

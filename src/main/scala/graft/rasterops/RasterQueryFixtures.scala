@@ -296,6 +296,18 @@ private[rasterops] trait RasterQueryFixtures {
   private[rasterops] val TrendRobustCellsPath =
     s"${sys.props("java.io.tmpdir")}/graft_trend_robust_cells_parquet"
 
+  /** Landed RAW pixel series + epochs (7-scene gap fixture) — the
+    * harmonic-fit oracle's input: DuckDB re-runs the 3×3 normal-
+    * equation solve. */
+  private[rasterops] val HarmonicCellsPath =
+    s"${sys.props("java.io.tmpdir")}/graft_harmonic_cells_parquet"
+
+  /** Landed quantized (tsec → cq, sq) basis lookup for the harmonic
+    * oracle — trig runs once JVM-side; DuckDB reads the same integers
+    * instead of re-running libm. */
+  private[rasterops] val HarmonicBasisPath =
+    s"${sys.props("java.io.tmpdir")}/graft_harmonic_basis_parquet"
+
   /** Landed RAW pixel series (7-scene gap fixture) — the anomaly
     * oracle's input: DuckDB re-runs the per-pixel z-scoring. */
   private[rasterops] val AnomalyCellsPath =

@@ -397,6 +397,95 @@ object StreamingOps {
       .orderBy("user_id", "sid")
   }
 
+  // ---- streaming upsert (CDC latest-wins keyed state) ----------------------
+
+  final case class EvC(user_id: Long, event_type: String, event_id: Long,
+                       tus: Long, value: Double)
+  final case class UpsertState(tus: Long, eventId: Long, value: Double,
+                               n: Long)
+  final case class UpsertOut(user_id: Long, event_type: String,
+                             n_updates: Long, last_tus: Long,
+                             last_event_id: Long, last_value: Double)
+
+  /** Streaming UPSERT — the CDC / changelog-compaction shape: each
+    * (user_id, event_type) entity keeps only its LATEST row (ordered by
+    * event time, event_id tie-break) plus an update count, maintained
+    * incrementally in `mapGroupsWithState` keyed state. The batch
+    * counterpart is q33_upsert; this is its standing form — at 100 TB/
+    * day the state store holds one fixed-size record per LIVE entity,
+    * not the event history. Update-mode emissions re-state a key's
+    * latest row each batch it is touched; the memory-sink post-pass
+    * keeps the emission with the highest update count per key (n is
+    * monotone within a key), which for AvailableNow over a static
+    * table is exactly the final compacted state — DuckDB-checkable. */
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame =
+      withStreamPartitions(spark, 8) {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    import spark.implicits._
+    withEventsStream(spark, dir) { src =>
+      val name = s"graft_upsert_${counter.incrementAndGet()}"
+      val events = src()
+        .selectExpr("user_id", "event_type", "event_id",
+          "unix_micros(ts) AS tus", "value")
+        .as[EvC]
+      val latest = events
+        .groupByKey(e => (e.user_id, e.event_type))
+        .mapGroupsWithState[UpsertState, UpsertOut](
+          GroupStateTimeout.NoTimeout) {
+          (key: (Long, String), it: Iterator[EvC],
+           state: GroupState[UpsertState]) =>
+            var st = state.getOption.getOrElse(
+              UpsertState(Long.MinValue, Long.MinValue, 0.0, 0L))
+            it.foreach { e =>
+              val newer = e.tus > st.tus ||
+                (e.tus == st.tus && e.event_id > st.eventId)
+              st = UpsertState(
+                if (newer) e.tus else st.tus,
+                if (newer) e.event_id else st.eventId,
+                if (newer) e.value else st.value,
+                st.n + 1)
+            }
+            state.update(st)
+            UpsertOut(key._1, key._2, st.n, st.tus, st.eventId, st.value)
+        }
+      val q = latest.writeStream
+        .format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // n_updates is monotone per key across batches; max(struct) keeps
+      // the final emission even when a key was touched in several batches
+      spark.table(name)
+        .groupBy("user_id", "event_type")
+        .agg(max(struct(col("n_updates"), col("last_tus"),
+          col("last_event_id"), col("last_value"))).as("m"))
+        .select(col("user_id"), col("event_type"),
+          col("m.n_updates").as("n_updates"),
+          col("m.last_tus").as("last_tus"),
+          col("m.last_event_id").as("last_event_id"),
+          col("m.last_value").as("last_value"))
+        .orderBy("user_id", "event_type")
+    } }
+
+  private val upsertStreamOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, value,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+      |  FROM events),
+      |r AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY tus DESC, event_id DESC) AS rn,
+      |         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+      |  FROM e)
+      |SELECT user_id, event_type,
+      |       CAST(n AS BIGINT) AS n_updates,
+      |       tus AS last_tus,
+      |       event_id AS last_event_id,
+      |       value AS last_value
+      |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
   /** Batch SQL oracle for the sessionization: gap flags -> running sum ->
     * per-session aggregation (identical spelling works in both engines
     * modulo epoch extraction). */
@@ -783,6 +872,7 @@ object StreamingOps {
     "stream_sliding_append" -> ((s, d) => slidingAppend(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(s, d)),
     "stream_sessionize_ttl" -> ((s, d) => sessionizeTtl(s, d)),
+    "stream_upsert" -> ((s, d) => streamUpsert(s, d)),
     "stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "stream_join" -> ((s, d) => streamJoin(s, d)),
     "stream_ann_ingest" -> ((s, d) => streamAnnIngest(s, d)),
@@ -805,6 +895,7 @@ object StreamingOps {
   // def, not val: annIngestDuckSql embeds the landed index path of the
   // most recent sim_index_persist run (dumped after queries execute)
   def oracleSql: Map[String, String] = Map(
+    "stream_upsert" -> upsertStreamOracle,
     "stream_ann_ingest" -> annIngestDuckSql,
     "stream_stac_ingest" -> stacIngestOracle,
     "stream_drift" -> streamDriftOracle,
