@@ -82,23 +82,31 @@ object Kmeans {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+  /** Embeddings quantized to integer micro-units via Spark SQL ROUND
+    * (half away from zero, the DuckDB ROUND convention the centroid
+    * ops already pin). */
+  private[graft] def quantizedVecs(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Long])] = {
     import spark.implicits._
     Tables.register(spark, dir)
-    // micro-unit quantization via Spark SQL ROUND (half away from zero,
-    // the DuckDB ROUND convention the centroid ops already pin)
-    val q = spark.sql(
+    spark.sql(
       """SELECT vec_id,
         |       transform(embedding,
         |         x -> CAST(ROUND(x * 1e6) AS BIGINT)) AS v
         |FROM embeddings""".stripMargin)
       .as[(Long, Array[Long])]
-    val d = q.head()._2.length
+  }
 
+  /** Three deterministic Lloyd iterations; returns the final centroids
+    * (k×d driver state). */
+  private[similarity] def trainCentroids(spark: SparkSession,
+      q: org.apache.spark.sql.Dataset[(Long, Array[Long])])
+      : Array[Array[Long]] = {
+    import spark.implicits._
+    val d = q.head()._2.length
     // deterministic init: the K lowest vec_ids (k×d collect, bounded)
     var cents: Array[Array[Long]] =
       q.orderBy("vec_id").limit(K).collect().sortBy(_._1).map(_._2)
-
     val sumVec = new SumVec(d)
     for (_ <- 1 to Iters) {
       val bc = spark.sparkContext.broadcast(cents)
@@ -117,6 +125,13 @@ object Kmeans {
       }
       bc.destroy()
     }
+    cents
+  }
+
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = quantizedVecs(spark, dir)
+    val cents = trainCentroids(spark, q)
 
     // scoring pass with the landed centroids: per-cluster size + exact
     // integer inertia; clusters that ended empty still emit a row
@@ -140,11 +155,62 @@ object Kmeans {
       .orderBy("cluster")
   }
 
-  /** DuckDB oracle: the SAME three Lloyd iterations unrolled as CTE
-    * chains — integer micro-unit quantization, exact integer distances,
-    * argmin ties to the lowest cluster, half-away-from-zero centroid
-    * means, empty clusters keeping their centroid via COALESCE. */
-  def kmeansDuckSql: String = {
+  /** Cell-blocked exact kNN GRAPH — the neighbor-graph construction a
+    * curation pipeline runs for graph-based dedup/diversity sampling:
+    * every vector's top-[[KnnK]] cosine neighbors AMONG ITS OWN
+    * k-means cell (the standard IVF blocking — candidate generation is
+    * cell-local, so the pair space is Σ|cell|² instead of N²; at 100 TB
+    * cells are √N-sized and each cell's block join is an independent
+    * task). The same quantized-integer trick makes it oracle-exact:
+    * dot products are exact integer sums, norms/quotients are
+    * IEEE-identical, ties break on neighbor id. Top-k via a rank
+    * window over the cell-join candidates (the grouped top-k heap
+    * aggregator is the drop-in replacement when per-vector candidate
+    * lists outgrow a window sort). */
+  val KnnK = 5
+
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = quantizedVecs(spark, dir)
+    val cents = trainCentroids(spark, q)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = q
+      .map { case (id, v) =>
+        var ss = 0L; var i = 0
+        while (i < v.length) { ss += v(i) * v(i); i += 1 }
+        (argmin(v, bc.value), id, v, math.sqrt(ss.toDouble))
+      }
+      .toDF("cell", "vec_id", "v", "nrm")
+    val dot = udf { (a: Array[Long], b: Array[Long]) =>
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nbr = assigned
+      .select(col("cell"), col("vec_id").as("nbr_id"),
+        col("v").as("nv"), col("nrm").as("nnrm"))
+    assigned.join(nbr,
+        assigned("cell") === nbr("cell") &&
+          assigned("vec_id") =!= nbr("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        (dot(col("v"), col("nv")).cast("double") /
+          (col("nrm") * col("nnrm"))).as("sim"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("sim").desc, col("nbr_id"))))
+      .where(col("rnk") <= KnnK)
+      .select(col("vec_id"), col("rnk").cast("long").as("rnk"),
+        col("nbr_id"),
+        expr("CAST(ROUND(sim * 1e6) AS BIGINT)").as("sim_q"))
+      .orderBy("vec_id", "rnk")
+  }
+
+  /** Shared oracle prefix: quantize → deterministic init → the SAME
+    * three Lloyd iterations unrolled as CTE chains — exact integer
+    * distances, argmin ties to the lowest cluster, half-away-from-zero
+    * centroid means, empty clusters keeping their centroid via
+    * COALESCE — ending at the final assignment `af`. */
+  private def duckCtePrefix: String = {
     def assign(c: String, a: String) =
       s"""$a AS (
          |  SELECT vec_id, v, cl, dd FROM (
@@ -182,7 +248,11 @@ object Kmeans {
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
        |  FROM e ORDER BY vec_id LIMIT $K),
        |$iters,
-       |${assign(s"c$Iters", "af")},
+       |${assign(s"c$Iters", "af")}""".stripMargin
+  }
+
+  def kmeansDuckSql: String =
+    s"""$duckCtePrefix,
        |st AS (
        |  SELECT cl, COUNT(*) AS n, CAST(SUM(dd) AS BIGINT) AS inertia_q
        |  FROM af GROUP BY cl)
@@ -193,5 +263,25 @@ object Kmeans {
        |         AS c_abs_q
        |FROM c$Iters LEFT JOIN st ON c$Iters.cl = st.cl
        |ORDER BY cluster""".stripMargin
-  }
+
+  def knnGraphDuckSql: String =
+    s"""$duckCtePrefix,
+       |nm AS (
+       |  SELECT vec_id, cl, v,
+       |         sqrt(CAST(list_sum([x * x for x in v]) AS DOUBLE)) AS nrm
+       |  FROM af),
+       |p AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id,
+       |         CAST(list_sum([a.v[i] * b.v[i]
+       |              for i in generate_series(1, len(a.v))]) AS DOUBLE)
+       |           / (a.nrm * b.nrm) AS sim
+       |  FROM nm a JOIN nm b
+       |    ON a.cl = b.cl AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY sim DESC, nbr_id) AS rn
+       |  FROM p)
+       |SELECT vec_id, CAST(rn AS BIGINT) AS rnk, nbr_id,
+       |       CAST(ROUND(sim * 1e6) AS BIGINT) AS sim_q
+       |FROM r WHERE rn <= $KnnK ORDER BY vec_id, rnk""".stripMargin
 }

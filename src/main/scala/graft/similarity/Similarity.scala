@@ -2023,6 +2023,7 @@ object Similarity {
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "embed_quantize" -> Tables.sql(quantizeSparkSql),
     "embed_kmeans" -> ((s, d) => Kmeans.kmeans(s, d)),
+    "sim_knn_graph" -> ((s, d) => Kmeans.knnGraph(s, d)),
     "embed_pca" -> ((s, d) => pcaProject(s, d)),
     "embed_label_centroids" -> Tables.sql(centroidsSparkSql),
     "embed_outliers" -> Tables.sql(outliersSparkSql)
@@ -2044,6 +2045,7 @@ object Similarity {
     "dedup_semantic_portable" -> semanticPortableDuckSql,
     "embed_quantize" -> quantizeDuckSql,
     "embed_kmeans" -> Kmeans.kmeansDuckSql,
+    "sim_knn_graph" -> Kmeans.knnGraphDuckSql,
     "embed_pca" -> pcaDuckSql,
     "embed_label_centroids" -> centroidsDuckSql,
     "embed_outliers" -> outliersDuckSql

@@ -1151,7 +1151,8 @@ object TextAnalysis {
        |FROM w LEFT JOIN per ON w.doc_id = per.doc_id
        |ORDER BY w.doc_id""".stripMargin
 
-  val boilerplateSparkSql: String = boilerplateSql(
+  /** Word-3-gram array builders, shared by boilerplate and novelty. */
+  private val sparkGrams: String =
     """CASE WHEN size(split(trim(lower(text)), '\\s+')) >= 3
       |           THEN transform(
       |             sequence(0, size(split(trim(lower(text)), '\\s+')) - 3),
@@ -1159,10 +1160,9 @@ object TextAnalysis {
       |               split(trim(lower(text)), '\\s+')[i],
       |               split(trim(lower(text)), '\\s+')[i+1],
       |               split(trim(lower(text)), '\\s+')[i+2]))
-      |           ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin,
-    e => s"CAST(CAST($e AS DECIMAL(18,4)) AS STRING)", "explode")
+      |           ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
 
-  val boilerplateDuckSql: String = boilerplateSql(
+  private val duckGrams: String =
     """CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) >= 3
       |           THEN list_transform(
       |             range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
@@ -1170,12 +1170,59 @@ object TextAnalysis {
       |               string_split_regex(trim(lower(text)), '\s+')[i],
       |               string_split_regex(trim(lower(text)), '\s+')[i+1],
       |               string_split_regex(trim(lower(text)), '\s+')[i+2]))
-      |           ELSE [] END""".stripMargin,
+      |           ELSE [] END""".stripMargin
+
+  val boilerplateSparkSql: String = boilerplateSql(sparkGrams,
+    e => s"CAST(CAST($e AS DECIMAL(18,4)) AS STRING)", "explode")
+
+  val boilerplateDuckSql: String = boilerplateSql(duckGrams,
     e => s"CAST(CAST($e AS DECIMAL(18,4)) AS VARCHAR)", "unnest")
+
+  /** First-occurrence novelty — the "how much of this document is new
+    * to the corpus" curation signal (dedup catches exact/near copies;
+    * this scores the long tail of recombined content): a doc's DISTINCT
+    * word 3-grams, split into those whose corpus-wide FIRST appearance
+    * (minimum doc_id) is this doc vs. those already seen in an earlier
+    * one. ONE shuffle on gram serves the per-doc distinct, the
+    * first-doc aggregate, and the join back (co-partitioned on the same
+    * key); per-doc rollup is a second, doc-keyed shuffle. Short docs
+    * report (0, 0, NULL) via the documents left join. */
+  private def noveltySql(grams: String, unnestFn: String,
+      toStr: String => String): String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         $grams AS gs
+       |  FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, gram FROM (
+       |    SELECT doc_id, $unnestFn(gs) AS gram FROM w)),
+       |fst AS (
+       |  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+       |per AS (
+       |  SELECT g.doc_id, COUNT(*) AS n_grams,
+       |         SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |           AS n_novel
+       |  FROM g JOIN fst f ON g.gram = f.gram
+       |  GROUP BY g.doc_id)
+       |SELECT w.doc_id,
+       |       CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+       |       CAST(COALESCE(per.n_novel, 0) AS BIGINT) AS n_novel,
+       |       ${toStr("CAST(COALESCE(per.n_novel, 0) AS DOUBLE) / " +
+           "NULLIF(COALESCE(per.n_grams, 0), 0)")}
+       |         AS novelty
+       |FROM w LEFT JOIN per ON w.doc_id = per.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+
+  val noveltySparkSql: String = noveltySql(sparkGrams, "explode",
+    e => s"CAST(CAST($e AS DECIMAL(18,4)) AS STRING)")
+
+  val noveltyDuckSql: String = noveltySql(duckGrams, "unnest",
+    e => s"CAST(CAST($e AS DECIMAL(18,4)) AS VARCHAR)")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_zipf" -> Tables.sql(zipfSparkSql),
     "text_boilerplate" -> Tables.sql(boilerplateSparkSql),
+    "text_novelty" -> Tables.sql(noveltySparkSql),
     "text_compress_ratio" -> ((s: SparkSession, d: String) => compressRatio(s, d)),
     "text_quality_model" -> ((s: SparkSession, d: String) => qualityModel(s, d)),
     "text_normalize" -> ((s: SparkSession, d: String) => {
@@ -1258,6 +1305,7 @@ object TextAnalysis {
   def oracleSql: Map[String, String] = Map(
     "text_zipf" -> zipfDuckSql,
     "text_boilerplate" -> boilerplateDuckSql,
+    "text_novelty" -> noveltyDuckSql,
     "text_quality_model" -> qualityModelDuckSql,
     "text_normalize" -> normalizeDuckSql,
     "text_stats" -> statsDuckSql,

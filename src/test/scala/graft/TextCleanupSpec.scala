@@ -65,4 +65,28 @@ class TextCleanupSpec extends AnyFunSuite {
       assert(out(4L) == ((0L, 0L, null)), out(4L))
     } finally restore()
   }
+
+  test("text_novelty: a gram is novel only in its minimum-doc_id doc; " +
+    "per-doc grams are distinct; short docs get NULL") {
+    Tables.register(spark, sf)
+    try {
+      docsView(Seq(
+        // doc 1 owns both of its grams (first appearance)
+        Row(1L, "a b c d", "en", "s1", 7L),
+        // doc 2 shares "a b c" (seen in doc 1) + one new gram
+        Row(2L, "a b c x", "en", "s2", 7L),
+        // doc 3 repeats its own novel gram — distinct-per-doc counts it once
+        Row(3L, "p q r p q r", "en", "s1", 11L),
+        Row(4L, "hi there", "en", "s1", 8L)))
+      val out = spark.sql(text.TextAnalysis.noveltySparkSql)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3)))).toMap
+      assert(out(1L) == ((2L, 2L, "1.0000")), out(1L))
+      assert(out(2L) == ((2L, 1L, "0.5000")), out(2L))
+      // doc 3 grams: p q r / q r p / r p q / p q r → 3 distinct, all novel
+      assert(out(3L) == ((3L, 3L, "1.0000")), out(3L))
+      assert(out(4L) == ((0L, 0L, null)), out(4L))
+    } finally restore()
+  }
 }
