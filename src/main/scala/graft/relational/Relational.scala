@@ -502,10 +502,38 @@ object Relational {
   private val sessionizeOracle: String =
     sessionizeSql("epoch_us(CAST(ts AS TIMESTAMP))")
 
+  private val pivotTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** PIVOT — the wide-table reshape every BI export runs: daily event
+    * counts, one column per event type. The Spark side uses the REAL
+    * RelationalGroupedDataset.pivot operator with the value list
+    * pinned (no extra distinct-scan pass, and the output schema is
+    * static — the form that scales); Catalyst compiles it to the same
+    * single-pass CASE aggregation the oracle spells explicitly. */
+  private def pivotQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, dir)
+    spark.table("events")
+      .selectExpr("CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d", "event_type")
+      .groupBy("d").pivot("event_type", pivotTypes).count()
+      .na.fill(0L, pivotTypes)
+      .orderBy("d")
+  }
+
+  private val pivotOracle: String =
+    s"""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+       |${pivotTypes.map(t =>
+        s"  CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) " +
+          s"AS BIGINT) AS $t").mkString(",\n")}
+       |FROM events GROUP BY CAST(CAST(ts AS TIMESTAMP) AS DATE)
+       |ORDER BY d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> Tables.sql(q.spark)).toMap +
       ("q27_skew_salted_join" -> (saltedJoinQuery _)) +
       ("q41_sessionize" -> Tables.sql(sessionizeSparkSql)) +
+      ("q42_pivot" -> (pivotQuery _)) +
       ("q33_upsert" -> (upsertQuery _)) +
       ("q34_incremental_agg" -> (incrementalAggQuery _)) +
       ("q35_grouping_sets" -> Tables.sql(groupingSetsSql)) +
@@ -517,6 +545,7 @@ object Relational {
     qs.map(q => q.name -> q.duck.getOrElse(q.spark)).toMap +
       ("q27_skew_salted_join" -> saltedJoinOracle) +
       ("q41_sessionize" -> sessionizeOracle) +
+      ("q42_pivot" -> pivotOracle) +
       ("q33_upsert" -> upsertOracle) +
       ("q34_incremental_agg" -> incrementalAggOracle) +
       ("q35_grouping_sets" -> groupingSetsSql) +

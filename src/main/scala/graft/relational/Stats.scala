@@ -631,7 +631,60 @@ object Stats {
     c => s"quantile_cont($c, 0.5)",
     e => s"CAST(CAST($e AS DECIMAL(18,4)) AS VARCHAR)")
 
+  /** Welch's two-sample t-test per event type — the A/B experiment
+    * readout: users split into arms by `user_id % 2`, per-arm count/
+    * mean/variance from ONE grouped scan of mergeable sums, then the
+    * t statistic and Welch–Satterthwaite df in the finish expressions.
+    * Values are quantized to integer MILLI-units before summing, so
+    * the moment sums are exact integers and every derived double is
+    * bit-identical cross-engine (the kmeans/centroid convention); the
+    * means divide back to original units. Output rounds through
+    * DECIMAL(18,6) purely for display stability — the inputs already
+    * match exactly. */
+  private def ttestSql(toStr: String => String): String =
+    s"""WITH q AS (
+       |  SELECT event_type, user_id % 2 AS arm,
+       |         CAST(ROUND(value * 1e3) AS BIGINT) AS v
+       |  FROM events),
+       |s AS (
+       |  SELECT event_type,
+       |         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS na,
+       |         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS nb,
+       |         CAST(SUM(CASE WHEN arm = 0 THEN v ELSE 0 END) AS BIGINT)
+       |           AS sa,
+       |         CAST(SUM(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT)
+       |           AS sb,
+       |         CAST(SUM(CASE WHEN arm = 0 THEN v * v ELSE 0 END)
+       |              AS BIGINT) AS qa,
+       |         CAST(SUM(CASE WHEN arm = 1 THEN v * v ELSE 0 END)
+       |              AS BIGINT) AS qb
+       |  FROM q GROUP BY event_type),
+       |f AS (
+       |  SELECT event_type, na, nb,
+       |         CAST(sa AS DOUBLE) / na AS ma,
+       |         CAST(sb AS DOUBLE) / nb AS mb,
+       |         (qa - CAST(sa AS DOUBLE) * sa / na) / (na - 1) AS va,
+       |         (qb - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) AS vb
+       |  FROM s)
+       |SELECT event_type, na AS n_a, nb AS n_b,
+       |       ${toStr("ma / 1e3")} AS mean_a,
+       |       ${toStr("mb / 1e3")} AS mean_b,
+       |       ${toStr("(ma - mb) / sqrt(va / na + vb / nb)")} AS t_stat,
+       |       ${toStr("(va / na + vb / nb) * (va / na + vb / nb) / " +
+           "((va / na) * (va / na) / (na - 1) + " +
+           "(vb / nb) * (vb / nb) / (nb - 1))")} AS welch_df
+       |FROM f ORDER BY event_type""".stripMargin
+
+  val ttestSparkSql: String =
+    ttestSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS STRING)")
+
+  val ttestDuckSql: String =
+    ttestSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS VARCHAR)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_ttest" -> Tables.sql(ttestSparkSql),
     "stats_corr_matrix" -> Tables.sql(corrMatrixSparkSql),
     "stats_mad_outliers" -> Tables.sql(madOutliersSparkSql),
     "stats_expectations" -> Tables.sql(expectationsSparkSql),
@@ -646,6 +699,7 @@ object Stats {
     "text_cms_portable" -> Tables.sql(cmsPortableSparkSql))
 
   val oracleSql: Map[String, String] = Map(
+    "stats_ttest" -> ttestDuckSql,
     "stats_corr_matrix" -> corrMatrixDuckSql,
     "stats_mad_outliers" -> madOutliersDuckSql,
     "stats_expectations" -> expectationsDuckSql,

@@ -84,6 +84,54 @@ class RobustStatsSpec extends AnyFunSuite {
     } finally restore("events")
   }
 
+  test("stats_ttest: hand-computed Welch t and df on a planted two-arm " +
+    "split") {
+    Tables.register(spark, sf)
+    try {
+      // arm = user_id % 2: arm0 = {10,12,14}, arm1 = {20,22,24,26}
+      val a0 = Seq(10.0, 12.0, 14.0).zipWithIndex.map { case (v, i) =>
+        Row(i.toLong, ntz(i * 1000000L), 2L * i, "a", v, "") }
+      val a1 = Seq(20.0, 22.0, 24.0, 26.0).zipWithIndex.map { case (v, i) =>
+        Row(10L + i, ntz(i * 1000000L), 2L * i + 1, "a", v, "") }
+      eventsView(a0 ++ a1)
+      val r = spark.sql(relational.Stats.ttestSparkSql).head()
+      assert(r.getLong(r.fieldIndex("n_a")) == 3L)
+      assert(r.getLong(r.fieldIndex("n_b")) == 4L)
+      assert(r.getString(r.fieldIndex("mean_a")) == "12.000000")
+      assert(r.getString(r.fieldIndex("mean_b")) == "23.000000")
+      // va=4, vb=20/3; t = -11/sqrt(4/3 + 5/3) = -11/sqrt(3)
+      val t = r.getString(r.fieldIndex("t_stat")).toDouble
+      assert(math.abs(t - (-11.0 / math.sqrt(3.0))) < 1e-5, t)
+      val se2a = 4.0 / 3
+      val se2b = (20.0 / 3) / 4
+      val df = math.pow(se2a + se2b, 2) /
+        (se2a * se2a / 2 + se2b * se2b / 3)
+      val gotDf = r.getString(r.fieldIndex("welch_df")).toDouble
+      assert(math.abs(gotDf - df) < 1e-5, s"$gotDf vs $df")
+    } finally restore("events")
+  }
+
+  test("q42_pivot: per-day per-type counts land in their columns with " +
+    "absent combos as 0") {
+    Tables.register(spark, sf)
+    try {
+      eventsView(Seq(
+        Row(1L, ntz(0L), 1L, "view", 0.0, ""),
+        Row(2L, ntz(1000L), 1L, "view", 0.0, ""),
+        Row(3L, ntz(2000L), 2L, "click", 0.0, ""),
+        // next day: one purchase only
+        Row(4L, ntz(86400L * 1000000L), 2L, "purchase", 0.0, "")))
+      val out = relational.Relational.queries("q42_pivot")(spark, sf)
+        .collect().map(r => r.getDate(0).toString ->
+          (r.getLong(r.fieldIndex("view")), r.getLong(r.fieldIndex("click")),
+           r.getLong(r.fieldIndex("purchase")),
+           r.getLong(r.fieldIndex("error")),
+           r.getLong(r.fieldIndex("signup")))).toMap
+      assert(out("1970-01-01") == ((2L, 1L, 0L, 0L, 0L)), out)
+      assert(out("1970-01-02") == ((0L, 0L, 1L, 0L, 0L)), out)
+    } finally restore("events")
+  }
+
   test("stats_corr_matrix: perfectly colinear columns pin ±1, constant " +
     "column pins NULL") {
     Tables.register(spark, sf)
