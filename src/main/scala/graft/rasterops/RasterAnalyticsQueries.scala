@@ -749,6 +749,57 @@ private[rasterops] trait RasterAnalyticsQueries {
        |FROM g GROUP BY band, tidx, ty, tx
        |ORDER BY band, "tIdx", ty, tx""".stripMargin
 
+  /** Unsupervised pixel classification (k-means over spectral
+    * signatures — beyond the reference): every valid (red, nir)
+    * observation becomes an integer feature vector and the SAME
+    * distributed Lloyd's engine that trains embed_kmeans clusters them
+    * (k=4; modular-spread init because raster ids are spatially
+    * structured — the lowest gids are near-identical neighbors). The
+    * features LAND ([[RasterClusterPath]]) and DuckDB re-runs the full
+    * unrolled training + scoring, so the hash pins init order, argmin
+    * ties, centroid rounding, and the empty-cluster rule end-to-end on
+    * a second feature domain. Scale shape is unchanged from
+    * embed_kmeans: broadcast centroids, one k×(d+1) partial-sum
+    * shuffle per iteration. */
+  def rasterCluster(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    val decode = udf { (data: Array[Byte], dtype: String) =>
+      Fuse.decode(data, dtype) }
+    val planes = res.tiles.select(col("band"), col("tIdx"), col("ty"),
+      col("tx"), decode(col("data"), col("dtype")).as("px"), col("nodata"))
+    val red = planes.where(col("band") === "red")
+      .select(col("tIdx"), col("ty"), col("tx"),
+        col("px").as("rp"), col("nodata").as("rnd"))
+    val nir = planes.where(col("band") === "nir")
+      .select(col("tIdx"), col("ty"), col("tx"),
+        col("px").as("np"), col("nodata").as("nnd"))
+    red.join(nir, Seq("tIdx", "ty", "tx"))
+      .select(col("tIdx"), col("ty"), col("tx"), col("rnd"), col("nnd"),
+        posexplode(arrays_zip(col("rp"), col("np"))))
+      .select(col("tIdx"), col("ty"), col("tx"), col("pos"),
+        col("col.rp").as("r"), col("col.np").as("n"),
+        col("rnd"), col("nnd"))
+      .where(!isnan(col("r")) && col("r") =!= col("rnd") &&
+        !isnan(col("n")) && col("n") =!= col("nnd"))
+      .select(
+        (((col("tIdx").cast("long") * 16 + col("ty")) * 16 + col("tx"))
+          * 4096 + col("pos")).as("vec_id"),
+        array(expr("CAST(ROUND(r) AS BIGINT)"),
+          expr("CAST(ROUND(n) AS BIGINT)")).as("v"))
+      .write.mode("overwrite").parquet(RasterClusterPath)
+    val q = spark.read.parquet(RasterClusterPath)
+      .select("vec_id", "v").as[(Long, Array[Long])]
+    graft.similarity.Kmeans.clusterStats(spark, q, k = 4, initMod = 9973L)
+  }
+
+  private[rasterops] def rasterClusterDuckSql: String =
+    graft.similarity.Kmeans.clusterStatsDuckSql(
+      s"SELECT vec_id, v FROM read_parquet('$RasterClusterPath/*.parquet')",
+      k = 4, initMod = 9973L)
+
   /** Point drill (graft.load.Drill — beyond the reference): sample the
     * fused mosaic at world-coordinate points. The fixture points tell
     * three stories — a plainly valid pixel, a pixel valid on one solar

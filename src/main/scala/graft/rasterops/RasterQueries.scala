@@ -119,6 +119,7 @@ object RasterQueries
     "raster_trend" -> ((s, _) => trend(s)),
     "raster_trend_robust" -> ((s, _) => trendRobust(s)),
     "raster_harmonic" -> ((s, _) => harmonic(s)),
+    "raster_cluster" -> ((s, _) => rasterCluster(s)),
     "raster_phenology" -> ((s, _) => phenology(s)),
     "raster_anomaly" -> ((s, _) => anomaly(s)),
     "raster_band_math" -> ((s, _) => bandMathNdvi(s)),
@@ -179,6 +180,7 @@ object RasterQueries
     "raster_trend" -> trendDuckSql,
     "raster_trend_robust" -> trendRobustDuckSql,
     "raster_harmonic" -> harmonicDuckSql,
+    "raster_cluster" -> rasterClusterDuckSql,
     "raster_phenology" -> phenologyDuckSql,
     "raster_anomaly" -> anomalyDuckSql,
     "raster_band_math" -> bandMathNdviDuckSql,

@@ -308,6 +308,12 @@ private[rasterops] trait RasterQueryFixtures {
   private[rasterops] val HarmonicBasisPath =
     s"${sys.props("java.io.tmpdir")}/graft_harmonic_basis_parquet"
 
+  /** Landed per-pixel (vec_id, [red, nir]) feature table — the pixel
+    * clusterer's oracle input: DuckDB re-runs the FULL unrolled
+    * Lloyd's over the same integers. */
+  private[rasterops] val RasterClusterPath =
+    s"${sys.props("java.io.tmpdir")}/graft_raster_cluster_parquet"
+
   /** Landed RAW pixel series (7-scene gap fixture) — the anomaly
     * oracle's input: DuckDB re-runs the per-pixel z-scoring. */
   private[rasterops] val AnomalyCellsPath =

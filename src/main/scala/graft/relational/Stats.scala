@@ -683,8 +683,46 @@ object Stats {
   val ttestDuckSql: String =
     ttestSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS VARCHAR)")
 
+  /** Chi-squared independence test (event_type × arm) — the t-test's
+    * categorical sibling: observed cell counts from one grouped scan,
+    * expected counts from the row/column marginals, per-type χ²
+    * contributions. Counts are exact integers; the expected/χ² doubles
+    * are identical expressions cross-engine. The marginal total is a
+    * one-row side (BroadcastNestedLoopJoin over a 1-row build — the
+    * planner-audited benign cross shape). */
+  private def chisqSql(toStr: String => String): String = {
+    val ea = "CAST(c.oa + c.ob AS DOUBLE) * t.ta / (t.ta + t.tb)"
+    val eb = "CAST(c.oa + c.ob AS DOUBLE) * t.tb / (t.ta + t.tb)"
+    s"""WITH q AS (
+       |  SELECT event_type, user_id % 2 AS arm FROM events),
+       |c AS (
+       |  SELECT event_type,
+       |         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS oa,
+       |         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS ob
+       |  FROM q GROUP BY event_type),
+       |t AS (
+       |  SELECT CAST(SUM(oa) AS BIGINT) AS ta, CAST(SUM(ob) AS BIGINT)
+       |           AS tb
+       |  FROM c)
+       |SELECT c.event_type, c.oa AS o_a, c.ob AS o_b,
+       |       ${toStr(ea)} AS e_a,
+       |       ${toStr(eb)} AS e_b,
+       |       ${toStr(s"(c.oa - $ea) * (c.oa - $ea) / ($ea) + " +
+           s"(c.ob - $eb) * (c.ob - $eb) / ($eb)")} AS chi2_part
+       |FROM c CROSS JOIN t ORDER BY c.event_type""".stripMargin
+  }
+
+  val chisqSparkSql: String =
+    chisqSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS STRING)")
+
+  val chisqDuckSql: String =
+    chisqSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS VARCHAR)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_ttest" -> Tables.sql(ttestSparkSql),
+    "stats_chisq" -> Tables.sql(chisqSparkSql),
     "stats_corr_matrix" -> Tables.sql(corrMatrixSparkSql),
     "stats_mad_outliers" -> Tables.sql(madOutliersSparkSql),
     "stats_expectations" -> Tables.sql(expectationsSparkSql),
@@ -700,6 +738,7 @@ object Stats {
 
   val oracleSql: Map[String, String] = Map(
     "stats_ttest" -> ttestDuckSql,
+    "stats_chisq" -> chisqDuckSql,
     "stats_corr_matrix" -> corrMatrixDuckSql,
     "stats_mad_outliers" -> madOutliersDuckSql,
     "stats_expectations" -> expectationsDuckSql,

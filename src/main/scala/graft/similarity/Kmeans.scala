@@ -97,16 +97,19 @@ object Kmeans {
       .as[(Long, Array[Long])]
   }
 
-  /** Three deterministic Lloyd iterations; returns the final centroids
-    * (k×d driver state). */
-  private[similarity] def trainCentroids(spark: SparkSession,
-      q: org.apache.spark.sql.Dataset[(Long, Array[Long])])
-      : Array[Array[Long]] = {
+  /** Deterministic Lloyd iterations; returns the final centroids (k×d
+    * driver state). Init takes the k first vectors in (vec_id % initMod,
+    * vec_id) order — initMod = 0 is plain vec_id order (the embedding
+    * convention); a prime initMod spreads the seeds across structured
+    * id spaces (pixel grids) where the lowest ids are near-identical
+    * neighbors. */
+  private[graft] def trainCentroids(spark: SparkSession,
+      q: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+      k: Int = K, initMod: Long = 0L): Array[Array[Long]] = {
     import spark.implicits._
     val d = q.head()._2.length
-    // deterministic init: the K lowest vec_ids (k×d collect, bounded)
-    var cents: Array[Array[Long]] =
-      q.orderBy("vec_id").limit(K).collect().sortBy(_._1).map(_._2)
+    // deterministic init (k×d collect, bounded)
+    var cents: Array[Array[Long]] = initSeeds(q, k, initMod)
     val sumVec = new SumVec(d)
     for (_ <- 1 to Iters) {
       val bc = spark.sparkContext.broadcast(cents)
@@ -128,13 +131,28 @@ object Kmeans {
     cents
   }
 
-  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+  private def initSeeds(q: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+      k: Int, initMod: Long): Array[Array[Long]] = {
+    val spark = q.sparkSession
     import spark.implicits._
-    val q = quantizedVecs(spark, dir)
-    val cents = trainCentroids(spark, q)
+    val ordered =
+      if (initMod > 0) q.orderBy(expr(s"vec_id % ${initMod}L"), col("vec_id"))
+      else q.orderBy("vec_id")
+    val seeds = ordered.limit(k).collect()
+    val key = (t: (Long, Array[Long])) =>
+      if (initMod > 0) (t._1 % initMod, t._1) else (0L, t._1)
+    seeds.sortBy(key).map(_._2)
+  }
 
-    // scoring pass with the landed centroids: per-cluster size + exact
-    // integer inertia; clusters that ended empty still emit a row
+  /** Train + score: per-cluster size, exact integer inertia, and the
+    * |centroid| checksum; clusters that ended empty still emit a row.
+    * The shared engine of embed_kmeans and the raster pixel clusterer. */
+  private[graft] def clusterStats(spark: SparkSession,
+      q: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+      k: Int = K, initMod: Long = 0L): DataFrame = {
+    import spark.implicits._
+    val cents = trainCentroids(spark, q, k, initMod)
+    // scoring pass with the landed centroids
     val bc = spark.sparkContext.broadcast(cents)
     val stats = q
       .map { case (_, v) =>
@@ -154,6 +172,9 @@ object Kmeans {
         col("c_abs_q"))
       .orderBy("cluster")
   }
+
+  def kmeans(spark: SparkSession, dir: String): DataFrame =
+    clusterStats(spark, quantizedVecs(spark, dir))
 
   /** Cell-blocked exact kNN GRAPH — the neighbor-graph construction a
     * curation pipeline runs for graph-based dedup/diversity sampling:
@@ -205,12 +226,15 @@ object Kmeans {
       .orderBy("vec_id", "rnk")
   }
 
-  /** Shared oracle prefix: quantize → deterministic init → the SAME
+  /** Shared oracle prefix: feature CTE → deterministic init → the SAME
     * three Lloyd iterations unrolled as CTE chains — exact integer
     * distances, argmin ties to the lowest cluster, half-away-from-zero
     * centroid means, empty clusters keeping their centroid via
-    * COALESCE — ending at the final assignment `af`. */
-  private def duckCtePrefix: String = {
+    * COALESCE — ending at the final assignment `af`. `eBody` yields
+    * (vec_id, v BIGINT[]); `initMod`/`k` mirror [[trainCentroids]]. */
+  private def duckCtePrefix(eBody: String, k: Int, initMod: Long): String = {
+    val initOrder =
+      if (initMod > 0) s"vec_id % $initMod, vec_id" else "vec_id"
     def assign(c: String, a: String) =
       s"""$a AS (
          |  SELECT vec_id, v, cl, dd FROM (
@@ -241,18 +265,23 @@ object Kmeans {
         update(s"a$i", s"c${i - 1}", s"u$i", s"c$i")
     }.mkString(",\n")
     s"""WITH e AS (
-       |  SELECT vec_id,
-       |         [CAST(ROUND(x * 1e6) AS BIGINT) for x in embedding] AS v
-       |  FROM embeddings),
+       |  $eBody),
        |c0 AS (
-       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
-       |  FROM e ORDER BY vec_id LIMIT $K),
+       |  SELECT row_number() OVER (ORDER BY $initOrder) - 1 AS cl, v AS cv
+       |  FROM e ORDER BY $initOrder LIMIT $k),
        |$iters,
        |${assign(s"c$Iters", "af")}""".stripMargin
   }
 
-  def kmeansDuckSql: String =
-    s"""$duckCtePrefix,
+  private val embeddingsEBody: String =
+    """SELECT vec_id,
+      |         [CAST(ROUND(x * 1e6) AS BIGINT) for x in embedding] AS v
+      |  FROM embeddings""".stripMargin
+
+  /** Train + score oracle over any (vec_id, v BIGINT[]) source. */
+  def clusterStatsDuckSql(eBody: String, k: Int = K,
+      initMod: Long = 0L): String =
+    s"""${duckCtePrefix(eBody, k, initMod)},
        |st AS (
        |  SELECT cl, COUNT(*) AS n, CAST(SUM(dd) AS BIGINT) AS inertia_q
        |  FROM af GROUP BY cl)
@@ -264,8 +293,10 @@ object Kmeans {
        |FROM c$Iters LEFT JOIN st ON c$Iters.cl = st.cl
        |ORDER BY cluster""".stripMargin
 
+  def kmeansDuckSql: String = clusterStatsDuckSql(embeddingsEBody)
+
   def knnGraphDuckSql: String =
-    s"""$duckCtePrefix,
+    s"""${duckCtePrefix(embeddingsEBody, K, 0L)},
        |nm AS (
        |  SELECT vec_id, cl, v,
        |         sqrt(CAST(list_sum([x * x for x in v]) AS DOUBLE)) AS nrm

@@ -42,6 +42,20 @@ class KmeansSpec extends AnyFunSuite {
     assert(trained <= initInertia, s"$trained > $initInertia")
   }
 
+  test("raster pixel clusterer: k rows, sizes partition the landed " +
+    "feature table, deterministic across runs") {
+    val a = rasterops.RasterQueries.queries("raster_cluster")(spark, sf)
+      .collect()
+    assert(a.length == 4)
+    val landed = spark.read.parquet(
+      s"${sys.props("java.io.tmpdir")}/graft_raster_cluster_parquet")
+      .count()
+    assert(a.map(_.getLong(1)).sum == landed)
+    val b = rasterops.RasterQueries.queries("raster_cluster")(spark, sf)
+      .collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("knn graph: no self edges, at most K ranked neighbors per " +
     "vector, similarity non-increasing in rank") {
     val rows = Kmeans.knnGraph(spark, sf).collect()

@@ -132,6 +132,30 @@ class RobustStatsSpec extends AnyFunSuite {
     } finally restore("events")
   }
 
+  test("stats_chisq: hand-computed expected counts and chi2 parts on a " +
+    "planted contingency table") {
+    Tables.register(spark, sf)
+    try {
+      // type a: arm0=3, arm1=1; type b: arm0=1, arm1=3 → e = 2 each,
+      // chi2_part = (3-2)²/2 + (1-2)²/2 = 1 for both types
+      def mk(id: Long, uid: Long, t: String) =
+        Row(id, ntz(id * 1000L), uid, t, 1.0, "")
+      eventsView(
+        (1 to 3).map(i => mk(i.toLong, 2L * i, "a")) ++
+          Seq(mk(4L, 1L, "a")) ++
+          Seq(mk(5L, 2L, "b")) ++
+          (6 to 8).map(i => mk(i.toLong, 2L * i + 1, "b")))
+      val out = spark.sql(relational.Stats.chisqSparkSql)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4),
+            r.getString(5)))).toMap
+      assert(out("a") ==
+        ((3L, 1L, "2.000000", "2.000000", "1.000000")), out("a"))
+      assert(out("b") ==
+        ((1L, 3L, "2.000000", "2.000000", "1.000000")), out("b"))
+    } finally restore("events")
+  }
+
   test("stats_corr_matrix: perfectly colinear columns pin ±1, constant " +
     "column pins NULL") {
     Tables.register(spark, sf)
