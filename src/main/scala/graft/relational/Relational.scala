@@ -502,6 +502,38 @@ object Relational {
   private val sessionizeOracle: String =
     sessionizeSql("epoch_us(CAST(ts AS TIMESTAMP))")
 
+  /** SCD type-2 history build — the warehouse versioning shape
+    * q33_upsert (latest-only) doesn't cover: every change to an entity
+    * (user_id, event_type) becomes a version row with a
+    * [valid_from, valid_to) interval, the open version flagged
+    * current. One shuffle on the entity key; the interval derivation
+    * is a single lead() window on that same partitioning. Epoch-micro
+    * arithmetic is NTZ-wall-clock in both engines (the q41
+    * convention); the open interval's valid_to is the 9999-12-31
+    * sentinel micros, spelled as the same literal. */
+  private def scd2Sql(tusExpr: String): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, event_id, value, $tusExpr AS tus
+       |  FROM events),
+       |s AS (
+       |  SELECT user_id, event_type, event_id, value, tus,
+       |         lead(tus) OVER (PARTITION BY user_id, event_type
+       |                         ORDER BY tus, event_id) AS next_tus
+       |  FROM e)
+       |SELECT user_id, event_type, event_id AS version_id,
+       |       tus AS valid_from,
+       |       COALESCE(next_tus, 253402214400000000) AS valid_to,
+       |       CAST(CASE WHEN next_tus IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |         AS is_current,
+       |       value
+       |FROM s ORDER BY user_id, event_type, valid_from, version_id""".stripMargin
+
+  private val scd2SparkSql: String = scd2Sql(
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+
+  private val scd2Oracle: String =
+    scd2Sql("epoch_us(CAST(ts AS TIMESTAMP))")
+
   private val pivotTypes =
     Seq("click", "error", "purchase", "signup", "view")
 
@@ -534,6 +566,7 @@ object Relational {
       ("q27_skew_salted_join" -> (saltedJoinQuery _)) +
       ("q41_sessionize" -> Tables.sql(sessionizeSparkSql)) +
       ("q42_pivot" -> (pivotQuery _)) +
+      ("q43_scd2" -> Tables.sql(scd2SparkSql)) +
       ("q33_upsert" -> (upsertQuery _)) +
       ("q34_incremental_agg" -> (incrementalAggQuery _)) +
       ("q35_grouping_sets" -> Tables.sql(groupingSetsSql)) +
@@ -546,6 +579,7 @@ object Relational {
       ("q27_skew_salted_join" -> saltedJoinOracle) +
       ("q41_sessionize" -> sessionizeOracle) +
       ("q42_pivot" -> pivotOracle) +
+      ("q43_scd2" -> scd2Oracle) +
       ("q33_upsert" -> upsertOracle) +
       ("q34_incremental_agg" -> incrementalAggOracle) +
       ("q35_grouping_sets" -> groupingSetsSql) +

@@ -468,6 +468,94 @@ object StreamingOps {
         .orderBy("user_id", "event_type")
     } }
 
+  // ---- standing correlation (streaming co-moment state) --------------------
+
+  final case class EvM(event_type: String, x: Long, y: Long)
+  final case class CorrState(n: Long, sx: Long, sy: Long, sxx: Long,
+                             syy: Long, sxy: Long)
+  final case class CorrOut(event_type: String, n: Long, sx: Long, sy: Long,
+                           sxx: Long, syy: Long, sxy: Long)
+
+  /** Standing Pearson correlation — value vs. second-of-day per event
+    * type, maintained as streaming CO-MOMENT state (n, Σx, Σy, Σx²,
+    * Σy², Σxy): six longs per key at any stream length, the mergeable
+    * sketch every standing statistic should be. Values quantize to
+    * integer milli-units (the t-test convention) so state updates are
+    * exact integer arithmetic and the final correlation — computed
+    * from the emitted sums with the textbook closed form — is
+    * bit-identical to the batch oracle over the same rows. */
+  def streamCorr(spark: SparkSession, dir: String): DataFrame =
+      withStreamPartitions(spark, 8) {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState}
+    import spark.implicits._
+    withEventsStream(spark, dir) { src =>
+      val name = s"graft_corr_${counter.incrementAndGet()}"
+      val events = src()
+        .selectExpr("event_type",
+          "CAST(ROUND(value * 1e3) AS BIGINT) AS x",
+          "unix_micros(ts) % 86400000000 DIV 1000000 AS y")
+        .as[EvM]
+      val sums = events
+        .groupByKey(_.event_type)
+        .mapGroupsWithState[CorrState, CorrOut](
+          GroupStateTimeout.NoTimeout) {
+          (key: String, it: Iterator[EvM], state: GroupState[CorrState]) =>
+            var st = state.getOption.getOrElse(CorrState(0, 0, 0, 0, 0, 0))
+            it.foreach { e =>
+              st = CorrState(st.n + 1, st.sx + e.x, st.sy + e.y,
+                st.sxx + e.x * e.x, st.syy + e.y * e.y,
+                st.sxy + e.x * e.y)
+            }
+            state.update(st)
+            CorrOut(key, st.n, st.sx, st.sy, st.sxx, st.syy, st.sxy)
+        }
+      val q = sums.writeStream
+        .format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // n is monotone per key; max(struct) keeps each key's final sums
+      spark.table(name)
+        .groupBy("event_type")
+        .agg(max(struct(col("n"), col("sx"), col("sy"), col("sxx"),
+          col("syy"), col("sxy"))).as("m"))
+        .selectExpr("event_type", "m.n AS n",
+          // products leave BIGINT range at stream scale — evaluate in
+          // doubles, spelled identically in the oracle (deterministic
+          // IEEE, same operands, same rounding)
+          "CAST(CAST((CAST(m.n AS DOUBLE) * m.sxy - " +
+            "CAST(m.sx AS DOUBLE) * m.sy) / " +
+            "(sqrt(CAST(m.n AS DOUBLE) * m.sxx - " +
+            "CAST(m.sx AS DOUBLE) * m.sx) * " +
+            "sqrt(CAST(m.n AS DOUBLE) * m.syy - " +
+            "CAST(m.sy AS DOUBLE) * m.sy)) AS DECIMAL(18,6)) AS STRING)" +
+            " AS corr_vs_tod")
+        .orderBy("event_type")
+    } }
+
+  private val streamCorrOracle: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(ROUND(value * 1e3) AS BIGINT) AS x,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 // 1000000
+      |           AS y
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |         CAST(SUM(y * y) AS BIGINT) AS syy,
+      |         CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |       CAST(CAST((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |            / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |             * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+      |            AS DECIMAL(18,6)) AS VARCHAR)
+      |         AS corr_vs_tod
+      |FROM s ORDER BY event_type""".stripMargin
+
   private val upsertStreamOracle: String =
     """WITH e AS (
       |  SELECT user_id, event_type, event_id, value,
@@ -873,6 +961,7 @@ object StreamingOps {
     "stream_sessionize" -> ((s, d) => sessionize(s, d)),
     "stream_sessionize_ttl" -> ((s, d) => sessionizeTtl(s, d)),
     "stream_upsert" -> ((s, d) => streamUpsert(s, d)),
+    "stream_corr" -> ((s, d) => streamCorr(s, d)),
     "stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "stream_join" -> ((s, d) => streamJoin(s, d)),
     "stream_ann_ingest" -> ((s, d) => streamAnnIngest(s, d)),
@@ -896,6 +985,7 @@ object StreamingOps {
   // most recent sim_index_persist run (dumped after queries execute)
   def oracleSql: Map[String, String] = Map(
     "stream_upsert" -> upsertStreamOracle,
+    "stream_corr" -> streamCorrOracle,
     "stream_ann_ingest" -> annIngestDuckSql,
     "stream_stac_ingest" -> stacIngestOracle,
     "stream_drift" -> streamDriftOracle,
