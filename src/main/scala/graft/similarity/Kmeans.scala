@@ -295,7 +295,10 @@ object Kmeans {
 
   def kmeansDuckSql: String = clusterStatsDuckSql(embeddingsEBody)
 
-  def knnGraphDuckSql: String =
+  /** Everything up to the ranked candidate CTE `r` — shared by the kNN
+    * graph oracle and the PageRank oracle (which consumes the graph's
+    * edges rather than its projection). */
+  private[similarity] def knnCtePrefix: String =
     s"""${duckCtePrefix(embeddingsEBody, K, 0L)},
        |nm AS (
        |  SELECT vec_id, cl, v,
@@ -311,7 +314,10 @@ object Kmeans {
        |r AS (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id
        |                               ORDER BY sim DESC, nbr_id) AS rn
-       |  FROM p)
+       |  FROM p)""".stripMargin
+
+  def knnGraphDuckSql: String =
+    s"""$knnCtePrefix
        |SELECT vec_id, CAST(rn AS BIGINT) AS rnk, nbr_id,
        |       CAST(ROUND(sim * 1e6) AS BIGINT) AS sim_q
        |FROM r WHERE rn <= $KnnK ORDER BY vec_id, rnk""".stripMargin

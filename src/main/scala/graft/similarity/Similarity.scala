@@ -2024,6 +2024,7 @@ object Similarity {
     "embed_quantize" -> Tables.sql(quantizeSparkSql),
     "embed_kmeans" -> ((s, d) => Kmeans.kmeans(s, d)),
     "sim_knn_graph" -> ((s, d) => Kmeans.knnGraph(s, d)),
+    "graph_pagerank" -> ((s, d) => PageRank.pageRank(s, d)),
     "embed_pca" -> ((s, d) => pcaProject(s, d)),
     "embed_label_centroids" -> Tables.sql(centroidsSparkSql),
     "embed_outliers" -> Tables.sql(outliersSparkSql)
@@ -2046,6 +2047,7 @@ object Similarity {
     "embed_quantize" -> quantizeDuckSql,
     "embed_kmeans" -> Kmeans.kmeansDuckSql,
     "sim_knn_graph" -> Kmeans.knnGraphDuckSql,
+    "graph_pagerank" -> PageRank.pageRankDuckSql,
     "embed_pca" -> pcaDuckSql,
     "embed_label_centroids" -> centroidsDuckSql,
     "embed_outliers" -> outliersDuckSql
