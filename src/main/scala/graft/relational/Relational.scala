@@ -531,7 +531,9 @@ object Relational {
   private val scd2SparkSql: String = scd2Sql(
     "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
 
-  private val scd2Oracle: String =
+  // shared with the standing form (stream_scd2): one batch pass and the
+  // streaming fold must land the identical history
+  private[graft] val scd2Oracle: String =
     scd2Sql("epoch_us(CAST(ts AS TIMESTAMP))")
 
   private val pivotTypes =

@@ -720,9 +720,136 @@ object Stats {
   val chisqDuckSql: String =
     chisqSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS VARCHAR)")
 
+  /** One-way ANOVA of `value` across event types — the k-arm
+    * generalization of stats_ttest. Per-group (n, Σv, Σv²) from ONE
+    * grouped scan of milli-quantized integers (exact, mergeable,
+    * map-side combined), so at 100 TB this is a single pass with five
+    * fixed-size buffers. The cross-group reduction is the exactness
+    * trap: `SUM(s²/n)` over groups is a DOUBLE sum whose order neither
+    * engine defines, so instead the five event types (the q42_pivot
+    * pinned domain) pivot into ONE row and the between-group sum is
+    * spelled as an explicit left-associated chain — identical IEEE
+    * operand order cross-engine, no order freedom left. Groups absent
+    * from the data contribute zero terms (COALESCE) rather than NULLs. */
+  private def anovaSql(toStr: String => String): String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val tags = types.indices.map(i => s"t$i")
+    val pivots = types.zip(tags).flatMap { case (t, g) => Seq(
+      s"COALESCE(MAX(CASE WHEN event_type = '$t' THEN n END), 0) AS n_$g",
+      s"COALESCE(MAX(CASE WHEN event_type = '$t' THEN s END), 0) AS s_$g",
+      s"COALESCE(MAX(CASE WHEN event_type = '$t' THEN ss END), 0) AS ss_$g")
+    }.mkString(",\n         ")
+    def chain(term: String => String) =
+      tags.map(term).reduceLeft((a, b) => s"($a + $b)")
+    // per-group between-term s²/n; empty group → 0 (not a 0/0 NULL)
+    def sb(g: String) =
+      s"CASE WHEN n_$g = 0 THEN 0.0 " +
+        s"ELSE CAST(s_$g AS DOUBLE) * s_$g / n_$g END"
+    val k = chain(g => s"CASE WHEN n_$g = 0 THEN 0 ELSE 1 END")
+    val nn = chain(g => s"n_$g")
+    val st = chain(g => s"s_$g")
+    val qt = chain(g => s"ss_$g")
+    val sbSum = chain(sb)
+    s"""WITH q AS (
+       |  SELECT event_type, CAST(ROUND(value * 1e3) AS BIGINT) AS v
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(v) AS BIGINT) AS s,
+       |         CAST(SUM(v * v) AS BIGINT) AS ss
+       |  FROM q GROUP BY event_type),
+       |p AS (
+       |  SELECT $pivots
+       |  FROM g),
+       |f AS (
+       |  SELECT CAST($k AS BIGINT) AS k, CAST($nn AS BIGINT) AS nn,
+       |         $sbSum - CAST($st AS DOUBLE) * ($st) / ($nn) AS ssb,
+       |         CAST($qt AS DOUBLE) - ($sbSum) AS ssw
+       |  FROM p)
+       |SELECT k AS n_groups, nn AS n_obs,
+       |       ${toStr("ssb / 1e6")} AS ss_between,
+       |       ${toStr("ssw / 1e6")} AS ss_within,
+       |       CAST(k - 1 AS BIGINT) AS df_between,
+       |       CAST(nn - k AS BIGINT) AS df_within,
+       |       ${toStr("(ssb / (k - 1)) / (ssw / (nn - k))")} AS f_stat
+       |FROM f""".stripMargin
+  }
+
+  val anovaSparkSql: String =
+    anovaSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS STRING)")
+
+  val anovaDuckSql: String =
+    anovaSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS VARCHAR)")
+
+  /** OLS linear regression l_extendedprice ~ l_quantity + l_discount —
+    * the normal-equations shape: ONE scan accumulates the ten Gram/
+    * moment sums (n, Σq, Σd, Σy, Σq², Σqd, Σd², Σqy, Σdy, Σy²) as
+    * exact integers (quantity and dollar-rounded price are integral,
+    * discount scales ×100), all mergeable with map-side combine — the
+    * same d²-constant-state pattern as embed_pca, so at 100 TB this is
+    * one pass with ten longs of state per task. The 3×3 solve is
+    * Cramer's rule in the one-row finish, every double spelled in the
+    * same operand order in both engines; R² follows from the same
+    * sums. The driver-side work is ZERO — even the solve is a plan
+    * expression. */
+  private def linregSql(toStr: String => String): String = {
+    // 3×3 Gram A = [[n,sq,sd],[sq,sqq,sqd],[sd,sqd,sdd]], rhs [sy,sqy,sdy]
+    val det = "(n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd)" +
+      " + sd * (sq * sqd - sqq * sd))"
+    val b0 = "(sy * (sqq * sdd - sqd * sqd) - sq * (sqy * sdd - sqd * sdy)" +
+      s" + sd * (sqy * sqd - sqq * sdy)) / $det"
+    val b1 = "(n * (sqy * sdd - sdy * sqd) - sy * (sq * sdd - sqd * sd)" +
+      s" + sd * (sq * sdy - sqy * sd)) / $det"
+    val b2 = "(n * (sqq * sdy - sqd * sqy) - sq * (sq * sdy - sqy * sd)" +
+      s" + sy * (sq * sqd - sqq * sd)) / $det"
+    s"""WITH r AS (
+       |  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+       |         CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+       |         CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(d) AS BIGINT) AS sd,
+       |         CAST(SUM(y) AS BIGINT) AS sy,
+       |         CAST(SUM(q * q) AS BIGINT) AS sqq,
+       |         CAST(SUM(q * d) AS BIGINT) AS sqd,
+       |         CAST(SUM(d * d) AS BIGINT) AS sdd,
+       |         CAST(SUM(q * y) AS BIGINT) AS sqy,
+       |         CAST(SUM(d * y) AS BIGINT) AS sdy,
+       |         CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM r),
+       |d AS (
+       |  SELECT n AS n_rows, CAST(n AS DOUBLE) AS n,
+       |         CAST(sq AS DOUBLE) AS sq, CAST(sd AS DOUBLE) AS sd,
+       |         CAST(sy AS DOUBLE) AS sy, CAST(sqq AS DOUBLE) AS sqq,
+       |         CAST(sqd AS DOUBLE) AS sqd, CAST(sdd AS DOUBLE) AS sdd,
+       |         CAST(sqy AS DOUBLE) AS sqy, CAST(sdy AS DOUBLE) AS sdy,
+       |         CAST(syy AS DOUBLE) AS syy
+       |  FROM m),
+       |b AS (
+       |  SELECT n_rows, n, sy, sqy, sdy, syy,
+       |         $b0 AS b0, $b1 AS b1, $b2 AS b2
+       |  FROM d)
+       |SELECT n_rows AS n,
+       |       ${toStr("b0")} AS intercept,
+       |       ${toStr("b1")} AS b_quantity,
+       |       ${toStr("b2")} AS b_discount,
+       |       ${toStr("1.0 - (syy - ((b0 * sy + b1 * sqy) + b2 * sdy))" +
+           " / (syy - sy * sy / n)")} AS r2
+       |FROM b""".stripMargin
+  }
+
+  val linregSparkSql: String =
+    linregSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS STRING)")
+
+  val linregDuckSql: String =
+    linregSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS VARCHAR)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_ttest" -> Tables.sql(ttestSparkSql),
     "stats_chisq" -> Tables.sql(chisqSparkSql),
+    "stats_anova" -> Tables.sql(anovaSparkSql),
+    "stats_linreg" -> Tables.sql(linregSparkSql),
     "stats_corr_matrix" -> Tables.sql(corrMatrixSparkSql),
     "stats_mad_outliers" -> Tables.sql(madOutliersSparkSql),
     "stats_expectations" -> Tables.sql(expectationsSparkSql),
@@ -739,6 +866,8 @@ object Stats {
   val oracleSql: Map[String, String] = Map(
     "stats_ttest" -> ttestDuckSql,
     "stats_chisq" -> chisqDuckSql,
+    "stats_anova" -> anovaDuckSql,
+    "stats_linreg" -> linregDuckSql,
     "stats_corr_matrix" -> corrMatrixDuckSql,
     "stats_mad_outliers" -> madOutliersDuckSql,
     "stats_expectations" -> expectationsDuckSql,

@@ -2025,6 +2025,8 @@ object Similarity {
     "embed_kmeans" -> ((s, d) => Kmeans.kmeans(s, d)),
     "sim_knn_graph" -> ((s, d) => Kmeans.knnGraph(s, d)),
     "graph_pagerank" -> ((s, d) => PageRank.pageRank(s, d)),
+    "graph_components" -> ((s, d) => Graph.connectedComponents(s, d)),
+    "graph_triangles" -> ((s, d) => Graph.triangles(s, d)),
     "embed_pca" -> ((s, d) => pcaProject(s, d)),
     "embed_label_centroids" -> Tables.sql(centroidsSparkSql),
     "embed_outliers" -> Tables.sql(outliersSparkSql)
@@ -2048,6 +2050,8 @@ object Similarity {
     "embed_kmeans" -> Kmeans.kmeansDuckSql,
     "sim_knn_graph" -> Kmeans.knnGraphDuckSql,
     "graph_pagerank" -> PageRank.pageRankDuckSql,
+    "graph_components" -> Graph.componentsDuckSql,
+    "graph_triangles" -> Graph.trianglesDuckSql,
     "embed_pca" -> pcaDuckSql,
     "embed_label_centroids" -> centroidsDuckSql,
     "embed_outliers" -> outliersDuckSql

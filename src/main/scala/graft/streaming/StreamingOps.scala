@@ -534,6 +534,84 @@ object StreamingOps {
         .orderBy("event_type")
     } }
 
+  // ---- standing SCD2 history (streaming version intervals) -----------------
+
+  final case class ScdOpen(tus: Long, eventId: Long, value: Double)
+  final case class ScdState(open: Option[ScdOpen])
+  final case class ScdOut(user_id: Long, event_type: String,
+                          version_id: Long, valid_from: Long, valid_to: Long,
+                          is_current: Long, value: Double)
+
+  /** Standing SCD type-2 history — the streaming form of q43_scd2: each
+    * change to a (user_id, event_type) entity CLOSES the previous open
+    * version (emitted exactly once, immutable from then on) and opens a
+    * new one. Keyed state is ONE fixed-size open-version record per
+    * live entity — never the history — so the state store at 100 TB/day
+    * holds live-entity count × ~32 bytes; closed versions land
+    * append-only, the warehouse shape. Open versions re-emit each batch
+    * the key is touched; the memory-sink post-pass keeps each
+    * version_id's FINAL form via min(valid_to) (a version's sentinel
+    * emission is replaced by its closed emission, never the reverse).
+    *
+    * Arrival-order contract: within a batch the fold sorts by
+    * (event time, event_id); ACROSS batches an event older than the
+    * open version would retroactively split an already-emitted closed
+    * interval — the standard streaming answer is watermark-bounded
+    * rejection, and this fold makes the contract LOUD (require) rather
+    * than silently corrupting history. */
+  def streamScd2(spark: SparkSession, dir: String): DataFrame =
+      withStreamPartitions(spark, 8) {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    import spark.implicits._
+    withEventsStream(spark, dir) { src =>
+      val name = s"graft_scd2_${counter.incrementAndGet()}"
+      val events = src()
+        .selectExpr("user_id", "event_type", "event_id",
+          "unix_micros(ts) AS tus", "value")
+        .as[EvC]
+      val Sentinel = 253402214400000000L // 9999-12-31 micros, q43's literal
+      val versions = events
+        .groupByKey(e => (e.user_id, e.event_type))
+        .flatMapGroupsWithState[ScdState, ScdOut](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (key: (Long, String), it: Iterator[EvC],
+           state: GroupState[ScdState]) =>
+            var open = state.getOption.flatMap(_.open)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ScdOut]
+            it.toArray.sortBy(e => (e.tus, e.event_id)).foreach { e =>
+              open.foreach { o =>
+                require(e.tus > o.tus ||
+                  (e.tus == o.tus && e.event_id > o.eventId),
+                  s"late event ${e.event_id} behind open version " +
+                    s"${o.eventId} for $key — watermark contract violated")
+                closed += ScdOut(key._1, key._2, o.eventId, o.tus, e.tus,
+                  0L, o.value)
+              }
+              open = Some(ScdOpen(e.tus, e.event_id, e.value))
+            }
+            state.update(ScdState(open))
+            (closed ++ open.map(o => ScdOut(key._1, key._2, o.eventId,
+              o.tus, Sentinel, 1L, o.value))).iterator
+        }
+      val q = versions.writeStream
+        .format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // a version's closed emission (valid_to < sentinel) supersedes its
+      // earlier open emission; valid_from/value are version-immutable
+      spark.table(name)
+        .groupBy("user_id", "event_type", "version_id")
+        .agg(min(struct(col("valid_to"), col("is_current"),
+          col("valid_from"), col("value"))).as("m"))
+        .select(col("user_id"), col("event_type"), col("version_id"),
+          col("m.valid_from").as("valid_from"),
+          col("m.valid_to").as("valid_to"),
+          col("m.is_current").as("is_current"), col("m.value").as("value"))
+        .orderBy("user_id", "event_type", "valid_from", "version_id")
+    } }
+
   private val streamCorrOracle: String =
     """WITH e AS (
       |  SELECT event_type,
@@ -961,6 +1039,7 @@ object StreamingOps {
     "stream_sessionize" -> ((s, d) => sessionize(s, d)),
     "stream_sessionize_ttl" -> ((s, d) => sessionizeTtl(s, d)),
     "stream_upsert" -> ((s, d) => streamUpsert(s, d)),
+    "stream_scd2" -> ((s, d) => streamScd2(s, d)),
     "stream_corr" -> ((s, d) => streamCorr(s, d)),
     "stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "stream_join" -> ((s, d) => streamJoin(s, d)),
@@ -985,6 +1064,7 @@ object StreamingOps {
   // most recent sim_index_persist run (dumped after queries execute)
   def oracleSql: Map[String, String] = Map(
     "stream_upsert" -> upsertStreamOracle,
+    "stream_scd2" -> graft.relational.Relational.scd2Oracle,
     "stream_corr" -> streamCorrOracle,
     "stream_ann_ingest" -> annIngestDuckSql,
     "stream_stac_ingest" -> stacIngestOracle,

@@ -1122,61 +1122,77 @@ object TextAnalysis {
     * repeated-gram-sized (≪ the gram stream) so the probe back onto
     * the per-doc grams broadcasts at scale. Left join + count, never
     * a doc×doc self-join. */
-  private def boilerplateSql(grams: String, toStr: String => String,
-      unnestFn: String): String =
-    s"""WITH w AS (
-       |  SELECT doc_id, source,
-       |         $grams AS gs
-       |  FROM documents),
-       |g AS (
-       |  SELECT doc_id, source, $unnestFn(gs) AS gram FROM w),
-       |d AS (SELECT DISTINCT doc_id, source, gram FROM g),
-       |b AS (SELECT source, gram FROM d
-       |      GROUP BY source, gram HAVING COUNT(*) >= 2),
+  private def boilerplateSql(words: String, toStr: String => String): String =
+    s"""WITH $words,
+       |g0 AS (
+       |  SELECT doc_id, source, concat_ws(' ', w, w1, w2) AS gram FROM (
+       |    SELECT doc_id, source, w,
+       |           lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2
+       |    FROM x WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+       |  WHERE w1 IS NOT NULL AND w2 IS NOT NULL),
+       |c AS (
+       |  SELECT doc_id, source, gram, COUNT(*) AS cnt
+       |  FROM g0 GROUP BY doc_id, source, gram),
+       |f AS (
+       |  SELECT doc_id, cnt,
+       |         COUNT(*) OVER (PARTITION BY source, gram) AS ndocs
+       |  FROM c),
        |per AS (
-       |  SELECT g.doc_id, COUNT(*) AS n_grams,
-       |         SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
-       |           AS n_boiler
-       |  FROM g LEFT JOIN b
-       |    ON g.source = b.source AND g.gram = b.gram
-       |  GROUP BY g.doc_id)
+       |  SELECT doc_id, SUM(cnt) AS n_grams,
+       |         SUM(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) AS n_boiler
+       |  FROM f GROUP BY doc_id)
        |-- left join back onto documents: a doc too short to produce
        |-- grams still reports (0, 0, NULL) instead of vanishing
-       |SELECT w.doc_id,
+       |SELECT d.doc_id,
        |       CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
        |       CAST(COALESCE(per.n_boiler, 0) AS BIGINT) AS n_boiler,
        |       ${toStr("CAST(COALESCE(per.n_boiler, 0) AS DOUBLE) / " +
            "NULLIF(COALESCE(per.n_grams, 0), 0)")}
        |         AS boiler_ratio
-       |FROM w LEFT JOIN per ON w.doc_id = per.doc_id
-       |ORDER BY w.doc_id""".stripMargin
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
-  /** Word-3-gram array builders, shared by boilerplate and novelty. */
-  private val sparkGrams: String =
-    """CASE WHEN size(split(trim(lower(text)), '\\s+')) >= 3
-      |           THEN transform(
-      |             sequence(0, size(split(trim(lower(text)), '\\s+')) - 3),
-      |             i -> concat_ws(' ',
-      |               split(trim(lower(text)), '\\s+')[i],
-      |               split(trim(lower(text)), '\\s+')[i+1],
-      |               split(trim(lower(text)), '\\s+')[i+2]))
-      |           ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+  /** Positioned word-stream CTEs (`t`: split once, `x`: one row per
+    * word with its position), shared by boilerplate and novelty. Grams
+    * are then formed by a lead() window over (doc_id, pos) — every
+    * operator whole-stage-codegen, ONE pass over the text, and row
+    * width stays one word, not one token-array copy per gram.
+    *
+    * Why not `transform(sequence(...), i -> concat_ws(...))` over the
+    * split array (the first r12 spelling)? Two compounding planner
+    * traps, measured at 55 s / 36 s for sf0.1's 260k grams: Spark
+    * evaluates higher-order-function lambdas interpreted (per-element
+    * boxing), and InferFiltersFromGenerate clones the ENTIRE gram
+    * expression — with the split re-inlined into the lambda body,
+    * O(words²) regex splits per document — into pre-Generate Filters,
+    * twice per CTE reference (Spark inlines `WITH` subtrees, so the
+    * gram build itself also ran twice). The window spelling has no
+    * lambda, nothing for filter inference to clone, and a single gram
+    * stream feeding both aggregates: 36 s → ~1 s. PlanAuditSpec pins
+    * the single-Generate shape. */
+  private val sparkWords: String =
+    """t AS (
+      |  SELECT doc_id, source, split(trim(lower(text)), '\\s+') AS ws
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, source, pos, w
+      |  FROM t LATERAL VIEW posexplode(ws) AS pos, w)""".stripMargin
 
-  private val duckGrams: String =
-    """CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) >= 3
-      |           THEN list_transform(
-      |             range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
-      |             i -> concat_ws(' ',
-      |               string_split_regex(trim(lower(text)), '\s+')[i],
-      |               string_split_regex(trim(lower(text)), '\s+')[i+1],
-      |               string_split_regex(trim(lower(text)), '\s+')[i+2]))
-      |           ELSE [] END""".stripMargin
+  private val duckWords: String =
+    """t AS (
+      |  SELECT doc_id, source,
+      |         string_split_regex(trim(lower(text)), '\s+') AS ws
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, source, unnest(range(1, len(ws) + 1)) AS pos,
+      |         unnest(ws) AS w
+      |  FROM t)""".stripMargin
 
-  val boilerplateSparkSql: String = boilerplateSql(sparkGrams,
-    e => s"CAST(CAST($e AS DECIMAL(18,4)) AS STRING)", "explode")
+  val boilerplateSparkSql: String = boilerplateSql(sparkWords,
+    e => s"CAST(CAST($e AS DECIMAL(18,4)) AS STRING)")
 
-  val boilerplateDuckSql: String = boilerplateSql(duckGrams,
-    e => s"CAST(CAST($e AS DECIMAL(18,4)) AS VARCHAR)", "unnest")
+  val boilerplateDuckSql: String = boilerplateSql(duckWords,
+    e => s"CAST(CAST($e AS DECIMAL(18,4)) AS VARCHAR)")
 
   /** First-occurrence novelty — the "how much of this document is new
     * to the corpus" curation signal (dedup catches exact/near copies;
@@ -1187,37 +1203,38 @@ object TextAnalysis {
     * first-doc aggregate, and the join back (co-partitioned on the same
     * key); per-doc rollup is a second, doc-keyed shuffle. Short docs
     * report (0, 0, NULL) via the documents left join. */
-  private def noveltySql(grams: String, unnestFn: String,
-      toStr: String => String): String =
-    s"""WITH w AS (
+  private def noveltySql(words: String, toStr: String => String): String =
+    s"""WITH $words,
+       |g0 AS (
+       |  SELECT doc_id, concat_ws(' ', w, w1, w2) AS gram FROM (
+       |    SELECT doc_id, w,
+       |           lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2
+       |    FROM x WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+       |  WHERE w1 IS NOT NULL AND w2 IS NOT NULL),
+       |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+       |f AS (
        |  SELECT doc_id,
-       |         $grams AS gs
-       |  FROM documents),
-       |g AS (
-       |  SELECT DISTINCT doc_id, gram FROM (
-       |    SELECT doc_id, $unnestFn(gs) AS gram FROM w)),
-       |fst AS (
-       |  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+       |         MIN(doc_id) OVER (PARTITION BY gram) AS first_doc
+       |  FROM g),
        |per AS (
-       |  SELECT g.doc_id, COUNT(*) AS n_grams,
-       |         SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |  SELECT doc_id, COUNT(*) AS n_grams,
+       |         SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
        |           AS n_novel
-       |  FROM g JOIN fst f ON g.gram = f.gram
-       |  GROUP BY g.doc_id)
-       |SELECT w.doc_id,
+       |  FROM f GROUP BY doc_id)
+       |SELECT d.doc_id,
        |       CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
        |       CAST(COALESCE(per.n_novel, 0) AS BIGINT) AS n_novel,
        |       ${toStr("CAST(COALESCE(per.n_novel, 0) AS DOUBLE) / " +
            "NULLIF(COALESCE(per.n_grams, 0), 0)")}
        |         AS novelty
-       |FROM w LEFT JOIN per ON w.doc_id = per.doc_id
-       |ORDER BY w.doc_id""".stripMargin
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
-  val noveltySparkSql: String = noveltySql(sparkGrams, "explode",
-    e => s"CAST(CAST($e AS DECIMAL(18,4)) AS STRING)")
+  val noveltySparkSql: String =
+    noveltySql(sparkWords, e => s"CAST(CAST($e AS DECIMAL(18,4)) AS STRING)")
 
-  val noveltyDuckSql: String = noveltySql(duckGrams, "unnest",
-    e => s"CAST(CAST($e AS DECIMAL(18,4)) AS VARCHAR)")
+  val noveltyDuckSql: String =
+    noveltySql(duckWords, e => s"CAST(CAST($e AS DECIMAL(18,4)) AS VARCHAR)")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_zipf" -> Tables.sql(zipfSparkSql),

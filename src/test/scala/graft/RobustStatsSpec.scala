@@ -156,6 +156,53 @@ class RobustStatsSpec extends AnyFunSuite {
     } finally restore("events")
   }
 
+  test("stats_anova: hand-computed between/within decomposition and F " +
+    "on two planted groups") {
+    Tables.register(spark, sf)
+    try {
+      // click = {1,2,3}, view = {4,5,6}: means 2 and 5, grand mean 3.5
+      // SSB = 3·(2−3.5)² + 3·(5−3.5)² = 13.5; SSW = 2 + 2 = 4
+      // F = (13.5/1) / (4/4) = 13.5; absent types contribute nothing
+      val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
+        Row(i.toLong, ntz(i * 1000000L), 1L, "click", v, "") } ++
+        Seq(4.0, 5.0, 6.0).zipWithIndex.map { case (v, i) =>
+          Row(10L + i, ntz(i * 1000000L), 2L, "view", v, "") }
+      eventsView(rows)
+      val r = spark.sql(relational.Stats.anovaSparkSql).head()
+      assert(r.getLong(r.fieldIndex("n_groups")) == 2L)
+      assert(r.getLong(r.fieldIndex("n_obs")) == 6L)
+      assert(r.getString(r.fieldIndex("ss_between")) == "13.500000")
+      assert(r.getString(r.fieldIndex("ss_within")) == "4.000000")
+      assert(r.getLong(r.fieldIndex("df_between")) == 1L)
+      assert(r.getLong(r.fieldIndex("df_within")) == 4L)
+      assert(r.getString(r.fieldIndex("f_stat")) == "13.500000")
+    } finally restore("events")
+  }
+
+  test("stats_linreg: noiseless planted plane recovers exact " +
+    "coefficients and R² = 1") {
+    Tables.register(spark, sf)
+    try {
+      val schema = StructType(Seq(
+        StructField("l_quantity", DoubleType),
+        StructField("l_discount", DoubleType),
+        StructField("l_extendedprice", DoubleType)))
+      // y = 3 + 2·q + 5·(100·discount), exactly on the plane
+      val pts = Seq((1, 3), (2, 1), (3, 0), (4, 2))
+      val rows = pts.map { case (q, d) =>
+        Row(q.toDouble, d / 100.0, (3 + 2 * q + 5 * d).toDouble) }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema)
+        .createOrReplaceTempView("lineitem")
+      val r = spark.sql(relational.Stats.linregSparkSql).head()
+      assert(r.getLong(r.fieldIndex("n")) == 4L)
+      assert(r.getString(r.fieldIndex("intercept")) == "3.000000")
+      assert(r.getString(r.fieldIndex("b_quantity")) == "2.000000")
+      assert(r.getString(r.fieldIndex("b_discount")) == "5.000000")
+      assert(r.getString(r.fieldIndex("r2")) == "1.000000")
+    } finally restore("lineitem")
+  }
+
   test("stats_corr_matrix: perfectly colinear columns pin ±1, constant " +
     "column pins NULL") {
     Tables.register(spark, sf)
