@@ -93,6 +93,7 @@ object Verify {
       "raster_focal_mean" -> mosaic,
       "raster_focal_standing" -> mosaic,
       "raster_terrain" -> mosaic,
+      "raster_hillshade" -> mosaic,
       "raster_histogram" -> mosaic,
       "raster_load_mosaic" -> mosaic,
       "raster_load_netcdf" -> mosaic,

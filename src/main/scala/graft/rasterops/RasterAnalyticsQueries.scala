@@ -749,6 +749,73 @@ private[rasterops] trait RasterAnalyticsQueries {
        |FROM g GROUP BY band, tidx, ty, tx
        |ORDER BY band, "tIdx", ty, tx""".stripMargin
 
+  /** Hillshade (beyond the reference) — the Lambertian illumination
+    * product every terrain pipeline renders next to slope/aspect:
+    * shade = 255·max(0, n̂·L) where n = (−gx, −gy, 1) is the Horn
+    * surface normal and L the light vector. L is pinned as DOUBLE
+    * LITERALS (the azimuth-315°/altitude-45° convention with row-down
+    * +gy: lx = −0.5, ly = 0.5, lz = 0.7071067811865476) rather than
+    * computed with sin/cos at runtime — libm and the JDK disagree in
+    * the last ULP on transcendentals, so a trig spelling could not be
+    * hash-checked cross-engine; the dot-product identity needs only
+    * +,·,/ and sqrt, all IEEE-exact. Same halo-exchange plan and landed
+    * mosaic plane as [[terrain]]; the oracle recomputes globally from
+    * the 9 tap-shifted joins, so halo correctness is again load-bearing. */
+  def hillshade(spark: SparkSession): DataFrame = {
+    val (items, schemas) = parsed(spark)
+    val res = Load.load(spark, items, schemas, bands = Seq("red", "nir"),
+      groupby = "solar_day", chunks = 64)
+    graft.load.Focal.horn(spark, res.tiles)
+      .select(col("band"), col("tIdx"), col("ty"), col("tx"), col("n_valid"),
+        expr(hillshadeAggExpr).as("shade_q"))
+      .orderBy("band", "tIdx", "ty", "tx")
+  }
+
+  /** shade(a=gx, b=gy) = 255·max(0, (lz − a·lx − b·ly)/|n|)
+    *                   = 255·max(0, (0.7071… + 0.5a − 0.5b)/√(a²+b²+1));
+    * NaN gradients (incomplete windows) contribute nothing. */
+  private[graft] val hillshadeAggExpr: String =
+    "aggregate(zip_with(gx, gy, (a, b) -> " +
+      "255.0 * GREATEST((0.7071067811865476 + 0.5 * a - 0.5 * b) " +
+      "/ SQRT(a * a + b * b + 1.0), 0.0)), 0L, (s, v) -> s + " +
+      "if(isnan(v), 0L, CAST(round(v) AS BIGINT)))"
+
+  private[rasterops] val hillshadeDuckSql: String =
+    s"""WITH dom AS (
+       |  SELECT band, tidx, ty, tx,
+       |         ty * 64 + py AS gy, tx * 64 + px AS gx
+       |  FROM read_parquet('$CellsPath/*.parquet')),
+       |v AS (
+       |  SELECT band, tidx, ty * 64 + py AS gy, tx * 64 + px AS gx, value
+       |  FROM read_parquet('$CellsPath/*.parquet') WHERE value <> 0),
+       |f AS (
+       |  SELECT d.band, d.tidx, d.ty, d.tx, d.gy, d.gx,
+       |         SUM(s.value * o.wx) AS gxn,
+       |         SUM(s.value * o.wy) AS gyn,
+       |         COUNT(s.value) AS c
+       |  FROM dom d
+       |  CROSS JOIN (VALUES (-1,-1,-1,-1),(-1,0,0,-2),(-1,1,1,-1),
+       |                     (0,-1,-2,0),(0,0,0,0),(0,1,2,0),
+       |                     (1,-1,-1,1),(1,0,0,2),(1,1,1,1)) o(dy,dx,wx,wy)
+       |  LEFT JOIN v s
+       |    ON s.band = d.band AND s.tidx = d.tidx
+       |   AND s.gy = d.gy + o.dy AND s.gx = d.gx + o.dx
+       |  GROUP BY d.band, d.tidx, d.ty, d.tx, d.gy, d.gx),
+       |g AS (
+       |  SELECT band, tidx, ty, tx,
+       |         CASE WHEN c = 9 THEN gxn / 8.0 END AS a,
+       |         CASE WHEN c = 9 THEN gyn / 8.0 END AS b
+       |  FROM f)
+       |SELECT band, tidx AS "tIdx", ty, tx,
+       |       CAST(SUM(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_valid,
+       |       CAST(SUM(COALESCE(CAST(ROUND(
+       |              255.0 * GREATEST((0.7071067811865476 + 0.5 * a
+       |                - 0.5 * b) / SQRT(a * a + b * b + 1.0), 0.0))
+       |              AS BIGINT), 0)) AS BIGINT) AS shade_q
+       |FROM g GROUP BY band, tidx, ty, tx
+       |ORDER BY band, "tIdx", ty, tx""".stripMargin
+
   /** Unsupervised pixel classification (k-means over spectral
     * signatures — beyond the reference): every valid (red, nir)
     * observation becomes an integer feature vector and the SAME

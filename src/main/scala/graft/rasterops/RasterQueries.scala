@@ -126,6 +126,7 @@ object RasterQueries
     "raster_focal_mean" -> ((s, _) => focalMean(s)),
     "raster_focal_standing" -> ((s, _) => focalMeanStanding(s)),
     "raster_terrain" -> ((s, _) => terrain(s)),
+    "raster_hillshade" -> ((s, _) => hillshade(s)),
     "raster_drill" -> ((s, _) => drillPoints(s)),
     "raster_chips" -> ((s, _) => chipsQuery(s)),
     "raster_change_detect" -> ((s, _) => changeDetect(s)),
@@ -187,6 +188,7 @@ object RasterQueries
     "raster_focal_mean" -> focalMeanDuckSql,
     "raster_focal_standing" -> focalMeanDuckSql,
     "raster_terrain" -> terrainDuckSql,
+    "raster_hillshade" -> hillshadeDuckSql,
     "raster_geomedian" -> geomedianDuckSql,
     "raster_geomad" -> geomadDuckSql,
     "raster_drill" -> drillPointsDuckSql,

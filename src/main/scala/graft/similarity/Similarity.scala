@@ -1068,9 +1068,12 @@ object Similarity {
     * (orthonormality, descending explained variance, residual
     * reconstruction). Each eigenvector is sign-normalized (largest-
     * magnitude component positive) so the landed artifact is unique. */
-  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+  /** Compute the top-[[PcaK]] rotation (one [[GramAgg]] pass + Jacobi)
+    * and LAND it at `path` — shared by the plain projection and the
+    * whitening variant, which differ only in the per-component scale
+    * applied at projection time. */
+  private def landRotation(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    Tables.register(spark, dir)
     val emb = spark.table("embeddings")
       .select(col("embedding").as[Array[Float]])
     val agg = new GramAgg().toColumn
@@ -1099,20 +1102,33 @@ object Similarity {
       }
       (comp, vec, bias, ev)
     }
-    lastPcaPath = pcaPathFor(dir)
     rows.toSeq.toDF("comp", "vec", "bias", "eigval")
-      .coalesce(1).write.mode("overwrite").parquet(lastPcaPath)
-    val rot = spark.read.parquet(lastPcaPath)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Broadcast map-side projection of the corpus against a landed
+    * rotation; `scaleSql` divides each centered projection (1 for plain
+    * PCA, sqrt(eigval) for whitening). */
+  private def projectRotation(spark: SparkSession, rot: DataFrame,
+      scaleSql: String, outCol: String): DataFrame =
     spark.table("embeddings").select(col("vec_id"), col("embedding"))
       .join(org.apache.spark.sql.functions.broadcast(rot))
       .select(col("vec_id"), col("comp"),
         // + 0.0 canonicalizes ROUND's -0.0 (a tiny negative projection
         // rounds to negative zero, which the engines print differently)
-        expr("""ROUND(AGGREGATE(zip_with(vec, embedding,
+        expr(s"""ROUND((AGGREGATE(zip_with(vec, embedding,
                 |  (a, b) -> a * CAST(b AS DOUBLE)),
-                |  CAST(0.0 AS DOUBLE), (s, x) -> s + x) - bias, 4) + 0.0
-                |""".stripMargin.replaceAll("\n", " ")).as("pc"))
+                |  CAST(0.0 AS DOUBLE), (s, x) -> s + x) - bias)
+                |  / ($scaleSql), 4) + 0.0
+                |""".stripMargin.replaceAll("\n", " ")).as(outCol))
       .orderBy("vec_id", "comp")
+
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir)
+    lastPcaPath = pcaPathFor(dir)
+    val rot = landRotation(spark, lastPcaPath)
+    projectRotation(spark, rot, "1.0", "pc")
   }
 
   def pcaDuckSql: String =
@@ -1123,6 +1139,40 @@ object Similarity {
        |       ROUND(list_sum(list_transform(generate_series(1, len(r.vec)),
        |                i -> r.vec[i] * CAST(e.embedding[i] AS DOUBLE)))
        |             - r.bias, 4) + 0.0 AS pc
+       |FROM e CROSS JOIN r
+       |ORDER BY vec_id, comp""".stripMargin
+
+  /** PCA WHITENING — the decorrelate-and-equalize preprocessing ANN
+    * and clustering want before cosine/Euclidean geometry is meaningful:
+    * each centered projection divides by sqrt(λ_j), so all retained
+    * components land with unit variance. Identical scale shape to
+    * [[pcaProject]] (one mergeable Gram pass, driver d×d eigensolve,
+    * broadcast map-side projection); its own landed-rotation artifact
+    * keeps the two queries' oracles independent. Components with λ ≤ 0
+    * cannot occur among the TOP-k of a covariance with n ≥ 2 distinct
+    * rows unless the corpus is rank-deficient below k — sqrt of a tiny
+    * positive eigenvalue simply inflates noise, λ exactly 0 would make
+    * the quotient NULL-free ±Inf; both engines spell the same quotient,
+    * so even the degenerate case stays hash-identical. */
+  @volatile private[graft] var lastWhitenPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_pca_whiten_default_parquet"
+
+  def whitenProject(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir)
+    lastWhitenPath = pcaPathFor(dir) + "_whiten"
+    val rot = landRotation(spark, lastWhitenPath)
+    projectRotation(spark, rot, "sqrt(eigval)", "pcw")
+  }
+
+  def whitenDuckSql: String =
+    s"""WITH r AS (
+       |  SELECT comp, vec, bias, eigval
+       |  FROM read_parquet('$lastWhitenPath/*.parquet')),
+       |e AS (SELECT vec_id, embedding FROM embeddings)
+       |SELECT e.vec_id, r.comp,
+       |       ROUND((list_sum(list_transform(generate_series(1, len(r.vec)),
+       |                i -> r.vec[i] * CAST(e.embedding[i] AS DOUBLE)))
+       |             - r.bias) / (sqrt(r.eigval)), 4) + 0.0 AS pcw
        |FROM e CROSS JOIN r
        |ORDER BY vec_id, comp""".stripMargin
 
@@ -2028,6 +2078,7 @@ object Similarity {
     "graph_components" -> ((s, d) => Graph.connectedComponents(s, d)),
     "graph_triangles" -> ((s, d) => Graph.triangles(s, d)),
     "embed_pca" -> ((s, d) => pcaProject(s, d)),
+    "embed_whitening" -> ((s, d) => whitenProject(s, d)),
     "embed_label_centroids" -> Tables.sql(centroidsSparkSql),
     "embed_outliers" -> Tables.sql(outliersSparkSql)
   )
@@ -2053,6 +2104,7 @@ object Similarity {
     "graph_components" -> Graph.componentsDuckSql,
     "graph_triangles" -> Graph.trianglesDuckSql,
     "embed_pca" -> pcaDuckSql,
+    "embed_whitening" -> whitenDuckSql,
     "embed_label_centroids" -> centroidsDuckSql,
     "embed_outliers" -> outliersDuckSql
   )

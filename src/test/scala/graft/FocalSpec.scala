@@ -131,4 +131,26 @@ class FocalSpec extends AnyFunSuite {
     assert(exchanges.exists(!_.schema.fieldNames.contains("data")),
       "strip exchange missing — halo must still be re-keyed")
   }
+
+  test("hillshade: constant-slope ramp pins the Lambertian shade; " +
+    "incomplete windows contribute nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // 4x4 single tile, v = 10·x: Horn gx = 10, gy = 0 on the 2x2
+    // interior; all edge pixels have incomplete windows (NaN)
+    val vals = Array.tabulate(16)(i => 10.0 * (i % 4 + 1))
+    val rows = Seq(("b", 0, 0, 0, 0, 0, Fuse.encode(vals, "uint16"),
+      "uint16", 0.0, 4, 4))
+      .toDF("band", "tIdx", "ty", "tx", "x0", "y0", "data", "dtype",
+        "nodata", "width", "height")
+    val out = Focal.horn(spark, rows)
+      .select(expr("n_valid"),
+        expr(rasterops.RasterQueries.hillshadeAggExpr).as("shade_q"))
+      .head()
+    val expected = math.round(255.0 * math.max(
+      (0.7071067811865476 + 0.5 * 10.0 - 0.5 * 0.0) /
+        math.sqrt(10.0 * 10.0 + 0.0 * 0.0 + 1.0), 0.0))
+    assert(out.getLong(0) == 4L)
+    assert(out.getLong(1) == 4L * expected, s"got ${out.getLong(1)}")
+  }
 }

@@ -91,4 +91,23 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(mse - discarded) <= 1e-6 * math.max(1.0, discarded),
       s"residual MSE $mse != discarded variance $discarded")
   }
+
+  test("whitened components land with unit variance and zero mean") {
+    val out = Similarity.whitenProject(spark, sf).collect()
+      .map(r => (r.getInt(r.fieldIndex("comp")),
+        r.getDouble(r.fieldIndex("pcw"))))
+    val byComp = out.groupBy(_._1)
+    assert(byComp.keySet == (0 until Similarity.PcaK).toSet)
+    byComp.foreach { case (comp, vs) =>
+      val n = vs.length.toDouble
+      val mean = vs.map(_._2).sum / n
+      // population variance of (proj - bias)/sqrt(λ) is exactly 1 by
+      // construction; the output is rounded to 4 decimals, so allow
+      // the rounding-induced slack
+      val variance = vs.map(v => (v._2 - mean) * (v._2 - mean)).sum / n
+      assert(math.abs(mean) < 1e-3, s"comp $comp mean $mean")
+      assert(math.abs(variance - 1.0) < 1e-2,
+        s"comp $comp variance $variance")
+    }
+  }
 }
