@@ -845,11 +845,48 @@ object Stats {
   val linregDuckSql: String =
     linregSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS VARCHAR)")
 
+  /** Gini concentration per event type — the inequality readout a
+    * data-mix audit runs over contribution distributions:
+    * G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over ascending-sorted values.
+    * Milli-quantized integers keep Σx and Σ i·x exact (ties in x
+    * commute under the rank sum, so tie order cannot matter; the
+    * event_id tie-break just makes row_number itself deterministic).
+    * One rank window per type + one grouped aggregate — the window
+    * sort is the per-group skew point at 100 TB, where the same
+    * statistic ships from a binned histogram (quantile-bucket counts →
+    * trapezoid Lorenz sum) with identical convergent semantics. */
+  private def giniSql(toStr: String => String): String =
+    s"""WITH q AS (
+       |  SELECT event_type, event_id,
+       |         CAST(ROUND(value * 1e3) AS BIGINT) AS v
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, v,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY v, event_id) AS i
+       |  FROM q),
+       |s AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(v) AS BIGINT) AS sv,
+       |         CAST(SUM(i * v) AS BIGINT) AS siv
+       |  FROM r GROUP BY event_type)
+       |SELECT event_type, n, sv AS sum_milli,
+       |       ${toStr("2.0 * siv / (CAST(n AS DOUBLE) * NULLIF(sv, 0))" +
+           " - (n + 1.0) / n")} AS gini
+       |FROM s ORDER BY event_type""".stripMargin
+
+  val giniSparkSql: String =
+    giniSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS STRING)")
+
+  val giniDuckSql: String =
+    giniSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS VARCHAR)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_ttest" -> Tables.sql(ttestSparkSql),
     "stats_chisq" -> Tables.sql(chisqSparkSql),
     "stats_anova" -> Tables.sql(anovaSparkSql),
     "stats_linreg" -> Tables.sql(linregSparkSql),
+    "stats_gini" -> Tables.sql(giniSparkSql),
     "stats_corr_matrix" -> Tables.sql(corrMatrixSparkSql),
     "stats_mad_outliers" -> Tables.sql(madOutliersSparkSql),
     "stats_expectations" -> Tables.sql(expectationsSparkSql),
@@ -868,6 +905,7 @@ object Stats {
     "stats_chisq" -> chisqDuckSql,
     "stats_anova" -> anovaDuckSql,
     "stats_linreg" -> linregDuckSql,
+    "stats_gini" -> giniDuckSql,
     "stats_corr_matrix" -> corrMatrixDuckSql,
     "stats_mad_outliers" -> madOutliersDuckSql,
     "stats_expectations" -> expectationsDuckSql,

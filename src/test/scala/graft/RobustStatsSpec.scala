@@ -203,6 +203,25 @@ class RobustStatsSpec extends AnyFunSuite {
     } finally restore("lineitem")
   }
 
+  test("stats_gini: hand-computed rank-sum concentration; equal values " +
+    "pin zero") {
+    Tables.register(spark, sf)
+    try {
+      // click = {1,1,2,4}: sorted ranks 1..4, Σi·v = 1+2+6+16 = 25,
+      // G = 2·25/(4·8) − 5/4 = 0.3125; view = {3,3,3}: G = 0 exactly
+      val rows = Seq(1.0, 1.0, 2.0, 4.0).zipWithIndex.map { case (v, i) =>
+        Row(i.toLong, ntz(i * 1000000L), 1L, "click", v, "") } ++
+        Seq(3.0, 3.0, 3.0).zipWithIndex.map { case (v, i) =>
+          Row(10L + i, ntz(i * 1000000L), 2L, "view", v, "") }
+      eventsView(rows)
+      val out = spark.sql(relational.Stats.giniSparkSql)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(out("click") == ((4L, 8000L, "0.312500")), out("click"))
+      assert(out("view") == ((3L, 9000L, "0.000000")), out("view"))
+    } finally restore("events")
+  }
+
   test("stats_corr_matrix: perfectly colinear columns pin ±1, constant " +
     "column pins NULL") {
     Tables.register(spark, sf)
