@@ -881,12 +881,57 @@ object Stats {
   val giniDuckSql: String =
     giniSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS VARCHAR)")
 
+  /** ROC-AUC per event type of `value` as a score for the parity arm —
+    * the in-pipeline model-quality readout, computed via the
+    * Mann-Whitney rank identity rather than threshold sweeps:
+    * AUC = (Σ_pos 2·midrank − nP(nP+1)) / (2·nP·nN). Ties use midranks
+    * (each tied pair scores ½), and 2·midrank = min_rank + max_rank
+    * over the tie group is an INTEGER — order-invariant under however
+    * either engine numbers the tied rows — so everything up to the
+    * final quotient is exact integer arithmetic. One rank window + one
+    * tie-group window (same partitioning, one shuffle) + one grouped
+    * aggregate; the scale path swaps the exact ranks for a quantile
+    * histogram exactly like stats_gini's. */
+  private def aucSql(toStr: String => String): String =
+    s"""WITH q AS (
+       |  SELECT event_type, user_id % 2 AS y,
+       |         CAST(ROUND(value * 1e3) AS BIGINT) AS v
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, y, v,
+       |         CAST(row_number() OVER (PARTITION BY event_type
+       |                                 ORDER BY v) AS BIGINT) AS rn
+       |  FROM q),
+       |m AS (
+       |  SELECT event_type, y,
+       |         MIN(rn) OVER (PARTITION BY event_type, v)
+       |           + MAX(rn) OVER (PARTITION BY event_type, v) AS mid2
+       |  FROM r),
+       |s AS (
+       |  SELECT event_type,
+       |         CAST(SUM(y) AS BIGINT) AS np,
+       |         CAST(SUM(1 - y) AS BIGINT) AS nn,
+       |         CAST(SUM(CASE WHEN y = 1 THEN mid2 ELSE 0 END) AS BIGINT)
+       |           AS sp2
+       |  FROM m GROUP BY event_type)
+       |SELECT event_type, np AS n_pos, nn AS n_neg,
+       |       ${toStr("CAST(sp2 - np * (np + 1) AS DOUBLE) / " +
+           "(2.0 * np * nn)")} AS auc
+       |FROM s ORDER BY event_type""".stripMargin
+
+  val aucSparkSql: String =
+    aucSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS STRING)")
+
+  val aucDuckSql: String =
+    aucSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS VARCHAR)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_ttest" -> Tables.sql(ttestSparkSql),
     "stats_chisq" -> Tables.sql(chisqSparkSql),
     "stats_anova" -> Tables.sql(anovaSparkSql),
     "stats_linreg" -> Tables.sql(linregSparkSql),
     "stats_gini" -> Tables.sql(giniSparkSql),
+    "stats_auc" -> Tables.sql(aucSparkSql),
     "stats_corr_matrix" -> Tables.sql(corrMatrixSparkSql),
     "stats_mad_outliers" -> Tables.sql(madOutliersSparkSql),
     "stats_expectations" -> Tables.sql(expectationsSparkSql),
@@ -906,6 +951,7 @@ object Stats {
     "stats_anova" -> anovaDuckSql,
     "stats_linreg" -> linregDuckSql,
     "stats_gini" -> giniDuckSql,
+    "stats_auc" -> aucDuckSql,
     "stats_corr_matrix" -> corrMatrixDuckSql,
     "stats_mad_outliers" -> madOutliersDuckSql,
     "stats_expectations" -> expectationsDuckSql,

@@ -195,6 +195,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("gram queries explode the word stream exactly once (no cloned " +
+    "Generate subtrees)") {
+    // the r12 transform()-lambda spelling planned TWO Generates (Spark
+    // inlines WITH subtrees) each behind an InferFiltersFromGenerate
+    // clone of the full gram expression — 37 s for 260k grams; the
+    // posexplode+lead() spelling must keep ONE Generate and no
+    // higher-order gram lambda anywhere in the plan
+    Seq("text_novelty", "text_boilerplate").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val generates = "Generate ".r.findAllMatchIn(plan).size
+      assert(generates == 1, s"$name plans $generates Generate nodes")
+      assert(!plan.contains("lambdafunction(concat_ws"),
+        s"$name rebuilt the interpreted gram lambda")
+    }
+  }
+
   test("no registered batch query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(excluded)

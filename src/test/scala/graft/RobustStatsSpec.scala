@@ -222,6 +222,23 @@ class RobustStatsSpec extends AnyFunSuite {
     } finally restore("events")
   }
 
+  test("stats_auc: tied scores earn half-wins via integer midranks") {
+    Tables.register(spark, sf)
+    try {
+      // negatives (arm 0): {1, 2}; positives (arm 1): {2, 3}
+      // pairs: (2>1)=1, (2=2)=0.5, (3>1)=1, (3>2)=1 → AUC 3.5/4 = 0.875
+      val neg = Seq(1.0, 2.0).zipWithIndex.map { case (v, i) =>
+        Row(i.toLong, ntz(i * 1000000L), 2L * i, "a", v, "") }
+      val pos = Seq(2.0, 3.0).zipWithIndex.map { case (v, i) =>
+        Row(10L + i, ntz(i * 1000000L), 2L * i + 1, "a", v, "") }
+      eventsView(neg ++ pos)
+      val r = spark.sql(relational.Stats.aucSparkSql).head()
+      assert(r.getLong(r.fieldIndex("n_pos")) == 2L)
+      assert(r.getLong(r.fieldIndex("n_neg")) == 2L)
+      assert(r.getString(r.fieldIndex("auc")) == "0.875000")
+    } finally restore("events")
+  }
+
   test("stats_corr_matrix: perfectly colinear columns pin ±1, constant " +
     "column pins NULL") {
     Tables.register(spark, sf)
