@@ -95,7 +95,7 @@ object Graph {
   /** Registered query: components of the symmetrized kNN graph, each
     * node with its component id (= min member vec_id) and size. */
   def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
-    val knn = Kmeans.knnGraph(spark, dir)
+    val knn = Kmeans.knnGraphCached(spark, dir)
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     val edges = knn.union(knn.select(col("dst").as("src"),
       col("src").as("dst"))).distinct()
@@ -174,7 +174,7 @@ object Graph {
   /** Registered query: triangle count / wedge count / global clustering
     * coefficient of the kNN graph — ONE summary row. */
   def triangles(spark: SparkSession, dir: String): DataFrame =
-    triangleStats(Kmeans.knnGraph(spark, dir)
+    triangleStats(Kmeans.knnGraphCached(spark, dir)
       .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
 
   def trianglesDuckSql: String =

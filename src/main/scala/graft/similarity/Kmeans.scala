@@ -190,6 +190,25 @@ object Kmeans {
     * lists outgrow a window sort). */
   val KnnK = 5
 
+  /** Session-memoized, materialized kNN edge list. The graph is an
+    * ARTIFACT, not a query: a curation pipeline builds it once and
+    * runs every downstream analytic (components, PageRank, triangle
+    * census, diversity sampling) against the landed edges — rebuilding
+    * the cell-blocked join per consumer would re-pay the construction
+    * N times. `localCheckpoint(eager)` materializes the edges on first
+    * request and truncates lineage, so later consumers read blocks;
+    * at cluster scale the same seam writes parquet (exactly the
+    * persisted-IVF-index pattern at `sim_index_persist`). Keyed by
+    * (session, dir) so tests with private sessions never share state;
+    * per-query results are byte-identical to the uncached spelling. */
+  private val knnCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
+  def knnGraphCached(spark: SparkSession, dir: String): DataFrame =
+    knnCache.computeIfAbsent((spark, dir),
+      _ => knnGraph(spark, dir).localCheckpoint(true))
+
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val q = quantizedVecs(spark, dir)

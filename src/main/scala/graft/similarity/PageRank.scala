@@ -71,7 +71,7 @@ object PageRank {
   /** Registered query: PageRank over the exact cell-blocked kNN graph
     * of the embeddings table. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Kmeans.knnGraph(spark, dir)
+    val edges = Kmeans.knnGraphCached(spark, dir)
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     val nodes = Tables.load(spark, dir, "embeddings").select("vec_id")
     rank(nodes, edges)

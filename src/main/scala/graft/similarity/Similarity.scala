@@ -2073,7 +2073,7 @@ object Similarity {
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "embed_quantize" -> Tables.sql(quantizeSparkSql),
     "embed_kmeans" -> ((s, d) => Kmeans.kmeans(s, d)),
-    "sim_knn_graph" -> ((s, d) => Kmeans.knnGraph(s, d)),
+    "sim_knn_graph" -> ((s, d) => Kmeans.knnGraphCached(s, d)),
     "graph_pagerank" -> ((s, d) => PageRank.pageRank(s, d)),
     "graph_components" -> ((s, d) => Graph.connectedComponents(s, d)),
     "graph_triangles" -> ((s, d) => Graph.triangles(s, d)),
