@@ -716,6 +716,98 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Energy-based voice-activity detection (VAD) — the segmentation
+    * pass an audio curation pipeline runs to find speech-like regions
+    * before transcription/feature extraction: the decoded signal is
+    * framed (500 samples, trailing partial frame dropped), each
+    * frame's mean-absolute energy thresholds into active/inactive, and
+    * maximal runs of active frames become segments. Everything is
+    * exact integers — frame energy is Σ|sample|, the threshold is the
+    * uniform-noise expectation 16384·500 — so DuckDB replays frames
+    * from the closed-form sample function and re-derives the same
+    * segments via gaps-and-islands (f − row_number groups).
+    *
+    * Scale shape: the document is the parallel unit; per-doc state is
+    * one frame-energy pass plus an O(frames) run scan inside the same
+    * decode task — no shuffle after the decode, output is one row per
+    * doc. */
+  val VadFrame = 500
+  val VadThresh: Long = 16384L * VadFrame
+
+  def audioVad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val audio = audioTable(spark, dir).select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+    audio.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val (_, s) = decodeWav(id, payload)
+        val nf = s.length / VadFrame
+        var nActive = 0L
+        var nSeg = 0L
+        var maxRun = 0L
+        var run = 0L
+        var first = -1L
+        var f = 0
+        while (f < nf) {
+          var e = 0L
+          var i = f * VadFrame
+          val end = i + VadFrame
+          while (i < end) { e += math.abs(s(i).toLong); i += 1 }
+          if (e > VadThresh) {
+            nActive += 1
+            run += 1
+            if (run == 1L) nSeg += 1
+            if (run > maxRun) maxRun = run
+            if (first < 0L) first = f.toLong
+          } else run = 0L
+          f += 1
+        }
+        (id, nf.toLong, nActive, nSeg,
+          if (nActive == 0L) None else Some(maxRun),
+          if (first < 0L) None else Some(first))
+      }
+    }.toDF("doc_id", "n_frames", "n_active", "n_segments", "max_run",
+        "first_active")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: frame energies from the closed-form samples, segments via
+    * the gaps-and-islands idiom (frame − row_number() is constant
+    * within a run). */
+  val audioVadDuckSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(2000 + doc_id % 1000 AS BIGINT) AS n
+       |  FROM documents),
+       |s AS (
+       |  SELECT d.doc_id, d.n, g.i // $VadFrame AS f,
+       |         ABS(((d.doc_id * 31 + g.i * 7919) % 65536) - 32768) AS av
+       |  FROM d, generate_series(0, 2999) AS g(i)
+       |  WHERE g.i < (d.n // $VadFrame) * $VadFrame),
+       |fe AS (
+       |  SELECT doc_id, f, SUM(av) AS e
+       |  FROM s GROUP BY doc_id, f),
+       |act AS (
+       |  SELECT doc_id, f,
+       |         f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
+       |           AS grp
+       |  FROM fe WHERE e > $VadThresh),
+       |seg AS (
+       |  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run,
+       |         MIN(f) AS f0
+       |  FROM act GROUP BY doc_id, grp),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |         CAST(SUM(run) AS BIGINT) AS n_active,
+       |         CAST(MAX(run) AS BIGINT) AS max_run,
+       |         CAST(MIN(f0) AS BIGINT) AS first_active
+       |  FROM seg GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(d.n // $VadFrame AS BIGINT) AS n_frames,
+       |       COALESCE(agg.n_active, CAST(0 AS BIGINT)) AS n_active,
+       |       COALESCE(agg.n_segments, CAST(0 AS BIGINT)) AS n_segments,
+       |       agg.max_run, agg.first_active
+       |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Oracle: recompute the decoded audio statistics from the closed-form
     * sample function (max n is 2999, so a fixed series + filter). */
   val audioFeaturesDuckSql: String =
@@ -750,6 +842,7 @@ object Multimodal {
     "mm_resize" -> ((s, d) => resize(s, d)),
     "mm_audio_features" -> ((s, d) => audioFeatures(s, d)),
     "mm_audio_resample" -> ((s, d) => audioResample(s, d)),
+    "mm_audio_vad" -> ((s, d) => audioVad(s, d)),
     "mm_phash_dedup" -> ((s, d) => phashDedup(s, d)),
     "mm_phash_near" -> ((s, d) => phashNear(s, d))
   )
@@ -768,6 +861,7 @@ object Multimodal {
     "mm_resize" -> resizeDuckSql,
     "mm_audio_features" -> audioFeaturesDuckSql,
     "mm_audio_resample" -> audioResampleDuckSql,
+    "mm_audio_vad" -> audioVadDuckSql,
     "mm_phash_dedup" -> phashDedupDuckSql,
     "mm_phash_near" -> phashNearDuckSql
   )

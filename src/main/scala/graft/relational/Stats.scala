@@ -925,7 +925,139 @@ object Stats {
   val aucDuckSql: String =
     aucSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS VARCHAR)")
 
+  /** CUSUM change-point detection per event type — the sequential
+    * drift alarm a data pipeline runs over a metric stream: the
+    * one-sided CUSUM statistic S_t = max(0, S_{t-1} + x_t − μ − κ)
+    * alarms when the running mean shifts up by more than the slack κ.
+    * The recurrence is non-associative, but it has the exact closed
+    * form S_t = C_t − min(0, min_{j≤t} C_j) with C the plain prefix
+    * sum of drifts — which turns a sequential fold into two ordered
+    * windows over ONE partition key. All five windows here (the
+    * per-type total, count, prefix sum, row number, running min, lag)
+    * share the event_type partitioning, so the whole query is one
+    * shuffle + one in-partition sort; at 100 TB the sort is the
+    * spill-backed per-partition kind, never a global order.
+    *
+    * Exactness: values quantize to milli-units, the reference mean
+    * floors to an integer (sv div n — positive sums, so Spark's
+    * truncating div and DuckDB's flooring // agree), and every C/S is
+    * then exact BIGINT arithmetic — alarm counts, episode counts (an
+    * episode = a below→above threshold crossing), peak statistic, and
+    * first-alarm row are all integers. κ = 250 milli slack,
+    * h = 2,000,000 milli·steps threshold. */
+  private val CusumKappa = 250L
+  private val CusumH = 2000000L
+
+  private def cusumSql(idiv: String): String =
+    s"""WITH q AS (
+       |  SELECT event_type, event_id, ts,
+       |         CAST(ROUND(value * 1e3) AS BIGINT) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |w AS (
+       |  SELECT event_type, event_id, v,
+       |         CAST(SUM(v) OVER (PARTITION BY event_type) AS BIGINT)
+       |           AS sv,
+       |         COUNT(*) OVER (PARTITION BY event_type) AS n,
+       |         CAST(SUM(v) OVER (PARTITION BY event_type
+       |                           ORDER BY ts, event_id
+       |                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |           AS ps,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY ts, event_id) AS rn
+       |  FROM q),
+       |c AS (
+       |  SELECT event_type, event_id, n, rn, sv $idiv n AS mu,
+       |         ps - rn * (sv $idiv n + $CusumKappa) AS cu
+       |  FROM w),
+       |s AS (
+       |  SELECT event_type, event_id, n, rn, mu,
+       |         cu - LEAST(CAST(0 AS BIGINT),
+       |                    MIN(cu) OVER (PARTITION BY event_type
+       |                                  ORDER BY rn
+       |                                  ROWS UNBOUNDED PRECEDING))
+       |           AS st
+       |  FROM c),
+       |l AS (
+       |  SELECT event_type, n, rn, mu, st,
+       |         lag(st, 1, CAST(0 AS BIGINT))
+       |           OVER (PARTITION BY event_type ORDER BY rn) AS prev_st
+       |  FROM s)
+       |SELECT event_type,
+       |       CAST(MIN(n) AS BIGINT) AS n,
+       |       CAST(MIN(mu) AS BIGINT) AS mu_milli,
+       |       CAST(MAX(st) AS BIGINT) AS max_s,
+       |       CAST(SUM(CASE WHEN st > $CusumH THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_alarm_rows,
+       |       CAST(SUM(CASE WHEN st > $CusumH AND prev_st <= $CusumH
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_episodes,
+       |       CAST(MIN(CASE WHEN st > $CusumH THEN rn END) AS BIGINT)
+       |         AS first_alarm_rn
+       |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val cusumSparkSql: String = cusumSql("div")
+  val cusumDuckSql: String = cusumSql("//")
+
+  /** k-anonymity privacy audit — the re-identification risk readout a
+    * training-data release runs before shipping: every event is binned
+    * into its quasi-identifier (QI) equivalence class and the class
+    * sizes k are banded (singletons are fully re-identifiable; k<5 is
+    * the conventional release floor). Two lattice levels are evaluated
+    * — the fine QI (event_type, day, value bucket) and its coarse
+    * generalization (event_type, day) — the pair a release would pick
+    * between.
+    *
+    * Scale shape: ONE scan and ONE aggregation regardless of lattice
+    * depth — both levels come out of a single GROUPING SETS pass
+    * (map-side partial counts; the expand doubles only the partial
+    * rows, never the scan). A CTE-rollup spelling reads prettier but
+    * Spark re-inlines multi-referenced CTEs, turning it into two scans
+    * (the corpus_pmi lesson); the plan is pinned single-scan in
+    * `PlanAuditSpec`. Banding and percentages touch only class rows.
+    * All counts are exact integers; the one double (pct of rows in the
+    * band) divides two exact longs and rounds through DECIMAL(18,6),
+    * the engine-wide float convention.
+    *
+    * NULL QI values (events.value has planted nulls — see
+    * stats_expectations) form their own class in both engines — the
+    * GROUP BY NULL convention; GROUPING(vb), not vb's null-ness,
+    * separates the lattice levels, so the NULL-bucket class stays at
+    * the fine level. */
+  private def kanonSql(toStr: String => String): String =
+    s"""WITH cls AS (
+       |  SELECT CASE WHEN GROUPING(vb) = 1 THEN 'type_day'
+       |              ELSE 'type_day_bucket' END AS qi,
+       |         CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM (SELECT event_type, CAST(ts AS DATE) AS d,
+       |               CAST(FLOOR(value / 50e0) AS BIGINT) AS vb
+       |        FROM events) q
+       |  GROUP BY GROUPING SETS ((event_type, d, vb),
+       |                          (event_type, d))),
+       |g AS (
+       |  SELECT qi,
+       |         CASE WHEN k = 1 THEN '1_singleton'
+       |              WHEN k < 5 THEN '2_k_lt_5'
+       |              WHEN k < 25 THEN '3_k_lt_25'
+       |              ELSE '4_k_ge_25' END AS band, k
+       |  FROM cls)
+       |SELECT qi, band,
+       |       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       |       CAST(SUM(k) AS BIGINT) AS n_rows,
+       |       CAST(MIN(k) AS BIGINT) AS min_k,
+       |       CAST(MAX(k) AS BIGINT) AS max_k,
+       |       ${toStr("100e0 * CAST(SUM(k) AS DOUBLE) / " +
+           "CAST(SUM(SUM(k)) OVER (PARTITION BY qi) AS DOUBLE)")}
+       |         AS pct_rows
+       |FROM g GROUP BY qi, band ORDER BY qi, band""".stripMargin
+
+  val kanonSparkSql: String =
+    kanonSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS STRING)")
+
+  val kanonDuckSql: String =
+    kanonSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS VARCHAR)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_kanon" -> Tables.sql(kanonSparkSql),
+    "stats_cusum" -> Tables.sql(cusumSparkSql),
     "stats_ttest" -> Tables.sql(ttestSparkSql),
     "stats_chisq" -> Tables.sql(chisqSparkSql),
     "stats_anova" -> Tables.sql(anovaSparkSql),
@@ -946,6 +1078,8 @@ object Stats {
     "text_cms_portable" -> Tables.sql(cmsPortableSparkSql))
 
   val oracleSql: Map[String, String] = Map(
+    "stats_kanon" -> kanonDuckSql,
+    "stats_cusum" -> cusumDuckSql,
     "stats_ttest" -> ttestDuckSql,
     "stats_chisq" -> chisqDuckSql,
     "stats_anova" -> anovaDuckSql,

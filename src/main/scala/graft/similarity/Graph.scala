@@ -141,6 +141,113 @@ object Graph {
        |ORDER BY lab.vec_id""".stripMargin
   }
 
+  /** Rounds of synchronous label propagation — fixed, not
+    * to-convergence, so the oracle can unroll the same count. */
+  val LpRounds = 3
+
+  /** Semi-supervised label propagation with clamping over an arbitrary
+    * directed edge list — the kernel. `nodes` carries (vec_id, lbl0)
+    * where lbl0 is NULL for unlabeled nodes; seeds keep their label
+    * forever (clamping), unlabeled nodes adopt the majority label of
+    * their labeled in-neighbors each round, ties to the SMALLEST
+    * label. Once adopted a label is frozen (the coalesce prefers the
+    * standing label), so the process is monotone and deterministic.
+    *
+    * Scale shape: each round is ONE labels⋈edges join co-partitioned
+    * on the edge source + ONE two-level aggregation — (dst, lbl)
+    * vote counts with map-side partials, then a per-node max over
+    * (count, −lbl) structs, which is itself a mergeable aggregate (no
+    * window sort anywhere). [[LpRounds]] bounds the rounds, and each
+    * round's frontier eagerly localCheckpoints so lineage stays
+    * one-deep (the components-loop lesson). Per-round driver state is
+    * zero — nothing collects. */
+  private[graft] def labelProp(nodes: DataFrame, edges: DataFrame,
+      rounds: Int = LpRounds): DataFrame = {
+    val e = edges.persist()
+    var lab = nodes.select(col("vec_id"), col("lbl0").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val labeled = lab.where(col("lbl").isNotNull)
+        .select(col("vec_id").as("src_id"), col("lbl"))
+      val best = e.join(labeled, e("src") === col("src_id"))
+        .groupBy(e("dst").as("vec_id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("c"),
+          (-col("lbl")).cast("int").as("nl"))).as("m"))
+        .select(col("vec_id"), (-col("m.nl")).cast("int").as("new_lbl"))
+      lab = lab.join(best, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("lbl"), col("new_lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    lab
+  }
+
+  /** Registered query: label propagation over the kNN graph with the
+    * embeddings table's own labels as seeds (every 5th vec_id), the
+    * semi-supervised labeling pass a curation pipeline runs to extend
+    * a small audited label set across the corpus. Output carries the
+    * true label alongside the propagated one so the result doubles as
+    * an accuracy readout. */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val knn = Kmeans.knnGraphCached(spark, dir)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val edges = knn.union(knn.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct()
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val nodes = emb.select(col("vec_id"),
+      when(col("vec_id") % 5 === 0, col("label")).as("lbl0"))
+    labelProp(nodes, edges)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, lit(1)).otherwise(lit(0))
+          .as("is_seed"),
+        col("lbl").cast("int").as("lbl_prop"),
+        col("label").cast("int").as("lbl_true"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: the kNN CTE chain feeding [[LpRounds]] unrolled
+    * vote/adopt rounds; the per-node argmax is spelled as a
+    * (c DESC, lbl ASC) row_number — the same (count, −label) order the
+    * engine's max-struct computes. */
+  def labelPropDuckSql: String = {
+    val roundCtes = (1 to LpRounds).map { i =>
+      s"""v$i AS (
+         |  SELECT ed.dst AS vec_id, p.lbl, COUNT(*) AS c
+         |  FROM ed JOIN lp${i - 1} p ON ed.src = p.vec_id
+         |  WHERE p.lbl IS NOT NULL GROUP BY ed.dst, p.lbl),
+         |b$i AS (
+         |  SELECT vec_id, lbl AS new_lbl FROM (
+         |    SELECT vec_id, lbl,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM v$i) WHERE rn = 1),
+         |lp$i AS (
+         |  SELECT n.vec_id, COALESCE(n.lbl, b.new_lbl) AS lbl
+         |  FROM lp${i - 1} n LEFT JOIN b$i b ON n.vec_id = b.vec_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""${Kmeans.knnCtePrefix},
+       |kn AS (SELECT vec_id, nbr_id FROM r WHERE rn <= ${Kmeans.KnnK}),
+       |ed AS (
+       |  SELECT vec_id AS src, nbr_id AS dst FROM kn
+       |  UNION SELECT nbr_id, vec_id FROM kn),
+       |emb AS (SELECT vec_id, label FROM embeddings),
+       |lp0 AS (
+       |  SELECT vec_id,
+       |         CASE WHEN vec_id % 5 = 0 THEN label END AS lbl
+       |  FROM emb),
+       |$roundCtes
+       |SELECT l.vec_id,
+       |       CASE WHEN l.vec_id % 5 = 0 THEN 1 ELSE 0 END AS is_seed,
+       |       CAST(l.lbl AS INT) AS lbl_prop,
+       |       CAST(emb.label AS INT) AS lbl_true
+       |FROM lp$LpRounds l JOIN emb ON l.vec_id = emb.vec_id
+       |ORDER BY l.vec_id""".stripMargin
+  }
+
   /** Exact triangle census of an arbitrary directed edge list
     * (symmetrized + id-canonicalized internally) — the kernel. */
   private[graft] def triangleStats(edges: DataFrame): DataFrame = {

@@ -1176,6 +1176,183 @@ object Similarity {
        |FROM e CROSS JOIN r
        |ORDER BY vec_id, comp""".stripMargin
 
+  // ---- Orthogonal Procrustes alignment (landed rotation twin) -----------
+
+  /** Aligned output dimensions landed/projected (solve is full-d). */
+  val ProcK = 8
+
+  @volatile private[graft] var lastProcPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_procrustes_default_parquet"
+
+  private def procPathFor(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_procrustes_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_parquet"
+
+  /** Deterministic planted transform: target space B is the source
+    * space with coordinates rotated by a half-shift permutation, a
+    * sign-flip pattern, and small per-(id, dim) integer-milli noise —
+    * so the solver has a known ground truth to recover and BOTH
+    * engines can rebuild B from the embeddings table alone. */
+  private[graft] def procShift(d: Int): Int = d / 2 + 1
+  private[graft] def procSign(j: Int): Int = if ((j * 5 + 1) % 3 == 0) -1 else 1
+
+  /** Mergeable cross-covariance sums: buffer is (n, Σ a·bᵀ as a d²
+    * array) — fixed size regardless of corpus size, map-side combine;
+    * the full rectangle (not a triangle: a·bᵀ is not symmetric). */
+  final case class ProcBuf(var n: Long, var g: Array[Double])
+
+  class ProcAgg extends org.apache.spark.sql.expressions
+      .Aggregator[(Array[Double], Array[Double]), ProcBuf, ProcBuf]
+      with Serializable {
+    override def zero: ProcBuf = ProcBuf(0L, null)
+    override def reduce(buf: ProcBuf, x: (Array[Double], Array[Double]))
+        : ProcBuf = {
+      val (a, b) = x
+      val d = a.length
+      require(b.length == d, s"pair length mismatch: $d vs ${b.length}")
+      if (buf.g == null) buf.g = new Array[Double](d * d)
+      require(buf.g.length == d * d,
+        s"embedding length mismatch: ${buf.g.length} vs ${d * d}")
+      var i = 0
+      while (i < d) {
+        val ai = a(i)
+        var j = 0
+        while (j < d) { buf.g(i * d + j) += ai * b(j); j += 1 }
+        i += 1
+      }
+      buf.n += 1
+      buf
+    }
+    override def merge(x: ProcBuf, y: ProcBuf): ProcBuf = {
+      if (x.g == null) return y
+      if (y.g == null) return x
+      require(x.g.length == y.g.length,
+        s"length mismatch in merge: ${x.g.length} vs ${y.g.length}")
+      var i = 0
+      while (i < x.g.length) { x.g(i) += y.g(i); i += 1 }
+      x.n += y.n
+      x
+    }
+    override def finish(b: ProcBuf): ProcBuf = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[ProcBuf] =
+      org.apache.spark.sql.Encoders.product[ProcBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[ProcBuf] =
+      org.apache.spark.sql.Encoders.product[ProcBuf]
+  }
+
+  /** Orthogonal factor of the polar decomposition of a cross-
+    * covariance M — the orthogonal Procrustes solution
+    * R = M (MᵀM)^{−1/2}, computed with the existing [[jacobiEigen]]
+    * on the d×d symmetric MᵀM (driver-side constant-size solve, the
+    * PCA pattern). Loud on a singular M: a rank-deficient cross-
+    * covariance has no unique rotation. */
+  private[graft] def procrustesRotation(m: Array[Array[Double]])
+      : Array[Array[Double]] = {
+    val d = m.length
+    val mtm = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < d) { s += m(k)(i) * m(k)(j); k += 1 }
+      s
+    }
+    val (evals, evecs) = jacobiEigen(mtm)
+    val lmax = evals.max
+    require(lmax > 0.0 && evals.forall(_ > 1e-12 * lmax),
+      s"singular cross-covariance (λmin=${evals.min}, λmax=$lmax) — " +
+        "the Procrustes rotation is not unique")
+    // (MᵀM)^{−1/2} = Σ_t u_t·u_tᵀ / sqrt(λ_t)
+    val inv = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var t = 0
+      while (t < d) { s += evecs(t)(i) * evecs(t)(j) / math.sqrt(evals(t)); t += 1 }
+      s
+    }
+    Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < d) { s += m(i)(k) * inv(k)(j); k += 1 }
+      s
+    }
+  }
+
+  /** ORTHOGONAL PROCRUSTES embedding-space alignment — the migration
+    * step when a corpus re-embeds under a new model and standing
+    * artifacts (ANN indexes, centroids, classifiers) live in the old
+    * space: solve min_R ||A·R − B||_F over orthogonal R, then map the
+    * old vectors through R. B here is a deterministic planted
+    * transform of A (permutation + sign flips + integer-milli noise),
+    * so the solve has a KNOWN ground-truth rotation — `ProcrustesSpec`
+    * pins noise-free exact recovery — and DuckDB can rebuild B from
+    * the same embeddings table.
+    *
+    * Scale shape: ONE mergeable [[ProcAgg]] pass collects M = Σ a·bᵀ
+    * (d² doubles, constant in corpus size), the polar solve
+    * R = M(MᵀM)^{−1/2} runs driver-side on d×d via the shared Jacobi
+    * eigensolver, the first [[ProcK]] rotation columns LAND as a
+    * standing artifact, and the projection is a broadcast map-side
+    * matmul — no shuffle anywhere but the one aggregation.
+    * Oracle: DuckDB recomputes both the aligned projection (from the
+    * landed rotation, identical ascending fold) and the target
+    * coordinate (from the planted-transform formula) — alignment
+    * quality is directly visible as aligned ≈ target. */
+  def procrustesAlign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.register(spark, dir)
+    lastProcPath = procPathFor(dir)
+    val pairs = spark.table("embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, a) =>
+        val d = a.length
+        val sh = procShift(d)
+        val b = Array.tabulate(d) { j =>
+          procSign(j) * a((j + sh) % d).toDouble +
+            ((id * 37 + j * 11) % 13 - 6) / 1000.0
+        }
+        (a.map(_.toDouble), b)
+      }
+    val gb = pairs.select(new ProcAgg().toColumn).head()
+    require(gb.n >= 2 && gb.g != null,
+      s"embed_procrustes needs at least 2 embedding rows, found ${gb.n}")
+    val d = math.round(math.sqrt(gb.g.length.toDouble)).toInt
+    val m = Array.tabulate(d, d)((i, j) => gb.g(i * d + j))
+    val r = procrustesRotation(m)
+    val sh = procShift(d)
+    val rows = (0 until math.min(ProcK, d)).map { comp =>
+      (comp, Array.tabulate(d)(i => r(i)(comp)),
+        (comp + sh) % d, procSign(comp))
+    }
+    rows.toDF("comp", "rvec", "src_idx", "sgn")
+      .coalesce(1).write.mode("overwrite").parquet(lastProcPath)
+    val rot = spark.read.parquet(lastProcPath)
+    spark.table("embeddings").select(col("vec_id"), col("embedding"))
+      .join(org.apache.spark.sql.functions.broadcast(rot))
+      .select(col("vec_id"), col("comp"),
+        expr("""ROUND(AGGREGATE(zip_with(rvec, embedding,
+               |  (a, b) -> a * CAST(b AS DOUBLE)),
+               |  CAST(0.0 AS DOUBLE), (s, x) -> s + x), 4) + 0.0
+               |""".stripMargin.replaceAll("\n", " ")).as("aligned"),
+        expr("""ROUND(CAST(sgn AS DOUBLE) *
+               |  CAST(element_at(embedding, src_idx + 1) AS DOUBLE) +
+               |  CAST((vec_id * 37 + comp * 11) % 13 - 6 AS DOUBLE)
+               |    / 1000.0, 4) + 0.0
+               |""".stripMargin.replaceAll("\n", " ")).as("target"))
+      .orderBy("vec_id", "comp")
+  }
+
+  def procrustesDuckSql: String =
+    s"""WITH r AS (
+       |  SELECT comp, rvec, src_idx, sgn
+       |  FROM read_parquet('$lastProcPath/*.parquet')),
+       |e AS (SELECT vec_id, embedding FROM embeddings)
+       |SELECT e.vec_id, r.comp,
+       |       ROUND(list_sum(list_transform(generate_series(1, len(r.rvec)),
+       |                i -> r.rvec[i] * CAST(e.embedding[i] AS DOUBLE))),
+       |             4) + 0.0 AS aligned,
+       |       ROUND(CAST(r.sgn AS DOUBLE) *
+       |               CAST(e.embedding[r.src_idx + 1] AS DOUBLE) +
+       |             CAST((e.vec_id * 37 + r.comp * 11) % 13 - 6 AS DOUBLE)
+       |               / 1000.0, 4) + 0.0 AS target
+       |FROM e CROSS JOIN r
+       |ORDER BY vec_id, comp""".stripMargin
+
   /** Symmetric int8 quantization of the embedding column (the storage
     * layout ANN indexes and training pipelines ship vectors in): scale =
     * max|x|/127, q_i = floor(x_i·127/max|x| + 0.5). Emitted as exact
@@ -2076,8 +2253,10 @@ object Similarity {
     "sim_knn_graph" -> ((s, d) => Kmeans.knnGraphCached(s, d)),
     "graph_pagerank" -> ((s, d) => PageRank.pageRank(s, d)),
     "graph_components" -> ((s, d) => Graph.connectedComponents(s, d)),
+    "graph_label_prop" -> ((s, d) => Graph.labelPropagation(s, d)),
     "graph_triangles" -> ((s, d) => Graph.triangles(s, d)),
     "embed_pca" -> ((s, d) => pcaProject(s, d)),
+    "embed_procrustes" -> ((s, d) => procrustesAlign(s, d)),
     "embed_whitening" -> ((s, d) => whitenProject(s, d)),
     "embed_label_centroids" -> Tables.sql(centroidsSparkSql),
     "embed_outliers" -> Tables.sql(outliersSparkSql)
@@ -2102,8 +2281,10 @@ object Similarity {
     "sim_knn_graph" -> Kmeans.knnGraphDuckSql,
     "graph_pagerank" -> PageRank.pageRankDuckSql,
     "graph_components" -> Graph.componentsDuckSql,
+    "graph_label_prop" -> Graph.labelPropDuckSql,
     "graph_triangles" -> Graph.trianglesDuckSql,
     "embed_pca" -> pcaDuckSql,
+    "embed_procrustes" -> procrustesDuckSql,
     "embed_whitening" -> whitenDuckSql,
     "embed_label_centroids" -> centroidsDuckSql,
     "embed_outliers" -> outliersDuckSql

@@ -212,6 +212,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("stats_cusum shares one hash exchange across all its windows; " +
+    "stats_kanon reads events exactly once for both lattice levels") {
+    // cusum: six window functions, one event_type partitioning — a
+    // second hash exchange would mean a window re-partitioned the table
+    val cusum = SparkEntry.queries("stats_cusum")(spark, sf)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val hashEx = "Exchange hashpartitioning".r
+      .findAllMatchIn(cusum).length
+    assert(hashEx == 1, s"stats_cusum plans $hashEx hash exchanges:\n$cusum")
+
+    // kanon: the coarse QI level must roll up from the fine class
+    // table, never re-scan events
+    val kanon = SparkEntry.queries("stats_kanon")(spark, sf)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(kanon).length
+    assert(scans == 1, s"stats_kanon scans events $scans times:\n$kanon")
+  }
+
   test("no registered batch query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(excluded)

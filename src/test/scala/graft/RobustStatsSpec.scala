@@ -261,4 +261,65 @@ class RobustStatsSpec extends AnyFunSuite {
       assert(r.isNullAt(r.fieldIndex("c_quant_tax")))
     } finally restore("lineitem")
   }
+
+  test("stats_cusum: hand-computed closed form C_t - min prefix; a " +
+    "planted level shift alarms once, a flat series never does") {
+    Tables.register(spark, sf)
+    try {
+      // click: 0,0,0,3000,3000 → mu=1.2e6 milli, drift v-1200250;
+      // C: -1200250,-2400500,-3600750,-1801000,-1250; S clamps to
+      // 0,0,0,1799750,3599500 → one alarm row (>2e6) at rn=5, one
+      // below→above episode. view: constant 10.0 → S identically 0.
+      val rows = Seq(0.0, 0.0, 0.0, 3000.0, 3000.0).zipWithIndex.map {
+        case (v, i) => Row(i.toLong, ntz(i * 1000000L), 1L, "click", v, "")
+      } ++ (0 until 3).map(i =>
+        Row(10L + i, ntz(i * 1000000L), 2L, "view", 10.0, ""))
+      eventsView(rows)
+      val out = spark.sql(relational.Stats.cusumSparkSql).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val c = out("click")
+      assert(c.getLong(1) == 5L && c.getLong(2) == 1200000L)
+      assert(c.getLong(3) == 3599500L, "max_s")
+      assert(c.getLong(4) == 1L && c.getLong(5) == 1L)
+      assert(c.getLong(6) == 5L, "first alarm row")
+      val v = out("view")
+      assert(v.getLong(3) == 0L && v.getLong(4) == 0L)
+      assert(v.isNullAt(6), "flat series never alarms")
+    } finally restore("events")
+  }
+
+  test("stats_kanon: hand-built QI classes band correctly, NULL values " +
+    "form their own class, the coarse level rolls up the fine") {
+    Tables.register(spark, sf)
+    try {
+      // day 1 'click': bucket 0 ×5 (k=5), bucket 1 ×1 (singleton),
+      // NULL ×1 (singleton); day 2 'view': bucket 0 ×2 (k=2). 9 rows.
+      val d2 = 86400L * 1000000L
+      val rows =
+        (0 until 5).map(i => Row(i.toLong, ntz(i * 1000000L), 1L,
+          "click", 10.0, "")) ++
+        Seq(Row(5L, ntz(5000000L), 1L, "click", 60.0, ""),
+          Row(6L, ntz(6000000L), 1L, "click", null, ""),
+          Row(7L, ntz(d2), 2L, "view", 10.0, ""),
+          Row(8L, ntz(d2 + 1000000L), 2L, "view", 20.0, ""))
+      eventsView(rows)
+      val out = spark.sql(relational.Stats.kanonSparkSql).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getString(6)))).toMap
+      // coarse: (click,d1) k=7, (view,d2) k=2
+      assert(out(("type_day", "2_k_lt_5")) ==
+        ((1L, 2L, 2L, 2L, "22.222222")))
+      assert(out(("type_day", "3_k_lt_25")) ==
+        ((1L, 7L, 7L, 7L, "77.777778")))
+      // fine: two singletons (incl. the NULL-bucket class)
+      assert(out(("type_day_bucket", "1_singleton")) ==
+        ((2L, 2L, 1L, 1L, "22.222222")))
+      assert(out(("type_day_bucket", "2_k_lt_5")) ==
+        ((1L, 2L, 2L, 2L, "22.222222")))
+      assert(out(("type_day_bucket", "3_k_lt_25")) ==
+        ((1L, 5L, 5L, 5L, "55.555556")))
+      assert(out.size == 5)
+    } finally restore("events")
+  }
 }
