@@ -54,6 +54,73 @@ object Similarity {
        |  FROM s) t
        |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
 
+  /** Hard-negative TRIPLET MINING — the candidate-generation pass of a
+    * contrastive-training pipeline: for each anchor vector, the most
+    * similar SAME-label vector (the positive) and the most similar
+    * DIFFERENT-label vector (the hardest negative), plus the margin
+    * between them (negative margin = a violation worth training on).
+    *
+    * Scale shape: the anchor panel is bounded ([[NumQueries]] rows,
+    * broadcast into a single map-side scan of the corpus — the
+    * [[bruteforceSparkSql]] pattern), and each per-(anchor, same?)
+    * argmax folds through max(struct(cos, −cid)) — a MERGEABLE
+    * aggregate with map-side partials, never a window sort over the
+    * anchor×corpus candidate stream. Ties break to the lowest
+    * candidate id via the −cid struct field; the DuckDB oracle spells
+    * the same election as (cos DESC, cid ASC) row_number. At index
+    * scale the corpus scan swaps for the IVF-probed candidate set,
+    * same election. */
+  val tripletSparkSql: String =
+    s"""WITH q AS (SELECT vec_id AS aid, label AS albl, embedding AS qe
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS cid, label AS clbl, embedding AS ce
+       |      FROM embeddings),
+       |s AS (SELECT aid, albl, cid, clbl, vec_cosine(qe, ce) AS cos
+       |      FROM q JOIN c ON aid <> cid),
+       |m AS (SELECT aid, clbl = albl AS same,
+       |             max(named_struct('c', cos, 'ni', -cid)) AS mx
+       |      FROM s GROUP BY aid, clbl = albl),
+       |p AS (SELECT aid, -mx.ni AS pos_id, mx.c AS pos_cos
+       |      FROM m WHERE same),
+       |n AS (SELECT aid, -mx.ni AS neg_id, mx.c AS neg_cos
+       |      FROM m WHERE NOT same)
+       |SELECT q.aid AS anchor_id, p.pos_id, n.neg_id,
+       |       ROUND(p.pos_cos, 4) + 0.0 AS pos_cos,
+       |       ROUND(n.neg_cos, 4) + 0.0 AS neg_cos,
+       |       ROUND(p.pos_cos - n.neg_cos, 4) + 0.0 AS margin
+       |FROM q LEFT JOIN p ON q.aid = p.aid
+       |       LEFT JOIN n ON q.aid = n.aid
+       |ORDER BY anchor_id""".stripMargin
+
+  val tripletDuckSql: String =
+    s"""WITH q AS (SELECT vec_id AS aid, label AS albl, embedding AS qe
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS cid, label AS clbl, embedding AS ce
+       |      FROM embeddings),
+       |s AS (SELECT aid, albl, cid, clbl,
+       |  list_sum(list_transform(generate_series(1, len(qe)),
+       |           i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+       |  (sqrt(list_sum(list_transform(qe,
+       |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+       |   sqrt(list_sum(list_transform(ce,
+       |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+       |  FROM q JOIN c ON aid <> cid),
+       |r AS (SELECT aid, cid, clbl = albl AS same, cos,
+       |             row_number() OVER (PARTITION BY aid, clbl = albl
+       |                                ORDER BY cos DESC, cid) AS rn
+       |      FROM s),
+       |p AS (SELECT aid, cid AS pos_id, cos AS pos_cos
+       |      FROM r WHERE same AND rn = 1),
+       |n AS (SELECT aid, cid AS neg_id, cos AS neg_cos
+       |      FROM r WHERE NOT same AND rn = 1)
+       |SELECT q.aid AS anchor_id, p.pos_id, n.neg_id,
+       |       ROUND(p.pos_cos, 4) + 0.0 AS pos_cos,
+       |       ROUND(n.neg_cos, 4) + 0.0 AS neg_cos,
+       |       ROUND(p.pos_cos - n.neg_cos, 4) + 0.0 AS margin
+       |FROM q LEFT JOIN p ON q.aid = p.aid
+       |       LEFT JOIN n ON q.aid = n.aid
+       |ORDER BY anchor_id""".stripMargin
+
   // ---- hybrid retrieval: RRF fusion of dense cosine + BM25 ranks ----------
 
   val RrfK = 60 // the standard reciprocal-rank-fusion constant
@@ -2235,6 +2302,9 @@ object Similarity {
     "sim_bruteforce_topk" -> ((s, d) => {
       VecFunctions.register(s); Tables.sql(bruteforceSparkSql)(s, d)
     }),
+    "embed_triplet_mining" -> ((s, d) => {
+      VecFunctions.register(s); Tables.sql(tripletSparkSql)(s, d)
+    }),
     "sim_hybrid_rrf" -> ((s, d) => {
       VecFunctions.register(s); Tables.sql(hybridRrfSparkSql)(s, d)
     }),
@@ -2271,6 +2341,7 @@ object Similarity {
     "sim_ivfpq_topk_portable" -> pqPortableDuckSql,
     "sim_index_persist" -> indexPersistDuckSql,
     "sim_bruteforce_topk" -> bruteforceDuckSql,
+    "embed_triplet_mining" -> tripletDuckSql,
     "sim_hybrid_rrf" -> hybridRrfDuckSql,
     "sim_mmr" -> mmrDuckSql,
     "sim_lsh_topk_portable" -> lshPortableDuckSql,
