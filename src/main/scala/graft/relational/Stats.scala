@@ -730,7 +730,21 @@ object Stats {
     * pinned domain) pivot into ONE row and the between-group sum is
     * spelled as an explicit left-associated chain — identical IEEE
     * operand order cross-engine, no order freedom left. Groups absent
-    * from the data contribute zero terms (COALESCE) rather than NULLs. */
+    * from the data contribute zero terms (COALESCE) rather than NULLs.
+    *
+    * The SS outputs are exact integer MILLI²-units via ROUND at scale
+    * 0, not the DECIMAL(18,6) unit² convention, for a reason found at
+    * sf1: ssb/ssw are differences of ~2.5e15-scale dyadic doubles, and
+    * the cancellation lands EXACTLY on integer+0.5 — a decimal-cast
+    * tie, where the engines legitimately disagree (Spark casts
+    * double→DECIMAL through the shortest string repr then HALF_UP;
+    * DuckDB scales the binary double and rounds half-even). ROUND to
+    * scale 0 is engine-identical for every double (≤2^52 the .5 tie is
+    * exactly representable and both round away from zero; >2^52 every
+    * double already IS an integer), so integer milli² is the only
+    * tie-proof spelling. f_stat keeps the DECIMAL convention: a ratio
+    * of the two cancelled values is never exactly dyadic at a decimal
+    * midpoint. */
   private def anovaSql(toStr: String => String): String = {
     val types = Seq("click", "error", "purchase", "signup", "view")
     val tags = types.indices.map(i => s"t$i")
@@ -767,8 +781,8 @@ object Stats {
        |         CAST($qt AS DOUBLE) - ($sbSum) AS ssw
        |  FROM p)
        |SELECT k AS n_groups, nn AS n_obs,
-       |       ${toStr("ssb / 1e6")} AS ss_between,
-       |       ${toStr("ssw / 1e6")} AS ss_within,
+       |       CAST(ROUND(ssb) AS BIGINT) AS ssb_milli2,
+       |       CAST(ROUND(ssw) AS BIGINT) AS ssw_milli2,
        |       CAST(k - 1 AS BIGINT) AS df_between,
        |       CAST(nn - k AS BIGINT) AS df_within,
        |       ${toStr("(ssb / (k - 1)) / (ssw / (nn - k))")} AS f_stat

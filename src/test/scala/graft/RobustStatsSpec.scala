@@ -162,7 +162,8 @@ class RobustStatsSpec extends AnyFunSuite {
     try {
       // click = {1,2,3}, view = {4,5,6}: means 2 and 5, grand mean 3.5
       // SSB = 3·(2−3.5)² + 3·(5−3.5)² = 13.5; SSW = 2 + 2 = 4
-      // F = (13.5/1) / (4/4) = 13.5; absent types contribute nothing
+      // F = (13.5/1) / (4/4) = 13.5; absent types contribute nothing.
+      // SS emit as exact integer milli²: 13.5 unit² = 13_500_000
       val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
         Row(i.toLong, ntz(i * 1000000L), 1L, "click", v, "") } ++
         Seq(4.0, 5.0, 6.0).zipWithIndex.map { case (v, i) =>
@@ -171,8 +172,8 @@ class RobustStatsSpec extends AnyFunSuite {
       val r = spark.sql(relational.Stats.anovaSparkSql).head()
       assert(r.getLong(r.fieldIndex("n_groups")) == 2L)
       assert(r.getLong(r.fieldIndex("n_obs")) == 6L)
-      assert(r.getString(r.fieldIndex("ss_between")) == "13.500000")
-      assert(r.getString(r.fieldIndex("ss_within")) == "4.000000")
+      assert(r.getLong(r.fieldIndex("ssb_milli2")) == 13500000L)
+      assert(r.getLong(r.fieldIndex("ssw_milli2")) == 4000000L)
       assert(r.getLong(r.fieldIndex("df_between")) == 1L)
       assert(r.getLong(r.fieldIndex("df_within")) == 4L)
       assert(r.getString(r.fieldIndex("f_stat")) == "13.500000")
