@@ -534,6 +534,129 @@ object StreamingOps {
         .orderBy("event_type")
     } }
 
+  // ---- standing CUSUM change-point alarm (streaming drift state) -----------
+
+  final case class EvV(event_type: String, event_id: Long, tus: Long,
+                       v: Long)
+  final case class CusumSt(n: Long, s: Long, maxS: Long, alarms: Long,
+                           episodes: Long, firstAlarm: Long,
+                           lastTus: Long, lastId: Long)
+  final case class CusumOut(event_type: String, n: Long, max_s: Long,
+                            n_alarm_rows: Long, n_episodes: Long,
+                            first_alarm_rn: Option[Long])
+
+  /** Reference target + slack folded to one constant, and the alarm
+    * threshold — the standing form runs against a FIXED target (the
+    * production CUSUM contract: the reference is a known spec, not the
+    * batch mean, so the fold needs no second pass). 50.000 target +
+    * 0.250 slack in milli-units; h matches the batch op's. */
+  private val CusumRef = 50250L
+  private val CusumStreamH = 2000000L
+
+  /** Standing CUSUM change-point alarm per event type — the streaming
+    * twin of `stats_cusum`: S ← max(0, S + v − target − κ) per
+    * observation, with alarm rows, below→above episodes, the peak
+    * statistic, and the first alarm's sequence number maintained as
+    * EIGHT longs of keyed state at any stream length. The recurrence
+    * is order-sensitive, so the fold sorts each batch by
+    * (event time, event_id) and makes the cross-batch ordering
+    * contract LOUD (the streamScd2 watermark-rejection pattern) rather
+    * than silently folding a late event into the wrong position.
+    * Oracle: the batch closed form S_t = C_t − min(0, min prefix C)
+    * over the same rows with the same fixed reference — exact integer
+    * agreement, stream recurrence vs window algebra. */
+  def streamCusum(spark: SparkSession, dir: String): DataFrame =
+      withStreamPartitions(spark, 8) {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState}
+    import spark.implicits._
+    withEventsStream(spark, dir) { src =>
+      val name = s"graft_cusum_${counter.incrementAndGet()}"
+      val events = src()
+        .where("value IS NOT NULL")
+        .selectExpr("event_type", "event_id", "unix_micros(ts) AS tus",
+          "CAST(ROUND(value * 1e3) AS BIGINT) AS v")
+        .as[EvV]
+      val folded = events
+        .groupByKey(_.event_type)
+        .mapGroupsWithState[CusumSt, CusumOut](
+          GroupStateTimeout.NoTimeout) {
+          (key: String, it: Iterator[EvV], state: GroupState[CusumSt]) =>
+            var st = state.getOption.getOrElse(
+              CusumSt(0, 0, 0, 0, 0, -1, Long.MinValue, Long.MinValue))
+            it.toArray.sortBy(e => (e.tus, e.event_id)).foreach { e =>
+              require(e.tus > st.lastTus ||
+                (e.tus == st.lastTus && e.event_id > st.lastId),
+                s"late event ${e.event_id} behind CUSUM position for " +
+                  s"$key — watermark contract violated")
+              val d = e.v - CusumRef
+              val sNew = math.max(0L, st.s + d)
+              val alarm = sNew > CusumStreamH
+              val crossed = alarm && st.s <= CusumStreamH
+              st = CusumSt(st.n + 1, sNew, math.max(st.maxS, sNew),
+                st.alarms + (if (alarm) 1 else 0),
+                st.episodes + (if (crossed) 1 else 0),
+                if (alarm && st.firstAlarm < 0) st.n + 1 else st.firstAlarm,
+                e.tus, e.event_id)
+            }
+            state.update(st)
+            CusumOut(key, st.n, st.maxS, st.alarms, st.episodes,
+              if (st.firstAlarm < 0) None else Some(st.firstAlarm))
+        }
+      val q = folded.writeStream
+        .format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // n is monotone per key; max(struct) keeps each key's final state
+      spark.table(name)
+        .groupBy("event_type")
+        .agg(max(struct(col("n"), col("max_s"), col("n_alarm_rows"),
+          col("n_episodes"), col("first_alarm_rn"))).as("m"))
+        .select(col("event_type"), col("m.n").as("n"),
+          col("m.max_s").as("max_s"),
+          col("m.n_alarm_rows").as("n_alarm_rows"),
+          col("m.n_episodes").as("n_episodes"),
+          col("m.first_alarm_rn").as("first_alarm_rn"))
+        .orderBy("event_type")
+    } }
+
+  private val streamCusumOracle: String =
+    s"""WITH q AS (
+       |  SELECT event_type, event_id, ts,
+       |         CAST(ROUND(value * 1e3) AS BIGINT) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |w AS (
+       |  SELECT event_type, v,
+       |         CAST(SUM(v - $CusumRef) OVER (PARTITION BY event_type
+       |                   ORDER BY ts, event_id
+       |                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cu,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY ts, event_id) AS rn
+       |  FROM q),
+       |s AS (
+       |  SELECT event_type, rn,
+       |         cu - LEAST(CAST(0 AS BIGINT),
+       |                    MIN(cu) OVER (PARTITION BY event_type
+       |                                  ORDER BY rn
+       |                                  ROWS UNBOUNDED PRECEDING)) AS st
+       |  FROM w),
+       |l AS (
+       |  SELECT event_type, rn, st,
+       |         lag(st, 1, CAST(0 AS BIGINT))
+       |           OVER (PARTITION BY event_type ORDER BY rn) AS prev
+       |  FROM s)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |       CAST(MAX(st) AS BIGINT) AS max_s,
+       |       CAST(SUM(CASE WHEN st > $CusumStreamH THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_alarm_rows,
+       |       CAST(SUM(CASE WHEN st > $CusumStreamH AND
+       |                prev <= $CusumStreamH THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_episodes,
+       |       CAST(MIN(CASE WHEN st > $CusumStreamH THEN rn END)
+       |            AS BIGINT) AS first_alarm_rn
+       |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- standing SCD2 history (streaming version intervals) -----------------
 
   final case class ScdOpen(tus: Long, eventId: Long, value: Double)
@@ -1041,6 +1164,7 @@ object StreamingOps {
     "stream_upsert" -> ((s, d) => streamUpsert(s, d)),
     "stream_scd2" -> ((s, d) => streamScd2(s, d)),
     "stream_corr" -> ((s, d) => streamCorr(s, d)),
+    "stream_cusum" -> ((s, d) => streamCusum(s, d)),
     "stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "stream_join" -> ((s, d) => streamJoin(s, d)),
     "stream_ann_ingest" -> ((s, d) => streamAnnIngest(s, d)),
@@ -1066,6 +1190,7 @@ object StreamingOps {
     "stream_upsert" -> upsertStreamOracle,
     "stream_scd2" -> graft.relational.Relational.scd2Oracle,
     "stream_corr" -> streamCorrOracle,
+    "stream_cusum" -> streamCusumOracle,
     "stream_ann_ingest" -> annIngestDuckSql,
     "stream_stac_ingest" -> stacIngestOracle,
     "stream_drift" -> streamDriftOracle,
