@@ -939,6 +939,137 @@ object Stats {
   val aucDuckSql: String =
     aucSql(e => s"CAST(CAST($e AS DECIMAL(18,6)) AS VARCHAR)")
 
+  /** Bin count for the rank-statistic scale spellings — shared by the
+    * binned Gini and binned AUC (the [[KsBins]] precedent: every
+    * ordered window downstream of the binning is bounded by THIS
+    * constant, not by the metric's distinct values or row count). */
+  val RankBins = 64
+
+  /** Shared binning prefix for the rank-statistic scale spellings:
+    * milli-quantized values bucketed into [[RankBins]] equi-width bins
+    * PER EVENT TYPE in pure integer arithmetic —
+    * `bin = (v − lo)·B div (hi − lo + 1)` with per-type lo/hi from a
+    * plain grouped aggregate. `v − lo ≥ 0` and the divisor is ≥ 1, so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree
+    * bit-for-bit (a degenerate lo = hi type collapses to bin 0 with no
+    * special case). The per-type extent join is a 5-row broadcast. */
+  private def rankBinsPrefix(idiv: String): String =
+    s"""WITH q AS (
+       |  SELECT event_type, user_id,
+       |         CAST(ROUND(value * 1e3) AS BIGINT) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |r AS (
+       |  SELECT event_type, CAST(MIN(v) AS BIGINT) AS lo,
+       |         CAST(MAX(v) AS BIGINT) AS hi
+       |  FROM q GROUP BY event_type),
+       |b AS (
+       |  SELECT q.event_type, q.user_id, q.v,
+       |         ((q.v - r.lo) * $RankBins) $idiv (r.hi - r.lo + 1) AS bin
+       |  FROM q JOIN r ON q.event_type = r.event_type)""".stripMargin
+
+  /** Binned Gini — the 100 TB spelling of [[giniSql]] (the scale path
+    * its docstring promises): per-bin (count, Σv) histograms feed the
+    * grouped-data Lorenz trapezoid
+    * `G = 1 − Σ_b (c_b/n)·(L_b + L_{b−1})`, so the only ordered window
+    * runs over ≤ [[RankBins]] rows per event type — bin-sized, never
+    * row-sized (the exact spelling's per-type rank sort is the
+    * measured 20.5 s sf10 serialization this replaces). Binning
+    * coarsens conservatively: the trapezoid underestimates G by
+    * exactly the within-bin Gini mass, bounded by the largest bin's
+    * share (≤ 1/B for a near-uniform metric); [[StatsSpec]] pins the
+    * binned-vs-exact gap.
+    *
+    * Cross-engine determinism at any scale: per-bin doubles are built
+    * from identical integers and combined with the same IEEE ops in
+    * both engines, each bin's Lorenz term is floor-quantized to e9
+    * micro-units BEFORE the sum (floor of identical doubles is
+    * identical; a sum of ≤ B integers is order-free), so the emitted
+    * `gini_e9` is an exact BIGINT — no float aggregation order anywhere.
+    * This is also why the spelling survives 100 TB row counts: nothing
+    * ever multiplies two corpus-sized integers (the [[giniSql]] rank
+    * sum Σi·v grows as n², this grows as doubles of ratios). */
+  private def giniBinnedSql(idiv: String): String =
+    s"""${rankBinsPrefix(idiv)},
+       |g AS (
+       |  SELECT event_type, bin,
+       |         CAST(COUNT(*) AS BIGINT) AS c,
+       |         CAST(SUM(v) AS BIGINT) AS s
+       |  FROM b GROUP BY event_type, bin),
+       |w AS (
+       |  SELECT event_type, bin, c, s,
+       |         CAST(SUM(s) OVER (PARTITION BY event_type ORDER BY bin
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs,
+       |         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+       |         CAST(SUM(s) OVER (PARTITION BY event_type) AS BIGINT) AS sv,
+       |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+       |           AS nb
+       |  FROM g),
+       |t AS (
+       |  SELECT event_type, n, sv, nb,
+       |         CAST(FLOOR(CAST(c AS DOUBLE)
+       |              * (2e0 * CAST(cs AS DOUBLE) - CAST(s AS DOUBLE))
+       |              / (CAST(n AS DOUBLE) * CAST(NULLIF(sv, 0) AS DOUBLE))
+       |              * 1e9) AS BIGINT) AS term
+       |  FROM w)
+       |SELECT event_type,
+       |       CAST(MIN(n) AS BIGINT) AS n,
+       |       CAST(MIN(nb) AS BIGINT) AS n_bins,
+       |       CAST(MIN(sv) AS BIGINT) AS sum_milli,
+       |       CAST(1000000000 - SUM(term) AS BIGINT) AS gini_e9
+       |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val giniBinnedSparkSql: String = giniBinnedSql("div")
+  val giniBinnedDuckSql: String = giniBinnedSql("//")
+
+  /** Binned ROC-AUC — the 100 TB spelling of [[aucSql]] (the quantile
+    * histogram its docstring promises): per-bin positive/negative
+    * counts feed the histogram Mann-Whitney identity
+    * `AUC = Σ_b p_b·(N⁻_{<b} + ½·n_b⁻) / (P·N)` — positives beat the
+    * negatives of strictly lower bins and half-win within-bin ties —
+    * which is exactly the midrank AUC of the binned scores. The one
+    * ordered window runs over ≤ [[RankBins]] rows per type. Binning
+    * error is the misordered within-bin mass, ≤ the largest bin's
+    * pair share; [[StatsSpec]] pins the binned-vs-exact gap.
+    *
+    * Determinism: same floor-quantize-then-integer-sum scheme as
+    * [[giniBinnedSql]] — per-bin term doubles are identical in both
+    * engines, `FLOOR(term·1e9)` is an exact BIGINT, the sum is
+    * order-free, and nothing multiplies two corpus-sized integers. */
+  private def aucBinnedSql(idiv: String): String =
+    s"""${rankBinsPrefix(idiv)},
+       |g AS (
+       |  SELECT event_type, bin,
+       |         CAST(SUM(user_id % 2) AS BIGINT) AS np,
+       |         CAST(SUM(1 - user_id % 2) AS BIGINT) AS nn
+       |  FROM b GROUP BY event_type, bin),
+       |w AS (
+       |  SELECT event_type, bin, np, nn,
+       |         CAST(SUM(nn) OVER (PARTITION BY event_type ORDER BY bin
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) - nn AS cnn,
+       |         CAST(SUM(np) OVER (PARTITION BY event_type) AS BIGINT)
+       |           AS tp,
+       |         CAST(SUM(nn) OVER (PARTITION BY event_type) AS BIGINT)
+       |           AS tn,
+       |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+       |           AS nb
+       |  FROM g),
+       |t AS (
+       |  SELECT event_type, tp, tn, nb,
+       |         CAST(FLOOR(CAST(np AS DOUBLE)
+       |              * (2e0 * CAST(cnn AS DOUBLE) + CAST(nn AS DOUBLE))
+       |              / (2e0 * CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE))
+       |              * 1e9) AS BIGINT) AS term
+       |  FROM w)
+       |SELECT event_type,
+       |       CAST(MIN(tp) AS BIGINT) AS n_pos,
+       |       CAST(MIN(tn) AS BIGINT) AS n_neg,
+       |       CAST(MIN(nb) AS BIGINT) AS n_bins,
+       |       CAST(SUM(term) AS BIGINT) AS auc_e9
+       |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val aucBinnedSparkSql: String = aucBinnedSql("div")
+  val aucBinnedDuckSql: String = aucBinnedSql("//")
+
   /** CUSUM change-point detection per event type — the sequential
     * drift alarm a data pipeline runs over a metric stream: the
     * one-sided CUSUM statistic S_t = max(0, S_{t-1} + x_t − μ − κ)
@@ -953,12 +1084,17 @@ object Stats {
     * spill-backed per-partition kind, never a global order.
     *
     * Exactness: values quantize to milli-units, the reference mean
-    * floors to an integer (sv div n — positive sums, so Spark's
-    * truncating div and DuckDB's flooring // agree), and every C/S is
-    * then exact BIGINT arithmetic — alarm counts, episode counts (an
-    * episode = a below→above threshold crossing), peak statistic, and
-    * first-alarm row are all integers. κ = 250 milli slack,
-    * h = 2,000,000 milli·steps threshold. */
+    * floors to an integer, and every C/S is then exact BIGINT
+    * arithmetic — alarm counts, episode counts (an episode = a
+    * below→above threshold crossing), peak statistic, and first-alarm
+    * row are all integers. The floor division is spelled SIGN-SAFE:
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors,
+    * so they agree only on non-negative dividends — the CASE below
+    * rewrites a negative sum as −⌈−sv/n⌉ (= ⌊sv/n⌋) out of both
+    * engines' truncating-for-positives division, so a metric that goes
+    * net-negative produces the same μ everywhere instead of a silent
+    * one-off divergence. κ = 250 milli slack, h = 2,000,000
+    * milli·steps threshold. */
   private val CusumKappa = 250L
   private val CusumH = 2000000L
 
@@ -979,10 +1115,15 @@ object Stats {
        |         row_number() OVER (PARTITION BY event_type
        |                            ORDER BY ts, event_id) AS rn
        |  FROM q),
-       |c AS (
-       |  SELECT event_type, event_id, n, rn, sv $idiv n AS mu,
-       |         ps - rn * (sv $idiv n + $CusumKappa) AS cu
+       |m0 AS (
+       |  SELECT event_type, event_id, n, rn, ps,
+       |         CASE WHEN sv >= 0 THEN sv $idiv n
+       |              ELSE 0 - ((0 - sv + n - 1) $idiv n) END AS mu
        |  FROM w),
+       |c AS (
+       |  SELECT event_type, event_id, n, rn, mu,
+       |         ps - rn * (mu + $CusumKappa) AS cu
+       |  FROM m0),
        |s AS (
        |  SELECT event_type, event_id, n, rn, mu,
        |         cu - LEAST(CAST(0 AS BIGINT),
@@ -1077,7 +1218,9 @@ object Stats {
     "stats_anova" -> Tables.sql(anovaSparkSql),
     "stats_linreg" -> Tables.sql(linregSparkSql),
     "stats_gini" -> Tables.sql(giniSparkSql),
+    "stats_gini_binned" -> Tables.sql(giniBinnedSparkSql),
     "stats_auc" -> Tables.sql(aucSparkSql),
+    "stats_auc_binned" -> Tables.sql(aucBinnedSparkSql),
     "stats_corr_matrix" -> Tables.sql(corrMatrixSparkSql),
     "stats_mad_outliers" -> Tables.sql(madOutliersSparkSql),
     "stats_expectations" -> Tables.sql(expectationsSparkSql),
@@ -1099,7 +1242,9 @@ object Stats {
     "stats_anova" -> anovaDuckSql,
     "stats_linreg" -> linregDuckSql,
     "stats_gini" -> giniDuckSql,
+    "stats_gini_binned" -> giniBinnedDuckSql,
     "stats_auc" -> aucDuckSql,
+    "stats_auc_binned" -> aucBinnedDuckSql,
     "stats_corr_matrix" -> corrMatrixDuckSql,
     "stats_mad_outliers" -> madOutliersDuckSql,
     "stats_expectations" -> expectationsDuckSql,

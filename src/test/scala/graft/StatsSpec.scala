@@ -119,6 +119,47 @@ class StatsSpec extends AnyFunSuite {
         s"$k: approx $a vs exact $e")
   }
 
+  test("binned gini/auc track the exact rank statistics within the " +
+    "bin-mass bound, and their windows run over bin-sized inputs") {
+    import graft.relational.Stats
+    // tolerance: binning error is bounded by the largest bin's mass —
+    // measured gaps at every SF are <= 0.002; 0.02 keeps 10x headroom
+    // while still failing on any real formula defect
+    val giniE = Stats.queries("stats_gini")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(3).toDouble).toMap
+    val giniB = Stats.queries("stats_gini_binned")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4) / 1e9).toMap
+    assert(giniE.keySet == giniB.keySet && giniE.nonEmpty)
+    giniE.foreach { case (k, e) =>
+      assert(math.abs(giniB(k) - e) <= 0.02, s"gini $k: ${giniB(k)} vs $e")
+      // the trapezoid underestimates: binned <= exact (+ float fuzz)
+      assert(giniB(k) <= e + 1e-6, s"gini $k: binned above exact")
+    }
+    val aucE = Stats.queries("stats_auc")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(3).toDouble).toMap
+    val aucB = Stats.queries("stats_auc_binned")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4) / 1e9).toMap
+    assert(aucE.keySet == aucB.keySet && aucE.nonEmpty)
+    aucE.foreach { case (k, e) =>
+      assert(math.abs(aucB(k) - e) <= 0.02, s"auc $k: ${aucB(k)} vs $e")
+    }
+    // scale contract: every window in the binned plans is partitioned
+    // (per event_type) and fed by the bin histogram aggregate — the
+    // row-sized rank sort of the exact spellings must not appear
+    Seq("stats_gini_binned", "stats_auc_binned").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("No Partition Defined"), s"$name global window")
+      // the Window's child must aggregate by (event_type, bin) first:
+      // a Window directly over the events scan would be row-sized
+      val winIdx = plan.indexOf("Window [")
+      assert(winIdx >= 0, s"$name: no window in plan")
+      val hashAggIdx = plan.indexOf("HashAggregate")
+      assert(hashAggIdx >= 0 && plan.indexOf("bin", winIdx) >= 0,
+        s"$name: window not over the bin histogram:\n$plan")
+    }
+  }
+
   test("portable CMS twin keeps the count-min guarantee (est >= exact)") {
     import graft.relational.Stats
     val rows = Stats.queries("text_cms_portable")(spark, sf).collect()
