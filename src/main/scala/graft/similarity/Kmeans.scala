@@ -190,24 +190,42 @@ object Kmeans {
     * lists outgrow a window sort). */
   val KnnK = 5
 
-  /** Session-memoized, materialized kNN edge list. The graph is an
-    * ARTIFACT, not a query: a curation pipeline builds it once and
-    * runs every downstream analytic (components, PageRank, triangle
-    * census, diversity sampling) against the landed edges — rebuilding
-    * the cell-blocked join per consumer would re-pay the construction
-    * N times. `localCheckpoint(eager)` materializes the edges on first
-    * request and truncates lineage, so later consumers read blocks;
-    * at cluster scale the same seam writes parquet (exactly the
-    * persisted-IVF-index pattern at `sim_index_persist`). Keyed by
-    * (session, dir) so tests with private sessions never share state;
-    * per-query results are byte-identical to the uncached spelling. */
-  private val knnCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      DataFrame]()
+  /** Landed kNN edge-list artifact. The graph is an ARTIFACT, not a
+    * query: a curation pipeline builds it once and runs every
+    * downstream analytic (components, PageRank, triangle census,
+    * diversity sampling) against the landed edges — rebuilding the
+    * cell-blocked join per consumer would re-pay the construction N
+    * times. The edges land as PARQUET (the persisted-IVF-index
+    * pattern at `sim_index_persist`), not a `localCheckpoint`: block
+    * storage pinned for the JVM lifetime would survive the session,
+    * strongly retain it, and evaporate on executor loss at cluster
+    * scale; a parquet artifact is durable, session-free, and exactly
+    * what a 100 TB deployment stores anyway. Landed-ness is tracked
+    * per (application, dir) — value is just the path string, so there
+    * is nothing to evict or unpersist. The first consumer in a bench
+    * run pays the build+write; later consumers read the file
+    * (documented order dependence in the bench records). Per-query
+    * results are byte-identical to the uncached spelling. */
+  private def knnGraphPath(dir: String): String = {
+    val fp = dir.hashCode & 0x7fffffff
+    s"${sys.props("java.io.tmpdir")}/graft_knn_graph_$fp"
+  }
 
-  def knnGraphCached(spark: SparkSession, dir: String): DataFrame =
-    knnCache.computeIfAbsent((spark, dir),
-      _ => knnGraph(spark, dir).localCheckpoint(true))
+  private val knnLanded =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def knnGraphCached(spark: SparkSession, dir: String): DataFrame = {
+    val path = knnGraphPath(dir)
+    val key = spark.sparkContext.applicationId + " " + path
+    if (knnLanded.add(key)) {
+      // single file: the edge list is N·KnnK rows (MBs at bench SFs) and
+      // one file makes the re-read order deterministic; a cluster-scale
+      // build would write partitioned by a vec_id range instead
+      knnGraph(spark, dir).coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
 
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -77,11 +77,12 @@ object PageRank {
     rank(nodes, edges)
   }
 
-  /** Oracle: the kNN-graph CTE chain ([[Kmeans.knnCtePrefix]]) feeding
-    * [[Iters]] unrolled gather/apply rounds in the same integer
-    * arithmetic (`//` is DuckDB's truncating-for-positives integer
-    * division, matching Spark's `div`). */
-  def pageRankDuckSql: String = {
+  /** [[Iters]] unrolled gather/apply rounds in the kernel's exact
+    * integer arithmetic (`//` is DuckDB's truncating-for-positives
+    * integer division, matching Spark's `div`), over whatever `prefix`
+    * defines as CTEs `ed(src, dst)` and `nd(vec_id)` — shared by the
+    * kNN-fixture oracle and the ANN-edge-artifact oracle. */
+  private[similarity] def rankDuckSqlFrom(prefix: String): String = {
     val iterCtes = (1 to Iters).map { i =>
       s"""pr$i AS (
          |  SELECT nd.vec_id,
@@ -94,15 +95,20 @@ object PageRank {
          |            JOIN pr${i - 1} ON ed.src = pr${i - 1}.vec_id
          |    GROUP BY ed.dst) g ON nd.vec_id = g.dst)""".stripMargin
     }.mkString(",\n")
-    s"""${Kmeans.knnCtePrefix},
-       |ed AS (
-       |  SELECT vec_id AS src, nbr_id AS dst FROM r
-       |  WHERE rn <= ${Kmeans.KnnK}),
+    s"""$prefix,
        |dg AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY src),
-       |nd AS (SELECT vec_id FROM e),
        |pr0 AS (SELECT vec_id, CAST($R0 AS BIGINT) AS r FROM nd),
        |$iterCtes
        |SELECT vec_id, r AS rank_q FROM pr$Iters
        |ORDER BY rank_q DESC, vec_id""".stripMargin
   }
+
+  /** Oracle: the kNN-graph CTE chain ([[Kmeans.knnCtePrefix]]) feeding
+    * the unrolled integer iteration. */
+  def pageRankDuckSql: String = rankDuckSqlFrom(
+    s"""${Kmeans.knnCtePrefix},
+       |ed AS (
+       |  SELECT vec_id AS src, nbr_id AS dst FROM r
+       |  WHERE rn <= ${Kmeans.KnnK}),
+       |nd AS (SELECT vec_id FROM e)""".stripMargin)
 }

@@ -1919,6 +1919,56 @@ object Similarity {
        |  FROM s) t
        |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
 
+  /** PageRank over an ANN-BUILT edge list — the 100 TB closure of the
+    * graph family: the kNN-fixture graph (`sim_knn_graph`, K=8 k-means
+    * cells) has Σ|cell|² = N²/8 pair space and is excluded at sf10 by
+    * design, while THIS construction blocks candidates by the
+    * sf10-proven IVF coarse quantizer (√N cells → Σ|cell|² ≈ N^1.5,
+    * each cell an independent task), so edge building scales with the
+    * index, not the corpus squared. The built edges LAND as a parquet
+    * artifact (the persisted-index pattern) and [[PageRank.rank]]'s
+    * exact-integer kernel runs over the landed file; the oracle
+    * replays the same unrolled integer iteration from the same landed
+    * parquet — rank arithmetic is BIGINT end-to-end, so the row is a
+    * full hash match (the `sim_ivf_topk_portable` landed-artifact
+    * pattern). */
+  private def annEdgePath(dir: String): String = {
+    val fp = dir.hashCode & 0x7fffffff
+    s"${sys.props("java.io.tmpdir")}/graft_ann_edges_$fp"
+  }
+  @volatile private var lastAnnEdgePath = annEdgePath("/root/testdata/sf0.01")
+
+  private def pageRankAnn(spark: SparkSession, dir: String): DataFrame = {
+    VecFunctions.register(spark)
+    val path = annEdgePath(dir)
+    lastAnnEdgePath = path
+    val (_, assigned) = ivfIndex(spark, dir)
+    val nbr = assigned.select(col("cell"), col("vec_id").as("nbr_id"),
+      col("embedding").as("ne"))
+    // cell-local candidate generation (equi-join on the cell id), exact
+    // cosine re-rank via the codegen'd native expression, top-KnnK per
+    // vector; directed edges like the kNN fixture's
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("nbr_id"))
+    assigned.join(nbr, Seq("cell"))
+      .where(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"),
+        col("nbr_id"),
+        call_function("vec_cosine", col("embedding"), col("ne")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= Kmeans.KnnK)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    val edges = spark.read.parquet(path)
+    val nodes = Tables.load(spark, dir, "embeddings").select("vec_id")
+    PageRank.rank(nodes, edges)
+  }
+
+  private def pageRankAnnDuckSql: String = PageRank.rankDuckSqlFrom(
+    s"""WITH ed AS (
+       |  SELECT src, dst FROM read_parquet('$lastAnnEdgePath/*.parquet')),
+       |nd AS (SELECT vec_id FROM embeddings)""".stripMargin)
+
   /** Portable twin of `sim_ivfpq_topk`: codebook TRAINING (Lloyd
     * iterations) is DuckDB-inexpressible, but everything after it is
     * arithmetic — so land the built PQ index (coarse centroids, the
@@ -2320,7 +2370,9 @@ object Similarity {
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "embed_quantize" -> Tables.sql(quantizeSparkSql),
     "embed_kmeans" -> ((s, d) => Kmeans.kmeans(s, d)),
-    "sim_knn_graph" -> ((s, d) => Kmeans.knnGraphCached(s, d)),
+    "sim_knn_graph" -> ((s, d) =>
+      Kmeans.knnGraphCached(s, d).orderBy("vec_id", "rnk")),
+    "graph_pagerank_ann" -> ((s, d) => pageRankAnn(s, d)),
     "graph_pagerank" -> ((s, d) => PageRank.pageRank(s, d)),
     "graph_components" -> ((s, d) => Graph.connectedComponents(s, d)),
     "graph_label_prop" -> ((s, d) => Graph.labelPropagation(s, d)),
@@ -2351,6 +2403,7 @@ object Similarity {
     "embed_kmeans" -> Kmeans.kmeansDuckSql,
     "sim_knn_graph" -> Kmeans.knnGraphDuckSql,
     "graph_pagerank" -> PageRank.pageRankDuckSql,
+    "graph_pagerank_ann" -> pageRankAnnDuckSql,
     "graph_components" -> Graph.componentsDuckSql,
     "graph_label_prop" -> Graph.labelPropDuckSql,
     "graph_triangles" -> Graph.trianglesDuckSql,
