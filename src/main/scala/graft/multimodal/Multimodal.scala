@@ -568,6 +568,53 @@ object Multimodal {
     buf.array()
   }
 
+  /** Direct RIFF/PCM16 parse — the hot-path decoder: a chunk walk over
+    * the RIFF container (fmt validated as PCM16 mono, data sliced as
+    * little-endian shorts) producing the SAME integers as the codec
+    * path below, without the `javax.sound.sampled` stream stack whose
+    * per-payload overhead dominated the sf10 audio rows (124 s for
+    * 500k decodes; [[MultimodalSpec]] pins fast ≡ codec sample-exact,
+    * and the anomaly-kernel rewrite is the precedent). Anything the
+    * walk cannot validate — non-RIFF container, compressed or
+    * multi-channel fmt, truncated chunks — falls back to the real
+    * codec, so generality is unchanged. */
+  private[multimodal] def decodeWavFast(id: Long,
+      payload: Array[Byte]): (Int, Array[Short]) = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(off: Int): String =
+      new String(payload, off, 4, "US-ASCII")
+    if (payload.length < 44 || fourCC(0) != "RIFF" || fourCC(8) != "WAVE")
+      return decodeWav(id, payload)
+    var off = 12
+    var rate = -1
+    var fmtOk = false
+    while (off + 8 <= payload.length) {
+      val cid = fourCC(off)
+      val sz = bb.getInt(off + 4)
+      if (sz < 0 || off + 8 + sz > payload.length)
+        return decodeWav(id, payload)
+      if (cid == "fmt ") {
+        if (sz < 16) return decodeWav(id, payload)
+        val audioFormat = bb.getShort(off + 8)
+        val channels = bb.getShort(off + 10)
+        rate = bb.getInt(off + 12)
+        val bits = bb.getShort(off + 22)
+        fmtOk = audioFormat == 1 && channels == 1 && bits == 16
+        if (!fmtOk) return decodeWav(id, payload)
+      } else if (cid == "data") {
+        if (!fmtOk) return decodeWav(id, payload)
+        val out = new Array[Short](sz / 2)
+        var i = 0
+        var p = off + 8
+        while (i < out.length) { out(i) = bb.getShort(p); p += 2; i += 1 }
+        return (rate, out)
+      }
+      off += 8 + sz + (sz & 1) // RIFF chunks pad to even offsets
+    }
+    decodeWav(id, payload)
+  }
+
   /** Real decode via the JDK audio codec: header-validated sample rate +
     * PCM frames. Decode failures are loud for the same reason image
     * decode failures are. */
@@ -625,7 +672,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     audio.mapPartitions { it =>
       it.map { case (id, payload) =>
-        val (sr, s) = decodeWav(id, payload)
+        val (sr, s) = decodeWavFast(id, payload)
         // the doubled-value trick below (2*v stays integral) only
         // represents fractional positions of exactly 1/2 — true for any
         // source rate that is a multiple of outRate/2 (all fixture
@@ -692,7 +739,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     audio.mapPartitions { it =>
       it.map { case (id, payload) =>
-        val (sr, s) = decodeWav(id, payload)
+        val (sr, s) = decodeWavFast(id, payload)
         var mn = Long.MaxValue
         var mx = Long.MinValue
         var sum = 0L
@@ -740,7 +787,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     audio.mapPartitions { it =>
       it.map { case (id, payload) =>
-        val (_, s) = decodeWav(id, payload)
+        val (_, s) = decodeWavFast(id, payload)
         val nf = s.length / VadFrame
         var nActive = 0L
         var nSeg = 0L
