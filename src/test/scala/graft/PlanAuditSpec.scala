@@ -233,6 +233,71 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 1, s"stats_kanon scans events $scans times:\n$kanon")
   }
 
+  test("every global (partition-less) window in the registry sits on a " +
+    "provably bounded input") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec,
+      WindowGroupLimitExec}
+    def walk(p: SparkPlan): Iterator[SparkPlan] =
+      Iterator(p) ++ p.children.iterator.flatMap(walk) ++
+        p.subqueries.iterator.flatMap(walk) ++ (p match {
+          case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+          case _ => Iterator.empty
+        })
+    def hasGlobalWindow(df: org.apache.spark.sql.DataFrame): Boolean =
+      walk(df.queryExecution.executedPlan).exists {
+        case w: WindowExec => w.partitionSpec.isEmpty
+        case w: WindowGroupLimitExec => w.partitionSpec.isEmpty
+        case _ => false
+      }
+    // the detector must catch a planted unbounded global window — a
+    // row_number over the raw events scan with no partitioning is
+    // exactly the 100 TB serialization this gate exists to stop
+    val planted = Tables.load(spark, sf, "events").withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("ts")))
+    assert(hasGlobalWindow(planted), "detector missed the planted window")
+    // Allowlist: every entry is a global window whose INPUT is bounded
+    // by a constant, not by the corpus — the justification names the
+    // bound. Adding a query that plans an unjustified global window
+    // fails this test; so does a stale entry (bound got refactored away).
+    val allowed = Map[String, String](
+      "corpus_pmi" ->
+        ("SUM(c) OVER () totals ride on the vocabulary-sized unigram/" +
+          "bigram aggregates (lexicon-bounded; the scalar-subquery " +
+          "spelling re-ran the corpus explode 6x, Corpus.pmiSql)"),
+      "layout_zorder" ->
+        "NTILE(16) over the constant 4096-point synthetic locality grid",
+      "sim_hybrid_rrf" ->
+        ("sparse-arm rank over the BM25 probe-term candidates — a fixed " +
+          "probe panel's matching docs, WAND-truncated at scale (the " +
+          "text_sparse_retrieval shape)"),
+      "stats_ks_drift" ->
+        ("cumulative counts over the ndv(value)-sized distinct-value " +
+          "spine — bounded for this integer-milli metric; " +
+          "stats_ks_drift_binned is the registered continuous-metric " +
+          "scale path"),
+      "stats_ks_drift_binned" ->
+        "cumulative counts over at most KsBins=64 bins",
+      "text_zipf" ->
+        "frequency rank over the word-frequency table (lexicon-sized)")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(excluded)
+      .filter { name =>
+        try hasGlobalWindow(SparkEntry.queries(name)(spark, sf))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            fail(s"$name failed to plan: ${e.getMessage}")
+        }
+      }
+    val unexplained = offenders.filterNot(allowed.contains)
+    assert(unexplained.isEmpty,
+      s"unjustified global windows in: ${unexplained.mkString(", ")}")
+    val stale = allowed.keySet -- offenders
+    assert(stale.isEmpty, s"stale allowlist entries: ${stale.mkString(", ")}")
+  }
+
   test("no registered batch query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(excluded)
