@@ -297,7 +297,12 @@ private[rasterops] trait RasterCellsQueries {
           lit(Double.NaN)).otherwise(col("col")).as("value"))
       .write.mode("overwrite").parquet(ConvNativePath)
     // per-tap weights at the aligned geometry: native cell 2P+o, kernel
-    // argument o-1/2; 2-D weight = wx*wy in the engine's multiply order
+    // argument o-1/2; 2-D weight = wx*wy in the engine's multiply order.
+    // This export is the engine's OWN table — the oracle re-derives the
+    // same weights from the closed forms (a = 3 lanczos window, B-spline
+    // piecewise cubic, sigma = max(0.5, n/2) gauss) and cross-checks the
+    // two at 1e-9 before applying, so the derivation itself is
+    // oracle-covered, not golden-pinned
     val wrows =
       (for { dy <- 0 until 6; dx <- 0 until 6 } yield
         ("lanczos", dy - 2, dx - 2,
@@ -342,8 +347,48 @@ private[rasterops] trait RasterCellsQueries {
        |  SELECT band, tidx, gy, gx, value
        |  FROM read_parquet('$ConvNativePath/*.parquet')
        |  WHERE NOT isnan(value)),
-       |wt AS (SELECT mode, oy, ox, w
-       |       FROM read_parquet('$ConvWeightsPath/*.parquet')),
+       |wt0 AS (
+       |  -- weight tables re-DERIVED from the closed forms (not read from
+       |  -- the landed export): lanczos a = 3 at the aligned geometry's
+       |  -- half-integer taps t = o - 1/2, w1(t) = 3 sin(pi t) sin(pi t/3)
+       |  -- / (pi t)^2; 2-D weight = wx * wy (the engine's multiply order)
+       |  SELECT 'lanczos' AS mode, oy.o AS oy, ox.o AS ox,
+       |         (3 * sin(pi() * (ox.o - 0.5)) * sin(pi() * (ox.o - 0.5) / 3)
+       |            / pow(pi() * (ox.o - 0.5), 2))
+       |       * (3 * sin(pi() * (oy.o - 0.5)) * sin(pi() * (oy.o - 0.5) / 3)
+       |            / pow(pi() * (oy.o - 0.5), 2)) AS w
+       |  FROM (SELECT unnest(range(-2, 4)) AS o) oy,
+       |       (SELECT unnest(range(-2, 4)) AS o) ox
+       |  UNION ALL
+       |  -- cubic B-spline: |t| <= 1 -> (4 + t^2 (3|t| - 6)) / 6,
+       |  -- 1 < |t| < 2 -> (2 - |t|)^3 / 6
+       |  SELECT 'cubic_spline', oy.o, ox.o,
+       |         (CASE WHEN abs(ox.o - 0.5) <= 1
+       |               THEN (4 + abs(ox.o - 0.5) * abs(ox.o - 0.5)
+       |                     * (3 * abs(ox.o - 0.5) - 6)) / 6
+       |               ELSE pow(2 - abs(ox.o - 0.5), 3) / 6 END)
+       |       * (CASE WHEN abs(oy.o - 0.5) <= 1
+       |               THEN (4 + abs(oy.o - 0.5) * abs(oy.o - 0.5)
+       |                     * (3 * abs(oy.o - 0.5) - 6)) / 6
+       |               ELSE pow(2 - abs(oy.o - 0.5), 3) / 6 END)
+       |  FROM (SELECT unnest(range(-1, 3)) AS o) oy,
+       |       (SELECT unnest(range(-1, 3)) AS o) ox
+       |  UNION ALL
+       |  -- gauss pooled n = 2 taps: sigma = max(0.5, n/2) = 1, center
+       |  -- distance^2 = 1/2 for all four taps -> exp(-1/4)
+       |  SELECT 'gauss', oy.o, ox.o, exp(-0.5 / 2.0)
+       |  FROM (SELECT unnest(range(0, 2)) AS o) oy,
+       |       (SELECT unnest(range(0, 2)) AS o) ox),
+       |wt AS (
+       |  -- cross-check against the engine's landed export: a derivation
+       |  -- drifting past 1e-9 nulls the weight, which nulls val and turns
+       |  -- the row loudly red — the oracle proves BOTH that the closed
+       |  -- form reproduces the engine's table and that its application
+       |  -- reproduces the resampled cells
+       |  SELECT d.mode, d.oy, d.ox,
+       |         CASE WHEN abs(d.w - l.w) <= 1e-9 THEN d.w END AS w
+       |  FROM wt0 d JOIN read_parquet('$ConvWeightsPath/*.parquet') l
+       |    ON l.mode = d.mode AND l.oy = d.oy AND l.ox = d.ox),
        |dom AS (SELECT DISTINCT mode, band, tidx, gpy, gpx
        |        FROM read_parquet('$ConvCellsPath/*.parquet')),
        |tap AS (
