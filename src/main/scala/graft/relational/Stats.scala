@@ -963,7 +963,11 @@ object Stats {
        |         CAST(MAX(v) AS BIGINT) AS hi
        |  FROM q GROUP BY event_type),
        |b AS (
-       |  SELECT q.event_type, q.user_id, q.v,
+       |  -- the hint pins the 5-row extents as the broadcast side: the
+       |  -- cost model's column-pruned size estimates otherwise built the
+       |  -- CORPUS side at 10x scale (a 10M-row broadcast); DuckDB reads
+       |  -- the hint as a plain comment
+       |  SELECT /*+ BROADCAST(r) */ q.event_type, q.user_id, q.v,
        |         ((q.v - r.lo) * $RankBins) $idiv (r.hi - r.lo + 1) AS bin
        |  FROM q JOIN r ON q.event_type = r.event_type)""".stripMargin
 
