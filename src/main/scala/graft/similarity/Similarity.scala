@@ -1946,18 +1946,22 @@ object Similarity {
     val nbr = assigned.select(col("cell"), col("vec_id").as("nbr_id"),
       col("embedding").as("ne"))
     // cell-local candidate generation (equi-join on the cell id), exact
-    // cosine re-rank via the codegen'd native expression, top-KnnK per
-    // vector; directed edges like the kNN fixture's
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("nbr_id"))
+    // cosine re-rank via the codegen'd native expression; top-KnnK per
+    // vector through the bounded heap aggregator — map-side size-K
+    // heaps with partial merge, so the candidate stream (Σ|cell|² pairs)
+    // is never sorted and the only exchange ships N five-entry heaps
+    // (the window spelling sorted the full pair stream: 9e7 rows at
+    // 100x bench scale)
+    val topk = udaf(new graft.relational.TopK.GroupedTopK(Kmeans.KnnK),
+      org.apache.spark.sql.Encoders.product[graft.relational.TopK.TopKIn])
     assigned.join(nbr, Seq("cell"))
       .where(col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"),
         col("nbr_id"),
         call_function("vec_cosine", col("embedding"), col("ne")).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= Kmeans.KnnK)
-      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      .groupBy("vec_id")
+      .agg(topk(col("cos"), col("nbr_id")).as("t"))
+      .select(col("vec_id").as("src"), explode(col("t.ids")).as("dst"))
       .coalesce(1).write.mode("overwrite").parquet(path)
     val edges = spark.read.parquet(path)
     val nodes = Tables.load(spark, dir, "embeddings").select("vec_id")
