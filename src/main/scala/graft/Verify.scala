@@ -11,6 +11,9 @@ object Verify {
     }
     val sfDir = args(0)
     val outDir = args(1)
+    // artifact-reading oracles derive their landed paths from this —
+    // set ONCE, before any query runs (see RunContext)
+    RunContext.oracleDir = sfDir
     // optional name filter (dev use): dump only the named queries —
     // plus their landing producers (below), so a filtered run never
     // compares an oracle against a stale tmp artifact

@@ -592,7 +592,10 @@ object Multimodal {
     while (off + 8 <= payload.length) {
       val cid = fourCC(off)
       val sz = bb.getInt(off + 4)
-      if (sz < 0 || off + 8 + sz > payload.length)
+      // overflow-safe: off + 8 + sz wraps negative for a corrupt
+      // 2 GiB-ish chunk size and would pass the naive sum comparison —
+      // the subtraction form can't wrap (loop guard: off+8 ≤ length)
+      if (sz < 0 || sz > payload.length - off - 8)
         return decodeWav(id, payload)
       if (cid == "fmt ") {
         if (sz < 16) return decodeWav(id, payload)

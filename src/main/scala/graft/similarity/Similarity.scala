@@ -1,6 +1,6 @@
 package graft.similarity
 
-import graft.Tables
+import graft.{RunContext, Tables}
 import graft.functions.VecFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -661,15 +661,10 @@ object Similarity {
     * against different SF dirs land side by side instead of clobbering
     * each other between query time and oracle time (the BPE/quality-tree
     * cross-SF hazard). */
-  private def ivfIndexPath(dir: String): String = {
+  private[graft] def ivfIndexPath(dir: String): String = {
     val fp = dir.hashCode & 0x7fffffff
     s"${sys.props("java.io.tmpdir")}/graft_ivf_index_$fp"
   }
-
-  /** Index path of the most recent [[indexPersist]] run — what the
-    * oracle dump (written AFTER Verify runs the queries) points at. */
-  @volatile private[graft] var lastIvfIndexPath =
-    ivfIndexPath("/root/testdata/sf0.01")
 
   /** Round-trip the persisted-index layout: save, reload, and emit
     * per-cell occupancy from BOTH the session index and the reloaded
@@ -680,7 +675,6 @@ object Similarity {
   def indexPersist(spark: SparkSession, dir: String): DataFrame = {
     VecFunctions.register(spark)
     val path = ivfIndexPath(dir)
-    lastIvfIndexPath = path
     saveIvfIndex(spark, dir, path)
     val (cents, assigned) = loadIvfIndex(spark, path)
     val live = cellCounts(spark, dir).toDF("cell", "n_live")
@@ -979,14 +973,10 @@ object Similarity {
 
   val PcaK = 8 // retained components
 
-  /** Rotation landing path of the MOST RECENT [[pcaProject]] run —
-    * per-source-dir (two SF dirs verified back-to-back must not poison
-    * each other's oracle), read by the `def pcaDuckSql` the same way
-    * the ivf oracles embed their last-run artifact paths. */
-  @volatile private[graft] var lastPcaPath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_pca_rotation_default_parquet"
-
-  private def pcaPathFor(dir: String): String =
+  /** Rotation landing path, per-source-dir (two SF dirs verified
+    * back-to-back must not poison each other's oracle); `pcaDuckSql`
+    * derives the same path from [[RunContext.oracleDir]]. */
+  private[graft] def pcaPathFor(dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_pca_rotation_" +
       dir.replaceAll("[^A-Za-z0-9]", "_") + "_parquet"
 
@@ -1193,14 +1183,14 @@ object Similarity {
 
   def pcaProject(spark: SparkSession, dir: String): DataFrame = {
     Tables.register(spark, dir)
-    lastPcaPath = pcaPathFor(dir)
-    val rot = landRotation(spark, lastPcaPath)
+    val rot = landRotation(spark, pcaPathFor(dir))
     projectRotation(spark, rot, "1.0", "pc")
   }
 
   def pcaDuckSql: String =
     s"""WITH r AS (
-       |  SELECT comp, vec, bias FROM read_parquet('$lastPcaPath/*.parquet')),
+       |  SELECT comp, vec, bias
+       |  FROM read_parquet('${pcaPathFor(RunContext.oracleDir)}/*.parquet')),
        |e AS (SELECT vec_id, embedding FROM embeddings)
        |SELECT e.vec_id, r.comp,
        |       ROUND(list_sum(list_transform(generate_series(1, len(r.vec)),
@@ -1221,20 +1211,19 @@ object Similarity {
     * positive eigenvalue simply inflates noise, λ exactly 0 would make
     * the quotient NULL-free ±Inf; both engines spell the same quotient,
     * so even the degenerate case stays hash-identical. */
-  @volatile private[graft] var lastWhitenPath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_pca_whiten_default_parquet"
+  private[graft] def whitenPathFor(dir: String): String =
+    pcaPathFor(dir) + "_whiten"
 
   def whitenProject(spark: SparkSession, dir: String): DataFrame = {
     Tables.register(spark, dir)
-    lastWhitenPath = pcaPathFor(dir) + "_whiten"
-    val rot = landRotation(spark, lastWhitenPath)
+    val rot = landRotation(spark, whitenPathFor(dir))
     projectRotation(spark, rot, "sqrt(eigval)", "pcw")
   }
 
   def whitenDuckSql: String =
     s"""WITH r AS (
        |  SELECT comp, vec, bias, eigval
-       |  FROM read_parquet('$lastWhitenPath/*.parquet')),
+       |  FROM read_parquet('${whitenPathFor(RunContext.oracleDir)}/*.parquet')),
        |e AS (SELECT vec_id, embedding FROM embeddings)
        |SELECT e.vec_id, r.comp,
        |       ROUND((list_sum(list_transform(generate_series(1, len(r.vec)),
@@ -1247,9 +1236,6 @@ object Similarity {
 
   /** Aligned output dimensions landed/projected (solve is full-d). */
   val ProcK = 8
-
-  @volatile private[graft] var lastProcPath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_procrustes_default_parquet"
 
   private def procPathFor(dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_procrustes_" +
@@ -1362,7 +1348,7 @@ object Similarity {
   def procrustesAlign(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.register(spark, dir)
-    lastProcPath = procPathFor(dir)
+    val procPath = procPathFor(dir)
     val pairs = spark.table("embeddings")
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -1387,8 +1373,8 @@ object Similarity {
         (comp + sh) % d, procSign(comp))
     }
     rows.toDF("comp", "rvec", "src_idx", "sgn")
-      .coalesce(1).write.mode("overwrite").parquet(lastProcPath)
-    val rot = spark.read.parquet(lastProcPath)
+      .coalesce(1).write.mode("overwrite").parquet(procPath)
+    val rot = spark.read.parquet(procPath)
     spark.table("embeddings").select(col("vec_id"), col("embedding"))
       .join(org.apache.spark.sql.functions.broadcast(rot))
       .select(col("vec_id"), col("comp"),
@@ -1407,7 +1393,7 @@ object Similarity {
   def procrustesDuckSql: String =
     s"""WITH r AS (
        |  SELECT comp, rvec, src_idx, sgn
-       |  FROM read_parquet('$lastProcPath/*.parquet')),
+       |  FROM read_parquet('${procPathFor(RunContext.oracleDir)}/*.parquet')),
        |e AS (SELECT vec_id, embedding FROM embeddings)
        |SELECT e.vec_id, r.comp,
        |       ROUND(list_sum(list_transform(generate_series(1, len(r.rvec)),
@@ -1809,13 +1795,10 @@ object Similarity {
     val fp = dir.hashCode & 0x7fffffff
     s"${sys.props("java.io.tmpdir")}/graft_ivf_port_$fp"
   }
-  @volatile private var lastIvfPortPath = ivfPortPath("/root/testdata/sf0.01")
-
   private def ivfTopKPortable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     VecFunctions.register(spark)
     val path = ivfPortPath(dir)
-    lastIvfPortPath = path
     val (centroids, assigned) = ivfIndex(spark, dir)
     centroids.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
@@ -1876,10 +1859,10 @@ object Similarity {
   private def ivfPortableDuckSql: String =
     s"""WITH cent AS (
        |  SELECT cell, centroid
-       |  FROM read_parquet('$lastIvfPortPath/centroids/*.parquet')),
+       |  FROM read_parquet('${ivfPortPath(RunContext.oracleDir)}/centroids/*.parquet')),
        |a AS (
        |  SELECT vec_id, embedding, cell
-       |  FROM read_parquet('$lastIvfPortPath/cells/*.parquet')),
+       |  FROM read_parquet('${ivfPortPath(RunContext.oracleDir)}/cells/*.parquet')),
        |q AS (
        |  SELECT vec_id AS qid, embedding AS qe
        |  FROM a WHERE vec_id < $NumQueries),
@@ -1936,12 +1919,9 @@ object Similarity {
     val fp = dir.hashCode & 0x7fffffff
     s"${sys.props("java.io.tmpdir")}/graft_ann_edges_$fp"
   }
-  @volatile private var lastAnnEdgePath = annEdgePath("/root/testdata/sf0.01")
-
   private def pageRankAnn(spark: SparkSession, dir: String): DataFrame = {
     VecFunctions.register(spark)
     val path = annEdgePath(dir)
-    lastAnnEdgePath = path
     val (_, assigned) = ivfIndex(spark, dir)
     val nbr = assigned.select(col("cell"), col("vec_id").as("nbr_id"),
       col("embedding").as("ne"))
@@ -1970,7 +1950,8 @@ object Similarity {
 
   private def pageRankAnnDuckSql: String = PageRank.rankDuckSqlFrom(
     s"""WITH ed AS (
-       |  SELECT src, dst FROM read_parquet('$lastAnnEdgePath/*.parquet')),
+       |  SELECT src, dst
+       |  FROM read_parquet('${annEdgePath(RunContext.oracleDir)}/*.parquet')),
        |nd AS (SELECT vec_id FROM embeddings)""".stripMargin)
 
   /** Portable twin of `sim_ivfpq_topk`: codebook TRAINING (Lloyd
@@ -1989,13 +1970,10 @@ object Similarity {
     val fp = dir.hashCode & 0x7fffffff
     s"${sys.props("java.io.tmpdir")}/graft_pq_port_$fp"
   }
-  @volatile private var lastPqPortPath = pqPortPath("/root/testdata/sf0.01")
-
   private def ivfPqTopKPortable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     VecFunctions.register(spark)
     val path = pqPortPath(dir)
-    lastPqPortPath = path
     val (centroids, _) = ivfIndex(spark, dir)
     val (codebooks, encoded) = pqIndex(spark, dir)
     centroids.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq
@@ -2085,12 +2063,12 @@ object Similarity {
   private def pqPortableDuckSql: String =
     s"""WITH cent AS (
        |  SELECT cell, centroid
-       |  FROM read_parquet('$lastPqPortPath/centroids/*.parquet')),
+       |  FROM read_parquet('${pqPortPath(RunContext.oracleDir)}/centroids/*.parquet')),
        |cbt AS (
-       |  SELECT cb FROM read_parquet('$lastPqPortPath/codebooks/*.parquet')),
+       |  SELECT cb FROM read_parquet('${pqPortPath(RunContext.oracleDir)}/codebooks/*.parquet')),
        |enc AS (
        |  SELECT vec_id, embedding, cell, codes, xnorm
-       |  FROM read_parquet('$lastPqPortPath/encoded/*.parquet')),
+       |  FROM read_parquet('${pqPortPath(RunContext.oracleDir)}/encoded/*.parquet')),
        |q AS (
        |  SELECT vec_id AS qid, embedding AS qe
        |  FROM enc WHERE vec_id < $NumQueries),
@@ -2162,12 +2140,12 @@ object Similarity {
   private def indexPersistDuckSql: String =
     s"""WITH occ AS (
        |  SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n
-       |  FROM read_parquet('$lastIvfIndexPath/cells/*/*.parquet',
+       |  FROM read_parquet('${ivfIndexPath(RunContext.oracleDir)}/cells/*/*.parquet',
        |                    hive_partitioning=1)
        |  GROUP BY 1),
        |nc AS (
        |  SELECT COUNT(*) AS n_centroids
-       |  FROM read_parquet('$lastIvfIndexPath/centroids/*.parquet'))
+       |  FROM read_parquet('${ivfIndexPath(RunContext.oracleDir)}/centroids/*.parquet'))
        |SELECT cell, n AS n_live, n AS n_reloaded, n_centroids
        |FROM occ, nc ORDER BY cell""".stripMargin
 
@@ -2290,9 +2268,6 @@ object Similarity {
     val fp = dir.hashCode & 0x7fffffff
     s"${sys.props("java.io.tmpdir")}/graft_cluster_samp_$fp"
   }
-  @volatile private var lastClusterSampPath =
-    clusterSampPath("/root/testdata/sf0.01")
-
   /** Cluster-balanced (diversity) sampling — the SemDeDup/D4-style
     * curation move: cap every embedding cluster's contribution to the
     * training mix at [[ClusterQuota]] documents, so over-represented
@@ -2312,7 +2287,6 @@ object Similarity {
   def clusterSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = clusterSampPath(dir)
-    lastClusterSampPath = path
     val (_, assigned) = ivfIndex(spark, dir)
     assigned
       .select(col("vec_id"), col("cell").cast("int").as("cell"))
@@ -2343,7 +2317,7 @@ object Similarity {
        |         ROW_NUMBER() OVER (PARTITION BY cell
        |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk,
        |         COUNT(*) OVER (PARTITION BY cell) AS n_cell
-       |  FROM read_parquet('$lastClusterSampPath/cells/*.parquet'))
+       |  FROM read_parquet('${clusterSampPath(RunContext.oracleDir)}/cells/*.parquet'))
        |SELECT cell, rk, vec_id, n_cell FROM r
        |WHERE rk <= $ClusterQuota
        |ORDER BY cell, rk""".stripMargin

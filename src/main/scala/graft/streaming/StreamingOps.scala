@@ -1180,12 +1180,12 @@ object StreamingOps {
   private def annIngestDuckSql: String =
     s"""SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n
        |FROM read_parquet(
-       |  '${graft.similarity.Similarity.lastIvfIndexPath}/cells/*/*.parquet',
+       |  '${graft.similarity.Similarity.ivfIndexPath(graft.RunContext.oracleDir)}/cells/*/*.parquet',
        |  hive_partitioning=1)
        |GROUP BY 1 ORDER BY cell""".stripMargin
 
-  // def, not val: annIngestDuckSql embeds the landed index path of the
-  // most recent sim_index_persist run (dumped after queries execute)
+  // def, not val: annIngestDuckSql derives the landed index path from
+  // RunContext.oracleDir at dump time
   def oracleSql: Map[String, String] = Map(
     "stream_upsert" -> upsertStreamOracle,
     "stream_scd2" -> graft.relational.Relational.scd2Oracle,

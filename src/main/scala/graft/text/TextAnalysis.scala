@@ -989,11 +989,6 @@ object TextAnalysis {
     s"${sys.props("java.io.tmpdir")}/graft_quality_tree_$fp"
   }
 
-  /** Tree path of the most recent [[qualityModel]] run — what the
-    * oracle dump (written AFTER Verify runs the queries) points at. */
-  @volatile private var lastQualityTreePath =
-    qualityTreePath("/root/testdata/sf0.01")
-
   def qualityModel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val signals = Tables.sql(qualityFilterSparkSql)(spark, dir)
@@ -1031,7 +1026,6 @@ object TextAnalysis {
     val treePath = qualityTreePath(dir)
     nodes.toSeq.toDF("node_id", "feat", "thr", "left", "right", "pred")
       .coalesce(1).write.mode("overwrite").parquet(treePath)
-    lastQualityTreePath = treePath
     model.transform(assembled)
       .selectExpr("doc_id", "CAST(label AS BIGINT) AS weak_label",
         "CAST(prediction AS BIGINT) AS pred",
@@ -1302,7 +1296,7 @@ object TextAnalysis {
        |         THEN 1 ELSE 0 END AS keep
        |  FROM t JOIN rep ON t.doc_id = rep.doc_id),
        |nodes AS (
-       |  SELECT * FROM read_parquet('$lastQualityTreePath/*.parquet')),
+       |  SELECT * FROM read_parquet('${qualityTreePath(graft.RunContext.oracleDir)}/*.parquet')),
        |walk AS (
        |  SELECT doc_id, f0, f1, f2, f3, keep, 0 AS node FROM f
        |  UNION ALL

@@ -31,7 +31,7 @@ class PcaSpec extends AnyFunSuite {
     val byComp = out.collect()
       .map(r => (r.getInt(1), r.getDouble(2)))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val rot = spark.read.parquet(Similarity.lastPcaPath)
+    val rot = spark.read.parquet(Similarity.pcaPathFor(sf))
       .select("comp", "vec", "eigval").collect()
       .map(r => (r.getInt(0),
         r.getSeq[Double](1).toArray, r.getDouble(2)))
@@ -64,7 +64,7 @@ class PcaSpec extends AnyFunSuite {
 
   test("reconstruction residual equals the discarded variance") {
     Similarity.pcaProject(spark, sf).collect() // ensure artifact is fresh
-    val rot = spark.read.parquet(Similarity.lastPcaPath)
+    val rot = spark.read.parquet(Similarity.pcaPathFor(sf))
       .select("comp", "vec", "eigval").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)

@@ -46,12 +46,31 @@ def driver_queries(rec):
 
 
 def main(argv):
-    args = [a for a in argv if not a.startswith("--")]
+    # one pass: a bare --threshold consumes the NEXT token as its value,
+    # so '--threshold 2.0' never leaks '2.0' into the positional args
+    args = []
     thr = 2.0
-    for a in argv:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1] if "=" in a
-                        else argv[argv.index(a) + 1])
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            else:
+                if i + 1 >= len(argv):
+                    print("--threshold needs a value", file=sys.stderr)
+                    return 2
+                thr = float(argv[i + 1])
+                i += 1
+        elif a.startswith("--"):
+            print(f"unknown flag {a}", file=sys.stderr)
+            return 2
+        else:
+            args.append(a)
+        i += 1
+    if not args:
+        print(__doc__.strip().split("\n\n")[1], file=sys.stderr)
+        return 2
     driver_path = args[0]
     full_path = args[1] if len(args) > 1 else "BENCH_full_latest.json"
     drec = json.load(open(driver_path))
