@@ -19,6 +19,60 @@ object Relational {
   /** (name, sparkSql, Option(duckdbSql)); None duckSql means same string. */
   private case class Q(name: String, spark: String, duck: Option[String] = None)
 
+  /** Binned scale spelling of `q38_window_distribution` — the exact
+    * query's `PARTITION BY o_orderpriority` has FIVE values, so each
+    * ordered window is one per-task spill-backed sort of N/5 rows
+    * (~20 TB per task at 100 TB; 26.8 s measured at sf10). Same
+    * treatment as `stats_gini_binned` (relational/Stats.scala): prices
+    * quantize to integer cents and bucket into 64 equi-width bins per
+    * priority, the distribution statistics come off the per-priority
+    * bin histogram (the only ordered window runs over ≤ 64 rows per
+    * priority), and each ROW then picks up its statistics through a
+    * ~320-row broadcast join — no row-sized sort anywhere. The price
+    * of losing the sort is three scans of `orders` (Spark re-inlines
+    * the multi-referenced CTE; scans parallelize, sorts don't).
+    *
+    * Semantics: quartile/percent_rank/cume_dist of the BIN, i.e. the
+    * value-distribution statistics with ties at bin granularity —
+    * pr = rows-strictly-below-bin/(n−1), cd = rows-through-bin/n,
+    * quartile = 1 + ⌊4·pr·(n−1)/n⌋. Emitted as exact e6-microunit
+    * BIGINTs (pure integer div on non-negative operands, where Spark's
+    * `div` and DuckDB's `//` agree bit-for-bit) — no doubles anywhere.
+    * `RelationalBinnedSpec` pins the binned-vs-exact gap (≤ the
+    * largest bin's row share) and the bin-sized window input. */
+  private def q38BinnedSql(idiv: String): String =
+    s"""WITH q AS (
+       |  SELECT o_orderpriority AS pri, o_orderkey AS k,
+       |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+       |  FROM orders),
+       |r AS (
+       |  SELECT pri, CAST(MIN(v) AS BIGINT) AS lo,
+       |         CAST(MAX(v) AS BIGINT) AS hi
+       |  FROM q GROUP BY pri),
+       |b AS (
+       |  -- hint pins the 5-row extents as the broadcast side (the
+       |  -- stats_gini_binned lesson); DuckDB reads it as a comment
+       |  SELECT /*+ BROADCAST(r) */ q.pri, q.k,
+       |         ((q.v - r.lo) * 64) $idiv (r.hi - r.lo + 1) AS bin
+       |  FROM q JOIN r ON q.pri = r.pri),
+       |g AS (
+       |  SELECT pri, bin, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM b GROUP BY pri, bin),
+       |w AS (
+       |  SELECT pri, bin, c,
+       |         CAST(SUM(c) OVER (PARTITION BY pri ORDER BY bin
+       |              ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS clt,
+       |         CAST(SUM(c) OVER (PARTITION BY pri) AS BIGINT) AS n
+       |  FROM g)
+       |SELECT /*+ BROADCAST(w) */ b.pri AS o_orderpriority,
+       |       b.k AS o_orderkey,
+       |       CAST(1 + (4 * w.clt) $idiv w.n AS BIGINT) AS quartile,
+       |       CAST((w.clt * 1000000) $idiv GREATEST(w.n - 1, 1)
+       |            AS BIGINT) AS pr_e6,
+       |       CAST(((w.clt + w.c) * 1000000) $idiv w.n AS BIGINT) AS cd_e6
+       |FROM b JOIN w ON b.pri = w.pri AND b.bin = w.bin
+       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   private val qs: Seq[Q] = Seq(
     // ORDER BY spans ALL output columns: the synthetic lineitem has
     // duplicate (orderkey, linenumber) pairs, and an order-sensitive
@@ -127,6 +181,10 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, pr, o_orderkey""".stripMargin),
+
+    // Binned scale spelling of q38 — see q38BinnedSql.
+    Q("q38_window_distribution_binned",
+      q38BinnedSql("div"), Some(q38BinnedSql("//"))),
 
     // Snapshot diff (CDC extraction): classify rows of two table
     // versions as added/removed/changed via one full-outer join on the
