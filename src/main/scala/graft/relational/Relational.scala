@@ -25,15 +25,21 @@ object Relational {
     * (~20 TB per task at 100 TB; 26.8 s measured at sf10). Same
     * treatment as `stats_gini_binned` (relational/Stats.scala): prices
     * quantize to integer cents and bucket into 64 equi-width bins per
-    * priority, the distribution statistics come off the per-priority
-    * bin histogram (the only ordered window runs over ≤ 64 rows per
-    * priority), and each ROW then picks up its statistics through a
-    * ~320-row broadcast join — no row-sized sort anywhere. The price
-    * of losing the sort is three scans of `orders` (Spark re-inlines
-    * the multi-referenced CTE; scans parallelize, sorts don't).
+    * priority, and quartile/percent_rank/cume_dist come off the
+    * per-priority bin histogram — the only ordered window runs over
+    * ≤ 64 rows per priority, and the only row-sized work is two
+    * column-pruned scans plus a map-side partial aggregate.
     *
-    * Semantics: quartile/percent_rank/cume_dist of the BIN, i.e. the
-    * value-distribution statistics with ties at bin granularity —
+    * The output is the ~320-row DISTRIBUTION TABLE (per-bin count +
+    * statistics), which carries the full binned information: the
+    * exact query's corpus-sized per-row output is itself the thing
+    * that cannot ship at 100 TB (a first per-row spelling here kept
+    * the statistics cheap but paid a corpus-sized ordered output —
+    * 26 s at sf10, SLOWER than exact; the measured lesson), and any
+    * row's statistics are one broadcast-join lookup into this table
+    * (exactly the `b JOIN g` equi-join already inside the query).
+    *
+    * Semantics: statistics of the BIN, i.e. ties at bin granularity —
     * pr = rows-strictly-below-bin/(n−1), cd = rows-through-bin/n,
     * quartile = 1 + ⌊4·pr·(n−1)/n⌋. Emitted as exact e6-microunit
     * BIGINTs (pure integer div on non-negative operands, where Spark's
@@ -42,36 +48,33 @@ object Relational {
     * largest bin's row share) and the bin-sized window input. */
   private def q38BinnedSql(idiv: String): String =
     s"""WITH q AS (
-       |  SELECT o_orderpriority AS pri, o_orderkey AS k,
+       |  SELECT o_orderpriority AS pri,
        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
        |  FROM orders),
        |r AS (
        |  SELECT pri, CAST(MIN(v) AS BIGINT) AS lo,
        |         CAST(MAX(v) AS BIGINT) AS hi
        |  FROM q GROUP BY pri),
-       |b AS (
+       |g AS (
        |  -- hint pins the 5-row extents as the broadcast side (the
        |  -- stats_gini_binned lesson); DuckDB reads it as a comment
-       |  SELECT /*+ BROADCAST(r) */ q.pri, q.k,
-       |         ((q.v - r.lo) * 64) $idiv (r.hi - r.lo + 1) AS bin
-       |  FROM q JOIN r ON q.pri = r.pri),
-       |g AS (
-       |  SELECT pri, bin, CAST(COUNT(*) AS BIGINT) AS c
-       |  FROM b GROUP BY pri, bin),
+       |  SELECT /*+ BROADCAST(r) */ q.pri,
+       |         ((q.v - r.lo) * 64) $idiv (r.hi - r.lo + 1) AS bin,
+       |         CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM q JOIN r ON q.pri = r.pri
+       |  GROUP BY 1, 2),
        |w AS (
        |  SELECT pri, bin, c,
        |         CAST(SUM(c) OVER (PARTITION BY pri ORDER BY bin
        |              ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS clt,
        |         CAST(SUM(c) OVER (PARTITION BY pri) AS BIGINT) AS n
        |  FROM g)
-       |SELECT /*+ BROADCAST(w) */ b.pri AS o_orderpriority,
-       |       b.k AS o_orderkey,
-       |       CAST(1 + (4 * w.clt) $idiv w.n AS BIGINT) AS quartile,
-       |       CAST((w.clt * 1000000) $idiv GREATEST(w.n - 1, 1)
+       |SELECT pri AS o_orderpriority, bin, c AS n_rows,
+       |       CAST(1 + (4 * clt) $idiv n AS BIGINT) AS quartile,
+       |       CAST((clt * 1000000) $idiv GREATEST(n - 1, 1)
        |            AS BIGINT) AS pr_e6,
-       |       CAST(((w.clt + w.c) * 1000000) $idiv w.n AS BIGINT) AS cd_e6
-       |FROM b JOIN w ON b.pri = w.pri AND b.bin = w.bin
-       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+       |       CAST(((clt + c) * 1000000) $idiv n AS BIGINT) AS cd_e6
+       |FROM w ORDER BY o_orderpriority, bin""".stripMargin
 
   private val qs: Seq[Q] = Seq(
     // ORDER BY spans ALL output columns: the synthetic lineitem has

@@ -1156,6 +1156,164 @@ object Stats {
   val cusumSparkSql: String = cusumSql("div")
   val cusumDuckSql: String = cusumSql("//")
 
+  /** Intermediates of [[cusumScan]], persisted so the offset pass and
+    * the finish pass see the SAME range boundaries (the Corpus.pack
+    * policy — an evicted intermediate recomputed with re-sampled
+    * boundaries would make the broadcast offsets lie). */
+  private val cusumCache =
+    new graft.BoundedCache[(DataFrame, org.apache.spark.sql.Dataset[_])](
+      max = 4, onEvict = _._2.unpersist(blocking = false))
+
+  /** CUSUM via the two-phase distributed segmented scan — the 100 TB
+    * spelling of [[cusumSql]]. The windowed form partitions by
+    * event_type alone (5 values), so each per-type prefix scan is ONE
+    * spill-backed task sort of N/5 rows (21.1 s at sf10, ~20 TB per
+    * task at 100 TB). But the closed form
+    * `S_t = C_t − min(0, min_{j≤t} C_j)` is built from a prefix SUM
+    * and a prefix MIN — both associative — so it takes the
+    * `Corpus.pack` treatment (text/Corpus.scala): range-partition by
+    * (event_type, ts, event_id) so partition-index order IS the global
+    * key order, per-partition per-type-segment partials (Σd, min
+    * prefix, count — O(partitions·types) longs to the driver:
+    * metadata, not data), exclusive-scan them on the driver, broadcast
+    * the offsets, and finish each segment map-side from its offset.
+    * Every stage is parallel; the one shuffle is the range exchange.
+    * Episode counting crosses chunk boundaries exactly: the previous
+    * chunk's closing statistic is `off − min(0, gmin_prior)` — both
+    * already in the offset triple.
+    *
+    * All arithmetic is the same exact BIGINT math as the windowed
+    * spelling, so results are hash-identical ([[cusumDuckSql]] stays
+    * the oracle; `CusumScanSpec` additionally pins scan ≡ window on
+    * the same session). This corrects the earlier "inherently
+    * sequential per key" note: only the max(0,·) RECURRENCE is
+    * sequential — the closed form it was already rewritten into is a
+    * pair of associative scans. */
+  def cusumScan(spark: SparkSession, dir: String,
+                chunks: Int = 0): DataFrame = {
+    val key = spark.sparkContext.applicationId + " cusum " + dir +
+      " " + chunks
+    cusumCache.get(key) {
+      import spark.implicits._
+      import org.apache.spark.TaskContext
+      val p = if (chunks > 0) chunks
+        else spark.sparkContext.defaultParallelism
+      val q = Tables.load(spark, dir, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          expr("CAST(ROUND(value * 1e3) AS BIGINT)").as("v"))
+      // per-type totals: 5 rows of metadata; floor-div mean, sign-safe
+      // (the cusumSql CASE, in Scala: / truncates toward zero)
+      val mus = q.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .as[(String, Long, Long)].collect()
+        .map { case (t, n, sv) =>
+          val mu = if (sv >= 0) sv / n else -((-sv + n - 1) / n)
+          t -> (n, mu)
+        }.toMap
+      val bcMu = spark.sparkContext.broadcast(mus)
+      val sorted = q
+        .repartitionByRange(p, col("event_type"), col("ts"), col("event_id"))
+        .sortWithinPartitions("event_type", "ts", "event_id")
+        .select(col("event_type"), col("v"))
+        .as[(String, Long)]
+        .persist()
+      // pass 1: per-(partition, type-segment) partials
+      val partials = sorted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val mu = bcMu.value
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String, Long, Long, Long)]
+        var typ: String = null
+        var cnt = 0L; var ps = 0L; var minps = Long.MaxValue
+        def flush(): Unit =
+          if (typ != null) out += ((pid, typ, cnt, ps, minps))
+        it.foreach { case (t, v) =>
+          if (t != typ) { flush(); typ = t; cnt = 0L; ps = 0L
+            minps = Long.MaxValue }
+          ps += v - (mu(t)._2 + CusumKappa)
+          cnt += 1
+          if (ps < minps) minps = ps
+        }
+        flush()
+        out.iterator
+      }.collect()
+      // driver: exclusive scan per type over partition index order —
+      // off (prefix Σd), cntoff (prefix count), gminPrior (min over
+      // prior chunks of off_j + minps_j; MaxValue = no prior)
+      val offsets = scala.collection.mutable.Map
+        .empty[(Int, String), (Long, Long, Long)]
+      partials.groupBy(_._2).foreach { case (t, segs) =>
+        var off = 0L; var cntoff = 0L; var gmin = Long.MaxValue
+        segs.sortBy(_._1).foreach { case (pid, _, cnt, sumd, minps) =>
+          offsets((pid, t)) = (off, cntoff, gmin)
+          off += sumd; cntoff += cnt
+          if (off - sumd + minps < gmin) gmin = off - sumd + minps
+        }
+      }
+      val bcOff = spark.sparkContext.broadcast(offsets.toMap)
+      // pass 2: map-side finish — running C/min from the offset, the
+      // chunk's opening prev_st from (off, gminPrior), per-type alarm
+      // partials out (O(partitions·types) rows)
+      val finished = sorted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val mu = bcMu.value
+        val offs = bcOff.value
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long, Long, Long, Long, Long)]
+        var typ: String = null
+        var off = 0L; var cntoff = 0L; var gmin = Long.MaxValue
+        var ps = 0L; var pmin = 0L; var rn = 0L; var prevSt = 0L
+        var maxSt = Long.MinValue; var nAlarm = 0L; var nEpis = 0L
+        var firstRn = Long.MaxValue
+        def flush(): Unit = if (typ != null) {
+          val (n, m) = mu(typ)
+          out += ((typ, n, m, maxSt, nAlarm, nEpis, firstRn))
+        }
+        it.foreach { case (t, v) =>
+          if (t != typ) {
+            flush(); typ = t
+            val (o, c, g) = offs((pid, t))
+            off = o; cntoff = c; gmin = g
+            ps = 0L; pmin = Long.MaxValue; rn = cntoff
+            prevSt = off - math.min(0L, if (gmin == Long.MaxValue) 0L
+              else gmin)
+            maxSt = Long.MinValue; nAlarm = 0L; nEpis = 0L
+            firstRn = Long.MaxValue
+          }
+          ps += v - (mu(t)._2 + CusumKappa)
+          if (ps < pmin) pmin = ps
+          rn += 1
+          val runmin = math.min(if (gmin == Long.MaxValue) Long.MaxValue
+            else gmin, off + pmin)
+          val st = (off + ps) - math.min(0L, runmin)
+          if (st > maxSt) maxSt = st
+          if (st > CusumH) {
+            nAlarm += 1
+            if (prevSt <= CusumH) nEpis += 1
+            if (rn < firstRn) firstRn = rn
+          }
+          prevSt = st
+        }
+        flush()
+        out.iterator
+      }.toDF("event_type", "n", "mu_milli", "max_s", "n_alarm_rows",
+        "n_episodes", "first_rn")
+      val result = finished.groupBy("event_type")
+        .agg(min("n").as("n"), min("mu_milli").as("mu_milli"),
+          max("max_s").as("max_s"),
+          sum("n_alarm_rows").as("n_alarm_rows"),
+          sum("n_episodes").as("n_episodes"),
+          min("first_rn").as("fr"))
+        .select(col("event_type"), col("n"), col("mu_milli"),
+          col("max_s"), col("n_alarm_rows"), col("n_episodes"),
+          when(col("fr") === Long.MaxValue, lit(null))
+            .otherwise(col("fr")).cast("long").as("first_alarm_rn"))
+        .orderBy("event_type")
+      (result, sorted)
+    }._1
+  }
+
   /** k-anonymity privacy audit — the re-identification risk readout a
     * training-data release runs before shipping: every event is binned
     * into its quasi-identifier (QI) equivalence class and the class
@@ -1216,7 +1374,7 @@ object Stats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_kanon" -> Tables.sql(kanonSparkSql),
-    "stats_cusum" -> Tables.sql(cusumSparkSql),
+    "stats_cusum" -> ((s, d) => cusumScan(s, d)),
     "stats_ttest" -> Tables.sql(ttestSparkSql),
     "stats_chisq" -> Tables.sql(chisqSparkSql),
     "stats_anova" -> Tables.sql(anovaSparkSql),

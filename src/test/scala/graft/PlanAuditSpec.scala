@@ -212,16 +212,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("stats_cusum shares one hash exchange across all its windows; " +
-    "stats_kanon reads events exactly once for both lattice levels") {
-    // cusum: six window functions, one event_type partitioning — a
-    // second hash exchange would mean a window re-partitioned the table
+  test("stats_cusum plans the segmented scan (range exchange, no " +
+    "per-type window); stats_kanon reads events exactly once for both " +
+    "lattice levels") {
+    // cusum: the two-phase scan's only row-sized exchange is the range
+    // partitioning on (event_type, ts, event_id) — a Window node or a
+    // hashpartitioning(event_type) exchange would mean the 5-value
+    // ordered-window spelling crept back (one N/5-row task sort)
     val cusum = SparkEntry.queries("stats_cusum")(spark, sf)
       .queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    val hashEx = "Exchange hashpartitioning".r
-      .findAllMatchIn(cusum).length
-    assert(hashEx == 1, s"stats_cusum plans $hashEx hash exchanges:\n$cusum")
+    assert(cusum.contains("Exchange rangepartitioning"),
+      s"stats_cusum lost its range exchange:\n$cusum")
+    assert(!cusum.contains("Window"),
+      s"stats_cusum re-grew a window:\n$cusum")
 
     // kanon: the coarse QI level must roll up from the fine class
     // table, never re-scan events
