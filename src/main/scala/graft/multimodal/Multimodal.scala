@@ -544,6 +544,131 @@ object Multimodal {
       |  FROM hh a JOIN hh b ON a.doc_id < b.doc_id)
       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Anchors kept per band bucket in [[phashNearCapped]]. */
+  val AnchorK = 8
+
+  /** PRODUCTION twin of [[phashNear]] — bounded output and bounded
+    * per-bucket work on duplicate-dense corpora. The exact pair query
+    * is the losslessness proof, but its output is quadratic in
+    * duplicate density (real image corpora have massive exact-dup
+    * clusters — logos, boilerplate thumbnails; the fixture's ~163-copy
+    * clusters ran 289.6 s at sf10 materializing every pair). This twin
+    * emits ONE survivorship row per document instead of pairs, and
+    * compares each bucket member only against its bucket's
+    * [[AnchorK]] smallest doc_ids (collected with the bounded heap
+    * aggregator — map-side size-K heaps, no bucket ever collected
+    * whole), so per-bucket work is |bucket|·K and output is exactly N
+    * rows no matter how degenerate the clusters get.
+    *
+    * Semantics: doc b is flagged (keep = 0, dup_of = the smallest such
+    * anchor, hamming via MIN_BY against it — the `dedup_semantic`
+    * min-id dominance convention) iff some anchor with a smaller id in
+    * one of b's 4 band buckets is within Hamming [[NearRadius]].
+    * Exact-duplicate clusters dedup whenever the cluster's min id is
+    * among the K smallest of any of the cluster's 4 shared buckets —
+    * in particular always when the cluster dominates its bucket (the
+    * duplicate-dense case this twin exists for); recall beyond the
+    * anchors is traded away deliberately — the cap IS the production
+    * contract (the Dedup.MaxBucket treatment, as an anchor bound
+    * instead of dropping hot buckets, so dense exact clusters still
+    * dedup rather than escaping through the drop). The
+    * DuckDB oracle mirrors banding, anchor election, and survivorship
+    * from the closed-form fingerprints, so a green row pins the cap
+    * semantics cross-engine, not just plausibly. */
+  def phashNearCapped(spark: SparkSession, dir: String): DataFrame = {
+    val h = phashes(spark, dir)
+    def band(i: Int, c: org.apache.spark.sql.Column) =
+      struct(lit(i).as("band"), shiftright(c, 16 * (i % 2))
+        .bitwiseAND(lit(0xFFFFL)).as("k"))
+    val bands = h.select(col("doc_id"), col("h_hi"), col("h_lo"),
+      explode(array(band(0, col("h_lo")), band(1, col("h_lo")),
+        band(2, col("h_hi")), band(3, col("h_hi")))).as("bk"))
+    val topk = udaf(
+      new graft.relational.TopK.GroupedTopK(AnchorK),
+      org.apache.spark.sql.Encoders.product[
+        graft.relational.TopK.TopKIn])
+    // K smallest ids per bucket: top-K by (-id DESC) through the heap
+    // (doc_id is exact in a Double far beyond any corpus size)
+    val anchors = bands.groupBy(col("bk"))
+      .agg(topk(negate(col("doc_id").cast("double")),
+        col("doc_id")).as("t"))
+      .select(col("bk"), explode(col("t.ids")).as("anchor_id"))
+      .join(h.select(col("doc_id").as("anchor_id"),
+        col("h_hi").as("hi_a"), col("h_lo").as("lo_a")), "anchor_id")
+    val cand = bands
+      .select(col("bk"), col("doc_id").as("doc_b"),
+        col("h_hi").as("hi_b"), col("h_lo").as("lo_b"))
+      .join(anchors, Seq("bk"))
+      .where(col("anchor_id") < col("doc_b"))
+      .select(col("doc_b"), col("anchor_id"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= NearRadius)
+    val d = cand.groupBy(col("doc_b"))
+      .agg(min("anchor_id").as("dup_of"),
+        min_by(col("hamming"), col("anchor_id")).as("hamming"))
+    h.select(col("doc_id")).join(d, col("doc_id") === col("doc_b"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("keep"),
+        col("dup_of"), col("hamming"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: same banding, same K-smallest anchor election, same
+    * min-id survivorship — from the closed-form fingerprints. */
+  val phashNearCappedDuckSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, CAST(16 + doc_id % 48 AS BIGINT) AS w,
+      |         CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS h
+      |  FROM documents),
+      |b AS (
+      |  SELECT d.doc_id, ty.oy * 8 + tx.ox AS bit,
+      |         CASE WHEN ((((tx.ox + 1) * d.w) // 9) * 7
+      |                    + ((ty.oy * d.h) // 8) * 13 + d.doc_id * 31) % 256
+      |                 > (((tx.ox * d.w) // 9) * 7
+      |                    + ((ty.oy * d.h) // 8) * 13 + d.doc_id * 31) % 256
+      |         THEN 1 ELSE 0 END AS v
+      |  FROM d, generate_series(0, 7) AS tx(ox), generate_series(0, 7) AS ty(oy)),
+      |hh AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN bit < 32 THEN v * (1::BIGINT << bit)
+      |             ELSE 0 END) AS BIGINT) AS h_lo,
+      |    CAST(SUM(CASE WHEN bit >= 32 THEN v * (1::BIGINT << (bit - 32))
+      |             ELSE 0 END) AS BIGINT) AS h_hi
+      |  FROM b GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, h_hi, h_lo, bs.band,
+      |         CASE bs.band WHEN 0 THEN h_lo & 65535
+      |                      WHEN 1 THEN (h_lo >> 16) & 65535
+      |                      WHEN 2 THEN h_hi & 65535
+      |                      ELSE (h_hi >> 16) & 65535 END AS k
+      |  FROM hh CROSS JOIN generate_series(0, 3) AS bs(band)),
+      |anchors AS (
+      |  SELECT band, k, doc_id AS anchor_id, h_hi AS hi_a, h_lo AS lo_a
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY band, k
+      |                                     ORDER BY doc_id) AS rn
+      |        FROM bands) WHERE rn <= $AnchorK),
+      |cand AS (
+      |  SELECT * FROM (
+      |    SELECT m.doc_id AS doc_b, a.anchor_id,
+      |           CAST(bit_count(xor(a.hi_a::UBIGINT, m.h_hi::UBIGINT))
+      |              + bit_count(xor(a.lo_a::UBIGINT, m.h_lo::UBIGINT))
+      |              AS BIGINT) AS hamming
+      |    FROM bands m JOIN anchors a
+      |      ON a.band = m.band AND a.k = m.k AND a.anchor_id < m.doc_id)
+      |  WHERE hamming <= $NearRadius),
+      |dd AS (
+      |  SELECT doc_b, MIN(anchor_id) AS dup_of,
+      |         MIN_BY(hamming, anchor_id) AS hamming
+      |  FROM cand GROUP BY doc_b)
+      |SELECT hh.doc_id,
+      |       CAST(CASE WHEN dd.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |         AS keep,
+      |       dd.dup_of, dd.hamming
+      |FROM hh LEFT JOIN dd ON dd.doc_b = hh.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---- audio: real WAV (RIFF PCM16) encode + javax.sound decode ----------
 
   /** Deterministic sample function: PCM16 sample i of doc `id`. */
@@ -894,7 +1019,8 @@ object Multimodal {
     "mm_audio_resample" -> ((s, d) => audioResample(s, d)),
     "mm_audio_vad" -> ((s, d) => audioVad(s, d)),
     "mm_phash_dedup" -> ((s, d) => phashDedup(s, d)),
-    "mm_phash_near" -> ((s, d) => phashNear(s, d))
+    "mm_phash_near" -> ((s, d) => phashNear(s, d)),
+    "mm_phash_near_capped" -> ((s, d) => phashNearCapped(s, d))
   )
 
   val metadataDuckSql: String =
@@ -913,6 +1039,7 @@ object Multimodal {
     "mm_audio_resample" -> audioResampleDuckSql,
     "mm_audio_vad" -> audioVadDuckSql,
     "mm_phash_dedup" -> phashDedupDuckSql,
-    "mm_phash_near" -> phashNearDuckSql
+    "mm_phash_near" -> phashNearDuckSql,
+    "mm_phash_near_capped" -> phashNearCappedDuckSql
   )
 }
