@@ -21,6 +21,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // opt-in state-store provider for the streaming family (A/B against
+    // the default memory-backed HDFSBackedStateStoreProvider):
+    // SPARK_GRAFT_STATESTORE=rocksdb or a fully-qualified class name
+    sys.env.get("SPARK_GRAFT_STATESTORE").foreach { v =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        if (v == "rocksdb")
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider"
+        else v)
+    }
 
     def once(name: String): Double = {
       val t0 = System.nanoTime()
