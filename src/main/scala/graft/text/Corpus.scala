@@ -660,6 +660,59 @@ object Corpus {
        |SELECT doc_id, lang FROM r WHERE rk <= $SampleCap
        |ORDER BY doc_id""".stripMargin
 
+  /** The REGISTERED two-pass threshold spelling [[sampleSparkSql]]'s
+    * docstring promises — identical output (it shares
+    * [[sampleDuckSql]] as its oracle), different plan. Honest scale
+    * accounting: Spark 4's `InferWindowGroupLimit` already bounds the
+    * exact spelling's EXCHANGE (≤ partitions·langs·cap rows ship), so
+    * what this variant removes is the rewrite's remaining unbounded
+    * cost — the full O(n log n) map-side sort of every input
+    * partition that Partial WindowGroupLimit requires before it can
+    * drop a single row (the `TopK` aggregator's argument, applied to
+    * stratified sampling). Here the corpus-sized work is a map-side
+    * filter against a broadcast byte threshold (no sort), and only
+    * the boundary byte's bucket — ~1/256 of each language, md5's
+    * first byte being uniform — is ranked. Locally it measures a
+    * shade slower than the exact spelling (1.33 s vs 0.77 s at sf10:
+    * two extra column-pruned scans vs a 500k-row sort that costs
+    * little), the same parity trade the TopK docstring records; the
+    * value is the removed per-partition sort at corpus scale. The
+    * md5-hex lexicographic order the exact spelling ranks by IS
+    * numeric order on the first byte, so below-threshold +
+    * ranked-boundary is exactly the exact ranking's prefix. */
+  val sampleScaledSparkSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, md5(CAST(doc_id AS STRING)) AS hx,
+       |         CAST(CONV(SUBSTRING(md5(CAST(doc_id AS STRING)), 1, 2),
+       |                   16, 10) AS BIGINT) AS hb
+       |  FROM documents),
+       |cumt AS (
+       |  SELECT lang, hb, c,
+       |         CAST(SUM(c) OVER (PARTITION BY lang ORDER BY hb
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM (SELECT lang, hb, CAST(COUNT(*) AS BIGINT) AS c
+       |        FROM b GROUP BY lang, hb)),
+       |sel AS (
+       |  SELECT lang, MIN(hb) AS t FROM cumt
+       |  WHERE cum >= $SampleCap GROUP BY lang),
+       |base AS (
+       |  SELECT c.lang, c.cum - c.c AS below
+       |  FROM cumt c JOIN sel s ON c.lang = s.lang AND c.hb = s.t)
+       |SELECT doc_id, lang FROM (
+       |  SELECT /*+ BROADCAST(sel) */ b.doc_id, b.lang
+       |  FROM b LEFT JOIN sel ON b.lang = sel.lang
+       |  WHERE sel.t IS NULL OR b.hb < sel.t
+       |  UNION ALL
+       |  SELECT doc_id, lang FROM (
+       |    SELECT /*+ BROADCAST(s, bs) */ b.doc_id, b.lang,
+       |           row_number() OVER (PARTITION BY b.lang
+       |               ORDER BY b.hx, b.doc_id) AS rk,
+       |           bs.below
+       |    FROM b JOIN sel s ON b.lang = s.lang AND b.hb = s.t
+       |    JOIN base bs ON bs.lang = b.lang)
+       |  WHERE rk <= $SampleCap - below)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- bigram-LM perplexity scoring ---------------------------------------
 
   /** Corpus-trained word-bigram LM perplexity per document — the
@@ -1104,6 +1157,7 @@ object Corpus {
     "corpus_bm25" -> Tables.sql(bm25SparkSql),
     "corpus_mix" -> Tables.sql(mixSparkSql),
     "corpus_sample" -> Tables.sql(sampleSparkSql),
+    "corpus_sample_scaled" -> Tables.sql(sampleScaledSparkSql),
     "corpus_lm_score" -> ((s, d) => lmScore(s, d)),
     "corpus_substr_dup" -> Tables.sql(substrDupSparkSql),
     "corpus_js_divergence" -> Tables.sql(jsDivergenceSparkSql),
@@ -1124,6 +1178,7 @@ object Corpus {
     "corpus_bm25" -> bm25DuckSql,
     "corpus_mix" -> mixDuckSql,
     "corpus_sample" -> sampleDuckSql,
+    "corpus_sample_scaled" -> sampleDuckSql,
     "corpus_lm_score" -> lmScoreDuckSql,
     "corpus_substr_dup" -> substrDupDuckSql,
     "corpus_js_divergence" -> jsDivergenceDuckSql,

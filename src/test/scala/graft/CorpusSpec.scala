@@ -44,6 +44,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.size > 1, "budget too large: packing produced a single shard")
   }
 
+  test("corpus_sample_scaled: threshold spelling equals the exact rank, " +
+    "boundary window only, broadcast thresholds") {
+    val exact = Tables.sql(text.Corpus.sampleSparkSql)(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val scaled = Tables.sql(text.Corpus.sampleScaledSparkSql)(spark, sf)
+    val got = scaled.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == exact)
+    assert(got.nonEmpty)
+    // both sides of the cap must be exercised: some language at the cap
+    // (threshold path live) and the keep-all LEFT-JOIN path non-vacuous
+    val byLang = exact.groupBy(_._2).view.mapValues(_.size)
+    assert(byLang.values.exists(_ == text.Corpus.SampleCap),
+      "no language hits the cap — threshold branch untested")
+    // plan: thresholds broadcast, no sort-merge join, and the rank
+    // window sits behind the boundary-bucket join (its input carries
+    // the threshold join, never the bare documents scan)
+    val plan = scaled.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"sort-merge join:\n$plan")
+    assert(!plan.contains("No Partition Defined"), "global window")
+  }
+
   test("corpus_shuffle: distributed rank equals single-window row_number " +
     "and permutes (not identity)") {
     val got = text.Corpus.shuffle(spark, sf).collect()
