@@ -1194,11 +1194,22 @@ object Stats {
     val key = spark.sparkContext.applicationId + " cusum " + dir +
       " " + chunks
     cusumCache.get(key) {
+      cusumScanFrom(spark, Tables.load(spark, dir, "events"), chunks)
+    }._1
+  }
+
+  /** The scan over an arbitrary events frame (event_type, ts, event_id,
+    * value) — the uncached core of [[cusumScan]], also driven directly
+    * by `CusumPropsSpec` over randomized inputs. Returns the result
+    * plus the persisted intermediate the caller owns. */
+  private[graft] def cusumScanFrom(spark: SparkSession, events: DataFrame,
+      chunks: Int): (DataFrame, org.apache.spark.sql.Dataset[_]) = {
+    {
       import spark.implicits._
       import org.apache.spark.TaskContext
       val p = if (chunks > 0) chunks
         else spark.sparkContext.defaultParallelism
-      val q = Tables.load(spark, dir, "events")
+      val q = events
         .where(col("value").isNotNull)
         .select(col("event_type"), col("ts"), col("event_id"),
           expr("CAST(ROUND(value * 1e3) AS BIGINT)").as("v"))
@@ -1311,7 +1322,7 @@ object Stats {
             .otherwise(col("fr")).cast("long").as("first_alarm_rn"))
         .orderBy("event_type")
       (result, sorted)
-    }._1
+    }
   }
 
   /** k-anonymity privacy audit — the re-identification risk readout a
