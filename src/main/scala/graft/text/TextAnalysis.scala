@@ -386,6 +386,107 @@ object TextAnalysis {
       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Calibration audit of a quality-confidence score — the reliability
+    * table + expected-calibration-error readout a training pipeline
+    * runs before trusting a quality filter's scores as sampling
+    * weights (the binned-statistics family: everything after the
+    * per-doc projection is a 16-bin histogram, so the plan is one
+    * corpus scan + a 16-row aggregate regardless of corpus size; the
+    * ECE totals ride a global window over ≤ 16 rows, allowlisted in
+    * `PlanAuditSpec` with the `stats_ks_drift_binned` justification
+    * shape).
+    *
+    * The confidence score is a deterministic integer points system
+    * over the SAME signals as [[qualityFilterSparkSql]] (word-count
+    * closeness to 60, stopword mass, repetition, word-length closeness
+    * to 5 chars — each 0..250k micro-units, summed to score_e6 ∈
+    * [0, 1e6]); the label is that filter's own keep bit. Every
+    * division is integer-on-non-negative (Spark `div` ≡ DuckDB `//`),
+    * so conf/acc/gap/ECE are exact BIGINTs cross-engine — the binned
+    * rank-statistics determinism scheme. Columns: per-bin n, kept,
+    * mean confidence, empirical accuracy, |gap|, and the corpus ECE
+    * (Σ n_b·gap_b / N) repeated per row. */
+  private def qualityCalibrationCore(idiv: String): String =
+    s"""s AS (
+       |  SELECT doc_id, keep,
+       |    GREATEST(0, 250000 - ABS(n_words - 60) * 4000)
+       |    + LEAST(250000, (stopc * 5000000) $idiv total)
+       |    + GREATEST(0, 250000 - (topc * 1000000) $idiv total)
+       |    + GREATEST(0, 250000 - ABS((chars * 1000) $idiv n_words
+       |                               - 5000) * 50) AS score_e6
+       |  FROM f),
+       |g AS (
+       |  SELECT LEAST((score_e6 * 16) $idiv 1000000, 15) AS bin,
+       |         CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(keep) AS BIGINT) AS n_kept,
+       |         CAST(SUM(score_e6) AS BIGINT) AS ssum
+       |  FROM s GROUP BY 1),
+       |r AS (
+       |  SELECT bin, n, n_kept,
+       |         CAST(ssum $idiv n AS BIGINT) AS conf_e6,
+       |         CAST((n_kept * 1000000) $idiv n AS BIGINT) AS acc_e6
+       |  FROM g)
+       |SELECT bin, n, n_kept, conf_e6, acc_e6,
+       |       CAST(ABS(conf_e6 - acc_e6) AS BIGINT) AS gap_e6,
+       |       CAST(SUM(n * ABS(conf_e6 - acc_e6)) OVER ()
+       |            $idiv SUM(n) OVER () AS BIGINT) AS ece_e6
+       |FROM r ORDER BY bin""".stripMargin
+
+  val qualityCalibrationSparkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, split(trim(text), '\\\\s+') AS tok,
+       |         CAST(length(regexp_replace(trim(text), '\\\\s+', ''))
+       |              AS BIGINT) AS chars
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, explode(tok) AS w FROM t),
+       |rep AS (
+       |  SELECT doc_id, MAX(c) AS topc, SUM(c) AS total,
+       |         SUM(CASE WHEN w IN ('a', 'the') THEN c ELSE 0 END) AS stopc
+       |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w) g
+       |  GROUP BY doc_id),
+       |f AS (
+       |  SELECT t.doc_id, CAST(size(tok) AS BIGINT) AS n_words,
+       |    CAST(rep.topc AS BIGINT) AS topc,
+       |    CAST(rep.total AS BIGINT) AS total,
+       |    CAST(rep.stopc AS BIGINT) AS stopc, t.chars,
+       |    CAST(CASE WHEN size(tok) BETWEEN 30 AND 90
+       |          AND ROUND(CAST(rep.topc AS DOUBLE) / rep.total, 4) <= 0.12
+       |          AND ROUND(CAST(rep.stopc AS DOUBLE) / rep.total, 4) >= 0.03
+       |          AND ROUND(CAST(t.chars AS DOUBLE) / size(tok), 4)
+       |              BETWEEN 3 AND 8
+       |         THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |  FROM t JOIN rep ON t.doc_id = rep.doc_id),
+       |${qualityCalibrationCore("div")}""".stripMargin
+
+  val qualityCalibrationDuckSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, unnest(tok) AS w FROM t),
+       |rep AS (
+       |  SELECT doc_id, MAX(c) AS topc, SUM(c) AS total,
+       |         SUM(CASE WHEN w IN ('a', 'the') THEN c ELSE 0 END) AS stopc
+       |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w) g
+       |  GROUP BY doc_id),
+       |f AS (
+       |  SELECT t.doc_id, CAST(len(tok) AS BIGINT) AS n_words,
+       |    CAST(rep.topc AS BIGINT) AS topc,
+       |    CAST(rep.total AS BIGINT) AS total,
+       |    CAST(rep.stopc AS BIGINT) AS stopc,
+       |    CAST(list_sum(list_transform(tok, x -> length(x)))
+       |         AS BIGINT) AS chars,
+       |    CAST(CASE WHEN len(tok) BETWEEN 30 AND 90
+       |          AND ROUND(CAST(rep.topc AS DOUBLE) / rep.total, 4) <= 0.12
+       |          AND ROUND(CAST(rep.stopc AS DOUBLE) / rep.total, 4) >= 0.03
+       |          AND ROUND(list_sum(list_transform(tok,
+       |                x -> CAST(length(x) AS DOUBLE))) / len(tok), 4)
+       |              BETWEEN 3 AND 8
+       |         THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |  FROM t JOIN rep ON t.doc_id = rep.doc_id),
+       |${qualityCalibrationCore("//")}""".stripMargin
+
   /** Per-source percentile length gates (the Gopher/RefinedWeb "drop
     * the tails" rule, but per source — a 10th-percentile news article
     * and a 10th-percentile forum post are different lengths): keep docs
@@ -1253,6 +1354,7 @@ object TextAnalysis {
     "text_quality" -> Tables.sql(qualitySparkSql),
     "text_readability" -> Tables.sql(readabilitySparkSql),
     "text_quality_filter" -> Tables.sql(qualityFilterSparkSql),
+    "text_quality_calibration" -> Tables.sql(qualityCalibrationSparkSql),
     "text_length_filter" -> Tables.sql(lengthFilterSparkSql),
     "text_decontaminate" -> Tables.sql(decontaminateSparkSql),
     "text_heavy_hitters" -> Tables.sql(heavyHittersSparkSql),
@@ -1327,6 +1429,7 @@ object TextAnalysis {
     "text_quality" -> qualityDuckSql,
     "text_readability" -> readabilityDuckSql,
     "text_quality_filter" -> qualityFilterDuckSql,
+    "text_quality_calibration" -> qualityCalibrationDuckSql,
     "text_length_filter" -> lengthFilterDuckSql,
     "text_decontaminate" -> decontaminateDuckSql,
     "text_heavy_hitters" -> heavyHittersDuckSql,

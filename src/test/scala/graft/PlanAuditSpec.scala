@@ -285,7 +285,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "stats_ks_drift_binned" ->
         "cumulative counts over at most KsBins=64 bins",
       "text_zipf" ->
-        "frequency rank over the word-frequency table (lexicon-sized)")
+        "frequency rank over the word-frequency table (lexicon-sized)",
+      "text_quality_calibration" ->
+        "ECE totals over the at-most-16-bin reliability table")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(excluded)
       .filter { name =>
