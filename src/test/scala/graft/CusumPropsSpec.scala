@@ -15,7 +15,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * tolerance to hide behind). */
 class CusumPropsSpec extends AnyFunSuite {
 
-  private lazy val spark = GraftSpark.spark
+  // OWN session (shared context, separate temp-view catalog): this spec
+  // re-binds the `events` view to randomized frames, and sbt runs
+  // suites concurrently in one JVM — mutating the shared session's
+  // view races every other suite's Tables.sql query (observed as
+  // CusumScanSpec/CorpusSpec failing only in full-suite runs)
+  private lazy val spark = GraftSpark.spark.newSession()
 
   private val genRow: Gen[(Long, Long, String, Option[Double])] = for {
     id <- Gen.choose(0L, 5000L)
@@ -49,11 +54,7 @@ class CusumPropsSpec extends AnyFunSuite {
       val scan = scanDf.collect().map(_.toSeq.toList).toList
       assert(scan == window,
         s"chunks=$chunks rows=${rows.length}\nscan:   $scan\nwindow: $window")
-    } finally {
-      persisted.unpersist(blocking = false)
-      // never leak the randomized view into the shared session
-      spark.catalog.dropTempView("events")
-    }
+    } finally persisted.unpersist(blocking = false)
   }
 
   test("scan == window on randomized corpora across chunk counts") {
