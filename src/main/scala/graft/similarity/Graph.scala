@@ -92,14 +92,11 @@ object Graph {
     labels
   }
 
-  /** Registered query: components of the symmetrized kNN graph, each
-    * node with its component id (= min member vec_id) and size. */
-  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
-    val knn = Kmeans.knnGraphCached(spark, dir)
-      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-    val edges = knn.union(knn.select(col("dst").as("src"),
-      col("src").as("dst"))).distinct()
-    val nodes = graft.Tables.load(spark, dir, "embeddings").select("vec_id")
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+
+  private def componentsOut(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val labels = components(nodes, edges)
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("comp_n"))
     labels.join(sizes, "lbl")
@@ -108,23 +105,42 @@ object Graph {
       .orderBy("vec_id")
   }
 
+  /** Registered query: components of the symmetrized kNN graph, each
+    * node with its component id (= min member vec_id) and size. */
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val knn = Kmeans.knnGraphCached(spark, dir)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val nodes = graft.Tables.load(spark, dir, "embeddings").select("vec_id")
+    componentsOut(nodes, symmetrize(knn))
+  }
+
+  /** Production-scale twin over the ANN-built landed edges (the
+    * `graph_pagerank_ann` closure applied to the rest of the family):
+    * the kNN-fixture edge build is Σ|cell|² = N²/8 and sf10-excluded,
+    * while [[Similarity.annEdges]] blocks by the sf10-proven IVF
+    * coarse quantizer and lands once per (application, dir) — so the
+    * same exact-integer kernel runs at archive scale, and the oracle
+    * replays from the same landed parquet. */
+  def connectedComponentsAnn(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.annEdges(spark, dir).select("src", "dst")
+    val nodes = graft.Tables.load(spark, dir, "embeddings").select("vec_id")
+    componentsOut(nodes, symmetrize(edges))
+  }
+
   /** Oracle: the kNN CTE chain feeding a recursive min-label closure.
     * The recursion carries (node, label) pairs pruned to lbl < node —
     * a label ≥ the node can never be its min (the node's own id is
     * already seated), and the component-min label always survives the
     * prune along any path, so the fixpoint is exact while the pair
     * space stays o(component²). */
-  def componentsDuckSql: String = {
-    // knnCtePrefix opens with "WITH e AS"; the recursive member needs
-    // the RECURSIVE keyword hoisted onto that same WITH
-    val prefix = "WITH RECURSIVE " +
-      Kmeans.knnCtePrefix.stripPrefix("WITH ")
+  /** Recursive min-label closure over any WITH-prefix defining CTEs
+    * `kn` (vec_id, nbr_id) and `nd` (vec_id); the prefix must open
+    * `WITH RECURSIVE` for the closure member. */
+  private def componentsDuckFrom(prefix: String): String =
     s"""$prefix,
-       |kn AS (SELECT vec_id, nbr_id FROM r WHERE rn <= ${Kmeans.KnnK}),
        |ed AS (
        |  SELECT vec_id AS src, nbr_id AS dst FROM kn
        |  UNION SELECT nbr_id, vec_id FROM kn),
-       |nd AS (SELECT vec_id FROM e),
        |cc AS (
        |  SELECT vec_id, vec_id AS lbl FROM nd
        |  UNION
@@ -139,7 +155,22 @@ object Graph {
        |SELECT lab.vec_id, lab.comp_id, sz.comp_n
        |FROM lab JOIN sz ON lab.comp_id = sz.comp_id
        |ORDER BY lab.vec_id""".stripMargin
-  }
+
+  def componentsDuckSql: String =
+    // knnCtePrefix opens with "WITH e AS"; the recursive member needs
+    // the RECURSIVE keyword hoisted onto that same WITH
+    componentsDuckFrom("WITH RECURSIVE " +
+      Kmeans.knnCtePrefix.stripPrefix("WITH ") +
+      s""",
+         |kn AS (SELECT vec_id, nbr_id FROM r WHERE rn <= ${Kmeans.KnnK}),
+         |nd AS (SELECT vec_id FROM e)""".stripMargin)
+
+  def componentsAnnDuckSql: String =
+    componentsDuckFrom(
+      s"""WITH RECURSIVE kn AS (
+         |  SELECT src AS vec_id, dst AS nbr_id FROM read_parquet(
+         |    '${Similarity.annEdgePath(graft.RunContext.oracleDir)}/*.parquet')),
+         |nd AS (SELECT vec_id FROM embeddings)""".stripMargin)
 
   /** Rounds of synchronous label propagation — fixed, not
     * to-convergence, so the oracle can unroll the same count. */
@@ -190,11 +221,8 @@ object Graph {
     * a small audited label set across the corpus. Output carries the
     * true label alongside the propagated one so the result doubles as
     * an accuracy readout. */
-  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
-    val knn = Kmeans.knnGraphCached(spark, dir)
-      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-    val edges = knn.union(knn.select(col("dst").as("src"),
-      col("src").as("dst"))).distinct()
+  private def labelPropOut(spark: SparkSession, dir: String,
+      edges: DataFrame): DataFrame = {
     val emb = graft.Tables.load(spark, dir, "embeddings")
     val nodes = emb.select(col("vec_id"),
       when(col("vec_id") % 5 === 0, col("label")).as("lbl0"))
@@ -208,11 +236,24 @@ object Graph {
       .orderBy("vec_id")
   }
 
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val knn = Kmeans.knnGraphCached(spark, dir)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    labelPropOut(spark, dir, symmetrize(knn))
+  }
+
+  /** ANN-edge twin — see [[connectedComponentsAnn]]. */
+  def labelPropagationAnn(spark: SparkSession, dir: String): DataFrame =
+    labelPropOut(spark, dir,
+      symmetrize(Similarity.annEdges(spark, dir).select("src", "dst")))
+
   /** Oracle: the kNN CTE chain feeding [[LpRounds]] unrolled
     * vote/adopt rounds; the per-node argmax is spelled as a
     * (c DESC, lbl ASC) row_number — the same (count, −label) order the
     * engine's max-struct computes. */
-  def labelPropDuckSql: String = {
+  /** [[LpRounds]] unrolled vote/adopt rounds over any WITH-prefix
+    * defining CTE `kn` (vec_id, nbr_id). */
+  private def labelPropDuckFrom(prefix: String): String = {
     val roundCtes = (1 to LpRounds).map { i =>
       s"""v$i AS (
          |  SELECT ed.dst AS vec_id, p.lbl, COUNT(*) AS c
@@ -229,8 +270,7 @@ object Graph {
          |  FROM lp${i - 1} n LEFT JOIN b$i b ON n.vec_id = b.vec_id)"""
         .stripMargin
     }.mkString(",\n")
-    s"""${Kmeans.knnCtePrefix},
-       |kn AS (SELECT vec_id, nbr_id FROM r WHERE rn <= ${Kmeans.KnnK}),
+    s"""$prefix,
        |ed AS (
        |  SELECT vec_id AS src, nbr_id AS dst FROM kn
        |  UNION SELECT nbr_id, vec_id FROM kn),
@@ -247,6 +287,17 @@ object Graph {
        |FROM lp$LpRounds l JOIN emb ON l.vec_id = emb.vec_id
        |ORDER BY l.vec_id""".stripMargin
   }
+
+  def labelPropDuckSql: String = labelPropDuckFrom(
+    s"""${Kmeans.knnCtePrefix},
+       |kn AS (SELECT vec_id, nbr_id FROM r WHERE rn <= ${Kmeans.KnnK})"""
+      .stripMargin)
+
+  def labelPropAnnDuckSql: String = labelPropDuckFrom(
+    s"""WITH kn AS (
+       |  SELECT src AS vec_id, dst AS nbr_id FROM read_parquet(
+       |    '${Similarity.annEdgePath(graft.RunContext.oracleDir)}/*.parquet'))"""
+      .stripMargin)
 
   /** Exact triangle census of an arbitrary directed edge list
     * (symmetrized + id-canonicalized internally) — the kernel. */
@@ -284,9 +335,14 @@ object Graph {
     triangleStats(Kmeans.knnGraphCached(spark, dir)
       .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
 
-  def trianglesDuckSql: String =
-    s"""${Kmeans.knnCtePrefix},
-       |kn AS (SELECT vec_id, nbr_id FROM r WHERE rn <= ${Kmeans.KnnK}),
+  /** ANN-edge twin — see [[connectedComponentsAnn]]. */
+  def trianglesAnn(spark: SparkSession, dir: String): DataFrame =
+    triangleStats(Similarity.annEdges(spark, dir).select("src", "dst"))
+
+  /** Triangle census over any WITH-prefix defining CTE
+    * `kn` (vec_id, nbr_id). */
+  private def trianglesDuckFrom(prefix: String): String =
+    s"""$prefix,
        |und AS (
        |  SELECT DISTINCT LEAST(vec_id, nbr_id) AS lo,
        |         GREATEST(vec_id, nbr_id) AS hi
@@ -306,4 +362,15 @@ object Graph {
        |       CAST(CAST(3.0 * tri.n_triangles / wg.n_wedges
        |            AS DECIMAL(18,6)) AS VARCHAR) AS clustering
        |FROM en CROSS JOIN tri CROSS JOIN wg""".stripMargin
+
+  def trianglesDuckSql: String = trianglesDuckFrom(
+    s"""${Kmeans.knnCtePrefix},
+       |kn AS (SELECT vec_id, nbr_id FROM r WHERE rn <= ${Kmeans.KnnK})"""
+      .stripMargin)
+
+  def trianglesAnnDuckSql: String = trianglesDuckFrom(
+    s"""WITH kn AS (
+       |  SELECT src AS vec_id, dst AS nbr_id FROM read_parquet(
+       |    '${Similarity.annEdgePath(graft.RunContext.oracleDir)}/*.parquet'))"""
+      .stripMargin)
 }
