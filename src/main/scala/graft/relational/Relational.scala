@@ -46,6 +46,9 @@ object Relational {
     * `div` and DuckDB's `//` agree bit-for-bit) — no doubles anywhere.
     * `RelationalBinnedSpec` pins the binned-vs-exact gap (≤ the
     * largest bin's row share) and the bin-sized window input. */
+  private[graft] def q38BinnedSparkSqlForTest: String =
+    q38BinnedSql("div")
+
   private def q38BinnedSql(idiv: String): String =
     s"""WITH q AS (
        |  SELECT o_orderpriority AS pri,
@@ -187,7 +190,7 @@ object Relational {
 
     // Binned scale spelling of q38 — see q38BinnedSql.
     Q("q38_window_distribution_binned",
-      q38BinnedSql("div"), Some(q38BinnedSql("//"))),
+      q38BinnedSparkSqlForTest, Some(q38BinnedSql("//"))),
 
     // Snapshot diff (CDC extraction): classify rows of two table
     // versions as added/removed/changed via one full-outer join on the
