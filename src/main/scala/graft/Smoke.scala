@@ -6,6 +6,15 @@ import org.apache.spark.sql.SparkSession
 object Smoke {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    if (args.contains("registry")) {
+      val q = SparkEntry.queries.keySet
+      val o = SparkEntry.oracleSql.keySet
+      println(s"== registry queries=${q.size} oracles=${o.size} " +
+        s"rows_only=${(q -- o).toSeq.sorted.mkString(",")}")
+      val orphans = o -- q
+      require(orphans.isEmpty, s"oracles without queries: $orphans")
+      return
+    }
     if (args.contains("entry")) {
       val spark = SparkSession.builder().master("local[4]")
         .config("spark.sql.shuffle.partitions", "4")
