@@ -575,8 +575,14 @@ object Multimodal {
     * DuckDB oracle mirrors banding, anchor election, and survivorship
     * from the closed-form fingerprints, so a green row pins the cap
     * semantics cross-engine, not just plausibly. */
-  def phashNearCapped(spark: SparkSession, dir: String): DataFrame = {
-    val h = phashes(spark, dir)
+  def phashNearCapped(spark: SparkSession, dir: String): DataFrame =
+    phashNearCappedFrom(phashes(spark, dir))
+
+  /** The capped survivorship over an arbitrary (doc_id, h_hi, h_lo)
+    * fingerprint frame — the uncached core, also driven by
+    * `PhashCapPropsSpec` over randomized hash sets with planted
+    * clusters. */
+  private[graft] def phashNearCappedFrom(h: DataFrame): DataFrame = {
     def band(i: Int, c: org.apache.spark.sql.Column) =
       struct(lit(i).as("band"), shiftright(c, 16 * (i % 2))
         .bitwiseAND(lit(0xFFFFL)).as("k"))
