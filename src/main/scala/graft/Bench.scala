@@ -71,7 +71,15 @@ object Bench {
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
-    val results = names.map(n => n -> force(n))
+    val results = names.map { n =>
+      val r = n -> force(n)
+      // release per-query persisted intermediates (cusum's two-phase
+      // scan) AFTER the timing loop: the warm run still lands the
+      // persist for the 3 timed runs (protocol unchanged), but the
+      // pinned projection never competes with later queries' memory
+      graft.relational.Stats.releaseCusum()
+      r
+    }
     val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }

@@ -14,6 +14,15 @@ package graft
 final class BoundedCache[V](max: Int, onEvict: V => Unit) {
   private val entries = new java.util.LinkedHashMap[String, V]()
 
+  /** Evict everything now (callback per entry) — for contract surfaces
+    * that know the cached value's consumers are done (r14 advice: a
+    * persisted intermediate pinned for the application lifetime
+    * competes with every later query's executor memory). */
+  def clear(): Unit = synchronized {
+    entries.values().forEach(v => onEvict(v))
+    entries.clear()
+  }
+
   def get(key: String)(build: => V): V = synchronized {
     val hit = entries.get(key)
     if (hit != null) hit

@@ -208,16 +208,15 @@ object Kmeans {
     * unlatched (the next consumer retries instead of reading a missing
     * artifact), and the landed path is recorded only after the write
     * succeeded. The path itself embeds the JVM pid plus the sanitized
-    * dir, so two concurrent applications (or two dirs with colliding
-    * hashCodes) never share an on-disk artifact. The first consumer in
+    * dir ([[graft.TmpLanding]], which also sweeps dead JVMs' leftover
+    * artifacts), so two concurrent applications (or two dirs with
+    * colliding hashCodes) never share an on-disk artifact and the
+    * per-pid dirs never accumulate unboundedly. The first consumer in
     * a bench run pays the build+write; later consumers read the file
     * (documented order dependence in the bench records). Per-query
     * results are byte-identical to the uncached spelling. */
-  private def knnGraphPath(dir: String): String = {
-    val fp = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val pid = ProcessHandle.current().pid()
-    s"${sys.props("java.io.tmpdir")}/graft_knn_graph_${fp}_p$pid"
-  }
+  private def knnGraphPath(dir: String): String =
+    graft.TmpLanding.path("graft_knn_graph", dir)
 
   private val knnLanded =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

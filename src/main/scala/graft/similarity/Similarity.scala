@@ -661,10 +661,8 @@ object Similarity {
     * against different SF dirs land side by side instead of clobbering
     * each other between query time and oracle time (the BPE/quality-tree
     * cross-SF hazard). */
-  private[graft] def ivfIndexPath(dir: String): String = {
-    val fp = dir.hashCode & 0x7fffffff
-    s"${sys.props("java.io.tmpdir")}/graft_ivf_index_$fp"
-  }
+  private[graft] def ivfIndexPath(dir: String): String =
+    graft.TmpLanding.path("graft_ivf_index", dir)
 
   /** Round-trip the persisted-index layout: save, reload, and emit
     * per-cell occupancy from BOTH the session index and the reloaded
@@ -977,8 +975,7 @@ object Similarity {
     * back-to-back must not poison each other's oracle); `pcaDuckSql`
     * derives the same path from [[RunContext.oracleDir]]. */
   private[graft] def pcaPathFor(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_pca_rotation_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_") + "_parquet"
+    graft.TmpLanding.path("graft_pca_rotation", dir)
 
   /** Mergeable mean+Gram sums over the embedding column: buffer is
     * (n, Σx (d), Σxxᵀ upper triangle in a d² array — mirrored at the
@@ -1238,8 +1235,7 @@ object Similarity {
   val ProcK = 8
 
   private def procPathFor(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_procrustes_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_") + "_parquet"
+    graft.TmpLanding.path("graft_procrustes", dir)
 
   /** Deterministic planted transform: target space B is the source
     * space with coordinates rotated by a half-shift permutation, a
@@ -1791,10 +1787,8 @@ object Similarity {
     * ties to the lower cell), cell equi-join, exact re-rank — from those
     * landed bits in BOTH engines. Checks probe/re-rank APPLICATION the
     * same way `raster_resample_conv` checks kernel application. */
-  private def ivfPortPath(dir: String): String = {
-    val fp = dir.hashCode & 0x7fffffff
-    s"${sys.props("java.io.tmpdir")}/graft_ivf_port_$fp"
-  }
+  private def ivfPortPath(dir: String): String =
+    graft.TmpLanding.path("graft_ivf_port", dir)
   private def ivfTopKPortable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     VecFunctions.register(spark)
@@ -1915,10 +1909,8 @@ object Similarity {
     * parquet — rank arithmetic is BIGINT end-to-end, so the row is a
     * full hash match (the `sim_ivf_topk_portable` landed-artifact
     * pattern). */
-  private[graft] def annEdgePath(dir: String): String = {
-    val fp = dir.hashCode & 0x7fffffff
-    s"${sys.props("java.io.tmpdir")}/graft_ann_edges_$fp"
-  }
+  private[graft] def annEdgePath(dir: String): String =
+    graft.TmpLanding.path("graft_ann_edges", dir)
 
   private val annLanded =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1984,10 +1976,8 @@ object Similarity {
     * aggregate ≡ list_sum equivalence), so the asymmetric-distance
     * pipeline — code indexing, norm handling, shortlist cut, refine —
     * gets a cross-engine hash anchor. */
-  private def pqPortPath(dir: String): String = {
-    val fp = dir.hashCode & 0x7fffffff
-    s"${sys.props("java.io.tmpdir")}/graft_pq_port_$fp"
-  }
+  private def pqPortPath(dir: String): String =
+    graft.TmpLanding.path("graft_pq_port", dir)
   private def ivfPqTopKPortable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     VecFunctions.register(spark)
@@ -2282,10 +2272,8 @@ object Similarity {
   /** Per-cluster sample quota of [[clusterSample]]. */
   val ClusterQuota = 8
 
-  private def clusterSampPath(dir: String): String = {
-    val fp = dir.hashCode & 0x7fffffff
-    s"${sys.props("java.io.tmpdir")}/graft_cluster_samp_$fp"
-  }
+  private def clusterSampPath(dir: String): String =
+    graft.TmpLanding.path("graft_cluster_samp", dir)
   /** Cluster-balanced (diversity) sampling — the SemDeDup/D4-style
     * curation move: cap every embedding cluster's contribution to the
     * training mix at [[ClusterQuota]] documents, so over-represented

@@ -160,6 +160,74 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("binned median/MAD tracks the exact spelling within a bin width " +
+    "and its plan carries no percentile buffer") {
+    import graft.relational.Stats
+    // exact: (med, mad) as DECIMAL strings, n_outliers BIGINT
+    val exact = Stats.queries("stats_mad_outliers")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getString(2).toDouble,
+        r.getString(3).toDouble, r.getLong(4)))).toMap
+    val binned = Stats.queries("stats_mad_outliers_binned")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2) / 1e3, r.getLong(3) / 1e3,
+        r.getLong(4)))).toMap
+    assert(exact.keySet == binned.keySet && exact.nonEmpty)
+    // in-Scala order statistics per type: the binned estimates are
+    // bounded vs the LOWER-MEDIAN rank (same-bin theorem, one bin
+    // width); the exact anchor interpolates between the two middle
+    // ranks, so the anchor comparison composes bin width + half the
+    // middle gap (at sf0.001's ~200 rows/type the gap dominates)
+    val vals = graft.Tables.load(spark, sf, "events")
+      .where(org.apache.spark.sql.functions.col("value").isNotNull)
+      .selectExpr("event_type", "CAST(ROUND(value * 1e3) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    exact.foreach { case (k, (medE, madE, _)) =>
+      val (medB, madB, outB) = binned(k)
+      val vs = vals(k)
+      val pos = (vs.length + 1) / 2
+      val w = ((vs.last - vs.head + 1).toDouble / Stats.MadBins + 1) / 1e3
+      val midGap =
+        if (vs.length % 2 == 0) (vs(pos) - vs(pos - 1)) / 1e3 else 0.0
+      assert(math.abs(medB - vs(pos - 1) / 1e3) <= w,
+        s"$k med $medB vs rank ${vs(pos - 1) / 1e3} (w $w)")
+      assert(math.abs(medB - medE) <= w + midGap / 2,
+        s"$k med $medB vs anchor $medE (tol ${w + midGap / 2})")
+      // MAD: deviations re-centered on the binned median; the anchor
+      // gap additionally absorbs the center shift |medB - medE|
+      val devs = vs.map(v => math.abs(v - math.round(medB * 1e3))).sorted
+      val dw = ((devs.last - devs.head + 1).toDouble / Stats.MadBins + 1) /
+        1e3
+      val dGap =
+        if (devs.length % 2 == 0) (devs(pos) - devs(pos - 1)) / 1e3 else 0.0
+      assert(math.abs(madB - devs(pos - 1) / 1e3) <= dw,
+        s"$k mad $madB vs rank ${devs(pos - 1) / 1e3} (dw $dw)")
+      assert(math.abs(madB - madE) <=
+        dw + dGap / 2 + math.abs(medB - medE),
+        s"$k mad $madB vs anchor $madE")
+      // outlier pass is deterministic given the two estimates — exact
+      val expOut = vs.count(v =>
+        10000 * math.abs(v - math.round(medB * 1e3)) >
+          44478 * math.round(madB * 1e3))
+      assert(outB == expOut, s"$k outliers $outB vs model $expOut")
+    }
+    // scale contract: the binned plan must carry NO exact-percentile
+    // aggregate (the O(distinct) buffer this spelling retires), no
+    // global window, and its windows must sit over the bin histogram
+    val plan = SparkEntry.queries("stats_mad_outliers_binned")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile"), s"percentile buffer in plan")
+    assert(!plan.contains("No Partition Defined"), "global window")
+    val winIdx = plan.indexOf("Window [")
+    assert(winIdx >= 0 && plan.indexOf("bin", winIdx) >= 0,
+      s"window not over the bin histogram:\n$plan")
+    // and the exact anchor DOES carry it (the contrast the twin exists
+    // for — if this ever goes green-by-vacuity the anchor changed)
+    val anchor = SparkEntry.queries("stats_mad_outliers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(anchor.contains("percentile"), "anchor lost its percentile")
+  }
+
   test("portable CMS twin keeps the count-min guarantee (est >= exact)") {
     import graft.relational.Stats
     val rows = Stats.queries("text_cms_portable")(spark, sf).collect()
