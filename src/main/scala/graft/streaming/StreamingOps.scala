@@ -682,40 +682,48 @@ object StreamingOps {
     * interval — the standard streaming answer is watermark-bounded
     * rejection, and this fold makes the contract LOUD (require) rather
     * than silently corrupting history. */
-  def streamScd2(spark: SparkSession, dir: String): DataFrame =
-      withStreamPartitions(spark, 8) {
+  /** The scd2 streaming core (source projection + keyed fold), shared
+    * by the registered query and the floor-attribution probe
+    * ([[scd2Probe]]) so the A/B measures exactly the shipped plan. */
+  private def scd2Versions(spark: SparkSession,
+      src: () => DataFrame): org.apache.spark.sql.Dataset[ScdOut] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     import spark.implicits._
+    val events = src()
+      .selectExpr("user_id", "event_type", "event_id",
+        "unix_micros(ts) AS tus", "value")
+      .as[EvC]
+    val Sentinel = 253402214400000000L // 9999-12-31 micros, q43's literal
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[ScdState, ScdOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), it: Iterator[EvC],
+         state: GroupState[ScdState]) =>
+          var open = state.getOption.flatMap(_.open)
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ScdOut]
+          it.toArray.sortBy(e => (e.tus, e.event_id)).foreach { e =>
+            open.foreach { o =>
+              require(e.tus > o.tus ||
+                (e.tus == o.tus && e.event_id > o.eventId),
+                s"late event ${e.event_id} behind open version " +
+                  s"${o.eventId} for $key — watermark contract violated")
+              closed += ScdOut(key._1, key._2, o.eventId, o.tus, e.tus,
+                0L, o.value)
+            }
+            open = Some(ScdOpen(e.tus, e.event_id, e.value))
+          }
+          state.update(ScdState(open))
+          (closed ++ open.map(o => ScdOut(key._1, key._2, o.eventId,
+            o.tus, Sentinel, 1L, o.value))).iterator
+      }
+  }
+
+  def streamScd2(spark: SparkSession, dir: String): DataFrame =
+      withStreamPartitions(spark, 8) {
     withEventsStream(spark, dir) { src =>
       val name = s"graft_scd2_${counter.incrementAndGet()}"
-      val events = src()
-        .selectExpr("user_id", "event_type", "event_id",
-          "unix_micros(ts) AS tus", "value")
-        .as[EvC]
-      val Sentinel = 253402214400000000L // 9999-12-31 micros, q43's literal
-      val versions = events
-        .groupByKey(e => (e.user_id, e.event_type))
-        .flatMapGroupsWithState[ScdState, ScdOut](
-          OutputMode.Update, GroupStateTimeout.NoTimeout) {
-          (key: (Long, String), it: Iterator[EvC],
-           state: GroupState[ScdState]) =>
-            var open = state.getOption.flatMap(_.open)
-            val closed = scala.collection.mutable.ArrayBuffer.empty[ScdOut]
-            it.toArray.sortBy(e => (e.tus, e.event_id)).foreach { e =>
-              open.foreach { o =>
-                require(e.tus > o.tus ||
-                  (e.tus == o.tus && e.event_id > o.eventId),
-                  s"late event ${e.event_id} behind open version " +
-                    s"${o.eventId} for $key — watermark contract violated")
-                closed += ScdOut(key._1, key._2, o.eventId, o.tus, e.tus,
-                  0L, o.value)
-              }
-              open = Some(ScdOpen(e.tus, e.event_id, e.value))
-            }
-            state.update(ScdState(open))
-            (closed ++ open.map(o => ScdOut(key._1, key._2, o.eventId,
-              o.tus, Sentinel, 1L, o.value))).iterator
-        }
+      val versions = scd2Versions(spark, src)
       val q = versions.writeStream
         .format("memory").queryName(name)
         .outputMode("update")
@@ -733,6 +741,65 @@ object StreamingOps {
           col("m.valid_to").as("valid_to"),
           col("m.is_current").as("is_current"), col("m.value").as("value"))
         .orderBy("user_id", "event_type", "valid_from", "version_id")
+    } }
+
+  /** Floor-attribution probe for the scd2 family (BASELINE.md
+    * round-15; verdict r14 task 5): the RocksDB A/B proved the sf10
+    * 48 GiB driver floor is not state-store residency, so this runs the
+    * EXACT shipped streaming core ([[scd2Versions]]) once per sink —
+    * `noop` (no result retention: isolates source replay + per-batch
+    * planning + state machinery) vs `memory` (adds the sink's row
+    * collection in the driver heap) — while a
+    * `StreamingQueryListener` sums the per-batch
+    * `StreamingQueryProgress` duration breakdown (addBatch /
+    * getBatch / latestOffset / queryPlanning / walCommit /
+    * commitOffsets / triggerExecution) and the state-operator
+    * update/commit times and memory. The memory−noop delta is the
+    * sink's share; within a sink, addBatch vs the offset/planning
+    * entries splits execution from micro-batch overhead. */
+  private[graft] def scd2Probe(spark: SparkSession, dir: String,
+      sink: String): Map[String, Long] = withStreamPartitions(spark, 8) {
+    withEventsStream(spark, dir) { src =>
+      val sums = scala.collection.mutable.Map.empty[String, Long]
+      def add(k: String, v: Long): Unit = sums.synchronized {
+        sums.update(k, sums.getOrElse(k, 0L) + v)
+      }
+      def peak(k: String, v: Long): Unit = sums.synchronized {
+        sums.update(k, math.max(sums.getOrElse(k, 0L), v))
+      }
+      val listener = new org.apache.spark.sql.streaming
+          .StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          p.durationMs.forEach((k, v) => add(k, v.longValue()))
+          add("batches", 1L)
+          add("inputRows", p.numInputRows)
+          p.stateOperators.foreach { so =>
+            add("stateUpdateMs", so.allUpdatesTimeMs)
+            add("stateCommitMs", so.commitTimeMs)
+            peak("stateRowsPeak", so.numRowsTotal)
+            peak("stateMemPeakBytes", so.memoryUsedBytes)
+          }
+        }
+      }
+      spark.streams.addListener(listener)
+      try {
+        val w = scd2Versions(spark, src).writeStream
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+        val q = (if (sink == "memory")
+          w.format("memory")
+            .queryName(s"graft_scd2_probe_${counter.incrementAndGet()}")
+        else w.format(sink)).start()
+        q.awaitTermination()
+        // the async listener bus can deliver the last progress after
+        // termination; a short drain keeps the sums complete
+        Thread.sleep(500)
+      } finally spark.streams.removeListener(listener)
+      sums.synchronized(sums.toMap)
     } }
 
   private val streamCorrOracle: String =
