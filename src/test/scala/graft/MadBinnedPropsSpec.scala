@@ -62,8 +62,11 @@ class MadBinnedPropsSpec extends AnyFunSuite {
       assert(math.abs(med - sorted(pos - 1)) <= tol,
         s"$t med $med vs exact ${sorted(pos - 1)} (tol $tol)")
       val devs = vs.map(v => math.abs(v - med)).sorted
-      val dw = devs.max - devs.min + 1
-      val dtol = dw / B + 1
+      // the query bins deviations over [0, dhi] with dhi derived from
+      // the value extents (max(hi-med, med-lo)), not the observed
+      // deviation range — the model must use the same width
+      val dhi = math.max(sorted.max - med, med - sorted.min)
+      val dtol = (dhi + 1) / B + 1
       assert(math.abs(mad - devs(pos - 1)) <= dtol,
         s"$t mad $mad vs exact ${devs(pos - 1)} (tol $dtol)")
       val expOut = vs.count(v => 10000 * math.abs(v - med) > 44478 * mad)

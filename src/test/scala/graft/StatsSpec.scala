@@ -193,11 +193,15 @@ class StatsSpec extends AnyFunSuite {
         s"$k med $medB vs rank ${vs(pos - 1) / 1e3} (w $w)")
       assert(math.abs(medB - medE) <= w + midGap / 2,
         s"$k med $medB vs anchor $medE (tol ${w + midGap / 2})")
-      // MAD: deviations re-centered on the binned median; the anchor
-      // gap additionally absorbs the center shift |medB - medE|
+      // MAD: deviations re-centered on the binned median; the query's
+      // deviation bins span [0, dhi] with dhi = max(hi-med, med-lo)
+      // derived from the value extents, so the bin width uses dhi, not
+      // the observed deviation range; the anchor gap additionally
+      // absorbs the center shift |medB - medE|
       val devs = vs.map(v => math.abs(v - math.round(medB * 1e3))).sorted
-      val dw = ((devs.last - devs.head + 1).toDouble / Stats.MadBins + 1) /
-        1e3
+      val dhi = math.max(vs.last - math.round(medB * 1e3),
+        math.round(medB * 1e3) - vs.head)
+      val dw = ((dhi + 1).toDouble / Stats.MadBins + 1) / 1e3
       val dGap =
         if (devs.length % 2 == 0) (devs(pos) - devs(pos - 1)) / 1e3 else 0.0
       assert(math.abs(madB - devs(pos - 1) / 1e3) <= dw,
