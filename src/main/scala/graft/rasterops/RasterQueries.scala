@@ -95,10 +95,10 @@ object RasterQueries
     "raster_resample_cells" -> ((s, _) => resampleCells(s)),
     "raster_resample_conv" -> ((s, _) => resampleConv(s)),
     "raster_overview_cells" -> ((s, _) => overviewCells(s)),
-    "stream_raster_ingest" -> ((s, _) => streamRasterIngest(s)),
-    "stream_composite" -> ((s, _) => streamComposite(s)),
-    "stream_trend" -> ((s, _) => streamTrend(s)),
-    "stream_phenology" -> ((s, _) => streamPhenology(s)),
+    "stream_raster_ingest" -> ((s, _) => graft.streaming.StreamingOps.withTempCheckpointConf(s)(streamRasterIngest(s))),
+    "stream_composite" -> ((s, _) => graft.streaming.StreamingOps.withTempCheckpointConf(s)(streamComposite(s))),
+    "stream_trend" -> ((s, _) => graft.streaming.StreamingOps.withTempCheckpointConf(s)(streamTrend(s))),
+    "stream_phenology" -> ((s, _) => graft.streaming.StreamingOps.withTempCheckpointConf(s)(streamPhenology(s))),
     "raster_load_tiff" -> ((s, _) => loadTiff(s)),
     "raster_load_zarr" -> ((s, _) => loadZarr(s)),
     "raster_load_netcdf" -> ((s, _) => loadNetcdf(s)),
@@ -137,7 +137,7 @@ object RasterQueries
     "raster_histogram" -> ((s, _) => histogram(s)),
     "raster_rasterize" -> ((s, _) => rasterizeZones(s)),
     "raster_sample_drill" -> ((s, _) => sampleDrill(s)),
-    "stream_zonal" -> ((s, _) => streamZonal(s)),
+    "stream_zonal" -> ((s, _) => graft.streaming.StreamingOps.withTempCheckpointConf(s)(streamZonal(s))),
     "raster_drill_bilinear" -> ((s, _) => drillBilinearPoints(s)),
     "raster_eo3_export" -> ((s, _) => eo3Export(s))
   )

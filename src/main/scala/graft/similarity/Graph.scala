@@ -39,6 +39,39 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Scale-adaptive shuffle width for the iterative kernels: an
+    * O(log n)-round loop pays every exchange 6+ times, so partition
+    * count follows the FRONTIER size (~500k label rows per task — a
+    * few MB of (long, long) pairs) instead of the session's batch
+    * default. At sf0.1 (2k nodes) that is 1 partition instead of 32 —
+    * the 32-way exchanges were pure scheduling overhead (53 jobs of
+    * 10–50 ms); at 100 TB (10⁹ nodes) the same rule gives 2000
+    * partitions, i.e. it scales with data, not with the local core
+    * count. Results are partitioning-independent (min-label fixpoint /
+    * frozen-majority labels), oracle-checked. */
+  /** Release a retired frontier's localCheckpoint blocks. Each loop
+    * round checkpoints a new frontier; without this the suite carries
+    * every round of every run in the block manager until JVM GC gets
+    * around to it — dead weight that competes with later queries'
+    * execution memory (guide §5). Only RETIRED rounds are freed; the
+    * final frontier stays, since the returned DataFrame reads it
+    * lazily. */
+  private def free(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  private def withLoopPartitions[T](spark: SparkSession, nRows: Long)
+                                   (f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val n = math.max(1L, math.min(prev.toLong, nRows / 500000L + 1L))
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Converged min-label connected components over an arbitrary
     * directed edge list (symmetrize before calling for undirected
     * semantics) — the kernel, fixture-testable.
@@ -56,6 +89,11 @@ object Graph {
       maxIters: Int = 50): DataFrame = {
     val e = edges.persist()
     val n = nodes.select(col("vec_id")).persist()
+    // (an edges.repartition(src) landing co-partitioned with the
+    // per-round join was measured SLOWER here: the gather join
+    // broadcasts the label frontier, so edges never re-exchange —
+    // the added repartition pass was pure cost)
+    withLoopPartitions(n.sparkSession, n.count()) {
     // eager localCheckpoint per round: the frontier materializes NOW and
     // its lineage truncates, so round k never re-executes rounds 0..k-1
     // (the persist()/unpersist() spelling silently did exactly that —
@@ -86,10 +124,14 @@ object Graph {
       // the already-materialized checkpoint
       converged = next.where(col("new_lbl") < col("lbl")).limit(1)
         .count() == 0L
+      free(labels) // retired round — next is materialized and independent
       labels = next.select(col("vec_id"), col("new_lbl").as("lbl"))
     }
     require(converged, s"components did not converge in $maxIters rounds")
+    e.unpersist(blocking = false)
+    n.unpersist(blocking = false)
     labels
+    }
   }
 
   private def symmetrize(e: DataFrame): DataFrame =
@@ -197,6 +239,7 @@ object Graph {
     val e = edges.persist()
     var lab = nodes.select(col("vec_id"), col("lbl0").as("lbl"))
       .localCheckpoint(true)
+    withLoopPartitions(e.sparkSession, lab.count()) {
     for (_ <- 1 to rounds) {
       val labeled = lab.where(col("lbl").isNotNull)
         .select(col("vec_id").as("src_id"), col("lbl"))
@@ -207,12 +250,16 @@ object Graph {
         .agg(max(struct(col("c"),
           (-col("lbl")).cast("int").as("nl"))).as("m"))
         .select(col("vec_id"), (-col("m.nl")).cast("int").as("new_lbl"))
+      val prev = lab
       lab = lab.join(best, Seq("vec_id"), "left")
         .select(col("vec_id"),
           coalesce(col("lbl"), col("new_lbl")).as("lbl"))
         .localCheckpoint(true)
+      free(prev) // retired round — lab is eagerly materialized
     }
+    e.unpersist(blocking = false)
     lab
+    }
   }
 
   /** Registered query: label propagation over the kNN graph with the

@@ -24,11 +24,32 @@ object StreamingOps {
     * one state store per shuffle partition per microbatch. Size the
     * partition count to the stream's state volume, not the session's
     * batch default (32 stores over a few thousand keys is pure checkpoint
-    * overhead; a 100 TB/day stream would raise this, not lower it). */
+    * overhead; a 100 TB/day stream would raise this, not lower it).
+    *
+    * Checkpoint-file checksums (`fileChecksum.enabled`, new in Spark 4.1,
+    * default true) double every checkpoint write — each offset/commit/
+    * state-delta file gains a sibling `.crc` create+rename plus a
+    * per-FileManager checksum thread pool (a thread dump mid-`stream_join`
+    * showed 384 parked `ChecksumCheckpointFileManager` threads). These
+    * queries run Trigger.AvailableNow over TEMPORARY checkpoints that are
+    * discarded at query end, so corruption detection buys nothing here;
+    * a durable production checkpoint would keep the default. Overridable
+    * per-run via `SPARK_GRAFT_CKPT_CHECKSUM=true`. */
+  private[graft] def withTempCheckpointConf[T](spark: SparkSession)(f: => T): T = {
+    val ck = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prevCk = spark.conf.getOption(ck)
+    spark.conf.set(ck, sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+    try f finally prevCk match {
+      case Some(v) => spark.conf.set(ck, v)
+      case None => spark.conf.unset(ck)
+    }
+  }
+
   private def withStreamPartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try withTempCheckpointConf(spark)(f)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Staging-dir key that changes when the SOURCE data changes, not just
