@@ -99,11 +99,24 @@ object Bench {
     // BENCH_full_latest.json is the opt-in action via
     // SPARK_GRAFT_BENCH_OUT=BENCH_full_latest.json. Paths resolve
     // against the cwd (the driver runs from the repo root).
+    val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT", "target/bench_full_latest.json"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_last.json"), json + "\n")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "target/bench_full_latest.json")), json + "\n")
+    java.nio.file.Files.writeString(outPath, json + "\n")
+    // measurement-channel fix (r15 verdict item 1): at 256 queries the
+    // full line above is ~10 KB and a bounded stdout tail capture
+    // truncates its opening brace away, leaving the consumer nothing
+    // parseable. Print a compact self-contained summary as the LAST
+    // line so any tail window ends with valid JSON; the per-query map
+    // is in the (always-written) file named here. Timing protocol and
+    // the full contract line are unchanged.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""total":$total,"n":${results.size},""" +
+      s""""failed":${failed.mkString("[", ",", "]")},""" +
+      s""""per_query_file":"${outPath.toAbsolutePath.normalize}",""" +
+      s""""sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -57,10 +57,12 @@ private[rasterops] trait RasterStreamQueries {
         val js = batch.select("value").as[String](
           org.apache.spark.sql.Encoders.STRING).collect().toSeq
         if (js.nonEmpty) {
-          val (ds, schemas) = StacParse.parseItems(spark,
-            spark.createDataset(js))
-          val items = ds.collect().toSeq.sortBy(_.id)
-          val res = Load.load(spark, items, schemas,
+          // driver-side parse against the standing collection schemas
+          // (inferred once up front, like the standing grid): a
+          // metadata-sized batch gains nothing from two distributed
+          // parse jobs per trigger — the items are identical
+          val items = StacParse.parseItemsLocal(js, allSchemas).sortBy(_.id)
+          val res = Load.load(spark, items, allSchemas,
             bands = Seq("red", "nir"), groupby = "id", chunks = 64,
             geobox = Some(grid))
           res.tiles.write.mode("append").partitionBy("band").parquet(out)
@@ -99,6 +101,7 @@ private[rasterops] trait RasterStreamQueries {
   private def runMergeStream(spark: SparkSession,
       landingName: String,
       jsons: Seq[String], grid: graft.geo.GeoBox,
+      schemas: Map[String, graft.model.CollectionMetadata],
       sinks: Seq[(String, DataFrame => DataFrame,
         Seq[(String,
           (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
@@ -135,9 +138,9 @@ private[rasterops] trait RasterStreamQueries {
         val pending = statePaths.indices
           .filter(i => batchId > lastMergedBatch(statePaths(i)))
         if (js.nonEmpty && pending.nonEmpty) {
-          val (ds, schemas) = StacParse.parseItems(spark,
-            spark.createDataset(js))
-          val items = ds.collect().toSeq.sortBy(_.id)
+          // driver-side parse against the standing schemas — see
+          // [[streamRasterIngest]]'s foreachBatch note
+          val items = StacParse.parseItemsLocal(js, schemas).sortBy(_.id)
           val res = Load.load(spark, items, schemas,
             bands = Seq("red", "nir"), groupby = "id", chunks = 64,
             geobox = Some(grid))
@@ -173,7 +176,7 @@ private[rasterops] trait RasterStreamQueries {
         val (allItems, allSchemas) = parsed(spark)
         val grid = Planner.outputGeobox(allItems, allSchemas).get
         val paths = runMergeStream(spark, "graft_stream_merge_landing",
-          jsons, grid, Seq(
+          jsons, grid, allSchemas, Seq(
             ("graft_stream_comp_state", compositePartials(spark)(_),
               CompositeMergeCols),
             ("graft_stream_trend_state", trendPartials(spark)(_),
@@ -759,10 +762,10 @@ private[rasterops] trait RasterStreamQueries {
         val js = batch.select("value").as[String](
           org.apache.spark.sql.Encoders.STRING).collect().toSeq
         if (js.nonEmpty) {
-          val (ds, schemas) = StacParse.parseItems(spark,
-            spark.createDataset(js))
-          val items = ds.collect().toSeq.sortBy(_.id)
-          val res = Load.load(spark, items, schemas,
+          // driver-side parse against the standing schemas — see
+          // [[streamRasterIngest]]'s foreachBatch note
+          val items = StacParse.parseItemsLocal(js, allSchemas).sortBy(_.id)
+          val res = Load.load(spark, items, allSchemas,
             bands = Seq("red", "nir"), groupby = "id", chunks = 64,
             geobox = Some(grid))
           graft.load.Zonal.zonalStats(spark, res.tiles, grid, zones)

@@ -73,8 +73,8 @@ object Stats {
   }
 
   /** Spark side: ONE `percentile(c, array(...), cnt)` buffer per column,
-    * fed by a per-value pre-aggregation (`GROUP BY c` + COUNT) instead of
-    * raw rows. Spark's exact `percentile` buffers a value→count
+    * fed by a per-value pre-aggregation (GROUP BY value + COUNT) instead
+    * of raw rows. Spark's exact `percentile` buffers a value→count
     * OpenHashMap either way — the frequency form builds the IDENTICAL
     * final state (so the result is bit-identical, oracle-checked) — but
     * the pre-group moves the heavy map construction into a parallel
@@ -84,9 +84,20 @@ object Stats {
     * (optimization guide §2.3 "aggregate before you shuffle"; measured
     * 3.9 → 2.2 s solo at sf0.1, final-stage task time 2.9 → 1.1 s).
     * At 100 TB the pre-group also caps the shuffle at distinct-values
-    * rows per column instead of table rows. The earlier one-buffer-per-
-    * column-per-table fusion (4× → 1× buffering, 9 → 2 s) is kept for
-    * the scan: columns of the same table still share one pass. */
+    * rows per column instead of table rows.
+    *
+    * The pre-group TRADES AWAY the earlier one-scan-per-table fusion:
+    * each column needs its own `GROUP BY value`, so a multi-column
+    * table (lineitem) is scanned once per column. Each scan is pruned
+    * to its single column, so parquet bytes read per column are
+    * unchanged — only the row-decode pass repeats, and it is the
+    * cheaper side of the trade. A fused one-scan spelling
+    * (`explode(map(idx, col...))` unpivot + GROUP BY (idx, v) + one
+    * percentile per idx — single scan AND pre-aggregation) was
+    * measured SLOWER in r16 (same-host A/B: 3.22 s two-scan vs
+    * 4.24–4.59 s fused solo at sf0.1): the unpivot pushes 2N rows
+    * through one wider pre-group and allocates a map per input row,
+    * which costs more than the column-pruned second scan it saves. */
   private def tableSpark(tbl: String, cols: Seq[String]) = {
     val subs = cols.zipWithIndex.map { case (c, i) =>
       s"""(SELECT percentile(v, array(0.25D, 0.5D, 0.75D, 0.95D), c)

@@ -39,23 +39,19 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Scale-adaptive shuffle width for the iterative kernels: an
-    * O(log n)-round loop pays every exchange 6+ times, so partition
-    * count follows the FRONTIER size (~500k label rows per task — a
-    * few MB of (long, long) pairs) instead of the session's batch
-    * default. At sf0.1 (2k nodes) that is 1 partition instead of 32 —
-    * the 32-way exchanges were pure scheduling overhead (53 jobs of
-    * 10–50 ms); at 100 TB (10⁹ nodes) the same rule gives 2000
-    * partitions, i.e. it scales with data, not with the local core
-    * count. Results are partitioning-independent (min-label fixpoint /
-    * frozen-majority labels), oracle-checked. */
   /** Release a retired frontier's localCheckpoint blocks. Each loop
     * round checkpoints a new frontier; without this the suite carries
     * every round of every run in the block manager until JVM GC gets
     * around to it — dead weight that competes with later queries'
     * execution memory (guide §5). Only RETIRED rounds are freed; the
     * final frontier stays, since the returned DataFrame reads it
-    * lazily. */
+    * lazily.
+    *
+    * INVARIANT (caller-enforced): the freed DataFrame must never be
+    * executed again — localCheckpoint truncated its lineage, so once
+    * the blocks are dropped it is NOT recomputable. The loops uphold
+    * this by freeing a round only after the NEXT round's frontier is
+    * eagerly materialized and the convergence count has run. */
   private def free(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
@@ -63,6 +59,19 @@ object Graph {
       case _ => ()
     }
 
+  /** Scale-adaptive shuffle width for the iterative kernels: an
+    * O(log n)-round loop pays every exchange 6+ times, so partition
+    * count follows the FRONTIER size (~500k label rows per task — a
+    * few MB of (long, long) pairs) instead of the session's batch
+    * default. At sf0.1 (2k nodes) that is 1 partition instead of 32 —
+    * the 32-way exchanges were pure scheduling overhead (53 jobs of
+    * 10–50 ms). The rule only ever NARROWS the width: it is capped at
+    * the session's configured `spark.sql.shuffle.partitions`, so a
+    * 100 TB cluster session keeps its cluster-sized width unless the
+    * frontier is genuinely small (it never over-partitions a small
+    * frontier, and never widens beyond the session conf). Results are
+    * partitioning-independent (min-label fixpoint / frozen-majority
+    * labels), oracle-checked. */
   private def withLoopPartitions[T](spark: SparkSession, nRows: Long)
                                    (f: => T): T = {
     val key = "spark.sql.shuffle.partitions"

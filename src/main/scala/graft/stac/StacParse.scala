@@ -360,6 +360,25 @@ object StacParse extends Serializable {
     }
   }
 
+  private def collectionOf(node: JsonNode): String =
+    opt(node, "collection").map(_.asText()).getOrElse("_")
+
+  /** Driver-side parse of a SMALL batch of item JSONs against
+    * already-inferred collection schemas — the per-microbatch path: a
+    * streaming trigger delivers metadata-sized item batches, so
+    * launching two distributed jobs per batch (schema inference +
+    * parse, as [[parseItems]] does) is pure driver planning latency
+    * (optimization guide §2/§6 — don't replan invariant metadata per
+    * microbatch). Same [[parseItem]] against the same schema map, so
+    * the ParsedItems are identical to the distributed path's. */
+  def parseItemsLocal(jsons: Seq[String],
+                      schemas: Map[String, CollectionMetadata],
+                      cfg: StacCfg = StacCfg.empty): Seq[ParsedItem] =
+    jsons.map { j =>
+      val name = collectionOf(mapper.readTree(j))
+      parseItem(j, schemas(name), cfg.forCollection(name))
+    }
+
   /** Multi-collection item stream parse (S2, `_mdtools.py:705-723`):
     * per-collection schemas inferred+widened distributedly, then items
     * parsed executor-side against the broadcast schema map. */
@@ -368,8 +387,6 @@ object StacParse extends Serializable {
   : (Dataset[ParsedItem], Map[String, CollectionMetadata]) = {
     import spark.implicits._
     val bcCfg = spark.sparkContext.broadcast(cfg)
-    def collectionOf(node: JsonNode): String =
-      opt(node, "collection").map(_.asText()).getOrElse("_")
     val schemas = jsons
       .map { j =>
         val name = collectionOf(mapper.readTree(j))

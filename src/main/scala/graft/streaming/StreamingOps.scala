@@ -38,7 +38,11 @@ object StreamingOps {
   private[graft] def withTempCheckpointConf[T](spark: SparkSession)(f: => T): T = {
     val ck = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     val prevCk = spark.conf.getOption(ck)
-    spark.conf.set(ck, sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+    // normalize the env override to a strict boolean string: anything
+    // other than "true" (case-insensitive) keeps checksums off, so a
+    // value like "1" or "yes" can never fail the boolean conf-set
+    spark.conf.set(ck, sys.env.get("SPARK_GRAFT_CKPT_CHECKSUM")
+      .exists(_.equalsIgnoreCase("true")).toString)
     try f finally prevCk match {
       case Some(v) => spark.conf.set(ck, v)
       case None => spark.conf.unset(ck)

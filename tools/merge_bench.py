@@ -15,6 +15,7 @@ def main() -> None:
     out, *ins = sys.argv[1:]
     merged: dict = {}
     merged_min: dict = {}
+    src: dict = {}
     meta = None
     for p in ins:
         with open(p) as f:
@@ -30,10 +31,17 @@ def main() -> None:
             if v >= 0:
                 merged[k] = v
                 merged_min[k] = j.get("queries_min", {}).get(k, v)
+                src[k] = p
             elif k not in merged:
                 merged[k] = v
                 merged_min[k] = v
+                src[k] = p
     failed = sorted(k for k, v in merged.items() if v < 0)
+    # provenance stamp (r15 verdict item 8): a merged record must say so
+    # INSIDE the JSON — which inputs it was spliced from and which
+    # queries each later input overrode, so a reader never mistakes a
+    # splice for one uninterrupted run
+    overridden = sorted(k for k, p in src.items() if p != ins[0])
     rec = {
         "metric": "total",
         "value": sum(v for v in merged.values() if v >= 0),
@@ -43,6 +51,7 @@ def main() -> None:
         "queries_min": dict(sorted(merged_min.items())),
         "failed": failed,
         "sf": meta["sf"],
+        "merged": {"inputs": ins, "overridden_queries": overridden},
     }
     with open(out, "w") as f:
         json.dump(rec, f)
