@@ -78,8 +78,7 @@ private[rasterops] trait RasterAnalyticsQueries {
   def temporalFill(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val jsons = Fixtures.writeScenesGap(3)
-    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
-    val items = ds.collect().toSeq.sortBy(_.id)
+    val (items, schemas) = parsedOf(spark, jsons)
     val res = Load.load(spark, items, schemas, bands = Seq("red"),
       groupby = "id", chunks = 64, dtype = Some("float64"))
     val decode = udf { (data: Array[Byte], dtype: String) =>
@@ -157,8 +156,7 @@ private[rasterops] trait RasterAnalyticsQueries {
   def temporalSmooth(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val jsons = Fixtures.writeScenesGap(7)
-    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
-    val items = ds.collect().toSeq.sortBy(_.id)
+    val (items, schemas) = parsedOf(spark, jsons)
     val res = Load.load(spark, items, schemas, bands = Seq("red"),
       groupby = "id", chunks = 64, dtype = Some("float64"))
     val fill = res.temporalFill()
@@ -212,8 +210,7 @@ private[rasterops] trait RasterAnalyticsQueries {
       withTsec: Boolean = true): graft.load.LoadResult = {
     import spark.implicits._
     val jsons = Fixtures.writeScenesGap(7)
-    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
-    val items = ds.collect().toSeq.sortBy(_.id)
+    val (items, schemas) = parsedOf(spark, jsons)
     val res = Load.load(spark, items, schemas, bands = Seq("red"),
       groupby = "id", chunks = 64, dtype = Some("float64"))
     val decode = udf { (data: Array[Byte], dtype: String) =>
@@ -1054,8 +1051,7 @@ private[rasterops] trait RasterAnalyticsQueries {
   def maskedComposite(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val jsons = Fixtures.writeScenesQa(3)
-    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
-    val items = ds.collect().toSeq.sortBy(_.id)
+    val (items, schemas) = parsedOf(spark, jsons)
     val res = Load.load(spark, items, schemas, bands = Seq("red", "qa"),
       groupby = "id", chunks = 64)
     val decode = udf { (data: Array[Byte], dtype: String) =>

@@ -332,8 +332,7 @@ private[rasterops] trait RasterLoadQueries {
   def loadMultigrid(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val jsons = Fixtures.writeScenesMultigrid(NScenes)
-    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
-    val items = ds.collect().toSeq.sortBy(_.id)
+    val (items, schemas) = parsedOf(spark, jsons)
     val decode = udf { (data: Array[Byte], dtype: String) =>
       Fuse.decode(data, dtype) }
     def landCells(tiles: DataFrame, path: String): Unit =
@@ -433,8 +432,7 @@ private[rasterops] trait RasterLoadQueries {
   def loadTiff(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val jsons = Fixtures.writeScenesTiff(NScenes)
-    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
-    val items = ds.collect().toSeq.sortBy(_.id)
+    val (items, schemas) = parsedOf(spark, jsons)
     val single = summarize(
       Load.load(spark, items, schemas, bands = Seq("red", "nir"),
         groupby = "solar_day", chunks = 64).tiles)
@@ -442,8 +440,7 @@ private[rasterops] trait RasterLoadQueries {
     // packed multi-band asset: red/green/nir are planes 1..3 of ONE tif,
     // exercising RasterSource.band addressing end-to-end (S7 multi-band)
     val mJsons = Fixtures.writeScenesMultiband(NScenes)
-    val (mDs, mSchemas) = StacParse.parseItems(spark, spark.createDataset(mJsons))
-    val mItems = mDs.collect().toSeq.sortBy(_.id)
+    val (mItems, mSchemas) = parsedOf(spark, mJsons)
     val packed = summarize(
       Load.load(spark, mItems, mSchemas, bands = Seq("red", "green", "nir"),
         groupby = "solar_day", chunks = 64).tiles)
@@ -452,8 +449,7 @@ private[rasterops] trait RasterLoadQueries {
     // addressed via RasterSource.subdataset (S7 subdataset addressing);
     // checksums must equal the per-band-files layout's
     val sJsons = Fixtures.writeScenesSubdatasets(NScenes)
-    val (sDs, sSchemas) = StacParse.parseItems(spark, spark.createDataset(sJsons))
-    val sItems = sDs.collect().toSeq.sortBy(_.id)
+    val (sItems, sSchemas) = parsedOf(spark, sJsons)
     val subds = summarize(
       Load.load(spark, sItems, sSchemas, bands = Seq("red", "nir"),
         groupby = "solar_day", chunks = 64).tiles)
@@ -473,8 +469,7 @@ private[rasterops] trait RasterLoadQueries {
   def loadZarr(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val jsons = Fixtures.writeScenesZarr(NScenes)
-    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
-    val items = ds.collect().toSeq.sortBy(_.id)
+    val (items, schemas) = parsedOf(spark, jsons)
     val full = summarize(
       Load.load(spark, items, schemas, bands = Seq("red", "nir"),
         groupby = "solar_day", chunks = 64).tiles)
@@ -497,8 +492,7 @@ private[rasterops] trait RasterLoadQueries {
   def loadNetcdf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val jsons = Fixtures.writeScenesNc(NScenes)
-    val (ds, schemas) = StacParse.parseItems(spark, spark.createDataset(jsons))
-    val items = ds.collect().toSeq.sortBy(_.id)
+    val (items, schemas) = parsedOf(spark, jsons)
     summarize(
       Load.load(spark, items, schemas, bands = Seq("red", "nir"),
         groupby = "solar_day", chunks = 64).tiles)
