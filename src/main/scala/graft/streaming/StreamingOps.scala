@@ -963,6 +963,10 @@ object StreamingOps {
     * the property that keeps a 100 TB/day stream joinable. Run with
     * AvailableNow over the static table, the emitted set equals the
     * batch range join, so the run is DuckDB-oracle checkable. */
+  // (running THIS query at the session width instead of 8 was
+  // measured in r16 — solo 4.83 s at 8 partitions vs 4.80–5.87 s at
+  // 32: the extra state-store instances offset the added parallelism
+  // even for the join's ~500k-row state; 8 stands for the family)
   def streamJoin(spark: SparkSession, dir: String): DataFrame =
       withStreamPartitions(spark, 8) {
       withEventsStream(spark, dir) { src =>
